@@ -1,0 +1,612 @@
+"""VectorDBEngine — the full API facade.
+
+One class exposing every operator of the reference client
+(reference: aiotcvectordb/client/stub.py — AsyncVectorDBClient), executed
+natively on Spark instead of POSTed to a server. DDL/catalog ops are
+bookkeeping on the JSON catalog; DML rewrites parquet snapshots; reads
+and searches are DataFrame plans that Catalyst optimizes.
+
+Row-level results are returned as ``List[Dict]`` / ``List[List[Dict]]``
+matching the reference response shapes (e.g. search returns one hit-list
+per query vector — reference collection.py:698-707), while the
+DataFrame-returning ``*_df`` variants are the composable / scalable form.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aiotcvectordb_spark.catalog import (
+    AI_DOC,
+    BASE_DB,
+    Catalog,
+    CollectionMeta,
+    IndexField,
+)
+from aiotcvectordb_spark.errors import ParamError
+from aiotcvectordb_spark.functions.embedding import embed_udf
+from aiotcvectordb_spark.operators import knn
+from aiotcvectordb_spark.sources.parquet_store import ParquetStore
+
+UPSERT_BATCH_CAP = 1000  # reference stub.py:453
+DELETE_LIMIT_RANGE = (1, 16384)  # reference stub.py:484
+
+
+class VectorDBEngine:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.catalog = Catalog(root)
+        self.store = ParquetStore(root)
+
+    # ------------------------------------------------------------------ DDL
+
+    def create_database(self, name: str) -> None:
+        self.catalog.create_database(name, BASE_DB)
+
+    def create_database_if_not_exists(self, name: str) -> None:
+        self.catalog.create_database(name, BASE_DB, exist_ok=True)
+
+    def create_ai_database(self, name: str) -> None:
+        self.catalog.create_database(name, AI_DOC)
+
+    def drop_database(self, name: str) -> dict:
+        self.store.drop(name)
+        return {"affectedCount": self.catalog.drop_database(name)}
+
+    drop_ai_database = drop_database
+
+    def list_databases(self) -> list[dict]:
+        return self.catalog.list_databases()
+
+    def create_collection(
+        self,
+        database: str,
+        name: str,
+        *,
+        indexes: Sequence[IndexField],
+        shard: int = 1,
+        replicas: int = 0,
+        description: str = "",
+        embedding: dict | None = None,
+        ttl_config: dict | None = None,
+        filter_index_config: dict | None = None,
+        if_not_exists: bool = False,
+    ) -> CollectionMeta:
+        if if_not_exists and self.catalog.collection_exists(database, name):
+            return self.catalog.get_collection(database, name)
+        meta = CollectionMeta(
+            name=name,
+            database=database,
+            shard=shard,
+            replicas=replicas,
+            description=description,
+            indexes=list(indexes),
+            embedding=embedding,
+            ttl_config=ttl_config,
+            filter_index_config=filter_index_config,
+        )
+        self.catalog.put_collection(meta)
+        return meta
+
+    def exists_collection(self, database: str, name: str) -> bool:
+        return self.catalog.collection_exists(database, name)
+
+    def describe_collection(self, database: str, name: str) -> dict:
+        meta = self.catalog.get_collection(database, name)
+        try:
+            count = self.read(database, name).count()
+        except FileNotFoundError:
+            count = 0
+        d = {
+            "database": meta.database,
+            "collection": meta.name,
+            "shard": meta.shard,
+            "replicas": meta.replicas,
+            "description": meta.description,
+            "documentCount": count,
+            "createTime": meta.create_time,
+            "indexStatus": {"status": meta.index_status},
+            "indexes": [vars(ix) for ix in meta.indexes],
+        }
+        if meta.embedding:
+            d["embedding"] = meta.embedding
+        if meta.ttl_config:
+            d["ttlConfig"] = meta.ttl_config
+        return d
+
+    def list_collections(self, database: str) -> list[str]:
+        return self.catalog.list_collections(database)
+
+    def drop_collection(self, database: str, name: str) -> dict:
+        self.store.drop(database, name)
+        return {"affectedCount": self.catalog.drop_collection(database, name)}
+
+    def truncate_collection(self, database: str, name: str) -> dict:
+        meta = self.catalog.get_collection(database, name)
+        try:
+            df = self.store.read(self.spark, database, meta.name)
+        except FileNotFoundError:
+            return {"affectedCount": 0}
+        n = df.count()
+        self.store.write(df.limit(0), database, meta.name)
+        return {"affectedCount": n}
+
+    def set_alias(self, database: str, collection: str, alias: str) -> dict:
+        return {"affectedCount": self.catalog.set_alias(database, collection, alias)}
+
+    def delete_alias(self, database: str, alias: str) -> dict:
+        return {"affectedCount": self.catalog.delete_alias(database, alias)}
+
+    # ---------------------------------------------------------- index admin
+
+    def add_index(
+        self, database: str, collection: str, indexes: Sequence[IndexField],
+        build_existed_data: bool = True,
+    ) -> None:
+        """Scalar indexes are metadata-only for us: Catalyst already pushes
+        predicates to parquet min/max/dictionary (reference op 14,
+        stub.py:860-885 — server builds a scalar index; our 'build' is free).
+        """
+        meta = self.catalog.get_collection(database, collection)
+        meta.indexes.extend(indexes)
+        self.catalog.put_collection(meta, replace=True)
+
+    def drop_index(self, database: str, collection: str, field_names: Sequence[str]) -> None:
+        meta = self.catalog.get_collection(database, collection)
+        meta.indexes = [ix for ix in meta.indexes if ix.name not in set(field_names)]
+        self.catalog.put_collection(meta, replace=True)
+
+    def rebuild_index(
+        self, database: str, collection: str, *,
+        drop_before_rebuild: bool = False, throttle: int = 0,
+        field_name: str = "vector",
+    ) -> None:
+        """Re-run the ANN build job (IVF KMeans refit / posting rebuild).
+
+        ``throttle`` (CPU cap, reference stub.py:845-846) is honored as a
+        scheduler-pool hint; in local mode it is advisory.
+        """
+        from aiotcvectordb_spark.operators import ann
+
+        meta = self.catalog.get_collection(database, collection)
+        vix = meta.vector_index()
+        if field_name == "vector" and vix and (vix.index_type or "").startswith("IVF"):
+            ann.build_ivf(self, meta)
+        meta.index_status = "ready"
+        self.catalog.put_collection(meta, replace=True)
+
+    def modify_vector_index(
+        self, database: str, collection: str, vector_indexes: Sequence[IndexField],
+        rebuild_rules: dict | None = None,
+    ) -> None:
+        meta = self.catalog.get_collection(database, collection)
+        meta.indexes = [ix for ix in meta.indexes if ix.kind != "vector"] + list(
+            vector_indexes
+        )
+        self.catalog.put_collection(meta, replace=True)
+        if rebuild_rules is None or rebuild_rules.get("rebuild", True):
+            self.rebuild_index(database, collection)
+
+    # ------------------------------------------------------------- read path
+
+    def read(self, database: str, collection: str, *, honor_ttl: bool = True) -> DataFrame:
+        """Snapshot DataFrame of a collection, TTL-expired rows filtered out
+        (reference op 22: ttl_config {'enable', 'timeField'}, stub.py:224-225)."""
+        meta = self.catalog.get_collection(database, collection)
+        df = self.store.read(self.spark, database, meta.name)
+        if honor_ttl and meta.ttl_config and meta.ttl_config.get("enable"):
+            tf = meta.ttl_config["timeField"]
+            df = df.filter(F.col(tf) > F.unix_timestamp())
+        return df
+
+    def query_df(
+        self,
+        database: str,
+        collection: str,
+        *,
+        document_ids: Sequence | None = None,
+        filter: str | None = None,
+        output_fields: Sequence[str] | None = None,
+        limit: int | None = None,
+        offset: int = 0,
+        sort: dict | None = None,
+        retrieve_vector: bool = False,
+    ) -> DataFrame:
+        """Op 23 `query`: scan -> filter -> sort -> paginate -> project
+        (reference collection.py:121-159). Sort is single-field
+        {'fieldName', 'direction'} with asc default (stub.py:550)."""
+        meta = self.catalog.get_collection(database, collection)
+        pk = meta.primary_key
+        df = self.read(database, collection)
+        if document_ids is not None:
+            df = df.filter(F.col(pk).isin(list(document_ids)))
+        if filter:
+            df = df.filter(filter)
+        if sort:
+            field = sort["fieldName"]
+            direction = sort.get("direction", "asc")
+            order = F.col(field).asc() if direction == "asc" else F.col(field).desc()
+            # pk tiebreak => stable, disjoint pages (test_documents_query_sort_pagination)
+            df = df.orderBy(order, F.col(pk).asc())
+        elif offset or limit is not None:
+            df = df.orderBy(F.col(pk).asc())
+        if offset:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+        vec = meta.vector_field
+        if output_fields is not None:
+            keep = [pk] + [c for c in output_fields if c != pk]
+            if retrieve_vector and vec and vec not in keep:
+                keep.append(vec)
+            df = df.select(*keep)
+        elif not retrieve_vector and vec:
+            df = df.drop(vec)
+        return df
+
+    def query(self, database: str, collection: str, **kw) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.query_df(database, collection, **kw).collect()]
+
+    def count(self, database: str, collection: str, filter: str | None = None) -> int:
+        df = self.read(database, collection)
+        if filter:
+            df = df.filter(filter)
+        return df.count()
+
+    # ------------------------------------------------------------ write path
+
+    def upsert(
+        self,
+        database: str,
+        collection: str,
+        documents: Sequence[dict],
+        *,
+        build_index: bool = True,
+    ) -> dict:
+        """Op 19: insert-or-replace by primary key (reference
+        collection.py:79-119). Embedding-enabled collections accept a text
+        value in the vector field and embed it engine-side (ai-mode
+        detection mirrors collection.py:107-112).
+        """
+        if len(documents) > UPSERT_BATCH_CAP:
+            raise ParamError(
+                f"upsert batch exceeds {UPSERT_BATCH_CAP} documents"
+            )
+        meta = self.catalog.get_collection(database, collection)
+        pk = meta.primary_key
+        vec = meta.vector_field
+        token_used = 0
+
+        docs = [dict(d) for d in documents]
+        ai_mode = bool(
+            meta.embedding and docs and isinstance(docs[0].get(vec), str)
+        )
+        if meta.embedding and docs and vec is not None:
+            text_field = meta.embedding["field"]
+            dim = meta.vector_index().dimension if meta.vector_index() else 64
+            fn = embed_udf.python_fn(dim)
+            for d in docs:
+                if ai_mode and isinstance(d.get(vec), str):
+                    d[text_field] = d[vec]
+                    d.pop(vec)
+                if vec not in d and text_field in d:
+                    d[vec] = fn(d[text_field])
+                    token_used += len(str(d[text_field]).split())
+
+        new_df = self._docs_to_df(docs, meta)
+        try:
+            old = self.store.read(self.spark, database, meta.name)
+        except FileNotFoundError:
+            old = None
+        if old is not None and old.columns:
+            merged = upsert_dataframes(old, new_df, pk)
+        else:
+            merged = new_df
+        self.store.write(merged, database, meta.name, shard=meta.shard)
+        if build_index:
+            vix = meta.vector_index()
+            if vix and (vix.index_type or "").startswith("IVF"):
+                self.rebuild_index(database, collection)
+        else:
+            meta.index_status = "stale"
+            self.catalog.put_collection(meta, replace=True)
+        out = {"affectedCount": len(docs)}
+        if ai_mode:
+            out["embeddingExtraInfo"] = {"tokenUsed": token_used}
+        return out
+
+    def _docs_to_df(self, docs: Sequence[dict], meta: CollectionMeta) -> DataFrame:
+        schema = self._schema_for(meta, docs)
+        rows = [tuple(d.get(f.name) for f in schema.fields) for d in docs]
+        return self.spark.createDataFrame(rows, schema)
+
+    def _schema_for(self, meta: CollectionMeta, docs: Sequence[dict]) -> T.StructType:
+        """Declared (indexed) fields get their declared types; dynamic scalar
+        fields are inferred from the batch (schemaless surface of the
+        reference — SURVEY §1.2)."""
+        type_map = {
+            "string": T.StringType(),
+            "uint64": T.LongType(),
+            "double": T.DoubleType(),
+            "array": T.ArrayType(T.StringType()),
+        }
+        fields: dict[str, T.DataType] = {}
+        for ix in meta.indexes:
+            if ix.kind == "vector":
+                fields[ix.name] = T.ArrayType(T.DoubleType())
+            elif ix.kind == "sparse":
+                fields[ix.name] = T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("term_id", T.LongType()),
+                            T.StructField("weight", T.DoubleType()),
+                        ]
+                    )
+                )
+            else:
+                fields[ix.name] = type_map.get(ix.field_type, T.StringType())
+        for d in docs:
+            for k, v in d.items():
+                if k in fields:
+                    continue
+                if isinstance(v, bool):
+                    fields[k] = T.BooleanType()
+                elif isinstance(v, int):
+                    fields[k] = T.LongType()
+                elif isinstance(v, float):
+                    fields[k] = T.DoubleType()
+                elif isinstance(v, list):
+                    if v and isinstance(v[0], (int, float)):
+                        fields[k] = T.ArrayType(T.DoubleType())
+                    else:
+                        fields[k] = T.ArrayType(T.StringType())
+                else:
+                    fields[k] = T.StringType()
+        return T.StructType(
+            [T.StructField(name, dt, True) for name, dt in fields.items()]
+        )
+
+    def update(
+        self,
+        database: str,
+        collection: str,
+        values: dict,
+        *,
+        document_ids: Sequence | None = None,
+        filter: str | None = None,
+    ) -> dict:
+        """Op 20: partial update by ids and/or filter; requires at least one
+        predicate (reference collection.py:734-737)."""
+        if document_ids is None and not filter:
+            raise ParamError("update requires document_ids and/or filter")
+        meta = self.catalog.get_collection(database, collection)
+        pk = meta.primary_key
+        df = self.store.read(self.spark, database, meta.name)
+        pred = _predicate(pk, document_ids, filter)
+        affected = df.filter(pred).count()
+        updated = update_dataframe(df, pred, values)
+        self.store.write(updated, database, meta.name, shard=meta.shard)
+        return {"affectedCount": affected}
+
+    def delete(
+        self,
+        database: str,
+        collection: str,
+        *,
+        document_ids: Sequence | None = None,
+        filter: str | None = None,
+        limit: int | None = None,
+    ) -> dict:
+        """Op 21: delete by ids and/or filter with optional limit in
+        [1, 16384] (reference stub.py:484)."""
+        if document_ids is None and not filter:
+            raise ParamError("delete requires document_ids and/or filter")
+        if limit is not None and not (
+            DELETE_LIMIT_RANGE[0] <= limit <= DELETE_LIMIT_RANGE[1]
+        ):
+            raise ParamError(f"delete limit must be in {DELETE_LIMIT_RANGE}")
+        meta = self.catalog.get_collection(database, collection)
+        pk = meta.primary_key
+        df = self.store.read(self.spark, database, meta.name)
+        pred = _predicate(pk, document_ids, filter)
+        remaining, affected = delete_rows(df, pred, pk, limit)
+        self.store.write(remaining, database, meta.name, shard=meta.shard)
+        return {"affectedCount": affected}
+
+    # ----------------------------------------------------------- search path
+
+    def search_df(
+        self,
+        database: str,
+        collection: str,
+        vectors: Sequence[Sequence[float]],
+        **kw,
+    ) -> DataFrame:
+        meta = self.catalog.get_collection(database, collection)
+        vix = meta.vector_index()
+        metric = kw.pop("metric", (vix.metric_type if vix else None) or "COSINE")
+        df = self.read(database, collection)
+        index_type = (vix.index_type if vix else "FLAT") or "FLAT"
+        if index_type.startswith("IVF") and meta.ann_state.get("ivf"):
+            from aiotcvectordb_spark.operators import ann
+
+            return ann.ivf_search(
+                self, meta, df, vectors, metric=metric, **kw
+            )
+        return knn.knn_search(
+            df,
+            vectors,
+            vector_col=meta.vector_field or "vector",
+            id_col=meta.primary_key,
+            metric=metric,
+            **kw,
+        )
+
+    def search(
+        self, database: str, collection: str, vectors: Sequence[Sequence[float]], **kw
+    ) -> list[list[dict]]:
+        """Op 28: returns one hit-list per query vector
+        (wire shape reference collection.py:698-707)."""
+        res = self.search_df(database, collection, vectors, **kw).collect()
+        out: list[list[dict]] = [[] for _ in vectors]
+        for r in sorted(res, key=lambda r: (r["query_idx"], r["rank"])):
+            d = r.asDict(recursive=True)
+            d.pop("query_idx")
+            d.pop("rank")
+            out[r["query_idx"]].append(d)
+        return out
+
+    def search_by_id(
+        self, database: str, collection: str, document_ids: Sequence, **kw
+    ) -> list[list[dict]]:
+        meta = self.catalog.get_collection(database, collection)
+        df = self.read(database, collection)
+        res = knn.search_by_id(
+            df,
+            document_ids,
+            vector_col=meta.vector_field or "vector",
+            id_col=meta.primary_key,
+            metric=kw.pop(
+                "metric",
+                (meta.vector_index().metric_type if meta.vector_index() else None)
+                or "COSINE",
+            ),
+            **kw,
+        ).collect()
+        out: list[list[dict]] = [[] for _ in document_ids]
+        for r in sorted(res, key=lambda r: (r["query_idx"], r["rank"])):
+            d = r.asDict(recursive=True)
+            d.pop("query_idx")
+            d.pop("rank")
+            out[r["query_idx"]].append(d)
+        return out
+
+    def search_by_text(
+        self, database: str, collection: str, texts: Sequence[str], **kw
+    ) -> list[list[dict]]:
+        """Op 30: engine-side embedding of query texts via the collection's
+        deterministic embedding model (stand-in for bge-base-zh —
+        reference collection.py:263-314)."""
+        meta = self.catalog.get_collection(database, collection)
+        if not meta.embedding:
+            raise ParamError("collection has no embedding config")
+        dim = meta.vector_index().dimension if meta.vector_index() else 64
+        fn = embed_udf.python_fn(dim)
+        vectors = [fn(t) for t in texts]
+        return self.search(database, collection, vectors, **kw)
+
+    def fulltext_search(
+        self, database: str, collection: str, query_text: str, **kw
+    ) -> list[dict]:
+        """Op 33: BM25 sparse retrieval; single query in, single list out
+        (reference collection.py:403-467)."""
+        from aiotcvectordb_spark.operators import fulltext
+
+        meta = self.catalog.get_collection(database, collection)
+        df = self.read(database, collection)
+        res = fulltext.fulltext_search_df(
+            df, query_text, id_col=meta.primary_key, **kw
+        ).collect()
+        return [r.asDict(recursive=True) for r in res]
+
+    def hybrid_search(
+        self,
+        database: str,
+        collection: str,
+        *,
+        ann_vectors: Sequence[Sequence[float]] | None = None,
+        match_text: str | None = None,
+        rerank: dict | None = None,
+        limit: int = 10,
+        filter: str | None = None,
+        **kw,
+    ) -> list[list[dict]]:
+        """Op 32: dense + sparse legs fused by RRF or weighted rerank
+        (reference collection.py:316-401)."""
+        from aiotcvectordb_spark.operators import hybrid
+
+        meta = self.catalog.get_collection(database, collection)
+        df = self.read(database, collection)
+        out_df = hybrid.hybrid_search_df(
+            df,
+            ann_vectors=ann_vectors,
+            match_text=match_text,
+            id_col=meta.primary_key,
+            vector_col=meta.vector_field or "vector",
+            rerank=rerank,
+            limit=limit,
+            filter=filter,
+            **kw,
+        )
+        res = out_df.collect()
+        nq = len(ann_vectors) if ann_vectors else 1
+        out: list[list[dict]] = [[] for _ in range(nq)]
+        for r in sorted(res, key=lambda r: (r["query_idx"], r["rank"])):
+            d = r.asDict(recursive=True)
+            qi = d.pop("query_idx")
+            d.pop("rank")
+            out[qi].append(d)
+        return out
+
+
+# ---------------------------------------------------------------- primitives
+# Pure DataFrame->DataFrame forms of the write ops, shared by the engine and
+# the oracle-checked entry queries (they are side-effect-free transforms).
+
+
+def upsert_dataframes(old: DataFrame, new: DataFrame, pk: str) -> DataFrame:
+    """Insert-or-replace: keep old rows whose pk is absent from new, then
+    union the new batch. Anti-join side is the small batch -> broadcast."""
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    keys = new.select(pk).distinct()
+    survivors = old.join(F.broadcast(keys), pk, "left_anti")
+    return survivors.unionByName(new.select(*survivors.columns))
+
+
+def update_dataframe(df: DataFrame, pred, values: dict) -> DataFrame:
+    """Conditional column rewrite: col := CASE WHEN pred THEN v ELSE col."""
+    out = df
+    for col_name, v in values.items():
+        if col_name in out.columns:
+            out = out.withColumn(
+                col_name, F.when(pred, F.lit(v)).otherwise(F.col(col_name))
+            )
+        else:
+            out = out.withColumn(col_name, F.when(pred, F.lit(v)))
+    return out
+
+
+def delete_rows(
+    df: DataFrame, pred, pk: str, limit: int | None = None
+) -> tuple[DataFrame, int]:
+    """Anti-join delete; limited delete picks victims deterministically by pk
+    order (the reference leaves choice unspecified; determinism makes the
+    result oracle-checkable)."""
+    victims = df.filter(pred)
+    if limit is not None:
+        victims = victims.orderBy(F.col(pk).asc()).limit(limit)
+    victims_keys = victims.select(pk)
+    n = victims_keys.count()
+    remaining = df.join(F.broadcast(victims_keys), pk, "left_anti")
+    return remaining, n
+
+
+def _predicate(pk: str, document_ids: Sequence | None, filter_expr: str | None):
+    pred = None
+    if document_ids is not None:
+        pred = F.col(pk).isin(list(document_ids))
+    if filter_expr:
+        fp = F.expr(filter_expr)
+        pred = fp if pred is None else (pred & fp)
+    return pred

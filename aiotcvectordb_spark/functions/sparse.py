@@ -1,0 +1,108 @@
+"""Sparse (BM25) text encoding — tokenize, term-id, corpus-weighted.
+
+Re-creates the client-side ``tcvdb-text`` BM25 encoder's role
+(reference: pyproject.toml:13 dependency; sparse_vector =
+List[[term_id, weight]] — reference stub.py:787-801) as Spark-native
+column expressions:
+
+- tokenize: lower + split on non-alphanumeric (JVM regexp, codegen'd)
+- term id: ``xxhash64(token)`` (JVM-side 64-bit hash, like mmh3's role)
+- weights: classic BM25 (k1=1.2, b=0.75) from corpus statistics computed
+  with two aggregations (doc lengths + document frequencies).
+
+Everything here is built-in-function only — no Python in the hot path —
+so the encoder scales to any corpus Spark can scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+# Tokenizer shared by spark and oracle SQL: lowercase, split on runs of
+# non-alphanumeric, drop empties.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _TOKENS_FOR_QUERY(text: str) -> list[str]:
+    """Driver-side tokenizer identical to ``tokens_col`` (query side)."""
+    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+
+
+def tokens_col(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode documents to (id, token, tf, dl) — one row per distinct
+    term per document."""
+    toks = df.select(
+        F.col(id_col), tokens_col(text_col).alias("__toks")
+    ).withColumn("dl", F.size("__toks"))
+    return (
+        toks.select(id_col, "dl", F.explode("__toks").alias("token"))
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def build_postings(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (postings, stats).
+
+    postings: (term_id, token, doc id, weight) — BM25 per-term doc weight.
+    stats: single row (n_docs, avgdl).
+    The posting build is two shuffles (explode+groupBy, then join with
+    per-term df counts); both are partial-aggregated map-side.
+    """
+    terms = doc_terms(df, id_col, text_col)
+    stats = terms.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = terms.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    # Corpus stats join in as a broadcast 1-row cross join — keeps the
+    # whole build ONE lazy plan (no eager collect, no recompute of the
+    # tokenize/explode chain per consumer).
+    postings = (
+        terms.join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "weight",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (
+                F.col("tf")
+                + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .withColumn("term_id", F.xxhash64("token"))
+        .select("term_id", "token", F.col(id_col), "weight", "df")
+    )
+    return postings, stats
+
+
+def encode_sparse_vectors(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Attach a ``sparse_vector`` column: array<struct<term_id,weight>>
+    (the reference's client-side encoder output shape, stub.py:801)."""
+    postings, _ = build_postings(df, id_col=id_col, text_col=text_col)
+    sv = postings.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("term_id"), F.col("weight")))
+        ).alias("sparse_vector")
+    )
+    return df.join(sv, id_col, "left")

@@ -1,0 +1,1066 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle SQL.
+
+Every entry corresponds to an operator from SURVEY.md §2 (or a
+north-star LLM-pipeline extension). Each Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame whose columns/aliases match
+the oracle SQL exactly; the driver hash-compares them at sf0.01.
+
+Float determinism contract: every computed score is rounded to
+``ROUND_DIGITS`` decimals on BOTH sides, and every top-k orders by the
+rounded score with an id tiebreak — so cross-engine last-bit float
+differences can't flip rows in or out of a result.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aiotcvectordb_spark.engine import (
+    delete_rows,
+    update_dataframe,
+    upsert_dataframes,
+)
+from aiotcvectordb_spark.operators import fulltext, hybrid, knn
+from aiotcvectordb_spark.functions import sparse as sparse_fn
+
+ROUND_DIGITS = 6
+DIM = 64
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS); without this flag a vanilla
+    # session (e.g. the driver's) fails the scan with PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def qvec(seed: float, dim: int = DIM) -> list[float]:
+    """Deterministic query vector, rounded so the Spark literal and the
+    SQL literal are the identical doubles."""
+    return [round(math.sin(0.1 * i + seed), 6) for i in range(dim)]
+
+
+def _sql_vec(v: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+
+def _sql_queries_cte(vectors: list[list[float]]) -> str:
+    rows = ", ".join(f"({i}, {_sql_vec(v)})" for i, v in enumerate(vectors))
+    return f"queries(query_idx, qv) AS (VALUES {rows})"
+
+
+_COS_SQL = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / "
+    "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) "
+    "* sqrt(list_dot_product(q.qv, q.qv)))"
+)
+_IP_SQL = "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+_L2_SQL = (
+    "sqrt(list_dot_product("
+    "list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), p -> p[1] - p[2]), "
+    "list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), p -> p[1] - p[2])))"
+)
+
+# DuckDB tokenizer identical to sparse_fn.tokens_col
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def _knn_oracle(
+    vectors: list[list[float]],
+    metric_sql: str,
+    *,
+    desc: bool,
+    limit: int,
+    where: str = "",
+    radius_sql: str = "",
+    extra_cols: str = ", e.label",
+) -> str:
+    direction = "DESC" if desc else "ASC"
+    return f"""
+WITH {_sql_queries_cte(vectors)},
+scored AS (
+  SELECT q.query_idx, e.vec_id{extra_cols}, {metric_sql} AS s
+  FROM embeddings e CROSS JOIN queries q
+  {where}
+){radius_sql and f", filtered AS (SELECT * FROM scored WHERE {radius_sql})" or ""}
+SELECT query_idx, vec_id, round(s, {ROUND_DIGITS}) AS score,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY round(s, {ROUND_DIGITS}) {direction}, vec_id) AS INT) AS rank
+       {extra_cols.replace('e.', '')}
+FROM {radius_sql and "filtered" or "scored"}
+QUALIFY rank <= {limit}
+ORDER BY query_idx, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 vector search (ops 28-31)
+# --------------------------------------------------------------------------
+
+FLAGSHIP_VECTORS = [qvec(1.0), qvec(2.0)]
+
+
+def q_search_flat_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 28, FLAT COSINE: batch-of-2 filtered exact kNN top-10."""
+    df = load(spark, sf_dir, "embeddings")
+    return knn.knn_search(
+        df,
+        FLAGSHIP_VECTORS,
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="COSINE",
+        limit=10,
+        filter="label IN (1, 2)",
+        output_fields=["label"],
+        round_digits=ROUND_DIGITS,
+    ).select("query_idx", "vec_id", "score", "rank", "label")
+
+
+ORACLE_SEARCH_FLAT_COSINE = _knn_oracle(
+    FLAGSHIP_VECTORS, _COS_SQL, desc=True, limit=10,
+    where="WHERE e.label IN (1, 2)",
+)
+
+_L2_VECTORS = [qvec(3.0)]
+
+
+def q_search_flat_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "embeddings")
+    return knn.knn_search(
+        df,
+        _L2_VECTORS,
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="L2",
+        limit=5,
+        output_fields=["label"],
+        round_digits=ROUND_DIGITS,
+    ).select("query_idx", "vec_id", "score", "rank", "label")
+
+
+ORACLE_SEARCH_FLAT_L2 = _knn_oracle(_L2_VECTORS, _L2_SQL, desc=False, limit=5)
+
+_IP_VECTORS = [qvec(4.0)]
+
+
+def q_search_flat_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "embeddings")
+    return knn.knn_search(
+        df,
+        _IP_VECTORS,
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="IP",
+        limit=5,
+        filter="label = 0",
+        output_fields=["label"],
+        round_digits=ROUND_DIGITS,
+    ).select("query_idx", "vec_id", "score", "rank", "label")
+
+
+ORACLE_SEARCH_FLAT_IP = _knn_oracle(
+    _IP_VECTORS, _IP_SQL, desc=True, limit=5, where="WHERE e.label = 0"
+)
+
+_RADIUS_VECTORS = [qvec(5.0)]
+_RADIUS = 0.05
+
+
+def q_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 31: radius threshold (COSINE: keep score >= r) + top-k."""
+    df = load(spark, sf_dir, "embeddings")
+    return knn.knn_search(
+        df,
+        _RADIUS_VECTORS,
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="COSINE",
+        limit=100,
+        radius=_RADIUS,
+        output_fields=["label"],
+        round_digits=ROUND_DIGITS,
+    ).select("query_idx", "vec_id", "score", "rank", "label")
+
+
+ORACLE_SEARCH_RADIUS = _knn_oracle(
+    _RADIUS_VECTORS, _COS_SQL, desc=True, limit=100,
+    radius_sql=f"s >= {_RADIUS}",
+)
+
+_BYID_IDS = [7, 11]
+
+
+def q_search_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 29: query vectors looked up from stored rows; top-1 is self."""
+    df = load(spark, sf_dir, "embeddings")
+    return knn.search_by_id(
+        df,
+        _BYID_IDS,
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="COSINE",
+        limit=5,
+        output_fields=["label"],
+        round_digits=ROUND_DIGITS,
+    ).select("query_idx", "vec_id", "score", "rank", "label")
+
+
+ORACLE_SEARCH_BY_ID = f"""
+WITH queries AS (
+  SELECT 0 AS query_idx, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {_BYID_IDS[0]}
+  UNION ALL
+  SELECT 1, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {_BYID_IDS[1]}
+),
+scored AS (
+  SELECT q.query_idx, e.vec_id, e.label, {_COS_SQL} AS s
+  FROM embeddings e CROSS JOIN queries q
+)
+SELECT query_idx, vec_id, round(s, {ROUND_DIGITS}) AS score,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY round(s, {ROUND_DIGITS}) DESC, vec_id) AS INT) AS rank, label
+FROM scored QUALIFY rank <= 5 ORDER BY query_idx, rank
+"""
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity join (north star): for each probe (vec_id < 3), its
+    top-3 cosine neighbors among label = 0 rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    cands = emb.filter("label = 0")
+    return (
+        knn.knn_join(
+            probes,
+            cands,
+            left_vec="embedding",
+            right_vec="embedding",
+            left_id="query_id",
+            right_id="vec_id",
+            metric="COSINE",
+            k=3,
+            round_digits=ROUND_DIGITS,
+        )
+        .select(
+            "query_id", "vec_id", "score",
+            F.col("rank").cast("int").alias("rank"), "label",
+        )
+    )
+
+
+ORACLE_KNN_JOIN = f"""
+WITH probes AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT p.query_id, e.vec_id, e.label,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), p.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(p.qv, p.qv))) AS s
+  FROM embeddings e CROSS JOIN probes p WHERE e.label = 0
+)
+SELECT query_id, vec_id, round(s, {ROUND_DIGITS}) AS score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY round(s, {ROUND_DIGITS}) DESC, vec_id) AS INT) AS rank, label
+FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 filtered reads (ops 23-27)
+# --------------------------------------------------------------------------
+
+
+# events.ts is TIMESTAMP(NANOS) in parquet; Spark (nanosAsLong) sees a
+# long of epoch-nanoseconds, DuckDB sees a timestamp — both sides surface
+# it as exact integer epoch-seconds.
+_TS_EPOCH_SPARK = "CAST(ts DIV 1000000000 AS BIGINT)"
+_TS_EPOCH_SQL = "epoch_ns(ts) // 1000000000"
+
+
+def q_query_filter_sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 23/26/27: filter -> sort (asc, id tiebreak) -> offset/limit ->
+    project. Timestamps surfaced as epoch seconds for engine parity."""
+    df = load(spark, sf_dir, "events")
+    return (
+        df.filter("event_type = 'click' AND value > 10")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .offset(20)
+        .limit(50)
+        .select(
+            "event_id",
+            F.expr(_TS_EPOCH_SPARK).alias("ts_epoch"),
+            "user_id",
+            "value",
+        )
+    )
+
+
+ORACLE_QUERY_FILTER_SORT_PAGINATE = f"""
+SELECT event_id, {_TS_EPOCH_SQL} AS ts_epoch, user_id, value
+FROM events
+WHERE event_type = 'click' AND value > 10
+ORDER BY ts, event_id LIMIT 50 OFFSET 20
+"""
+
+_QUERY_IDS = [1, 5, 9, 42, 137, 4242]
+
+
+def q_query_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 23: fetch by document_ids with projection."""
+    df = load(spark, sf_dir, "events")
+    return (
+        df.filter(F.col("event_id").isin(_QUERY_IDS))
+        .orderBy("event_id")
+        .select("event_id", "event_type", "value")
+    )
+
+
+ORACLE_QUERY_BY_IDS = f"""
+SELECT event_id, event_type, value FROM events
+WHERE event_id IN ({", ".join(map(str, _QUERY_IDS))}) ORDER BY event_id
+"""
+
+
+def q_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 24: count with filter."""
+    df = load(spark, sf_dir, "lineitem")
+    return df.filter("l_discount > 0.05 AND l_quantity < 25").agg(
+        F.count("*").alias("n")
+    )
+
+
+ORACLE_COUNT_FILTER = """
+SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 25
+"""
+
+
+def q_query_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 25: output_fields=[] -> only the id column comes back."""
+    df = load(spark, sf_dir, "documents")
+    return df.orderBy("doc_id").limit(20).select("doc_id")
+
+
+ORACLE_QUERY_PROJECTION = "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20"
+
+
+_TTL_CUTOFF = 1705708800  # 2024-01-20 00:00:00 UTC
+
+
+def q_ttl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 22: TTL read-time predicate — rows past the time field survive."""
+    df = load(spark, sf_dir, "events")
+    return (
+        df.filter(F.expr(_TS_EPOCH_SPARK) > _TTL_CUTOFF)
+        .select("event_id", F.expr(_TS_EPOCH_SPARK).alias("ts_epoch"))
+    )
+
+
+ORACLE_TTL_FILTER = f"""
+SELECT event_id, {_TS_EPOCH_SQL} AS ts_epoch
+FROM events WHERE {_TS_EPOCH_SQL} > {_TTL_CUTOFF}
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-scalar-field access: JSON props column (schemaless docs)."""
+    df = load(spark, sf_dir, "events")
+    return (
+        df.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        )
+        .filter("k_val >= 50")
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.2 writes as pure transforms (ops 19-21)
+# --------------------------------------------------------------------------
+
+
+def _upsert_batch(spark: SparkSession) -> DataFrame:
+    rows = [
+        (i, f"updated doc {i}", "en", "upsert", len(f"updated doc {i}"))
+        for i in range(10)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 19: insert-or-replace — survivors (anti-join on pk) + new batch."""
+    old = load(spark, sf_dir, "documents")
+    return upsert_dataframes(old, _upsert_batch(spark), "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+ORACLE_UPSERT_MERGE = """
+WITH new AS (
+  SELECT CAST(i AS BIGINT) AS doc_id, 'updated doc ' || i AS text,
+         'en' AS lang, 'upsert' AS source,
+         CAST(length('updated doc ' || i) AS BIGINT) AS n_chars
+  FROM range(10) r(i)
+)
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM new)
+UNION ALL
+SELECT doc_id, text, lang, source, n_chars FROM new
+"""
+
+
+def q_update_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 20: partial update by filter — lang := 'unk' where source matches."""
+    df = load(spark, sf_dir, "documents")
+    updated = update_dataframe(
+        df, F.col("source").isin("src0", "src1"), {"lang": "unk"}
+    )
+    return updated.select("doc_id", "lang", "source")
+
+
+ORACLE_UPDATE_CONDITIONAL = """
+SELECT doc_id,
+       CASE WHEN source IN ('src0', 'src1') THEN 'unk' ELSE lang END AS lang,
+       source
+FROM documents
+"""
+
+
+def q_delete_filter_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 21: delete by filter with limit — victims chosen deterministically
+    by pk order; returns the remaining rows."""
+    df = load(spark, sf_dir, "events")
+    remaining, _ = delete_rows(
+        df, F.col("event_type") == "view", "event_id", limit=100
+    )
+    return remaining.select("event_id", "event_type")
+
+
+ORACLE_DELETE_FILTER_LIMIT = """
+SELECT event_id, event_type FROM events
+WHERE event_id NOT IN (
+  SELECT event_id FROM events WHERE event_type = 'view'
+  ORDER BY event_id LIMIT 100
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 sparse / full-text (ops 33-34) and hybrid (op 32)
+# --------------------------------------------------------------------------
+
+_FT_QUERY = "spark join window"
+
+
+def q_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 33: BM25 full-text search, top-10."""
+    df = load(spark, sf_dir, "documents")
+    return fulltext.fulltext_search_df(
+        df,
+        _FT_QUERY,
+        id_col="doc_id",
+        text_col="text",
+        limit=10,
+        round_digits=ROUND_DIGITS,
+    ).select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+def _bm25_base_cte(relation: str = "documents") -> str:
+    """CTE chain computing terms/stats/dfreq for the BM25 corpus model."""
+    return f"""
+toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM {relation}),
+terms AS (
+  SELECT doc_id, len(ts) AS dl, t.token AS token, count(*) AS tf
+  FROM toks, unnest(ts) AS t(token)
+  GROUP BY doc_id, len(ts), t.token
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM terms GROUP BY doc_id)
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM terms GROUP BY token)"""
+
+
+def _bm25_oracle_cte(relation: str = "documents") -> str:
+    """Full BM25 CTE chain computing scored(doc_id, s) for _FT_QUERY."""
+    qvals = ", ".join(f"('{t}')" for t in sorted(set(_FT_QUERY.split())))
+    return f"""{_bm25_base_cte(relation)},
+qterms(token) AS (VALUES {qvals}),
+scored AS (
+  SELECT terms.doc_id,
+         sum(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (terms.tf * (1.2 + 1)) /
+             (terms.tf + 1.2 * (1 - 0.75 + 0.75 * terms.dl / stats.avgdl))
+         ) AS s
+  FROM terms
+  JOIN dfreq USING (token)
+  JOIN qterms USING (token)
+  CROSS JOIN stats
+  GROUP BY terms.doc_id
+)"""
+
+
+ORACLE_FULLTEXT_BM25 = f"""
+WITH {_bm25_oracle_cte()}
+SELECT doc_id, round(s, {ROUND_DIGITS}) AS score,
+       CAST(row_number() OVER (ORDER BY round(s, {ROUND_DIGITS}) DESC, doc_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 10 ORDER BY rank
+"""
+
+_HYBRID_VEC = [qvec(3.5)]
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 32: dense + sparse legs fused with RRF(k=60), top-10."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    base = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    return hybrid.hybrid_search_df(
+        base,
+        ann_vectors=_HYBRID_VEC,
+        match_text=_FT_QUERY,
+        id_col="doc_id",
+        vector_col="embedding",
+        text_col="text",
+        metric="COSINE",
+        rerank={"type": "rrf", "k": 60},
+        limit=10,
+        fetch_k=40,
+        round_digits=ROUND_DIGITS,
+    ).select(
+        "query_idx", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+{_sql_queries_cte(_HYBRID_VEC)},
+dense_scored AS (
+  SELECT e.doc_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))), {ROUND_DIGITS}) AS s
+  FROM base e CROSS JOIN queries q
+),
+dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+  FROM dense_scored QUALIFY rank <= 40
+),
+{_bm25_oracle_cte("base")},
+sparse AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(s, {ROUND_DIGITS}) DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= 40
+),
+contribs AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM dense
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM sparse
+),
+fused AS (SELECT doc_id, sum(c) AS s FROM contribs GROUP BY doc_id)
+SELECT 0 AS query_idx, doc_id, round(s, {ROUND_DIGITS}) AS score,
+       CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+FROM fused QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def q_sparse_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 34: BM25 sparse-vector encoding — per-doc term count and weight
+    mass of the encoded sparse_vector."""
+    df = load(spark, sf_dir, "documents")
+    postings, _ = sparse_fn.build_postings(df, id_col="doc_id", text_col="text")
+    return (
+        postings.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum("weight"), ROUND_DIGITS).alias("weight_sum"),
+        )
+        .select("doc_id", "n_terms", "weight_sum")
+    )
+
+
+ORACLE_SPARSE_ENCODE = f"""
+WITH {_bm25_base_cte()},
+weights AS (
+  SELECT terms.doc_id,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * (terms.tf * (1.2 + 1)) /
+           (terms.tf + 1.2 * (1 - 0.75 + 0.75 * terms.dl / stats.avgdl)) AS w
+  FROM terms JOIN dfreq USING (token) CROSS JOIN stats
+)
+SELECT doc_id, count(*) AS n_terms, round(sum(w), {ROUND_DIGITS}) AS weight_sum
+FROM weights GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# North-star: dedup / text analysis (documents table)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, keep min id."""
+    df = load(spark, sf_dir, "documents")
+    return (
+        df.withColumn("fp", F.md5(F.lower(F.col("text"))))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups"))
+        .select("doc_id", "fp", "n_dups")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, md5(lower(text)) AS fp, count(*) AS n_dups
+FROM documents GROUP BY md5(lower(text))
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the normalized token stream."""
+    df = load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", sparse_fn.tokens_col("text"))
+        ).alias("fp"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp FROM documents
+"""
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, char len, punct ratio, stopword ratio."""
+    df = load(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    toks_sql = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    toks = sparse_fn.tokens_col("text")
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+        F.round(
+            (
+                F.length("text")
+                - F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
+            )
+            / F.length("text"),
+            ROUND_DIGITS,
+        ).alias("alnum_ratio"),
+        F.round(
+            F.expr(f"size(filter({toks_sql}, t -> t IN ({stop_list})))")
+            / F.size(toks),
+            ROUND_DIGITS,
+        ).alias("stopword_ratio"),
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS len_chars,
+       round((length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')))
+             * 1.0 / length(text), {ROUND_DIGITS}) AS alnum_ratio,
+       round(len(list_filter({_TOKS_SQL},
+                 t -> list_contains([{", ".join(f"'{w}'" for w in _STOPWORDS)}], t)))
+             * 1.0 / len({_TOKS_SQL}), {ROUND_DIGITS}) AS stopword_ratio
+FROM documents
+"""
+
+_LANG_WORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "data", "table"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pas"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit argmax over per-language lists
+    (deterministic priority en > de > fr > unknown on ties)."""
+    df = load(spark, sf_dir, "documents")
+    hits = {}
+    for lg, words in _LANG_WORDS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        hits[lg] = F.expr(
+            f"size(filter(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''),"
+            f" t -> t IN ({wl})))"
+        )
+    pred = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0), "en")
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] > 0), "de")
+        .when(hits["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def _lang_hits_sql(lg: str) -> str:
+    wl = ", ".join(f"'{w}'" for w in _LANG_WORDS[lg])
+    return f"len(list_filter({_TOKS_SQL}, t -> list_contains([{wl}], t)))"
+
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id,
+  CASE
+    WHEN {_lang_hits_sql("en")} >= {_lang_hits_sql("de")}
+     AND {_lang_hits_sql("en")} >= {_lang_hits_sql("fr")}
+     AND {_lang_hits_sql("en")} > 0 THEN 'en'
+    WHEN {_lang_hits_sql("de")} >= {_lang_hits_sql("fr")}
+     AND {_lang_hits_sql("de")} > 0 THEN 'de'
+    WHEN {_lang_hits_sql("fr")} > 0 THEN 'fr'
+    ELSE 'unknown'
+  END AS pred_lang
+FROM documents
+"""
+
+_N_MINHASH = 4
+
+
+def _portable_hash_expr(s: str) -> str:
+    """Spark SQL: first 60 bits of md5 as BIGINT (portable across engines)."""
+    return f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over 3-token shingles, {_N_MINHASH} hash functions
+    h_j(s) = md5-int(s || '#j'). Docs need >= 3 tokens."""
+    df = load(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    shingles = (
+        f"transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat_ws(' ', slice({toks}, i, 3)))"
+    )
+    out = df.filter(F.expr(f"size({toks}) >= 3")).select(
+        "doc_id", F.expr(shingles).alias("sh")
+    )
+    aggs = []
+    for j in range(_N_MINHASH):
+        h = _portable_hash_expr(f"concat(s, '#{j}')")
+        out = out.withColumn(
+            f"mh{j}",
+            F.expr(f"array_min(transform(sh, s -> {h}))"),
+        )
+        aggs.append(f"mh{j}")
+    return out.select("doc_id", *aggs)
+
+
+ORACLE_MINHASH_SIGNATURES = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+  WHERE len({_TOKS_SQL}) >= 3
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(ts[i:i+2], ' ')) AS shingles
+  FROM toks
+)
+SELECT doc_id,
+  {", ".join(
+      "list_min(list_transform(shingles, s -> ('0x' || substr(md5(s || '#%d'), 1, 15))::BIGINT)) AS mh%d" % (j, j)
+      for j in range(_N_MINHASH)
+  )}
+FROM sh
+"""
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on any of the
+    {_N_MINHASH} bands. Implemented the scalable way — explode to
+    (band, band_hash) keys, equi-join per band (shuffle on band hash,
+    no cross join), union, distinct."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    pairs = None
+    for j in range(_N_MINHASH):
+        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(f"mh{j}").alias("h"))
+        b = sig.select(F.col("doc_id").alias("doc_b"), F.col(f"mh{j}").alias("h"))
+        p = a.join(b, "h").filter("doc_a < doc_b").select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+ORACLE_MINHASH_LSH_CANDIDATES = f"""
+WITH sigs AS ({ORACLE_MINHASH_SIGNATURES})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b
+  ON a.doc_id < b.doc_id
+ AND ({" OR ".join(f"a.mh{j} = b.mh{j}" for j in range(_N_MINHASH))})
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs (threshold 0.9): explode distinct
+    tokens, equi-join on token, count intersections, Jaccard filter.
+    (The MinHash op above is the approximation of exactly this; at 100 TB
+    you run minhash-LSH first and verify candidates with this.)"""
+    df = load(spark, sf_dir, "documents")
+    toks = df.select(
+        "doc_id",
+        F.array_distinct(sparse_fn.tokens_col("text")).alias("ts"),
+    )
+    e = toks.select("doc_id", F.explode("ts").alias("token"))
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = e.select(F.col("doc_id").alias("doc_a"), "token")
+    b = e.select(F.col("doc_id").alias("doc_b"), "token")
+    common = (
+        a.join(b, "token")
+        .filter("doc_a < doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), ROUND_DIGITS),
+        )
+        .filter("jaccard >= 0.9")
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_TOKS_SQL}) AS ts FROM documents
+),
+e AS (SELECT doc_id, t.token FROM toks, unnest(ts) AS t(token)),
+sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM e a JOIN e b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n + sb.n - c), {ROUND_DIGITS}) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(c * 1.0 / (sa.n + sb.n - c), {ROUND_DIGITS}) >= 0.9
+"""
+
+_NEARDUP_THRESHOLD = 0.45
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold (brute force;
+    the LSH/IVF path is the scale variant)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    from aiotcvectordb_spark.functions.vector import cosine_score
+
+    return (
+        a.crossJoin(b)
+        .filter("vec_a < vec_b")
+        .withColumn("score", F.round(cosine_score("ea", "eb"), ROUND_DIGITS))
+        .filter(F.col("score") >= _NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "score")
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+         {ROUND_DIGITS}) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+         {ROUND_DIGITS}) >= {_NEARDUP_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# Internal relational primitives (SURVEY §2.7) exercised as queries
+# --------------------------------------------------------------------------
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k window — THE core search primitive, shown on
+    relational data: top-3 orders per customer by totalprice."""
+    df = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter("rn <= 3")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+ORACLE_GROUP_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+FROM orders QUALIFY rn <= 3
+"""
+
+
+def q_agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregated groupBy (map-side combine): pricing summary."""
+    df = load(spark, sf_dir, "lineitem")
+    return (
+        df.filter("l_shipdate <= timestamp '1998-09-02 00:00:00'")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 3).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), ROUND_DIGITS).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_AGG_GROUPBY_STATS = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 3) AS sum_qty,
+       round(sum(l_extendedprice), 3) AS sum_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle: embedding model / MLlib approx index)
+# --------------------------------------------------------------------------
+
+
+def q_search_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 30: query text embedded engine-side (deterministic hash
+    embedder), then exact kNN. No SQL oracle — the embedder is not
+    SQL-expressible; driver does the rows-only check."""
+    from aiotcvectordb_spark.functions.embedding import embed_udf
+
+    df = load(spark, sf_dir, "embeddings")
+    vec = embed_udf.python_fn(DIM)("spark join window aggregation")
+    return knn.knn_search(
+        df,
+        [vec],
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="COSINE",
+        limit=10,
+        round_digits=ROUND_DIGITS,
+    ).select("query_idx", "vec_id", "score", "rank", "label")
+
+
+def q_ann_lsh_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via MLlib LSH (HNSW stand-in). No SQL oracle
+    (randomized hash planes); recall vs exact is asserted in pytest."""
+    from aiotcvectordb_spark.operators import ann
+
+    df = load(spark, sf_dir, "embeddings")
+    return ann.lsh_search(
+        df,
+        [qvec(1.0)],
+        vector_col="embedding",
+        id_col="vec_id",
+        limit=10,
+    ).select("query_idx", "vec_id", "score", "rank")
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "search_flat_cosine": q_search_flat_cosine,
+    "search_flat_l2": q_search_flat_l2,
+    "search_flat_ip": q_search_flat_ip,
+    "search_radius": q_search_radius,
+    "search_by_id": q_search_by_id,
+    "knn_join": q_knn_join,
+    "query_filter_sort_paginate": q_query_filter_sort_paginate,
+    "query_by_ids": q_query_by_ids,
+    "count_filter": q_count_filter,
+    "query_projection": q_query_projection,
+    "ttl_filter": q_ttl_filter,
+    "json_extract": q_json_extract,
+    "upsert_merge": q_upsert_merge,
+    "update_conditional": q_update_conditional,
+    "delete_filter_limit": q_delete_filter_limit,
+    "fulltext_bm25": q_fulltext_bm25,
+    "hybrid_rrf": q_hybrid_rrf,
+    "sparse_encode": q_sparse_encode,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "group_topk": q_group_topk,
+    "agg_groupby_stats": q_agg_groupby_stats,
+    "search_by_text": q_search_by_text,
+    "ann_lsh_l2": q_ann_lsh_l2,
+}
+
+ORACLES: dict[str, str] = {
+    "search_flat_cosine": ORACLE_SEARCH_FLAT_COSINE,
+    "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
+    "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
+    "search_radius": ORACLE_SEARCH_RADIUS,
+    "search_by_id": ORACLE_SEARCH_BY_ID,
+    "knn_join": ORACLE_KNN_JOIN,
+    "query_filter_sort_paginate": ORACLE_QUERY_FILTER_SORT_PAGINATE,
+    "query_by_ids": ORACLE_QUERY_BY_IDS,
+    "count_filter": ORACLE_COUNT_FILTER,
+    "query_projection": ORACLE_QUERY_PROJECTION,
+    "ttl_filter": ORACLE_TTL_FILTER,
+    "json_extract": ORACLE_JSON_EXTRACT,
+    "upsert_merge": ORACLE_UPSERT_MERGE,
+    "update_conditional": ORACLE_UPDATE_CONDITIONAL,
+    "delete_filter_limit": ORACLE_DELETE_FILTER_LIMIT,
+    "fulltext_bm25": ORACLE_FULLTEXT_BM25,
+    "hybrid_rrf": ORACLE_HYBRID_RRF,
+    "sparse_encode": ORACLE_SPARSE_ENCODE,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
+    "minhash_lsh_candidates": ORACLE_MINHASH_LSH_CANDIDATES,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "group_topk": ORACLE_GROUP_TOPK,
+    "agg_groupby_stats": ORACLE_AGG_GROUPBY_STATS,
+    # search_by_text / ann_lsh_l2: intentionally no oracle (rows-only)
+}

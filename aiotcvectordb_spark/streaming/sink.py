@@ -1,0 +1,53 @@
+"""Structured Streaming integration.
+
+The reference has no streaming surface (SURVEY §2.7) — the nearest
+analogs are TTL expiry and deferred index builds. We expose the additive
+Spark-idiomatic pieces:
+
+- ``stream_upsert_sink``: a ``foreachBatch`` sink that applies each
+  micro-batch as an engine upsert (exactly-once per epoch via the
+  store's atomic version flip — re-running an epoch overwrites the same
+  logical state).
+- ``ttl_vacuum``: the batch job that physically removes TTL-expired rows
+  (the read path already filters them; vacuum reclaims storage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aiotcvectordb_spark.engine import VectorDBEngine, upsert_dataframes
+
+
+def stream_upsert_sink(engine: VectorDBEngine, database: str, collection: str):
+    """Returns a foreachBatch function applying micro-batches as upserts."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        meta = engine.catalog.get_collection(database, collection)
+        pk = meta.primary_key
+        try:
+            old = engine.store.read(engine.spark, database, meta.name)
+        except FileNotFoundError:
+            old = None
+        if old is not None:
+            merged = upsert_dataframes(old, batch_df, pk)
+        else:
+            merged = batch_df
+        engine.store.write(merged, database, meta.name, shard=meta.shard)
+
+    return apply_batch
+
+
+def ttl_vacuum(engine: VectorDBEngine, database: str, collection: str) -> int:
+    """Physically drop expired rows; returns the number removed."""
+    meta = engine.catalog.get_collection(database, collection)
+    if not (meta.ttl_config and meta.ttl_config.get("enable")):
+        return 0
+    tf = meta.ttl_config["timeField"]
+    df = engine.store.read(engine.spark, database, meta.name)
+    live = df.filter(F.col(tf) > F.unix_timestamp())
+    removed = df.count() - live.count()
+    if removed:
+        engine.store.write(live, database, meta.name, shard=meta.shard)
+    return removed

@@ -1,0 +1,66 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aiotcvectordb_spark import queries as Q
+from aiotcvectordb_spark.session import get_spark
+
+HEADLINE = [
+    "search_flat_cosine",
+    "search_by_id",
+    "query_filter_sort_paginate",
+    "count_filter",
+    "fulltext_bm25",
+    "hybrid_rrf",
+    "upsert_merge",
+    "delete_filter_limit",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "embedding_near_dup",
+    "text_quality",
+    "group_topk",
+    "agg_groupby_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full execution without driver-side collect cost
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from aiotcvectordb_spark.session import get_spark
+
+    s = get_spark("tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    from aiotcvectordb_spark.engine import VectorDBEngine
+
+    return VectorDBEngine(spark, str(tmp_path / "vdb"))

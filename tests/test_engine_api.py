@@ -1,0 +1,101 @@
+"""Document CRUD round-trips through the engine API.
+
+Mirrors the reference's end-to-end assertions
+(reference: tests/test_documents/test_documents_api.py — upsert /
+query-by-ids / update-by-ids / delete-by-ids round-trips on
+affectedCount and field values).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aiotcvectordb_spark.catalog import IndexField
+from aiotcvectordb_spark.errors import ParamError
+
+
+def make_collection(engine, name="coll0", db="db0"):
+    engine.create_database_if_not_exists(db) if hasattr(
+        engine, "create_database_if_not_exists"
+    ) else None
+    if not engine.catalog.database_exists(db):
+        engine.create_database(db)
+    engine.create_collection(
+        db,
+        name,
+        indexes=[
+            IndexField(name="id", kind="primary_key", field_type="string"),
+            IndexField(
+                name="vector", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="FLAT", dimension=3,
+            ),
+            IndexField(name="tag", kind="filter", field_type="string"),
+            IndexField(name="page", kind="filter", field_type="uint64"),
+        ],
+        if_not_exists=True,
+    )
+    return db, name
+
+
+DOCS = [
+    {"id": "v1", "vector": [1.0, 0.0, 0.0], "tag": "a", "page": 1},
+    {"id": "v2", "vector": [0.9, 0.1, 0.0], "tag": "a", "page": 2},
+    {"id": "v3", "vector": [0.0, 1.0, 0.0], "tag": "b", "page": 3},
+    {"id": "v4", "vector": [0.0, 0.0, 1.0], "tag": "b", "page": 4},
+]
+
+
+def test_upsert_and_query_by_ids(engine):
+    db, coll = make_collection(engine)
+    res = engine.upsert(db, coll, DOCS)
+    assert res["affectedCount"] == 4
+    rows = engine.query(db, coll, document_ids=["v1", "v3"])
+    assert {r["id"] for r in rows} == {"v1", "v3"}
+    assert all("vector" not in r for r in rows)  # retrieve_vector defaults off
+    rows = engine.query(db, coll, document_ids=["v1"], retrieve_vector=True)
+    assert rows[0]["vector"] == [1.0, 0.0, 0.0]
+
+
+def test_upsert_replaces_by_id(engine):
+    db, coll = make_collection(engine)
+    engine.upsert(db, coll, DOCS)
+    engine.upsert(db, coll, [{"id": "v1", "vector": [0.5, 0.5, 0.0], "tag": "z", "page": 9}])
+    assert engine.count(db, coll) == 4
+    row = engine.query(db, coll, document_ids=["v1"])[0]
+    assert row["tag"] == "z" and row["page"] == 9
+
+
+def test_update_by_ids(engine):
+    db, coll = make_collection(engine)
+    engine.upsert(db, coll, DOCS)
+    res = engine.update(db, coll, {"page": 100}, document_ids=["v1", "v2"])
+    assert res["affectedCount"] == 2
+    rows = engine.query(db, coll, document_ids=["v1", "v2"])
+    assert all(r["page"] == 100 for r in rows)
+    other = engine.query(db, coll, document_ids=["v3"])[0]
+    assert other["page"] == 3
+
+
+def test_delete_by_ids(engine):
+    db, coll = make_collection(engine)
+    engine.upsert(db, coll, DOCS)
+    res = engine.delete(db, coll, document_ids=["v2", "v4"])
+    assert res["affectedCount"] == 2
+    assert engine.count(db, coll) == 2
+    assert {r["id"] for r in engine.query(db, coll)} == {"v1", "v3"}
+
+
+def test_upsert_batch_cap(engine):
+    db, coll = make_collection(engine)
+    with pytest.raises(ParamError):
+        engine.upsert(
+            db, coll,
+            [{"id": f"x{i}", "vector": [0.0, 0.0, 1.0]} for i in range(1001)],
+        )
+
+
+def test_update_requires_predicate(engine):
+    db, coll = make_collection(engine)
+    engine.upsert(db, coll, DOCS)
+    with pytest.raises(ParamError):
+        engine.update(db, coll, {"page": 1})

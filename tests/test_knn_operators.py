@@ -1,0 +1,85 @@
+"""kNN operator invariants on real testdata: the bounded-shuffle
+local_topk strategy must equal the declarative SQL strategy, and
+approximate indexes must hit recall targets vs the exact result."""
+
+from __future__ import annotations
+
+from aiotcvectordb_spark.operators import knn
+from aiotcvectordb_spark.queries import qvec
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_local_topk_equals_sql(spark, sf_dir):
+    df = _emb(spark, sf_dir)
+    vecs = [qvec(1.0), qvec(2.0)]
+    kw = dict(
+        vector_col="embedding", id_col="vec_id", metric="COSINE",
+        limit=10, round_digits=6, output_fields=["label"],
+    )
+    a = knn.knn_search(df, vecs, strategy="sql", **kw).toPandas()
+    b = knn.knn_search(df, vecs, strategy="local_topk", **kw).toPandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_local_topk_equals_sql_l2(spark, sf_dir):
+    df = _emb(spark, sf_dir)
+    vecs = [qvec(3.0)]
+    kw = dict(
+        vector_col="embedding", id_col="vec_id", metric="L2",
+        limit=7, round_digits=6,
+    )
+    a = knn.knn_search(df, vecs, strategy="sql", **kw).toPandas()
+    b = knn.knn_search(df, vecs, strategy="local_topk", **kw).toPandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    from aiotcvectordb_spark.operators import ann
+
+    df = _emb(spark, sf_dir)
+    vecs = [qvec(1.0)]
+    exact = knn.knn_search(
+        df, vecs, vector_col="embedding", id_col="vec_id", metric="L2", limit=10
+    ).toPandas()
+    approx = ann.lsh_search(
+        df, vecs, vector_col="embedding", id_col="vec_id", limit=10,
+        bucket_length=10.0, num_hash_tables=6,
+    ).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.9  # generous buckets -> near-exact
+
+
+def test_ivf_recall_vs_exact(engine, spark, sf_dir):
+    from aiotcvectordb_spark.catalog import IndexField
+
+    db = "db_ivf"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="IVF_FLAT", dimension=64,
+                params={"nlist": 8},
+            ),
+            IndexField(name="label", kind="filter", field_type="uint64"),
+        ],
+    )
+    src = _emb(spark, sf_dir)
+    engine.store.write(src, db, "emb")
+    engine.rebuild_index(db, "emb")
+    vecs = [qvec(1.0)]
+    exact = knn.knn_search(
+        src, vecs, vector_col="embedding", id_col="vec_id",
+        metric="COSINE", limit=10,
+    ).toPandas()
+    approx = engine.search_df(db, "emb", vecs, limit=10, nprobe=4).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.5  # nprobe=4 of nlist=8 — at least half the mass
+    full = engine.search_df(db, "emb", vecs, limit=10, nprobe=8).toPandas()
+    recall_full = len(set(exact.vec_id) & set(full.vec_id)) / 10
+    assert recall_full == 1.0  # probing every cluster == exact
