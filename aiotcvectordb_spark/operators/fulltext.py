@@ -75,11 +75,12 @@ def fulltext_search_df(
     score_col = (
         F.col("score") if round_digits is None else F.round(F.col("score"), round_digits)
     )
+    # Global top-k: sort+limit compiles to TakeOrderedAndProject (local
+    # per-partition top-k, driver merge — no single-partition window over
+    # the full corpus); the rank window then runs over <= limit rows.
+    topk = scored.orderBy(score_col.desc(), F.col(id_col).asc()).limit(limit)
     w = Window.orderBy(score_col.desc(), F.col(id_col).asc())
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= limit)
-    )
+    out = topk.withColumn("rank", F.row_number().over(w))
     if round_digits is not None:
         out = out.withColumn("score", F.round(F.col("score"), round_digits))
     if output_fields:

