@@ -1038,6 +1038,471 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # --------------------------------------------------------------------------
+# SimHash dedup (north star)
+# --------------------------------------------------------------------------
+
+# 60 bits: the full width of the portable md5-prefix hash (and the
+# widest signed-safe fingerprint — bit 63 would flip the bigint sign).
+_SIMHASH_BITS = 60
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint: per-token portable 60-bit hash; each of the
+    {_SIMHASH_BITS} fingerprint bits is the sign of the tf-weighted sum
+    of that bit over the doc's terms. One explode + two groupBy shuffles,
+    all JVM expressions."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    # tf-weighting == summing +-1 per token OCCURRENCE (integer-exact),
+    # so no intermediate (doc, token, tf) aggregation is needed — one
+    # explode, one map-side-combined groupBy(doc_id).
+    occurrences = df.select(
+        "doc_id", F.explode(sparse_fn.tokens_col("text")).alias("token")
+    ).withColumn("h", F.expr(_portable_hash_expr("token")))
+    sums = occurrences.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def _simhash_oracle_cte() -> str:
+    sum_cols = ", ".join(
+        f"sum(tf * (CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+terms AS (
+  SELECT doc_id, t.token AS token, count(*) AS tf
+  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents), unnest(ts) AS t(token)
+  GROUP BY doc_id, t.token
+),
+hashed AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM terms
+),
+sums AS (SELECT doc_id, {sum_cols} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums)"""
+
+
+ORACLE_SIMHASH_FINGERPRINT = f"""
+WITH {_simhash_oracle_cte()}
+SELECT doc_id, simhash FROM fp
+"""
+
+_SIMHASH_MAX_HD = 3
+_SIMHASH_BANDS = 4
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= {_SIMHASH_MAX_HD}.
+
+    Banding is LOSSLESS here: {_SIMHASH_BITS} bits in {_SIMHASH_BANDS}
+    bands — by pigeonhole, <= {_SIMHASH_MAX_HD} differing bits can touch
+    at most {_SIMHASH_MAX_HD} bands, so every qualifying pair shares at
+    least one full band and lands in a common bucket. 15-bit bands give
+    32k bucket values per band, so buckets stay small and the in-bucket
+    pair expansion is near-linear. Same bucket-combination shape as the
+    minhash op (one shuffle, no self-join), then exact hamming
+    verification via bit_count(xor)."""
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    fp = q_simhash_fingerprint(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(
+                            f"(simhash >> {j * width}) & {(1 << width) - 1}"
+                        ).alias("bh"),
+                    )
+                    for j in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bh")
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
+    )
+    combos = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, x.simhash AS sa, "
+        "y.doc_id AS doc_b, y.simhash AS sb))))"
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sa", "p.sb")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HD)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+ORACLE_SIMHASH_NEAR_DUP = f"""
+WITH {_simhash_oracle_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HD}
+"""
+
+
+# --------------------------------------------------------------------------
+# Token counting (north star)
+# --------------------------------------------------------------------------
+
+_BPE_ISH_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex token count
+    (alnum runs; every other non-space char its own token)."""
+    df = load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.expr(
+            "size(filter(split(text, '\\\\s+'), t -> t != ''))"
+        ).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_ISH_RE))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT = rf"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_ISH_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Hybrid weighted fusion (op 32, WeightedRerank)
+# --------------------------------------------------------------------------
+
+_HYBRID_WEIGHTS = (0.7, 0.3)
+
+
+def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 32 WeightedRerank: per-leg min-max normalization over the
+    fetched top-40, then weighted sum (reference stub.py:759)."""
+    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    emb = load(spark, sf_dir, "embeddings")
+    base = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    return hybrid.hybrid_search_df(
+        base,
+        ann_vectors=_HYBRID_VEC,
+        match_text=_FT_QUERY,
+        id_col="doc_id",
+        vector_col="embedding",
+        text_col="text",
+        metric="COSINE",
+        rerank={"type": "weighted", "weights": list(_HYBRID_WEIGHTS)},
+        limit=10,
+        fetch_k=40,
+        round_digits=ROUND_DIGITS,
+    ).select(
+        "query_idx", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+ORACLE_HYBRID_WEIGHTED = f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+{_sql_queries_cte(_HYBRID_VEC)},
+dense_scored AS (
+  SELECT e.doc_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))), {ROUND_DIGITS}) AS s
+  FROM base e CROSS JOIN queries q
+),
+dense AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+  FROM dense_scored QUALIFY rank <= 40
+),
+dnorm AS (
+  SELECT doc_id,
+         {_HYBRID_WEIGHTS[0]} * (CASE WHEN max(s) OVER () > min(s) OVER ()
+           THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+           ELSE 1.0 END) AS c
+  FROM dense
+),
+{_bm25_oracle_cte("base")},
+sparse AS (
+  SELECT doc_id, round(s, {ROUND_DIGITS}) AS s,
+         row_number() OVER (ORDER BY round(s, {ROUND_DIGITS}) DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= 40
+),
+snorm AS (
+  SELECT doc_id,
+         {_HYBRID_WEIGHTS[1]} * (CASE WHEN max(s) OVER () > min(s) OVER ()
+           THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+           ELSE 1.0 END) AS c
+  FROM sparse
+),
+contribs AS (SELECT doc_id, c FROM dnorm UNION ALL SELECT doc_id, c FROM snorm),
+fused AS (SELECT doc_id, sum(c) AS s FROM contribs GROUP BY doc_id)
+SELECT 0 AS query_idx, doc_id, round(s, {ROUND_DIGITS}) AS score,
+       CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+FROM fused QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+# --------------------------------------------------------------------------
+# Chunk split + expand (ops 38/39/43 semantics on relational testdata)
+# --------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 5
+_CHUNK_HIT_TOKEN = "data"
+
+
+def q_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunk pipeline semantics (reference collection_view.py:144-171
+    expand_chunk): split every document into {_CHUNK_TOKENS}-token
+    chunks, mark chunks containing the probe token as hits, and return
+    each hit expanded with its +-1 neighboring chunks."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    n_chunks = f"cast(ceil(size({toks}) / {_CHUNK_TOKENS}.0) as int)"
+    chunk_arr = (
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> concat_ws(' ', slice({toks}, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS})))"
+    )
+    chunks = (
+        df.filter(F.expr(f"size({toks}) > 0"))
+        .select("doc_id", F.posexplode(F.expr(chunk_arr)).alias("chunk_pos", "chunk_text"))
+    )
+    hits = chunks.filter(
+        F.array_contains(F.split("chunk_text", " "), _CHUNK_HIT_TOKEN)
+    ).select(F.col("doc_id").alias("h_doc"), F.col("chunk_pos").alias("h_pos"))
+    return (
+        chunks.join(
+            F.broadcast(hits),
+            (F.col("doc_id") == F.col("h_doc"))
+            & (F.abs(F.col("chunk_pos") - F.col("h_pos")) <= 1),
+        )
+        .groupBy("doc_id", "chunk_pos", "chunk_text")
+        .agg(F.expr("bool_or(chunk_pos = h_pos)").alias("is_hit"))
+    )
+
+
+ORACLE_CHUNK_EXPAND = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents WHERE len({_TOKS_SQL}) > 0
+),
+chunks AS (
+  SELECT doc_id, CAST(r.i AS INT) AS chunk_pos,
+         array_to_string(ts[r.i * {_CHUNK_TOKENS} + 1 : r.i * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}], ' ') AS chunk_text
+  FROM toks, unnest(range(0, CAST(ceil(len(ts) / {_CHUNK_TOKENS}.0) AS BIGINT))) AS r(i)
+),
+hits AS (
+  SELECT doc_id AS h_doc, chunk_pos AS h_pos FROM chunks
+  WHERE list_contains(str_split(chunk_text, ' '), '{_CHUNK_HIT_TOKEN}')
+)
+SELECT c.doc_id, c.chunk_pos, c.chunk_text,
+       bool_or(c.chunk_pos = h.h_pos) AS is_hit
+FROM chunks c JOIN hits h
+  ON c.doc_id = h.h_doc AND abs(c.chunk_pos - h.h_pos) <= 1
+GROUP BY c.doc_id, c.chunk_pos, c.chunk_text
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational coverage (SURVEY §2.7): joins, windows, rollup, set ops.
+# Money sums use DECIMAL so aggregation order cannot perturb the hash.
+# --------------------------------------------------------------------------
+
+
+def q_join_pruned_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dims + pushed-down filters (TPC-H Q5
+    shape): revenue per nation for one region and year. region/nation
+    are broadcast; the orders date filter and region filter reach the
+    parquet scans."""
+    region = load(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        "o_orderdate >= timestamp '1996-01-01 00:00:00' AND "
+        "o_orderdate < timestamp '1997-01-01 00:00:00'"
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            # DECIMAL accumulation is order-independent (exact), so the
+            # hash can't be perturbed by partial-agg ordering; the final
+            # DOUBLE cast is deterministic for a given decimal value.
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select("n_name", "revenue", "n_items")
+    )
+
+
+ORACLE_JOIN_PRUNED_DIMS = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer running order total (unbounded
+    preceding) and previous order price via lag."""
+    orders = load(spark, sf_dir, "orders").filter("o_custkey < 200")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        price.cast("double").alias("price"),
+        F.sum(price).over(w).cast("double").alias("running_total"),
+        F.lag(price, 1).over(w).cast("double").alias("prev_price"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total,
+       CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price
+FROM orders WHERE o_custkey < 200
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP(region, nation) over customer balances —
+    region subtotals and a grand total alongside leaf groups."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("acctbal_sum"),
+        )
+        .select("r_name", "n_name", "n_customers", "acctbal_sum")
+    )
+
+
+ORACLE_ROLLUP_AGG = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins: customers that have orders but no
+    returned lineitem (the delete/upsert rewrite primitives, ops 19/21,
+    exercised as a query)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    returned = (
+        lineitem.filter("l_returnflag = 'R'")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .join(returned, customer.c_custkey == returned.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ORACLE_SEMI_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_custkey = c_custkey AND l_returnflag = 'R'
+  )
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers ordering in both 1996 and 1997
+    (INTERSECT), minus those with any open order (EXCEPT)."""
+    orders = load(spark, sf_dir, "orders")
+    y96 = orders.filter("year(o_orderdate) = 1996").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = orders.filter("year(o_orderdate) = 1997").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    open_ = orders.filter("o_orderstatus = 'O'").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.intersect(y97).subtract(open_)
+
+
+ORACLE_SET_OPS = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# --------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle: embedding model / MLlib approx index)
 # --------------------------------------------------------------------------
 
@@ -1059,6 +1524,52 @@ def q_search_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit=10,
         round_digits=ROUND_DIGITS,
     ).select("query_idx", "vec_id", "score", "rank", "label")
+
+
+def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN (reference index type IVF, nprobe knob,
+    stub.py:609-612): KMeans(nlist=16) centroids, probe the 4 nearest
+    cells, exact cosine rerank inside them. No SQL oracle (iterative
+    KMeans); recall vs exact FLAT is asserted in pytest."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # no widening here: the KMeans fit runs ~maxIter jobs, and on a tiny
+    # table 32-task scheduling overhead per iteration dominates; the
+    # exact rerank below is the only scan-heavy stage.
+    # COSINE metric -> cluster the UNIT-normalized vectors (spherical
+    # k-means approximation): L2 on unit vectors is monotone in cosine.
+    df = load(spark, sf_dir, "embeddings")
+    unit = (
+        "transform(embedding, x -> cast(x as double) / "
+        "sqrt(aggregate(transform(embedding, v -> cast(v as double) * cast(v as double)), "
+        "cast(0 as double), (a, b) -> a + b)))"
+    )
+    ml_df = df.withColumn("__features", array_to_vector(F.expr(unit)))
+    model = KMeans(
+        k=16, seed=42, maxIter=8, featuresCol="__features", predictionCol="cluster_id"
+    ).fit(ml_df)
+    clustered = model.transform(ml_df).drop("__features")
+
+    import numpy as np
+
+    q = np.asarray(qvec(1.0), dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    cents = np.asarray(
+        [c for c in model.clusterCenters()], dtype=np.float64
+    )
+    d = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:8]]
+    pruned = clustered.filter(F.col("cluster_id").isin(probe))
+    return knn.knn_search(
+        pruned,
+        [qvec(1.0)],
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="COSINE",
+        limit=10,
+        round_digits=ROUND_DIGITS,
+    ).select("query_idx", "vec_id", "score", "rank")
 
 
 def q_ann_lsh_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1109,7 +1620,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "group_topk": q_group_topk,
     "agg_groupby_stats": q_agg_groupby_stats,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_near_dup": q_simhash_near_dup,
+    "token_count": q_token_count,
+    "hybrid_weighted": q_hybrid_weighted,
+    "chunk_expand": q_chunk_expand,
+    "join_pruned_dims": q_join_pruned_dims,
+    "window_running": q_window_running,
+    "rollup_agg": q_rollup_agg,
+    "semi_anti_join": q_semi_anti_join,
+    "set_ops": q_set_ops,
     "search_by_text": q_search_by_text,
+    "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_lsh_l2": q_ann_lsh_l2,
 }
 
@@ -1142,5 +1664,15 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "group_topk": ORACLE_GROUP_TOPK,
     "agg_groupby_stats": ORACLE_AGG_GROUPBY_STATS,
-    # search_by_text / ann_lsh_l2: intentionally no oracle (rows-only)
+    "simhash_fingerprint": ORACLE_SIMHASH_FINGERPRINT,
+    "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "hybrid_weighted": ORACLE_HYBRID_WEIGHTED,
+    "chunk_expand": ORACLE_CHUNK_EXPAND,
+    "join_pruned_dims": ORACLE_JOIN_PRUNED_DIMS,
+    "window_running": ORACLE_WINDOW_RUNNING,
+    "rollup_agg": ORACLE_ROLLUP_AGG,
+    "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
+    "set_ops": ORACLE_SET_OPS,
+    # search_by_text / ann_ivf_cosine / ann_lsh_l2: no oracle (rows-only)
 }

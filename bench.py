@@ -27,9 +27,16 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_candidates",
     "embedding_near_dup",
+    "simhash_near_dup",
+    "token_count",
     "text_quality",
     "group_topk",
     "agg_groupby_stats",
+    "hybrid_weighted",
+    "chunk_expand",
+    "join_pruned_dims",
+    "window_running",
+    "rollup_agg",
 ]
 
 
