@@ -1503,8 +1503,79 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 
 
 # --------------------------------------------------------------------------
+# Streaming-shaped windowed aggregation (batch mode of the shared op)
+# --------------------------------------------------------------------------
+
+
+def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type — the exact transformation
+    ``streaming.sink.windowed_event_counts`` runs under Structured
+    Streaming with a watermark (equivalence proven in tests); here in
+    batch mode for the oracle check."""
+    from aiotcvectordb_spark.streaming.sink import windowed_event_counts
+
+    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    return windowed_event_counts(events, window="1 hour")
+
+
+ORACLE_EVENT_WINDOW_AGG = """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary columns (op 45 generalized)
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing (reference get_image_url,
+    collection_view.py:425-435, generalized): opaque binary column +
+    typed metadata; oracle checks byte length and payload digest."""
+    from aiotcvectordb_spark.operators import multimodal
+
+    df = load(spark, sf_dir, "documents")
+    media = multimodal.with_binary_payload(df, text_col="text")
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id,
+       'application/octet-stream' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5  -- DuckDB md5(VARCHAR) hashes the UTF-8
+                                 -- bytes == Spark md5(payload)
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle: embedding model / MLlib approx index)
 # --------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic fake decoder — real codecs absent from the container;
+    the Spark plumbing is the real path). Rows-only driver check;
+    determinism + batch shape asserted in pytest."""
+    from aiotcvectordb_spark.operators import multimodal
+
+    # no 32-way widening: each Python worker pays pandas/numpy import on
+    # spawn, which dominates tiny inputs; real corpora arrive multi-split.
+    df = load(spark, sf_dir, "documents")
+    media = multimodal.with_binary_payload(df, text_col="text")
+    return multimodal.decode_features(media, id_col="doc_id")
 
 
 def q_search_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1630,6 +1701,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_agg": q_rollup_agg,
     "semi_anti_join": q_semi_anti_join,
     "set_ops": q_set_ops,
+    "event_window_agg": q_event_window_agg,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
     "search_by_text": q_search_by_text,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_lsh_l2": q_ann_lsh_l2,
@@ -1674,5 +1748,8 @@ ORACLES: dict[str, str] = {
     "rollup_agg": ORACLE_ROLLUP_AGG,
     "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "set_ops": ORACLE_SET_OPS,
-    # search_by_text / ann_ivf_cosine / ann_lsh_l2: no oracle (rows-only)
+    "event_window_agg": ORACLE_EVENT_WINDOW_AGG,
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+    # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
+    # intentionally no oracle (rows-only checks)
 }

@@ -39,6 +39,35 @@ def stream_upsert_sink(engine: VectorDBEngine, database: str, collection: str):
     return apply_batch
 
 
+def windowed_event_counts(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts per event_type — ONE transformation that
+    runs in batch (oracle-checkable) and in Structured Streaming
+    (``readStream`` + watermark; the streaming test proves equivalence).
+
+    ``ts`` arrives as epoch-nanosecond longs (parquet TIMESTAMP(NANOS)
+    read with nanosAsLong); the cast to seconds-precision timestamp is
+    shared by both modes.
+    """
+    with_ts = events.withColumn(
+        "__event_time", F.expr("cast(ts div 1000000000 as timestamp)")
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("__event_time", "2 hours")
+    return (
+        with_ts.groupBy(F.window("__event_time", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def ttl_vacuum(engine: VectorDBEngine, database: str, collection: str) -> int:
     """Physically drop expired rows; returns the number removed."""
     meta = engine.catalog.get_collection(database, collection)
