@@ -1518,6 +1518,42 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(events, window="1 hour")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessionization (30-min inactivity gap) — the
+    batch strategy of ``streaming.session.sessionize_batch``; streaming
+    equivalence via native session_window is proven in pytest."""
+    from aiotcvectordb_spark.streaming.session import sessionize_batch
+
+    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    return sessionize_batch(events, gap="30 minutes")
+
+
+# epoch_ns // 1e9 floors exactly like Spark's `ts div 1000000000`
+# (CAST(epoch(ts) AS BIGINT) would ROUND fractional seconds).
+ORACLE_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec, value
+  FROM events
+), lagged AS (
+  SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec
+  FROM e
+), numbered AS (
+  SELECT *, sum(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM lagged
+)
+SELECT user_id,
+       min(ts_sec) AS session_start,
+       max(ts_sec) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
 ORACLE_EVENT_WINDOW_AGG = """
 SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS win_start,
        event_type,
@@ -1702,6 +1738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_join": q_semi_anti_join,
     "set_ops": q_set_ops,
     "event_window_agg": q_event_window_agg,
+    "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "search_by_text": q_search_by_text,
@@ -1749,6 +1786,7 @@ ORACLES: dict[str, str] = {
     "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "set_ops": ORACLE_SET_OPS,
     "event_window_agg": ORACLE_EVENT_WINDOW_AGG,
+    "sessionize": ORACLE_SESSIONIZE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)

@@ -1,0 +1,90 @@
+"""Sessionization: batch (lag+cumsum) == streaming (session_window),
+and cross-micro-batch stateful keep-first dedup."""
+
+from __future__ import annotations
+
+import shutil
+
+from aiotcvectordb_spark.streaming.session import (
+    sessionize_batch,
+    sessionize_stream,
+    stateful_dedup_first,
+)
+
+
+def _key(rows):
+    return {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.value_sum, 6))
+        for r in rows
+    }
+
+
+def test_batch_session_properties(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sessions = sessionize_batch(events, gap="30 minutes").collect()
+    assert sessions
+    assert sum(r.n_events for r in sessions) == events.count()
+    for r in sessions:
+        assert r.session_start <= r.session_end
+    # sessions of the same user are separated by >= gap
+    by_user: dict[int, list] = {}
+    for r in sessions:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r.session_start)
+        for a, b in zip(rs, rs[1:]):
+            assert b.session_start - a.session_end >= 1800
+
+
+def test_stream_session_equals_batch(spark, sf_dir, tmp_path):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = _key(sessionize_batch(events).collect())
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = _key(spark.sql("SELECT * FROM sess").collect())
+    assert streamed == batch
+
+
+def test_stateful_dedup_crosses_microbatches(spark, sf_dir, tmp_path):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half = events.count() // 2
+    a = events.orderBy("event_id").limit(half)
+    b = events.orderBy("event_id").offset(half)
+    src = tmp_path / "src"
+    # two files -> two micro-batches (maxFilesPerTrigger=1); users present
+    # in both files must be emitted exactly once, from the first batch
+    a.coalesce(1).write.parquet(str(src / "f0"))
+    b.coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stateful_dedup_first(stream, key_col="user_id", id_col="event_id")
+        .writeStream.format("memory")
+        .queryName("dedup_first")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM dedup_first").collect()
+    users = [r.user_id for r in out]
+    assert len(users) == len(set(users))  # exactly once per user
+    assert set(users) == {r.user_id for r in events.select("user_id").collect()}
