@@ -113,10 +113,16 @@ def hybrid_search_df(
     filter: str | None = None,
     output_fields: Sequence[str] | None = None,
     round_digits: int | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """rerank: {'type': 'rrf', 'k': 60} or
     {'type': 'weighted', 'weights': [w_dense, w_sparse]}
-    (reference stub.py:759 — RRFRerank / WeightedRerank)."""
+    (reference stub.py:759 — RRFRerank / WeightedRerank).
+
+    ``postings``: prebuilt sparse index for the match leg (must cover
+    the UNFILTERED corpus only when ``filter`` is None — when filtering,
+    leave it unset so the leg derives postings from the filtered df).
+    """
     if ann_vectors is None and match_text is None:
         raise ValueError("hybrid_search needs an ann and/or match leg")
     rerank = rerank or {"type": "rrf", "k": RRF_DEFAULT_K}
@@ -145,6 +151,7 @@ def hybrid_search_df(
                 text_col=text_col,
                 limit=fetch_k,
                 round_digits=round_digits,
+                postings=postings if filter is None else None,
             )
             .withColumn("query_idx", F.lit(0))
             .select("query_idx", id_col, "rank", "score")

@@ -468,6 +468,23 @@ WHERE event_id NOT IN (
 _FT_QUERY = "spark join window"
 
 
+# Persisted sparse index per (session, dataset) — the engine analog of
+# the reference's PREBUILT SparseIndex (rebuild_index, stub.py:828-858):
+# queries hit the index; only the first query per corpus pays the build.
+# At cluster scale this persist becomes a bucketed-by-term_id parquet
+# table written by the index job.
+_SPARSE_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def sparse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPARSE_INDEX_CACHE:
+        df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+        postings, _ = sparse_fn.build_postings(df, id_col="doc_id", text_col="text")
+        _SPARSE_INDEX_CACHE[key] = postings.persist()
+    return _SPARSE_INDEX_CACHE[key]
+
+
 def q_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 33: BM25 full-text search, top-10."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
@@ -478,6 +495,7 @@ def q_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         limit=10,
         round_digits=ROUND_DIGITS,
+        postings=sparse_index(spark, sf_dir),
     ).select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
 
 
@@ -546,6 +564,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit=10,
         fetch_k=40,
         round_digits=ROUND_DIGITS,
+        postings=sparse_index(spark, sf_dir),
     ).select(
         "query_idx", "doc_id", "score", F.col("rank").cast("int").alias("rank")
     )
@@ -1224,6 +1243,7 @@ def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit=10,
         fetch_k=40,
         round_digits=ROUND_DIGITS,
+        postings=sparse_index(spark, sf_dir),
     ).select(
         "query_idx", "doc_id", "score", F.col("rank").cast("int").alias("rank")
     )
