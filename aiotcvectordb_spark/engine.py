@@ -33,6 +33,7 @@ from aiotcvectordb_spark.errors import ParamError
 from aiotcvectordb_spark.functions.embedding import embed_udf
 from aiotcvectordb_spark.operators import knn
 from aiotcvectordb_spark.sources.parquet_store import ParquetStore
+from aiotcvectordb_spark.users import UserManager
 
 UPSERT_BATCH_CAP = 1000  # reference stub.py:453
 DELETE_LIMIT_RANGE = (1, 16384)  # reference stub.py:484
@@ -43,6 +44,31 @@ class VectorDBEngine:
         self.spark = spark
         self.catalog = Catalog(root)
         self.store = ParquetStore(root)
+        self.users = UserManager(root)
+
+    # -- user ops (op 18, reference stub.py:923-1072) — delegate to the
+    # ACL store; search/query paths stay permission-free (embedded use)
+
+    def create_user(self, user: str, password: str) -> None:
+        self.users.create_user(user, password)
+
+    def drop_user(self, user: str) -> None:
+        self.users.drop_user(user)
+
+    def describe_user(self, user: str) -> dict:
+        return self.users.describe_user(user)
+
+    def user_list(self) -> list[dict]:
+        return self.users.user_list()
+
+    def change_password(self, user: str, password: str) -> None:
+        self.users.change_password(user, password)
+
+    def grant_to_user(self, user: str, privileges: list[dict]) -> None:
+        self.users.grant_to_user(user, privileges)
+
+    def revoke_from_user(self, user: str, privileges: list[dict]) -> None:
+        self.users.revoke_from_user(user, privileges)
 
     # ------------------------------------------------------------------ DDL
 

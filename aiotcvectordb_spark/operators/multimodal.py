@@ -66,7 +66,8 @@ def decode_features(
     if mode != "fake":
         raise ValueError(f"unknown mode {mode!r}")
 
-    schema = f"{id_col} long, n_bytes long, features array<double>"
+    id_type = dict(df.dtypes)[id_col]  # id passes through untouched
+    schema = f"{id_col} {id_type}, n_bytes long, features array<double>"
     n_buckets = FEATURE_BUCKETS
 
     def extract(batches: Iterator) -> Iterator:
@@ -108,7 +109,8 @@ def frame_sample(
             "real frame sampling requires video codecs not present in "
             "this environment; use mode='fake'"
         )
-    schema = f"{id_col} long, frame_no int, frame_off long, frame binary"
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, frame_no int, frame_off long, frame binary"
 
     def sample(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -1538,6 +1538,54 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(events, window="1 hour")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): for each purchase event, the
+    most recent click at-or-before it by the same user. Implemented as
+    a one-shuffle union + carry-forward window (operators/asof.py), not
+    a range join."""
+    from aiotcvectordb_spark.operators.asof import asof_join
+
+    # microsecond precision on both sides: DuckDB TIMESTAMP is micros,
+    # so full-nanos values could never hash-match the oracle
+    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    left = events.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    right = events.filter("event_type = 'click'").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("ts div 1000").alias("click_ts_us"),
+    )
+    return asof_join(
+        left,
+        right,
+        on="ts_us",
+        by="user_id",
+        tiebreak="click_id",
+        right_cols=["click_id", "click_ts_us"],
+    ).withColumnRenamed("ts_us", "purchase_ts_us")
+
+
+ORACLE_ASOF_JOIN = """
+WITH l AS (
+  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), r0 AS (
+  SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS ts_us
+  FROM events WHERE event_type = 'click'
+), r AS (  -- same tie rule as the operator: max tiebreak per (by, on)
+  SELECT user_id, ts_us, max(click_id) AS click_id
+  FROM r0 GROUP BY user_id, ts_us
+)
+SELECT l.user_id, l.purchase_id, l.ts_us AS purchase_ts_us,
+       r.click_id, r.ts_us AS click_ts_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based per-user sessionization (30-min inactivity gap) — the
     batch strategy of ``streaming.session.sessionize_batch``; streaming
@@ -1758,6 +1806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_join": q_semi_anti_join,
     "set_ops": q_set_ops,
     "event_window_agg": q_event_window_agg,
+    "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
@@ -1806,6 +1855,7 @@ ORACLES: dict[str, str] = {
     "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "set_ops": ORACLE_SET_OPS,
     "event_window_agg": ORACLE_EVENT_WINDOW_AGG,
+    "asof_join": ORACLE_ASOF_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:

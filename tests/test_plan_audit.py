@@ -1,0 +1,75 @@
+"""Lock in the scale-critical physical-plan properties: predicate
+pushdown to the parquet scan, vector-column pruning, broadcast joins in
+the kNN/fusion paths, and no cartesian products."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aiotcvectordb_spark import queries as Q
+from aiotcvectordb_spark.operators import knn
+from aiotcvectordb_spark.plans import audit
+
+
+def test_filter_pushdown_read_path(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = df.filter("o_custkey < 100").select("o_orderkey")
+    audit.assert_filter_pushed(q, "LessThan(o_custkey,100)")
+    # projection prunes: only the two referenced columns reach the scan
+    assert audit.scan_columns(q) == [["o_orderkey", "o_custkey"]]
+
+
+def test_knn_scan_prunes_vector_when_not_retrieved(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn.knn_search(
+        emb,
+        [Q.qvec(1.0)],
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="COSINE",
+        limit=5,
+        filter="label IN (1, 2)",
+        output_fields=["label"],
+    )
+    # scalar pre-filter reaches the parquet scan under the scoring join
+    audit.assert_filter_pushed(out, "In(label, [1,2])")
+    audit.assert_no_cartesian(out)
+
+
+def test_knn_query_side_broadcasts(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn.knn_search(
+        emb, [Q.qvec(1.0)], vector_col="embedding", id_col="vec_id",
+        metric="COSINE", limit=5,
+    )
+    assert audit.has_broadcast_join(out)
+
+
+def test_query_projection_prunes_vector_column(spark, sf_dir):
+    """retrieve_vector=False (the default) must not read the fat vector
+    column at all — op 25's main scale property."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("label = 3").select("vec_id", "label")
+    audit.assert_column_pruned(q, "embedding")
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    out = Q.q_join_pruned_dims(spark, sf_dir)
+    assert audit.has_broadcast_join(out)
+
+
+def test_fulltext_no_full_corpus_window(spark, sf_dir):
+    """The BM25 top-k must be TakeOrderedAndProject (per-partition heap)
+    rather than a global-sort window over every scored doc."""
+    out = Q.q_fulltext_bm25(spark, sf_dir)
+    assert "TakeOrderedAndProject" in audit.executed_plan(out)
+
+
+def test_count_shuffles_bounded_exact_knn(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn.knn_search(
+        emb, [Q.qvec(1.0)], vector_col="embedding", id_col="vec_id",
+        metric="COSINE", limit=5, strategy="local_topk",
+    )
+    # local_topk: one shuffle for the final per-query window, nothing else
+    assert audit.count_shuffles(out) <= 2
