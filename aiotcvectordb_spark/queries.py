@@ -1467,6 +1467,67 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: CUBE(o_orderstatus, o_orderpriority) with
+    grouping() flags distinguishing subtotal rows from genuine NULLs."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "n_orders", "price_sum",
+            "g_status", "g_prio",
+        )
+    )
+
+
+ORACLE_CUBE_AGG = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p95 / max) of event value
+    per event_type — the distribution-profiling aggregate a training
+    pipeline runs over quality scores. Exact `percentile` matches
+    DuckDB's quantile_cont bit-for-bit after rounding; at 100 TB swap in
+    approx_percentile (t-digest) and verify by tolerance instead."""
+    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), ROUND_DIGITS).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), ROUND_DIGITS).alias("p95"),
+            F.round(F.max("value"), ROUND_DIGITS).alias("vmax"),
+            F.count("*").alias("n"),
+        )
+        .select("event_type", "p50", "p95", "vmax", "n")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(max(value), 6) AS vmax,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti joins: customers that have orders but no
     returned lineitem (the delete/upsert rewrite primitives, ops 19/21,
@@ -1803,6 +1864,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_pruned_dims": q_join_pruned_dims,
     "window_running": q_window_running,
     "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
+    "percentiles": q_percentiles,
     "semi_anti_join": q_semi_anti_join,
     "set_ops": q_set_ops,
     "event_window_agg": q_event_window_agg,
@@ -1852,6 +1915,8 @@ ORACLES: dict[str, str] = {
     "join_pruned_dims": ORACLE_JOIN_PRUNED_DIMS,
     "window_running": ORACLE_WINDOW_RUNNING,
     "rollup_agg": ORACLE_ROLLUP_AGG,
+    "cube_agg": ORACLE_CUBE_AGG,
+    "percentiles": ORACLE_PERCENTILES,
     "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "set_ops": ORACLE_SET_OPS,
     "event_window_agg": ORACLE_EVENT_WINDOW_AGG,

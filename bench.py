@@ -37,6 +37,12 @@ HEADLINE = [
     "join_pruned_dims",
     "window_running",
     "rollup_agg",
+    "cube_agg",
+    "percentiles",
+    "event_window_agg",
+    "sessionize",
+    "asof_join",
+    "multimodal_features",
 ]
 
 
