@@ -1,0 +1,118 @@
+"""Property-based check of the filter predicate language (SURVEY §2.4).
+
+The engine's claim is that the reference's filter strings are a subset
+of Spark SQL boolean expressions, so `df.filter(cond)` implements them
+exactly. Hypothesis generates random documents AND random predicate
+trees (comparisons, IN lists, AND/OR/NOT) and cross-checks Spark's
+row selection against a direct Python evaluation of the same tree.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+TAGS = ["a", "b", "c", "d"]
+
+
+docs_st = st.lists(
+    st.tuples(
+        st.sampled_from(TAGS),  # tag
+        st.integers(min_value=0, max_value=20),  # page
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def leaf_st():
+    comparisons = st.tuples(
+        st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+        st.integers(min_value=0, max_value=20),
+    ).map(lambda t: ("cmp_page", *t))
+    tag_eq = st.sampled_from(TAGS).map(lambda v: ("cmp_tag", "=", v))
+    in_list = st.lists(
+        st.sampled_from(TAGS), min_size=1, max_size=3, unique=True
+    ).map(lambda vs: ("in_tag", vs))
+    page_in = st.lists(
+        st.integers(min_value=0, max_value=20), min_size=1, max_size=4, unique=True
+    ).map(lambda vs: ("in_page", vs))
+    return st.one_of(comparisons, tag_eq, in_list, page_in)
+
+
+pred_st = st.recursive(
+    leaf_st(),
+    lambda children: st.one_of(
+        st.tuples(st.just("and"), children, children),
+        st.tuples(st.just("or"), children, children),
+        st.tuples(st.just("not"), children),
+    ),
+    max_leaves=4,
+)
+
+
+def to_sql(p) -> str:
+    kind = p[0]
+    if kind == "cmp_page":
+        _, op, v = p
+        return f"(page {op} {v})"
+    if kind == "cmp_tag":
+        _, op, v = p
+        return f"(tag {op} '{v}')"
+    if kind == "in_tag":
+        vals = ", ".join(f"'{v}'" for v in p[1])
+        return f"(tag IN ({vals}))"
+    if kind == "in_page":
+        vals = ", ".join(str(v) for v in p[1])
+        return f"(page IN ({vals}))"
+    if kind == "and":
+        return f"({to_sql(p[1])} AND {to_sql(p[2])})"
+    if kind == "or":
+        return f"({to_sql(p[1])} OR {to_sql(p[2])})"
+    if kind == "not":
+        return f"(NOT {to_sql(p[1])})"
+    raise AssertionError(kind)
+
+
+def evaluate(p, tag: str, page: int) -> bool:
+    kind = p[0]
+    if kind == "cmp_page":
+        _, op, v = p
+        return {
+            "=": page == v, "!=": page != v, "<": page < v,
+            "<=": page <= v, ">": page > v, ">=": page >= v,
+        }[op]
+    if kind == "cmp_tag":
+        return tag == p[2]
+    if kind == "in_tag":
+        return tag in p[1]
+    if kind == "in_page":
+        return page in p[1]
+    if kind == "and":
+        return evaluate(p[1], tag, page) and evaluate(p[2], tag, page)
+    if kind == "or":
+        return evaluate(p[1], tag, page) or evaluate(p[2], tag, page)
+    if kind == "not":
+        return not evaluate(p[1], tag, page)
+    raise AssertionError(kind)
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_st, pred=pred_st)
+def test_filter_language_matches_python_eval(_spark, docs, pred):
+    rows = [(str(i), tag, page) for i, (tag, page) in enumerate(docs)]
+    df = _spark.createDataFrame(rows, "id string, tag string, page long")
+    cond = to_sql(pred)
+    got = {r.id for r in df.filter(cond).collect()}
+    want = {i for i, tag, page in rows if evaluate(pred, tag, page)}
+    assert got == want, cond

@@ -100,3 +100,61 @@ def test_hybrid_weighted(engine):
         text_col="text",
     )
     assert res[0][0]["id"] == "t_db"
+
+
+def test_fulltext_cutoff_frequency_drops_common_terms(spark, sf_dir):
+    """cutoff_frequency (reference stub.py:809-816): terms whose document
+    frequency exceeds the cap contribute nothing. A corpus-wide stopword
+    must stop mattering once cutoff < its df."""
+    from aiotcvectordb_spark.operators import fulltext
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # every-doc term: pick the most frequent token in the corpus
+    from aiotcvectordb_spark.functions.sparse import build_postings
+
+    postings, _ = build_postings(docs, id_col="doc_id", text_col="text")
+    top = postings.groupBy("token").count().orderBy("count", ascending=False).first()
+    common = top["token"]
+    rare_q = "zzz_unmatched " + common
+
+    baseline = fulltext.fulltext_search_df(
+        docs, rare_q, id_col="doc_id", text_col="text", limit=5
+    ).collect()
+    assert baseline  # the common term matches documents
+
+    capped = fulltext.fulltext_search_df(
+        docs, rare_q, id_col="doc_id", text_col="text", limit=5,
+        cutoff_frequency=1,
+    ).collect()
+    # with df cap 1, the common term is dropped; only df==1 terms score
+    assert all(r.score != b.score or r.doc_id != b.doc_id for r, b in
+               zip(capped, baseline)) or capped == []
+
+    # fractional cutoff (fraction of corpus) behaves like the absolute cap
+    frac = fulltext.fulltext_search_df(
+        docs, rare_q, id_col="doc_id", text_col="text", limit=5,
+        cutoff_frequency=1 / docs.count(),
+    ).collect()
+    assert [r.doc_id for r in frac] == [r.doc_id for r in capped]
+
+
+def test_fulltext_terminate_after_caps_candidates(spark, sf_dir):
+    """terminate_after (reference stub.py:807-808): the scored candidate
+    pool is capped; results stay deterministic and within the cap."""
+    from aiotcvectordb_spark.operators import fulltext
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = fulltext.fulltext_search_df(
+        docs, "the data model", id_col="doc_id", text_col="text", limit=10
+    ).collect()
+    capped = fulltext.fulltext_search_df(
+        docs, "the data model", id_col="doc_id", text_col="text", limit=10,
+        terminate_after=5,
+    ).collect()
+    assert len(capped) <= 5
+    again = fulltext.fulltext_search_df(
+        docs, "the data model", id_col="doc_id", text_col="text", limit=10,
+        terminate_after=5,
+    ).collect()
+    assert capped == again  # deterministic under the cap
+    assert len(full) >= len(capped)
