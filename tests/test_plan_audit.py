@@ -73,3 +73,37 @@ def test_count_shuffles_bounded_exact_knn(spark, sf_dir):
     )
     # local_topk: one shuffle for the final per-query window, nothing else
     assert audit.count_shuffles(out) <= 2
+
+
+def test_ivf_search_prunes_partitions(engine, spark, sf_dir):
+    """The IVF cluster_id predicate must prune at the PARTITION level
+    (directory pruning from the partitioned index rewrite), not merely
+    as a row filter — this is what makes nprobe/nlist the I/O ratio."""
+    from aiotcvectordb_spark.catalog import IndexField
+    from aiotcvectordb_spark.operators import ann
+
+    db = "db_prune"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="IVF_FLAT", dimension=64,
+                params={"nlist": 8},
+            ),
+        ],
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    engine.store.write(emb, db, "emb")
+    engine.rebuild_index(db, "emb")
+
+    meta = engine.catalog.get_collection(db, "emb")
+    df = engine.store.read(spark, db, "emb")
+    out = ann.ivf_search(engine, meta, df, [Q.qvec(1.0)], metric="COSINE", limit=5, nprobe=2)
+    plan = audit.executed_plan(out)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "cluster_id" in m[0], f"no partition pruning on cluster_id: {m}"
