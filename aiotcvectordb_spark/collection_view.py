@@ -281,6 +281,48 @@ class CollectionViewManager:
         )
         return {"affectedCount": n}
 
+    def update(
+        self, database: str, cv: str, *,
+        document_set_ids: Sequence[str] | None = None,
+        document_set_names: Sequence[str] | None = None,
+        filter: str | None = None,
+        values: dict | None = None,
+    ) -> dict:
+        """Op 42 (update half, reference collection_view.py:244-302):
+        conditional update of DocumentSet metadata fields by id/name/
+        filter — same withColumn(when(pred, ...)) rewrite as op 20."""
+        if not values:
+            raise ParamError("update needs non-empty values")
+        if not (document_set_ids or document_set_names or filter):
+            raise ParamError("update needs ids, names, or a filter")
+        ds = self._docsets(database, cv)
+        for col in values:
+            if col not in ds.columns or col == "doc_set_id":
+                raise ParamError(f"cannot update field {col!r}")
+        pred = F.lit(False)
+        if document_set_ids:
+            pred = pred | F.col("doc_set_id").isin(list(document_set_ids))
+        if document_set_names:
+            pred = pred | F.col("doc_set_name").isin(list(document_set_names))
+        if filter:
+            pred = pred | F.expr(filter)
+        n = ds.filter(pred).count()
+        updated = ds
+        for col, val in values.items():
+            updated = updated.withColumn(
+                col, F.when(pred, F.lit(val)).otherwise(F.col(col))
+            )
+        self.engine.store.write(updated, database, cv + "__docsets")
+        return {"affectedCount": n}
+
+    def set_alias(self, database: str, cv: str, alias: str) -> dict:
+        """Op 37 alias half: CVs live in the same catalog namespace as
+        collections, so alias indirection is the shared catalog map."""
+        return {"affectedCount": self.engine.catalog.set_alias(database, cv, alias)}
+
+    def delete_alias(self, database: str, alias: str) -> dict:
+        return {"affectedCount": self.engine.catalog.delete_alias(database, alias)}
+
     def get_chunks(
         self, database: str, cv: str, *,
         document_set_id: str | None = None,

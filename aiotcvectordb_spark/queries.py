@@ -1647,6 +1647,35 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range (interval) join: every click by the same user within
+    30 min before each purchase. The same transformation runs as a
+    watermarked stream-stream join (streaming/joins.py; equivalence in
+    pytest)."""
+    from aiotcvectordb_spark.streaming.joins import purchases_with_recent_clicks
+
+    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    return purchases_with_recent_clicks(
+        events.filter("event_type = 'purchase'"),
+        events.filter("event_type = 'click'"),
+        window_s=1800,
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000000000 AS p_sec
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000000000 AS c_sec
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id, c.click_id, p.p_sec - c.c_sec AS gap_s
+FROM p JOIN c ON p.user_id = c.user_id
+AND c.c_sec BETWEEN p.p_sec - 1800 AND p.p_sec
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based per-user sessionization (30-min inactivity gap) — the
     batch strategy of ``streaming.session.sessionize_batch``; streaming
@@ -1870,6 +1899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "event_window_agg": q_event_window_agg,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
@@ -1921,6 +1951,7 @@ ORACLES: dict[str, str] = {
     "set_ops": ORACLE_SET_OPS,
     "event_window_agg": ORACLE_EVENT_WINDOW_AGG,
     "asof_join": ORACLE_ASOF_JOIN,
+    "interval_join": ORACLE_INTERVAL_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:

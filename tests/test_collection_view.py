@@ -89,3 +89,36 @@ def test_images_metadata(engine):
             "image_url": "store://img1.png",
         }
     ]
+
+
+def test_docset_update_and_alias(engine):
+    import pytest
+
+    from aiotcvectordb_spark.errors import ParamError
+
+    mgr, db, cv = make_cv(engine, cv="upd_cv")
+    mgr.load_and_split_text(db, cv, doc_name="u1.txt", text=LONG_TEXT)
+    mgr.load_and_split_text(db, cv, doc_name="u2.txt", text=LONG_TEXT)
+
+    out = mgr.update(
+        db, cv, document_set_names=["u1.txt"],
+        values={"indexed_status": "Expired", "meta_json": "{'k': 1}"},
+    )
+    assert out["affectedCount"] == 1
+    d1 = mgr.get_document_set(db, cv, document_set_name="u1.txt")
+    d2 = mgr.get_document_set(db, cv, document_set_name="u2.txt")
+    assert d1["indexed_status"] == "Expired"
+    assert d2["indexed_status"] == "Ready"
+
+    with pytest.raises(ParamError):
+        mgr.update(db, cv, document_set_names=["u1.txt"], values={})
+    with pytest.raises(ParamError):
+        mgr.update(db, cv, values={"indexed_status": "x"})
+    with pytest.raises(ParamError):
+        mgr.update(db, cv, filter="true", values={"doc_set_id": "nope"})
+
+    # alias indirection resolves to the same CV in the catalog
+    mgr.set_alias(db, cv, "cv_alias")
+    meta = engine.catalog.get_collection(db, "cv_alias")
+    assert meta.name == cv
+    assert mgr.delete_alias(db, "cv_alias")["affectedCount"] == 1
