@@ -4,6 +4,8 @@ approximate indexes must hit recall targets vs the exact result."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from aiotcvectordb_spark.operators import knn
 from aiotcvectordb_spark.queries import qvec
 
@@ -83,3 +85,75 @@ def test_ivf_recall_vs_exact(engine, spark, sf_dir):
     full = engine.search_df(db, "emb", vecs, limit=10, nprobe=8).toPandas()
     recall_full = len(set(exact.vec_id) & set(full.vec_id)) / 10
     assert recall_full == 1.0  # probing every cluster == exact
+
+
+def test_knn_join_topk_per_left_row(spark, sf_dir):
+    """Similarity join: every left row gets exactly k right matches,
+    ranked by metric, and the best match of a vector present on both
+    sides is itself."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.limit(5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = knn.knn_join(
+        probes, emb,
+        left_vec="qvec", right_vec="embedding",
+        left_id="qid", right_id="vec_id",
+        metric="COSINE", k=3,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        best = min(rows, key=lambda r: r.rank)
+        assert best.vec_id == qid and abs(best.score - 1.0) < 1e-9
+
+
+def test_modify_vector_index_refits_and_reprunes(engine, spark, sf_dir):
+    """Op 17: changing nlist triggers a rebuild; the new centroid count
+    shows up in ann_state and searches still hit."""
+    from aiotcvectordb_spark.catalog import IndexField
+
+    db = "db_modix"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="IVF_FLAT", dimension=64,
+                params={"nlist": 4},
+            ),
+        ],
+    )
+    engine.store.write(_emb(spark, sf_dir), db, "emb")
+    engine.rebuild_index(db, "emb")
+    assert len(engine.catalog.get_collection(db, "emb").ann_state["ivf"]["centroids"]) == 4
+
+    engine.modify_vector_index(
+        db, "emb",
+        [IndexField(
+            name="embedding", kind="vector", field_type="vector",
+            metric_type="COSINE", index_type="IVF_FLAT", dimension=64,
+            params={"nlist": 8},
+        )],
+    )
+    state = engine.catalog.get_collection(db, "emb").ann_state["ivf"]
+    assert state["nlist"] == 8 and len(state["centroids"]) == 8
+    hits = engine.search_df(db, "emb", [qvec(1.0)], limit=5, nprobe=8)
+    assert hits.count() == 5
+
+    # rebuild_rules opting out leaves the old index artifacts in place
+    engine.modify_vector_index(
+        db, "emb",
+        [IndexField(
+            name="embedding", kind="vector", field_type="vector",
+            metric_type="COSINE", index_type="IVF_FLAT", dimension=64,
+            params={"nlist": 16},
+        )],
+        rebuild_rules={"rebuild": False},
+    )
+    assert len(engine.catalog.get_collection(db, "emb").ann_state["ivf"]["centroids"]) == 8
