@@ -175,12 +175,27 @@ class VectorDBEngine:
         self, database: str, collection: str, indexes: Sequence[IndexField],
         build_existed_data: bool = True,
     ) -> None:
-        """Scalar indexes are metadata-only for us: Catalyst already pushes
-        predicates to parquet min/max/dictionary (reference op 14,
-        stub.py:860-885 — server builds a scalar index; our 'build' is free).
+        """Scalar index add (reference op 14, stub.py:860-885). Predicate
+        pushdown to parquet min/max/dictionary already works unindexed;
+        ``build_existed_data=True`` additionally CLUSTERS the existing
+        data on the first new field — a range-repartition + in-partition
+        sort rewrite — so row-group min/max stats become selective for
+        that field (the Z-order-lite analog of the server's backfill
+        build). Metadata-only when False.
         """
         meta = self.catalog.get_collection(database, collection)
         meta.indexes.extend(indexes)
+        if build_existed_data:
+            first = indexes[0].name
+            try:
+                df = self.store.read(self.spark, database, meta.name)
+            except FileNotFoundError:
+                df = None
+            if df is not None and first in df.columns:
+                clustered = df.repartitionByRange(
+                    max(df.rdd.getNumPartitions(), 1), F.col(first)
+                ).sortWithinPartitions(first)
+                self.store.write(clustered, database, meta.name, shard=None)
         self.catalog.put_collection(meta, replace=True)
 
     def drop_index(self, database: str, collection: str, field_names: Sequence[str]) -> None:
@@ -218,6 +233,28 @@ class VectorDBEngine:
         self.catalog.put_collection(meta, replace=True)
         if rebuild_rules is None or rebuild_rules.get("rebuild", True):
             self.rebuild_index(database, collection)
+
+    # -------------------------------------------------------------- SQL API
+
+    def register_views(self, database: str) -> list[str]:
+        """Expose every collection of a database (and its aliases) as
+        session temp views, so the full Spark SQL surface — joins,
+        windows, CTEs — runs directly over collections. TTL filtering is
+        applied at registration, like every other read path."""
+        names = list(self.catalog.list_collections(database))
+        for name in names:
+            self.read(database, name).createOrReplaceTempView(name)
+        aliases = self.catalog._load()["databases"].get(database, {}).get(
+            "aliases", {}
+        )
+        for alias, target in aliases.items():
+            self.read(database, target).createOrReplaceTempView(alias)
+        return names + list(aliases)
+
+    def sql(self, database: str, query: str) -> DataFrame:
+        """Run a SQL statement with the database's collections in scope."""
+        self.register_views(database)
+        return self.spark.sql(query)
 
     # ------------------------------------------------------------- read path
 

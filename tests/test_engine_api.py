@@ -99,3 +99,62 @@ def test_update_requires_predicate(engine):
     engine.upsert(db, coll, DOCS)
     with pytest.raises(ParamError):
         engine.update(db, coll, {"page": 1})
+
+
+def test_add_index_build_existed_data_clusters(engine, spark):
+    """build_existed_data=True rewrites the collection clustered on the
+    new field: each output file covers a narrow value range, so parquet
+    row-group stats prune for predicates on it."""
+    from aiotcvectordb_spark.catalog import IndexField
+
+    db, coll = make_collection(engine)
+    engine.upsert(
+        db, coll,
+        [{"id": f"d{i}", "vector": [float(i % 7), 0.0, 1.0],
+          "tag": "ab"[i % 2], "page": (i * 37) % 1000} for i in range(500)],
+    )
+    engine.add_index(
+        db, coll,
+        [IndexField(name="page", kind="filter", field_type="uint64")],
+        build_existed_data=True,
+    )
+    # correctness preserved
+    assert engine.count(db, coll) == 500
+    got = engine.query(db, coll, filter="page < 100", limit=1000)
+    assert all(d["page"] < 100 for d in got)
+    # clustered: parquet files have disjoint-ish page ranges
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = engine.store.data_path(db, coll)
+    ranges = []
+    for f in _glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["page"]
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c < b
+    )
+    assert overlaps == 0, f"files overlap after clustering: {ranges}"
+
+
+def test_engine_sql_over_collections(engine):
+    db, coll = make_collection(engine)
+    engine.upsert(
+        db, coll,
+        [{"id": "a", "vector": [1.0, 0.0, 0.0], "tag": "x", "page": 1},
+         {"id": "b", "vector": [0.0, 1.0, 0.0], "tag": "y", "page": 2},
+         {"id": "c", "vector": [0.0, 0.0, 1.0], "tag": "x", "page": 3}],
+    )
+    engine.set_alias(db, coll, "cview")
+    rows = engine.sql(
+        db,
+        f"SELECT tag, count(*) AS n, sum(page) AS p FROM {coll} GROUP BY tag ORDER BY tag",
+    ).collect()
+    assert [(r.tag, r.n, r.p) for r in rows] == [("x", 2, 4), ("y", 1, 2)]
+    via_alias = engine.sql(db, "SELECT count(*) AS n FROM cview").first().n
+    assert via_alias == 3
