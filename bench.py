@@ -42,6 +42,7 @@ HEADLINE = [
     "event_window_agg",
     "sessionize",
     "asof_join",
+    "interval_join",
     "multimodal_features",
 ]
 
