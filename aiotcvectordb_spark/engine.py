@@ -496,7 +496,14 @@ class VectorDBEngine:
         metric = kw.pop("metric", (vix.metric_type if vix else None) or "COSINE")
         df = self.read(database, collection)
         index_type = (vix.index_type if vix else "FLAT") or "FLAT"
-        if index_type.startswith("IVF") and meta.ann_state.get("ivf"):
+        if (
+            index_type.startswith("IVF")
+            and meta.ann_state.get("ivf")
+            # a stale index (deferred build: rows written without cluster
+            # assignment) must not prune — fall back to the exact scan
+            # until rebuild_index refreshes it
+            and meta.index_status == "ready"
+        ):
             from aiotcvectordb_spark.operators import ann
 
             return ann.ivf_search(

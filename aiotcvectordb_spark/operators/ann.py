@@ -58,6 +58,41 @@ def build_ivf(engine, meta) -> None:
     engine.catalog.put_collection(meta, replace=True)
 
 
+def assign_clusters(
+    df: DataFrame, centroids: Sequence[Sequence[float]], *, vector_col: str
+) -> DataFrame:
+    """Assign each row to its nearest centroid WITHOUT refitting KMeans —
+    the incremental-maintenance half of the IVF index: streamed/upserted
+    rows get a cluster_id from the existing centroids, so partition
+    pruning keeps working between rebuilds (reference ``build_index``
+    deferral, stub.py:456-458). Arrow-batched; centroids are
+    closure-captured (nlist x dim floats — small by construction)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cluster_id", T.IntegerType(), True)]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+            )
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            pdf = pdf.copy()
+            pdf["cluster_id"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_search(
     engine,
     meta,

@@ -70,7 +70,9 @@ def assert_column_pruned(df: DataFrame, column: str) -> None:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return executed_plan(df).count("Exchange ")
+    """Shuffle exchanges only — broadcasts move a small relation, not
+    the dataset, so BroadcastExchange does not count."""
+    return len(re.findall(r"(?<!Broadcast)Exchange ", executed_plan(df)))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -1071,16 +1071,21 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of that bit over the doc's terms. One explode + two groupBy shuffles,
     all JVM expressions."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    # tf-weighting == summing +-1 per token OCCURRENCE (integer-exact),
-    # so no intermediate (doc, token, tf) aggregation is needed — one
-    # explode, one map-side-combined groupBy(doc_id).
-    occurrences = df.select(
-        "doc_id", F.explode(sparse_fn.tokens_col("text")).alias("token")
-    ).withColumn("h", F.expr(_portable_hash_expr("token")))
-    sums = occurrences.groupBy("doc_id").agg(
+    # Aggregate to (doc, token, tf) FIRST: tokens repeat ~2.3x within
+    # docs, so hashing distinct terms (not occurrences) cuts the md5
+    # string work and the 60-way conditional sum input by that factor.
+    # tf-weighted +-tf sums are integer-exact and equal the
+    # per-occurrence formulation.
+    terms = (
+        df.select("doc_id", F.explode(sparse_fn.tokens_col("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.expr(_portable_hash_expr("token")))
+    )
+    sums = terms.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, F.col("tf")).otherwise(-F.col("tf"))
             ).alias(f"s{j}")
             for j in range(_SIMHASH_BITS)
         ]

@@ -20,12 +20,39 @@ from pyspark.sql import functions as F
 from aiotcvectordb_spark.engine import VectorDBEngine, upsert_dataframes
 
 
-def stream_upsert_sink(engine: VectorDBEngine, database: str, collection: str):
-    """Returns a foreachBatch function applying micro-batches as upserts."""
+def stream_upsert_sink(
+    engine: VectorDBEngine, database: str, collection: str, *,
+    build_index: bool = True,
+):
+    """Returns a foreachBatch function applying micro-batches as upserts.
+
+    Index maintenance mirrors the reference's ``build_index`` deferral
+    (stub.py:456-458): with a built IVF index and ``build_index=True``,
+    incoming rows are assigned to the EXISTING centroids (no refit) and
+    the partitioned-by-cluster layout is preserved, so nprobe pruning
+    stays correct between full rebuilds. ``build_index=False`` skips the
+    assignment and marks the index stale; the next ``rebuild_index``
+    refreshes it.
+    """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from aiotcvectordb_spark.operators import ann
+
         meta = engine.catalog.get_collection(database, collection)
         pk = meta.primary_key
+        ivf = meta.ann_state.get("ivf")
+        vec = meta.vector_field
+        partition_by = None
+        if ivf and vec:
+            if build_index:
+                if "cluster_id" not in batch_df.columns:
+                    batch_df = ann.assign_clusters(
+                        batch_df, ivf["centroids"], vector_col=vec
+                    )
+                partition_by = ["cluster_id"]
+            else:
+                meta.index_status = "stale"
+                engine.catalog.put_collection(meta, replace=True)
         try:
             old = engine.store.read(engine.spark, database, meta.name)
         except FileNotFoundError:
@@ -34,7 +61,10 @@ def stream_upsert_sink(engine: VectorDBEngine, database: str, collection: str):
             merged = upsert_dataframes(old, batch_df, pk)
         else:
             merged = batch_df
-        engine.store.write(merged, database, meta.name, shard=meta.shard)
+        engine.store.write(
+            merged, database, meta.name, shard=meta.shard,
+            partition_by=partition_by,
+        )
 
     return apply_batch
 

@@ -71,3 +71,81 @@ def test_ttl_vacuum(engine):
     assert ttl_vacuum(engine, db, "c") == 1
     raw = engine.store.read(engine.spark, db, "c")
     assert raw.count() == 1
+
+
+def test_stream_upsert_maintains_ivf_layout(engine, spark, sf_dir, tmp_path):
+    """Micro-batches flowing through the sink get cluster-assigned from
+    the EXISTING centroids (no refit) and remain nprobe-searchable;
+    deferred mode (build_index=False) marks the index stale and searches
+    fall back to the exact scan."""
+    from aiotcvectordb_spark.catalog import IndexField
+    from aiotcvectordb_spark.queries import qvec
+    from aiotcvectordb_spark.streaming.sink import stream_upsert_sink
+
+    db = "db_sivf"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="IVF_FLAT", dimension=64,
+                params={"nlist": 4},
+            ),
+        ],
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    engine.store.write(emb.filter("vec_id < 100"), db, "emb")
+    engine.rebuild_index(db, "emb")
+
+    # stream the remaining rows in as one availableNow batch
+    src = tmp_path / "src"
+    src.mkdir()
+    emb.filter("vec_id >= 100").write.parquet(str(src / "more"))
+    stream = spark.readStream.schema(emb.schema).parquet(str(src / "*"))
+    q = (
+        stream.writeStream.foreachBatch(stream_upsert_sink(engine, db, "emb"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    stored = engine.store.read(spark, db, "emb")
+    assert stored.count() == emb.count()
+    assert stored.filter("cluster_id IS NULL").count() == 0
+    assert engine.catalog.get_collection(db, "emb").index_status == "ready"
+
+    # a streamed-in vector is findable through the pruned IVF search
+    probe = emb.filter("vec_id >= 100").first()
+    hits = engine.search(db, "emb", [list(probe.embedding)], limit=3, nprobe=4)
+    assert hits[0][0]["vec_id"] == probe.vec_id
+
+    # deferred mode: stale flag set, search falls back to exact scan
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    spark.createDataFrame(
+        [(99999, [0.5] * 64)], "vec_id long, embedding array<float>"
+    ).write.parquet(str(src2 / "x"))
+    stream2 = spark.readStream.schema(emb.schema).parquet(str(src2 / "*"))
+    q2 = (
+        stream2.writeStream.foreachBatch(
+            stream_upsert_sink(engine, db, "emb", build_index=False)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert engine.catalog.get_collection(db, "emb").index_status == "stale"
+    hits = engine.search(db, "emb", [[0.5] * 64], limit=1)
+    assert hits[0][0]["vec_id"] == 99999  # exact fallback sees the new row
+
+    # rebuild refreshes: back to pruned searches
+    engine.rebuild_index(db, "emb")
+    assert engine.catalog.get_collection(db, "emb").index_status == "ready"
+    hits = engine.search(db, "emb", [[0.5] * 64], limit=1, nprobe=4)
+    assert hits[0][0]["vec_id"] == 99999
