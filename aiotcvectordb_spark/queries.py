@@ -1763,6 +1763,30 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch aggregates — the 100 TB profiling path where
+    exact distinct/percentile would shuffle every value: per-event-type
+    HLL distinct users (DataSketches, mergeable across partitions and
+    re-aggregable via hll_union_agg) and t-digest-style approximate
+    percentiles. Rows-only driver check; accuracy-vs-exact tolerances
+    asserted in pytest (sketch internals are engine-specific, so no
+    cross-engine hash can exist)."""
+    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+        .alias("value_q"),
+        F.count("*").alias("n"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("users_sketch").alias("approx_users"),
+        F.col("value_q")[0].alias("approx_p50"),
+        F.col("value_q")[1].alias("approx_p95"),
+        "n",
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (deterministic fake decoder — real codecs absent from the container;
@@ -1908,6 +1932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "approx_sketches": q_approx_sketches,
     "search_by_text": q_search_by_text,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_lsh_l2": q_ann_lsh_l2,
