@@ -1472,6 +1472,98 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth beyond running totals: dense_rank,
+    percent_rank, ntile, first/last value over bounded frames."""
+    orders = load(spark, sf_dir, "orders").filter("o_custkey < 100")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.round(F.percent_rank().over(w), ROUND_DIGITS).alias("prank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.first(price).over(frame).cast("double").alias("first_price"),
+        F.max(price).over(frame).cast("double").alias("max_so_far"),
+    )
+
+
+ORACLE_WINDOW_FUNCS = """
+SELECT o_custkey, o_orderkey,
+       CAST(dense_rank() OVER w AS INT) AS drank,
+       round(percent_rank() OVER w, 6) AS prank,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       CAST(first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS first_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS max_so_far
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function breadth (string/date/math) — the function library
+    the reference's filter grammar lacks (SURVEY §2.7) but any analytics
+    engine needs; all JVM built-ins inside whole-stage codegen."""
+    parts = load(spark, sf_dir, "part").filter("p_partkey < 1000")
+    orders = load(spark, sf_dir, "orders").filter("o_orderkey < 2000")
+    strings = parts.select(
+        F.col("p_partkey").alias("key"),
+        F.upper(F.substring("p_brand", 1, 7)).alias("brand_code"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_name", r"([a-z]{6,})", 1).alias("first_longword"),
+        F.concat_ws("|", "p_type", "p_brand").alias("type_brand"),
+        F.lit(None).cast("string").alias("order_month"),
+        F.lit(None).cast("long").alias("days_to_end"),
+        F.round(F.log10(F.col("p_retailprice").cast("double") + 1.0), ROUND_DIGITS)
+        .alias("log_price"),
+        # portable bucket hash: md5 prefix, not engine-specific murmur
+        F.expr("conv(substring(md5(p_name), 1, 4), 16, 10) % 100")
+        .cast("int").alias("name_bucket"),
+    )
+    dates = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("string").alias("brand_code"),
+        F.lit(None).cast("long").alias("name_len"),
+        F.lit(None).cast("string").alias("first_longword"),
+        F.lit(None).cast("string").alias("type_brand"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string")
+        .alias("order_month"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate"))
+        .cast("long").alias("days_to_end"),
+        F.lit(None).cast("double").alias("log_price"),
+        F.lit(None).cast("int").alias("name_bucket"),
+    )
+    return strings.unionByName(dates)
+
+
+ORACLE_SCALAR_FUNCS = """
+SELECT p_partkey AS key,
+       upper(substr(p_brand, 1, 7)) AS brand_code,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       coalesce(regexp_extract(p_name, '([a-z]{6,})', 1), '') AS first_longword,
+       concat_ws('|', p_type, p_brand) AS type_brand,
+       CAST(NULL AS VARCHAR) AS order_month,
+       CAST(NULL AS BIGINT) AS days_to_end,
+       round(log10(CAST(p_retailprice AS DOUBLE) + 1.0), 6) AS log_price,
+       CAST(('0x' || substr(md5(p_name), 1, 4))::BIGINT % 100 AS INT) AS name_bucket
+FROM part WHERE p_partkey < 1000
+UNION ALL
+SELECT o_orderkey AS key,
+       NULL, NULL, NULL, NULL,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+       CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS BIGINT) AS days_to_end,
+       NULL, NULL
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: CUBE(o_orderstatus, o_orderpriority) with
     grouping() flags distinguishing subtotal rows from genuine NULLs."""
@@ -1922,6 +2014,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_pruned_dims": q_join_pruned_dims,
     "window_running": q_window_running,
     "rollup_agg": q_rollup_agg,
+    "window_funcs": q_window_funcs,
+    "scalar_funcs": q_scalar_funcs,
     "cube_agg": q_cube_agg,
     "percentiles": q_percentiles,
     "semi_anti_join": q_semi_anti_join,
@@ -1975,6 +2069,8 @@ ORACLES: dict[str, str] = {
     "join_pruned_dims": ORACLE_JOIN_PRUNED_DIMS,
     "window_running": ORACLE_WINDOW_RUNNING,
     "rollup_agg": ORACLE_ROLLUP_AGG,
+    "window_funcs": ORACLE_WINDOW_FUNCS,
+    "scalar_funcs": ORACLE_SCALAR_FUNCS,
     "cube_agg": ORACLE_CUBE_AGG,
     "percentiles": ORACLE_PERCENTILES,
     "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
