@@ -234,6 +234,30 @@ class VectorDBEngine:
         if rebuild_rules is None or rebuild_rules.get("rebuild", True):
             self.rebuild_index(database, collection)
 
+    # ------------------------------------------------------------ maintenance
+
+    def compact(
+        self, database: str, collection: str, *, target_files: int | None = None
+    ) -> dict:
+        """Small-file compaction: rewrite the collection at a target file
+        count (default: the session's parallelism). Streaming upserts and
+        repeated merges accrete files; scan cost at scale tracks file
+        count as much as bytes, so compaction is routine maintenance.
+        IVF-partitioned layouts compact within each cluster directory
+        (the partition column is preserved)."""
+        meta = self.catalog.get_collection(database, collection)
+        df = self.store.read(self.spark, database, meta.name)
+        n = target_files or self.spark.sparkContext.defaultParallelism
+        partition_by = ["cluster_id"] if "cluster_id" in df.columns else None
+        if partition_by:
+            out = df.repartition(n, *partition_by)
+            self.store.write(
+                out, database, meta.name, partition_by=partition_by
+            )
+        else:
+            self.store.write(df.coalesce(n), database, meta.name)
+        return {"files": n}
+
     # -------------------------------------------------------------- SQL API
 
     def register_views(self, database: str) -> list[str]:

@@ -158,3 +158,20 @@ def test_engine_sql_over_collections(engine):
     assert [(r.tag, r.n, r.p) for r in rows] == [("x", 2, 4), ("y", 1, 2)]
     via_alias = engine.sql(db, "SELECT count(*) AS n FROM cview").first().n
     assert via_alias == 3
+
+
+def test_compact_reduces_files(engine, spark):
+    import glob as _glob
+
+    db, coll = make_collection(engine, name="compact_coll")
+    # 20 tiny upserts -> many small files
+    for i in range(20):
+        engine.upsert(
+            db, coll,
+            [{"id": f"r{i}", "vector": [1.0, 0.0, 0.0], "tag": "t", "page": i}],
+        )
+    before = len(_glob.glob(f"{engine.store.data_path(db, coll)}/*.parquet"))
+    engine.compact(db, coll, target_files=2)
+    after = len(_glob.glob(f"{engine.store.data_path(db, coll)}/*.parquet"))
+    assert after <= 2 < before or before <= 2
+    assert engine.count(db, coll) == 20
