@@ -39,6 +39,9 @@ HEADLINE = [
     "rollup_agg",
     "cube_agg",
     "percentiles",
+    "window_funcs",
+    "scalar_funcs",
+    "approx_sketches",
     "event_window_agg",
     "sessionize",
     "asof_join",
