@@ -31,6 +31,7 @@ from aiotcvectordb_spark.catalog import (
 )
 from aiotcvectordb_spark.errors import ParamError
 from aiotcvectordb_spark.functions.embedding import embed_udf
+from aiotcvectordb_spark.functions.filters import translate as translate_filter
 from aiotcvectordb_spark.operators import knn
 from aiotcvectordb_spark.sources.parquet_store import ParquetStore
 from aiotcvectordb_spark.users import UserManager
@@ -314,7 +315,7 @@ class VectorDBEngine:
         if document_ids is not None:
             df = df.filter(F.col(pk).isin(list(document_ids)))
         if filter:
-            df = df.filter(filter)
+            df = df.filter(translate_filter(filter))
         if sort:
             field = sort["fieldName"]
             direction = sort.get("direction", "asc")
@@ -343,7 +344,7 @@ class VectorDBEngine:
     def count(self, database: str, collection: str, filter: str | None = None) -> int:
         df = self.read(database, collection)
         if filter:
-            df = df.filter(filter)
+            df = df.filter(translate_filter(filter))
         return df.count()
 
     # ------------------------------------------------------------ write path
@@ -701,6 +702,6 @@ def _predicate(pk: str, document_ids: Sequence | None, filter_expr: str | None):
     if document_ids is not None:
         pred = F.col(pk).isin(list(document_ids))
     if filter_expr:
-        fp = F.expr(filter_expr)
+        fp = F.expr(translate_filter(filter_expr))
         pred = fp if pred is None else (pred & fp)
     return pred

@@ -116,3 +116,72 @@ def test_filter_language_matches_python_eval(_spark, docs, pred):
     got = {r.id for r in df.filter(cond).collect()}
     want = {i for i, tag, page in rows if evaluate(pred, tag, page)}
     assert got == want, cond
+
+
+# ---------------------------------------------------------------------------
+# Array-membership operators (include / exclude / include all) — the
+# non-SQL part of the reference grammar, via the Filter helpers.
+# ---------------------------------------------------------------------------
+
+
+def test_filter_helpers_build_reference_strings():
+    from aiotcvectordb_spark.functions.filters import Filter
+
+    assert Filter.In("tag", ["a", "b"]) == 'tag in ("a", "b")'
+    assert Filter.Include("tags", ["a"]) == 'tags include ("a")'
+    assert Filter.IncludeAll("tags", ["a", "b"]) == 'tags include all ("a", "b")'
+    f = Filter(Filter.In("tag", ["a"])).And("page > 3")
+    assert f.cond == '(tag in ("a")) and (page > 3)'
+
+
+def test_array_filter_translation_semantics(_spark):
+    from aiotcvectordb_spark.functions.filters import Filter, translate
+
+    rows = [
+        ("d1", ["a", "b"]),
+        ("d2", ["b", "c"]),
+        ("d3", ["c"]),
+        ("d4", []),
+    ]
+    df = _spark.createDataFrame(rows, "id string, tags array<string>")
+
+    def ids(cond):
+        return {r.id for r in df.filter(translate(cond)).collect()}
+
+    assert ids(Filter.Include("tags", ["a", "c"])) == {"d1", "d2", "d3"}
+    assert ids(Filter.Exclude("tags", ["a", "c"])) == {"d4"}
+    assert ids(Filter.IncludeAll("tags", ["b", "c"])) == {"d2"}
+    # composes with plain SQL connectives
+    combo = Filter(Filter.Include("tags", ["b"])).AndNot("id = 'd2'").cond
+    assert ids(combo) == {"d1"}
+    # plain SQL passes through untouched
+    assert translate("page > 3 and tag = 'x'") == "page > 3 and tag = 'x'"
+
+
+def test_engine_array_filters_end_to_end(_spark, tmp_path):
+    from aiotcvectordb_spark.catalog import IndexField
+    from aiotcvectordb_spark.engine import VectorDBEngine
+    from aiotcvectordb_spark.functions.filters import Filter
+
+    eng = VectorDBEngine(_spark, str(tmp_path / "store"))
+    eng.create_database("d")
+    eng.create_collection(
+        "d", "c",
+        indexes=[
+            IndexField(name="id", kind="primary_key", field_type="string"),
+            IndexField(name="tags", kind="filter", field_type="array"),
+        ],
+    )
+    eng.store.write(
+        _spark.createDataFrame(
+            [("x", ["red", "blue"]), ("y", ["blue"]), ("z", ["green"])],
+            "id string, tags array<string>",
+        ),
+        "d", "c",
+    )
+    got = {r["id"] for r in eng.query("d", "c", filter=Filter.Include("tags", ["blue"]))}
+    assert got == {"x", "y"}
+    assert eng.count("d", "c", filter=Filter.IncludeAll("tags", ["red", "blue"])) == 1
+    out = eng.delete("d", "c", filter=Filter.Exclude("tags", ["red", "blue"]))
+    assert out["affectedCount"] == 1
+    assert eng.count("d", "c") == 2
