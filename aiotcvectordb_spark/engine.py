@@ -519,6 +519,8 @@ class VectorDBEngine:
         meta = self.catalog.get_collection(database, collection)
         vix = meta.vector_index()
         metric = kw.pop("metric", (vix.metric_type if vix else None) or "COSINE")
+        if kw.get("filter"):
+            kw["filter"] = translate_filter(kw["filter"])
         df = self.read(database, collection)
         index_type = (vix.index_type if vix else "FLAT") or "FLAT"
         if (
@@ -604,6 +606,8 @@ class VectorDBEngine:
         from aiotcvectordb_spark.operators import fulltext
 
         meta = self.catalog.get_collection(database, collection)
+        if kw.get("filter"):
+            kw["filter"] = translate_filter(kw["filter"])
         df = self.read(database, collection)
         res = fulltext.fulltext_search_df(
             df, query_text, id_col=meta.primary_key, **kw
@@ -636,7 +640,7 @@ class VectorDBEngine:
             vector_col=meta.vector_field or "vector",
             rerank=rerank,
             limit=limit,
-            filter=filter,
+            filter=translate_filter(filter) if filter else None,
             **kw,
         )
         res = out_df.collect()

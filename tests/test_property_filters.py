@@ -185,3 +185,34 @@ def test_engine_array_filters_end_to_end(_spark, tmp_path):
     out = eng.delete("d", "c", filter=Filter.Exclude("tags", ["red", "blue"]))
     assert out["affectedCount"] == 1
     assert eng.count("d", "c") == 2
+
+
+def test_search_paths_translate_array_filters(_spark, tmp_path):
+    from aiotcvectordb_spark.catalog import IndexField
+    from aiotcvectordb_spark.engine import VectorDBEngine
+    from aiotcvectordb_spark.functions.filters import Filter
+
+    eng = VectorDBEngine(_spark, str(tmp_path / "store"))
+    eng.create_database("d")
+    eng.create_collection(
+        "d", "c",
+        indexes=[
+            IndexField(name="id", kind="primary_key", field_type="string"),
+            IndexField(
+                name="vector", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="FLAT", dimension=2,
+            ),
+            IndexField(name="tags", kind="filter", field_type="array"),
+        ],
+    )
+    eng.store.write(
+        _spark.createDataFrame(
+            [("x", [1.0, 0.0], ["red"]), ("y", [0.9, 0.1], ["blue"])],
+            "id string, vector array<float>, tags array<string>",
+        ),
+        "d", "c",
+    )
+    hits = eng.search(
+        "d", "c", [[1.0, 0.0]], limit=5, filter=Filter.Include("tags", ["blue"])
+    )
+    assert [h["id"] for h in hits[0]] == ["y"]
