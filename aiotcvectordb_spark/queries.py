@@ -1974,6 +1974,195 @@ def q_ann_lsh_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §2.7 relational breadth: grouping sets / pivot / unpivot / TPC-H shapes
+# --------------------------------------------------------------------------
+
+
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit non-hierarchical GROUPING SETS (beyond ROLLUP/CUBE):
+    ((priority, status), (priority), (status)) over orders, with
+    grouping() flags. One pass — Spark expands the sets into a single
+    Expand + partial/final aggregate, no per-set rescans."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+            ],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "n_orders", "price_sum",
+            "g_prio", "g_status",
+        )
+    )
+
+
+ORACLE_GROUPING_SETS_AGG = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus))
+"""
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity by linestatus (rows) x returnflag (columns).
+    Explicit pivot values keep it one pass (no distinct-values job) and
+    a fixed output schema — the 100 TB-safe form."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .select("l_linestatus", "A", "N", "R")
+    )
+
+
+ORACLE_PIVOT_WIDE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+       CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): per-status urgent/high price masses
+    melted into (o_orderstatus, priority_class, price_sum) rows."""
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", price))
+        .cast("double")
+        .alias("urgent"),
+        F.sum(F.when(F.col("o_orderpriority") == "2-HIGH", price))
+        .cast("double")
+        .alias("high"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["urgent", "high"], "priority_class", "price_sum"
+    )
+
+
+ORACLE_UNPIVOT_LONG = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent,
+         CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS high
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'urgent' AS priority_class, urgent AS price_sum FROM wide
+UNION ALL
+SELECT o_orderstatus, 'high' AS priority_class, high AS price_sum FROM wide
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: lineitem pricing summary with a shipdate
+    pushdown filter. Pure map-side partial aggregation into 4 groups —
+    the scan dominates and scales linearly; no join, ~no shuffle."""
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        "l_shipdate <= timestamp '1997-09-01 00:00:00'"
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    # charge multiplies THREE doubles — engines disagree in the last bits
+    # (association/FMA), so do the arithmetic in exact decimal instead:
+    # (12,2)*(4,2)*(4,2) stays well inside 38 digits on both engines.
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (1 - F.col("l_discount")).cast("decimal(4,2)")
+        * (1 + F.col("l_tax")).cast("decimal(4,2)")
+    )
+    n = F.count("*")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, ROUND_DIGITS).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, ROUND_DIGITS).alias("avg_price"),
+            n.alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "count_order",
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(4,2))
+                * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue. Date filters
+    push to both scans; the orderkey aggregation reuses the join's hash
+    partitioning (no extra shuffle); top-10 is a TakeOrdered, not a full
+    sort."""
+    cutoff = "timestamp '1996-06-15 00:00:00'"
+    orders = load(spark, sf_dir, "orders").filter(f"o_orderdate < {cutoff}")
+    lineitem = load(spark, sf_dir, "lineitem").filter(f"l_shipdate > {cutoff}")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+    )
+
+
+ORACLE_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-06-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2030,6 +2219,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_by_text": q_search_by_text,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_lsh_l2": q_ann_lsh_l2,
+    "grouping_sets_agg": q_grouping_sets_agg,
+    "pivot_wide": q_pivot_wide,
+    "unpivot_long": q_unpivot_long,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -2080,6 +2274,11 @@ ORACLES: dict[str, str] = {
     "interval_join": ORACLE_INTERVAL_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "grouping_sets_agg": ORACLE_GROUPING_SETS_AGG,
+    "pivot_wide": ORACLE_PIVOT_WIDE,
+    "unpivot_long": ORACLE_UNPIVOT_LONG,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "top_revenue_orders": ORACLE_TOP_REVENUE_ORDERS,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

@@ -94,3 +94,46 @@ def test_rollup_has_grand_total(spark, sf_dir):
     assert grand[0].n_customers == sum(
         r.n_customers for r in rows if r.r_name is not None and r.n_name is not None
     )
+
+
+def test_grouping_sets_flags_partition_result(spark, sf_dir):
+    """Each grouping set is identified by its flags; per-set order counts
+    must each total the full table."""
+    rows = Q.q_grouping_sets_agg(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    by_flags = {}
+    for r in rows:
+        by_flags.setdefault((r.g_prio, r.g_status), []).append(r)
+    assert set(by_flags) == {(0, 0), (0, 1), (1, 0)}
+    for flags, grp in by_flags.items():
+        assert sum(r.n_orders for r in grp) == total, flags
+
+
+def test_pivot_unpivot_roundtrip_mass(spark, sf_dir):
+    """Pivot columns jointly cover every lineitem row; unpivot preserves
+    the per-class mass of its wide input."""
+    wide = Q.q_pivot_wide(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty_total = li.select(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    ).first()[0]
+    assert abs(sum((r.A or 0) + (r.N or 0) + (r.R or 0) for r in wide) - qty_total) < 1e-6
+    long = Q.q_unpivot_long(spark, sf_dir)
+    assert long.columns == ["o_orderstatus", "priority_class", "price_sum"]
+    n_status = long.select("o_orderstatus").distinct().count()
+    assert long.count() == 2 * n_status
+
+
+def test_pricing_summary_groups(spark, sf_dir):
+    rows = Q.q_pricing_summary(spark, sf_dir).collect()
+    assert {(r.l_returnflag, r.l_linestatus) for r in rows} >= {("A", "F"), ("R", "F")}
+    for r in rows:
+        assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-5
+        assert r.sum_charge >= r.sum_disc_price  # tax >= 0
+
+
+def test_top_revenue_orders_sorted(spark, sf_dir):
+    rows = Q.q_top_revenue_orders(spark, sf_dir).collect()
+    assert len(rows) == 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
