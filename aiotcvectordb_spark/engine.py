@@ -259,6 +259,15 @@ class VectorDBEngine:
             self.store.write(df.coalesce(n), database, meta.name)
         return {"files": n}
 
+    def export(
+        self, database: str, collection: str, path: str, **kw
+    ) -> int:
+        """Export a collection snapshot to parquet/CSV/JSON-lines
+        (optionally hive-partitioned); see sources/export.py."""
+        from aiotcvectordb_spark.sources.export import export_collection
+
+        return export_collection(self, database, collection, path, **kw)
+
     # -------------------------------------------------------------- SQL API
 
     def register_views(self, database: str) -> list[str]:

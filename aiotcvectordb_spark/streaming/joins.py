@@ -1,4 +1,6 @@
-"""Interval (time-range) join — one transformation, batch and stream.
+"""Streaming joins — stream-static enrichment and the interval
+(time-range) stream-stream join; each is one transformation that works
+identically in batch and stream.
 
 Batch mode: an equi-join on the group key plus a time-range predicate —
 Catalyst runs a hash join on ``user_id`` and filters the range, which is
@@ -16,6 +18,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def enrich_events(events: DataFrame, dims: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment: left-join each event to a
+    small static dimension table keyed on ``event_type``.
+
+    In streaming mode this is Spark's stream-static join — stateless,
+    no watermark needed; the static side is broadcast to every task of
+    every micro-batch, so it scales to any stream rate as long as the
+    dimension fits in executor memory (the standard star-schema shape).
+    The same call works on a batch DataFrame, so batch ≡ stream is
+    testable directly.
+    """
+    return (
+        events.join(F.broadcast(dims), "event_type", "left")
+        .select("event_id", "user_id", "event_type", "value", *(
+            c for c in dims.columns if c != "event_type"
+        ))
+    )
 
 
 def purchases_with_recent_clicks(

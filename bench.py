@@ -47,6 +47,10 @@ HEADLINE = [
     "asof_join",
     "interval_join",
     "multimodal_features",
+    "pricing_summary",
+    "top_revenue_orders",
+    "grouping_sets_agg",
+    "pivot_wide",
 ]
 
 
