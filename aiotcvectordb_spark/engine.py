@@ -292,11 +292,20 @@ class VectorDBEngine:
 
     # ------------------------------------------------------------- read path
 
-    def read(self, database: str, collection: str, *, honor_ttl: bool = True) -> DataFrame:
+    def read(
+        self,
+        database: str,
+        collection: str,
+        *,
+        honor_ttl: bool = True,
+        version: int | None = None,
+    ) -> DataFrame:
         """Snapshot DataFrame of a collection, TTL-expired rows filtered out
-        (reference op 22: ttl_config {'enable', 'timeField'}, stub.py:224-225)."""
+        (reference op 22: ttl_config {'enable', 'timeField'}, stub.py:224-225).
+        ``version`` time-travels to a retained prior snapshot (the store
+        keeps one back-version per write)."""
         meta = self.catalog.get_collection(database, collection)
-        df = self.store.read(self.spark, database, meta.name)
+        df = self.store.read(self.spark, database, meta.name, version=version)
         if honor_ttl and meta.ttl_config and meta.ttl_config.get("enable"):
             tf = meta.ttl_config["timeField"]
             df = df.filter(F.col(tf) > F.unix_timestamp())

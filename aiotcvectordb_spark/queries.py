@@ -2162,6 +2162,40 @@ LIMIT 10
 """
 
 
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced above 1.5x their
+    customer's average. Catalyst decorrelates it into one aggregate +
+    one join (no per-row re-execution) — the plan a hand-written
+    join/agg would produce, written declaratively. Decimal avg keeps
+    both engines exact."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_cs")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM __orders_cs o
+        WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) >
+              (SELECT 1.5 * (CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                             / count(*))
+               FROM __orders_cs o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+# avg() is avoided on purpose: DuckDB's avg(DECIMAL) returns DOUBLE with
+# engine-specific accumulation; exact decimal sum / int count keeps the
+# threshold bit-identical across engines.
+ORACLE_CORRELATED_SUBQUERY = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders o
+WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) >
+      (SELECT 1.5 * (CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*))
+       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2224,6 +2258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_long": q_unpivot_long,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
+    "correlated_subquery": q_correlated_subquery,
 }
 
 ORACLES: dict[str, str] = {
@@ -2279,6 +2314,7 @@ ORACLES: dict[str, str] = {
     "unpivot_long": ORACLE_UNPIVOT_LONG,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_revenue_orders": ORACLE_TOP_REVENUE_ORDERS,
+    "correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

@@ -46,10 +46,33 @@ class ParquetStore:
             return None
         return os.path.join(self._coll_dir(db, coll), f"v{v}")
 
-    def read(self, spark: SparkSession, db: str, coll: str) -> DataFrame:
-        path = self.data_path(db, coll)
-        if path is None:
-            raise FileNotFoundError(f"collection {db}.{coll} has no data")
+    def list_versions(self, db: str, coll: str) -> list[int]:
+        """Snapshot versions still on disk (current + one back-version;
+        older ones are GC'd by write)."""
+        cdir = self._coll_dir(db, coll)
+        if not os.path.isdir(cdir):
+            return []
+        return sorted(
+            int(name[1:])
+            for name in os.listdir(cdir)
+            if name.startswith("v") and name[1:].isdigit()
+        )
+
+    def read(
+        self, spark: SparkSession, db: str, coll: str, *, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read; ``version`` time-travels to a retained prior
+        version (every write keeps one back-version before GC)."""
+        if version is None:
+            path = self.data_path(db, coll)
+            if path is None:
+                raise FileNotFoundError(f"collection {db}.{coll} has no data")
+        else:
+            if version not in self.list_versions(db, coll):
+                raise FileNotFoundError(
+                    f"collection {db}.{coll} has no retained version {version}"
+                )
+            path = os.path.join(self._coll_dir(db, coll), f"v{version}")
         return spark.read.parquet(path)
 
     def write(

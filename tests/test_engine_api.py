@@ -175,3 +175,21 @@ def test_compact_reduces_files(engine, spark):
     after = len(_glob.glob(f"{engine.store.data_path(db, coll)}/*.parquet"))
     assert after <= 2 < before or before <= 2
     assert engine.count(db, coll) == 20
+
+
+def test_time_travel_read(engine):
+    """Each write retains one back-version; version= reads the prior
+    snapshot, and GC'd versions raise."""
+    db, coll = make_collection(engine, name="tt_coll")
+    engine.upsert(db, coll, [{"id": "a", "vector": [0.1, 0.2, 0.3], "tag": "x", "page": 1}])
+    v0 = engine.store.current_version(db, coll)
+    engine.upsert(db, coll, [{"id": "b", "vector": [0.4, 0.5, 0.6], "tag": "y", "page": 2}])
+    assert engine.read(db, coll).count() == 2
+    old = engine.read(db, coll, version=v0)
+    assert [r.id for r in old.collect()] == ["a"]
+    # a third write GC's v0
+    engine.upsert(db, coll, [{"id": "c", "vector": [0.7, 0.8, 0.9], "tag": "z", "page": 3}])
+    versions = engine.store.list_versions(db, coll)
+    assert len(versions) == 2 and v0 not in versions
+    with pytest.raises(FileNotFoundError):
+        engine.read(db, coll, version=v0)
