@@ -107,3 +107,45 @@ def test_ivf_search_prunes_partitions(engine, spark, sf_dir):
     plan = audit.executed_plan(out)
     m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert m and "cluster_id" in m[0], f"no partition pruning on cluster_id: {m}"
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    """TPC-H Q1 shape: the shipdate filter reaches the parquet scan and
+    the aggregate runs map-side partials (HashAggregate below the
+    exchange), so the shuffle carries 4 groups, not 600k rows."""
+    out = Q.q_pricing_summary(spark, sf_dir)
+    assert any(
+        "l_shipdate" in f for scan in audit.pushed_filters(out) for f in [scan]
+    ), audit.pushed_filters(out)
+    plan = audit.executed_plan(out)
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_top_revenue_orders_no_regroup_shuffle(spark, sf_dir):
+    """Grouping on (o_orderkey, ...) after the o_orderkey equi-join must
+    reuse the join's hash partitioning — exactly one shuffle per join
+    side, none between join and aggregate, and a TakeOrdered top-10
+    instead of a global sort."""
+    out = Q.q_top_revenue_orders(spark, sf_dir)
+    plan = audit.executed_plan(out)
+    assert "TakeOrderedAndProject" in plan
+    # shuffles: at most the two join inputs (broadcast/AQE may cut more)
+    assert audit.count_shuffles(out) <= 2
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """Catalyst must rewrite the per-row subquery into one aggregate +
+    one join — no iterative re-execution node."""
+    out = Q.q_correlated_subquery(spark, sf_dir)
+    plan = audit.executed_plan(out)
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+    assert audit.count_shuffles(out) <= 3
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """GROUPING SETS compiles to ONE Expand + aggregate — not one scan
+    per set."""
+    out = Q.q_grouping_sets_agg(spark, sf_dir)
+    plan = audit.executed_plan(out)
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1
