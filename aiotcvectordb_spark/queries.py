@@ -2182,6 +2182,95 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# North-star: training-data preparation (clean / split / sample)
+# --------------------------------------------------------------------------
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for a training corpus: strip control chars,
+    collapse whitespace runs, trim, lowercase — all JVM regexp
+    expressions inside one projection (no UDF), so it fuses into the
+    scan's codegen stage at any scale."""
+    df = load(spark, sf_dir, "documents")
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[\\x00-\\x1F\\x7F]", " "),
+                "\\s{2,}",
+                " ",
+            )
+        )
+    )
+    return df.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("clean_len"),
+    )
+
+
+ORACLE_CLEAN_TEXT = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+           '\s{2,}', ' ', 'g'))) AS clean_text,
+       length(lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+           '\s{2,}', ' ', 'g')))) AS clean_len
+FROM documents
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by portable hash of the
+    document id (90/5/5). Hash-of-key splitting is the only scheme
+    that stays stable under re-partitioning, re-ingestion, and
+    engine changes — no RNG, no ordering dependence. Returns the
+    per-language split counts (the audit a pipeline runs before
+    training)."""
+    df = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"pmod({_portable_hash_expr('cast(doc_id as string)')}, 100)"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        df.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b
+GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language (`sampleBy` — per-stratum
+    Bernoulli with one seed): the rebalancing step of corpus curation.
+    Engine-specific RNG, so no SQL oracle; the pytest property asserts
+    per-stratum rates and determinism under the fixed seed."""
+    df = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    sampled = df.sampleBy("lang", fractions=fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
 # avg() is avoided on purpose: DuckDB's avg(DECIMAL) returns DOUBLE with
 # engine-specific accumulation; exact decimal sum / int count keeps the
 # threshold bit-identical across engines.
@@ -2259,6 +2348,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "correlated_subquery": q_correlated_subquery,
+    "clean_text": q_clean_text,
+    "dataset_split": q_dataset_split,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2315,6 +2407,9 @@ ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_revenue_orders": ORACLE_TOP_REVENUE_ORDERS,
     "correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
+    "clean_text": ORACLE_CLEAN_TEXT,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    # stratified_sample: intentionally no oracle (engine RNG; property test)
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

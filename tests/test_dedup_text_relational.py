@@ -137,3 +137,33 @@ def test_top_revenue_orders_sorted(spark, sf_dir):
     assert len(rows) == 10
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_clean_text_properties(spark, sf_dir):
+    rows = Q.q_clean_text(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.clean_text == r.clean_text.lower()
+        assert "  " not in r.clean_text
+        assert r.clean_len == len(r.clean_text)
+
+
+def test_dataset_split_covers_everything(spark, sf_dir):
+    rows = Q.q_dataset_split(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    frac_train = sum(r.n_docs for r in rows if r.split == "train") / total
+    assert 0.8 < frac_train < 1.0  # ~0.9 by construction
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s1 = {r.lang: r.n_docs for r in Q.q_stratified_sample(spark, sf_dir).collect()}
+    s2 = {r.lang: r.n_docs for r in Q.q_stratified_sample(spark, sf_dir).collect()}
+    assert s1 == s2  # fixed seed -> reproducible
+    # fraction-1.0 strata are kept whole; the 0.5 stratum shrinks
+    for lang in ("de", "fr", "es", "zh"):
+        if lang in per_lang:
+            assert s1.get(lang) == per_lang[lang]
+    assert 0 < s1.get("en", 0) < per_lang["en"]
