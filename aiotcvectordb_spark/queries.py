@@ -809,7 +809,9 @@ FROM sh
 """
 
 
-def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_lsh_candidates(
+    spark: SparkSession, sf_dir: str, *, max_bucket_size: int | None = None
+) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on any of the
     {_N_MINHASH} bands. Scalable shape: explode signatures to
     (band, band_hash) bucket keys, ONE groupBy shuffle on the bucket key,
@@ -817,8 +819,12 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression — signatures are computed once and there is no self-join
     (the per-band self-join variant recomputes the md5 signature pipeline
     2x per band and shuffles 2x{_N_MINHASH} times). Skewed buckets (a
-    band hash shared by B docs) cost B^2/2 pairs in one task — at 100 TB
-    you cap bucket size or salt; at these SFs buckets are tiny."""
+    band hash shared by B docs) cost B^2/2 pairs in one task — the
+    tools/scale_probe.py 10x run shows candidate volume is what grows on
+    a duplicate-heavy corpus. ``max_bucket_size`` is the 100 TB guard:
+    drop buckets larger than the cap (boilerplate shingles, not real
+    near-dups), bounding per-task pair expansion at cap^2/2. Default
+    None = exact banding semantics (what the oracle checks)."""
     sig = q_minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -836,6 +842,8 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
     combos = F.expr(
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds) - i - 1), "
@@ -981,6 +989,90 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= _NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", "score")
+    )
+
+
+def q_embedding_near_dup_ivf(
+    spark: SparkSession, sf_dir: str, *, nlist: int = 16, nprobe: int = 2
+) -> DataFrame:
+    """The 100 TB path for embedding near-dup: IVF bucketing instead of
+    the broadcast matmul. Spherical KMeans(nlist) on unit vectors;
+    each vector is assigned to its ``nprobe`` nearest centroids
+    (multi-probe — catches pairs straddling a cell boundary); candidate
+    pairs are an equi-join on the cell id (vec_a < vec_b), then the
+    same exact cosine rescore as the exact operator. Cost is
+    sum(cell^2) not N^2, and every stage is a bounded shuffle — nothing
+    is broadcast or collected. Rows-only (iterative KMeans has no SQL
+    oracle); recall vs the exact operator is asserted in pytest."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from aiotcvectordb_spark.functions.vector import (
+        dot_score_fixed,
+        vector_norm_fixed,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    unit = (
+        "transform(embedding, x -> cast(x as double) / "
+        "sqrt(aggregate(transform(embedding, v -> cast(v as double) * cast(v as double)), "
+        "cast(0 as double), (a, b) -> a + b)))"
+    )
+    ml_df = emb.withColumn("__features", array_to_vector(F.expr(unit)))
+    model = KMeans(
+        k=nlist, seed=42, maxIter=8, featuresCol="__features", predictionCol="__c"
+    ).fit(ml_df)
+    cents = np.asarray(model.clusterCenters(), dtype=np.float64)
+    # nprobe nearest centroids per vector, JVM-side: squared distance of
+    # the UNIT vector to each centroid as an array expression, then the
+    # argmin indices. Centroids are tiny (nlist x dim literals).
+    udists = F.array(
+        *[
+            F.expr(
+                f"aggregate(zip_with({unit}, "
+                f"array({', '.join(repr(float(c)) for c in cents[j])}), "
+                "(a, b) -> (a - b) * (a - b)), cast(0 as double), (acc, x) -> acc + x)"
+            )
+            for j in range(len(cents))
+        ]
+    )
+    assigned = (
+        emb.select("vec_id", "embedding", udists.alias("__d"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                f"slice(array_sort(transform(__d, (d, j) -> struct(d, j))), 1, {nprobe})"
+            ).alias("__near"),
+        )
+        .select("vec_id", "embedding", F.explode("__near.j").alias("cell"))
+    )
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        vector_norm_fixed("embedding", DIM).alias("na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        vector_norm_fixed("embedding", DIM).alias("nb"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "score",
+            F.round(
+                dot_score_fixed("ea", "eb", DIM) / (F.col("na") * F.col("nb")),
+                ROUND_DIGITS,
+            ),
+        )
+        .filter(F.col("score") >= _NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "score")
+        .distinct()
     )
 
 
@@ -2351,6 +2443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_text": q_clean_text,
     "dataset_split": q_dataset_split,
     "stratified_sample": q_stratified_sample,
+    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
 }
 
 ORACLES: dict[str, str] = {
@@ -2410,6 +2503,8 @@ ORACLES: dict[str, str] = {
     "clean_text": ORACLE_CLEAN_TEXT,
     "dataset_split": ORACLE_DATASET_SPLIT,
     # stratified_sample: intentionally no oracle (engine RNG; property test)
+    # embedding_near_dup_ivf: intentionally no oracle (iterative KMeans;
+    # recall vs the exact operator asserted in pytest)
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

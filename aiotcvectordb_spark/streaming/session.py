@@ -114,6 +114,35 @@ def sessionize_stream(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key among rows
+    whose event times fall within the watermark delay of each other,
+    then EVICTS the key's state once the watermark passes — unlike
+    plain ``dropDuplicates``, whose state grows without bound on a
+    stream. Complements ``stateful_dedup_first`` (exact keep-first
+    forever, custom state) when at-most-once-per-window is enough.
+    Batch mode degrades to plain per-key dedup (no time bound), so
+    batch ≡ stream only when all duplicates fall inside the delay —
+    asserted in the test with a wide-enough delay.
+    """
+    src = _with_event_seconds(events).select(
+        key_col,
+        "event_id",
+        F.expr("cast(__ts_sec as timestamp)").alias("event_time"),
+    )
+    if src.isStreaming:
+        return src.withWatermark("event_time", delay).dropDuplicatesWithinWatermark(
+            [key_col]
+        )
+    return src.dropDuplicates([key_col])
+
+
 def stateful_dedup_first(
     events: DataFrame,
     *,

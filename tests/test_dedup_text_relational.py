@@ -167,3 +167,26 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
         if lang in per_lang:
             assert s1.get(lang) == per_lang[lang]
     assert 0 < s1.get("en", 0) < per_lang["en"]
+
+
+def test_minhash_bucket_cap_is_subset(spark, sf_dir):
+    """The 100 TB bucket-size guard: capped candidates are a subset of
+    exact banding candidates (only over-cap buckets are dropped)."""
+    full = {(r.doc_a, r.doc_b) for r in Q.q_minhash_lsh_candidates(spark, sf_dir).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in Q.q_minhash_lsh_candidates(spark, sf_dir, max_bucket_size=2).collect()
+    }
+    assert capped <= full
+
+
+def test_embedding_near_dup_ivf_recall(spark, sf_dir):
+    """The IVF-bucketed scale path must recover (nearly) all exact
+    near-dup pairs; every pair it emits is exact-rescored, so precision
+    is 1.0 by construction."""
+    exact = {(r.vec_a, r.vec_b) for r in Q.q_embedding_near_dup(spark, sf_dir).collect()}
+    ivf = {(r.vec_a, r.vec_b) for r in Q.q_embedding_near_dup_ivf(spark, sf_dir).collect()}
+    assert exact, "exact op found no pairs — test data changed?"
+    assert ivf <= exact  # precision 1.0: every candidate is exact-rescored
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall}: {len(ivf)} ivf vs {len(exact)} exact"

@@ -88,3 +88,35 @@ def test_stateful_dedup_crosses_microbatches(spark, sf_dir, tmp_path):
     users = [r.user_id for r in out]
     assert len(users) == len(set(users))  # exactly once per user
     assert set(users) == {r.user_id for r in events.select("user_id").collect()}
+
+
+def test_dedup_within_watermark_bounded_state(spark, sf_dir, tmp_path):
+    """Built-in dropDuplicatesWithinWatermark: one row per user when the
+    delay spans the whole dataset, and the streaming plan carries an
+    eviction watermark (bounded state, unlike plain dropDuplicates)."""
+    from aiotcvectordb_spark.streaming.session import dedup_within_watermark
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = events.select("user_id").distinct().count()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    import shutil
+
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    # delay far wider than the data's time span -> exactly one per user
+    out = dedup_within_watermark(stream, key_col="user_id", delay="365 days")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM ddww").collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users)) == n_users

@@ -1,0 +1,140 @@
+"""Scale probe: does each headline operator's runtime grow ~linearly?
+
+Builds a K-times-larger copy of the sf0.1 tables under /tmp (ids
+offset per replica; document text and embeddings perturbed so near-dup
+operators see distinct rows, not K-way exact duplicates), then times a
+set of scan-heavy queries at 1x and Kx and prints the ratio. A ratio
+near K (or below, where fixed overhead dominates the 1x run) means the
+operator scales; a ratio near K^2 flags a quadratic blowup that would
+fall over at 100 TB.
+
+Usage: python tools/scale_probe.py [K] [sf_dir]
+Writes one JSON line: {"k": K, "queries": {name: {"t1": s, "tk": s,
+"ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from aiotcvectordb_spark import queries as Q
+from aiotcvectordb_spark.session import get_spark
+
+PROBE_QUERIES = [
+    "search_flat_cosine",
+    "fulltext_bm25",
+    "hybrid_rrf",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "token_count",
+    "pricing_summary",
+    "top_revenue_orders",
+    "group_topk",
+    "sessionize",
+    "dataset_split",
+]
+
+# tables each probe query touches (so we only scale what's needed)
+SCALED_TABLES = [
+    "documents",
+    "embeddings",
+    "events",
+    "lineitem",
+    "orders",
+]
+COPIED_TABLES = ["region", "nation", "customer", "supplier", "part"]
+
+ID_COLS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
+
+
+def build_scaled(spark, sf_dir: str, out_dir: str, k: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in COPIED_TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(sf_dir, f"{t}.parquet"), dst)
+    for t in SCALED_TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        idc = ID_COLS[t]
+        max_id = df.agg(F.max(idc)).first()[0] + 1
+        reps = []
+        for i in range(k):
+            r = df.withColumn(idc, F.col(idc) + F.lit(i * max_id))
+            if t == "documents" and i > 0:
+                # make replica text distinct so near-dup ops do real work
+                r = r.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+                )
+            if t == "embeddings" and i > 0:
+                r = r.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, j) -> cast(x + "
+                        f"sin(j * {i} * 0.7) * 0.05 as float))"
+                    ),
+                )
+            if t == "orders" and i > 0:
+                r = r.withColumn("o_custkey", F.col("o_custkey"))
+            if t == "lineitem" and i > 0:
+                pass  # orderkey offset matches orders replica offset
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(dst)
+        print(f"# built {t} x{k}", file=sys.stderr)
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    fn = Q.QUERIES[name]
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = f"/tmp/scale_probe_x{k}"
+    spark = get_spark("scale_probe")
+    build_scaled(spark, sf_dir, out_dir, k)
+    # warm
+    spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
+    results = {}
+    for name in PROBE_QUERIES:
+        t1 = time_query(spark, name, sf_dir)
+        tk = time_query(spark, name, out_dir)
+        results[name] = {
+            "t1": round(t1, 3),
+            "tk": round(tk, 3),
+            "ratio": round(tk / t1, 2) if t1 > 0 else None,
+        }
+        print(f"# {name}: 1x={t1:.2f}s {k}x={tk:.2f}s ratio={tk/t1:.2f}", file=sys.stderr)
+    print(json.dumps({"k": k, "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
