@@ -1,0 +1,190 @@
+"""End-to-end training-corpus curation pipeline.
+
+Composes the north-star operators — clean → quality filter → exact
+dedup → MinHash-LSH near-dedup → deterministic split — into one
+declarative DataFrame flow, then materializes hive-partitioned export
+shards. This is the "switch your pipeline to this engine" artifact: one
+call runs the whole flow; every stage is the same code the individual
+query-registry operators use, so the per-stage semantics stay
+oracle-checked.
+
+Scale shape (the 100 TB story):
+- every stage is a projection/aggregation over the corpus — no
+  collects, no driver-side loops;
+- near-dedup is bucket-join MinHash (one shuffle on the bucket key,
+  ``max_bucket_size`` guard against boilerplate buckets), never an
+  O(N^2) self-join;
+- duplicate-group resolution keeps the smallest doc_id per group via
+  connected-components-free union-find approximation: one iteration of
+  min-propagation over candidate edges is exact for pair groups and
+  near-exact for small chains (documented), all with groupBy/join;
+- the final export repartitions by split so each shard directory is
+  written in parallel without small files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aiotcvectordb_spark.functions import sparse as sparse_fn
+
+_PORTABLE_HASH = "cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+
+
+def clean_stage(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Strip control chars, collapse whitespace, trim, lowercase."""
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), "[\\x00-\\x1F\\x7F]", " "),
+                "\\s{2,}",
+                " ",
+            )
+        )
+    )
+    return docs.withColumn("clean_text", cleaned)
+
+
+def quality_stage(
+    docs: DataFrame,
+    *,
+    min_tokens: int = 3,
+    min_alnum_ratio: float = 0.6,
+) -> DataFrame:
+    """Length + alnum-ratio quality gate over the cleaned text."""
+    toks = sparse_fn.tokens_col("clean_text")
+    alnum = (
+        F.length("clean_text")
+        - F.length(F.regexp_replace(F.col("clean_text"), "[a-z0-9 ]", ""))
+    ) / F.greatest(F.length("clean_text"), F.lit(1))
+    return docs.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= min_tokens) & (alnum >= min_alnum_ratio),
+    )
+
+
+def exact_dedup_stage(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact clean-text hash."""
+    h = F.expr(_PORTABLE_HASH.format(s="clean_text"))
+    w_min = F.min(id_col).over
+    from pyspark.sql import Window
+
+    keeper = w_min(Window.partitionBy(h))
+    return docs.withColumn("exact_keeper", keeper == F.col(id_col))
+
+
+def near_dedup_stage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    shingle: int = 3,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """MinHash-LSH near-dup removal: mark every doc that has a
+    lower-id near-duplicate candidate. One bucket-key shuffle; pair
+    groups resolve to the smallest id (min-propagation over candidate
+    edges — exact for pairs, keeps one representative per chain)."""
+    toks = "filter(split(clean_text, '[^a-z0-9]+'), t -> t != '')"
+    shingles = (
+        f"transform(sequence(1, size({toks}) - {shingle - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {shingle})))"
+    )
+    eligible = docs.filter(F.expr(f"size({toks}) >= {shingle}"))
+    def _mh(j: int) -> str:
+        hashed = _PORTABLE_HASH.format(s=f"concat(s, '#', {j})")
+        return f"array_min(transform({shingles}, s -> {hashed}))"
+
+    sig = eligible.select(
+        F.col(id_col),
+        *[F.expr(_mh(j)).alias(f"mh{j}") for j in range(n_hashes)],
+    )
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("h"))
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.h")
+    buckets = (
+        bands.groupBy("band", "h")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
+    # every non-minimum member of any bucket is dominated by the bucket
+    # minimum -> drop it; the minimum survives (its own keeper).
+    dominated = (
+        buckets.select(
+            F.explode(F.expr("slice(ds, 2, size(ds) - 1)")).alias(id_col)
+        )
+        .distinct()
+    )
+    return docs.join(
+        dominated.withColumn("near_dup", F.lit(True)), id_col, "left"
+    ).withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
+
+
+def split_stage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    train: int = 90,
+    val: int = 5,
+) -> DataFrame:
+    """Deterministic hash split — stable under re-partitioning and
+    re-ingestion."""
+    bucket = F.expr(
+        f"pmod({_PORTABLE_HASH.format(s=f'cast({id_col} as string)')}, 100)"
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < train, F.lit("train"))
+        .when(bucket < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 3,
+    min_alnum_ratio: float = 0.6,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Full curation flow. Returns the corpus annotated with
+    (clean_text, n_tokens, quality_ok, exact_keeper, near_dup, split,
+    keep) — callers filter ``keep`` or inspect the flags for audit."""
+    out = clean_stage(docs, text_col=text_col)
+    out = quality_stage(
+        out, min_tokens=min_tokens, min_alnum_ratio=min_alnum_ratio
+    )
+    out = exact_dedup_stage(out, id_col=id_col)
+    out = near_dedup_stage(out, id_col=id_col, max_bucket_size=max_bucket_size)
+    out = split_stage(out, id_col=id_col)
+    return out.withColumn(
+        "keep",
+        F.col("quality_ok") & F.col("exact_keeper") & ~F.col("near_dup"),
+    )
+
+
+def materialize(curated: DataFrame, out_dir: str) -> dict[str, int]:
+    """Write the kept corpus hive-partitioned by split; returns
+    per-split row counts."""
+    from aiotcvectordb_spark.sources.export import export_dataframe
+
+    kept = curated.filter("keep").select(
+        "doc_id", "clean_text", "n_tokens", "split"
+    )
+    export_dataframe(kept, out_dir, partition_by=["split"])
+    return {
+        r.split: r.n for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }

@@ -2352,6 +2352,82 @@ GROUP BY 1, 2
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (pipelines.curate: clean →
+    quality gate → exact dedup → MinHash near-dedup → hash split) as an
+    audit aggregate: docs per (split, keep). Every stage is
+    deterministic (md5-based hashes, no RNG), so the WHOLE composition
+    is oracle-checked end-to-end, not just the stages."""
+    from aiotcvectordb_spark import pipelines as P
+
+    cur = P.curate(load(spark, sf_dir, "documents"))
+    return cur.groupBy("split", "keep").agg(F.count("*").alias("n_docs"))
+
+
+_CURATE_CLEAN_SQL = (
+    r"lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),"
+    r" '\s{2,}', ' ', 'g')))"
+)
+_CURATE_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(clean_text, '[^a-z0-9]+'), t -> t <> '')"
+)
+_CURATE_H60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+ORACLE_CURATE_CORPUS = f"""
+WITH clean AS (
+  SELECT doc_id, {_CURATE_CLEAN_SQL} AS clean_text FROM documents
+),
+qual AS (
+  SELECT doc_id, clean_text,
+         len({_CURATE_TOKS_SQL}) AS n_tokens,
+         (length(clean_text) - length(regexp_replace(clean_text, '[a-z0-9 ]', '', 'g')))
+           / greatest(length(clean_text), 1) AS alnum_ratio
+  FROM clean
+),
+flags AS (
+  SELECT doc_id, clean_text, n_tokens,
+         (n_tokens >= 3 AND alnum_ratio >= 0.6) AS quality_ok,
+         doc_id = min(doc_id) OVER (PARTITION BY {_CURATE_H60.format(s="clean_text")})
+           AS exact_keeper
+  FROM qual
+),
+shingled AS (
+  SELECT doc_id,
+         list_transform(range(1, len({_CURATE_TOKS_SQL}) - 1),
+                        i -> array_to_string({_CURATE_TOKS_SQL}[i:i+2], ' ')) AS sh
+  FROM clean
+  WHERE len({_CURATE_TOKS_SQL}) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f'''list_min(list_transform(sh, s -> {_CURATE_H60.format(s=f"concat(s, '#', {j})")})) AS mh{j}''' for j in range(4))}
+  FROM shingled
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, mh{j} AS h FROM sigs" for j in range(4))}
+),
+bucketed AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY band, h) AS bmin,
+         count(*) OVER (PARTITION BY band, h) AS bsize
+  FROM bands
+),
+dominated AS (
+  SELECT DISTINCT doc_id FROM bucketed
+  WHERE bsize BETWEEN 2 AND 64 AND doc_id > bmin
+),
+final AS (
+  SELECT f.doc_id,
+         CASE WHEN {_CURATE_H60.format(s="CAST(f.doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+              WHEN {_CURATE_H60.format(s="CAST(f.doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         (f.quality_ok AND f.exact_keeper AND d.doc_id IS NULL) AS keep
+  FROM flags f LEFT JOIN dominated d USING (doc_id)
+)
+SELECT split, keep, count(*) AS n_docs FROM final GROUP BY split, keep
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling by language (`sampleBy` — per-stratum
     Bernoulli with one seed): the rebalancing step of corpus curation.
@@ -2444,6 +2520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "stratified_sample": q_stratified_sample,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLES: dict[str, str] = {
@@ -2505,6 +2582,7 @@ ORACLES: dict[str, str] = {
     # stratified_sample: intentionally no oracle (engine RNG; property test)
     # embedding_near_dup_ivf: intentionally no oracle (iterative KMeans;
     # recall vs the exact operator asserted in pytest)
+    "curate_corpus": ORACLE_CURATE_CORPUS,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

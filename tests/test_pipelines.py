@@ -1,0 +1,65 @@
+"""End-to-end corpus-curation pipeline invariants: each stage's flag is
+consistent with the standalone oracle-checked operator, and the
+materialized export round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aiotcvectordb_spark import pipelines as P
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_curate_flags_and_keep(spark, sf_dir):
+    cur = P.curate(_docs(spark, sf_dir)).cache()
+    total = _docs(spark, sf_dir).count()
+    assert cur.count() == total  # annotation, not filtering
+    kept = cur.filter("keep")
+    n_kept = kept.count()
+    assert 0 < n_kept <= total
+    # kept set contains no exact duplicates of clean_text
+    assert kept.select("clean_text").distinct().count() == n_kept
+    # every kept doc passes the quality gate
+    assert kept.filter("NOT quality_ok").count() == 0
+    # splits cover the kept set, mostly train
+    splits = {r.split: r.n for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(splits) <= {"train", "val", "test"}
+    assert splits.get("train", 0) > splits.get("val", 0)
+    cur.unpersist()
+
+
+def test_near_dedup_keeps_bucket_minimum(spark, sf_dir):
+    cur = P.curate(_docs(spark, sf_dir))
+    # a doc flagged near_dup must have a lower-id candidate partner that
+    # survived (transitively: the bucket minimum is never flagged)
+    flagged = cur.filter("near_dup")
+    if flagged.count():
+        min_all = cur.agg(F.min("doc_id")).first()[0]
+        assert flagged.filter(F.col("doc_id") == min_all).count() == 0
+
+
+def test_materialize_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    counts = P.materialize(P.curate(_docs(spark, sf_dir)), out)
+    back = spark.read.parquet(out)
+    assert back.count() == sum(counts.values())
+    assert set(counts) == {r.split for r in back.select("split").distinct().collect()}
+
+
+def test_duplicate_injection_is_removed(spark, sf_dir):
+    """Inject exact copies of 5 docs with new ids — the pipeline must
+    drop every copy (keep the original, lower id)."""
+    docs = _docs(spark, sf_dir)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    clones = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(max_id + 1))
+    )
+    cur = P.curate(docs.unionByName(clones))
+    clone_rows = cur.filter(F.col("doc_id") > max_id).collect()
+    assert len(clone_rows) == 5
+    assert all(not r.keep for r in clone_rows)
