@@ -63,3 +63,38 @@ def test_duplicate_injection_is_removed(spark, sf_dir):
     clone_rows = cur.filter(F.col("doc_id") > max_id).collect()
     assert len(clone_rows) == 5
     assert all(not r.keep for r in clone_rows)
+
+
+def test_stateless_stages_run_on_stream(spark, sf_dir, tmp_path):
+    """clean/quality/split are pure projections, so the same stage
+    functions run unchanged on a structured stream (dedup stages need
+    global state and stay batch — run them in the foreachBatch merge)."""
+    import shutil
+
+    docs = _docs(spark, sf_dir)
+    batch = (
+        P.split_stage(P.quality_stage(P.clean_stage(docs)))
+        .select("doc_id", "clean_text", "n_tokens", "quality_ok", "split")
+    )
+    expected = {tuple(r) for r in batch.collect()}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "documents.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    out = (
+        P.split_stage(P.quality_stage(P.clean_stage(stream)))
+        .select("doc_id", "clean_text", "n_tokens", "quality_ok", "split")
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cur_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM cur_stream").collect()}
+    assert got == expected
