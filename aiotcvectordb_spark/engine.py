@@ -390,6 +390,13 @@ class VectorDBEngine:
         token_used = 0
 
         docs = [dict(d) for d in documents]
+        # a batch may repeat a primary key; the reference server applies
+        # docs in order, so the LAST occurrence wins — dedup here, or the
+        # set-oriented merge below would persist two rows under one pk
+        seen: dict = {}
+        for d in docs:
+            seen[d.get(pk)] = d
+        docs = list(seen.values())
         ai_mode = bool(
             meta.embedding and docs and isinstance(docs[0].get(vec), str)
         )
@@ -422,7 +429,9 @@ class VectorDBEngine:
         else:
             meta.index_status = "stale"
             self.catalog.put_collection(meta, replace=True)
-        out = {"affectedCount": len(docs)}
+        # affectedCount mirrors the request size (every submitted doc was
+        # applied; batch-internal replacements still count)
+        out = {"affectedCount": len(documents)}
         if ai_mode:
             out["embeddingExtraInfo"] = {"tokenUsed": token_used}
         return out

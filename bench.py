@@ -51,6 +51,10 @@ HEADLINE = [
     "top_revenue_orders",
     "grouping_sets_agg",
     "pivot_wide",
+    "correlated_subquery",
+    "clean_text",
+    "dataset_split",
+    "curate_corpus",
 ]
 
 
