@@ -646,16 +646,41 @@ class VectorDBEngine:
         database: str,
         collection: str,
         *,
+        ann=None,
+        match=None,
         ann_vectors: Sequence[Sequence[float]] | None = None,
         match_text: str | None = None,
-        rerank: dict | None = None,
+        rerank=None,
         limit: int = 10,
         filter: str | None = None,
         **kw,
-    ) -> list[list[dict]]:
+    ) -> list[list[dict]] | list[dict]:
         """Op 32: dense + sparse legs fused by RRF or weighted rerank
-        (reference collection.py:316-401)."""
+        (reference collection.py:316-401). Accepts either raw kwargs
+        (``ann_vectors``/``match_text``) or the reference's param
+        objects (``ann=AnnSearch(...)``, ``match=KeywordSearch(...)``,
+        ``rerank=RRFRerank()/WeightedRerank(...)``) — a single
+        ``AnnSearch`` in returns a single hit-list out, matching the
+        reference's single-vs-list convention (collection.py:344-354,
+        :399-401)."""
         from aiotcvectordb_spark.operators import hybrid
+        from aiotcvectordb_spark.params import AnnSearch, KeywordSearch
+
+        single_in = isinstance(ann, AnnSearch)
+        if ann is not None:
+            anns = [ann] if single_in else list(ann)
+            ann_vectors = [list(a.data) for a in anns]
+        if match is not None:
+            if isinstance(match, KeywordSearch):
+                match_text = match.data
+                if match.terminate_after is not None:
+                    kw.setdefault("terminate_after", match.terminate_after)
+                if match.cutoff_frequency is not None:
+                    kw.setdefault("cutoff_frequency", match.cutoff_frequency)
+            else:
+                match_text = match
+        if rerank is not None and hasattr(rerank, "to_dict"):
+            rerank = rerank.to_dict()
 
         meta = self.catalog.get_collection(database, collection)
         df = self.read(database, collection)
@@ -678,7 +703,7 @@ class VectorDBEngine:
             qi = d.pop("query_idx")
             d.pop("rank")
             out[qi].append(d)
-        return out
+        return out[0] if single_in else out
 
 
 # ---------------------------------------------------------------- primitives

@@ -158,3 +158,38 @@ def test_fulltext_terminate_after_caps_candidates(spark, sf_dir):
     ).collect()
     assert capped == again  # deterministic under the cap
     assert len(full) >= len(capped)
+
+
+def test_hybrid_param_objects_single_in_single_out(engine):
+    """Reference convention (collection.py:344-354, :399-401): a single
+    AnnSearch in -> a single hit-list out; param objects map onto the
+    raw-kwargs path."""
+    from aiotcvectordb_spark.functions.embedding import embed_udf
+    from aiotcvectordb_spark.params import AnnSearch, KeywordSearch, RRFRerank
+
+    db, coll = make_embedding_collection(engine, coll="hyp_coll")
+    engine.upsert(
+        db, coll,
+        [{"id": d["id"], "text": d["text"], "vector": d["text"]} for d in TEXT_DOCS],
+    )
+    qv = embed_udf.python_fn(32)("apple banana orchard")
+    single = engine.hybrid_search(
+        db, coll,
+        ann=AnnSearch(data=qv),
+        match=KeywordSearch(data="apple banana"),
+        rerank=RRFRerank(k=60),
+        limit=3,
+        text_col="text",
+    )
+    assert isinstance(single, list) and single and isinstance(single[0], dict)
+    assert single[0]["id"] == "t_fruit"
+    batch = engine.hybrid_search(
+        db, coll,
+        ann=[AnnSearch(data=qv)],
+        match=KeywordSearch(data="apple banana"),
+        rerank=RRFRerank(k=60),
+        limit=3,
+        text_col="text",
+    )
+    assert isinstance(batch[0], list)
+    assert [h["id"] for h in batch[0]] == [h["id"] for h in single]
