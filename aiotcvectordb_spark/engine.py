@@ -546,6 +546,15 @@ class VectorDBEngine:
         meta = self.catalog.get_collection(database, collection)
         vix = meta.vector_index()
         metric = kw.pop("metric", (vix.metric_type if vix else None) or "COSINE")
+        # reference-style search params (stub.py:609-612): IVF nprobe is
+        # honored (partition-probe count); HNSW ef is accepted and
+        # ignored (the LSH/IVF stand-ins have no ef — documented).
+        params = kw.pop("params", None) or {}
+        nprobe_param = (
+            int(params["nprobe"])
+            if isinstance(params, dict) and params.get("nprobe")
+            else None
+        )
         if kw.get("filter"):
             kw["filter"] = translate_filter(kw["filter"])
         df = self.read(database, collection)
@@ -560,6 +569,8 @@ class VectorDBEngine:
         ):
             from aiotcvectordb_spark.operators import ann
 
+            if nprobe_param is not None:
+                kw.setdefault("nprobe", nprobe_param)
             return ann.ivf_search(
                 self, meta, df, vectors, metric=metric, **kw
             )

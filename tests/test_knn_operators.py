@@ -157,3 +157,49 @@ def test_modify_vector_index_refits_and_reprunes(engine, spark, sf_dir):
         rebuild_rules={"rebuild": False},
     )
     assert len(engine.catalog.get_collection(db, "emb").ann_state["ivf"]["centroids"]) == 8
+
+
+def test_search_accepts_reference_params(engine, spark, sf_dir):
+    """Reference search params (stub.py:609-612): {'nprobe': n} steers
+    IVF probing; {'ef': n} (HNSW) is accepted and ignored by the
+    stand-in index."""
+    from aiotcvectordb_spark.catalog import IndexField
+
+    db = "db_params"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="IVF_FLAT", dimension=64,
+                params={"nlist": 8},
+            ),
+            IndexField(name="label", kind="filter", field_type="uint64"),
+        ],
+    )
+    engine.store.write(_emb(spark, sf_dir), db, "emb")
+    engine.rebuild_index(db, "emb")
+    q = qvec(1.0)
+    wide = engine.search(db, "emb", [q], limit=5, params={"nprobe": 8, "ef": 10})
+    narrow = engine.search(db, "emb", [q], limit=5, params={"nprobe": 1})
+    assert len(wide[0]) == 5 and len(narrow[0]) == 5
+    # probing every cell must be at least as good as probing one
+    assert wide[0][0]["score"] >= narrow[0][0]["score"] - 1e-9
+    # FLAT collections accept (and ignore) the same params dict
+    engine.create_collection(
+        db, "emb_flat",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="FLAT", dimension=64,
+            ),
+        ],
+    )
+    engine.store.write(_emb(spark, sf_dir), db, "emb_flat")
+    flat = engine.search(
+        db, "emb_flat", [q], limit=5, params={"nprobe": 4, "ef": 10}
+    )
+    assert len(flat[0]) == 5
