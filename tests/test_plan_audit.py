@@ -149,3 +149,14 @@ def test_grouping_sets_single_expand(spark, sf_dir):
     plan = audit.executed_plan(out)
     assert plan.count("Expand") >= 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_curate_pipeline_plan_shape(spark, sf_dir):
+    """The composed pipeline must stay one declarative job: no
+    cartesian, bounded shuffle count (window for exact-dedup + LSH
+    bucket groupBy + final aggregate; AQE may coalesce further)."""
+    from aiotcvectordb_spark import pipelines as P
+
+    cur = P.curate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    audit.assert_no_cartesian(cur)
+    assert audit.count_shuffles(cur) <= 6
