@@ -91,12 +91,19 @@ def near_dedup_stage(
         f"transform(sequence(1, size({toks}) - {shingle - 1}), "
         f"i -> concat_ws(' ', slice({toks}, i, {shingle})))"
     )
-    eligible = docs.filter(F.expr(f"size({toks}) >= {shingle}"))
+    # Materialize the shingle array ONCE, then derive every minhash from
+    # the materialized column. Inlining `shingles` into all n_hashes
+    # expressions re-runs the clean+tokenize+slice chain per hash (and
+    # CollapseProject won't dedup it) — measured 11s -> ~1s at sf0.1.
+    shingled = docs.filter(F.expr(f"size({toks}) >= {shingle}")).select(
+        F.col(id_col), F.expr(shingles).alias("__sh")
+    )
+
     def _mh(j: int) -> str:
         hashed = _PORTABLE_HASH.format(s=f"concat(s, '#', {j})")
-        return f"array_min(transform({shingles}, s -> {hashed}))"
+        return f"array_min(transform(__sh, s -> {hashed}))"
 
-    sig = eligible.select(
+    sig = shingled.select(
         F.col(id_col),
         *[F.expr(_mh(j)).alias(f"mh{j}") for j in range(n_hashes)],
     )

@@ -2274,6 +2274,62 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year. Two independent broadcast nation lookups (supplier side and
+    customer side), big fact joins hash-partitioned on their keys, then
+    a 4-group aggregate — the multi-dimension star join pattern."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(n1, n2)
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_n), supplier.s_nationkey == F.col("s_nkey"))
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cust_n), customer.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .select("supp_nation", "cust_nation", "l_year", "revenue")
+    )
+
+
+ORACLE_NATION_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # North-star: training-data preparation (clean / split / sample)
 # --------------------------------------------------------------------------
@@ -2521,6 +2577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "curate_corpus": q_curate_corpus,
+    "nation_volume_shipping": q_nation_volume_shipping,
 }
 
 ORACLES: dict[str, str] = {
@@ -2583,6 +2640,7 @@ ORACLES: dict[str, str] = {
     # embedding_near_dup_ivf: intentionally no oracle (iterative KMeans;
     # recall vs the exact operator asserted in pytest)
     "curate_corpus": ORACLE_CURATE_CORPUS,
+    "nation_volume_shipping": ORACLE_NATION_VOLUME_SHIPPING,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

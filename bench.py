@@ -55,6 +55,7 @@ HEADLINE = [
     "clean_text",
     "dataset_split",
     "curate_corpus",
+    "nation_volume_shipping",
 ]
 
 
