@@ -286,8 +286,14 @@ class VectorDBEngine:
         return names + list(aliases)
 
     def sql(self, database: str, query: str) -> DataFrame:
-        """Run a SQL statement with the database's collections in scope."""
+        """Run a SQL statement with the database's collections in scope
+        and the vector metrics (`cosine_sim`/`dot_product`/`l2_distance`)
+        registered as SQL scalar functions — exact vector search is
+        expressible as plain SQL with zero Python in the loop."""
+        from aiotcvectordb_spark.functions.vector import register_sql_functions
+
         self.register_views(database)
+        register_sql_functions(self.spark)
         return self.spark.sql(query)
 
     # ------------------------------------------------------------- read path

@@ -129,3 +129,40 @@ def score_is_better_desc(metric: str) -> bool:
     if m == L2:
         return False
     raise ValueError(f"unknown metric {metric!r}")
+
+
+_SQL_FUNCTIONS = {
+    "dot_product": """
+CREATE OR REPLACE TEMPORARY FUNCTION dot_product(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+RETURNS DOUBLE
+RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+""",
+    "cosine_sim": """
+CREATE OR REPLACE TEMPORARY FUNCTION cosine_sim(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+RETURNS DOUBLE
+RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+  / (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v))
+     * sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v)))
+""",
+    "l2_distance": """
+CREATE OR REPLACE TEMPORARY FUNCTION l2_distance(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+RETURNS DOUBLE
+RETURN sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))
+""",
+}
+
+
+def register_sql_functions(spark) -> list[str]:
+    """Register the vector metrics as Spark SQL scalar functions
+    (SQL-macro UDFs — pure Catalyst expressions, whole-stage codegen,
+    no Python in the loop), so the full search surface is reachable
+    from `engine.sql`:
+
+        SELECT id, cosine_sim(vector, array(...)) AS score
+        FROM coll ORDER BY score DESC LIMIT 10
+
+    ARRAY<FLOAT> columns implicitly cast to ARRAY<DOUBLE> at the call
+    site. Returns the registered function names."""
+    for ddl in _SQL_FUNCTIONS.values():
+        spark.sql(ddl)
+    return sorted(_SQL_FUNCTIONS)

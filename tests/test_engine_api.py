@@ -193,3 +193,35 @@ def test_time_travel_read(engine):
     assert len(versions) == 2 and v0 not in versions
     with pytest.raises(FileNotFoundError):
         engine.read(db, coll, version=v0)
+
+
+def test_sql_vector_functions(engine):
+    """cosine_sim/dot_product/l2_distance as SQL scalar functions:
+    a pure-SQL top-k vector search matches engine.search exactly."""
+    db, coll = make_collection(engine, name="sqlfn_coll")
+    engine.upsert(
+        db, coll,
+        [
+            {"id": f"d{i}", "vector": [0.1 * i, 0.5, 1.0 - 0.05 * i],
+             "tag": "a", "page": i}
+            for i in range(20)
+        ],
+    )
+    q = [0.3, 0.5, 0.8]
+    qlit = f"array({q[0]}D, {q[1]}D, {q[2]}D)"
+    rows = engine.sql(
+        db,
+        f"""
+        SELECT id, round(cosine_sim(vector, {qlit}), 6) AS score
+        FROM {coll} ORDER BY score DESC, id LIMIT 5
+        """,
+    ).collect()
+    hits = engine.search(db, coll, [q], limit=5, round_digits=6)[0]
+    assert [r.id for r in rows] == [h["id"] for h in hits]
+    assert [float(r.score) for r in rows] == [h["score"] for h in hits]
+    one = engine.sql(
+        db,
+        f"SELECT round(l2_distance({qlit}, {qlit}), 6) AS d, "
+        f"round(dot_product({qlit}, {qlit}), 6) AS p",
+    ).first()
+    assert one.d == 0.0 and abs(one.p - sum(x * x for x in q)) < 1e-6
