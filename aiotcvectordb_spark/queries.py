@@ -2274,6 +2274,85 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: hourly 'purchase' counts over the table's
+    full hour range, with EMPTY hours materialized as zero rows
+    (sequence + explode of the hour spine, broadcast left join of the
+    sparse counts). The resample/gap-fill primitive of monitoring and
+    feature pipelines — the spine is computed from one aggregate row,
+    never collected to the driver."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("(ts div 1000000000) div 3600 * 3600").alias("hour_s"),
+        "event_type",
+    )
+    bounds = ev.agg(
+        F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, 3600)")).alias("hour_s")
+    )
+    counts = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("hour_s")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(counts, "hour_s", "left")
+        .select("hour_s", F.coalesce("n", F.lit(0)).alias("n_purchases"))
+    )
+
+
+ORACLE_TIME_GAP_FILL = """
+WITH ev AS (
+  SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS hour_s, event_type
+  FROM events
+),
+bounds AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM ev),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, 3600)) AS hour_s FROM bounds
+),
+counts AS (
+  SELECT hour_s, count(*) AS n FROM ev WHERE event_type = 'purchase' GROUP BY hour_s
+)
+SELECT s.hour_s, coalesce(c.n, 0) AS n_purchases
+FROM spine s LEFT JOIN counts c USING (hour_s)
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): for each event,
+    how many events of the same type arrived in the preceding 10
+    minutes (inclusive). Complements the ROWS frames in window_funcs —
+    RANGE frames are the sliding-window primitive for irregular time
+    series."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000000000").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "sec",
+        F.count("*").over(w).alias("n_last_10m"),
+    )
+
+
+ORACLE_WINDOW_RANGE_FRAME = """
+SELECT event_id, event_type, epoch_ns(ts) // 1000000000 AS sec,
+       count(*) OVER (
+         PARTITION BY event_type ORDER BY epoch_ns(ts) // 1000000000
+         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+       ) AS n_last_10m
+FROM events
+"""
+
+
 def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral shipping volume between two nations by
     year. Two independent broadcast nation lookups (supplier side and
@@ -2578,6 +2657,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "curate_corpus": q_curate_corpus,
     "nation_volume_shipping": q_nation_volume_shipping,
+    "time_gap_fill": q_time_gap_fill,
+    "window_range_frame": q_window_range_frame,
 }
 
 ORACLES: dict[str, str] = {
@@ -2641,6 +2722,8 @@ ORACLES: dict[str, str] = {
     # recall vs the exact operator asserted in pytest)
     "curate_corpus": ORACLE_CURATE_CORPUS,
     "nation_volume_shipping": ORACLE_NATION_VOLUME_SHIPPING,
+    "time_gap_fill": ORACLE_TIME_GAP_FILL,
+    "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

@@ -56,6 +56,8 @@ HEADLINE = [
     "dataset_split",
     "curate_corpus",
     "nation_volume_shipping",
+    "time_gap_fill",
+    "window_range_frame",
 ]
 
 
