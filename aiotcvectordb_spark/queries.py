@@ -2319,6 +2319,48 @@ FROM spine s LEFT JOIN counts c USING (hour_s)
 """
 
 
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: standardize event values against
+    their type's mean/stddev (two-pass: tiny stats aggregate broadcast
+    back onto the full scan) and keep |z| > 3 — the
+    anomaly/outlier-filter pattern of data-quality pipelines. Stats use
+    sum/count arithmetic identical on both engines (population variance
+    via E[x^2] - E[x]^2) so the flag is deterministic."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    stats = stats.select(
+        "event_type", mean.alias("mu"), F.sqrt(var).alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6))
+        .filter("abs(z) > 3")
+        .select("event_id", "event_type", F.round("value", 6).alias("value"), "z")
+    )
+
+
+ORACLE_ZSCORE_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type, sum(value) AS s1, sum(value * value) AS s2, count(*) AS n
+  FROM events GROUP BY event_type
+),
+ms AS (
+  SELECT event_type, s1 / n AS mu, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma
+  FROM stats
+)
+SELECT event_id, event_type, round(value, 6) AS value,
+       round((value - mu) / sigma, 6) AS z
+FROM events JOIN ms USING (event_type)
+WHERE abs(round((value - mu) / sigma, 6)) > 3
+"""
+
+
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (value-based, not row-based): for each event,
     how many events of the same type arrived in the preceding 10
@@ -2659,6 +2701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_volume_shipping": q_nation_volume_shipping,
     "time_gap_fill": q_time_gap_fill,
     "window_range_frame": q_window_range_frame,
+    "zscore_outliers": q_zscore_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -2724,6 +2767,7 @@ ORACLES: dict[str, str] = {
     "nation_volume_shipping": ORACLE_NATION_VOLUME_SHIPPING,
     "time_gap_fill": ORACLE_TIME_GAP_FILL,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
+    "zscore_outliers": ORACLE_ZSCORE_OUTLIERS,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

@@ -58,6 +58,7 @@ HEADLINE = [
     "nation_volume_shipping",
     "time_gap_fill",
     "window_range_frame",
+    "zscore_outliers",
 ]
 
 

@@ -42,6 +42,11 @@ PROBE_QUERIES = [
     "group_topk",
     "sessionize",
     "dataset_split",
+    "curate_corpus",
+    "nation_volume_shipping",
+    "time_gap_fill",
+    "window_range_frame",
+    "zscore_outliers",
 ]
 
 # tables each probe query touches (so we only scale what's needed)
