@@ -2319,6 +2319,38 @@ FROM spine s LEFT JOIN counts c USING (hour_s)
 """
 
 
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates beyond sums: Pearson correlation and
+    population covariance of quantity vs extended price per returnflag
+    (single-pass co-moment aggregation on both engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), ROUND_DIGITS).alias(
+                "qty_price_corr"
+            ),
+            F.round(
+                F.covar_pop("l_quantity", "l_extendedprice"), ROUND_DIGITS
+            ).alias("qty_price_covar"),
+            F.round(F.stddev_pop("l_quantity"), ROUND_DIGITS).alias("qty_stddev"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "qty_price_corr", "qty_price_covar", "qty_stddev", "n")
+    )
+
+
+ORACLE_CORR_STATS = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_pop(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+       round(stddev_pop(l_quantity), 6) AS qty_stddev,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outliers: standardize event values against
     their type's mean/stddev (two-pass: tiny stats aggregate broadcast
@@ -2702,6 +2734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_gap_fill": q_time_gap_fill,
     "window_range_frame": q_window_range_frame,
     "zscore_outliers": q_zscore_outliers,
+    "corr_stats": q_corr_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2768,6 +2801,7 @@ ORACLES: dict[str, str] = {
     "time_gap_fill": ORACLE_TIME_GAP_FILL,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "zscore_outliers": ORACLE_ZSCORE_OUTLIERS,
+    "corr_stats": ORACLE_CORR_STATS,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }
