@@ -190,3 +190,34 @@ def test_embedding_near_dup_ivf_recall(spark, sf_dir):
     assert ivf <= exact  # precision 1.0: every candidate is exact-rescored
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.8, f"recall {recall}: {len(ivf)} ivf vs {len(exact)} exact"
+
+
+def test_time_gap_fill_full_spine(spark, sf_dir):
+    rows = Q.q_time_gap_fill(spark, sf_dir).collect()
+    hours = sorted(r.hour_s for r in rows)
+    assert hours[-1] - hours[0] == (len(hours) - 1) * 3600  # contiguous spine
+    assert all(r.n_purchases >= 0 for r in rows)
+    assert sum(r.n_purchases for r in rows) == (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+
+
+def test_window_range_frame_counts_self(spark, sf_dir):
+    rows = Q.q_window_range_frame(spark, sf_dir).limit(500).collect()
+    assert all(r.n_last_10m >= 1 for r in rows)  # frame includes current row
+
+
+def test_zscore_outliers_are_extreme(spark, sf_dir):
+    rows = Q.q_zscore_outliers(spark, sf_dir).collect()
+    assert rows
+    assert all(abs(r.z) > 3 for r in rows)
+
+
+def test_corr_stats_bounds(spark, sf_dir):
+    rows = Q.q_corr_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.qty_price_corr <= 1.0
+        assert r.qty_stddev >= 0
