@@ -2319,6 +2319,24 @@ FROM spine s LEFT JOIN counts c USING (hour_s)
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch: top-20 corpus tokens via ``approx_top_k``
+    (mergeable space-saving sketch — one pass, fixed memory, partial
+    aggregation; the vocabulary-profiling op of a corpus pipeline). No
+    SQL oracle: the sketch's boundary ties are engine-specific; the
+    pytest asserts every reported count equals the exact count and the
+    cutoff dominates the exact 20th count."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toks = df.select(F.explode(sparse_fn.tokens_col("text")).alias("token"))
+    sketch = toks.select(
+        F.expr("approx_top_k(token, 20)").alias("tk")
+    ).select(F.explode("tk").alias("e"))
+    return (
+        sketch.select(F.col("e.item").alias("token"), F.col("e.count").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+    )
+
+
 def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates beyond sums: Pearson correlation and
     population covariance of quantity vs extended price per returnflag
@@ -2735,6 +2753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_range_frame": q_window_range_frame,
     "zscore_outliers": q_zscore_outliers,
     "corr_stats": q_corr_stats,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -2802,6 +2821,8 @@ ORACLES: dict[str, str] = {
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "zscore_outliers": ORACLE_ZSCORE_OUTLIERS,
     "corr_stats": ORACLE_CORR_STATS,
+    # heavy_hitters: intentionally no oracle (sketch boundary ties are
+    # engine-specific; exactness asserted in pytest)
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

@@ -45,3 +45,28 @@ def test_hll_sketches_merge(spark, sf_dir):
     )
     exact = events.select(F.countDistinct("user_id")).first()[0]
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_heavy_hitters_counts_are_exact_here(spark, sf_dir):
+    """At test vocabulary size the space-saving sketch tracks every
+    token, so each reported count must equal the exact count, and the
+    cutoff must dominate the exact 20th-highest count."""
+    from pyspark.sql import functions as F
+
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.functions import sparse as sparse_fn
+
+    hh = Q.q_heavy_hitters(spark, sf_dir).collect()
+    assert len(hh) == 20
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        r.token: r.n
+        for r in docs.select(F.explode(sparse_fn.tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in hh:
+        assert exact[r.token] == r.cnt, r.token
+    cutoff = sorted(exact.values(), reverse=True)[19]
+    assert min(r.cnt for r in hh) >= cutoff
