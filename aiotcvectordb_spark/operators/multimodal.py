@@ -127,3 +127,58 @@ def frame_sample(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(sample, schema=schema)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    width: int = 32,
+    height: int = 32,
+    mode: str = "fake",
+) -> DataFrame:
+    """Resize image payloads to (width, height) — the normalize step of
+    an image-training pipeline. Arrow-batched ``mapInPandas``; output is
+    one row per input with a fixed-size binary plus the recorded target
+    dims, so downstream batch shapes are static.
+
+    Fake mode emits a deterministic byte grid derived from the payload
+    (image codecs aren't in this container); a real implementation swaps
+    the inner loop for PIL/cv2 decode+resize — identical schema,
+    partitioning, and batch shape either way.
+    """
+    if mode == "real":
+        raise NotImplementedError(
+            "real image resize requires PIL/cv2 not present in this "
+            "environment; use mode='fake'"
+        )
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, width int, height int, pixels binary"
+    n_out = width * height
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, pix = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if raw.size == 0:
+                    raw = np.zeros(1, dtype=np.uint8)
+                # nearest-neighbor resample of the byte stream to the
+                # fixed output size — deterministic stand-in for decode+resize
+                idx = (np.arange(n_out) * raw.size // n_out) % raw.size
+                pix.append(raw[idx].tobytes())
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "pixels": pix,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema=schema)

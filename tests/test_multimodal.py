@@ -76,3 +76,31 @@ def test_features_join_back_to_ann(spark, sf_dir):
     )
     top = out.filter("rank = 1").first()
     assert top.score == 1.0
+
+
+def test_resize_images_fixed_shape(spark, sf_dir):
+    from aiotcvectordb_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    media = multimodal.with_binary_payload(docs)
+    out = multimodal.resize_images(media, width=8, height=4).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.width == 8 and r.height == 4
+        assert len(r.pixels) == 8 * 4  # fixed batch shape
+    # deterministic: same input -> same bytes
+    out2 = multimodal.resize_images(media, width=8, height=4).collect()
+    assert {(r.doc_id, bytes(r.pixels)) for r in out} == {
+        (r.doc_id, bytes(r.pixels)) for r in out2
+    }
+
+
+def test_resize_real_mode_is_stubbed(spark, sf_dir):
+    import pytest as _pytest
+
+    from aiotcvectordb_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
+    media = multimodal.with_binary_payload(docs)
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, mode="real")
