@@ -2319,6 +2319,34 @@ FROM spine s LEFT JOIN counts c USING (hour_s)
 """
 
 
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (an actually-occurring value, vs the
+    interpolated `percentiles` query): p25/p50/p90 of event value per
+    type via percentile_disc WITHIN GROUP. Discrete selection has no
+    float interpolation, so it's exactly comparable across engines."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("__events_pd")
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(percentile_disc(0.25) WITHIN GROUP (ORDER BY value), 6) AS p25,
+               round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+               round(percentile_disc(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90
+        FROM __events_pd
+        GROUP BY event_type
+        """
+    )
+
+
+ORACLE_PERCENTILE_DISC = """
+SELECT event_type,
+       round(quantile_disc(value, 0.25), 6) AS p25,
+       round(quantile_disc(value, 0.5), 6) AS p50,
+       round(quantile_disc(value, 0.9), 6) AS p90
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch: top-20 corpus tokens via ``approx_top_k``
     (mergeable space-saving sketch — one pass, fixed memory, partial
@@ -2754,6 +2782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zscore_outliers": q_zscore_outliers,
     "corr_stats": q_corr_stats,
     "heavy_hitters": q_heavy_hitters,
+    "percentile_disc": q_percentile_disc,
 }
 
 ORACLES: dict[str, str] = {
@@ -2823,6 +2852,7 @@ ORACLES: dict[str, str] = {
     "corr_stats": ORACLE_CORR_STATS,
     # heavy_hitters: intentionally no oracle (sketch boundary ties are
     # engine-specific; exactness asserted in pytest)
+    "percentile_disc": ORACLE_PERCENTILE_DISC,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }
