@@ -215,6 +215,14 @@ class Catalog:
         self._save(data)
         return 1
 
+    def aliases_of(self, database: str, collection: str) -> list[str]:
+        """Alias names currently pointing at a collection (the
+        reference's describe response carries `alias` —
+        database.py:457-479 coll_convert)."""
+        data = self._load()
+        db = self._db(data, database)
+        return sorted(a for a, c in db["aliases"].items() if c == collection)
+
     def delete_alias(self, database: str, alias: str) -> int:
         data = self._load()
         db = self._db(data, database)

@@ -140,6 +140,7 @@ class VectorDBEngine:
             "createTime": meta.create_time,
             "indexStatus": {"status": meta.index_status},
             "indexes": [vars(ix) for ix in meta.indexes],
+            "alias": self.catalog.aliases_of(database, meta.name),
         }
         if meta.embedding:
             d["embedding"] = meta.embedding

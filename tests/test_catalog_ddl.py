@@ -105,3 +105,21 @@ def test_ttl_expiry(engine, spark):
     )
     assert {r["id"] for r in engine.query(db, "c")} == {"live"}
     assert engine.count(db, "c") == 1
+
+
+def test_describe_lists_aliases(engine):
+    engine.create_database("db_alias2")
+    from aiotcvectordb_spark.catalog import IndexField
+
+    engine.create_collection(
+        "db_alias2", "c1",
+        indexes=[IndexField(name="id", kind="primary_key", field_type="string")],
+    )
+    assert engine.describe_collection("db_alias2", "c1")["alias"] == []
+    engine.set_alias("db_alias2", "c1", "current")
+    engine.set_alias("db_alias2", "c1", "backup")
+    assert engine.describe_collection("db_alias2", "c1")["alias"] == [
+        "backup", "current",
+    ]
+    engine.delete_alias("db_alias2", "backup")
+    assert engine.describe_collection("db_alias2", "c1")["alias"] == ["current"]
