@@ -550,6 +550,9 @@ class VectorDBEngine:
         vectors: Sequence[Sequence[float]],
         **kw,
     ) -> DataFrame:
+        # accept numpy ndarray / sequences of np floats, as the reference
+        # does (stub.py:602: vectors may be an ndarray)
+        vectors = [[float(x) for x in v] for v in vectors]
         meta = self.catalog.get_collection(database, collection)
         vix = meta.vector_index()
         metric = kw.pop("metric", (vix.metric_type if vix else None) or "COSINE")

@@ -62,3 +62,29 @@ def test_l2_metric_orders_ascending(engine):
     scores = [h["score"] for h in res[0]]
     assert scores == sorted(scores)
     assert res[0][0]["id"] == "v1" and res[0][0]["score"] == pytest.approx(0.0)
+
+
+def test_search_accepts_ndarray(engine, spark, sf_dir):
+    """Reference stub.py:602: query vectors may be a numpy ndarray."""
+    import numpy as np
+
+    from aiotcvectordb_spark.catalog import IndexField
+
+    engine.create_database("db_nd")
+    engine.create_collection(
+        "db_nd", "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="FLAT", dimension=64,
+            ),
+        ],
+    )
+    engine.store.write(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "db_nd", "emb"
+    )
+    q = np.sin(np.arange(64, dtype=np.float64) * 0.1 + 1.0)
+    via_nd = engine.search("db_nd", "emb", np.stack([q]), limit=5, round_digits=6)
+    via_list = engine.search("db_nd", "emb", [q.tolist()], limit=5, round_digits=6)
+    assert [h["vec_id"] for h in via_nd[0]] == [h["vec_id"] for h in via_list[0]]
