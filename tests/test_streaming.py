@@ -149,3 +149,56 @@ def test_stream_upsert_maintains_ivf_layout(engine, spark, sf_dir, tmp_path):
     assert engine.catalog.get_collection(db, "emb").index_status == "ready"
     hits = engine.search(db, "emb", [[0.5] * 64], limit=1, nprobe=4)
     assert hits[0][0]["vec_id"] == 99999
+
+
+def test_stream_upsert_checkpoint_recovery(engine, spark, tmp_path):
+    """Exactly-once across restarts: stop after the first micro-batch,
+    restart from the checkpoint, and the second file is applied exactly
+    once with nothing re-applied."""
+    db = "db_ckpt"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "s",
+        indexes=[
+            IndexField(name="id", kind="primary_key", field_type="string"),
+            IndexField(
+                name="vector", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="FLAT", dimension=2,
+            ),
+        ],
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id string, vector array<double>, v long"
+    spark.createDataFrame([("a", [1.0, 0.0], 1)], schema).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(stream_upsert_sink(engine, db, "s"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert {r["id"] for r in engine.query(db, "s")} == {"a"}
+    v0 = engine.store.current_version(db, "s")
+
+    # second file arrives while the stream is DOWN; restart from ckpt
+    spark.createDataFrame(
+        [("a", [0.5, 0.5], 2), ("b", [0.0, 1.0], 1)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    run_once()
+    rows = {r["id"]: r for r in engine.query(db, "s")}
+    assert set(rows) == {"a", "b"} and rows["a"]["v"] == 2
+    # exactly one additional store version: f0 was NOT re-applied
+    assert engine.store.current_version(db, "s") == v0 + 1
