@@ -2319,6 +2319,63 @@ FROM spine s LEFT JOIN counts c USING (hour_s)
 """
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view -> click -> purchase): per-user first-time
+    of each step via conditional min aggregation (one shuffle on
+    user_id), then ordered-step counts. The min-based ordering
+    definition is deterministic — no window needed, pure partial-agg
+    friendly."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000000000").alias("sec")
+    )
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("sec"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("sec"))).alias(
+            "t_purchase"
+        ),
+    )
+    return steps.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & F.col("t_click").isNotNull()
+                & (F.col("t_view") < F.col("t_click")),
+                1,
+            )
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & F.col("t_click").isNotNull()
+                & F.col("t_purchase").isNotNull()
+                & (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+ORACLE_FUNNEL_STEPS = """
+WITH steps AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000000000 END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000000000 END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000000000 END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+       count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                   AND t_view < t_click THEN 1 END) AS n_view_click,
+       count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                   AND t_purchase IS NOT NULL AND t_view < t_click
+                   AND t_click < t_purchase THEN 1 END) AS n_full_funnel
+FROM steps
+"""
+
+
 def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete percentiles (an actually-occurring value, vs the
     interpolated `percentiles` query): p25/p50/p90 of event value per
@@ -2783,6 +2840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_stats": q_corr_stats,
     "heavy_hitters": q_heavy_hitters,
     "percentile_disc": q_percentile_disc,
+    "funnel_steps": q_funnel_steps,
 }
 
 ORACLES: dict[str, str] = {
@@ -2853,6 +2911,7 @@ ORACLES: dict[str, str] = {
     # heavy_hitters: intentionally no oracle (sketch boundary ties are
     # engine-specific; exactness asserted in pytest)
     "percentile_disc": ORACLE_PERCENTILE_DISC,
+    "funnel_steps": ORACLE_FUNNEL_STEPS,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }
