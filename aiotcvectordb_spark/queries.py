@@ -2376,6 +2376,39 @@ FROM steps
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week; for each
+    (cohort_week, week_offset), how many distinct users were active.
+    Two aggregations plus one equi-join on user_id — the standard
+    retention matrix, all hash-partitioned, no windows."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("(ts div 1000000000) div 604800").alias("week")
+    )
+    activity = ev.distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH activity AS (
+  SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000000) // 604800 AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id)
+SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete percentiles (an actually-occurring value, vs the
     interpolated `percentiles` query): p25/p50/p90 of event value per
@@ -2841,6 +2874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "percentile_disc": q_percentile_disc,
     "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 ORACLES: dict[str, str] = {
@@ -2912,6 +2946,7 @@ ORACLES: dict[str, str] = {
     # engine-specific; exactness asserted in pytest)
     "percentile_disc": ORACLE_PERCENTILE_DISC,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
     # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }
