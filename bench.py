@@ -59,6 +59,11 @@ HEADLINE = [
     "time_gap_fill",
     "window_range_frame",
     "zscore_outliers",
+    "corr_stats",
+    "heavy_hitters",
+    "percentile_disc",
+    "funnel_steps",
+    "retention_cohorts",
 ]
 
 
