@@ -221,3 +221,20 @@ def test_corr_stats_bounds(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r.qty_price_corr <= 1.0
         assert r.qty_stddev >= 0
+
+
+def test_funnel_monotone(spark, sf_dir):
+    r = Q.q_funnel_steps(spark, sf_dir).first()
+    assert r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
+    assert r.n_view > 0
+
+
+def test_retention_offset_zero_covers_all_users(spark, sf_dir):
+    rows = Q.q_retention_cohorts(spark, sf_dir).collect()
+    total_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    # every user is active in their own cohort week
+    assert sum(r.n_users for r in rows if r.week_offset == 0) == total_users
+    assert all(r.week_offset >= 0 for r in rows)
