@@ -2619,6 +2619,76 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a part type inside a
+    region, by order year. The deepest star join in the suite — lineitem
+    at the center, part/supplier/orders/customer spokes, two nation
+    lookups plus a region gate. Nation/region are broadcast; part and
+    the fact joins stay hash-partitioned so AQE can pick broadcast at
+    small SF and shuffle-hash at 100 TB. The share is a ratio of two
+    decimal-exact sums divided once in double, so the result is
+    bit-stable across engines and partitionings."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    cust_n = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_n), supplier.s_nationkey == F.col("s_nkey"))
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cust_n), customer.c_nationkey == F.col("c_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .select("o_year", "mkt_share")
+    )
+
+
+ORACLE_NATIONAL_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND p_type = 'MEDIUM'
+  AND year(o_orderdate) IN (1995, 1996)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # North-star: training-data preparation (clean / split / sample)
 # --------------------------------------------------------------------------
@@ -2867,6 +2937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "curate_corpus": q_curate_corpus,
     "nation_volume_shipping": q_nation_volume_shipping,
+    "national_market_share": q_national_market_share,
     "time_gap_fill": q_time_gap_fill,
     "window_range_frame": q_window_range_frame,
     "zscore_outliers": q_zscore_outliers,
@@ -2938,6 +3009,7 @@ ORACLES: dict[str, str] = {
     # recall vs the exact operator asserted in pytest)
     "curate_corpus": ORACLE_CURATE_CORPUS,
     "nation_volume_shipping": ORACLE_NATION_VOLUME_SHIPPING,
+    "national_market_share": ORACLE_NATIONAL_MARKET_SHARE,
     "time_gap_fill": ORACLE_TIME_GAP_FILL,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "zscore_outliers": ORACLE_ZSCORE_OUTLIERS,

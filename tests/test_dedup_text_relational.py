@@ -139,6 +139,17 @@ def test_top_revenue_orders_sorted(spark, sf_dir):
     assert revs == sorted(revs, reverse=True)
 
 
+def test_national_market_share_bounded(spark, sf_dir):
+    """Market share is a ratio in [0, 1] with one row per order year."""
+    rows = Q.q_national_market_share(spark, sf_dir).collect()
+    assert rows
+    years = [r.o_year for r in rows]
+    assert len(years) == len(set(years))
+    assert set(years) <= {1995, 1996}
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+
+
 def test_clean_text_properties(spark, sf_dir):
     rows = Q.q_clean_text(spark, sf_dir).collect()
     assert rows
