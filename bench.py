@@ -64,6 +64,7 @@ HEADLINE = [
     "percentile_disc",
     "funnel_steps",
     "retention_cohorts",
+    "national_market_share",
 ]
 
 
