@@ -290,11 +290,15 @@ class VectorDBEngine:
         """Run a SQL statement with the database's collections in scope
         and the vector metrics (`cosine_sim`/`dot_product`/`l2_distance`)
         registered as SQL scalar functions — exact vector search is
-        expressible as plain SQL with zero Python in the loop."""
+        expressible as plain SQL with zero Python in the loop — plus the
+        `topk_by_score` table function (two-phase bounded-shuffle kNN,
+        see `functions/topk_udtf.py`)."""
+        from aiotcvectordb_spark.functions.topk_udtf import register_topk_udtf
         from aiotcvectordb_spark.functions.vector import register_sql_functions
 
         self.register_views(database)
         register_sql_functions(self.spark)
+        register_topk_udtf(self.spark)
         return self.spark.sql(query)
 
     # ------------------------------------------------------------- read path

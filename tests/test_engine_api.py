@@ -225,3 +225,27 @@ def test_sql_vector_functions(engine):
         f"round(dot_product({qlit}, {qlit}), 6) AS p",
     ).first()
     assert one.d == 0.0 and abs(one.p - sum(x * x for x in q)) < 1e-6
+
+
+def test_sql_topk_table_function(engine):
+    """The topk_by_score UDTF is on the engine.sql surface: the emitted
+    two-phase table-function SQL matches engine.search ranking."""
+    from aiotcvectordb_spark.functions.topk_udtf import knn_topk_sql
+
+    db, coll = make_collection(engine, name="udtf_coll")
+    engine.upsert(
+        db, coll,
+        [
+            {"id": f"d{i:02d}", "vector": [0.1 * i, 0.5, 1.0 - 0.05 * i],
+             "tag": "a", "page": i}
+            for i in range(20)
+        ],
+    )
+    q = [0.3, 0.5, 0.8]
+    rows = engine.sql(
+        db,
+        knn_topk_sql(coll, q, vector_col="vector", id_col="id",
+                     metric="COSINE", k=5, parts=4),
+    ).collect()
+    hits = engine.search(db, coll, [q], limit=5)[0]
+    assert [r.id for r in rows] == [h["id"] for h in hits]
