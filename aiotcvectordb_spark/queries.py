@@ -2691,6 +2691,70 @@ def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter that had at least one
+    late-shipped line, counted by priority. The correlated EXISTS is a
+    LEFT SEMI join — lineitem is never widened into the output, the
+    shuffle carries only (orderkey, shipdate), and the date filter
+    prunes the orders scan before the join."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many
+    (non-urgent) orders, including zero. LEFT OUTER join on custkey;
+    the per-customer count REUSES the join's hash partitioning (no
+    exchange between join and first aggregate), and the second
+    aggregate's input is one row per customer-count — tiny."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+ORACLE_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 ORACLE_NATIONAL_MARKET_SHARE = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
@@ -2962,6 +3026,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "nation_volume_shipping": q_nation_volume_shipping,
     "national_market_share": q_national_market_share,
+    "order_priority_check": q_order_priority_check,
+    "customer_distribution": q_customer_distribution,
     "time_gap_fill": q_time_gap_fill,
     "window_range_frame": q_window_range_frame,
     "zscore_outliers": q_zscore_outliers,
@@ -3034,6 +3100,8 @@ ORACLES: dict[str, str] = {
     "curate_corpus": ORACLE_CURATE_CORPUS,
     "nation_volume_shipping": ORACLE_NATION_VOLUME_SHIPPING,
     "national_market_share": ORACLE_NATIONAL_MARKET_SHARE,
+    "order_priority_check": ORACLE_ORDER_PRIORITY_CHECK,
+    "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
     "time_gap_fill": ORACLE_TIME_GAP_FILL,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "zscore_outliers": ORACLE_ZSCORE_OUTLIERS,

@@ -249,3 +249,29 @@ def test_retention_offset_zero_covers_all_users(spark, sf_dir):
     # every user is active in their own cohort week
     assert sum(r.n_users for r in rows if r.week_offset == 0) == total_users
     assert all(r.week_offset >= 0 for r in rows)
+
+def test_order_priority_check_counts(spark, sf_dir):
+    """Every priority count only includes orders from the quarter, and
+    the total is bounded by the quarter's order count."""
+    rows = Q.q_order_priority_check(spark, sf_dir).collect()
+    assert rows
+    quarter = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'")
+        .count()
+    )
+    assert 0 < sum(r.order_count for r in rows) <= quarter
+
+
+def test_customer_distribution_mass(spark, sf_dir):
+    """Customer counts sum to the full customer table (zero-order
+    customers included), and order mass matches the non-urgent total."""
+    rows = Q.q_customer_distribution(spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.custdist for r in rows) == n_cust
+    non_urgent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_orderpriority <> '1-URGENT'")
+        .count()
+    )
+    assert sum(r.c_count * r.custdist for r in rows) == non_urgent

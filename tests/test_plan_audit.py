@@ -160,3 +160,24 @@ def test_curate_pipeline_plan_shape(spark, sf_dir):
     cur = P.curate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     audit.assert_no_cartesian(cur)
     assert audit.count_shuffles(cur) <= 6
+
+def test_order_priority_check_semi_join(spark, sf_dir):
+    """TPC-H Q4 shape: the EXISTS runs as a LEFT SEMI join (lineitem
+    never widens the output) and the quarter filter reaches the orders
+    scan."""
+    out = Q.q_order_priority_check(spark, sf_dir)
+    plan = audit.executed_plan(out)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert any(
+        "o_orderdate" in f for f in audit.pushed_filters(out)
+    ), audit.pushed_filters(out)
+
+
+def test_customer_distribution_no_regroup_shuffle(spark, sf_dir):
+    """TPC-H Q13 shape: the per-customer count reuses the outer join's
+    custkey hash partitioning — no exchange between the join and the
+    first aggregate; the second aggregate's input is one row per
+    customer."""
+    out = Q.q_customer_distribution(spark, sf_dir)
+    # shuffles: two join inputs + the tiny c_count regroup, nothing more
+    assert audit.count_shuffles(out) <= 3
