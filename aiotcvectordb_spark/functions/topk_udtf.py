@@ -125,6 +125,7 @@ def knn_topk_sql(
     k: int = 10,
     parts: int = 32,
     where: str | None = None,
+    round_digits: int | None = None,
 ) -> str:
     """Emit the two-phase bounded-shuffle top-k as ONE SQL statement.
 
@@ -144,13 +145,18 @@ def knn_topk_sql(
     desc = "true" if score_is_better_desc(metric) else "false"
     arr = "array(" + ", ".join(f"{v!r}D" for v in query_vec) + ")"
     where_sql = f"WHERE {where}" if where else ""
+    score = f"{metric_fn}(cast({vector_col} AS ARRAY<DOUBLE>), {arr})"
+    if round_digits is not None:
+        # Round BEFORE selection so the rank order (score, id) is exact
+        # across engines/partitionings — same convention as knn_search.
+        score = f"round({score}, {round_digits})"
     return f"""
 SELECT id, score FROM topk_by_score(
     TABLE(
         SELECT id, score FROM topk_by_score(
             TABLE(
                 SELECT {id_col} AS id,
-                       {metric_fn}(cast({vector_col} AS ARRAY<DOUBLE>), {arr}) AS score
+                       {score} AS score
                 FROM {table} {where_sql}
             ) PARTITION BY (pmod(hash(id), {parts})),
             {k}, {desc})

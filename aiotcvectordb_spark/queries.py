@@ -128,6 +128,43 @@ ORACLE_SEARCH_FLAT_COSINE = _knn_oracle(
     where="WHERE e.label IN (1, 2)",
 )
 
+def q_search_udtf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 28 via the SQL table-function surface: the same exact COSINE
+    top-10 as `search_flat_cosine`, but expressed as ONE SQL statement
+    through the `topk_by_score` Python UDTF (two-phase bounded-shuffle
+    selection — k per hash partition, then a single-partition merge of
+    parts*k survivors). Scores are rounded before selection so the
+    (score, id) rank order is engine-exact."""
+    from aiotcvectordb_spark.functions.topk_udtf import (
+        knn_topk_sql,
+        register_topk_udtf,
+    )
+    from aiotcvectordb_spark.functions.vector import register_sql_functions
+
+    register_sql_functions(spark)
+    register_topk_udtf(spark)
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings_for_udtf")
+    sql = knn_topk_sql(
+        "embeddings_for_udtf",
+        qvec(1.0),
+        metric="COSINE",
+        k=10,
+        parts=32,
+        round_digits=ROUND_DIGITS,
+    )
+    return spark.sql(sql).select(F.col("id").alias("vec_id"), "score")
+
+
+ORACLE_SEARCH_UDTF_TOPK = f"""
+WITH q AS (SELECT {_sql_vec(qvec(1.0))} AS qv),
+scored AS (
+  SELECT e.vec_id, round({_COS_SQL}, {ROUND_DIGITS}) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 _L2_VECTORS = [qvec(3.0)]
 
 
@@ -2966,6 +3003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_flat_ip": q_search_flat_ip,
     "search_radius": q_search_radius,
     "search_by_id": q_search_by_id,
+    "search_udtf_topk": q_search_udtf_topk,
     "knn_join": q_knn_join,
     "query_filter_sort_paginate": q_query_filter_sort_paginate,
     "query_by_ids": q_query_by_ids,
@@ -3044,6 +3082,7 @@ ORACLES: dict[str, str] = {
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,
     "search_by_id": ORACLE_SEARCH_BY_ID,
+    "search_udtf_topk": ORACLE_SEARCH_UDTF_TOPK,
     "knn_join": ORACLE_KNN_JOIN,
     "query_filter_sort_paginate": ORACLE_QUERY_FILTER_SORT_PAGINATE,
     "query_by_ids": ORACLE_QUERY_BY_IDS,
