@@ -44,6 +44,9 @@ PROBE_QUERIES = [
     "dataset_split",
     "curate_corpus",
     "nation_volume_shipping",
+    "national_market_share",
+    "order_priority_check",
+    "customer_distribution",
     "time_gap_fill",
     "window_range_frame",
     "zscore_outliers",
