@@ -97,3 +97,54 @@ def test_udtf_output_schema_follows_id_type(spark, views):
     out = spark.sql(sql)
     assert dict(out.dtypes)["id"] == "string"
     assert [r.id for r in out.collect()] == ["doc-8", "doc-7", "doc-6"]
+
+
+# ---------------------------------------------------------------- hypothesis
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+vecs_st = st.lists(
+    st.lists(
+        st.integers(min_value=-8, max_value=8).map(lambda i: i / 4.0),
+        min_size=3, max_size=3,
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=vecs_st,
+    k=st.integers(min_value=1, max_value=6),
+    parts=st.integers(min_value=1, max_value=5),
+    metric=st.sampled_from(["IP", "L2"]),
+)
+def test_udtf_topk_equals_bruteforce(spark, views, vecs, k, parts, metric):
+    """For random integer-grid vectors (exact doubles — no float
+    ambiguity), any k and any partition count, the two-phase UDTF
+    selection equals the brute-force (score, id) order."""
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    spark.createDataFrame(rows, "id: long, v: array<double>").createOrReplaceTempView(
+        "hyp_udtf"
+    )
+    q = [1.0, -0.5, 0.25]
+    sql = knn_topk_sql(
+        "hyp_udtf", q, vector_col="v", id_col="id", metric=metric, k=k, parts=parts
+    )
+    got = [r.id for r in spark.sql(sql).collect()]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    if metric == "IP":
+        scored = sorted(rows, key=lambda r: (-dot(r[1], q), r[0]))
+    else:
+        scored = sorted(
+            rows, key=lambda r: (sum((x - y) ** 2 for x, y in zip(r[1], q)), r[0])
+        )
+    assert got == [r[0] for r in scored[:k]]
