@@ -902,6 +902,41 @@ FROM sigs a JOIN sigs b
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup GROUP resolution: connected components over the
+    MinHash-LSH candidate graph (iterative distributed min-label
+    propagation, `operators/components.py`). Upgrades pair-level
+    candidates to one representative per transitive duplicate cluster —
+    what a 100 TB dedup actually keeps. The iteration is Spark-side
+    (joins + groupBy, lineage-checkpointed); the oracle replays it as a
+    DuckDB recursive CTE, so even this iterative operator is
+    hash-checked end-to-end."""
+    from aiotcvectordb_spark.operators.components import connected_components
+
+    pairs = q_minhash_lsh_candidates(spark, sf_dir)
+    return (
+        connected_components(pairs, "doc_a", "doc_b")
+        .select(F.col("node").alias("doc_id"), "component")
+    )
+
+
+ORACLE_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE cand AS ({ORACLE_MINHASH_LSH_CANDIDATES}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+reach(node, r) AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r AS r
+  FROM reach JOIN edges e ON e.b = reach.node
+)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard near-dup pairs (threshold 0.9): explode distinct
     tokens, equi-join on token, count intersections, Jaccard filter.
@@ -3023,6 +3058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "dedup_components": q_dedup_components,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "group_topk": q_group_topk,
@@ -3102,6 +3138,7 @@ ORACLES: dict[str, str] = {
     "lang_id": ORACLE_LANG_ID,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
     "minhash_lsh_candidates": ORACLE_MINHASH_LSH_CANDIDATES,
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "group_topk": ORACLE_GROUP_TOPK,
