@@ -81,11 +81,18 @@ def near_dedup_stage(
     n_hashes: int = 4,
     shingle: int = 3,
     max_bucket_size: int | None = 64,
+    exact_groups: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup removal: mark every doc that has a
     lower-id near-duplicate candidate. One bucket-key shuffle; pair
     groups resolve to the smallest id (min-propagation over candidate
-    edges — exact for pairs, keeps one representative per chain)."""
+    edges — exact for pairs, keeps one representative per chain).
+
+    ``exact_groups=True`` resolves TRANSITIVE duplicate clusters exactly
+    (a-b-c chains collapse to one representative even when a and c never
+    share a bucket) via distributed connected components over per-bucket
+    star edges — same component structure as the full in-bucket cliques
+    at a fraction of the edges (`operators/components.py`)."""
     toks = "filter(split(clean_text, '[^a-z0-9]+'), t -> t != '')"
     shingles = (
         f"transform(sequence(1, size({toks}) - {shingle - 1}), "
@@ -125,14 +132,30 @@ def near_dedup_stage(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ds") <= max_bucket_size)
-    # every non-minimum member of any bucket is dominated by the bucket
-    # minimum -> drop it; the minimum survives (its own keeper).
-    dominated = (
-        buckets.select(
-            F.explode(F.expr("slice(ds, 2, size(ds) - 1)")).alias(id_col)
+    if exact_groups:
+        from aiotcvectordb_spark.operators.components import (
+            connected_components,
         )
-        .distinct()
-    )
+
+        star_edges = buckets.select(
+            F.expr("ds[0]").alias("src"),
+            F.explode(F.expr("slice(ds, 2, size(ds) - 1)")).alias("dst"),
+        )
+        dominated = (
+            connected_components(star_edges)
+            .filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+        )
+    else:
+        # every non-minimum member of any bucket is dominated by the
+        # bucket minimum -> drop it; the minimum survives (its own
+        # keeper).
+        dominated = (
+            buckets.select(
+                F.explode(F.expr("slice(ds, 2, size(ds) - 1)")).alias(id_col)
+            )
+            .distinct()
+        )
     return docs.join(
         dominated.withColumn("near_dup", F.lit(True)), id_col, "left"
     ).withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
@@ -166,6 +189,7 @@ def curate(
     min_tokens: int = 3,
     min_alnum_ratio: float = 0.6,
     max_bucket_size: int | None = 64,
+    exact_groups: bool = False,
 ) -> DataFrame:
     """Full curation flow. Returns the corpus annotated with
     (clean_text, n_tokens, quality_ok, exact_keeper, near_dup, split,
@@ -175,7 +199,12 @@ def curate(
         out, min_tokens=min_tokens, min_alnum_ratio=min_alnum_ratio
     )
     out = exact_dedup_stage(out, id_col=id_col)
-    out = near_dedup_stage(out, id_col=id_col, max_bucket_size=max_bucket_size)
+    out = near_dedup_stage(
+        out,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+        exact_groups=exact_groups,
+    )
     out = split_stage(out, id_col=id_col)
     return out.withColumn(
         "keep",

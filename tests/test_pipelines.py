@@ -98,3 +98,31 @@ def test_stateless_stages_run_on_stream(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql("SELECT * FROM cur_stream").collect()}
     assert got == expected
+
+
+def test_near_dedup_exact_groups_collapses_chains(spark):
+    """Chain A~B, B~C (A,C never share a bucket): one-pass domination
+    can keep both ends; exact_groups keeps exactly one representative."""
+    from aiotcvectordb_spark import pipelines as P
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base + "alpha beta gamma delta epsilon"),
+            (2, base + "alpha beta gamma delta zeta"),
+            (3, base + "alpha beta eta theta iota"),
+            (10, "completely different text about spark partitions and shuffles ok"),
+        ],
+        "doc_id: long, text: string",
+    )
+    flagged = P.near_dedup_stage(
+        P.clean_stage(docs), exact_groups=True, max_bucket_size=None
+    )
+    kept = {r.doc_id for r in flagged.filter("NOT near_dup").collect()}
+    dup_cluster_kept = kept & {1, 2, 3}
+    assert dup_cluster_kept == {1}, kept
+    assert 10 in kept
+    # default (pair-domination) keeps a superset of the exact resolution
+    loose = P.near_dedup_stage(P.clean_stage(docs), max_bucket_size=None)
+    loose_kept = {r.doc_id for r in loose.filter("NOT near_dup").collect()}
+    assert kept <= loose_kept
