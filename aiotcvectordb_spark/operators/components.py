@@ -44,7 +44,12 @@ def connected_components(
     Raises ``RuntimeError`` if the propagation hasn't converged after
     ``max_iter`` rounds (diameter larger than max_iter — raise it)."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the symmetrized edge list ONCE: every round joins it,
+    # and without this the whole upstream candidate pipeline (shingles,
+    # md5 minhashes, bucket expansion) re-executes per iteration.
+    sym = und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -55,8 +60,21 @@ def connected_components(
         nbr = sym.join(labels, sym.b == labels.node).select(
             sym.a.alias("node"), F.col("label")
         )
-        new_labels = (
+        hop = (
             labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # Pointer jumping: also adopt the label OF my label. Halves the
+        # distance to the component minimum every round, so convergence
+        # is O(log diameter) instead of O(diameter) — on a 100 TB
+        # near-dup graph with million-doc boilerplate components that is
+        # ~20 rounds, not ~thousands.
+        jump = hop.alias("h").join(
+            hop.alias("r"), F.col("h.label") == F.col("r.node")
+        ).select(F.col("h.node").alias("node"), F.col("r.label").alias("label"))
+        new_labels = (
+            hop.union(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)

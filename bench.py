@@ -65,6 +65,10 @@ HEADLINE = [
     "funnel_steps",
     "retention_cohorts",
     "national_market_share",
+    "order_priority_check",
+    "customer_distribution",
+    "dedup_components",
+    "search_udtf_topk",
 ]
 
 

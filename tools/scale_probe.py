@@ -34,6 +34,7 @@ PROBE_QUERIES = [
     "hybrid_rrf",
     "dedup_exact",
     "minhash_lsh_candidates",
+    "dedup_components",
     "simhash_near_dup",
     "embedding_near_dup",
     "token_count",
