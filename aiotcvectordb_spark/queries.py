@@ -2849,6 +2849,91 @@ GROUP BY 1
 """
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from promo parts.
+    The shipdate filter prunes the lineitem scan BEFORE the part join;
+    the single-group ratio divides two decimal-exact sums once in
+    double (bit-stable cross-engine)."""
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. Fact joins hash-partitioned on their keys, nation broadcast,
+    aggregation reuses the custkey partitioning, TakeOrderedAndProject
+    top-20 instead of a global sort."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load(spark, sf_dir, "nation")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+ORACLE_RETURNED_ITEM_REVENUE = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # North-star: training-data preparation (clean / split / sample)
 # --------------------------------------------------------------------------
@@ -3102,6 +3187,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "national_market_share": q_national_market_share,
     "order_priority_check": q_order_priority_check,
     "customer_distribution": q_customer_distribution,
+    "promo_revenue": q_promo_revenue,
+    "returned_item_revenue": q_returned_item_revenue,
     "time_gap_fill": q_time_gap_fill,
     "window_range_frame": q_window_range_frame,
     "zscore_outliers": q_zscore_outliers,
@@ -3178,6 +3265,8 @@ ORACLES: dict[str, str] = {
     "national_market_share": ORACLE_NATIONAL_MARKET_SHARE,
     "order_priority_check": ORACLE_ORDER_PRIORITY_CHECK,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
+    "returned_item_revenue": ORACLE_RETURNED_ITEM_REVENUE,
     "time_gap_fill": ORACLE_TIME_GAP_FILL,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "zscore_outliers": ORACLE_ZSCORE_OUTLIERS,

@@ -275,3 +275,15 @@ def test_customer_distribution_mass(spark, sf_dir):
         .count()
     )
     assert sum(r.c_count * r.custdist for r in rows) == non_urgent
+
+def test_promo_revenue_bounded(spark, sf_dir):
+    row = Q.q_promo_revenue(spark, sf_dir).first()
+    assert 0.0 <= row.promo_revenue <= 100.0
+
+
+def test_returned_item_revenue_top20(spark, sf_dir):
+    rows = Q.q_returned_item_revenue(spark, sf_dir).collect()
+    assert len(rows) == 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r.revenue > 0 for r in rows)

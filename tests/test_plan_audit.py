@@ -181,3 +181,13 @@ def test_customer_distribution_no_regroup_shuffle(spark, sf_dir):
     out = Q.q_customer_distribution(spark, sf_dir)
     # shuffles: two join inputs + the tiny c_count regroup, nothing more
     assert audit.count_shuffles(out) <= 3
+
+def test_returned_item_revenue_plan(spark, sf_dir):
+    """TPC-H Q10 shape: returnflag/date filters reach the scans; top-20
+    is TakeOrderedAndProject, never a global sort."""
+    out = Q.q_returned_item_revenue(spark, sf_dir)
+    plan = audit.executed_plan(out)
+    assert "TakeOrderedAndProject" in plan
+    pushed = audit.pushed_filters(out)
+    assert any("l_returnflag" in f for f in pushed), pushed
+    assert any("o_orderdate" in f for f in pushed), pushed
