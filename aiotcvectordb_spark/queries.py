@@ -2934,6 +2934,178 @@ LIMIT 20
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where supplier and customer
+    share the nation, within one region and year. The s_nationkey =
+    c_nationkey constraint rides on the supplier join (no extra
+    shuffle); region/nation broadcast."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+GROUP BY n_name
+"""
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-sum, the canonical predicate
+    pushdown probe — every filter reaches the parquet reader, one
+    partial-aggregated single group, zero joins."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_FORECAST_REVENUE_CHANGE = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of a part's
+    average quantity, for one brand. The per-part average is a tiny
+    aggregate joined back onto the filtered fact — Catalyst decorrelates
+    the classic correlated subquery into exactly this plan."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    lineitem = load(spark, sf_dir, "lineitem")
+    avg_qty = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            (
+                F.lit(0.2)
+                * (
+                    F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                    / F.count("*")
+                )
+            ).alias("qty_threshold")
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+WITH avg_qty AS (
+  SELECT l_partkey,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+           AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty USING (l_partkey)
+WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed a quantity
+    threshold — groupBy-HAVING on the fact, then enrich the few
+    surviving orders with customer data (the second join's left side is
+    tiny after the HAVING gate)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > 150
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # North-star: training-data preparation (clean / split / sample)
 # --------------------------------------------------------------------------
@@ -3189,6 +3361,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_distribution": q_customer_distribution,
     "promo_revenue": q_promo_revenue,
     "returned_item_revenue": q_returned_item_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "large_volume_customers": q_large_volume_customers,
     "time_gap_fill": q_time_gap_fill,
     "window_range_frame": q_window_range_frame,
     "zscore_outliers": q_zscore_outliers,
@@ -3267,6 +3443,10 @@ ORACLES: dict[str, str] = {
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "returned_item_revenue": ORACLE_RETURNED_ITEM_REVENUE,
+    "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "forecast_revenue_change": ORACLE_FORECAST_REVENUE_CHANGE,
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
+    "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "time_gap_fill": ORACLE_TIME_GAP_FILL,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "zscore_outliers": ORACLE_ZSCORE_OUTLIERS,

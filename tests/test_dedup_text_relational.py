@@ -287,3 +287,24 @@ def test_returned_item_revenue_top20(spark, sf_dir):
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert all(r.revenue > 0 for r in rows)
+
+def test_forecast_revenue_change_nonnull(spark, sf_dir):
+    row = Q.q_forecast_revenue_change(spark, sf_dir).first()
+    assert row.revenue is not None and row.revenue > 0
+
+
+def test_small_quantity_revenue_nonnull(spark, sf_dir):
+    row = Q.q_small_quantity_revenue(spark, sf_dir).first()
+    assert row.avg_yearly is not None and row.avg_yearly > 0
+
+
+def test_local_supplier_volume_nations(spark, sf_dir):
+    rows = Q.q_local_supplier_volume(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 5  # one row per ASIA nation at most
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_large_volume_customers_threshold(spark, sf_dir):
+    rows = Q.q_large_volume_customers(spark, sf_dir).collect()
+    assert rows
+    assert all(r.total_qty > 150 for r in rows)
