@@ -69,6 +69,12 @@ HEADLINE = [
     "customer_distribution",
     "dedup_components",
     "search_udtf_topk",
+    "promo_revenue",
+    "returned_item_revenue",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "small_quantity_revenue",
+    "large_volume_customers",
 ]
 
 
