@@ -82,8 +82,12 @@ class TopKByScore:
     def eval(self, row, k: int, descending: bool):
         self._k = k
         self._desc = bool(descending)
+        if k <= 0:
+            return
         score = row["score"]
-        if score is None:
+        # NULL scores can't rank; NULL ids can't be returned meaningfully
+        # (and would make the tie-break comparison raise in the worker).
+        if score is None or row["id"] is None:
             return
         score = float(score)
         # Min-heap whose root is the WORST kept row: lowest score for

@@ -60,6 +60,11 @@ def connected_components(
         nbr = sym.join(labels, sym.b == labels.node).select(
             sym.a.alias("node"), F.col("label")
         )
+        # hop feeds the union AND both sides of the jump self-join.
+        # ReuseExchange dedups its shuffle write; only the small
+        # post-shuffle HashAggregate re-executes per occurrence (measured
+        # cheaper here than persist/localCheckpoint round-trips — on a
+        # cluster where the label table is large, persist() this).
         hop = (
             labels.union(nbr)
             .groupBy("node")

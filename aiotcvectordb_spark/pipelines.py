@@ -92,7 +92,15 @@ def near_dedup_stage(
     (a-b-c chains collapse to one representative even when a and c never
     share a bucket) via distributed connected components over per-bucket
     star edges — same component structure as the full in-bucket cliques
-    at a fraction of the edges (`operators/components.py`)."""
+    at a fraction of the edges (`operators/components.py`). Unlike every
+    other stage this variant runs Spark jobs EAGERLY at call time (the
+    component iteration needs actions) and is batch-only."""
+    if exact_groups and docs.isStreaming:
+        raise ValueError(
+            "exact_groups near-dedup is iterative (multi-action) and "
+            "cannot run on a streaming DataFrame; use the default "
+            "bucket-domination mode in foreachBatch instead"
+        )
     toks = "filter(split(clean_text, '[^a-z0-9]+'), t -> t != '')"
     shingles = (
         f"transform(sequence(1, size({toks}) - {shingle - 1}), "

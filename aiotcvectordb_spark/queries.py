@@ -1282,7 +1282,17 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.expr(f"(p{g} >> {k * fb}) & {mask}")
         term = F.when(c * 2 > F.col("T"), F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+    # Fail LOUDLY if a doc's token mass reaches the 21-bit field bound —
+    # past it the packed counters would carry into the neighbor field and
+    # silently corrupt fingerprints.
+    guarded = F.expr(
+        f"CASE WHEN T < {1 << fb} THEN fp_ ELSE "
+        f"CAST(raise_error('simhash: document token mass >= 2^{fb} "
+        f"overflows the packed counters') AS BIGINT) END"
+    )
+    return sums.withColumn("fp_", fp.cast("long")).select(
+        "doc_id", guarded.alias("simhash")
+    )
 
 
 def _simhash_oracle_cte() -> str:
@@ -3025,8 +3035,17 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic correlated subquery into exactly this plan."""
     part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     lineitem = load(spark, sf_dir, "lineitem")
+    # Only brand parts survive the final inner join, so compute the
+    # per-part average over the brand's lineitems only (broadcast
+    # semi-join gate) — identical result, ~brand-selectivity smaller
+    # aggregation and shuffle.
+    brand_items = lineitem.join(
+        F.broadcast(part.select("p_partkey")),
+        lineitem.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
     avg_qty = (
-        lineitem.groupBy("l_partkey")
+        brand_items.groupBy("l_partkey")
         .agg(
             (
                 F.lit(0.2)
@@ -3038,7 +3057,7 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        brand_items.join(F.broadcast(part), brand_items.l_partkey == part.p_partkey)
         .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(

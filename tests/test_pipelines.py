@@ -126,3 +126,16 @@ def test_near_dedup_exact_groups_collapses_chains(spark):
     loose = P.near_dedup_stage(P.clean_stage(docs), max_bucket_size=None)
     loose_kept = {r.doc_id for r in loose.filter("NOT near_dup").collect()}
     assert kept <= loose_kept
+
+
+def test_exact_groups_rejects_streams(spark, tmp_path):
+    from aiotcvectordb_spark import pipelines as P
+    import pytest as _pytest
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(1, "a b c")], "doc_id: long, text: string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with _pytest.raises(ValueError, match="exact_groups"):
+        P.near_dedup_stage(P.clean_stage(stream), exact_groups=True)

@@ -148,3 +148,22 @@ def test_udtf_topk_equals_bruteforce(spark, views, vecs, k, parts, metric):
             rows, key=lambda r: (sum((x - y) ** 2 for x, y in zip(r[1], q)), r[0])
         )
     assert got == [r[0] for r in scored[:k]]
+
+
+def test_udtf_null_ids_and_zero_k(spark, views):
+    """NULL ids/scores are skipped (no worker crash on tie comparison);
+    k=0 yields an empty result instead of an IndexError."""
+    spark.createDataFrame(
+        [(None, [1.0, 0.0]), (1, [1.0, 0.0]), (2, None), (3, [0.5, 0.0])],
+        "id: long, v: array<double>",
+    ).createOrReplaceTempView("nulls_udtf")
+    sql = knn_topk_sql(
+        "nulls_udtf", [1.0, 0.0], vector_col="v", id_col="id", metric="IP",
+        k=3, parts=2,
+    )
+    assert [r.id for r in spark.sql(sql).collect()] == [1, 3]
+    sql0 = knn_topk_sql(
+        "nulls_udtf", [1.0, 0.0], vector_col="v", id_col="id", metric="IP",
+        k=0, parts=2,
+    )
+    assert spark.sql(sql0).collect() == []
