@@ -1,0 +1,84 @@
+"""Continuous vector search: a query STREAM served against a collection.
+
+The reference serves searches request-by-request over HTTP
+(reference: aiotcvectordb/client/stub.py:589-640); the Spark-native
+analogue of that serving loop is Structured Streaming — queries arrive
+on a stream, each micro-batch is answered with the same exact kNN the
+batch path uses, and answers land in a results sink. Because the
+per-batch transform IS `operators/knn.knn_join`, batch and stream
+results are identical by construction (asserted in
+tests/test_stream_search.py).
+
+Scale shape: the arriving query micro-batch is broadcast (it is the
+small side — requests per trigger), the collection scan streams
+through the executors exactly like a batch search, and the per-query
+top-k window shuffles only (query_id, candidate) pairs. Nothing is
+collected on the driver; the sink append is distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from aiotcvectordb_spark.operators.knn import knn_join
+
+
+def answer_query_batch(
+    queries: DataFrame,
+    collection: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    vector_col: str = "vector",
+    id_col: str = "id",
+    metric: str = "COSINE",
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Answer one batch of query rows — the shared batch/stream kernel.
+
+    Returns (query_id, <id_col>, score, rank, ...collection fields).
+    """
+    out = knn_join(
+        queries,
+        collection,
+        left_vec=query_vec,
+        right_vec=vector_col,
+        left_id=query_id,
+        right_id=id_col,
+        metric=metric,
+        k=k,
+        round_digits=round_digits,
+    )
+    return out.withColumnRenamed("query_id", query_id)
+
+
+def stream_search_sink(
+    collection: DataFrame,
+    out_path: str,
+    *,
+    checkpoint: str | None = None,
+    **kwargs,
+):
+    """ForeachBatch function: answer each arriving query micro-batch
+    with :func:`answer_query_batch` and append the hits to ``out_path``
+    (parquet). Attach with::
+
+        (query_stream.writeStream.foreachBatch(
+            stream_search_sink(collection_df, "/results",
+                               query_vec="query_vec", k=5))
+         .option("checkpointLocation", ckpt).start())
+
+    foreachBatch + append + the streaming checkpoint gives exactly-once
+    results for each query id (same recovery story as the upsert sink,
+    proven in tests/test_streaming.py for that sink).
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        answer_query_batch(batch_df, collection, **kwargs).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return apply_batch
