@@ -82,3 +82,43 @@ def stream_search_sink(
         ).parquet(out_path)
 
     return apply_batch
+
+
+def engine_stream_search_sink(
+    engine,
+    database: str,
+    collection: str,
+    out_path: str,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    metric: str = "COSINE",
+    k: int = 10,
+    round_digits: int | None = 6,
+):
+    """Engine-level serving loop: like :func:`stream_search_sink`, but
+    the collection snapshot is re-read from the engine's store at EVERY
+    micro-batch — upserts and deletes that land between triggers are
+    visible to the next batch of queries, exactly like the reference
+    server answering against its live collection. The streaming
+    checkpoint makes restarts resume at the first unanswered query
+    batch (proven in tests/test_stream_search.py)."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        meta = engine.catalog.get_collection(database, collection)
+        snapshot = engine.read(database, collection)
+        answer_query_batch(
+            batch_df,
+            snapshot,
+            query_id=query_id,
+            query_vec=query_vec,
+            vector_col=meta.vector_field,
+            id_col=meta.primary_key,
+            metric=metric,
+            k=k,
+            round_digits=round_digits,
+        ).write.mode("append").parquet(out_path)
+
+    return apply_batch

@@ -79,3 +79,59 @@ def test_stream_search_self_match_rank1(spark, sf_dir):
     for qid, (vid, score) in top.items():
         assert qid == vid
         assert abs(score - 1.0) < 1e-6
+
+
+def test_engine_stream_search_sees_live_upserts(spark, engine, tmp_path):
+    """The engine-level serving loop re-reads the collection snapshot
+    per micro-batch (live upserts visible) and the checkpoint resumes
+    at the first unanswered query batch across restarts."""
+    from aiotcvectordb_spark.catalog import IndexField
+    from aiotcvectordb_spark.streaming.search import engine_stream_search_sink
+
+    db, coll = "sdb", "scoll"
+    engine.create_database(db)
+    engine.create_collection(
+        db, coll,
+        indexes=[
+            IndexField(name="id", kind="primary_key", field_type="string"),
+            IndexField(name="vector", kind="vector", field_type="vector",
+                       dimension=3, metric_type="COSINE"),
+        ],
+    )
+    engine.upsert(db, coll, [
+        {"id": "a", "vector": [1.0, 0.0, 0.0]},
+        {"id": "b", "vector": [0.0, 1.0, 0.0]},
+    ])
+
+    src = tmp_path / "q"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "hits")
+    schema = "query_id string, query_vec array<double>"
+    sink = engine_stream_search_sink(engine, db, coll, out, k=1)
+
+    def run_wave():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src) + "/*")
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [("q1", [0.9, 0.1, 0.0])], schema
+    ).write.parquet(f"{src}/w1.parquet")
+    run_wave()
+    hits1 = spark.read.parquet(out).collect()
+    assert [(r.query_id, r.id) for r in hits1] == [("q1", "a")]
+
+    # a better match lands between waves; the restarted stream must see
+    # it and must NOT reprocess wave 1
+    engine.upsert(db, coll, [{"id": "c", "vector": [0.9, 0.1, 0.0]}])
+    spark.createDataFrame(
+        [("q2", [0.9, 0.1, 0.0])], schema
+    ).write.parquet(f"{src}/w2.parquet")
+    run_wave()
+    hits2 = {(r.query_id, r.id) for r in spark.read.parquet(out).collect()}
+    assert hits2 == {("q1", "a"), ("q2", "c")}
