@@ -756,6 +756,67 @@ _LANG_WORDS = {
 }
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals for corpus filtering (the Gopher-rule family):
+    duplicate-3-gram fraction, duplicate-token fraction, and mean token
+    length per document. High n-gram duplication is the strongest
+    boilerplate/spam signal a curation pipeline has. All array
+    expressions in one projection — fuses into the scan stage, exact
+    integer arithmetic until the final division."""
+    df = load(spark, sf_dir, "documents")
+    toks_sql = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    sh = (
+        f"transform(sequence(1, size({toks_sql}) - 2), "
+        f"i -> concat_ws(' ', slice({toks_sql}, i, 3)))"
+    )
+    return (
+        df.filter(F.expr(f"size({toks_sql}) >= 3"))
+        .select(
+            "doc_id",
+            F.round(
+                1
+                - F.expr(f"size(array_distinct({sh}))")
+                / F.expr(f"size({sh})"),
+                ROUND_DIGITS,
+            ).alias("dup_3gram_frac"),
+            F.round(
+                1
+                - F.expr(f"size(array_distinct({toks_sql}))")
+                / F.expr(f"size({toks_sql})"),
+                ROUND_DIGITS,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.expr(
+                    f"aggregate({toks_sql}, 0L, (a, t) -> a + length(t))"
+                )
+                / F.expr(f"size({toks_sql})"),
+                ROUND_DIGITS,
+            ).alias("mean_token_len"),
+        )
+    )
+
+
+ORACLE_DOC_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS sh
+  FROM t WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       round(1 - len(list_distinct(sh)) * 1.0 / len(sh), {ROUND_DIGITS})
+         AS dup_3gram_frac,
+       round(1 - len(list_distinct(toks)) * 1.0 / len(toks), {ROUND_DIGITS})
+         AS dup_token_frac,
+       round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks),
+             {ROUND_DIGITS}) AS mean_token_len
+FROM s
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit argmax over per-language lists
     (deterministic priority en > de > fr > unknown on ties)."""
@@ -3331,6 +3392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
+    "doc_repetition": q_doc_repetition,
     "lang_id": q_lang_id,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -3417,6 +3479,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "text_quality": ORACLE_TEXT_QUALITY,
+    "doc_repetition": ORACLE_DOC_REPETITION,
     "lang_id": ORACLE_LANG_ID,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
     "minhash_lsh_candidates": ORACLE_MINHASH_LSH_CANDIDATES,

@@ -308,3 +308,13 @@ def test_large_volume_customers_threshold(spark, sf_dir):
     rows = Q.q_large_volume_customers(spark, sf_dir).collect()
     assert rows
     assert all(r.total_qty > 150 for r in rows)
+
+def test_doc_repetition_bounds(spark, sf_dir):
+    rows = Q.q_doc_repetition(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_3gram_frac <= 1.0
+        assert 0.0 <= r.dup_token_frac <= 1.0
+        # duplicated tokens imply at least as many duplicated 3-gram
+        # *opportunities*, but not vice versa; only check both bounded
+        assert r.mean_token_len > 0
