@@ -1955,6 +1955,40 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(events, window="1 hour")
 
 
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, 15-minute slide): every event lands
+    in exactly 4 overlapping windows. `F.window(duration, slide)` is the
+    one Spark op; the oracle replays the overlap by exploding each event
+    into its 4 window starts. Same one-shuffle partial-agg shape as the
+    tumbling variant — the 4x row amplification happens inside the
+    window expression, before map-side combine."""
+    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    with_ts = events.withColumn(
+        "__event_time", F.expr("cast(ts div 1000000000 as timestamp)")
+    )
+    return (
+        with_ts.groupBy(
+            F.window("__event_time", "1 hour", "15 minutes"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+ORACLE_SLIDING_WINDOW_AGG = """
+SELECT CAST(epoch(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))) AS BIGINT)
+         - k * 900 AS win_start,
+       event_type,
+       count(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+GROUP BY 1, 2
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward, inclusive): for each purchase event, the
     most recent click at-or-before it by the same user. Implemented as
@@ -3416,6 +3450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_join": q_semi_anti_join,
     "set_ops": q_set_ops,
     "event_window_agg": q_event_window_agg,
+    "sliding_window_agg": q_sliding_window_agg,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "sessionize": q_sessionize,
@@ -3503,6 +3538,7 @@ ORACLES: dict[str, str] = {
     "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "set_ops": ORACLE_SET_OPS,
     "event_window_agg": ORACLE_EVENT_WINDOW_AGG,
+    "sliding_window_agg": ORACLE_SLIDING_WINDOW_AGG,
     "asof_join": ORACLE_ASOF_JOIN,
     "interval_join": ORACLE_INTERVAL_JOIN,
     "sessionize": ORACLE_SESSIONIZE,

@@ -3,6 +3,8 @@ batch mode and under Structured Streaming (watermark + availableNow)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from aiotcvectordb_spark.streaming.sink import windowed_event_counts
 
 
@@ -35,3 +37,15 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM win_agg").collect()
     }
     assert streamed == batch
+
+
+def test_sliding_window_4x_tumbling_mass(spark, sf_dir):
+    """Every event lands in exactly 4 sliding windows, so total counted
+    mass is 4x the tumbling total."""
+    from aiotcvectordb_spark import queries as Q
+
+    sliding = Q.q_sliding_window_agg(spark, sf_dir).agg(
+        F.sum("n_events").alias("s")
+    ).first().s
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sliding == 4 * n_events
