@@ -1955,6 +1955,41 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(events, window="1 hour")
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram of order totals: 20 equal-width bins over
+    [0, 600000), out-of-range clamped to the edge bins. Binning is one
+    integer expression inside the scan projection; the aggregate ships
+    20 groups through the shuffle. (Fixed literal bounds — a two-pass
+    min/max version would be data-dependent but equally oracle-safe.)"""
+    df = load(spark, sf_dir, "orders")
+    bin_ = F.expr(
+        "least(greatest(cast(floor(o_totalprice / 30000.0) as int), 0), 19)"
+    )
+    return (
+        df.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+        .withColumn("bin_low", (F.col("bin") * 30000.0))
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = """
+SELECT bin, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+       bin * 30000.0 AS bin_low
+FROM (
+  SELECT o_totalprice,
+         least(greatest(CAST(floor(o_totalprice / 30000.0) AS INT), 0), 19) AS bin
+  FROM orders
+)
+GROUP BY bin
+"""
+
+
 def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 hour long, 15-minute slide): every event lands
     in exactly 4 overlapping windows. `F.window(duration, slide)` is the
@@ -3451,6 +3486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "event_window_agg": q_event_window_agg,
     "sliding_window_agg": q_sliding_window_agg,
+    "price_histogram": q_price_histogram,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "sessionize": q_sessionize,
@@ -3539,6 +3575,7 @@ ORACLES: dict[str, str] = {
     "set_ops": ORACLE_SET_OPS,
     "event_window_agg": ORACLE_EVENT_WINDOW_AGG,
     "sliding_window_agg": ORACLE_SLIDING_WINDOW_AGG,
+    "price_histogram": ORACLE_PRICE_HISTOGRAM,
     "asof_join": ORACLE_ASOF_JOIN,
     "interval_join": ORACLE_INTERVAL_JOIN,
     "sessionize": ORACLE_SESSIONIZE,

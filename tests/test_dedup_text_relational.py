@@ -318,3 +318,9 @@ def test_doc_repetition_bounds(spark, sf_dir):
         # duplicated tokens imply at least as many duplicated 3-gram
         # *opportunities*, but not vice versa; only check both bounded
         assert r.mean_token_len > 0
+
+def test_price_histogram_mass(spark, sf_dir):
+    rows = Q.q_price_histogram(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == total
+    assert all(0 <= r.bin <= 19 for r in rows)
