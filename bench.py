@@ -75,6 +75,9 @@ HEADLINE = [
     "forecast_revenue_change",
     "small_quantity_revenue",
     "large_volume_customers",
+    "doc_repetition",
+    "sliding_window_agg",
+    "price_histogram",
 ]
 
 
