@@ -56,9 +56,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -97,7 +99,9 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok   {name}: MATCH rows={len(sdf)} ({took:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    skipped = len(qs) - ran
+    suffix = f" ({skipped} skipped)" if skipped else ""
+    print(f"\n{ran - len(failures)}/{ran} pass{suffix}")
     spark.stop()
     return 1 if failures else 0
 
