@@ -191,3 +191,11 @@ def test_returned_item_revenue_plan(spark, sf_dir):
     pushed = audit.pushed_filters(out)
     assert any("l_returnflag" in f for f in pushed), pushed
     assert any("o_orderdate" in f for f in pushed), pushed
+
+def test_histogram_and_sliding_window_partial_agg(spark, sf_dir):
+    """Both new aggregations must partial-aggregate below the exchange
+    (the shuffle carries bins/windows, not raw rows)."""
+    for q in (Q.q_price_histogram, Q.q_sliding_window_agg):
+        out = q(spark, sf_dir)
+        plan = audit.executed_plan(out)
+        assert plan.index("HashAggregate") < plan.index("Exchange"), q.__name__
