@@ -135,3 +135,49 @@ def test_engine_stream_search_sees_live_upserts(spark, engine, tmp_path):
     run_wave()
     hits2 = {(r.query_id, r.id) for r in spark.read.parquet(out).collect()}
     assert hits2 == {("q1", "a"), ("q2", "c")}
+
+
+def test_engine_stream_search_with_ivf_pruning(spark, engine, tmp_path):
+    """With a built IVF index the serving loop scans only the probed
+    cells; identical-vector queries still self-match at rank 1."""
+    import random
+
+    from aiotcvectordb_spark.catalog import IndexField
+    from aiotcvectordb_spark.streaming.search import engine_stream_search_sink
+
+    db, coll = "idb", "icoll"
+    engine.create_database(db)
+    engine.create_collection(
+        db, coll,
+        indexes=[
+            IndexField(name="id", kind="primary_key", field_type="string"),
+            IndexField(name="vector", kind="vector", field_type="vector",
+                       dimension=4, metric_type="COSINE",
+                       params={"nlist": 4}),
+        ],
+    )
+    rng = random.Random(7)
+    docs = [
+        {"id": f"d{i:03d}", "vector": [rng.uniform(-1, 1) for _ in range(4)]}
+        for i in range(80)
+    ]
+    engine.upsert(db, coll, docs)
+    engine.rebuild_index(db, coll)
+
+    src = tmp_path / "q"
+    src.mkdir()
+    out = str(tmp_path / "hits")
+    schema = "query_id string, query_vec array<double>"
+    probes = [(d["id"], [float(x) for x in d["vector"]]) for d in docs[:5]]
+    spark.createDataFrame(probes, schema).write.parquet(f"{src}/w1.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = (stream.writeStream.foreachBatch(
+            engine_stream_search_sink(engine, db, coll, out, k=1, nprobe=1))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    hits = spark.read.parquet(out).collect()
+    assert len(hits) == 5
+    for r in hits:
+        assert r.query_id == r.id  # identical vector -> own cell probed
+        assert abs(r.score - 1.0) < 1e-6
