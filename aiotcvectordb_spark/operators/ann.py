@@ -93,6 +93,25 @@ def assign_clusters(
     return df.mapInPandas(assign, schema=out_schema)
 
 
+def probe_cells(
+    centroids: Sequence[Sequence[float]],
+    vectors: Sequence[Sequence[float]],
+    nprobe: int | None,
+) -> list[int]:
+    """The IVF probing policy, shared by batch search and the streaming
+    serving loop: union of each query's ``nprobe`` nearest cells by L2
+    distance to the centroids (None -> nlist/4)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    nlist = len(cents)
+    nprobe = min(nprobe or max(1, nlist // 4), nlist)
+    cells: set[int] = set()
+    for v in vectors:
+        q = np.asarray(v, dtype=np.float64)
+        d = ((cents - q) ** 2).sum(axis=1)
+        cells.update(int(i) for i in np.argsort(d)[:nprobe])
+    return sorted(cells)
+
+
 def ivf_search(
     engine,
     meta,
@@ -108,15 +127,8 @@ def ivf_search(
     (the directory layout from build_ivf), so I/O scales with
     nprobe/nlist, not the collection size."""
     state = meta.ann_state["ivf"]
-    cents = np.asarray(state["centroids"], dtype=np.float64)
-    nlist = state["nlist"]
-    nprobe = min(nprobe or max(1, nlist // 4), nlist)
-    probe_ids = set()
-    for v in vectors:
-        q = np.asarray(v, dtype=np.float64)
-        d = ((cents - q) ** 2).sum(axis=1)
-        probe_ids.update(int(i) for i in np.argsort(d)[:nprobe])
-    pruned = df.filter(F.col("cluster_id").isin(sorted(probe_ids)))
+    probe_ids = probe_cells(state["centroids"], vectors, nprobe)
+    pruned = df.filter(F.col("cluster_id").isin(probe_ids))
     out = knn.knn_search(
         pruned,
         vectors,

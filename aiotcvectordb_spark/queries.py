@@ -765,34 +765,35 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic until the final division."""
     df = load(spark, sf_dir, "documents")
     toks_sql = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
-    sh = (
-        f"transform(sequence(1, size({toks_sql}) - 2), "
-        f"i -> concat_ws(' ', slice({toks_sql}, i, 3)))"
+    # Materialize tokens and shingles as columns FIRST: higher-order
+    # functions are CodegenFallback and evaluate their whole lambda
+    # subtree per element, so inlining the regex split into the shingle
+    # lambda would re-tokenize the document once per shingle (O(n^2)).
+    toked = df.select("doc_id", F.expr(toks_sql).alias("toks")).filter(
+        F.expr("size(toks) >= 3")
     )
-    return (
-        df.filter(F.expr(f"size({toks_sql}) >= 3"))
-        .select(
-            "doc_id",
-            F.round(
-                1
-                - F.expr(f"size(array_distinct({sh}))")
-                / F.expr(f"size({sh})"),
-                ROUND_DIGITS,
-            ).alias("dup_3gram_frac"),
-            F.round(
-                1
-                - F.expr(f"size(array_distinct({toks_sql}))")
-                / F.expr(f"size({toks_sql})"),
-                ROUND_DIGITS,
-            ).alias("dup_token_frac"),
-            F.round(
-                F.expr(
-                    f"aggregate({toks_sql}, 0L, (a, t) -> a + length(t))"
-                )
-                / F.expr(f"size({toks_sql})"),
-                ROUND_DIGITS,
-            ).alias("mean_token_len"),
-        )
+    shingled = toked.withColumn(
+        "sh",
+        F.expr(
+            "transform(sequence(1, size(toks) - 2), "
+            "i -> concat_ws(' ', slice(toks, i, 3)))"
+        ),
+    )
+    return shingled.select(
+        "doc_id",
+        F.round(
+            1 - F.expr("size(array_distinct(sh))") / F.expr("size(sh)"),
+            ROUND_DIGITS,
+        ).alias("dup_3gram_frac"),
+        F.round(
+            1 - F.expr("size(array_distinct(toks))") / F.expr("size(toks)"),
+            ROUND_DIGITS,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
+            / F.expr("size(toks)"),
+            ROUND_DIGITS,
+        ).alias("mean_token_len"),
     )
 
 

@@ -56,30 +56,31 @@ def answer_query_batch(
 def stream_search_sink(
     collection: DataFrame,
     out_path: str,
-    *,
-    checkpoint: str | None = None,
     **kwargs,
 ):
     """ForeachBatch function: answer each arriving query micro-batch
-    with :func:`answer_query_batch` and append the hits to ``out_path``
-    (parquet). Attach with::
+    with :func:`answer_query_batch` and write the hits under
+    ``out_path`` (parquet). Attach with::
 
         (query_stream.writeStream.foreachBatch(
             stream_search_sink(collection_df, "/results",
                                query_vec="query_vec", k=5))
          .option("checkpointLocation", ckpt).start())
 
-    foreachBatch + append + the streaming checkpoint gives exactly-once
-    results for each query id (same recovery story as the upsert sink,
-    proven in tests/test_streaming.py for that sink).
+    Results are EXACTLY-ONCE: each epoch writes (mode=overwrite) its own
+    ``epoch=<id>`` subdirectory, so a crash between the write and the
+    checkpoint commit makes the replayed epoch overwrite itself instead
+    of appending duplicates. Read results with
+    ``spark.read.parquet(out_path)`` — partition discovery exposes the
+    epoch as a column.
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         answer_query_batch(batch_df, collection, **kwargs).write.mode(
-            "append"
-        ).parquet(out_path)
+            "overwrite"
+        ).parquet(f"{out_path}/epoch={epoch_id}")
 
     return apply_batch
 
@@ -104,39 +105,37 @@ def engine_stream_search_sink(
     visible to the next batch of queries, exactly like the reference
     server answering against its live collection. The streaming
     checkpoint makes restarts resume at the first unanswered query
-    batch (proven in tests/test_stream_search.py).
+    batch, and epoch-keyed overwrite writes make replayed epochs
+    idempotent (proven in tests/test_stream_search.py). Requests with a
+    NULL query vector are dropped, not answered — one malformed row
+    must not wedge the serving loop.
 
     With a built IVF index and ``use_index=True``, each micro-batch
-    scans only the union of its queries' nprobe nearest cells — the
-    ``cluster_id IN (...)`` predicate prunes the partitioned parquet
-    layout, so per-trigger I/O scales with nprobe/nlist, not collection
-    size. Collecting the batch's query vectors to the driver is fine by
+    scans only the union of its queries' nprobe nearest cells (the
+    shared `operators/ann.probe_cells` policy) — the ``cluster_id IN
+    (...)`` predicate prunes the partitioned parquet layout, so
+    per-trigger I/O scales with nprobe/nlist, not collection size.
+    Collecting the batch's query vectors to the driver is fine by
     construction: a trigger's worth of requests is small (the reference
     server holds them in the request handler the same way)."""
+    from pyspark.sql import functions as F
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.filter(F.col(query_vec).isNotNull())
         if batch_df.isEmpty():
             return
         meta = engine.catalog.get_collection(database, collection)
         snapshot = engine.read(database, collection)
         ivf = meta.ann_state.get("ivf") if use_index else None
         if ivf and "cluster_id" in snapshot.columns:
-            import numpy as np
-            from pyspark.sql import functions as F
+            from aiotcvectordb_spark.operators.ann import probe_cells
 
-            cents = np.asarray(ivf["centroids"], dtype=np.float64)
-            probes = min(nprobe or max(1, ivf["nlist"] // 4), ivf["nlist"])
-            cells: set[int] = set()
-            for row in batch_df.select(query_vec).collect():
-                q = np.asarray(row[0], dtype=np.float64)
-                d = ((cents - q) ** 2).sum(axis=1)
-                cells.update(int(i) for i in np.argsort(d)[:probes])
-            snapshot = snapshot.filter(
-                F.col("cluster_id").isin(sorted(cells))
-            )
+            vecs = [r[0] for r in batch_df.select(query_vec).collect()]
+            cells = probe_cells(ivf["centroids"], vecs, nprobe)
+            snapshot = snapshot.filter(F.col("cluster_id").isin(cells))
         answer_query_batch(
             batch_df,
-            snapshot,
+            snapshot.drop("cluster_id"),
             query_id=query_id,
             query_vec=query_vec,
             vector_col=meta.vector_field,
@@ -144,6 +143,6 @@ def engine_stream_search_sink(
             metric=metric,
             k=k,
             round_digits=round_digits,
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
 
     return apply_batch

@@ -55,6 +55,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"error: unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     failures = []
     ran = 0
     for name, fn in qs.items():
