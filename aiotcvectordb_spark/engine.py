@@ -301,6 +301,20 @@ class VectorDBEngine:
         register_topk_udtf(self.spark)
         return self.spark.sql(query)
 
+    def stream_search_sink(
+        self, database: str, collection: str, out_path: str, **kwargs
+    ):
+        """ForeachBatch function serving a query STREAM against this
+        collection's live snapshot (IVF cell pruning when indexed,
+        epoch-idempotent results; see `streaming/search.py`)."""
+        from aiotcvectordb_spark.streaming.search import (
+            engine_stream_search_sink,
+        )
+
+        return engine_stream_search_sink(
+            self, database, collection, out_path, **kwargs
+        )
+
     # ------------------------------------------------------------- read path
 
     def read(

@@ -86,7 +86,6 @@ def test_engine_stream_search_sees_live_upserts(spark, engine, tmp_path):
     per micro-batch (live upserts visible) and the checkpoint resumes
     at the first unanswered query batch across restarts."""
     from aiotcvectordb_spark.catalog import IndexField
-    from aiotcvectordb_spark.streaming.search import engine_stream_search_sink
 
     db, coll = "sdb", "scoll"
     engine.create_database(db)
@@ -108,7 +107,7 @@ def test_engine_stream_search_sees_live_upserts(spark, engine, tmp_path):
     ckpt = str(tmp_path / "ck")
     out = str(tmp_path / "hits")
     schema = "query_id string, query_vec array<double>"
-    sink = engine_stream_search_sink(engine, db, coll, out, k=1)
+    sink = engine.stream_search_sink(db, coll, out, k=1)
 
     def run_wave():
         stream = spark.readStream.schema(schema).option(
