@@ -34,3 +34,34 @@ class CollectionNotExistError(VectorDBError):
 class DatabaseNotExistError(VectorDBError):
     def __init__(self, message: str) -> None:
         super().__init__(message, 14100)
+
+
+# API-compat aliases for the rest of the reference exception surface
+# (reference: aiotcvectordb/exceptions.py:20-46) so user code written
+# against the reference client's `except` clauses keeps working. The
+# connection-flavored ones never fire in embedded mode — there is no
+# server to lose — but an `except NoConnectError` must still parse.
+
+
+class VectorDBException(VectorDBError):
+    """Reference's catch-all base alias."""
+
+
+class ServerInternalError(VectorDBError):
+    """Unexpected engine-side failure (reference server code family)."""
+
+
+class DescribeCollectionException(VectorDBError):
+    """describe_collection returned an unusable payload."""
+
+
+class NoConnectError(VectorDBError):
+    """Not connected (embedded mode: never raised; kept for API parity)."""
+
+
+class ConnectError(VectorDBError):
+    """Connection failed (embedded mode: never raised; kept for API parity)."""
+
+
+class GrpcException(VectorDBError):
+    """Transport error (embedded mode: never raised; kept for API parity)."""

@@ -61,3 +61,19 @@ def test_grant_revoke_wildcard(engine):
 
     privs = engine.describe_user("alice")["privileges"]
     assert {p["resource"] for p in privs} == {"db0.*", "db1.coll1"}
+
+
+def test_reference_exception_surface_importable():
+    """Every exception class the reference client exports must exist
+    here with the (message, code) shape, so user `except` clauses port
+    unchanged (reference aiotcvectordb/exceptions.py:20-46)."""
+    from aiotcvectordb_spark import errors as E
+
+    for name in (
+        "VectorDBException", "ParamError", "NoConnectError", "ConnectError",
+        "ServerInternalError", "DescribeCollectionException", "GrpcException",
+    ):
+        cls = getattr(E, name)
+        exc = cls("boom")
+        assert isinstance(exc, E.VectorDBError)
+        assert exc.message == "boom" and isinstance(exc.code, int)
