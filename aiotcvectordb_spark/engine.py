@@ -301,6 +301,21 @@ class VectorDBEngine:
         register_topk_udtf(self.spark)
         return self.spark.sql(query)
 
+    def database(self, name: str):
+        """Bound Database handle (reference stub.py:178-193 returns a
+        Database/AIDatabase object the same way)."""
+        from aiotcvectordb_spark.objects import Database
+
+        if not self.catalog.database_exists(name):
+            from aiotcvectordb_spark.errors import DatabaseNotExistError
+
+            raise DatabaseNotExistError(f"database {name!r} not found")
+        return Database(self, name)
+
+    def collection(self, database: str, name: str):
+        """Bound Collection handle (reference stub.py:336-350)."""
+        return self.database(database).collection(name)
+
     def stream_search_sink(
         self, database: str, collection: str, out_path: str, **kwargs
     ):

@@ -1,0 +1,110 @@
+"""Bound object wrappers: Database and Collection handles.
+
+The reference's primary usage pattern is object-oriented — get a
+database handle, get a collection handle, call operations on it
+(reference: aiotcvectordb/model/database.py, model/collection.py:79-628;
+client methods `database`/`collection` at stub.py:178-193/336-350).
+These wrappers give the same ergonomics over ``VectorDBEngine`` by pure
+delegation: every method simply curries the (database, collection)
+arguments into the corresponding flat engine call, so the single
+engine implementation stays the one source of truth.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+# Engine methods whose first parameter is the database name.
+_DB_METHODS = (
+    "create_collection",
+    "create_collection_if_not_exists",
+    "exists_collection",
+    "describe_collection",
+    "list_collections",
+    "drop_collection",
+    "truncate_collection",
+    "set_alias",
+    "delete_alias",
+    "sql",
+)
+
+# Engine methods whose first two parameters are (database, collection).
+_COLL_METHODS = (
+    "upsert",
+    "query",
+    "query_df",
+    "count",
+    "search",
+    "search_by_id",
+    "search_by_text",
+    "hybrid_search",
+    "fulltext_search",
+    "update",
+    "delete",
+    "add_index",
+    "drop_index",
+    "rebuild_index",
+    "modify_vector_index",
+    "export",
+    "read",
+    "compact",
+    "stream_search_sink",
+)
+
+
+class Collection:
+    """A (database, collection)-bound handle; every operation delegates
+    to the flat engine call with both names curried in."""
+
+    def __init__(self, engine, database: str, name: str) -> None:
+        self._engine = engine
+        self.database_name = database
+        self.collection_name = name
+
+    def __getattr__(self, attr: str) -> Any:
+        if attr not in _COLL_METHODS:
+            raise AttributeError(
+                f"Collection has no operation {attr!r}"
+            )
+        fn = getattr(self._engine, attr)
+
+        def call(*args: Any, **kwargs: Any) -> Any:
+            return fn(self.database_name, self.collection_name, *args, **kwargs)
+
+        call.__name__ = attr
+        return call
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Collection({self.database_name}.{self.collection_name})"
+
+
+class Database:
+    """A database-bound handle mirroring the reference's Database
+    object: collection lifecycle plus `collection()` handle lookup."""
+
+    def __init__(self, engine, name: str) -> None:
+        self._engine = engine
+        self.database_name = name
+
+    def collection(self, name: str) -> Collection:
+        if not self._engine.exists_collection(self.database_name, name):
+            from aiotcvectordb_spark.errors import CollectionNotExistError
+
+            raise CollectionNotExistError(
+                f"collection {name!r} not found in {self.database_name!r}"
+            )
+        return Collection(self._engine, self.database_name, name)
+
+    def __getattr__(self, attr: str) -> Any:
+        if attr not in _DB_METHODS:
+            raise AttributeError(f"Database has no operation {attr!r}")
+        fn = getattr(self._engine, attr)
+
+        def call(*args: Any, **kwargs: Any) -> Any:
+            return fn(self.database_name, *args, **kwargs)
+
+        call.__name__ = attr
+        return call
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Database({self.database_name})"

@@ -249,3 +249,33 @@ def test_sql_topk_table_function(engine):
     ).collect()
     hits = engine.search(db, coll, [q], limit=5)[0]
     assert [r.id for r in rows] == [h["id"] for h in hits]
+
+
+def test_object_handles_mirror_reference_usage(engine):
+    """db = engine.database(x); coll = db.collection(y); coll.search(...)
+    — the reference's object-oriented pattern over the flat engine."""
+    import pytest as _pytest
+
+    from aiotcvectordb_spark.errors import (
+        CollectionNotExistError,
+        DatabaseNotExistError,
+    )
+
+    db_name, coll_name = make_collection(engine, name="obj_coll")
+    db = engine.database(db_name)
+    assert coll_name in db.list_collections()
+    coll = db.collection(coll_name)
+    coll.upsert([
+        {"id": "a", "vector": [1.0, 0.0, 0.0], "tag": "x", "page": 1},
+        {"id": "b", "vector": [0.0, 1.0, 0.0], "tag": "y", "page": 2},
+    ])
+    assert coll.count() == 2
+    hits = coll.search([[1.0, 0.0, 0.0]], limit=1)[0]
+    assert hits[0]["id"] == "a"
+    assert engine.collection(db_name, coll_name).count() == 2
+    with _pytest.raises(DatabaseNotExistError):
+        engine.database("nope")
+    with _pytest.raises(CollectionNotExistError):
+        db.collection("nope")
+    with _pytest.raises(AttributeError):
+        coll.create_database  # not a collection-scoped op
