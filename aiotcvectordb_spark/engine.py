@@ -316,6 +316,17 @@ class VectorDBEngine:
         """Bound Collection handle (reference stub.py:336-350)."""
         return self.database(database).collection(name)
 
+    def ai_database(self, name: str):
+        """Bound AIDatabase handle (reference stub.py:178-193 returns an
+        AsyncAIDatabase for dbType AI_DB)."""
+        from aiotcvectordb_spark.objects import AIDatabase
+
+        if not self.catalog.database_exists(name):
+            from aiotcvectordb_spark.errors import DatabaseNotExistError
+
+            raise DatabaseNotExistError(f"AI database {name!r} not found")
+        return AIDatabase(self, name)
+
     def stream_search_sink(
         self, database: str, collection: str, out_path: str, **kwargs
     ):

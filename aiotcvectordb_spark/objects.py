@@ -78,6 +78,91 @@ class Collection:
         return f"Collection({self.database_name}.{self.collection_name})"
 
 
+# CollectionViewManager methods whose first two params are (database, cv).
+_CV_METHODS = (
+    "load_and_split_text",
+    "upload_file",
+    "search",
+    "query",
+    "get_document_set",
+    "delete",
+    "update",
+    "get_chunks",
+    "register_images",
+    "get_image_url",
+    "query_file_details",
+    "truncate_collection_view",
+    "describe_collection_view",
+    "drop_collection_view",
+)
+
+# Manager methods whose first param is the database name.
+_AI_DB_METHODS = (
+    "create_collection_view",
+    "list_collection_views",
+    "describe_collection_view",
+    "drop_collection_view",
+    "truncate_collection_view",
+    "set_alias",
+    "delete_alias",
+)
+
+
+class CollectionView:
+    """A (database, view)-bound AI-pipeline handle (reference
+    model/collection_view.py's CollectionView object)."""
+
+    def __init__(self, manager, database: str, name: str) -> None:
+        self._manager = manager
+        self.database_name = database
+        self.view_name = name
+
+    def __getattr__(self, attr: str) -> Any:
+        if attr not in _CV_METHODS:
+            raise AttributeError(f"CollectionView has no operation {attr!r}")
+        fn = getattr(self._manager, attr)
+
+        def call(*args: Any, **kwargs: Any) -> Any:
+            return fn(self.database_name, self.view_name, *args, **kwargs)
+
+        call.__name__ = attr
+        return call
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"CollectionView({self.database_name}.{self.view_name})"
+
+
+class AIDatabase:
+    """An AI-database-bound handle (reference model/ai_database.py):
+    collection-view lifecycle plus `collection_view()` handle lookup."""
+
+    def __init__(self, engine, name: str) -> None:
+        from aiotcvectordb_spark.collection_view import CollectionViewManager
+
+        self._engine = engine
+        self._manager = CollectionViewManager(engine)
+        self.database_name = name
+
+    def collection_view(self, name: str) -> CollectionView:
+        # raises if the view doesn't exist, like Database.collection
+        self._manager.describe_collection_view(self.database_name, name)
+        return CollectionView(self._manager, self.database_name, name)
+
+    def __getattr__(self, attr: str) -> Any:
+        if attr not in _AI_DB_METHODS:
+            raise AttributeError(f"AIDatabase has no operation {attr!r}")
+        fn = getattr(self._manager, attr)
+
+        def call(*args: Any, **kwargs: Any) -> Any:
+            return fn(self.database_name, *args, **kwargs)
+
+        call.__name__ = attr
+        return call
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"AIDatabase({self.database_name})"
+
+
 class Database:
     """A database-bound handle mirroring the reference's Database
     object: collection lifecycle plus `collection()` handle lookup."""

@@ -122,3 +122,25 @@ def test_docset_update_and_alias(engine):
     meta = engine.catalog.get_collection(db, "cv_alias")
     assert meta.name == cv
     assert mgr.delete_alias(db, "cv_alias")["affectedCount"] == 1
+
+
+def test_ai_object_handles(engine):
+    """aidb = engine.ai_database(x); cv = aidb.collection_view(y);
+    cv.search(...) — the reference's AI-side object pattern."""
+    import pytest as _pytest
+
+    from aiotcvectordb_spark.errors import DatabaseNotExistError
+
+    _, db, cv_name = make_cv(engine)
+    aidb = engine.ai_database(db)
+    assert cv_name in aidb.list_collection_views()
+    cv = aidb.collection_view(cv_name)
+    cv.load_and_split_text(doc_name="obj.txt", text=LONG_TEXT)
+    chunks = cv.get_chunks(document_set_name="obj.txt")
+    assert chunks
+    hits = cv.search(LONG_TEXT.split(".")[0], limit=2)
+    assert hits
+    with _pytest.raises(DatabaseNotExistError):
+        engine.ai_database("nope")
+    with _pytest.raises(Exception):
+        aidb.collection_view("nope")
