@@ -33,10 +33,25 @@ DIM = 64
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS); without this flag a vanilla
-    # session (e.g. the driver's) fails the scan with PARQUET_TYPE_ILLEGAL.
+    # events.ts has shipped as parquet TIMESTAMP(NANOS) (reads as BIGINT
+    # epoch-nanos under nanosAsLong — without the flag a vanilla session
+    # fails the scan with PARQUET_TYPE_ILLEGAL) and as TIMESTAMP(MICROS)
+    # (reads as TIMESTAMP_NTZ). Normalize to BIGINT epoch-nanos, the
+    # engine's canonical event-time representation; UTC session tz makes
+    # the NTZ->epoch conversion match DuckDB's epoch_ns(naive ts).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if "ts" in df.columns:
+        from pyspark.sql import types as T
+
+        if isinstance(
+            df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+    return df
 
 
 def qvec(seed: float, dim: int = DIM) -> list[float]:
