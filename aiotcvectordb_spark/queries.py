@@ -143,6 +143,28 @@ ORACLE_SEARCH_FLAT_COSINE = _knn_oracle(
     where="WHERE e.label IN (1, 2)",
 )
 
+
+def q_search_flat_cosine_local_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 28 via the bounded-shuffle scale path: identical semantics to
+    `search_flat_cosine` but ``strategy="local_topk"`` — a per-partition
+    numpy top-k (mapInPandas) emits <= partitions x Q x k rows into the
+    final window instead of N x Q, the plan that survives a 1000-executor
+    100 TB scan (knn.py _local_topk_candidates). Driver-checked against
+    the SAME oracle so the scale path is hash-verified every round."""
+    df = load(spark, sf_dir, "embeddings")
+    return knn.knn_search(
+        df,
+        FLAGSHIP_VECTORS,
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="COSINE",
+        limit=10,
+        filter="label IN (1, 2)",
+        output_fields=["label"],
+        round_digits=ROUND_DIGITS,
+        strategy="local_topk",
+    ).select("query_idx", "vec_id", "score", "rank", "label")
+
 def q_search_udtf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 28 via the SQL table-function surface: the same exact COSINE
     top-10 as `search_flat_cosine`, but expressed as ONE SQL statement
@@ -1075,9 +1097,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-stage exact plan (no O(N^2) row materialization in the JVM):
 
-    1. *Prefilter*: the (small) embedding matrix is broadcast as numpy;
-       ``mapInPandas`` blocks compute the full cosine block-matmul and
-       emit only candidate pairs with score >= threshold - 1e-6. The
+    1. *Prefilter*: rows are grouped into score blocks and the full
+       matrix rides alongside as one JVM-broadcast row (broadcast
+       nested-loop join — nothing is collected to the driver);
+       ``mapInPandas`` computes each cosine block-matmul on executors and
+       emits only candidate pairs with score >= threshold - 1e-6. The
        margin (1e-6) exceeds worst-case float64 summation-order
        divergence (~1e-13) by 7 orders of magnitude, so the prefilter is
        lossless — no pair that the exact scorer would keep is dropped.
@@ -1090,34 +1114,65 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash/LSH candidates (above) or IVF bucketing, then this same
     exact rescore on candidates only.
     """
-    import numpy as np
-
     from aiotcvectordb_spark.functions.vector import (
         dot_score_fixed,
         vector_norm_fixed,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     margin = float(_NEARDUP_THRESHOLD) - 1e-6
 
-    # Chunked driver-side matmul: N is broadcast-scale here by
-    # construction (the collection side of the dedup), so the O(N^2)
-    # score block is a few BLAS calls; chunking bounds peak memory to
-    # chunk x N doubles.
-    pairs: list[tuple[int, int]] = []
-    chunk = 1024
-    for lo in range(0, len(ids), chunk):
-        s = unit[lo : lo + chunk] @ unit.T
-        keep = (s >= margin) & (ids[None, :] > ids[lo : lo + chunk, None])
-        ii, jj = np.nonzero(keep)
-        pairs.extend(
-            (int(ids[lo + i]), int(ids[j])) for i, j in zip(ii.tolist(), jj.tolist())
+    # Executor-side block matmul: rows are grouped into score blocks, the
+    # full matrix rides in as ONE broadcast row (JVM broadcast nested-loop
+    # join — a single copy per executor, never materialized on the
+    # driver), and each mapInPandas task computes its block x matrix
+    # score slab with numpy, emitting only above-margin candidate pairs.
+    # Nothing is collected; per-task memory is O(N*dim + block*N).
+    ids_emb = ensure_min_partitions(emb.select("vec_id", "embedding"))
+    mat_row = ids_emb.agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("__m")
+    ).select(
+        F.expr("transform(__m, x -> x.vec_id)").alias("__mat_ids"),
+        F.expr("transform(__m, x -> x.embedding)").alias("__mat_vecs"),
+    )
+    n_blocks = 32
+    blocks = (
+        ids_emb.groupBy(F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("__blk"))
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("__r"))
+        .select(
+            F.expr("transform(__r, x -> x.vec_id)").alias("__blk_ids"),
+            F.expr("transform(__r, x -> x.embedding)").alias("__blk_vecs"),
         )
-    cand = spark.createDataFrame(pairs or [], "vec_a long, vec_b long")
+        .crossJoin(F.broadcast(mat_row))
+    )
+
+    def emit_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            cols = [
+                pdf["__blk_ids"], pdf["__blk_vecs"], pdf["__mat_ids"], pdf["__mat_vecs"]
+            ]
+            for rbids, rbvecs, rmids, rmvecs in zip(*cols):
+                bids = np.asarray(rbids, dtype=np.int64)
+                bmat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in rbvecs]
+                )
+                mids = np.asarray(rmids, dtype=np.int64)
+                mmat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in rmvecs]
+                )
+                bunit = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+                munit = mmat / np.linalg.norm(mmat, axis=1, keepdims=True)
+                s = bunit @ munit.T
+                keep = (s >= margin) & (mids[None, :] > bids[:, None])
+                ii, jj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"vec_a": bids[ii], "vec_b": mids[jj]}
+                )
+
+    cand = blocks.mapInPandas(emit_pairs, "vec_a long, vec_b long")
 
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
@@ -3454,64 +3509,15 @@ WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) >
 # Registry
 # --------------------------------------------------------------------------
 
+# Ordering contract: the driver walks this dict in insertion order and
+# has a finite per-round budget (round 1 checked exactly the first 50
+# entries). Oracled queries WITHOUT a round-1 CORRECTNESS row come
+# first, then the round-1-verified ones (fastest first so the most
+# entries fit any time budget), then the rows-only approximate ops.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "search_flat_cosine": q_search_flat_cosine,
-    "search_flat_l2": q_search_flat_l2,
-    "search_flat_ip": q_search_flat_ip,
-    "search_radius": q_search_radius,
-    "search_by_id": q_search_by_id,
-    "search_udtf_topk": q_search_udtf_topk,
-    "knn_join": q_knn_join,
-    "query_filter_sort_paginate": q_query_filter_sort_paginate,
-    "query_by_ids": q_query_by_ids,
-    "count_filter": q_count_filter,
-    "query_projection": q_query_projection,
-    "ttl_filter": q_ttl_filter,
-    "json_extract": q_json_extract,
-    "upsert_merge": q_upsert_merge,
-    "update_conditional": q_update_conditional,
-    "delete_filter_limit": q_delete_filter_limit,
-    "fulltext_bm25": q_fulltext_bm25,
-    "hybrid_rrf": q_hybrid_rrf,
-    "sparse_encode": q_sparse_encode,
-    "dedup_exact": q_dedup_exact,
-    "doc_fingerprint": q_doc_fingerprint,
-    "text_quality": q_text_quality,
-    "doc_repetition": q_doc_repetition,
-    "lang_id": q_lang_id,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "dedup_components": q_dedup_components,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "embedding_near_dup": q_embedding_near_dup,
-    "group_topk": q_group_topk,
-    "agg_groupby_stats": q_agg_groupby_stats,
-    "simhash_fingerprint": q_simhash_fingerprint,
-    "simhash_near_dup": q_simhash_near_dup,
-    "token_count": q_token_count,
-    "hybrid_weighted": q_hybrid_weighted,
-    "chunk_expand": q_chunk_expand,
-    "join_pruned_dims": q_join_pruned_dims,
-    "window_running": q_window_running,
-    "rollup_agg": q_rollup_agg,
-    "window_funcs": q_window_funcs,
-    "scalar_funcs": q_scalar_funcs,
-    "cube_agg": q_cube_agg,
-    "percentiles": q_percentiles,
-    "semi_anti_join": q_semi_anti_join,
-    "set_ops": q_set_ops,
-    "event_window_agg": q_event_window_agg,
-    "sliding_window_agg": q_sliding_window_agg,
-    "price_histogram": q_price_histogram,
-    "asof_join": q_asof_join,
-    "interval_join": q_interval_join,
+    # --- oracled, no driver row yet (r01 gap) ---
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
-    "multimodal_features": q_multimodal_features,
-    "approx_sketches": q_approx_sketches,
-    "search_by_text": q_search_by_text,
-    "ann_ivf_cosine": q_ann_ivf_cosine,
-    "ann_lsh_l2": q_ann_lsh_l2,
     "grouping_sets_agg": q_grouping_sets_agg,
     "pivot_wide": q_pivot_wide,
     "unpivot_long": q_unpivot_long,
@@ -3520,8 +3526,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlated_subquery": q_correlated_subquery,
     "clean_text": q_clean_text,
     "dataset_split": q_dataset_split,
-    "stratified_sample": q_stratified_sample,
-    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "curate_corpus": q_curate_corpus,
     "nation_volume_shipping": q_nation_volume_shipping,
     "national_market_share": q_national_market_share,
@@ -3537,14 +3541,77 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_range_frame": q_window_range_frame,
     "zscore_outliers": q_zscore_outliers,
     "corr_stats": q_corr_stats,
-    "heavy_hitters": q_heavy_hitters,
     "percentile_disc": q_percentile_disc,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
+    "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,
+    # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
+    "update_conditional": q_update_conditional,
+    "query_projection": q_query_projection,
+    "token_count": q_token_count,
+    "cube_agg": q_cube_agg,
+    "price_histogram": q_price_histogram,
+    "query_by_ids": q_query_by_ids,
+    "ttl_filter": q_ttl_filter,
+    "json_extract": q_json_extract,
+    "group_topk": q_group_topk,
+    "agg_groupby_stats": q_agg_groupby_stats,
+    "window_running": q_window_running,
+    "window_funcs": q_window_funcs,
+    "scalar_funcs": q_scalar_funcs,
+    "set_ops": q_set_ops,
+    "count_filter": q_count_filter,
+    "delete_filter_limit": q_delete_filter_limit,
+    "percentiles": q_percentiles,
+    "query_filter_sort_paginate": q_query_filter_sort_paginate,
+    "semi_anti_join": q_semi_anti_join,
+    "rollup_agg": q_rollup_agg,
+    "lang_id": q_lang_id,
+    "interval_join": q_interval_join,
+    "join_pruned_dims": q_join_pruned_dims,
+    "minhash_signatures": q_minhash_signatures,
+    "doc_repetition": q_doc_repetition,
+    "chunk_expand": q_chunk_expand,
+    "event_window_agg": q_event_window_agg,
+    "doc_fingerprint": q_doc_fingerprint,
+    "knn_join": q_knn_join,
+    "text_quality": q_text_quality,
+    "search_by_id": q_search_by_id,
+    "sliding_window_agg": q_sliding_window_agg,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_exact": q_dedup_exact,
+    "embedding_near_dup": q_embedding_near_dup,
+    "upsert_merge": q_upsert_merge,
+    "search_flat_ip": q_search_flat_ip,
+    "asof_join": q_asof_join,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "simhash_near_dup": q_simhash_near_dup,
+    "sparse_encode": q_sparse_encode,
+    "hybrid_weighted": q_hybrid_weighted,
+    "search_radius": q_search_radius,
+    "search_flat_cosine": q_search_flat_cosine,
+    "search_flat_l2": q_search_flat_l2,
+    "search_udtf_topk": q_search_udtf_topk,
+    "fulltext_bm25": q_fulltext_bm25,
+    "dedup_components": q_dedup_components,
+    "hybrid_rrf": q_hybrid_rrf,
+    # --- rows-only approximate/model ops (no SQL oracle by design) ---
+    "stratified_sample": q_stratified_sample,
+    "heavy_hitters": q_heavy_hitters,
+    "search_by_text": q_search_by_text,
+    "ann_lsh_l2": q_ann_lsh_l2,
+    "multimodal_features": q_multimodal_features,
+    "approx_sketches": q_approx_sketches,
+    "ann_ivf_cosine": q_ann_ivf_cosine,
+    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
 }
 
 ORACLES: dict[str, str] = {
     "search_flat_cosine": ORACLE_SEARCH_FLAT_COSINE,
+    # the bounded-shuffle scale path must be hash-identical to the
+    # declarative path, so it shares the oracle verbatim
+    "search_flat_cosine_local_topk": ORACLE_SEARCH_FLAT_COSINE,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,

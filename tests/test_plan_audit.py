@@ -199,3 +199,18 @@ def test_histogram_and_sliding_window_partial_agg(spark, sf_dir):
         out = q(spark, sf_dir)
         plan = audit.executed_plan(out)
         assert plan.index("HashAggregate") < plan.index("Exchange"), q.__name__
+
+
+def test_embedding_near_dup_runs_on_executors(spark, sf_dir):
+    """The near-dup prefilter must be an executor-side mapInPandas block
+    matmul over a JVM-broadcast matrix row — no driver-side collect and
+    no cartesian product (VERDICT r01 anti-pattern #1)."""
+    import inspect
+
+    src = inspect.getsource(Q.q_embedding_near_dup)
+    assert ".collect(" not in src and ".toPandas(" not in src
+    out = Q.q_embedding_near_dup(spark, sf_dir)
+    plan = audit.executed_plan(out)
+    assert "MapInPandas" in plan
+    audit.assert_no_cartesian(out)
+    assert audit.has_broadcast_join(out)
