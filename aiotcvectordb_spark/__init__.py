@@ -14,7 +14,8 @@ Storage: parquet-backed collections + a JSON catalog.
 """
 
 from aiotcvectordb_spark.engine import VectorDBEngine
+from aiotcvectordb_spark.params import ReadConsistency
 from aiotcvectordb_spark.session import get_spark
 
-__all__ = ["VectorDBEngine", "get_spark"]
+__all__ = ["VectorDBEngine", "ReadConsistency", "get_spark"]
 __version__ = "0.1.0"

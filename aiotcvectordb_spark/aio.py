@@ -31,8 +31,14 @@ from aiotcvectordb_spark.engine import VectorDBEngine
 
 
 class AsyncVectorDBEngine:
-    def __init__(self, spark: SparkSession, root: str) -> None:
-        self._engine = VectorDBEngine(spark, root)
+    def __init__(
+        self, spark: SparkSession, root: str, *, read_consistency=None, **client_kw
+    ) -> None:
+        # read_consistency matches the reference constructor
+        # (stub.py:29); validated no-op — see VectorDBEngine.__init__.
+        self._engine = VectorDBEngine(
+            spark, root, read_consistency=read_consistency, **client_kw
+        )
 
     @property
     def engine(self) -> VectorDBEngine:

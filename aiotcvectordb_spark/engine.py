@@ -41,11 +41,35 @@ DELETE_LIMIT_RANGE = (1, 16384)  # reference stub.py:484
 
 
 class VectorDBEngine:
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        read_consistency=None,
+        **client_kw: Any,
+    ) -> None:
+        from aiotcvectordb_spark.params import validate_read_consistency
+
         self.spark = spark
         self.catalog = Catalog(root)
         self.store = ParquetStore(root)
         self.users = UserManager(root)
+        # reference stub.py:29: the client takes read_consistency at
+        # construction and injects it into every read body. Parquet
+        # snapshot reads are strongly consistent, so it validates and
+        # records only. Transport kwargs the reference constructor takes
+        # (timeout/pool_size/proxies/...) are accepted and ignored.
+        self.read_consistency = validate_read_consistency(read_consistency)
+
+    @staticmethod
+    def _pop_read_consistency(kw: dict) -> None:
+        """Strip + validate a per-call ``read_consistency`` kwarg (the
+        reference injects it into every query/search body —
+        collection.py:658,681). A no-op here: snapshot reads are strong."""
+        from aiotcvectordb_spark.params import validate_read_consistency
+
+        validate_read_consistency(kw.pop("read_consistency", None))
 
     # -- user ops (op 18, reference stub.py:923-1072) — delegate to the
     # ACL store; search/query paths stay permission-free (embedded use)
@@ -374,10 +398,12 @@ class VectorDBEngine:
         offset: int = 0,
         sort: dict | None = None,
         retrieve_vector: bool = False,
+        read_consistency=None,
     ) -> DataFrame:
         """Op 23 `query`: scan -> filter -> sort -> paginate -> project
         (reference collection.py:121-159). Sort is single-field
         {'fieldName', 'direction'} with asc default (stub.py:550)."""
+        self._pop_read_consistency({"read_consistency": read_consistency})
         meta = self.catalog.get_collection(database, collection)
         pk = meta.primary_key
         df = self.read(database, collection)
@@ -410,7 +436,15 @@ class VectorDBEngine:
     def query(self, database: str, collection: str, **kw) -> list[dict]:
         return [r.asDict(recursive=True) for r in self.query_df(database, collection, **kw).collect()]
 
-    def count(self, database: str, collection: str, filter: str | None = None) -> int:
+    def count(
+        self,
+        database: str,
+        collection: str,
+        filter: str | None = None,
+        *,
+        read_consistency=None,
+    ) -> int:
+        self._pop_read_consistency({"read_consistency": read_consistency})
         df = self.read(database, collection)
         if filter:
             df = df.filter(translate_filter(filter))
@@ -594,6 +628,7 @@ class VectorDBEngine:
         vectors: Sequence[Sequence[float]],
         **kw,
     ) -> DataFrame:
+        self._pop_read_consistency(kw)
         # accept numpy ndarray / sequences of np floats, as the reference
         # does (stub.py:602: vectors may be an ndarray)
         vectors = [[float(x) for x in v] for v in vectors]
@@ -601,18 +636,37 @@ class VectorDBEngine:
         vix = meta.vector_index()
         metric = kw.pop("metric", (vix.metric_type if vix else None) or "COSINE")
         # reference-style search params (stub.py:609-612): IVF nprobe is
-        # honored (partition-probe count); HNSW ef is accepted and
-        # ignored (the LSH/IVF stand-ins have no ef — documented).
+        # honored (partition-probe count); HNSW ef maps onto the LSH
+        # stand-in's candidate breadth (ann.ef_to_lsh_params) so recall
+        # responds to ef the way a reference user expects. Without ef,
+        # HNSW collections get the exact scan (the ef -> inf limit).
         params = kw.pop("params", None) or {}
         nprobe_param = (
             int(params["nprobe"])
             if isinstance(params, dict) and params.get("nprobe")
             else None
         )
+        ef_param = (
+            int(params["ef"])
+            if isinstance(params, dict) and params.get("ef")
+            else None
+        )
         if kw.get("filter"):
             kw["filter"] = translate_filter(kw["filter"])
         df = self.read(database, collection)
         index_type = (vix.index_type if vix else "FLAT") or "FLAT"
+        if index_type.upper() == "HNSW" and ef_param is not None:
+            from aiotcvectordb_spark.operators import ann
+
+            return ann.hnsw_search(
+                df,
+                vectors,
+                vector_col=meta.vector_field or "vector",
+                id_col=meta.primary_key,
+                metric=metric,
+                ef=ef_param,
+                **kw,
+            )
         if (
             index_type.startswith("IVF")
             and meta.ann_state.get("ivf")
@@ -654,6 +708,7 @@ class VectorDBEngine:
     def search_by_id(
         self, database: str, collection: str, document_ids: Sequence, **kw
     ) -> list[list[dict]]:
+        self._pop_read_consistency(kw)
         meta = self.catalog.get_collection(database, collection)
         df = self.read(database, collection)
         res = knn.search_by_id(
@@ -697,6 +752,7 @@ class VectorDBEngine:
         (reference collection.py:403-467)."""
         from aiotcvectordb_spark.operators import fulltext
 
+        self._pop_read_consistency(kw)
         meta = self.catalog.get_collection(database, collection)
         if kw.get("filter"):
             kw["filter"] = translate_filter(kw["filter"])
@@ -731,6 +787,7 @@ class VectorDBEngine:
         from aiotcvectordb_spark.operators import hybrid
         from aiotcvectordb_spark.params import AnnSearch, KeywordSearch
 
+        self._pop_read_consistency(kw)
         single_in = isinstance(ann, AnnSearch)
         if ann is not None:
             anns = [ann] if single_in else list(ann)

@@ -56,10 +56,17 @@ class Collection:
     """A (database, collection)-bound handle; every operation delegates
     to the flat engine call with both names curried in."""
 
-    def __init__(self, engine, database: str, name: str) -> None:
+    def __init__(
+        self, engine, database: str, name: str, *, read_consistency=None
+    ) -> None:
+        from aiotcvectordb_spark.params import validate_read_consistency
+
         self._engine = engine
         self.database_name = database
         self.collection_name = name
+        # reference model/collection.py carries the client's consistency
+        # into every read body; validated no-op here (snapshot reads)
+        self.read_consistency = validate_read_consistency(read_consistency)
 
     def __getattr__(self, attr: str) -> Any:
         if attr not in _COLL_METHODS:
@@ -167,9 +174,12 @@ class Database:
     """A database-bound handle mirroring the reference's Database
     object: collection lifecycle plus `collection()` handle lookup."""
 
-    def __init__(self, engine, name: str) -> None:
+    def __init__(self, engine, name: str, *, read_consistency=None) -> None:
+        from aiotcvectordb_spark.params import validate_read_consistency
+
         self._engine = engine
         self.database_name = name
+        self.read_consistency = validate_read_consistency(read_consistency)
 
     def collection(self, name: str) -> Collection:
         if not self._engine.exists_collection(self.database_name, name):

@@ -185,3 +185,105 @@ def lsh_search(
     return flat.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= limit
     )
+
+
+def ef_to_lsh_params(ef: int) -> tuple[int, int]:
+    """Map the reference's HNSW ``ef`` search-breadth knob
+    (reference stub.py:611) onto the LSH stand-in's two breadth levers:
+    more hash tables (more bucket unions -> more candidates) and a larger
+    candidate pool to rescore. Monotone: larger ef can only add
+    candidates, so recall@k is non-decreasing in ef."""
+    ef = max(1, int(ef))
+    num_hash_tables = max(1, min(32, ef // 4))
+    pool = ef
+    return num_hash_tables, pool
+
+
+def hnsw_search(
+    df: DataFrame,
+    vectors: Sequence[Sequence[float]],
+    *,
+    vector_col: str = "vector",
+    id_col: str = "id",
+    metric: str = "L2",
+    limit: int = 10,
+    ef: int = 64,
+    bucket_length: float = 0.5,
+    **kw,
+) -> DataFrame:
+    """HNSW-semantics search on the LSH stand-in: ef controls candidate
+    breadth (ef_to_lsh_params), candidates are exactly rescored in the
+    collection metric, top-``limit`` returned.
+
+    COSINE/IP are served by running the L2 LSH over unit-normalized
+    vectors (on the unit sphere L2 rank order == cosine rank order),
+    then rescoring candidates with the true metric — so the returned
+    ``score`` is the metric score, like the exact path.
+    """
+    from aiotcvectordb_spark.functions.vector import (
+        metric_score_fixed,
+        score_is_better_desc,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    num_hash_tables, pool = ef_to_lsh_params(ef)
+    pool = max(pool, limit)
+    metric_u = metric.upper()
+    dim = len(vectors[0])
+
+    if metric_u == "L2":
+        lsh_df = df
+        lsh_vectors = [[float(x) for x in v] for v in vectors]
+    else:
+        # unit-normalize both sides for the candidate stage
+        norm = (
+            f"sqrt(aggregate(transform({vector_col}, v -> cast(v as double) * "
+            "cast(v as double)), cast(0 as double), (a, b) -> a + b))"
+        )
+        lsh_df = df.withColumn(
+            "__lsh_vec",
+            F.expr(f"transform({vector_col}, v -> cast(v as double) / {norm})"),
+        )
+        def _unit(v):
+            import math
+            n = math.sqrt(sum(float(x) * float(x) for x in v)) or 1.0
+            return [float(x) / n for x in v]
+        lsh_vectors = [_unit(v) for v in vectors]
+
+    cands = lsh_search(
+        lsh_df,
+        lsh_vectors,
+        vector_col="__lsh_vec" if metric_u != "L2" else vector_col,
+        id_col=id_col,
+        limit=pool,
+        bucket_length=bucket_length,
+        num_hash_tables=num_hash_tables,
+    ).select("query_idx", id_col)
+
+    # exact rescore of the candidate pool in the true metric
+    qdf = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        T.StructType(
+            [
+                T.StructField("query_idx", T.IntegerType(), False),
+                T.StructField("__qvec", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    rescored = (
+        cands.join(df.select(id_col, vector_col), id_col)
+        .join(F.broadcast(qdf), "query_idx")
+        .withColumn(
+            "score", metric_score_fixed(metric_u, vector_col, "__qvec", dim)
+        )
+        .drop("__qvec", vector_col)
+    )
+    order = [
+        F.col("score").desc() if score_is_better_desc(metric_u) else F.col("score").asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy("query_idx").orderBy(*order)
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= limit
+    )

@@ -12,6 +12,7 @@ a reference user the same call shapes on this engine.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from enum import Enum
 
 
 @dataclass
@@ -49,3 +50,30 @@ class WeightedRerank:
 
     def to_dict(self) -> dict:
         return {"type": "weighted", "weights": list(self.weights)}
+
+
+class ReadConsistency(str, Enum):
+    """Per-client/per-call consistency hint (reference stub.py:29,
+    collection.py:658,681 — injected into every query/search body as
+    ``readConsistency``). This engine reads immutable parquet snapshots,
+    so every read IS strongly consistent and the setting is a validated
+    no-op, accepted everywhere the reference accepts it."""
+
+    STRONG_CONSISTENCY = "strongConsistency"
+    EVENTUAL_CONSISTENCY = "eventualConsistency"
+
+
+def validate_read_consistency(value):
+    """Accept a ReadConsistency, its name, or its wire value; None passes
+    through. Raises ParamError on anything else (engine surface contract)."""
+    if value is None:
+        return None
+    if isinstance(value, ReadConsistency):
+        return value
+    if isinstance(value, str):
+        for rc in ReadConsistency:
+            if value in (rc.name, rc.value):
+                return rc
+    from aiotcvectordb_spark.errors import ParamError
+
+    raise ParamError(f"invalid read_consistency: {value!r}")

@@ -39,19 +39,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # (reads as TIMESTAMP_NTZ). Normalize to BIGINT epoch-nanos, the
     # engine's canonical event-time representation; UTC session tz makes
     # the NTZ->epoch conversion match DuckDB's epoch_ns(naive ts).
+    from aiotcvectordb_spark.sources.event_time import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if "ts" in df.columns:
-        from pyspark.sql import types as T
-
-        if isinstance(
-            df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
-        ):
-            df = df.withColumn(
-                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-            )
-    return df
+    return normalize_event_time(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
 
 
 def qvec(seed: float, dim: int = DIM) -> list[float]:

@@ -48,3 +48,45 @@ def test_async_roundtrip_and_concurrent_search(spark, tmp_path):
         assert await aeng.count("db0", "docs") == 10
 
     asyncio.run(flow())
+
+
+def test_aio_read_consistency_accepted(spark, tmp_path):
+    """Constructor + per-call read_consistency on the async facade
+    (reference AsyncVectorDBClient ctor, stub.py:29)."""
+    import asyncio
+
+    from aiotcvectordb_spark.aio import AsyncVectorDBEngine
+    from aiotcvectordb_spark.params import ReadConsistency
+
+    aeng = AsyncVectorDBEngine(
+        spark,
+        str(tmp_path / "aio_rc"),
+        read_consistency=ReadConsistency.EVENTUAL_CONSISTENCY,
+    )
+
+    async def flow():
+        await aeng.create_database("db0")
+        await aeng.create_collection(
+            "db0",
+            "docs",
+            indexes=[
+                IndexField(name="id", kind="primary_key", field_type="string"),
+                IndexField(
+                    name="vector", kind="vector", field_type="vector",
+                    metric_type="COSINE", index_type="FLAT", dimension=3,
+                ),
+            ],
+        )
+        await aeng.upsert(
+            "db0", "docs", [{"id": "a", "vector": [1.0, 0.0, 0.0]}]
+        )
+        hits = await aeng.search(
+            "db0", "docs", [[1.0, 0.0, 0.0]], limit=1,
+            read_consistency=ReadConsistency.STRONG_CONSISTENCY,
+        )
+        assert hits[0][0]["id"] == "a"
+        assert await aeng.count(
+            "db0", "docs", read_consistency="eventualConsistency"
+        ) == 1
+
+    asyncio.run(flow())

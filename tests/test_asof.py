@@ -3,6 +3,8 @@ left-outer nulls — verified against an in-memory reference."""
 
 from __future__ import annotations
 
+from conftest import load_events
+
 from aiotcvectordb_spark.operators.asof import asof_join
 
 
@@ -52,7 +54,7 @@ def test_asof_matches_pandas_merge_asof(spark, sf_dir):
     the real events table."""
     import pandas as pd
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     left = events.filter("event_type = 'purchase'").select(
         "user_id", "event_id", "ts"
     )

@@ -8,6 +8,8 @@ chunk-expansion neighborhood structure.
 
 from __future__ import annotations
 
+from conftest import load_events
+
 from pyspark.sql import functions as F
 
 from aiotcvectordb_spark import queries as Q
@@ -209,7 +211,7 @@ def test_time_gap_fill_full_spine(spark, sf_dir):
     assert hours[-1] - hours[0] == (len(hours) - 1) * 3600  # contiguous spine
     assert all(r.n_purchases >= 0 for r in rows)
     assert sum(r.n_purchases for r in rows) == (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load_events(spark, sf_dir)
         .filter("event_type = 'purchase'")
         .count()
     )
@@ -243,7 +245,7 @@ def test_funnel_monotone(spark, sf_dir):
 def test_retention_offset_zero_covers_all_users(spark, sf_dir):
     rows = Q.q_retention_cohorts(spark, sf_dir).collect()
     total_users = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load_events(spark, sf_dir)
         .select("user_id").distinct().count()
     )
     # every user is active in their own cohort week

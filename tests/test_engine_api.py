@@ -279,3 +279,43 @@ def test_object_handles_mirror_reference_usage(engine):
         db.collection("nope")
     with _pytest.raises(AttributeError):
         coll.create_database  # not a collection-scoped op
+
+
+def test_read_consistency_accepted_everywhere(spark, tmp_path):
+    """Reference-style calls carry read_consistency at construction and
+    per read call (reference stub.py:29, collection.py:658,681); the
+    engine accepts it as a validated no-op on every surface."""
+    import pytest as _pytest
+
+    from aiotcvectordb_spark.engine import VectorDBEngine
+    from aiotcvectordb_spark.errors import ParamError
+    from aiotcvectordb_spark.params import ReadConsistency
+
+    engine = VectorDBEngine(
+        spark,
+        str(tmp_path / "vdb_rc"),
+        read_consistency=ReadConsistency.EVENTUAL_CONSISTENCY,
+        timeout=10,  # transport kwargs from the reference ctor are ignored
+    )
+    assert engine.read_consistency is ReadConsistency.EVENTUAL_CONSISTENCY
+    db, coll = make_collection(engine, name="rc_coll", db="rc_db")
+    engine.upsert(db, coll, DOCS)
+
+    rc = ReadConsistency.STRONG_CONSISTENCY
+    assert len(engine.query(db, coll, limit=10, read_consistency=rc)) == len(DOCS)
+    assert engine.count(db, coll, read_consistency=rc) == len(DOCS)
+    hits = engine.search(db, coll, [[1.0, 0.0, 0.0]], limit=2, read_consistency=rc)
+    assert hits[0][0]["id"] == "v1"
+    byid = engine.search_by_id(db, coll, ["v1"], limit=1, read_consistency=rc)
+    assert byid[0][0]["id"] == "v1"
+    # string forms (enum name and wire value) both validate
+    engine.query(db, coll, limit=1, read_consistency="STRONG_CONSISTENCY")
+    engine.query(db, coll, limit=1, read_consistency="eventualConsistency")
+    # object handles take it like the reference Database/Collection do
+    h = engine.database(db)
+    coll_h = h.collection(coll)
+    assert coll_h.count(read_consistency=rc) == len(DOCS)
+    with _pytest.raises(ParamError):
+        engine.query(db, coll, limit=1, read_consistency="bogus")
+    with _pytest.raises(ParamError):
+        VectorDBEngine(spark, str(tmp_path / "vdb_rc2"), read_consistency=42)

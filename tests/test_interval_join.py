@@ -3,6 +3,8 @@ streaming plan must carry watermarks on both sides (bounded state)."""
 
 from __future__ import annotations
 
+from conftest import load_events, write_events_source
+
 import shutil
 
 from aiotcvectordb_spark.streaming.joins import purchases_with_recent_clicks
@@ -13,7 +15,7 @@ def _key(rows):
 
 
 def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     batch = _key(
         purchases_with_recent_clicks(
             events.filter("event_type = 'purchase'"),
@@ -24,7 +26,7 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
 
     src = tmp_path / "src"
     src.mkdir()
-    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    write_events_source(spark, sf_dir, src)
     stream = spark.readStream.schema(events.schema).parquet(str(src))
     joined = purchases_with_recent_clicks(
         stream.filter("event_type = 'purchase'"),
@@ -45,7 +47,7 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
 
 
 def test_all_pairs_within_window(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     out = purchases_with_recent_clicks(
         events.filter("event_type = 'purchase'"),
         events.filter("event_type = 'click'"),

@@ -203,3 +203,70 @@ def test_search_accepts_reference_params(engine, spark, sf_dir):
         db, "emb_flat", [q], limit=5, params={"nprobe": 4, "ef": 10}
     )
     assert len(flat[0]) == 5
+
+
+def test_hnsw_ef_monotone_recall(spark, sf_dir):
+    """The reference's ef search-breadth knob (stub.py:611) must DO
+    something: recall@10 at ef=32 strictly beats ef=4, and matches the
+    mapping ef -> (num_hash_tables, pool) in ann.ef_to_lsh_params."""
+    from aiotcvectordb_spark.operators import ann
+
+    df = _emb(spark, sf_dir)
+    vecs = [qvec(1.0), qvec(2.0)]
+    exact = knn.knn_search(
+        df, vecs, vector_col="embedding", id_col="vec_id", metric="COSINE",
+        limit=10,
+    ).toPandas()
+
+    def recall(ef):
+        approx = ann.hnsw_search(
+            df, vecs, vector_col="embedding", id_col="vec_id",
+            metric="COSINE", limit=10, ef=ef, bucket_length=0.5,
+        ).toPandas()
+        hits = 0
+        for qi in (0, 1):
+            e = set(exact[exact.query_idx == qi].vec_id)
+            a = set(approx[approx.query_idx == qi].vec_id)
+            hits += len(e & a)
+        return hits / 20
+
+    r4, r32 = recall(4), recall(32)
+    # deterministic (seeded LSH, fixed data): measured 0.65 vs 1.0.
+    # ef>=limit is clamped HNSW-style, so the breadth lever at small ef
+    # is the single hash table; at 32 it's 8 tables + a 32-wide pool.
+    assert r4 < 0.9
+    assert r32 > r4
+
+
+def test_engine_hnsw_ef_honored(engine, spark, sf_dir):
+    """Engine-level: an HNSW collection searched with params={'ef': N}
+    uses the breadth-mapped approximate path; without ef it stays
+    exact."""
+    from aiotcvectordb_spark.catalog import IndexField
+
+    db = "db_hnsw"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="HNSW", dimension=64,
+                params={"M": 16, "efConstruction": 200},
+            ),
+        ],
+    )
+    src = _emb(spark, sf_dir).select("vec_id", "embedding")
+    engine.store.write(src, db, "emb")
+    vecs = [qvec(1.0)]
+    exact_hits = engine.search(db, "emb", vecs, limit=10)[0]
+    exact_ids = {h["vec_id"] for h in exact_hits}
+
+    small = engine.search(db, "emb", vecs, limit=10, params={"ef": 4})[0]
+    big = engine.search(db, "emb", vecs, limit=10, params={"ef": 64})[0]
+    r_small = len({h["vec_id"] for h in small} & exact_ids) / 10
+    r_big = len({h["vec_id"] for h in big} & exact_ids) / 10
+    assert r_big > r_small
+    # scores on the approximate path are true metric scores
+    assert all(-1.0 <= h["score"] <= 1.0 for h in big)

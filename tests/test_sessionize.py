@@ -3,6 +3,8 @@ and cross-micro-batch stateful keep-first dedup."""
 
 from __future__ import annotations
 
+from conftest import load_events, write_events_source
+
 import shutil
 
 from aiotcvectordb_spark.streaming.session import (
@@ -20,7 +22,7 @@ def _key(rows):
 
 
 def test_batch_session_properties(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     sessions = sessionize_batch(events, gap="30 minutes").collect()
     assert sessions
     assert sum(r.n_events for r in sessions) == events.count()
@@ -37,12 +39,12 @@ def test_batch_session_properties(spark, sf_dir):
 
 
 def test_stream_session_equals_batch(spark, sf_dir, tmp_path):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     batch = _key(sessionize_batch(events).collect())
 
     src = tmp_path / "src"
     src.mkdir()
-    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    write_events_source(spark, sf_dir, src)
     stream = spark.readStream.schema(events.schema).parquet(str(src))
     q = (
         sessionize_stream(stream)
@@ -59,7 +61,7 @@ def test_stream_session_equals_batch(spark, sf_dir, tmp_path):
 
 
 def test_stateful_dedup_crosses_microbatches(spark, sf_dir, tmp_path):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     half = events.count() // 2
     a = events.orderBy("event_id").limit(half)
     b = events.orderBy("event_id").offset(half)
@@ -96,14 +98,14 @@ def test_dedup_within_watermark_bounded_state(spark, sf_dir, tmp_path):
     eviction watermark (bounded state, unlike plain dropDuplicates)."""
     from aiotcvectordb_spark.streaming.session import dedup_within_watermark
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     n_users = events.select("user_id").distinct().count()
 
     src = tmp_path / "src"
     src.mkdir()
     import shutil
 
-    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    write_events_source(spark, sf_dir, src)
     stream = spark.readStream.schema(events.schema).parquet(str(src))
     # delay far wider than the data's time span -> exactly one per user
     out = dedup_within_watermark(stream, key_col="user_id", delay="365 days")

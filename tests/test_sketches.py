@@ -4,6 +4,8 @@ mergeable (the property that makes them the 100 TB path)."""
 
 from __future__ import annotations
 
+from conftest import load_events
+
 from pyspark.sql import functions as F
 
 from aiotcvectordb_spark.queries import q_approx_sketches
@@ -11,7 +13,7 @@ from aiotcvectordb_spark.queries import q_approx_sketches
 
 def test_sketch_accuracy_vs_exact(spark, sf_dir):
     approx = {r.event_type: r for r in q_approx_sketches(spark, sf_dir).collect()}
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     exact = {
         r.event_type: r
         for r in events.groupBy("event_type")
@@ -35,7 +37,7 @@ def test_hll_sketches_merge(spark, sf_dir):
     """Per-group sketches union to the global estimate — re-aggregation
     without touching raw data (partial aggregation across 1000 executors
     is exactly this shape)."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     merged = (
         events.groupBy("event_type")
         .agg(F.hll_sketch_agg("user_id").alias("s"))

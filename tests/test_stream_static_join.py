@@ -3,6 +3,8 @@ the static side must be broadcast (no shuffle of the stream side)."""
 
 from __future__ import annotations
 
+from conftest import load_events, write_events_source
+
 import shutil
 
 from aiotcvectordb_spark.streaming.joins import enrich_events
@@ -20,14 +22,14 @@ def _key(rows):
 
 
 def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     dims = _dims(spark)
     batch = _key(enrich_events(events, dims).collect())
     assert batch
 
     src = tmp_path / "src"
     src.mkdir()
-    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    write_events_source(spark, sf_dir, src)
     stream = spark.readStream.schema(events.schema).parquet(str(src))
     out = enrich_events(stream, dims)
     assert out.isStreaming
@@ -44,7 +46,7 @@ def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
 
 
 def test_left_join_keeps_unmatched(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     dims = _dims(spark).filter("event_type = 'click'")
     out = enrich_events(events, dims)
     assert out.count() == events.count()
@@ -54,7 +56,7 @@ def test_left_join_keeps_unmatched(spark, sf_dir):
 
 
 def test_static_side_is_broadcast(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     plan = (
         enrich_events(events, _dims(spark))
         ._jdf.queryExecution()

@@ -3,13 +3,15 @@ batch mode and under Structured Streaming (watermark + availableNow)."""
 
 from __future__ import annotations
 
+from conftest import load_events, write_events_source
+
 from pyspark.sql import functions as F
 
 from aiotcvectordb_spark.streaming.sink import windowed_event_counts
 
 
 def test_stream_equals_batch(spark, sf_dir, tmp_path):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_events(spark, sf_dir)
     batch = {
         (r.win_start, r.event_type): (r.n_events, r.value_sum)
         for r in windowed_event_counts(events).collect()
@@ -20,7 +22,7 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     src.mkdir()
     import shutil
 
-    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    write_events_source(spark, sf_dir, src)
     stream = spark.readStream.schema(events.schema).parquet(str(src))
     q = (
         windowed_event_counts(stream)
@@ -47,5 +49,5 @@ def test_sliding_window_4x_tumbling_mass(spark, sf_dir):
     sliding = Q.q_sliding_window_agg(spark, sf_dir).agg(
         F.sum("n_events").alias("s")
     ).first().s
-    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_events = load_events(spark, sf_dir).count()
     assert sliding == 4 * n_events
