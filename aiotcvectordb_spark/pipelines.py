@@ -110,15 +110,32 @@ def near_dedup_stage(
     # the materialized column. Inlining `shingles` into all n_hashes
     # expressions re-runs the clean+tokenize+slice chain per hash (and
     # CollapseProject won't dedup it) — measured 11s -> ~1s at sf0.1.
+    # The hash family comes from ceil(n_hashes/2) md5 digests per
+    # shingle, two 60-bit hex windows each (chars 1-15 and 17-31) —
+    # halving md5 invocations vs hashing `s || '#j'` per function
+    # (mirrors q_minhash_signatures and its DuckDB oracle).
     shingled = docs.filter(F.expr(f"size({toks}) >= {shingle}")).select(
         F.col(id_col), F.expr(shingles).alias("__sh")
     )
+    n_digs = (n_hashes + 1) // 2
+    digs = shingled.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"transform(__sh, s -> md5(concat(repeat('#', {d}), s)))"
+            ).alias(f"__d{d}")
+            for d in range(n_digs)
+        ],
+    )
 
     def _mh(j: int) -> str:
-        hashed = _PORTABLE_HASH.format(s=f"concat(s, '#', {j})")
-        return f"array_min(transform(__sh, s -> {hashed}))"
+        d, pos = j // 2, 1 if j % 2 == 0 else 17
+        return (
+            f"array_min(transform(__d{d}, d -> "
+            f"cast(conv(substring(d, {pos}, 15), 16, 10) as bigint)))"
+        )
 
-    sig = shingled.select(
+    sig = digs.select(
         F.col(id_col),
         *[F.expr(_mh(j)).alias(f"mh{j}") for j in range(n_hashes)],
     )

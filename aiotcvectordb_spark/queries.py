@@ -895,26 +895,55 @@ def _portable_hash_expr(s: str) -> str:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash over 3-token shingles, {_N_MINHASH} hash functions
-    h_j(s) = md5-int(s || '#j'). Docs need >= 3 tokens."""
+    """MinHash over 3-token shingles, {_N_MINHASH} hash functions drawn
+    from TWO md5 digests per shingle: d1 = md5(s), d2 = md5('#' || s),
+    and each 128-bit digest yields two independent 60-bit windows
+    (hex chars 1-15 and 17-31). md5 cost is proportional to invocations
+    x input length, so deriving the 4-function family from 2 digests
+    halves the dominant cost vs hashing ``s || '#j'`` 4 times — and the
+    windowed extraction is a cheap fixed-width substring on a 32-char
+    string. Docs need >= 3 tokens."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
     shingles = (
         f"transform(sequence(1, size({toks}) - 2), "
         f"i -> concat_ws(' ', slice({toks}, i, 3)))"
     )
-    out = df.filter(F.expr(f"size({toks}) >= 3")).select(
-        "doc_id", F.expr(shingles).alias("sh")
-    )
-    aggs = []
-    for j in range(_N_MINHASH):
-        h = _portable_hash_expr(f"concat(s, '#{j}')")
-        out = out.withColumn(
-            f"mh{j}",
-            F.expr(f"array_min(transform(sh, s -> {h}))"),
+    # Materialize the two digest arrays ONCE (separate select), then
+    # derive all 4 minhashes by windowing — inlining md5 into each mh
+    # expression would recompute the digests per hash function.
+    digs = (
+        df.filter(F.expr(f"size({toks}) >= 3"))
+        .select("doc_id", F.expr(shingles).alias("sh"))
+        .select(
+            "doc_id",
+            F.expr("transform(sh, s -> md5(s))").alias("d1"),
+            F.expr("transform(sh, s -> md5(concat('#', s)))").alias("d2"),
         )
-        aggs.append(f"mh{j}")
-    return out.select("doc_id", *aggs)
+    )
+
+    def _win(arr: str, pos: int) -> str:
+        return (
+            f"array_min(transform({arr}, d -> "
+            f"cast(conv(substring(d, {pos}, 15), 16, 10) as bigint)))"
+        )
+
+    return digs.select(
+        "doc_id",
+        F.expr(_win("d1", 1)).alias("mh0"),
+        F.expr(_win("d1", 17)).alias("mh1"),
+        F.expr(_win("d2", 1)).alias("mh2"),
+        F.expr(_win("d2", 17)).alias("mh3"),
+    )
+
+
+def _oracle_mh_windows(digests_cte: str = "dig") -> str:
+    """DuckDB SELECT-list fragment matching the 2-digest/4-window family."""
+    wins = [("d1", 1, 0), ("d1", 17, 1), ("d2", 1, 2), ("d2", 17, 3)]
+    return ", ".join(
+        f"list_min(list_transform({arr}, d -> ('0x' || substr(d, {pos}, 15))::BIGINT)) AS mh{j}"
+        for arr, pos, j in wins
+    )
 
 
 ORACLE_MINHASH_SIGNATURES = f"""
@@ -927,13 +956,15 @@ sh AS (
          list_transform(range(1, len(ts) - 1),
                         i -> array_to_string(ts[i:i+2], ' ')) AS shingles
   FROM toks
+),
+dig AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> md5(s)) AS d1,
+         list_transform(shingles, s -> md5('#' || s)) AS d2
+  FROM sh
 )
-SELECT doc_id,
-  {", ".join(
-      "list_min(list_transform(shingles, s -> ('0x' || substr(md5(s || '#%d'), 1, 15))::BIGINT)) AS mh%d" % (j, j)
-      for j in range(_N_MINHASH)
-  )}
-FROM sh
+SELECT doc_id, {_oracle_mh_windows()}
+FROM dig
 """
 
 
@@ -3442,10 +3473,15 @@ shingled AS (
   FROM clean
   WHERE len({_CURATE_TOKS_SQL}) >= 3
 ),
-sigs AS (
+cdig AS (
   SELECT doc_id,
-         {", ".join(f'''list_min(list_transform(sh, s -> {_CURATE_H60.format(s=f"concat(s, '#', {j})")})) AS mh{j}''' for j in range(4))}
+         list_transform(sh, s -> md5(s)) AS d1,
+         list_transform(sh, s -> md5('#' || s)) AS d2
   FROM shingled
+),
+sigs AS (
+  SELECT doc_id, {_oracle_mh_windows()}
+  FROM cdig
 ),
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, mh{j} AS h FROM sigs" for j in range(4))}

@@ -47,8 +47,11 @@ def test_unconverged_raises(spark):
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "src: long, dst: long"
     )
+    # local_finish_edges=0 forces pure-distributed iteration (the
+    # bounded union-find finish would otherwise solve any small graph
+    # in round 0 without ever iterating).
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, local_finish_edges=0)
 
 
 edges_st = st.lists(
@@ -69,3 +72,40 @@ edges_st = st.lists(
 @given(edges=edges_st)
 def test_components_match_union_find(spark, edges):
     assert _run(spark, edges) == _union_find(edges)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_st)
+def test_distributed_path_matches_union_find(spark, edges):
+    """The pure star-contraction path (what runs at 100 TB, where the
+    parent forest never fits under the local-finish cap) must agree
+    with exact union-find too."""
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, local_finish_edges=0).collect()
+    }
+    assert got == _union_find(edges)
+
+
+def test_zigzag_chain_converges_fast(spark):
+    """Adversarial id/topology correlation: a path whose ids zigzag
+    (1-100-2-99-3-98...) defeats label pointer-jumping but star
+    contraction stays O(log n)."""
+    ids = []
+    lo, hi = 1, 100
+    for i in range(50):
+        ids.extend([lo + i, hi - i])
+    path = list(zip(ids, ids[1:]))
+    df = spark.createDataFrame(path, "src: long, dst: long")
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            df, local_finish_edges=0, max_iter=12
+        ).collect()
+    }
+    assert got == _union_find(path)
