@@ -91,7 +91,11 @@ def build_postings(
             ),
         )
         .withColumn("term_id", F.xxhash64("token"))
-        .select("term_id", "token", F.col(id_col), "weight", "df")
+        # n_docs rides along (constant per corpus, already broadcast):
+        # consumers that need the corpus size — e.g. fractional
+        # cutoff_frequency — read it lazily instead of launching a
+        # df.count() job per query.
+        .select("term_id", "token", F.col(id_col), "weight", "df", "n_docs")
     )
     return postings, stats
 

@@ -61,7 +61,15 @@ def fulltext_search_df(
         # fraction of corpus if <1 — reference stub.py:809-816 semantics)
         if cutoff_frequency >= 1:
             cand = cand.filter(F.col("df") <= cutoff_frequency)
+        elif "n_docs" in cand.columns:
+            # corpus size is a postings column (broadcast constant from
+            # build_postings) — the fractional cutoff stays lazy, no
+            # extra count job per query.
+            cand = cand.filter(
+                F.col("df") <= cutoff_frequency * F.col("n_docs")
+            )
         else:
+            # pre-built postings from an older schema without n_docs
             n_docs = df.count()
             cand = cand.filter(F.col("df") <= cutoff_frequency * n_docs)
     if terminate_after is not None:

@@ -65,6 +65,30 @@ def test_fulltext_no_full_corpus_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in audit.executed_plan(out)
 
 
+def test_fulltext_fractional_cutoff_is_lazy(spark, sf_dir):
+    """cutoff_frequency < 1 must read the corpus size from the postings
+    n_docs column (a broadcast constant), not launch an eager df.count()
+    job while the query plan is being CONSTRUCTED."""
+    from aiotcvectordb_spark.operators import fulltext
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("frac_cutoff_build", "plan construction must be job-free")
+    try:
+        out = fulltext.fulltext_search_df(
+            docs,
+            "data pipeline quality",
+            id_col="doc_id",
+            text_col="text",
+            limit=5,
+            cutoff_frequency=0.99,
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("frac_cutoff_build")) == []
+    assert out.count() > 0
+
+
 def test_count_shuffles_bounded_exact_knn(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = knn.knn_search(
