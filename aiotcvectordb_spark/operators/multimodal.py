@@ -8,10 +8,15 @@ decode / feature-extraction / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so the plumbing (schema, batch shape,
 partitioning) is identical to what a real codec UDF would use.
 
-No image/audio codecs ship in this container, so ``mode="real"`` raises
-``NotImplementedError`` at plan-build time; ``mode="fake"`` runs a
-deterministic stand-in (byte histogram / fixed-stride frame slicing)
-that exercises the full distributed path.
+No third-party codec libraries ship in this container, but PNG is
+fully decodable with stdlib zlib + numpy, so ``mode="real"`` is a REAL
+codec path for PNG payloads (see ``imagecodec.py``): actual pixel
+decode, luminance features, true nearest-neighbor resize, and
+header/EXIF probing for PNG/JPEG/GIF/BMP. Payload formats that need an
+entropy decoder (JPEG pixels, video) stay behind
+``NotImplementedError``; ``mode="fake"`` remains the deterministic
+stand-in (byte histogram / fixed-stride frame slicing) exercising the
+same distributed plumbing on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -42,6 +47,47 @@ def with_binary_payload(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_png_payload(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+) -> DataFrame:
+    """Attach a REAL PNG ``payload``: the UTF-8 bytes of ``text_col``
+    zero-padded into a ``width``-pixel-wide 8-bit grayscale image and
+    encoded with the stdlib PNG codec (``imagecodec.encode_png``).
+
+    Deterministic (content-addressed pixels), so header metadata probed
+    back out of the payload is a pure function of the text length —
+    which is what makes the real-codec path ORACLE-CHECKABLE end to end.
+    Runs as an Arrow-batched ``mapInPandas`` stage like every other
+    codec kernel; real ingestion would instead read files via
+    ``spark.read.format("binaryFile")`` into the same shape.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, payload binary"
+
+    def encode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aiotcvectordb_spark.operators import imagecodec
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                h = max(1, -(-len(raw) // width))
+                buf = np.zeros(h * width, dtype=np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                ids.append(i)
+                payloads.append(imagecodec.encode_png(buf.reshape(h, width)))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
+
+
 def decode_features(
     df: DataFrame,
     *,
@@ -51,38 +97,54 @@ def decode_features(
 ) -> DataFrame:
     """Decode + feature-extract each payload into a dense feature vector.
 
-    ``mode="real"`` is the seam where an actual decoder (PIL/librosa/
-    ffmpeg) would plug in — unavailable in this container, so it raises.
-    ``mode="fake"`` computes a deterministic normalized byte histogram
-    ({FEATURE_BUCKETS} buckets), which has the same schema, Arrow batch
-    shape, and partition behavior as a real extractor.
+    ``mode="real"`` decodes PNG payloads for real (stdlib zlib codec,
+    ``imagecodec.decode_png``) and emits a normalized LUMINANCE
+    histogram over the actual pixels; payloads that aren't decodable
+    PNGs get ``features = NULL`` (the curation-pipeline convention:
+    flag, don't fail the batch). ``mode="fake"`` computes a
+    deterministic byte histogram over arbitrary bytes — same schema,
+    Arrow batch shape, and partition behavior.
     """
-    if mode == "real":
-        raise NotImplementedError(
-            "real media decoding requires image/audio codecs not present "
-            "in this environment; use mode='fake' for the deterministic "
-            "stand-in (same Spark plumbing)"
-        )
-    if mode != "fake":
+    if mode not in ("fake", "real"):
         raise ValueError(f"unknown mode {mode!r}")
 
     id_type = dict(df.dtypes)[id_col]  # id passes through untouched
     schema = f"{id_col} {id_type}, n_bytes long, features array<double>"
     n_buckets = FEATURE_BUCKETS
+    real = mode == "real"
 
     def extract(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        from aiotcvectordb_spark.operators import imagecodec
+
         for pdf in batches:
             ids, sizes, feats = [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(buf >> (8 - n_buckets.bit_length() + 1),
-                                   minlength=n_buckets).astype(np.float64)
-                total = hist.sum()
+                raw = bytes(payload)
                 ids.append(i)
-                sizes.append(int(buf.size))
+                sizes.append(len(raw))
+                if real:
+                    try:
+                        lum = imagecodec.luminance(imagecodec.decode_png(raw))
+                    except ValueError:
+                        feats.append(None)
+                        continue
+                    buckets = np.clip(
+                        (lum * n_buckets / 256.0).astype(np.int64),
+                        0, n_buckets - 1,
+                    )
+                    hist = np.bincount(
+                        buckets.ravel(), minlength=n_buckets
+                    ).astype(np.float64)
+                else:
+                    buf = np.frombuffer(raw, dtype=np.uint8)
+                    hist = np.bincount(
+                        buf >> (8 - n_buckets.bit_length() + 1),
+                        minlength=n_buckets,
+                    ).astype(np.float64)
+                total = hist.sum()
                 feats.append((hist / total if total else hist).tolist())
             yield pd.DataFrame({id_col: ids, "n_bytes": sizes, "features": feats})
 
@@ -143,35 +205,47 @@ def resize_images(
     one row per input with a fixed-size binary plus the recorded target
     dims, so downstream batch shapes are static.
 
-    Fake mode emits a deterministic byte grid derived from the payload
-    (image codecs aren't in this container); a real implementation swaps
-    the inner loop for PIL/cv2 decode+resize — identical schema,
-    partitioning, and batch shape either way.
+    ``mode="real"`` decodes PNG payloads (stdlib codec) and resizes the
+    ACTUAL pixel grid with nearest-neighbor sampling, emitting the
+    resized interleaved pixel bytes (length = width*height*channels);
+    undecodable payloads get ``pixels = NULL``. Fake mode resamples the
+    raw byte stream — identical schema, partitioning, and batch shape.
     """
-    if mode == "real":
-        raise NotImplementedError(
-            "real image resize requires PIL/cv2 not present in this "
-            "environment; use mode='fake'"
-        )
+    if mode not in ("fake", "real"):
+        raise ValueError(f"unknown mode {mode!r}")
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, width int, height int, pixels binary"
     n_out = width * height
+    real = mode == "real"
 
     def resize(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        from aiotcvectordb_spark.operators import imagecodec
+
         for pdf in batches:
             ids, pix = [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                raw_bytes = bytes(payload)
+                ids.append(i)
+                if real:
+                    try:
+                        img = imagecodec.decode_png(raw_bytes)
+                    except ValueError:
+                        pix.append(None)
+                        continue
+                    pix.append(
+                        imagecodec.resize_nearest(img, width, height).tobytes()
+                    )
+                    continue
+                raw = np.frombuffer(raw_bytes, dtype=np.uint8)
                 if raw.size == 0:
                     raw = np.zeros(1, dtype=np.uint8)
                 # nearest-neighbor resample of the byte stream to the
                 # fixed output size — deterministic stand-in for decode+resize
                 idx = (np.arange(n_out) * raw.size // n_out) % raw.size
                 pix.append(raw[idx].tobytes())
-                ids.append(i)
             yield pd.DataFrame(
                 {
                     id_col: ids,
@@ -182,3 +256,52 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(resize, schema=schema)
+
+
+def probe_media(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Header-level media metadata over binary payloads: one output row
+    per input with (format, width, height, bit_depth, channels,
+    exif_orientation), all NULL when the payload matches no known image
+    signature. Always real — header sniffing needs no codec, so this
+    works on PNG/JPEG/GIF/BMP bytes as-is. The dimensions/EXIF read
+    touches only the first kilobytes of each payload; at 100 TB that
+    matters — pair it with a projection so the scan reads just
+    (id, payload) and Spark never shuffles decoded pixels."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, format string, width int, height int, "
+        "bit_depth int, channels int, exif_orientation int"
+    )
+
+    def probe(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from aiotcvectordb_spark.operators import imagecodec
+
+        cols = [
+            "format", "width", "height", "bit_depth", "channels",
+            "exif_orientation",
+        ]
+        for pdf in batches:
+            out = {id_col: []} | {c: [] for c in cols}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta = imagecodec.probe_image(bytes(payload))
+                out[id_col].append(i)
+                if meta is None:
+                    for c in cols:
+                        out[c].append(None)
+                else:
+                    out["format"].append(meta["format"])
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["bit_depth"].append(meta["bit_depth"])
+                    out["channels"].append(meta["channels"])
+                    out["exif_orientation"].append(meta["orientation"])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(probe, schema=schema)

@@ -2272,6 +2272,36 @@ FROM documents
 """
 
 
+def q_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end to end, oracle-checked: documents are
+    encoded into genuine PNG payloads (stdlib zlib codec, 16-px-wide
+    grayscale of the UTF-8 text bytes — operators/multimodal.py
+    ``with_png_payload``), then ``probe_media`` parses the ACTUAL PNG
+    headers back out of the bytes. Because the encoding is
+    deterministic, the probed dimensions are a pure function of the
+    text length, so DuckDB can predict them without a codec — hashing
+    the real encode→probe round trip against SQL."""
+    from aiotcvectordb_spark.operators import multimodal
+
+    df = load(spark, sf_dir, "documents")
+    media = multimodal.with_png_payload(df, text_col="text")
+    return multimodal.probe_media(media).select(
+        "doc_id", "format", "width", "height", "bit_depth", "channels"
+    )
+
+
+ORACLE_IMAGE_PROBE = """
+SELECT doc_id,
+       'png' AS format,
+       CAST(16 AS INTEGER) AS width,
+       CAST(ceil(greatest(octet_length(encode(text)), 1) / 16.0) AS INTEGER)
+         AS height,
+       CAST(8 AS INTEGER) AS bit_depth,
+       CAST(1 AS INTEGER) AS channels
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle: embedding model / MLlib approx index)
 # --------------------------------------------------------------------------
@@ -3573,6 +3603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,
+    "image_probe": q_image_probe,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -3640,6 +3671,7 @@ ORACLES: dict[str, str] = {
     # the bounded-shuffle scale path must be hash-identical to the
     # declarative path, so it shares the oracle verbatim
     "search_flat_cosine_local_topk": ORACLE_SEARCH_FLAT_COSINE,
+    "image_probe": ORACLE_IMAGE_PROBE,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,

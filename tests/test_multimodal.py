@@ -38,10 +38,10 @@ def test_decode_features_deterministic(spark, sf_dir):
         assert abs(sum(feats) - 1.0) < 1e-9 or n_bytes == 0
 
 
-def test_decode_real_mode_raises(spark, sf_dir):
+def test_video_real_mode_raises(spark, sf_dir):
+    """Video frame sampling genuinely needs an entropy decoder that
+    isn't available — the real seam stays an explicit raise there."""
     media = _media(spark, sf_dir)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_features(media, mode="real")
     with pytest.raises(NotImplementedError):
         multimodal.frame_sample(media, mode="real")
 
@@ -95,12 +95,179 @@ def test_resize_images_fixed_shape(spark, sf_dir):
     }
 
 
-def test_resize_real_mode_is_stubbed(spark, sf_dir):
-    import pytest as _pytest
+# ---------------------------------------------------------------------------
+# Real codec path: stdlib PNG encode/decode + header probing
+# ---------------------------------------------------------------------------
 
-    from aiotcvectordb_spark.operators import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
-    media = multimodal.with_binary_payload(docs)
-    with _pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, mode="real")
+def _png_media(spark):
+    """Deterministic PNG fixtures built with the repo's own encoder:
+    a gray gradient, an RGB color wheel slice, and one non-image blob."""
+    import numpy as np
+
+    from aiotcvectordb_spark.operators import imagecodec
+
+    gray = np.arange(16 * 8, dtype=np.uint8).reshape(16, 8)
+    rgb = np.zeros((5, 7, 3), dtype=np.uint8)
+    rgb[:, :, 0] = np.arange(7)[None, :] * 30
+    rgb[:, :, 1] = np.arange(5)[:, None] * 40
+    rgb[:, :, 2] = 200
+    rows = [
+        (1, bytearray(imagecodec.encode_png(gray))),
+        (2, bytearray(imagecodec.encode_png(rgb))),
+        (3, bytearray(b"not an image at all")),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_png_roundtrip_exact():
+    import numpy as np
+
+    from aiotcvectordb_spark.operators import imagecodec
+
+    rng = np.random.default_rng(7)
+    for shape in [(4, 4), (9, 3, 1), (6, 5, 3), (2, 8, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = imagecodec.decode_png(imagecodec.encode_png(img))
+        want = img[:, :, None] if img.ndim == 2 else img
+        assert (got == want).all(), f"roundtrip mismatch at {shape}"
+
+
+def test_png_all_filters_decode():
+    """Decode PNGs using every scanline filter type (1-4), not just the
+    filter-0 rows our encoder emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from aiotcvectordb_spark.operators import imagecodec
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+
+    def refilter(arr, ftypes):
+        h, w, c = arr.shape
+        stride = w * c
+        flat = arr.reshape(h, stride).astype(np.int16)
+        out = b""
+        for y, ft in enumerate(ftypes):
+            row = flat[y]
+            prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int16)
+            enc = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                left = row[x - c] if x >= c else 0
+                up = prev[x]
+                ul = prev[x - c] if x >= c else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = left
+                elif ft == 2:
+                    pred = up
+                elif ft == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = imagecodec._paeth(int(left), int(up), int(ul))
+                enc[x] = (row[x] - pred) & 0xFF
+            out += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        return out
+
+    raw = refilter(img, [1, 2, 3, 4, 1])
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+
+    def chunk(tag, data):
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (imagecodec.decode_png(png) == img).all()
+
+
+def test_decode_features_real_png(spark):
+    media = _png_media(spark)
+    got = {
+        r.doc_id: r
+        for r in multimodal.decode_features(media, mode="real").collect()
+    }
+    assert len(got) == 3
+    # real luminance histogram on decodable PNGs, normalized
+    for did in (1, 2):
+        feats = got[did].features
+        assert len(feats) == multimodal.FEATURE_BUCKETS
+        assert abs(sum(feats) - 1.0) < 1e-9
+    # gradient 0..127 luminance fills only the low half of the buckets
+    assert sum(got[1].features[: multimodal.FEATURE_BUCKETS // 2]) > 0.99
+    # undecodable payload flags as NULL, row preserved
+    assert got[3].features is None
+    assert got[3].n_bytes == len(b"not an image at all")
+
+
+def test_resize_images_real_png(spark):
+    import numpy as np
+
+    from aiotcvectordb_spark.operators import imagecodec
+
+    media = _png_media(spark)
+    got = {
+        r.doc_id: r
+        for r in multimodal.resize_images(
+            media, width=4, height=4, mode="real"
+        ).collect()
+    }
+    # true pixel-grid resample: compare against numpy reference
+    gray = np.arange(16 * 8, dtype=np.uint8).reshape(16, 8, 1)
+    want = imagecodec.resize_nearest(gray, 4, 4).tobytes()
+    assert bytes(got[1].pixels) == want
+    assert len(got[2].pixels) == 4 * 4 * 3  # RGB keeps channels
+    assert got[3].pixels is None
+
+
+def test_probe_media_formats(spark):
+    """Header probing is real for PNG/JPEG/GIF/BMP — dimensions and the
+    JPEG EXIF orientation come from actual byte parsing."""
+    import struct
+
+    from aiotcvectordb_spark.operators import imagecodec
+
+    exif = (
+        b"Exif\x00\x00"
+        + b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH", 6, 0)
+        + struct.pack("<I", 0)
+    )
+    sof = struct.pack(">BHHB", 8, 7, 5, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 4
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 40, -50) + b"\x00" * 4
+    png = imagecodec.encode_png(
+        __import__("numpy").zeros((3, 9), dtype="uint8")
+    )
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(jpeg)),
+        (3, bytearray(gif)),
+        (4, bytearray(bmp)),
+        (5, bytearray(b"\x00\x01garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.probe_media(df).collect()}
+    assert (got[1].format, got[1].width, got[1].height, got[1].channels) == (
+        "png", 9, 3, 1,
+    )
+    assert (got[2].format, got[2].width, got[2].height) == ("jpeg", 5, 7)
+    assert got[2].exif_orientation == 6
+    assert (got[3].format, got[3].width, got[3].height) == ("gif", 12, 34)
+    assert (got[4].format, got[4].width, got[4].height) == ("bmp", 40, 50)
+    assert got[5].format is None and got[5].width is None
