@@ -2205,6 +2205,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(events, gap="30 minutes")
 
 
+def q_sessionize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME gap sessionization through the ``sessionize_by_gap``
+    SQL table function (functions/session_udtf.py) — one shuffle on the
+    user key, O(1) UDTF state per group — aggregated to the identical
+    output shape as ``sessionize`` and hash-checked against the same
+    DuckDB oracle, proving the SQL surface matches the programmatic
+    one."""
+    from aiotcvectordb_spark.functions.session_udtf import (
+        register_sessionize_udtf,
+        sessionize_sql,
+    )
+
+    register_sessionize_udtf(spark)
+    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    events.selectExpr(
+        "user_id",
+        "event_id",
+        "ts div 1000000000 AS ts_sec",
+        "value",
+    ).createOrReplaceTempView("events_for_sessionize")
+    inner = sessionize_sql("events_for_sessionize", gap_seconds=1800)
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               min(ts_sec) AS session_start,
+               max(ts_sec) AS session_end,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+        FROM ({inner})
+        GROUP BY user_id, session_no
+        """
+    )
+
+
 # epoch_ns // 1e9 floors exactly like Spark's `ts div 1000000000`
 # (CAST(epoch(ts) AS BIGINT) would ROUND fractional seconds).
 ORACLE_SESSIONIZE = """
@@ -3604,6 +3638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,
     "image_probe": q_image_probe,
+    "sessionize_udtf": q_sessionize_udtf,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -3672,6 +3707,7 @@ ORACLES: dict[str, str] = {
     # declarative path, so it shares the oracle verbatim
     "search_flat_cosine_local_topk": ORACLE_SEARCH_FLAT_COSINE,
     "image_probe": ORACLE_IMAGE_PROBE,
+    "sessionize_udtf": ORACLE_SESSIONIZE,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,

@@ -60,6 +60,43 @@ def test_stream_session_equals_batch(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_udtf_session_equals_batch(spark, sf_dir):
+    """The sessionize_by_gap SQL table function must produce the same
+    sessions as the programmatic lag+cumsum batch path."""
+    from aiotcvectordb_spark import queries as Q
+
+    batch = _key(Q.q_sessionize(spark, sf_dir).collect())
+    via_udtf = _key(Q.q_sessionize_udtf(spark, sf_dir).collect())
+    assert via_udtf == batch
+
+
+def test_udtf_session_boundaries(spark):
+    """Gap >= threshold starts a new session; ties within a user order
+    by the tiebreak column; state resets per PARTITION BY group."""
+    from aiotcvectordb_spark.functions.session_udtf import (
+        register_sessionize_udtf,
+        sessionize_sql,
+    )
+
+    register_sessionize_udtf(spark)
+    rows = [
+        (1, 1, 0, 1.0),
+        (1, 2, 100, 1.0),
+        (1, 3, 1900, 1.0),   # 1800s after prev -> new session
+        (2, 4, 0, 1.0),      # new user -> counter resets
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_sec long, value double"
+    ).createOrReplaceTempView("events_udtf_unit")
+    got = {
+        (r.user_id, r.event_id): r.session_no
+        for r in spark.sql(
+            sessionize_sql("events_udtf_unit", gap_seconds=1800)
+        ).collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+
+
 def test_stateful_dedup_crosses_microbatches(spark, sf_dir, tmp_path):
     events = load_events(spark, sf_dir)
     half = events.count() // 2
