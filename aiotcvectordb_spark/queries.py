@@ -3499,7 +3499,10 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     is oracle-checked end-to-end, not just the stages."""
     from aiotcvectordb_spark import pipelines as P
 
-    cur = P.curate(load(spark, sf_dir, "documents"))
+    # widen the single-row-group scan BEFORE the embarrassingly-parallel
+    # shingle+minhash stage — without this the whole clean/hash chain
+    # runs on one core (measured 6.7s -> ~2s at sf0.1 on local[32])
+    cur = P.curate(ensure_min_partitions(load(spark, sf_dir, "documents")))
     return cur.groupBy("split", "keep").agg(F.count("*").alias("n_docs"))
 
 
