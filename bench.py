@@ -110,13 +110,14 @@ def main() -> None:
         .filter("rn <= 3")
         .count()
     )
-    # Best-of-2 per query: the VM shows multi-second scheduling noise
-    # between identical runs, so a single sample conflates engine cost
-    # with hypervisor jitter; min-of-2 is the steady-state cost.
+    # Best-of-3 per query: the VM shows multi-second scheduling noise
+    # between identical runs (individual queries randomly spike 2-4x),
+    # so a single sample conflates engine cost with hypervisor jitter;
+    # min-of-3 is the steady-state cost.
     for name in HEADLINE:
         fn = Q.QUERIES[name]
         best, n = float("inf"), -1
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # full execution without driver-side collect cost
