@@ -1246,10 +1246,26 @@ def q_embedding_near_dup_ivf(
         "sqrt(aggregate(transform(embedding, v -> cast(v as double) * cast(v as double)), "
         "cast(0 as double), (a, b) -> a + b)))"
     )
-    ml_df = emb.withColumn("__features", array_to_vector(F.expr(unit)))
-    model = KMeans(
-        k=nlist, seed=42, maxIter=8, featuresCol="__features", predictionCol="__c"
-    ).fit(ml_df)
+    # Materialize the unit vector ONCE as a column: inlining the
+    # normalization transform into each of the nlist centroid-distance
+    # expressions multiplies the expression tree (and the task binary /
+    # codegen unit) by nlist — measured as the dominant cost at small
+    # SF, and pure waste at any scale.
+    unit_df = emb.select("vec_id", "embedding", F.expr(unit).alias("__u"))
+    # Persist the feature column for the duration of the fit: MLlib's
+    # iterative KMeans re-reads its input every iteration (plus the
+    # k-means|| init passes), and without this each pass re-runs the
+    # normalize+vectorize chain from the parquet scan. (k-means|| init
+    # is kept: random init measurably drops multi-probe recall on the
+    # small-SF fixtures.)
+    ml_df = unit_df.withColumn("__features", array_to_vector(F.col("__u"))).persist()
+    try:
+        model = KMeans(
+            k=nlist, seed=42, maxIter=5,
+            featuresCol="__features", predictionCol="__c",
+        ).fit(ml_df)
+    finally:
+        ml_df.unpersist()
     cents = np.asarray(model.clusterCenters(), dtype=np.float64)
     # nprobe nearest centroids per vector, JVM-side: squared distance of
     # the UNIT vector to each centroid as an array expression, then the
@@ -1257,7 +1273,7 @@ def q_embedding_near_dup_ivf(
     udists = F.array(
         *[
             F.expr(
-                f"aggregate(zip_with({unit}, "
+                f"aggregate(zip_with(__u, "
                 f"array({', '.join(repr(float(c)) for c in cents[j])}), "
                 "(a, b) -> (a - b) * (a - b)), cast(0 as double), (acc, x) -> acc + x)"
             )
@@ -1265,7 +1281,7 @@ def q_embedding_near_dup_ivf(
         ]
     )
     assigned = (
-        emb.select("vec_id", "embedding", udists.alias("__d"))
+        unit_df.select("vec_id", "embedding", udists.alias("__d"))
         .select(
             "vec_id",
             "embedding",
