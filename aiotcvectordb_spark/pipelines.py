@@ -74,6 +74,70 @@ def exact_dedup_stage(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return docs.withColumn("exact_keeper", keeper == F.col(id_col))
 
 
+def minhash_band_hashes(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "clean_text",
+    n_hashes: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """(id, band, h): one LSH band-hash row per document per minhash
+    function. The shared banding kernel behind batch ``near_dedup_stage``
+    and the streaming ingest detector (``streaming/neardup.py``) — both
+    must hash identically for their results to agree.
+
+    The hash family comes from ceil(n_hashes/2) md5 digests per shingle,
+    two 60-bit hex windows each (chars 1-15 and 17-31) — halving md5
+    invocations vs hashing ``s || '#j'`` per function (mirrors
+    q_minhash_signatures and its DuckDB oracle)."""
+    toks = f"filter(split({text_col}, '[^a-z0-9]+'), t -> t != '')"
+    shingles = (
+        f"transform(sequence(1, size({toks}) - {shingle - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {shingle})))"
+    )
+    # Materialize the shingle array ONCE, then derive every minhash from
+    # the materialized digests. Inlining `shingles` into all n_hashes
+    # expressions re-runs the clean+tokenize+slice chain per hash (and
+    # CollapseProject won't dedup it) — measured 11s -> ~1s at sf0.1.
+    shingled = docs.filter(F.expr(f"size({toks}) >= {shingle}")).select(
+        F.col(id_col), F.expr(shingles).alias("__sh")
+    )
+    n_digs = (n_hashes + 1) // 2
+    digs = shingled.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"transform(__sh, s -> md5(concat(repeat('#', {d}), s)))"
+            ).alias(f"__d{d}")
+            for d in range(n_digs)
+        ],
+    )
+
+    def _mh(j: int) -> str:
+        d, pos = j // 2, 1 if j % 2 == 0 else 17
+        return (
+            f"array_min(transform(__d{d}, d -> "
+            f"cast(conv(substring(d, {pos}, 15), 16, 10) as bigint)))"
+        )
+
+    sig = digs.select(
+        F.col(id_col),
+        *[F.expr(_mh(j)).alias(f"mh{j}") for j in range(n_hashes)],
+    )
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("h"))
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.h")
+
+
 def near_dedup_stage(
     docs: DataFrame,
     *,
@@ -101,55 +165,9 @@ def near_dedup_stage(
             "cannot run on a streaming DataFrame; use the default "
             "bucket-domination mode in foreachBatch instead"
         )
-    toks = "filter(split(clean_text, '[^a-z0-9]+'), t -> t != '')"
-    shingles = (
-        f"transform(sequence(1, size({toks}) - {shingle - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {shingle})))"
+    bands = minhash_band_hashes(
+        docs, id_col=id_col, n_hashes=n_hashes, shingle=shingle
     )
-    # Materialize the shingle array ONCE, then derive every minhash from
-    # the materialized column. Inlining `shingles` into all n_hashes
-    # expressions re-runs the clean+tokenize+slice chain per hash (and
-    # CollapseProject won't dedup it) — measured 11s -> ~1s at sf0.1.
-    # The hash family comes from ceil(n_hashes/2) md5 digests per
-    # shingle, two 60-bit hex windows each (chars 1-15 and 17-31) —
-    # halving md5 invocations vs hashing `s || '#j'` per function
-    # (mirrors q_minhash_signatures and its DuckDB oracle).
-    shingled = docs.filter(F.expr(f"size({toks}) >= {shingle}")).select(
-        F.col(id_col), F.expr(shingles).alias("__sh")
-    )
-    n_digs = (n_hashes + 1) // 2
-    digs = shingled.select(
-        F.col(id_col),
-        *[
-            F.expr(
-                f"transform(__sh, s -> md5(concat(repeat('#', {d}), s)))"
-            ).alias(f"__d{d}")
-            for d in range(n_digs)
-        ],
-    )
-
-    def _mh(j: int) -> str:
-        d, pos = j // 2, 1 if j % 2 == 0 else 17
-        return (
-            f"array_min(transform(__d{d}, d -> "
-            f"cast(conv(substring(d, {pos}, 15), 16, 10) as bigint)))"
-        )
-
-    sig = digs.select(
-        F.col(id_col),
-        *[F.expr(_mh(j)).alias(f"mh{j}") for j in range(n_hashes)],
-    )
-    bands = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("h"))
-                    for j in range(n_hashes)
-                ]
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.h")
     buckets = (
         bands.groupBy("band", "h")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
