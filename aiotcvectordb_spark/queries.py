@@ -2395,6 +2395,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(media, id_col="doc_id")
 
 
+def q_ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized kNN (operators/pq.py): 32x-compressed codes
+    scored with an ADC lookup table, then exact cosine rescore of the
+    survivors — the compressed-domain 100 TB path where even streaming
+    the raw float vectors is the bottleneck. Codebooks train on a
+    BOUNDED driver-side sample (deterministic seeded Lloyd's); encode
+    and search stay distributed. Rows-only (k-means codebooks have no
+    SQL oracle); recall vs exact FLAT asserted in tests/test_pq.py."""
+    from aiotcvectordb_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = pq.train_pq(emb, m=8, nbits=5)
+    codes = pq.encode_pq(emb, model)
+    return pq.search_pq(
+        codes, model, [qvec(1.0), qvec(-1.0)], k=10,
+        rescore=emb, rescore_k=60, round_digits=ROUND_DIGITS,
+    )
+
+
 def q_search_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 30: query text embedded engine-side (deterministic hash
     embedder), then exact kNN. No SQL oracle — the embedder is not
@@ -3717,6 +3736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "approx_sketches": q_approx_sketches,
     "ann_ivf_cosine": q_ann_ivf_cosine,
+    "ann_pq_cosine": q_ann_pq_cosine,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
 }
 

@@ -1,0 +1,78 @@
+"""Product quantization: code shape/determinism, ADC ranking sanity,
+and rescored recall vs the exact kNN operator."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aiotcvectordb_spark.operators import knn, pq
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_codes_shape_and_determinism(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    model = pq.train_pq(emb, m=8, nbits=4)
+    assert model.codebooks.shape == (8, 16, 8)
+    a = {r.vec_id: tuple(r.codes) for r in pq.encode_pq(emb, model).collect()}
+    b = {
+        r.vec_id: tuple(r.codes)
+        for r in pq.encode_pq(emb.repartition(5), model).collect()
+    }
+    assert a == b  # partitioning must not change codes
+    assert len(a) == emb.count()
+    for codes in a.values():
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+
+
+def test_self_query_is_near_top_adc(spark, sf_dir):
+    """Querying with an indexed vector: pure ADC must place that vector
+    in the top handful (quantization noise can break exact-top-1)."""
+    emb = _emb(spark, sf_dir)
+    model = pq.train_pq(emb, m=8, nbits=4)
+    codes = pq.encode_pq(emb, model)
+    probe = emb.orderBy("vec_id").limit(3).collect()
+    out = pq.search_pq(
+        codes, model, [list(r.embedding) for r in probe], k=5
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_idx, set()).add(r.vec_id)
+    for qi, r in enumerate(probe):
+        assert r.vec_id in by_q[qi], f"self vector missing from ADC top-5 (q{qi})"
+
+
+def test_rescored_recall_vs_exact(spark, sf_dir):
+    """ADC fetch + exact cosine rescore must recover most of the true
+    top-10 — the IVF-PQ refine contract."""
+    emb = _emb(spark, sf_dir)
+    probe = [list(r.embedding) for r in emb.orderBy("vec_id").limit(4).collect()]
+    exact = knn.knn_search(
+        emb, probe, vector_col="embedding", id_col="vec_id",
+        metric="COSINE", limit=10, round_digits=6,
+    )
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_idx, set()).add(r.vec_id)
+
+    model = pq.train_pq(emb, m=8, nbits=5)
+    codes = pq.encode_pq(emb, model)
+    got = pq.search_pq(
+        codes, model, probe, k=10, rescore=emb, rescore_k=60
+    )
+    mine = {}
+    for r in got.collect():
+        mine.setdefault(r.query_idx, set()).add(r.vec_id)
+    recalls = [
+        len(mine.get(qi, set()) & truth[qi]) / len(truth[qi]) for qi in truth
+    ]
+    assert np.mean(recalls) >= 0.8, f"mean recall {np.mean(recalls)}: {recalls}"
+
+
+def test_compression_ratio_documented():
+    """The point of PQ: m code indices replace dim floats."""
+    # dim 64 float32 = 256 bytes; m=8 codes at <=8 bits = 8 bytes -> 32x
+    assert 64 * 4 / 8 == 32.0
