@@ -177,6 +177,8 @@ class VectorDBEngine:
 
     def drop_collection(self, database: str, name: str) -> dict:
         self.store.drop(database, name)
+        # IVF_PQ sidecar codes table, if the index ever built one
+        self.store.drop(database, f"{name}__pqcodes")
         return {"affectedCount": self.catalog.drop_collection(database, name)}
 
     def truncate_collection(self, database: str, name: str) -> dict:
@@ -677,6 +679,24 @@ class VectorDBEngine:
         ):
             from aiotcvectordb_spark.operators import ann
 
+            if (
+                index_type.upper() == "IVF_PQ"
+                and meta.ann_state.get("pq")
+                # the compressed-domain path serves the plain top-k
+                # shape; filter/radius/field projection fall through to
+                # the cell-pruned exact scan below (same pruning, raw
+                # vectors) — approximation never changes FILTER results
+                and not kw.get("filter")
+                and not kw.get("radius")
+                and not kw.get("output_fields")
+                and not kw.get("retrieve_vector")
+            ):
+                return ann.ivf_pq_search(
+                    self, meta, df, vectors, metric=metric,
+                    nprobe=nprobe_param,
+                    limit=kw.get("limit", 10),
+                    round_digits=kw.get("round_digits", 6),
+                )
             if nprobe_param is not None:
                 kw.setdefault("nprobe", nprobe_param)
             return ann.ivf_search(

@@ -55,7 +55,82 @@ def build_ivf(engine, meta) -> None:
         "nlist": nlist,
         "centroids": [[float(x) for x in c] for c in model.clusterCenters()],
     }
+    if (vix.index_type or "").upper() == "IVF_PQ":
+        _build_pq_sidecar(engine, meta, vix)
     engine.catalog.put_collection(meta, replace=True)
+
+
+def _pq_sidecar_name(meta) -> str:
+    return f"{meta.name}__pqcodes"
+
+
+def _build_pq_sidecar(engine, meta, vix) -> None:
+    """IVF_PQ: train codebooks on a bounded sample, encode every row,
+    and write the (id, codes) table partitioned by the SAME cluster_id
+    layout as the main collection — an ADC search reads only the probed
+    cells' code bytes (reference IVF_PQ index type; the vendor server
+    quantizes inside its inverted lists the same way). The raw vectors
+    stay in the main table for the exact rescore."""
+    from aiotcvectordb_spark.operators import pq
+
+    m = int(vix.params.get("M", vix.params.get("m", 8)))
+    nbits = int(vix.params.get("nbits", 5))
+    metric = (vix.metric_type or "COSINE").upper()
+    vec_col = meta.vector_field or "vector"
+    df = engine.store.read(engine.spark, meta.database, meta.name)
+    model = pq.train_pq(
+        df, vector_col=vec_col, m=m, nbits=nbits,
+        normalize=metric != "L2",
+    )
+    codes = pq.encode_pq(
+        df, model, id_col=meta.primary_key, vector_col=vec_col
+    ).join(df.select(meta.primary_key, "cluster_id"), meta.primary_key)
+    engine.store.write(
+        codes, meta.database, _pq_sidecar_name(meta),
+        partition_by=["cluster_id"],
+    )
+    meta.ann_state["pq"] = model.to_state() | {"m": m, "nbits": nbits}
+
+
+def ivf_pq_search(
+    engine,
+    meta,
+    df: DataFrame,
+    vectors: Sequence[Sequence[float]],
+    *,
+    metric: str = "COSINE",
+    nprobe: int | None = None,
+    limit: int = 10,
+    rescore_k: int | None = None,
+    **kw,
+) -> DataFrame:
+    """IVF_PQ search: probe cells against the centroids, ADC-score the
+    probed cells' CODE BYTES (sidecar table, same partition pruning as
+    ivf_search), exact-rescore the survivors against the raw vectors of
+    those cells. I/O = nprobe/nlist of the code bytes (~32x smaller
+    than the vectors) plus rescore_k raw rows per query."""
+    from aiotcvectordb_spark.operators import pq
+
+    state = meta.ann_state["ivf"]
+    model = pq.PQModel.from_state(meta.ann_state["pq"])
+    probe_ids = probe_cells(state["centroids"], vectors, nprobe)
+    codes = engine.store.read(
+        engine.spark, meta.database, _pq_sidecar_name(meta)
+    ).filter(F.col("cluster_id").isin(probe_ids))
+    pruned = df.filter(F.col("cluster_id").isin(probe_ids))
+    out = pq.search_pq(
+        codes,
+        model,
+        [[float(x) for x in v] for v in vectors],
+        id_col=meta.primary_key,
+        k=limit,
+        rescore=pruned,
+        rescore_k=rescore_k or max(4 * limit, 50),
+        vector_col=meta.vector_field or "vector",
+        metric=metric,
+        **kw,
+    )
+    return out
 
 
 def assign_clusters(

@@ -39,10 +39,34 @@ from pyspark.sql import functions as F
 
 @dataclass
 class PQModel:
-    """Trained codebooks: (m, k, dsub) float64, plus geometry."""
+    """Trained codebooks: (m, k, dsub) float64, plus geometry.
+
+    ``normalize=True`` (COSINE/IP service): vectors are unit-normalized
+    before quantization so squared-L2 ADC is rank-equivalent to cosine.
+    ``normalize=False`` (L2 service): raw vectors are quantized and ADC
+    approximates true L2 distances."""
 
     codebooks: np.ndarray
     dim: int
+    normalize: bool = True
+
+    def to_state(self) -> dict:
+        """JSON-serializable form for catalog persistence."""
+        return {
+            "codebooks": [
+                [[float(x) for x in c] for c in book] for book in self.codebooks
+            ],
+            "dim": int(self.dim),
+            "normalize": bool(self.normalize),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "PQModel":
+        return cls(
+            codebooks=np.asarray(state["codebooks"], dtype=np.float64),
+            dim=int(state["dim"]),
+            normalize=bool(state.get("normalize", True)),
+        )
 
     @property
     def m(self) -> int:
@@ -96,16 +120,20 @@ def train_pq(
     train_sample: int = 16384,
     iters: int = 10,
     seed: int = 42,
+    normalize: bool = True,
 ) -> PQModel:
     """Fit per-subspace codebooks on a bounded sample of ``df``.
 
     The collect is capped at ``train_sample`` rows (~4 MB at dim 64) no
     matter the corpus size — the unbounded work (encode, search) stays
-    distributed."""
+    distributed. ``normalize=False`` trains on raw vectors (L2
+    service)."""
     rows = (
         df.select(vector_col).limit(train_sample).collect()
     )
-    mat = _unit(np.asarray([r[0] for r in rows], dtype=np.float64))
+    mat = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if normalize:
+        mat = _unit(mat)
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -121,7 +149,7 @@ def train_pq(
             for s in range(m)
         ]
     )
-    return PQModel(codebooks=books, dim=dim)
+    return PQModel(codebooks=books, dim=dim, normalize=normalize)
 
 
 def encode_pq(
@@ -136,15 +164,17 @@ def encode_pq(
     codebooks ride to executors inside the serialized closure (tiny:
     m*k*dsub floats)."""
     books, m, dsub = model.codebooks, model.m, model.dsub
-    schema = f"{id_col} long, codes array<int>"
+    do_norm = model.normalize
+    id_type = dict(df.dtypes)[id_col]  # id passes through untouched
+    schema = f"{id_col} {id_type}, codes array<int>"
 
     def enc(batches):
         import pandas as pd
 
         for pdf in batches:
-            vecs = _unit(
-                np.asarray(list(pdf[vector_col]), dtype=np.float64)
-            )
+            vecs = np.asarray(list(pdf[vector_col]), dtype=np.float64)
+            if do_norm:
+                vecs = _unit(vecs)
             codes = np.empty((len(vecs), m), dtype=np.int64)
             for s in range(m):
                 sub = vecs[:, s * dsub : (s + 1) * dsub]
@@ -170,17 +200,28 @@ def search_pq(
     rescore_k: int = 50,
     vector_col: str = "embedding",
     round_digits: int | None = 6,
+    metric: str = "COSINE",
 ) -> DataFrame:
     """ADC top-k over PQ codes for each query vector.
 
     Returns (query_idx, id, score, rank). With ``rescore`` (the raw
     vector table), the ADC pass fetches ``rescore_k`` candidates per
-    query and the final ranking uses EXACT cosine on those — the
-    IVF-PQ-style refine step; without it, scores are the (negated) ADC
-    distances. Per-partition cost is a (batch x m) byte gather against
-    the broadcast LUT; shuffle is queries x rescore_k rows, never the
-    corpus."""
-    q = _unit(np.asarray(query_vecs, dtype=np.float64))
+    query and the final ranking uses the EXACT ``metric`` on those —
+    the IVF-PQ-style refine step; without it, scores are the (negated)
+    ADC distances. Per-partition cost is a (batch x m) byte gather
+    against the broadcast LUT; shuffle is queries x rescore_k rows,
+    never the corpus. COSINE/IP require a normalize=True model; L2 a
+    normalize=False one (ADC must approximate the service metric's
+    geometry)."""
+    metric_u = metric.upper()
+    if (metric_u == "L2") == model.normalize:
+        raise ValueError(
+            f"metric {metric_u} needs a PQModel trained with "
+            f"normalize={'False' if metric_u == 'L2' else 'True'}"
+        )
+    q = np.asarray(query_vecs, dtype=np.float64)
+    if model.normalize:
+        q = _unit(q)
     books, m, dsub = model.codebooks, model.m, model.dsub
     nq = len(q)
     fetch = max(k, rescore_k if rescore is not None else k)
@@ -193,7 +234,8 @@ def search_pq(
         ],
         axis=1,
     )
-    schema = "query_idx int, __id long, adc double"
+    id_type = dict(codes_df.dtypes)[id_col]
+    schema = f"query_idx int, __id {id_type}, adc double"
 
     def adc_topk(batches):
         import pandas as pd
@@ -234,16 +276,15 @@ def search_pq(
         w2 = Window.partitionBy("query_idx").orderBy(
             F.col("adc").asc(), F.col(id_col).asc()
         )
+        score = F.col("adc") if metric_u == "L2" else -F.col("adc")
         return (
             cand.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
-            .select(
-                "query_idx", id_col, (-F.col("adc")).alias("score"), "rank"
-            )
+            .select("query_idx", id_col, score.alias("score"), "rank")
         )
     from aiotcvectordb_spark.functions.vector import (
-        dot_score_fixed,
-        vector_norm_fixed,
+        metric_score_fixed,
+        score_is_better_desc,
     )
 
     qdf = cand.sparkSession.createDataFrame(
@@ -255,19 +296,17 @@ def search_pq(
         cand.join(rescore.select(id_col, vector_col), id_col)
         .join(F.broadcast(qdf), "query_idx")
         .withColumn(
-            "score",
-            dot_score_fixed(vector_col, "__qv", dim)
-            / (
-                vector_norm_fixed(vector_col, dim)
-                * vector_norm_fixed("__qv", dim)
-            ),
+            "score", metric_score_fixed(metric_u, vector_col, "__qv", dim)
         )
     )
     if round_digits is not None:
         joined = joined.withColumn("score", F.round("score", round_digits))
-    w3 = Window.partitionBy("query_idx").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
+    order = (
+        F.col("score").desc()
+        if score_is_better_desc(metric_u)
+        else F.col("score").asc()
     )
+    w3 = Window.partitionBy("query_idx").orderBy(order, F.col(id_col).asc())
     return (
         joined.withColumn("rank", F.row_number().over(w3))
         .filter(F.col("rank") <= k)

@@ -72,6 +72,62 @@ def test_rescored_recall_vs_exact(spark, sf_dir):
     assert np.mean(recalls) >= 0.8, f"mean recall {np.mean(recalls)}: {recalls}"
 
 
+def test_engine_ivf_pq_index(spark, sf_dir, engine):
+    """The reference's IVF_PQ index type end to end: create collection,
+    build, search through the engine; recall vs the engine's own exact
+    FLAT scan; filter queries fall back to exact cell-pruned search."""
+    from aiotcvectordb_spark.catalog import IndexField
+
+    db = "db_pq"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="IVF_PQ", dimension=64,
+                params={"nlist": 8, "M": 8, "nbits": 5},
+            ),
+        ],
+    )
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    engine.store.write(emb, db, "emb")
+    engine.rebuild_index(db, "emb")
+    meta = engine.catalog.get_collection(db, "emb")
+    assert "pq" in meta.ann_state and meta.ann_state["pq"]["m"] == 8
+
+    probe = [list(r.embedding) for r in emb.orderBy("vec_id").limit(3).collect()]
+    exact = engine.search_df(
+        db, "emb", probe, limit=10, round_digits=6,
+        metric="COSINE", params={"nprobe": 8},  # all cells = exact
+    )
+    # IVF_PQ path: broad probe so recall degradation comes only from
+    # the ADC candidate stage (rescore is exact)
+    got = engine.search_df(db, "emb", probe, limit=10, params={"nprobe": 6})
+    truth, mine = {}, {}
+    for r in exact.collect():
+        truth.setdefault(r.query_idx, set()).add(r.vec_id)
+    for r in got.collect():
+        mine.setdefault(r.query_idx, set()).add(r.vec_id)
+    recalls = [
+        len(mine.get(qi, set()) & truth[qi]) / len(truth[qi]) for qi in truth
+    ]
+    assert np.mean(recalls) >= 0.7, f"mean recall {np.mean(recalls)}: {recalls}"
+    # each query found itself with cosine ~1.0 at rank 1
+    for r in got.collect():
+        if r.rank == 1:
+            assert r.score >= 0.999
+
+    # a filtered search must not lose rows to the approximation: it
+    # falls back to the exact cell-pruned scan
+    filtered = engine.search_df(
+        db, "emb", probe[:1], limit=5, filter="vec_id < 100",
+    )
+    assert filtered.count() > 0
+    engine.drop_collection(db, "emb")
+
+
 def test_compression_ratio_documented():
     """The point of PQ: m code indices replace dim floats."""
     # dim 64 float32 = 256 bytes; m=8 codes at <=8 bits = 8 bytes -> 32x
