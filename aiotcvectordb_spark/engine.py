@@ -680,6 +680,20 @@ class VectorDBEngine:
             from aiotcvectordb_spark.operators import ann
 
             if (
+                index_type.upper() == "IVF_SQ8"
+                and meta.ann_state.get("sq8")
+                and not kw.get("filter")
+                and not kw.get("radius")
+                and not kw.get("output_fields")
+                and not kw.get("retrieve_vector")
+            ):
+                return ann.ivf_sq8_search(
+                    self, meta, df, vectors, metric=metric,
+                    nprobe=nprobe_param,
+                    limit=kw.get("limit", 10),
+                    round_digits=kw.get("round_digits", 6),
+                )
+            if (
                 index_type.upper() == "IVF_PQ"
                 and meta.ann_state.get("pq")
                 # the compressed-domain path serves the plain top-k

@@ -128,6 +128,75 @@ def test_engine_ivf_pq_index(spark, sf_dir, engine):
     engine.drop_collection(db, "emb")
 
 
+def test_engine_ivf_sq8_index(spark, sf_dir, engine):
+    """IVF_SQ8: scalar-quantized approximate ranking (pure Catalyst,
+    no Python workers) + exact rescore, through the engine."""
+    from aiotcvectordb_spark.catalog import IndexField
+
+    db = "db_sq8"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="IVF_SQ8", dimension=64,
+                params={"nlist": 8},
+            ),
+        ],
+    )
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    engine.store.write(emb, db, "emb")
+    engine.rebuild_index(db, "emb")
+    meta = engine.catalog.get_collection(db, "emb")
+    assert "sq8" in meta.ann_state and len(meta.ann_state["sq8"]["lo"]) == 64
+
+    probe = [list(r.embedding) for r in emb.orderBy("vec_id").limit(2).collect()]
+    exact = engine.search_df(
+        db, "emb", probe, limit=10, round_digits=6, params={"nprobe": 8},
+    )
+    got = engine.search_df(db, "emb", probe, limit=10, params={"nprobe": 6})
+    truth, mine = {}, {}
+    for r in exact.collect():
+        truth.setdefault(r.query_idx, set()).add(r.vec_id)
+    for r in got.collect():
+        mine.setdefault(r.query_idx, set()).add(r.vec_id)
+    recalls = [
+        len(mine.get(qi, set()) & truth[qi]) / len(truth[qi]) for qi in truth
+    ]
+    # SQ8 error is tiny (8-bit grid) — recall should be near-perfect at
+    # matching probe breadth
+    assert np.mean(recalls) >= 0.85, f"mean recall {np.mean(recalls)}: {recalls}"
+    for r in got.collect():
+        if r.rank == 1:
+            assert r.score >= 0.999
+    engine.drop_collection(db, "emb")
+
+
+def test_sq8_quantization_error_bounded(spark, sf_dir):
+    """Dequantized vectors stay within half a grid step per dimension."""
+    from aiotcvectordb_spark.operators import ann
+
+    emb = _emb(spark, sf_dir).limit(100)
+    rows = [np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()]
+    mat = np.stack(rows)
+    lo, hi = mat.min(0), mat.max(0)
+    span = np.where(hi - lo > 0, hi - lo, 1.0)
+    codes = np.round((mat - lo) * 255.0 / span)
+    deq = lo + codes * span / 255.0
+    assert np.abs(deq - mat).max() <= (span / 255.0 / 2 + 1e-12).max()
+    # and the SQL expression agrees with numpy for the first row
+    df = emb.limit(1)
+    got = df.select(
+        ann.sq8_quantize_expr("embedding", lo.tolist(), hi.tolist()).alias("c")
+    ).first().c
+    # numpy rounds half-to-even, Spark half-up: allow the one-step
+    # disagreement on exact .5 boundaries, nothing more
+    assert max(abs(int(g) - int(x)) for g, x in zip(got, codes[0])) <= 1
+    assert sum(int(g) != int(x) for g, x in zip(got, codes[0])) <= 2
+
+
 def test_compression_ratio_documented():
     """The point of PQ: m code indices replace dim floats."""
     # dim 64 float32 = 256 bytes; m=8 codes at <=8 bits = 8 bytes -> 32x
