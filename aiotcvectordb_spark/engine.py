@@ -318,13 +318,18 @@ class VectorDBEngine:
         registered as SQL scalar functions — exact vector search is
         expressible as plain SQL with zero Python in the loop — plus the
         `topk_by_score` table function (two-phase bounded-shuffle kNN,
-        see `functions/topk_udtf.py`)."""
+        see `functions/topk_udtf.py`) and `sessionize_by_gap`
+        (gap sessionization, `functions/session_udtf.py`)."""
+        from aiotcvectordb_spark.functions.session_udtf import (
+            register_sessionize_udtf,
+        )
         from aiotcvectordb_spark.functions.topk_udtf import register_topk_udtf
         from aiotcvectordb_spark.functions.vector import register_sql_functions
 
         self.register_views(database)
         register_sql_functions(self.spark)
         register_topk_udtf(self.spark)
+        register_sessionize_udtf(self.spark)
         return self.spark.sql(query)
 
     def database(self, name: str):
