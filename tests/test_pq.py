@@ -128,6 +128,32 @@ def test_engine_ivf_pq_index(spark, sf_dir, engine):
     engine.drop_collection(db, "emb")
 
 
+def test_full_rescore_equals_exact(spark, sf_dir):
+    """With rescore_k >= corpus size the ADC stage cannot drop a true
+    neighbor, so PQ search must return EXACTLY the exact-kNN result
+    (same ids, same scores, same ranks) — the approximation lives only
+    in candidate selection, never in scoring."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    probe = [list(r.embedding) for r in emb.orderBy("vec_id").limit(2).collect()]
+    exact = {
+        (r.query_idx, r.rank): (r.vec_id, r.score)
+        for r in knn.knn_search(
+            emb, probe, vector_col="embedding", id_col="vec_id",
+            metric="COSINE", limit=10, round_digits=6,
+        ).collect()
+    }
+    model = pq.train_pq(emb, m=8, nbits=4)
+    codes = pq.encode_pq(emb, model)
+    got = {
+        (r.query_idx, r.rank): (r.vec_id, r.score)
+        for r in pq.search_pq(
+            codes, model, probe, k=10, rescore=emb, rescore_k=n,
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_engine_ivf_sq8_index(spark, sf_dir, engine):
     """IVF_SQ8: scalar-quantized approximate ranking (pure Catalyst,
     no Python workers) + exact rescore, through the engine."""
