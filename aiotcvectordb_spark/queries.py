@@ -1043,8 +1043,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_COMPONENTS = f"""
-WITH RECURSIVE cand AS ({ORACLE_MINHASH_LSH_CANDIDATES}),
-edges AS (
+WITH RECURSIVE cand AS MATERIALIZED ({ORACLE_MINHASH_LSH_CANDIDATES}),
+edges AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: without it DuckDB re-evaluates the
+  -- whole minhash candidate pipeline on EVERY recursion round
+  -- (measured 9s -> 0.2s at sf0.01)
   SELECT doc_a AS a, doc_b AS b FROM cand
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM cand
