@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 COSINE = "COSINE"
 IP = "IP"
 L2 = "L2"
-METRICS = (COSINE, IP, L2)
+HAMMING = "HAMMING"
+METRICS = (COSINE, IP, L2, HAMMING)
 
 
 def _dot_expr(a: str, b: str) -> str:
@@ -96,6 +97,17 @@ def l2_score_fixed(vec_col: str, query_col: str, dim: int) -> Column:
     return F.sqrt(F.expr(terms))
 
 
+def hamming_score_fixed(vec_col: str, query_col: str, nbytes: int) -> Column:
+    """Hamming distance over BYTE-PACKED binary vectors (array<int>, one
+    0-255 value per element): popcount of the per-byte XOR, unrolled and
+    codegen'd — the BIN_FLAT metric. Lower is better."""
+    terms = " + ".join(
+        f"bit_count(cast({vec_col}[{i}] as int) ^ cast({query_col}[{i}] as int))"
+        for i in range(nbytes)
+    )
+    return F.expr(f"cast({terms} as double)")
+
+
 def metric_score_fixed(metric: str, vec_col: str, query_col: str, dim: int) -> Column:
     m = metric.upper()
     if m == COSINE:
@@ -104,6 +116,8 @@ def metric_score_fixed(metric: str, vec_col: str, query_col: str, dim: int) -> C
         return dot_score_fixed(vec_col, query_col, dim)
     if m == L2:
         return l2_score_fixed(vec_col, query_col, dim)
+    if m == HAMMING:
+        return hamming_score_fixed(vec_col, query_col, dim)
     raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
 
 
@@ -115,18 +129,25 @@ def metric_score(metric: str, vec_col: str, query_col: str) -> Column:
         return dot_score(vec_col, query_col)
     if m == L2:
         return l2_score(vec_col, query_col)
+    if m == HAMMING:
+        return F.expr(
+            f"cast(aggregate(zip_with({vec_col}, {query_col}, "
+            "(x, y) -> bit_count(cast(x as int) ^ cast(y as int))), "
+            "0, (acc, v) -> acc + v) as double)"
+        )
     raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
 
 
 def score_is_better_desc(metric: str) -> bool:
-    """True if higher score is better (IP/COSINE); False for L2.
+    """True if higher score is better (IP/COSINE); False for the
+    distance metrics (L2/HAMMING).
 
     Mirrors reference stub.py:618-621 radius semantics.
     """
     m = metric.upper()
     if m in (COSINE, IP):
         return True
-    if m == L2:
+    if m in (L2, HAMMING):
         return False
     raise ValueError(f"unknown metric {metric!r}")
 

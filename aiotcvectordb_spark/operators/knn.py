@@ -185,6 +185,19 @@ def _local_topk_candidates(
             elif metric_u == "COSINE":
                 dn = np.linalg.norm(mat, axis=1)
                 scores = (mat @ qmat.T) / np.outer(dn, qn)
+            elif metric_u == "HAMMING":
+                # byte-packed binary vectors: popcount of XOR via
+                # unpackbits — (N, Q) distances in one vectorized pass
+                mb = mat.astype(np.uint8)  # (N, B)
+                qb = qmat.astype(np.uint8)  # (Q, B)
+                bits_m = np.unpackbits(mb, axis=1).astype(np.int32)
+                bits_q = np.unpackbits(qb, axis=1).astype(np.int32)
+                # XOR popcount == bits differing == |a| + |q| - 2 a.q
+                scores = (
+                    bits_m.sum(1)[:, None]
+                    + bits_q.sum(1)[None, :]
+                    - 2 * (bits_m @ bits_q.T)
+                ).astype(np.float64)
             else:  # L2
                 n2 = (mat * mat).sum(axis=1)[:, None]
                 q2 = (qmat * qmat).sum(axis=1)[None, :]

@@ -136,6 +136,84 @@ ORACLE_SEARCH_FLAT_COSINE = _knn_oracle(
 )
 
 
+_N_BIN_BYTES = DIM // 8
+
+
+def _binarize_spark_expr(vec: str) -> str:
+    """Sign-bit pack: byte_j's bit k = (vec[8j+k] > 0) — dim floats to
+    dim/8 bytes, pure SQL."""
+    bytes_ = []
+    for j in range(_N_BIN_BYTES):
+        bits = " + ".join(
+            f"(case when cast({vec}[{8 * j + k}] as double) > 0 then {1 << k} else 0 end)"
+            for k in range(8)
+        )
+        bytes_.append(f"({bits})")
+    return f"array({', '.join(bytes_)})"
+
+
+def _binarize_py(v: list[float]) -> list[float]:
+    out = []
+    for j in range(len(v) // 8):
+        b = 0
+        for k in range(8):
+            if v[8 * j + k] > 0:
+                b |= 1 << k
+        out.append(float(b))
+    return out
+
+
+def q_search_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIN_FLAT (vendor index type for binary vectors): embeddings are
+    sign-bit packed to dim/8 bytes (the classic random-hyperplane-style
+    binary sketch) and ranked by HAMMING distance — popcount of the
+    per-byte XOR, fully inside whole-stage codegen
+    (functions/vector.hamming_score_fixed). 32x less vector I/O than
+    float32 at 100 TB, and the distance is integral so the oracle hash
+    is exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    bin_df = emb.select(
+        "vec_id", F.expr(_binarize_spark_expr("embedding")).alias("bvec")
+    )
+    qb = [_binarize_py(qvec(1.0)), _binarize_py(qvec(-1.0))]
+    return knn.knn_search(
+        bin_df,
+        qb,
+        vector_col="bvec",
+        id_col="vec_id",
+        metric="HAMMING",
+        limit=10,
+        round_digits=ROUND_DIGITS,
+    ).select("query_idx", "vec_id", "score", "rank")
+
+
+def _bin_byte_sql(j: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN CAST(e.embedding[{8 * j + k + 1}] AS DOUBLE) > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(8)
+    )
+    return f"({bits})"
+
+
+ORACLE_SEARCH_BINARY_HAMMING = f"""
+WITH queries(query_idx, qv) AS (VALUES {", ".join(
+    f"({i}, [{', '.join(str(int(b)) for b in v)}]::INT[])"
+    for i, v in enumerate([_binarize_py(qvec(1.0)), _binarize_py(qvec(-1.0))])
+)}),
+scored AS (
+  SELECT q.query_idx, e.vec_id,
+         CAST({" + ".join(f"bit_count(xor({_bin_byte_sql(j)}, q.qv[{j + 1}]))" for j in range(_N_BIN_BYTES))} AS DOUBLE) AS s
+  FROM embeddings e CROSS JOIN queries q
+)
+SELECT query_idx, vec_id, round(s, {ROUND_DIGITS}) AS score,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY round(s, {ROUND_DIGITS}) ASC, vec_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+ORDER BY query_idx, rank
+"""
+
+
 def q_search_flat_cosine_local_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 28 via the bounded-shuffle scale path: identical semantics to
     `search_flat_cosine` but ``strategy="local_topk"`` — a per-partition
@@ -3680,6 +3758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,
     "image_probe": q_image_probe,
     "sessionize_udtf": q_sessionize_udtf,
+    "search_binary_hamming": q_search_binary_hamming,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -3750,6 +3829,7 @@ ORACLES: dict[str, str] = {
     "search_flat_cosine_local_topk": ORACLE_SEARCH_FLAT_COSINE,
     "image_probe": ORACLE_IMAGE_PROBE,
     "sessionize_udtf": ORACLE_SESSIONIZE,
+    "search_binary_hamming": ORACLE_SEARCH_BINARY_HAMMING,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,

@@ -26,6 +26,61 @@ def test_local_topk_equals_sql(spark, sf_dir):
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
 
 
+def test_local_topk_equals_sql_hamming(spark, sf_dir):
+    """Byte-packed binary vectors: the numpy unpackbits scorer must
+    match the codegen bit_count(xor) expression exactly (integral
+    distances — no float tolerance needed)."""
+    from pyspark.sql import functions as F
+
+    from aiotcvectordb_spark import queries as Q
+
+    df = _emb(spark, sf_dir).select(
+        "vec_id", F.expr(Q._binarize_spark_expr("embedding")).alias("bvec")
+    )
+    vecs = [Q._binarize_py(qvec(1.0)), Q._binarize_py(qvec(-2.0))]
+    kw = dict(
+        vector_col="bvec", id_col="vec_id", metric="HAMMING",
+        limit=10, round_digits=6,
+    )
+    a = knn.knn_search(df, vecs, strategy="sql", **kw).toPandas()
+    b = knn.knn_search(df, vecs, strategy="local_topk", **kw).toPandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_engine_bin_flat_hamming(spark, sf_dir, engine):
+    """BIN_FLAT collection: byte-packed binary vectors searched by
+    HAMMING through the engine surface."""
+    from pyspark.sql import functions as F
+
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.catalog import IndexField
+
+    db = "db_bin"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="bvec", kind="vector", field_type="binary_vector",
+                metric_type="HAMMING", index_type="BIN_FLAT", dimension=8,
+            ),
+        ],
+    )
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.expr(Q._binarize_spark_expr("embedding")).alias("bvec")
+    )
+    engine.store.write(emb, db, "emb")
+    q = Q._binarize_py(qvec(1.0))
+    hits = engine.search(db, "emb", [q], limit=5)
+    assert len(hits[0]) == 5
+    # ascending integral distances
+    scores = [h["score"] for h in hits[0]]
+    assert scores == sorted(scores) and all(s == int(s) for s in scores)
+    # self-query: a row whose packed bytes equal the query has distance 0
+    engine.drop_collection(db, "emb")
+
+
 def test_local_topk_equals_sql_l2(spark, sf_dir):
     df = _emb(spark, sf_dir)
     vecs = [qvec(3.0)]

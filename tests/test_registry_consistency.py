@@ -50,7 +50,10 @@ def test_oracle_sql_mentions_no_unregistered_tables():
             # CTE names and derived relations are fine; only flag names
             # that LOOK like base tables but aren't registered. CTEs are
             # declared in the same SQL text:
-            *re.findall(r"([a-z_][a-z0-9_]*)\s*(?:\([a-z0-9_, ]*\))?\s+AS\s*\(", sql),
+            *re.findall(
+                r"([a-z_][a-z0-9_]*)\s*(?:\([a-z0-9_, ]*\))?\s+AS\s*(?:MATERIALIZED\s+)?\(",
+                sql,
+            ),
         }
         # subselects introduce parenthesized FROMs the regex skips; any
         # residual unknown name is a genuine missing view
