@@ -28,6 +28,16 @@ import sys
 
 def _load(path: str) -> dict:
     raw = sys.stdin.read() if path == "-" else open(path).read()
+    # Accept the driver's BENCH_r{N}.json wrapper ({"n", "rc", "tail":
+    # "...stderr + json line..."}) by searching its tail text too.
+    try:
+        whole = json.loads(raw)
+        if isinstance(whole, dict) and "queries" in whole:
+            return whole
+        if isinstance(whole, dict) and isinstance(whole.get("tail"), str):
+            raw = whole["tail"]
+    except json.JSONDecodeError:
+        pass
     # The bench file may hold log noise; take the last JSON-looking line.
     for line in reversed([ln for ln in raw.splitlines() if ln.strip()]):
         try:
