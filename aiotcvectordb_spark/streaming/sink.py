@@ -65,6 +65,33 @@ def stream_upsert_sink(
             merged, database, meta.name, shard=meta.shard,
             partition_by=partition_by,
         )
+        # IVF_PQ: keep the sidecar codes table in lockstep — encode ONLY
+        # the batch rows with the EXISTING codebooks (no retrain; same
+        # incremental contract as the centroid assignment above) and
+        # upsert them into the sidecar, so ADC search keeps seeing every
+        # upserted row between full rebuilds at O(batch) encode cost.
+        pq_state = meta.ann_state.get("pq")
+        if pq_state and vec and build_index and ivf:
+            from aiotcvectordb_spark.operators import ann as _ann
+            from aiotcvectordb_spark.operators import pq as _pq
+
+            model = _pq.PQModel.from_state(pq_state)
+            sidecar = _ann._pq_sidecar_name(meta)
+            batch_codes = _pq.encode_pq(
+                batch_df, model, id_col=pk, vector_col=vec
+            ).join(batch_df.select(pk, "cluster_id"), pk)
+            try:
+                old_codes = engine.store.read(engine.spark, database, sidecar)
+            except FileNotFoundError:
+                old_codes = None
+            merged_codes = (
+                upsert_dataframes(old_codes, batch_codes, pk)
+                if old_codes is not None
+                else batch_codes
+            )
+            engine.store.write(
+                merged_codes, database, sidecar, partition_by=["cluster_id"]
+            )
 
     return apply_batch
 

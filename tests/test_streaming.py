@@ -45,6 +45,57 @@ def test_stream_upsert_sink(engine, spark, tmp_path):
     assert rows["a"]["v"] == 2  # replaced by the streamed batch
 
 
+def test_stream_upsert_maintains_pq_sidecar(engine, spark, sf_dir, tmp_path):
+    """IVF_PQ collections: streamed micro-batches are encoded with the
+    EXISTING codebooks and upserted into the sidecar codes table, so the
+    compressed-domain search keeps finding new rows between rebuilds."""
+    from aiotcvectordb_spark.catalog import IndexField
+    from aiotcvectordb_spark.streaming.sink import stream_upsert_sink
+
+    db = "db_spq"
+    engine.create_database(db)
+    engine.create_collection(
+        db, "emb",
+        indexes=[
+            IndexField(name="vec_id", kind="primary_key", field_type="uint64"),
+            IndexField(
+                name="embedding", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="IVF_PQ", dimension=64,
+                params={"nlist": 4, "M": 8, "nbits": 4},
+            ),
+        ],
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    engine.store.write(emb.filter("vec_id < 100"), db, "emb")
+    engine.rebuild_index(db, "emb")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    emb.filter("vec_id >= 100").write.parquet(str(src / "more"))
+    stream = spark.readStream.schema(emb.schema).parquet(str(src / "*"))
+    q = (
+        stream.writeStream.foreachBatch(stream_upsert_sink(engine, db, "emb"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    codes = engine.store.read(spark, db, "emb__pqcodes")
+    assert codes.count() == emb.count()  # sidecar covers streamed rows
+
+    # a streamed-in vector is findable through the IVF_PQ (ADC) path
+    probe = emb.filter("vec_id >= 100").first()
+    hits = engine.search(
+        db, "emb", [list(probe.embedding)], limit=3, params={"nprobe": 4}
+    )
+    assert hits[0][0]["vec_id"] == probe.vec_id
+    assert hits[0][0]["score"] >= 0.999
+    engine.drop_collection(db, "emb")
+
+
 def test_ttl_vacuum(engine):
     db = "db_vac"
     engine.create_database(db)
