@@ -3534,6 +3534,100 @@ JOIN customer ON o_custkey = c_custkey
 # --------------------------------------------------------------------------
 
 
+# PII patterns shared by the Spark query and the DuckDB oracle — kept
+# to the regex subset where Java regex and RE2 agree (no lookaround,
+# no \b ambiguity across engines).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+_PII_PHONE = "[+][0-9][0-9() -]{7,}[0-9]"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — a mandatory pass before LLM training data ships:
+    emails, IPv4 addresses, and international-format phone numbers are
+    replaced with typed placeholder tags, with per-kind match counts for
+    the compliance audit trail. Pure JVM regexp (three chained
+    regexp_replace + three regexp_count) fused into the scan projection:
+    no UDF, no shuffle, scales as a map-only pass over any corpus."""
+    df = load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+FROM documents
+"""
+
+
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — drop training docs that overlap the
+    eval set (the step every serious pretraining pipeline runs so the
+    model isn't graded on memorized data). The 'benchmark' here is the
+    deterministic held-out slice doc_id % 5 == 0; contamination = any
+    shared 8-token shingle. Shape: shingle-explode both sides, ONE
+    equi-join on the shingle hash (no pairwise doc comparison), distinct
+    doc ids out — the same bounded-join pattern as MinHash-LSH, so it
+    scales to a 100 TB corpus against a fixed benchmark suite."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    sh = (
+        f"transform(sequence(1, size({toks}) - 7), "
+        f"i -> concat_ws(' ', slice({toks}, i, 8)))"
+    )
+    shingled = df.filter(F.expr(f"size({toks}) >= 8")).select(
+        "doc_id", F.explode(F.expr(sh)).alias("shingle")
+    )
+    bench = shingled.filter(F.col("doc_id") % 5 == 0).select("shingle").distinct()
+    train = shingled.filter(F.col("doc_id") % 5 != 0)
+    contaminated = (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )
+    return contaminated
+
+
+ORACLE_BENCHMARK_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+  WHERE len({_TOKS_SQL}) >= 8
+),
+shingled AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+                        i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 5 = 0)
+SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared_shingles
+FROM shingled s JOIN bench b USING (shingle)
+WHERE s.doc_id % 5 <> 0
+GROUP BY s.doc_id
+"""
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization for a training corpus: strip control chars,
     collapse whitespace runs, trim, lowercase — all JVM regexp
@@ -3759,6 +3853,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_probe": q_image_probe,
     "sessionize_udtf": q_sessionize_udtf,
     "search_binary_hamming": q_search_binary_hamming,
+    "pii_scrub": q_pii_scrub,
+    "benchmark_decontaminate": q_benchmark_decontaminate,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -3830,6 +3926,8 @@ ORACLES: dict[str, str] = {
     "image_probe": ORACLE_IMAGE_PROBE,
     "sessionize_udtf": ORACLE_SESSIONIZE,
     "search_binary_hamming": ORACLE_SEARCH_BINARY_HAMMING,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,
