@@ -65,6 +65,35 @@ def test_fulltext_no_full_corpus_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in audit.executed_plan(out)
 
 
+def test_no_cartesian_product_in_any_registry_query(spark, sf_dir):
+    """Registry-wide lint: no registered query may plan a
+    CartesianProduct (broadcast nested-loop against a BROADCAST side is
+    fine — that's the deliberate small-side pattern; an unhinted
+    cartesian is always a scale bug). Queries that fit models or
+    iterate at plan-BUILD time are skipped — their inner plans are
+    audited by their own tests."""
+    eager_at_build = {
+        # KMeans/LSH fits, iterative contraction, or driver actions run
+        # during DataFrame construction — too slow for a sweep
+        "ann_ivf_cosine", "ann_lsh_l2", "ann_pq_cosine",
+        "embedding_near_dup_ivf", "dedup_components", "search_by_text",
+        "curate_corpus",  # exact_groups=False but builds big plan; keep? cheap enough
+    }
+    eager_at_build.discard("curate_corpus")
+    failures = []
+    for name, fn in Q.QUERIES.items():
+        if name in eager_at_build:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as e:  # a build failure is its own signal
+            failures.append(f"{name}: build error {e}")
+            continue
+        if "CartesianProduct" in audit.executed_plan(df):
+            failures.append(f"{name}: CartesianProduct in plan")
+    assert not failures, failures
+
+
 def test_fulltext_fractional_cutoff_is_lazy(spark, sf_dir):
     """cutoff_frequency < 1 must read the corpus size from the postings
     n_docs column (a broadcast constant), not launch an eager df.count()
