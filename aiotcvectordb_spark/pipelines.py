@@ -224,6 +224,65 @@ def split_stage(
     )
 
 
+def pii_scrub_stage(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / international phone numbers IN
+    PLACE on ``text_col`` before any downstream stage sees the text
+    (same patterns as the oracle-checked ``pii_scrub`` registry query)."""
+    from aiotcvectordb_spark.queries import _PII_EMAIL, _PII_IPV4, _PII_PHONE
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.withColumn(text_col, scrubbed)
+
+
+def decontaminate_stage(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "clean_text",
+    bench_text_col: str = "text",
+    shingle: int = 8,
+) -> DataFrame:
+    """Flag docs sharing any ``shingle``-token window with the eval set
+    (column ``contaminated``). One shingle equi-join against the
+    benchmark's distinct shingles — the benchmark side is a fixed suite,
+    so at corpus scale this broadcasts."""
+
+    def shingles_of(df, col):
+        toks = f"filter(split(lower({col}), '[^a-z0-9]+'), t -> t != '')"
+        sh = (
+            f"transform(sequence(1, size({toks}) - {shingle - 1}), "
+            f"i -> concat_ws(' ', slice({toks}, i, {shingle})))"
+        )
+        return df.filter(F.expr(f"size({toks}) >= {shingle}")).select(
+            *df.columns, F.explode(F.expr(sh)).alias("__shingle")
+        )
+
+    bench_sh = (
+        shingles_of(benchmark, bench_text_col)
+        .select("__shingle")
+        .distinct()
+    )
+    hit = (
+        shingles_of(docs.select(id_col, text_col), text_col)
+        .join(F.broadcast(bench_sh), "__shingle")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.join(hit, id_col, "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+
 def curate(
     docs: DataFrame,
     *,
@@ -233,11 +292,21 @@ def curate(
     min_alnum_ratio: float = 0.6,
     max_bucket_size: int | None = 64,
     exact_groups: bool = False,
+    scrub_pii: bool = False,
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Full curation flow. Returns the corpus annotated with
     (clean_text, n_tokens, quality_ok, exact_keeper, near_dup, split,
-    keep) — callers filter ``keep`` or inspect the flags for audit."""
-    out = clean_stage(docs, text_col=text_col)
+    keep) — callers filter ``keep`` or inspect the flags for audit.
+
+    ``scrub_pii=True`` redacts PII before cleaning; passing a
+    ``benchmark`` DataFrame adds a ``contaminated`` flag (8-token
+    shingle overlap) that also gates ``keep``. Both default OFF so the
+    oracle-checked base composition is unchanged."""
+    out = docs
+    if scrub_pii:
+        out = pii_scrub_stage(out, text_col=text_col)
+    out = clean_stage(out, text_col=text_col)
     out = quality_stage(
         out, min_tokens=min_tokens, min_alnum_ratio=min_alnum_ratio
     )
@@ -249,10 +318,11 @@ def curate(
         exact_groups=exact_groups,
     )
     out = split_stage(out, id_col=id_col)
-    return out.withColumn(
-        "keep",
-        F.col("quality_ok") & F.col("exact_keeper") & ~F.col("near_dup"),
-    )
+    keep = F.col("quality_ok") & F.col("exact_keeper") & ~F.col("near_dup")
+    if benchmark is not None:
+        out = decontaminate_stage(out, benchmark, id_col=id_col)
+        keep = keep & ~F.col("contaminated")
+    return out.withColumn("keep", keep)
 
 
 def materialize(curated: DataFrame, out_dir: str) -> dict[str, int]:

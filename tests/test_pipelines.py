@@ -13,6 +13,37 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def test_curate_optional_stages(spark, sf_dir):
+    """scrub_pii redacts before cleaning; a benchmark adds a
+    contaminated flag that gates keep; defaults leave the base
+    composition byte-identical."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    base = P.curate(docs)
+    # default path unchanged by the new parameters
+    again = P.curate(docs, scrub_pii=False, benchmark=None)
+    assert base.schema == again.schema
+
+    # PII scrubbing: an email-bearing doc loses the address pre-clean
+    with_pii = docs.limit(5).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" contact bob@example.com now"))
+    )
+    scrubbed = P.curate(with_pii, scrub_pii=True)
+    assert scrubbed.filter(F.col("clean_text").contains("example.com")).count() == 0
+    assert scrubbed.filter(F.col("clean_text").contains("<email>")).count() == 5
+
+    # decontamination: docs sharing 8-token windows with the benchmark
+    # slice are flagged and excluded from keep
+    bench = docs.filter("doc_id % 5 = 0").select("text")
+    cur = P.curate(docs, benchmark=bench)
+    flagged = cur.filter("contaminated")
+    assert flagged.count() > 0
+    assert cur.filter("keep AND contaminated").count() == 0
+    # benchmark members overlap themselves trivially -> flagged
+    assert flagged.filter("doc_id % 5 = 0").count() > 0
+
+
 def test_curate_flags_and_keep(spark, sf_dir):
     cur = P.curate(_docs(spark, sf_dir)).cache()
     total = _docs(spark, sf_dir).count()
