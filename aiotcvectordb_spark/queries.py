@@ -3811,6 +3811,169 @@ WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) >
 
 
 # --------------------------------------------------------------------------
+# Unigram LM quality score (CCNet-style corpus-level language-model
+# filtering: docs whose tokens are improbable under the corpus unigram
+# distribution are low-quality / noise)
+# --------------------------------------------------------------------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the CCNet-style LM quality signal, built from
+    the corpus itself (no external model).
+
+    Scale shape: one explode -> (doc_id, token) aggregated FIRST to
+    per-doc term frequencies (shrinks the join input from total-token
+    rows to distinct (doc, token) pairs), then a single equi-join on
+    token against the corpus vocabulary (AQE picks broadcast when the
+    vocab is small; shuffle join at real scale), then one per-doc
+    aggregation. Three shuffles total, all key-partitioned, nothing
+    collected.
+    """
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    tok = df.select("doc_id", F.explode(F.expr(toks)).alias("token"))
+    # per-doc term frequency (shrinks the token->vocab join)
+    dtf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("dtf"))
+    # corpus vocabulary with counts, plus the corpus token total
+    tf = dtf.groupBy("token").agg(F.sum("dtf").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n"))
+    return (
+        dtf.join(tf, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dtf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("dtf") * F.log2(F.col("tf") / F.col("n")))
+                / F.sum("dtf"),
+                ROUND_DIGITS,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+dtf AS (SELECT doc_id, token, count(*) AS dtf FROM tok GROUP BY 1, 2),
+tf AS (SELECT token, sum(dtf) AS tf FROM dtf GROUP BY token),
+tot AS (SELECT sum(tf) AS n FROM tf)
+SELECT d.doc_id,
+       CAST(sum(d.dtf) AS BIGINT) AS n_tokens,
+       round(sum(d.dtf * log2(f.tf / tot.n)) / sum(d.dtf), 6) AS avg_logprob
+FROM dtf d JOIN tf f USING (token) CROSS JOIN tot
+GROUP BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-shard assignment (the writer layout step of a
+# training pipeline: N fixed output shards, stable under re-ingestion)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a (shard, position): shard by salted
+    portable hash of the id, position by a SECOND independent hash —
+    i.e. a deterministic global shuffle. Hash-derived placement is the
+    only layout stable under repartitioning and re-ingestion (no RNG,
+    no input-order dependence), and within-shard hash order is the
+    standard 'shuffled once, read sequentially' training layout.
+    One shuffle (rank within shard); at real scale this is exactly a
+    repartition(N) + sortWithinPartitions write."""
+    df = load(spark, sf_dir, "documents")
+    shard = F.expr(
+        f"pmod({_portable_hash_expr(chr(39) + 'shard#' + chr(39) + ' || cast(doc_id as string)')}, {_N_SHARDS})"
+    ).cast("int")
+    order_h = F.expr(
+        _portable_hash_expr(chr(39) + "order#" + chr(39) + " || cast(doc_id as string)")
+    )
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    return (
+        df.select("doc_id", shard.alias("shard"), order_h.alias("ord"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+ORACLE_TRAINING_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_N_SHARDS} AS INTEGER) AS shard,
+         ('0x' || substr(md5('order#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS INTEGER) AS pos
+FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing (time-series feature engineering over the event stream)
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 8  # bounded frame: the alpha=0.3 tail beyond 8 steps is <6% mass
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    over a bounded 8-row frame (finite-window EWMA — the standard
+    streaming-friendly formulation; the truncated tail carries <6% of
+    the mass at alpha=0.3). One shuffle on user_id; the windowed
+    collect_list frame holds <= 8 values per row, so executor memory is
+    O(frame), not O(user history)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    a, b = _EWMA_ALPHA, 1.0 - _EWMA_ALPHA
+    # numerator: sum_i a*b^(n-1-i) * x_i (frame order); denominator is the
+    # geometric closed form 1 - b^n — both sides compute the identical
+    # IEEE expression, so round-6 parity is safe.
+    num = (
+        f"aggregate(zip_with(vals, sequence(0, size(vals) - 1), "
+        f"(v, i) -> v * {a!r} * power({b!r}, cast(size(vals) - 1 - i as double))), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    den = f"(1.0 - power({b!r}, cast(size(vals) as double)))"
+    return (
+        ev.withColumn("vals", F.collect_list("value").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.expr(f"{num} / {den}"), ROUND_DIGITS).alias("ewma"),
+        )
+    )
+
+
+ORACLE_EWMA_SMOOTH = f"""
+WITH w AS (
+  SELECT event_id, user_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT event_id, user_id,
+       round(list_sum(list_transform(range(len(vals)),
+                 i -> vals[i + 1] * {_EWMA_ALPHA!r} * power({1.0 - _EWMA_ALPHA!r}, len(vals) - 1 - i)))
+             / (1.0 - power({1.0 - _EWMA_ALPHA!r}, len(vals))), 6) AS ewma
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3855,6 +4018,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_binary_hamming": q_search_binary_hamming,
     "pii_scrub": q_pii_scrub,
     "benchmark_decontaminate": q_benchmark_decontaminate,
+    "unigram_logprob": q_unigram_logprob,
+    "training_shards": q_training_shards,
+    "ewma_smooth": q_ewma_smooth,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -3928,6 +4094,9 @@ ORACLES: dict[str, str] = {
     "search_binary_hamming": ORACLE_SEARCH_BINARY_HAMMING,
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
+    "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "training_shards": ORACLE_TRAINING_SHARDS,
+    "ewma_smooth": ORACLE_EWMA_SMOOTH,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,
