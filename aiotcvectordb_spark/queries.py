@@ -3811,6 +3811,56 @@ WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) >
 
 
 # --------------------------------------------------------------------------
+# Embedding-space extras: MMR diversified rerank, PCA reduction
+# --------------------------------------------------------------------------
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-10 over an exact top-40 candidate fetch
+    (operators/embeddings.mmr_rerank): greedy per-query selection runs
+    in one applyInPandas group over <= fetch_k rows, so the iterative
+    part is bounded and query-parallel. Rows-only (greedy sequential
+    selection has no SQL oracle); determinism + diversity asserted in
+    tests/test_embedding_ops.py."""
+    from aiotcvectordb_spark.operators import embeddings as emb_ops
+
+    df = load(spark, sf_dir, "embeddings")
+    return emb_ops.mmr_rerank(
+        df,
+        [qvec(1.0), qvec(-1.0)],
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="COSINE",
+        fetch_k=40,
+        limit=10,
+        lambda_mult=0.5,
+        round_digits=ROUND_DIGITS,
+    )
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA reduction 64d -> 8d of the embeddings table via MLlib's
+    distributed covariance path (one d x d tree-aggregate + map-only
+    projection). Returns the sign-invariant projection norm per vector
+    (principal axes are defined only up to sign, so norms are the
+    stable scalar). Rows-only; variance/reconstruction properties in
+    tests/test_embedding_ops.py."""
+    from aiotcvectordb_spark.operators import embeddings as emb_ops
+
+    df = load(spark, sf_dir, "embeddings")
+    reduced, _ = emb_ops.pca_fit_transform(
+        df, vector_col="embedding", id_col="vec_id", k=8
+    )
+    return reduced.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate("reduced", F.lit(0.0), lambda a, x: a + x * x)),
+            ROUND_DIGITS,
+        ).alias("reduced_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Unigram LM quality score (CCNet-style corpus-level language-model
 # filtering: docs whose tokens are improbable under the corpus unigram
 # distribution are low-quality / noise)
@@ -4082,6 +4132,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_pq_cosine": q_ann_pq_cosine,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+    "mmr_rerank": q_mmr_rerank,
+    "embedding_pca": q_embedding_pca,
 }
 
 ORACLES: dict[str, str] = {

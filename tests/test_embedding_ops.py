@@ -1,0 +1,135 @@
+"""MMR diversified rerank + PCA reduction (operators/embeddings.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _qvec(seed: float, dim: int = 64) -> list[float]:
+    import math
+
+    return [round(math.sin(0.1 * i + seed), 6) for i in range(dim)]
+
+
+class TestMMR:
+    def test_deterministic_and_top1_matches_knn(self, emb):
+        from aiotcvectordb_spark.operators import embeddings as E
+        from aiotcvectordb_spark.operators import knn
+
+        vecs = [_qvec(1.0), _qvec(2.0)]
+        r1 = E.mmr_rerank(
+            emb, vecs, vector_col="embedding", id_col="vec_id",
+            fetch_k=30, limit=8, lambda_mult=0.5, round_digits=6,
+        ).collect()
+        r2 = E.mmr_rerank(
+            emb, vecs, vector_col="embedding", id_col="vec_id",
+            fetch_k=30, limit=8, lambda_mult=0.5, round_digits=6,
+        ).collect()
+        key = lambda r: (r.query_idx, r.mmr_rank)  # noqa: E731
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+        assert len(r1) == 16  # 2 queries x 8
+
+        top = knn.knn_search(
+            emb, vecs, vector_col="embedding", id_col="vec_id",
+            limit=1, round_digits=6,
+        ).collect()
+        knn_top1 = {r.query_idx: r.vec_id for r in top}
+        mmr_top1 = {r.query_idx: r.vec_id for r in r1 if r.mmr_rank == 1}
+        assert mmr_top1 == knn_top1  # MMR's first pick is pure relevance
+
+    def test_lambda_one_is_plain_topk(self, emb):
+        from aiotcvectordb_spark.operators import embeddings as E
+        from aiotcvectordb_spark.operators import knn
+
+        vecs = [_qvec(0.5)]
+        mmr = E.mmr_rerank(
+            emb, vecs, vector_col="embedding", id_col="vec_id",
+            fetch_k=25, limit=10, lambda_mult=1.0, round_digits=6,
+        ).collect()
+        plain = knn.knn_search(
+            emb, vecs, vector_col="embedding", id_col="vec_id",
+            limit=10, round_digits=6,
+        ).collect()
+        assert [r.vec_id for r in sorted(mmr, key=lambda r: r.mmr_rank)] == [
+            r.vec_id for r in sorted(plain, key=lambda r: r.rank)
+        ]
+
+    def test_diversity_not_worse_than_plain_topk(self, emb):
+        from aiotcvectordb_spark.operators import embeddings as E
+        from aiotcvectordb_spark.operators import knn
+
+        vecs = [_qvec(1.0)]
+        by_vec = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()
+        }
+
+        def mean_pairwise_cos(ids):
+            m = np.stack([by_vec[i] for i in ids])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            s = m @ m.T
+            n = len(ids)
+            return (s.sum() - n) / (n * (n - 1))
+
+        mmr = E.mmr_rerank(
+            emb, vecs, vector_col="embedding", id_col="vec_id",
+            fetch_k=40, limit=10, lambda_mult=0.3, round_digits=6,
+        ).collect()
+        plain = knn.knn_search(
+            emb, vecs, vector_col="embedding", id_col="vec_id",
+            limit=10, round_digits=6,
+        ).collect()
+        d_mmr = mean_pairwise_cos([r.vec_id for r in mmr])
+        d_plain = mean_pairwise_cos([r.vec_id for r in plain])
+        assert d_mmr <= d_plain + 1e-9
+
+    def test_validation(self, emb):
+        from aiotcvectordb_spark.operators import embeddings as E
+
+        with pytest.raises(ValueError):
+            E.mmr_rerank(emb, [_qvec(1.0)], vector_col="embedding",
+                         id_col="vec_id", fetch_k=5, limit=10)
+        with pytest.raises(ValueError):
+            E.mmr_rerank(emb, [_qvec(1.0)], vector_col="embedding",
+                         id_col="vec_id", lambda_mult=1.5)
+
+
+class TestPCA:
+    def test_shapes_variance_and_norm_contraction(self, emb):
+        from aiotcvectordb_spark.operators import embeddings as E
+
+        red8, ev8 = E.pca_fit_transform(
+            emb, vector_col="embedding", id_col="vec_id", k=8
+        )
+        rows = red8.collect()
+        assert len(rows) == emb.count()
+        assert all(len(r.reduced) == 8 for r in rows[:5])
+        # explained variance fractions: descending, in (0, 1], sum <= 1
+        assert all(a >= b - 1e-12 for a, b in zip(ev8, ev8[1:]))
+        assert 0 < sum(ev8) <= 1 + 1e-9
+        # projection onto an orthonormal basis never grows the norm
+        orig = {
+            r.vec_id: np.linalg.norm(np.array(r.embedding, dtype=np.float64))
+            for r in emb.select("vec_id", "embedding").collect()
+        }
+        for r in rows[:50]:
+            assert np.linalg.norm(r.reduced) <= orig[r.vec_id] + 1e-6
+
+    def test_more_components_capture_more_variance(self, emb):
+        from aiotcvectordb_spark.operators import embeddings as E
+
+        _, ev4 = E.pca_fit_transform(
+            emb, vector_col="embedding", id_col="vec_id", k=4
+        )
+        _, ev16 = E.pca_fit_transform(
+            emb, vector_col="embedding", id_col="vec_id", k=16
+        )
+        assert sum(ev16) >= sum(ev4) - 1e-12
