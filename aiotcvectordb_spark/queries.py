@@ -32,6 +32,15 @@ ROUND_DIGITS = 6
 DIM = 64
 
 
+# DataFrame handle cache: the testdata tables are immutable, so the
+# resolved scan (schema from the parquet footer) can be reused across
+# queries in one session. Without this every registry query pays the
+# footer read + analysis again — a fixed driver-side tax that dominates
+# sub-second queries. Keyed by SparkContext id so a stopped/new session
+# never serves stale handles.
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # events.ts has shipped as parquet TIMESTAMP(NANOS) (reads as BIGINT
     # epoch-nanos under nanosAsLong — without the flag a vanilla session
@@ -41,9 +50,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # the NTZ->epoch conversion match DuckDB's epoch_ns(naive ts).
     from aiotcvectordb_spark.sources.event_time import normalize_event_time
 
+    key = (id(spark.sparkContext), sf_dir, table)
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return normalize_event_time(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+    df = normalize_event_time(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+    _LOAD_CACHE[key] = df
+    return df
 
 
 def qvec(seed: float, dim: int = DIM) -> list[float]:
@@ -1232,20 +1247,34 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver), and each mapInPandas task computes its block x matrix
     # score slab with numpy, emitting only above-margin candidate pairs.
     # Nothing is collected; per-task memory is O(N*dim + block*N).
+    # Vectors cross the JVM->Arrow->numpy boundary FLATTENED (one flat
+    # double array per row, reshaped once in numpy) — shipping each
+    # embedding as its own nested array costs a per-vector Python
+    # conversion that measured ~4x the whole matmul at sf0.1.
     ids_emb = ensure_min_partitions(emb.select("vec_id", "embedding"))
     mat_row = ids_emb.agg(
         F.collect_list(F.struct("vec_id", "embedding")).alias("__m")
     ).select(
         F.expr("transform(__m, x -> x.vec_id)").alias("__mat_ids"),
-        F.expr("transform(__m, x -> x.embedding)").alias("__mat_vecs"),
+        F.expr(
+            "flatten(transform(__m, x -> cast(x.embedding as array<double>)))"
+        ).alias("__mat_flat"),
     )
-    n_blocks = 32
+    # Adaptive block count: every block task pays one deserialization of
+    # the full broadcast matrix, so blocks should exist only when the
+    # block x matrix matmul is big enough to amortize that (4k rows per
+    # block). At sf0.1 (2k vectors) that's ONE task doing a trivial
+    # matmul; at 100k vectors it's ~25 parallel slabs.
+    n_rows = emb.count()  # metadata-only parquet count
+    n_blocks = min(32, max(1, n_rows // 4096 + 1))
     blocks = (
         ids_emb.groupBy(F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("__blk"))
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("__r"))
         .select(
             F.expr("transform(__r, x -> x.vec_id)").alias("__blk_ids"),
-            F.expr("transform(__r, x -> x.embedding)").alias("__blk_vecs"),
+            F.expr(
+                "flatten(transform(__r, x -> cast(x.embedding as array<double>)))"
+            ).alias("__blk_flat"),
         )
         .crossJoin(F.broadcast(mat_row))
     )
@@ -1256,17 +1285,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             cols = [
-                pdf["__blk_ids"], pdf["__blk_vecs"], pdf["__mat_ids"], pdf["__mat_vecs"]
+                pdf["__blk_ids"], pdf["__blk_flat"], pdf["__mat_ids"], pdf["__mat_flat"]
             ]
-            for rbids, rbvecs, rmids, rmvecs in zip(*cols):
+            for rbids, rbflat, rmids, rmflat in zip(*cols):
                 bids = np.asarray(rbids, dtype=np.int64)
-                bmat = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in rbvecs]
-                )
+                bmat = np.asarray(rbflat, dtype=np.float64).reshape(len(bids), -1)
                 mids = np.asarray(rmids, dtype=np.int64)
-                mmat = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in rmvecs]
-                )
+                mmat = np.asarray(rmflat, dtype=np.float64).reshape(len(mids), -1)
                 bunit = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
                 munit = mmat / np.linalg.norm(mmat, axis=1, keepdims=True)
                 s = bunit @ munit.T
@@ -3861,6 +3886,41 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Per-source quota capping (domain-mix control: cap how many documents
+# any one source may contribute, keeping its best by a deterministic
+# quality key — the standard guard against over-represented domains)
+# --------------------------------------------------------------------------
+
+_SOURCE_QUOTA = 40
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most _SOURCE_QUOTA documents per source, best-first by
+    (n_chars desc, doc_id) — integer keys so the rank is deterministic
+    across engines. One shuffle on source; at skewed real scale the
+    same shape runs via the salted two-phase top-k
+    (partitioning.salted_group_topk) proven equal in tests."""
+    df = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        df.select("doc_id", "source", "n_chars")
+        .withColumn("q_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("q_rank") <= _SOURCE_QUOTA)
+    )
+
+
+ORACLE_SOURCE_QUOTA = f"""
+SELECT doc_id, source, n_chars,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS INTEGER) AS q_rank
+FROM documents
+QUALIFY q_rank <= {_SOURCE_QUOTA}
+"""
+
+
+# --------------------------------------------------------------------------
 # Unigram LM quality score (CCNet-style corpus-level language-model
 # filtering: docs whose tokens are improbable under the corpus unigram
 # distribution are low-quality / noise)
@@ -4071,6 +4131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "training_shards": q_training_shards,
     "ewma_smooth": q_ewma_smooth,
+    "source_quota": q_source_quota,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -4149,6 +4210,7 @@ ORACLES: dict[str, str] = {
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "training_shards": ORACLE_TRAINING_SHARDS,
     "ewma_smooth": ORACLE_EWMA_SMOOTH,
+    "source_quota": ORACLE_SOURCE_QUOTA,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,

@@ -78,6 +78,11 @@ HEADLINE = [
     "doc_repetition",
     "sliding_window_agg",
     "price_histogram",
+    "unigram_logprob",
+    "training_shards",
+    "ewma_smooth",
+    "mmr_rerank",
+    "embedding_pca",
 ]
 
 
@@ -110,20 +115,27 @@ def main() -> None:
         .filter("rn <= 3")
         .count()
     )
-    # Best-of-3 per query: the VM shows multi-second scheduling noise
-    # between identical runs (individual queries randomly spike 2-4x),
-    # so a single sample conflates engine cost with hypervisor jitter;
-    # min-of-3 is the steady-state cost.
-    for name in HEADLINE:
-        fn = Q.QUERIES[name]
-        best, n = float("inf"), -1
-        for _ in range(3):
+    # Best-of-3 per query, trials INTERLEAVED as 3 full passes over the
+    # list: the VM shows multi-second scheduling noise (individual
+    # queries randomly spike 2-4x, and slow epochs last tens of
+    # seconds — long enough to swallow all 3 consecutive trials of one
+    # query). Spreading a query's trials across the whole run
+    # decorrelates them from any single noise epoch; min across passes
+    # is the steady-state cost. Same total work as consecutive
+    # best-of-3.
+    rows: dict[str, int] = {}
+    for _pass in range(3):
+        for name in HEADLINE:
+            fn = Q.QUERIES[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()  # full execution without driver-side collect cost
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+            rows[name] = df.count()  # full execution, no collect cost
+            dt = time.time() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+    for name in HEADLINE:
+        timings[name] = round(timings[name], 3)
+        print(f"# {name}: {timings[name]}s rows={rows[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
