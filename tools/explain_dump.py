@@ -91,6 +91,41 @@ SHOWCASE = [
         "payloads stay on the partition that produced them and never "
         "shuffle",
     ),
+    (
+        "unigram_logprob",
+        "corpus LM quality: per-doc term frequencies aggregated BEFORE "
+        "the vocabulary join (the join input is distinct (doc, token) "
+        "pairs, not raw tokens), the corpus-total side is a one-row "
+        "broadcast, and the final per-doc aggregate is the only other "
+        "exchange",
+    ),
+    (
+        "training_shards",
+        "deterministic shard layout: hash expressions fused into the "
+        "scan projection, ONE exchange on the shard id feeding the "
+        "within-shard sort + row_number — exactly the "
+        "repartition+sortWithinPartitions shape a sharded writer needs",
+    ),
+    (
+        "ewma_smooth",
+        "finite-window EWMA: one exchange on user_id, windowed "
+        "collect_list bounded at 8 rows, the weighted fold fused into "
+        "the projection (no UDF, no second shuffle)",
+    ),
+    (
+        "source_quota",
+        "per-source quota: one exchange on source, in-partition sort + "
+        "row_number, filter on the rank — the degenerate (unsalted) "
+        "group-top-k; the skew-safe two-phase variant is "
+        "partitioning.salted_group_topk",
+    ),
+    (
+        "mmr_rerank",
+        "MMR: the candidate fetch is the standard broadcast-queries kNN "
+        "(scan -> broadcast NLJ -> window top-fetch_k), then ONE "
+        "exchange on query_idx into FlatMapGroupsInPandas running the "
+        "bounded greedy selection per query group",
+    ),
 ]
 
 

@@ -51,6 +51,11 @@ PROBE_QUERIES = [
     "time_gap_fill",
     "window_range_frame",
     "zscore_outliers",
+    "unigram_logprob",
+    "training_shards",
+    "ewma_smooth",
+    "source_quota",
+    "mmr_rerank",
 ]
 
 # tables each probe query touches (so we only scale what's needed)
