@@ -3886,6 +3886,78 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental near-dedup: new batch vs standing corpus (the
+# continuous-ingest shape — never corpus x corpus)
+# --------------------------------------------------------------------------
+
+_INCR_SPLIT = 400  # doc_id >= this plays the "newly ingested batch"
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup of a NEW batch against a STANDING corpus — the shape
+    continuous ingest actually needs: per new document, how many corpus
+    documents share any MinHash band bucket, and a keep flag. The plan
+    joins new-side band keys against corpus-side band keys on
+    (band, hash) — one equi-join shuffle, and no corpus x corpus pair
+    is ever formed, so cost is O(batch x collisions), not O(corpus^2).
+    At serving scale the corpus side is the stored LSH bucket index
+    maintained by streaming/neardup.py instead of a recompute; this
+    batch-analytic version recomputes both sides from the table so the
+    whole composition stays oracle-checkable."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("h"))
+                    for j in range(_N_MINHASH)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.h")
+    new_b = bands.filter(F.col("doc_id") >= _INCR_SPLIT)
+    corp_b = bands.filter(F.col("doc_id") < _INCR_SPLIT).select(
+        F.col("doc_id").alias("corpus_id"), "band", "h"
+    )
+    cand = (
+        new_b.join(corp_b, ["band", "h"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    counts = cand.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_corpus_dups")
+    )
+    base = sig.filter(F.col("doc_id") >= _INCR_SPLIT).select("doc_id")
+    return base.join(counts, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_corpus_dups", F.lit(0)).cast("long").alias("n_corpus_dups"),
+        F.col("n_corpus_dups").isNull().alias("keep"),
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH sigs AS MATERIALIZED ({ORACLE_MINHASH_SIGNATURES}),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, mh{j} AS h FROM sigs" for j in range(_N_MINHASH))}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id
+  FROM bands n JOIN bands c ON n.band = c.band AND n.h = c.h
+  WHERE n.doc_id >= {_INCR_SPLIT} AND c.doc_id < {_INCR_SPLIT}
+),
+counts AS (
+  SELECT doc_id, count(*) AS n_corpus_dups FROM cand GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(c.n_corpus_dups, 0) AS n_corpus_dups,
+       c.doc_id IS NULL AS keep
+FROM sigs s LEFT JOIN counts c USING (doc_id)
+WHERE s.doc_id >= {_INCR_SPLIT}
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-source quota capping (domain-mix control: cap how many documents
 # any one source may contribute, keeping its best by a deterministic
 # quality key — the standard guard against over-represented domains)
@@ -4132,6 +4204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": q_training_shards,
     "ewma_smooth": q_ewma_smooth,
     "source_quota": q_source_quota,
+    "incremental_dedup": q_incremental_dedup,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -4211,6 +4284,7 @@ ORACLES: dict[str, str] = {
     "training_shards": ORACLE_TRAINING_SHARDS,
     "ewma_smooth": ORACLE_EWMA_SMOOTH,
     "source_quota": ORACLE_SOURCE_QUOTA,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,
