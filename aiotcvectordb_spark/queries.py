@@ -3886,6 +3886,80 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# One-pass table profiling (the data-quality audit every ingest runs:
+# per-column null rate, exact distinct count, value range)
+# --------------------------------------------------------------------------
+
+_PROFILE_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PROFILE_STR_COLS = ["l_returnflag", "l_linestatus"]
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``lineitem`` in ONE scan: every per-column
+    statistic (rows, nulls, exact distinct, min/max — value for
+    numerics, length for strings) is computed as one wide aggregate
+    row, then unpivoted JVM-side to the long (col_name, ...) form. The
+    oracle re-states it as a UNION ALL of per-column scans — same
+    numbers, N scans; the one-pass shape is the point at 100 TB.
+    count_distinct here is EXACT (it is the oracle-checkable choice);
+    the approximate profile at scale is `approx_sketches`' HLL path."""
+    df = load(spark, sf_dir, "lineitem")
+    aggs: list = []
+    for c in _PROFILE_NUM_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__mx"),
+        ]
+    for c in _PROFILE_STR_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.length(c)).cast("double").alias(f"{c}__mn"),
+            F.max(F.length(c)).cast("double").alias(f"{c}__mx"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS
+    )
+    n_cols = len(_PROFILE_NUM_COLS) + len(_PROFILE_STR_COLS)
+    return wide.select(
+        F.expr(
+            f"stack({n_cols}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_v, max_v)"
+        )
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_v",
+        "max_v",
+    )
+
+
+def _profile_oracle_leg(c: str, numeric: bool) -> str:
+    mn = f"CAST(min({c}) AS DOUBLE)" if numeric else f"CAST(min(length({c})) AS DOUBLE)"
+    mx = f"CAST(max({c}) AS DOUBLE)" if numeric else f"CAST(max(length({c})) AS DOUBLE)"
+    return (
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+        f"count(*) - count({c}) AS n_null, "
+        f"count(DISTINCT {c}) AS n_distinct, {mn} AS min_v, {mx} AS max_v "
+        f"FROM lineitem"
+    )
+
+
+ORACLE_PROFILE_TABLE = " UNION ALL ".join(
+    [_profile_oracle_leg(c, True) for c in _PROFILE_NUM_COLS]
+    + [_profile_oracle_leg(c, False) for c in _PROFILE_STR_COLS]
+)
+
+
+# --------------------------------------------------------------------------
 # Incremental near-dedup: new batch vs standing corpus (the
 # continuous-ingest shape — never corpus x corpus)
 # --------------------------------------------------------------------------
@@ -4033,6 +4107,66 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score (KenLM-lite, order 2): per-document mean
+    log2 of the corpus-derived conditional probability
+    p(w2|w1) = c(w1 w2) / c(w1 ·). Same scale shape as the unigram
+    variant — per-doc bigram frequencies first, then equi-joins against
+    the (bounded, corpus-derived) bigram and prefix tables, then one
+    per-doc aggregation. Ranks fluent repeated phrasing above random
+    token soup in a way unigram statistics can't."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    # Spark arrays are 0-indexed: pairs (t[i], t[i+1]) for i in [0, n-2]
+    pairs = (
+        f"transform(sequence(0, size({toks}) - 2), "
+        f"i -> struct({toks}[i] AS w1, {toks}[i + 1] AS w2))"
+    )
+    flat = (
+        df.filter(F.expr(f"size({toks}) >= 2"))
+        .select("doc_id", F.explode(F.expr(pairs)).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    dbf = flat.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("dbf"))
+    c2 = dbf.groupBy("w1", "w2").agg(F.sum("dbf").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        dbf.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dbf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("dbf") * F.log2(F.col("c2") / F.col("c1")))
+                / F.sum("dbf"),
+                ROUND_DIGITS,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents
+),
+flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+  FROM tok WHERE len(t) >= 2
+),
+dbf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS dbf FROM flat GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, sum(dbf) AS c2 FROM dbf GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1)
+SELECT d.doc_id, CAST(sum(d.dbf) AS BIGINT) AS n_bigrams,
+       round(sum(d.dbf * log2(c2.c2 / c1.c1)) / sum(d.dbf), 6) AS avg_logprob
+FROM dbf d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY d.doc_id
+"""
 
 
 ORACLE_UNIGRAM_LOGPROB = r"""
@@ -4201,10 +4335,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "benchmark_decontaminate": q_benchmark_decontaminate,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "training_shards": q_training_shards,
     "ewma_smooth": q_ewma_smooth,
     "source_quota": q_source_quota,
     "incremental_dedup": q_incremental_dedup,
+    "profile_table": q_profile_table,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -4281,10 +4417,12 @@ ORACLES: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "training_shards": ORACLE_TRAINING_SHARDS,
     "ewma_smooth": ORACLE_EWMA_SMOOTH,
     "source_quota": ORACLE_SOURCE_QUOTA,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "profile_table": ORACLE_PROFILE_TABLE,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,
