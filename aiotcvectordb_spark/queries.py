@@ -3886,6 +3886,97 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Equi-depth histogram (quantile-binned — the histogram an optimizer's
+# column statistics actually use, vs the fixed-width price_histogram)
+# --------------------------------------------------------------------------
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of order totals. Exact decile edges
+    via percentile_disc (discrete selection — an actually-occurring
+    value, so cross-engine exact, no interpolation float drift) in one
+    tiny aggregate; the 9-edge array is broadcast back onto the scan
+    and bin assignment fuses into the projection
+    (``size(filter(edges, e -> v > e))``). Two passes over the column,
+    no UDF; the final aggregate shuffles 10 rows."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_edh")
+    edges = spark.sql(
+        "SELECT array("
+        + ", ".join(
+            f"percentile_disc({p / 10}) WITHIN GROUP (ORDER BY o_totalprice)"
+            for p in range(1, 10)
+        )
+        + ") AS edges FROM __orders_edh"
+    )
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.crossJoin(F.broadcast(edges))
+        .select(
+            F.expr("size(filter(edges, e -> o_totalprice > e))")
+            .cast("int")
+            .alias("bin"),
+            "o_totalprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), ROUND_DIGITS).alias("lo"),
+            F.round(F.max("o_totalprice"), ROUND_DIGITS).alias("hi"),
+        )
+    )
+
+
+ORACLE_EQUIDEPTH_HISTOGRAM = f"""
+WITH e AS (
+  SELECT [{", ".join(f"quantile_disc(o_totalprice, {p / 10})" for p in range(1, 10))}] AS edges
+  FROM orders
+)
+SELECT CAST(len(list_filter(e.edges, x -> o.o_totalprice > x)) AS INTEGER) AS bin,
+       count(*) AS n_orders,
+       round(min(o.o_totalprice), 6) AS lo,
+       round(max(o.o_totalprice), 6) AS hi
+FROM orders o CROSS JOIN e
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-language top terms (corpus vocabulary report)
+# --------------------------------------------------------------------------
+
+
+def q_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language: token counts partially aggregate
+    map-side before the (lang, token) shuffle, then a per-lang window
+    with deterministic (count desc, token) order takes the top-10. The
+    skew-safe variant at boilerplate-token scale is
+    partitioning.salted_group_topk (two-phase: per-salt top-k, merge)."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    counts = (
+        df.select("lang", F.explode(sparse_fn.tokens_col("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= 10)
+    )
+
+
+ORACLE_LANG_TOP_TERMS = f"""
+WITH tok AS (
+  SELECT lang, unnest({_TOKS_SQL}) AS token FROM documents
+),
+counts AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT lang, token, n,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INTEGER) AS term_rank
+FROM counts
+QUALIFY term_rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # One-pass table profiling (the data-quality audit every ingest runs:
 # per-column null rate, exact distinct count, value range)
 # --------------------------------------------------------------------------
@@ -4341,6 +4432,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quota": q_source_quota,
     "incremental_dedup": q_incremental_dedup,
     "profile_table": q_profile_table,
+    "equidepth_histogram": q_equidepth_histogram,
+    "lang_top_terms": q_lang_top_terms,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -4423,6 +4516,8 @@ ORACLES: dict[str, str] = {
     "source_quota": ORACLE_SOURCE_QUOTA,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "profile_table": ORACLE_PROFILE_TABLE,
+    "equidepth_histogram": ORACLE_EQUIDEPTH_HISTOGRAM,
+    "lang_top_terms": ORACLE_LANG_TOP_TERMS,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,
