@@ -1466,6 +1466,26 @@ FROM orders QUALIFY rn <= 3
 """
 
 
+def q_group_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE physical plan for the same logical top-k
+    (partitioning.salted_group_topk): phase 1 ranks within
+    (key, salt-of-row-hash) so a hot key spreads over 16 tasks and each
+    keeps only its local top-3; phase 2 ranks the <= 16x3 survivors per
+    key. Shares ORACLE_GROUP_TOPK verbatim — the driver hash proves the
+    salted two-phase output is identical to the plain window."""
+    from aiotcvectordb_spark.partitioning import salted_group_topk
+
+    df = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return salted_group_topk(
+        df,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).withColumn("rn", F.col("rn").cast("int"))
+
+
 def q_agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-aggregated groupBy (map-side combine): pricing summary."""
     df = load(spark, sf_dir, "lineitem")
@@ -4434,6 +4454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_table": q_profile_table,
     "equidepth_histogram": q_equidepth_histogram,
     "lang_top_terms": q_lang_top_terms,
+    "group_topk_salted": q_group_topk_salted,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -4518,6 +4539,9 @@ ORACLES: dict[str, str] = {
     "profile_table": ORACLE_PROFILE_TABLE,
     "equidepth_histogram": ORACLE_EQUIDEPTH_HISTOGRAM,
     "lang_top_terms": ORACLE_LANG_TOP_TERMS,
+    # the skew-safe two-phase top-k must be hash-identical to the plain
+    # window, so it shares the oracle verbatim
+    "group_topk_salted": ORACLE_GROUP_TOPK,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,
