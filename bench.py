@@ -83,6 +83,13 @@ HEADLINE = [
     "ewma_smooth",
     "mmr_rerank",
     "embedding_pca",
+    "bigram_logprob",
+    "incremental_dedup",
+    "source_quota",
+    "profile_table",
+    "equidepth_histogram",
+    "lang_top_terms",
+    "group_topk_salted",
 ]
 
 
