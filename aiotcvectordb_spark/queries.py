@@ -3906,6 +3906,87 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Per-label embedding centroids (cluster summary statistics)
+# --------------------------------------------------------------------------
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, as (label, dim, c) rows. The
+    scale-safe plan is posexplode + groupBy(label, dim): the shuffle
+    carries narrow (label, dim, v) rows WITH map-side partial
+    aggregation (each map task pre-reduces to labels x 64 rows), unlike
+    a collect_list-and-fold shape whose per-group state is O(group
+    size). dim is 1-based to match SQL's generate_subscripts."""
+    emb = ensure_min_partitions(load(spark, sf_dir, "embeddings"))
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"))
+        .groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(F.round(F.sum("v") / F.count("*"), ROUND_DIGITS).alias("c"))
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH flat AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS BIGINT) AS dim, round(sum(v) / count(*), 6) AS c
+FROM flat GROUP BY label, dim
+"""
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (event analytics: which touch type preceded
+# each conversion)
+# --------------------------------------------------------------------------
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: for every purchase, the most
+    recent preceding click/view by the same user (carry-forward
+    last_value IGNORE NULLS window — the same one-shuffle shape as the
+    as-of join, no range join), then conversions + value per touch
+    type ('none' = purchase with no prior touch)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), ROUND_DIGITS).alias("total_value"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION_LAST_TOUCH = """
+WITH t AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+  FROM events
+)
+SELECT coalesce(touch, 'none') AS touch_type,
+       count(*) AS n_purchases,
+       round(sum(value), 6) AS total_value
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Equi-depth histogram (quantile-binned — the histogram an optimizer's
 # column statistics actually use, vs the fixed-width price_histogram)
 # --------------------------------------------------------------------------
@@ -4455,6 +4536,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "equidepth_histogram": q_equidepth_histogram,
     "lang_top_terms": q_lang_top_terms,
     "group_topk_salted": q_group_topk_salted,
+    "label_centroids": q_label_centroids,
+    "attribution_last_touch": q_attribution_last_touch,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -4542,6 +4625,8 @@ ORACLES: dict[str, str] = {
     # the skew-safe two-phase top-k must be hash-identical to the plain
     # window, so it shares the oracle verbatim
     "group_topk_salted": ORACLE_GROUP_TOPK,
+    "label_centroids": ORACLE_LABEL_CENTROIDS,
+    "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,
