@@ -3905,6 +3905,55 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_bq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN — the 1-bit member of the quantized
+    index family (IVF_PQ = 8x codes + ADC, IVF_SQ8 = scalar int8, BQ =
+    sign bits): vectors sign-packed to dim/8 bytes, ranked by the
+    codegen Hamming popcount (32x less vector I/O than float32 — at
+    100 TB the scan, not the math, is the bottleneck), oversampled 5x,
+    then exact cosine rescore of the survivors so the top-k is
+    float-accurate. Rows-only (sketch ranking has no SQL oracle);
+    recall@10 vs exact FLAT asserted in tests/test_bq.py."""
+    from aiotcvectordb_spark.functions.vector import metric_score_fixed
+
+    emb = load(spark, sf_dir, "embeddings")
+    bin_df = emb.select(
+        "vec_id", F.expr(_binarize_spark_expr("embedding")).alias("bvec")
+    )
+    qs = [qvec(1.0), qvec(-1.0)]
+    cand = knn.knn_search(
+        bin_df,
+        [_binarize_py(v) for v in qs],
+        vector_col="bvec",
+        id_col="vec_id",
+        metric="HAMMING",
+        limit=50,
+    ).select("query_idx", "vec_id")
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qs)], "query_idx int, __qv array<double>"
+    )
+    joined = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qdf), "query_idx")
+        .withColumn(
+            "score",
+            F.round(
+                metric_score_fixed("COSINE", "embedding", "__qv", DIM),
+                ROUND_DIGITS,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 10")
+        .select("query_idx", "vec_id", "score", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-label embedding centroids (cluster summary statistics)
 # --------------------------------------------------------------------------
@@ -4598,6 +4647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_sketches": q_approx_sketches,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_pq_cosine": q_ann_pq_cosine,
+    "ann_bq_cosine": q_ann_bq_cosine,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "mmr_rerank": q_mmr_rerank,
     "embedding_pca": q_embedding_pca,
