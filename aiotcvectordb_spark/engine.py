@@ -265,26 +265,48 @@ class VectorDBEngine:
     # ------------------------------------------------------------ maintenance
 
     def compact(
-        self, database: str, collection: str, *, target_files: int | None = None
+        self,
+        database: str,
+        collection: str,
+        *,
+        target_files: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """Small-file compaction: rewrite the collection at a target file
         count (default: the session's parallelism). Streaming upserts and
         repeated merges accrete files; scan cost at scale tracks file
         count as much as bytes, so compaction is routine maintenance.
         IVF-partitioned layouts compact within each cluster directory
-        (the partition column is preserved)."""
+        (the partition column is preserved).
+
+        ``zorder_by=[col_a, col_b]`` additionally clusters the rewrite
+        along the Morton curve of two numeric columns
+        (sources/zorder.py), so parquet footer min/max stats prune
+        files for predicates on EITHER column — the multi-dimension
+        data-skipping layout for scalar-filtered scans at scale."""
         meta = self.catalog.get_collection(database, collection)
         df = self.store.read(self.spark, database, meta.name)
         n = target_files or self.spark.sparkContext.defaultParallelism
         partition_by = ["cluster_id"] if "cluster_id" in df.columns else None
-        if partition_by:
+        if zorder_by is not None:
+            from aiotcvectordb_spark.sources.zorder import z_value
+
+            with_bounds, z = z_value(df, zorder_by)
+            out = (
+                with_bounds.withColumn("__z", z)
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z", "__mna", "__mxa", "__mnb", "__mxb")
+            )
+            self.store.write(out, database, meta.name)
+        elif partition_by:
             out = df.repartition(n, *partition_by)
             self.store.write(
                 out, database, meta.name, partition_by=partition_by
             )
         else:
             self.store.write(df.coalesce(n), database, meta.name)
-        return {"files": n}
+        return {"files": n, "zorder_by": zorder_by}
 
     def export(
         self, database: str, collection: str, path: str, **kw
