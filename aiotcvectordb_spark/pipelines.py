@@ -283,6 +283,56 @@ def decontaminate_stage(
     )
 
 
+def quota_stage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    quota: int = 40,
+) -> DataFrame:
+    """Per-source quota flag: ``quota_ok`` is true for a source's best
+    ``quota`` documents ranked by (n_tokens desc, id) — the domain-mix
+    guard against over-represented sources. One shuffle on the source
+    key; the skew-safe form at boilerplate-domain scale is the salted
+    two-phase top-k (partitioning.salted_group_topk, hash-proven
+    identical by the ``group_topk_salted`` driver query)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("n_tokens").desc(), F.col(id_col).asc()
+    )
+    return docs.withColumn(
+        "quota_ok", F.row_number().over(w) <= quota
+    )
+
+
+def shard_stage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic training-shard layout: (shard, shard_pos) from two
+    independent salted 60-bit hashes of the id — a stable global
+    shuffle; writing becomes repartition(n_shards) +
+    sortWithinPartitions(shard_pos)."""
+    from pyspark.sql import Window
+
+    sh = F.expr(
+        f"pmod({_PORTABLE_HASH.format(s=chr(39) + 'shard#' + chr(39) + f' || cast({id_col} as string)')}, {n_shards})"
+    ).cast("int")
+    oh = F.expr(
+        _PORTABLE_HASH.format(s=chr(39) + "order#" + chr(39) + f" || cast({id_col} as string)")
+    )
+    w = Window.partitionBy("shard").orderBy("__ord", id_col)
+    return (
+        docs.withColumn("shard", sh)
+        .withColumn("__ord", oh)
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("__ord")
+    )
+
+
 def curate(
     docs: DataFrame,
     *,
@@ -294,6 +344,8 @@ def curate(
     exact_groups: bool = False,
     scrub_pii: bool = False,
     benchmark: DataFrame | None = None,
+    source_quota: int | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Full curation flow. Returns the corpus annotated with
     (clean_text, n_tokens, quality_ok, exact_keeper, near_dup, split,
@@ -301,7 +353,9 @@ def curate(
 
     ``scrub_pii=True`` redacts PII before cleaning; passing a
     ``benchmark`` DataFrame adds a ``contaminated`` flag (8-token
-    shingle overlap) that also gates ``keep``. Both default OFF so the
+    shingle overlap) that also gates ``keep``; ``source_quota=N`` adds
+    a ``quota_ok`` flag that also gates ``keep``; ``n_shards=N``
+    appends (shard, shard_pos) for the writer. All default OFF so the
     oracle-checked base composition is unchanged."""
     out = docs
     if scrub_pii:
@@ -322,7 +376,13 @@ def curate(
     if benchmark is not None:
         out = decontaminate_stage(out, benchmark, id_col=id_col)
         keep = keep & ~F.col("contaminated")
-    return out.withColumn("keep", keep)
+    if source_quota is not None:
+        out = quota_stage(out, id_col=id_col, quota=source_quota)
+        keep = keep & F.col("quota_ok")
+    out = out.withColumn("keep", keep)
+    if n_shards is not None:
+        out = shard_stage(out, id_col=id_col, n_shards=n_shards)
+    return out
 
 
 def materialize(curated: DataFrame, out_dir: str) -> dict[str, int]:

@@ -170,3 +170,50 @@ def test_exact_groups_rejects_streams(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     with _pytest.raises(ValueError, match="exact_groups"):
         P.near_dedup_stage(P.clean_stage(stream), exact_groups=True)
+
+
+def test_quota_stage_gates_keep(spark, sf_dir):
+    from aiotcvectordb_spark import pipelines as P
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cur = P.curate(docs, source_quota=10)
+    rows = cur.select("doc_id", "source", "n_tokens", "quota_ok").collect()
+    # at most 10 quota_ok docs per source, and they are the per-source
+    # best by (n_tokens desc, doc_id)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        ok = {r.doc_id for r in rs if r.quota_ok}
+        assert len(ok) <= 10
+        best = {
+            r.doc_id
+            for r in sorted(rs, key=lambda r: (-r.n_tokens, r.doc_id))[:10]
+        }
+        assert ok == best, src
+    # keep implies quota_ok
+    assert cur.filter("keep AND NOT quota_ok").count() == 0
+
+
+def test_shard_stage_matches_registry_query(spark, sf_dir):
+    from aiotcvectordb_spark import pipelines as P
+    from aiotcvectordb_spark import queries as Q
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in P.shard_stage(docs).select(
+            "doc_id", "shard", "shard_pos"
+        ).collect()
+    }
+    reg = {
+        r.doc_id: (r.shard, r.pos)
+        for r in Q.q_training_shards(spark, sf_dir).collect()
+    }
+    # same hash family and order: identical layout wherever both ran
+    # (the registry query reads the same table at the same sf)
+    common = set(staged) & set(reg)
+    assert common
+    assert all(staged[d] == reg[d] for d in common)
