@@ -88,6 +88,78 @@ def with_png_payload(
     return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
 
 
+def with_wav_payload(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 8000,
+    n_samples: int | None = 2048,
+) -> DataFrame:
+    """Attach a REAL WAV ``payload``: a deterministic int16 waveform
+    derived from the text bytes, encoded as an actual RIFF/WAVE PCM16
+    file (``audiocodec.encode_wav`` — readable by the stdlib ``wave``
+    module, cross-validated in tests). The audio twin of
+    ``with_png_payload``; same Arrow-batched mapInPandas shape."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, payload binary"
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from aiotcvectordb_spark.operators import audiocodec
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                samples = audiocodec.text_to_samples(text or "", n_samples)
+                ids.append(i)
+                payloads.append(audiocodec.encode_wav(samples, sample_rate))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
+
+
+def audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio feature extraction: decode RIFF/WAVE PCM16 payloads
+    (``audiocodec.decode_wav`` — chunk-walking, mono-downmixing) and
+    compute duration / RMS / zero-crossing rate / peak on the actual
+    samples. Non-WAV payloads get NULL features (flag, don't fail the
+    batch). Payloads never shuffle; the output is narrow."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, sample_rate int, n_samples long, "
+        "duration_ms long, rms double, zcr double, peak double"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from aiotcvectordb_spark.operators import audiocodec
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    f = audiocodec.wav_features(bytes(payload))
+                    rows.append((i, f["sample_rate"], f["n_samples"],
+                                 f["duration_ms"], f["rms"], f["zcr"], f["peak"]))
+                except ValueError:
+                    rows.append((i, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_samples", "duration_ms",
+                         "rms", "zcr", "peak"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)
+
+
 def decode_features(
     df: DataFrame,
     *,

@@ -3905,6 +3905,44 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round trip, oracle-checked end to end: each
+    document's bytes become an int16 waveform encoded as an actual
+    RIFF/WAVE PCM16 file (operators/audiocodec.encode_wav — stdlib
+    ``wave`` cross-validates it in tests), then a second mapInPandas
+    stage DECODES the payload and computes n_samples / duration / RMS
+    on the real samples. Both stages are Arrow-batched and
+    shuffle-free (payloads stay on their producing partition); the
+    waveform is a pure function of the text, so the SQL oracle can
+    recompute the same features from the characters."""
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    wav = MM.with_wav_payload(df, n_samples=None)
+    return MM.audio_features(wav).select(
+        "doc_id",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", ROUND_DIGITS).alias("rms"),
+    )
+
+
+ORACLE_AUDIO_PROBE = """
+WITH s AS (
+  SELECT doc_id, (ascii(c) - 128) / 128.0 AS v
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+    FROM documents WHERE length(text) > 0
+  )
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST((count(*) * 1000) // 8000 AS BIGINT) AS duration_ms,
+       round(sqrt(sum(v * v) / count(*)), 6) AS rms
+FROM s GROUP BY doc_id
+"""
+
+
 def q_ann_bq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantization ANN — the 1-bit member of the quantized
     index family (IVF_PQ = 8x codes + ADC, IVF_SQ8 = scalar int8, BQ =
@@ -4587,6 +4625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_topk_salted": q_group_topk_salted,
     "label_centroids": q_label_centroids,
     "attribution_last_touch": q_attribution_last_touch,
+    "audio_probe": q_audio_probe,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -4677,6 +4716,7 @@ ORACLES: dict[str, str] = {
     "group_topk_salted": ORACLE_GROUP_TOPK,
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
+    "audio_probe": ORACLE_AUDIO_PROBE,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,
