@@ -308,6 +308,57 @@ class VectorDBEngine:
             self.store.write(df.coalesce(n), database, meta.name)
         return {"files": n, "zorder_by": zorder_by}
 
+    def profile(
+        self,
+        database: str,
+        collection: str,
+        columns: list[str] | None = None,
+    ) -> list[dict]:
+        """One-pass column profile of a collection (the ingest-time
+        data-quality audit): rows, nulls, exact distinct count, and
+        value range (length range for strings) per column, computed as
+        ONE wide aggregate over a single scan — the same shape as the
+        oracle-checked ``profile_table`` registry query. Vector/array
+        and map columns are skipped (no scalar ordering)."""
+        from pyspark.sql import functions as F
+
+        df = self.read(database, collection)
+        scalars = {
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if not f.dataType.simpleString().startswith(("array", "map", "struct"))
+        }
+        cols = list(scalars) if columns is None else [
+            c for c in columns if c in scalars
+        ]
+        if not cols:
+            return []
+        aggs = []
+        for c in cols:
+            is_str = scalars[c] == "string"
+            mn = F.min(F.length(c)) if is_str else F.min(F.col(c).cast("double"))
+            mx = F.max(F.length(c)) if is_str else F.max(F.col(c).cast("double"))
+            aggs += [
+                F.count(F.lit(1)).alias(f"{c}__n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+                mn.cast("double").alias(f"{c}__mn"),
+                mx.cast("double").alias(f"{c}__mx"),
+            ]
+        row = df.agg(*aggs).first()
+        return [
+            {
+                "column": c,
+                "type": scalars[c],
+                "n_rows": row[f"{c}__n"],
+                "n_null": row[f"{c}__nn"],
+                "n_distinct": row[f"{c}__nd"],
+                "min": row[f"{c}__mn"],
+                "max": row[f"{c}__mx"],
+            }
+            for c in cols
+        ]
+
     def export(
         self, database: str, collection: str, path: str, **kw
     ) -> int:

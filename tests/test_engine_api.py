@@ -319,3 +319,24 @@ def test_read_consistency_accepted_everywhere(spark, tmp_path):
         engine.query(db, coll, limit=1, read_consistency="bogus")
     with _pytest.raises(ParamError):
         VectorDBEngine(spark, str(tmp_path / "vdb_rc2"), read_consistency=42)
+
+
+def test_profile_collection(engine):
+    db, coll = make_collection(engine, name="prof_coll")
+    engine.upsert(
+        db, coll,
+        [{"id": f"r{i}", "vector": [1.0, 0.0, 0.0], "tag": f"t{i % 3}",
+          "page": i} for i in range(30)],
+    )
+    prof = {p["column"]: p for p in engine.profile(db, coll)}
+    assert "vector" not in prof  # arrays skipped
+    assert prof["page"]["n_rows"] == 30
+    assert prof["page"]["n_null"] == 0
+    assert prof["page"]["n_distinct"] == 30
+    assert prof["page"]["min"] == 0.0 and prof["page"]["max"] == 29.0
+    assert prof["tag"]["n_distinct"] == 3
+    # string columns profile length range
+    assert prof["id"]["min"] == 2.0 and prof["id"]["max"] == 3.0
+    # column subset selection
+    only = engine.profile(db, coll, columns=["page"])
+    assert [p["column"] for p in only] == ["page"]
