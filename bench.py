@@ -90,6 +90,10 @@ HEADLINE = [
     "equidepth_histogram",
     "lang_top_terms",
     "group_topk_salted",
+    "label_centroids",
+    "attribution_last_touch",
+    "audio_probe",
+    "ann_bq_cosine",
 ]
 
 

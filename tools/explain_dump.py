@@ -126,6 +126,41 @@ SHOWCASE = [
         "exchange on query_idx into FlatMapGroupsInPandas running the "
         "bounded greedy selection per query group",
     ),
+    (
+        "audio_probe",
+        "real WAV codec plumbing: narrow (doc_id, text) scan feeds two "
+        "chained MapInPandas stages (RIFF PCM16 encode, decode + DSP "
+        "features) with ZERO exchanges — payloads never leave the "
+        "partition that produced them",
+    ),
+    (
+        "attribution_last_touch",
+        "last-touch attribution: ONE exchange on user_id for the "
+        "carry-forward IGNORE NULLS window, then the touch-type "
+        "aggregate partially combines map-side (3 output rows cross "
+        "the final exchange)",
+    ),
+    (
+        "equidepth_histogram",
+        "equi-depth deciles: exact percentile_disc edges in one tiny "
+        "aggregate, the 9-edge array broadcast back onto the scan "
+        "(BroadcastNestedLoopJoin of ONE row), bin assignment fused "
+        "into the projection, 10-row final aggregate",
+    ),
+    (
+        "incremental_dedup",
+        "new-vs-corpus near-dedup: both sides of the (band, hash) "
+        "equi-join derive from ONE signature pipeline, corpus x corpus "
+        "pairs never form, and the keep flag is a left join back to "
+        "the batch side only",
+    ),
+    (
+        "bigram_logprob",
+        "order-2 LM score: per-doc bigram frequencies aggregate BEFORE "
+        "the corpus joins (distinct (doc, w1, w2) rows, not raw "
+        "tokens), then two equi-joins against the derived bigram and "
+        "prefix tables and one per-doc aggregate",
+    ),
 ]
 
 
