@@ -4368,8 +4368,12 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
     tok = df.select("doc_id", F.explode(F.expr(toks)).alias("token"))
-    # per-doc term frequency (shrinks the token->vocab join)
-    dtf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("dtf"))
+    # per-doc term frequency (shrinks the token->vocab join); persisted
+    # because it feeds both the vocabulary derivation and the per-doc
+    # join — the explode runs once (ContextCleaner unpersists on GC)
+    dtf = (
+        tok.groupBy("doc_id", "token").agg(F.count("*").alias("dtf")).persist()
+    )
     # corpus vocabulary with counts, plus the corpus token total
     tf = dtf.groupBy("token").agg(F.sum("dtf").alias("tf"))
     total = tf.agg(F.sum("tf").alias("n"))
@@ -4408,7 +4412,11 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(pairs)).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
-    dbf = flat.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("dbf"))
+    # dbf feeds the per-doc join AND derives both corpus tables; persist
+    # so the explode+aggregate pipeline (the expensive stage at scale)
+    # runs once, not three times. Spark's ContextCleaner unpersists the
+    # blocks when the handle is garbage-collected.
+    dbf = flat.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("dbf")).persist()
     c2 = dbf.groupBy("w1", "w2").agg(F.sum("dbf").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     return (
