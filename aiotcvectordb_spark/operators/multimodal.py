@@ -223,6 +223,110 @@ def decode_features(
     return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)
 
 
+_MPNG_MAGIC = b"MPNG"
+
+
+def with_mpng_payload(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 4,
+    width: int = 8,
+) -> DataFrame:
+    """Attach a REAL multi-frame container payload: ``n_frames``
+    length-prefixed PNG frames (magic ``MPNG`` + u32 frame count +
+    per-frame u32 length + PNG bytes). Frame ``j`` encodes the
+    ``[j::n_frames]`` byte-stride slice of the text as a
+    ``width``-wide grayscale image — a pure function of the text, so
+    the frame-extraction round trip is oracle-checkable. Entropy-coded
+    video (H.264 etc.) stays honestly unimplemented; this exercises
+    real container parsing + real per-frame decode on executors."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, payload binary"
+
+    def encode(batches: Iterator) -> Iterator:
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        from aiotcvectordb_spark.operators import imagecodec
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                frames = []
+                for j in range(n_frames):
+                    part = raw[j::n_frames] or b"\x00"
+                    h = max(1, -(-len(part) // width))
+                    buf = np.zeros(h * width, dtype=np.uint8)
+                    buf[: len(part)] = np.frombuffer(part, dtype=np.uint8)
+                    frames.append(imagecodec.encode_png(buf.reshape(h, width)))
+                body = b"".join(
+                    _struct.pack("<I", len(f)) + f for f in frames
+                )
+                ids.append(i)
+                payloads.append(
+                    _MPNG_MAGIC + _struct.pack("<I", len(frames)) + body
+                )
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
+
+
+def extract_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    stride: int = 2,
+) -> DataFrame:
+    """REAL frame extraction: parse the MPNG container, take every
+    ``stride``-th frame, decode each frame's PNG header for its true
+    dimensions. One input row -> N frame rows; payloads never shuffle.
+    Non-MPNG payloads yield no rows (flag-don't-fail convention)."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, frame_idx int, f_width int, f_height int"
+    )
+
+    def sample(batches: Iterator) -> Iterator:
+        import struct as _struct
+
+        import pandas as pd
+
+        from aiotcvectordb_spark.operators import imagecodec
+
+        for pdf in batches:
+            out = {id_col: [], "frame_idx": [], "f_width": [], "f_height": []}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if len(raw) < 8 or raw[:4] != _MPNG_MAGIC:
+                    continue
+                n = _struct.unpack_from("<I", raw, 4)[0]
+                pos = 8
+                for j in range(n):
+                    if pos + 4 > len(raw):
+                        break
+                    ln = _struct.unpack_from("<I", raw, pos)[0]
+                    frame = raw[pos + 4 : pos + 4 + ln]
+                    pos += 4 + ln
+                    if j % stride:
+                        continue
+                    meta = imagecodec.probe_image(frame)
+                    if meta is None:
+                        continue
+                    out[id_col].append(i)
+                    out["frame_idx"].append(j)
+                    out["f_width"].append(meta["width"])
+                    out["f_height"].append(meta["height"])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(sample, schema=schema)
+
+
 def frame_sample(
     df: DataFrame,
     *,
@@ -235,13 +339,16 @@ def frame_sample(
     """Sample fixed-stride frames out of each payload (the video
     frame-sampling shape: one input row -> N frame rows).
 
-    Fake mode slices raw bytes; a real sampler would seek codec
-    keyframes — identical output schema either way.
+    Fake mode slices raw bytes. For REAL frame extraction from the
+    MPNG multi-frame container, use ``extract_frames`` (container
+    parse + per-frame PNG decode); entropy-coded video formats remain
+    behind this error honestly.
     """
     if mode == "real":
         raise NotImplementedError(
-            "real frame sampling requires video codecs not present in "
-            "this environment; use mode='fake'"
+            "real frame sampling of entropy-coded video requires codecs "
+            "not present in this environment; for the MPNG container "
+            "use extract_frames, else mode='fake'"
         )
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, frame_no int, frame_off long, frame binary"

@@ -3943,6 +3943,45 @@ FROM s GROUP BY doc_id
 """
 
 
+_MPNG_FRAMES = 4
+_MPNG_WIDTH = 8
+_MPNG_STRIDE = 2
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame extraction, oracle-checked end to end: each
+    document becomes an MPNG container (4 length-prefixed PNG frames,
+    frame j encoding the [j::4] byte-stride slice of the text —
+    operators/multimodal.with_mpng_payload), then a second mapInPandas
+    stage parses the container, samples every 2nd frame, and decodes
+    each frame's REAL PNG header for its dimensions. Both stages
+    shuffle-free; frame sizes are a pure function of the text length,
+    so SQL recomputes them. Entropy-coded video stays honestly behind
+    NotImplementedError."""
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    mpng = MM.with_mpng_payload(
+        df, n_frames=_MPNG_FRAMES, width=_MPNG_WIDTH
+    )
+    return MM.extract_frames(mpng, stride=_MPNG_STRIDE)
+
+
+ORACLE_VIDEO_FRAMES = f"""
+WITH frames AS (
+  SELECT doc_id, length(text) AS L, unnest(range({_MPNG_FRAMES})) AS j
+  FROM documents
+)
+SELECT doc_id,
+       CAST(j AS INTEGER) AS frame_idx,
+       {_MPNG_WIDTH} AS f_width,
+       CAST(CASE WHEN L > j THEN ((L - j - 1) // {_MPNG_FRAMES} + 1 + {_MPNG_WIDTH - 1}) // {_MPNG_WIDTH}
+                 ELSE 1 END AS INTEGER) AS f_height
+FROM frames
+WHERE j % {_MPNG_STRIDE} = 0
+"""
+
+
 def q_ann_bq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantization ANN — the 1-bit member of the quantized
     index family (IVF_PQ = 8x codes + ADC, IVF_SQ8 = scalar int8, BQ =
@@ -4634,6 +4673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": q_label_centroids,
     "attribution_last_touch": q_attribution_last_touch,
     "audio_probe": q_audio_probe,
+    "video_frames": q_video_frames,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -4725,6 +4765,7 @@ ORACLES: dict[str, str] = {
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
     "audio_probe": ORACLE_AUDIO_PROBE,
+    "video_frames": ORACLE_VIDEO_FRAMES,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,

@@ -56,6 +56,16 @@ PROBE_QUERIES = [
     "ewma_smooth",
     "source_quota",
     "mmr_rerank",
+    "bigram_logprob",
+    "incremental_dedup",
+    "profile_table",
+    "equidepth_histogram",
+    "lang_top_terms",
+    "group_topk_salted",
+    "label_centroids",
+    "attribution_last_touch",
+    "audio_probe",
+    "ann_bq_cosine",
 ]
 
 # tables each probe query touches (so we only scale what's needed)
