@@ -66,6 +66,7 @@ PROBE_QUERIES = [
     "attribution_last_touch",
     "audio_probe",
     "ann_bq_cosine",
+    "video_frames",
 ]
 
 # tables each probe query touches (so we only scale what's needed)
