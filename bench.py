@@ -94,6 +94,7 @@ HEADLINE = [
     "attribution_last_touch",
     "audio_probe",
     "ann_bq_cosine",
+    "video_frames",
 ]
 
 
