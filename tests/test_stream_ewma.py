@@ -67,3 +67,43 @@ def test_stream_matches_batch_on_ordered_replay(spark, sf_dir, tmp_path):
     assert set(streamed) == set(batch)
     for eid, y in batch.items():
         assert math.isclose(streamed[eid], y, rel_tol=1e-9), eid
+
+
+def test_stream_state_survives_restart(spark, sf_dir, tmp_path):
+    """Two separate runs sharing one checkpoint: the second continues
+    the EWMA recursion from the state store, equal to batch over all."""
+    ev = _events(spark, sf_dir)
+    batch = {r.event_id: r.ewma for r in ewma_batch(ev).collect()}
+
+    mid = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, ts long, value double"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            ewma_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(str(src / "f0"))
+    run_once()  # first process: only the first half
+    n_first = spark.read.parquet(out_dir).count()
+    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(str(src / "f1"))
+    run_once()  # fresh query object, same checkpoint: resumes state
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == len(batch) and n_first < len(batch)
+    for r in rows:
+        assert math.isclose(r.ewma, batch[r.event_id], rel_tol=1e-9), r.event_id
