@@ -4062,6 +4062,116 @@ FROM flat GROUP BY label, dim
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier mining: the 5 vectors FARTHEST from
+    their own label's centroid — the data-cleaning pass that surfaces
+    mislabeled or junk rows before training. Centroids come from the
+    same narrow posexplode aggregate as `label_centroids` (rounded to 6
+    so both engines rank from identical inputs), re-packed to arrays
+    and broadcast onto the scan; the distance fold fuses into the
+    projection and the per-label top-5 is one bounded window."""
+    emb = ensure_min_partitions(load(spark, sf_dir, "embeddings"))
+    cent = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+        )
+        .groupBy("label", "dim0")
+        .agg(F.round(F.sum("v") / F.count("*"), ROUND_DIGITS).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim0, c))), x -> x.c)"
+            ).alias("centroid")
+        )
+    )
+    dist = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(cast(embedding as array<double>), centroid, "
+                "(x, c) -> (x - c) * (x - c)), cast(0.0 as double), (a, b) -> a + b)"
+            )
+        ),
+        ROUND_DIGITS,
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist").desc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .withColumn("dist", dist)
+        .withColumn("out_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("out_rank") <= 5)
+        .select("label", "vec_id", "dist", "out_rank")
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = """
+WITH flat AS (
+  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim, round(sum(v) / count(*), 6) AS c
+  FROM flat GROUP BY label, dim
+),
+dists AS (
+  SELECT f.vec_id, f.label,
+         round(sqrt(sum((f.v - c.c) * (f.v - c.c))), 6) AS dist
+  FROM flat f JOIN cent c ON f.label = c.label AND f.dim = c.dim
+  GROUP BY f.vec_id, f.label
+)
+SELECT label, vec_id, dist,
+       CAST(row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS INTEGER) AS out_rank
+FROM dists QUALIFY out_rank <= 5
+"""
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per day (the WAU curve).
+    The scale-safe shape for ROLLING DISTINCT: dedupe to (day, user)
+    first, EXPLODE each pair into the 7 window-end days it supports,
+    then one count-distinct aggregate — linear in events, one shuffle,
+    no range join and no per-day window state. Only days with events
+    appear (the gap-fill op handles empty days)."""
+    ev = load(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.expr("ts div 86400000000000").alias("day"), "user_id"
+        ).distinct()
+    )
+    return (
+        du.select(
+            F.explode(
+                F.expr("sequence(day, day + 6)")
+            ).alias("win_day"),
+            "user_id",
+        )
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .join(
+            du.select(F.col("day").alias("win_day")).distinct(), "win_day"
+        )
+    )
+
+
+ORACLE_ROLLING_ACTIVE_USERS = """
+WITH du AS (
+  SELECT DISTINCT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day, user_id
+  FROM events
+),
+expanded AS (
+  SELECT du.day + k AS win_day, du.user_id
+  FROM du CROSS JOIN (SELECT unnest(range(7)) AS k)
+)
+SELECT e.win_day, count(DISTINCT e.user_id) AS wau
+FROM expanded e
+WHERE e.win_day IN (SELECT day FROM du)
+GROUP BY e.win_day
+"""
+
+
 # --------------------------------------------------------------------------
 # Last-touch attribution (event analytics: which touch type preceded
 # each conversion)
@@ -4674,6 +4784,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_last_touch": q_attribution_last_touch,
     "audio_probe": q_audio_probe,
     "video_frames": q_video_frames,
+    "embedding_outliers": q_embedding_outliers,
+    "rolling_active_users": q_rolling_active_users,
     # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
@@ -4766,6 +4878,8 @@ ORACLES: dict[str, str] = {
     "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
     "audio_probe": ORACLE_AUDIO_PROBE,
     "video_frames": ORACLE_VIDEO_FRAMES,
+    "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
+    "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
     "search_flat_l2": ORACLE_SEARCH_FLAT_L2,
     "search_flat_ip": ORACLE_SEARCH_FLAT_IP,
     "search_radius": ORACLE_SEARCH_RADIUS,

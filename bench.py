@@ -95,6 +95,8 @@ HEADLINE = [
     "audio_probe",
     "ann_bq_cosine",
     "video_frames",
+    "embedding_outliers",
+    "rolling_active_users",
 ]
 
 
