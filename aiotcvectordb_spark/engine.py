@@ -283,7 +283,10 @@ class VectorDBEngine:
         along the Morton curve of two numeric columns
         (sources/zorder.py), so parquet footer min/max stats prune
         files for predicates on EITHER column — the multi-dimension
-        data-skipping layout for scalar-filtered scans at scale."""
+        data-skipping layout for scalar-filtered scans at scale. A
+        z-ordered rewrite replaces any IVF ``cluster_id`` directory
+        layout (one clustering per rewrite; rebuild_index restores the
+        IVF layout if vector-search locality matters more)."""
         meta = self.catalog.get_collection(database, collection)
         df = self.store.read(self.spark, database, meta.name)
         n = target_files or self.spark.sparkContext.defaultParallelism
