@@ -267,3 +267,27 @@ def test_embedding_near_dup_runs_on_executors(spark, sf_dir):
     assert "MapInPandas" in plan
     audit.assert_no_cartesian(out)
     assert audit.has_broadcast_join(out)
+
+
+def test_round2b_ops_shuffle_budgets(spark, sf_dir):
+    """Lock the round-2 additions to their designed shuffle budgets:
+    single-exchange window shapes stay single-exchange, the LM scores
+    stay within their three key-partitioned shuffles (+1 persisted-read
+    exchange), and the codec round trips stay shuffle-FREE."""
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.plans import audit
+
+    budgets = {
+        "training_shards": 1,   # shard window
+        "source_quota": 1,      # per-source window
+        "ewma_smooth": 1,       # per-user window
+        "attribution_last_touch": 2,  # user window + tiny group agg
+        "lang_top_terms": 3,    # scan-widen repartition + partial agg + window
+        "audio_probe": 0,       # two chained mapInPandas, no exchange
+        "video_frames": 0,      # container parse stays on-partition
+    }
+    for name, budget in budgets.items():
+        df = Q.QUERIES[name](spark, sf_dir)
+        got = audit.count_shuffles(df)
+        assert got <= budget, (name, got, budget)
+        audit.assert_no_cartesian(df)
