@@ -283,8 +283,11 @@ def test_round2b_ops_shuffle_budgets(spark, sf_dir):
         "ewma_smooth": 1,       # per-user window
         "attribution_last_touch": 2,  # user window + tiny group agg
         "lang_top_terms": 3,    # scan-widen repartition + partial agg + window
-        "audio_probe": 0,       # two chained mapInPandas, no exchange
-        "video_frames": 0,      # container parse stays on-partition
+        # codec chains: zero exchanges beyond the deliberate scan-widen
+        # repartition (ensure_min_partitions on the single-row-group
+        # testdata file) — encode->decode itself never shuffles
+        "audio_probe": 1,
+        "video_frames": 1,
     }
     for name, budget in budgets.items():
         df = Q.QUERIES[name](spark, sf_dir)
