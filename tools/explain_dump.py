@@ -161,6 +161,19 @@ SHOWCASE = [
         "tokens), then two equi-joins against the derived bigram and "
         "prefix tables and one per-doc aggregate",
     ),
+    (
+        "embedding_outliers",
+        "distance-to-centroid mining: the labels x dim centroid "
+        "aggregate is tiny and BROADCAST back onto the scan, the "
+        "zip_with distance fold fuses into the projection, and the "
+        "per-label top-5 is one bounded window",
+    ),
+    (
+        "rolling_active_users",
+        "rolling DISTINCT without a range join: (day, user) dedup, "
+        "7-way explode into window-end days, one count-distinct "
+        "aggregate — linear in events, key-partitioned shuffles only",
+    ),
 ]
 
 
