@@ -2605,6 +2605,74 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_idx", "vec_id", "score", "rank")
 
 
+def q_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF driven to its exact limit: ``nprobe = nlist``, so cell
+    pruning removes nothing and the result must be BIT-IDENTICAL to
+    flat exact kNN — shares ORACLE_SEARCH_FLAT_COSINE verbatim. This
+    hash-proves the IVF *machinery* (cluster assignment, probe set,
+    cell-pruned rescan, exact rerank): any row lost or rescored wrong
+    by the plumbing breaks the hash. Centroid quality is irrelevant at
+    full probe, so the fit is a cheap 2-iteration KMeans(k=8)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = load(spark, sf_dir, "embeddings")
+    ml_df = df.withColumn(
+        "__features",
+        array_to_vector(F.col("embedding").cast("array<double>")),
+    )
+    model = KMeans(
+        k=8, seed=42, maxIter=2,
+        featuresCol="__features", predictionCol="cluster_id",
+    ).fit(ml_df)
+    clustered = model.transform(ml_df).drop("__features")
+    # nprobe = nlist: probe EVERY cell. The isin predicate is the same
+    # pruning expression the partial-probe path uses — here it must be
+    # a no-op filter, which is exactly what the shared oracle checks.
+    all_cells = list(range(8))
+    pruned = clustered.filter(F.col("cluster_id").isin(all_cells))
+    return knn.knn_search(
+        pruned,
+        FLAGSHIP_VECTORS,
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="COSINE",
+        limit=10,
+        filter="label IN (1, 2)",
+        output_fields=["label"],
+        round_digits=ROUND_DIGITS,
+    ).select("query_idx", "vec_id", "score", "rank", "label")
+
+
+def q_ann_pq_fullrescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ driven to its exact limit: ``rescore_k = |filtered corpus|``,
+    so the ADC candidate stage cannot drop a true neighbor and the
+    exact-cosine rescore ranks every row — the result must be
+    BIT-IDENTICAL to flat exact kNN (shares ORACLE_SEARCH_FLAT_COSINE
+    verbatim). Hash-proves the PQ plumbing end-to-end: train → encode →
+    broadcast-LUT ADC → bounded shuffle → exact rescore. The label
+    filter runs BEFORE encoding (filtered ANN = prefilter + index scan,
+    reference stub.py:609 filter param)."""
+    from aiotcvectordb_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    flt = emb.filter("label IN (1, 2)")
+    n = flt.count()
+    model = pq.train_pq(flt, m=8, nbits=4)
+    codes = pq.encode_pq(flt, model)
+    hits = pq.search_pq(
+        codes, model, FLAGSHIP_VECTORS, k=10,
+        rescore=flt, rescore_k=n, round_digits=ROUND_DIGITS,
+    )
+    # project label back on: broadcast the TINY result side (queries x k
+    # rows) against the big table — one scan, no shuffle of emb
+    return (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(hits), "vec_id")
+        .select("query_idx", "vec_id", "score", "rank", "label")
+    )
+
+
 def q_ann_lsh_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via MLlib LSH (HNSW stand-in). No SQL oracle
     (randomized hash planes); recall vs exact is asserted in pytest."""
@@ -4735,7 +4803,73 @@ FROM w
 # first, then the round-1-verified ones (fastest first so the most
 # entries fit any time budget), then the rows-only approximate ops.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- oracled, no driver row yet (r01 gap) ---
+    # Ordering policy (the driver checks ~50 entries per round, in
+    # order): (1) queries whose implementation changed since their
+    # last driver row come FIRST, so a rewrite is never verified only
+    # by local parity; (2) then new queries with no driver row; (3)
+    # then the STALEST green rows (the r01 block); (4) then the
+    # freshest (r02-green). tools/check_driver_rows.py enforces that
+    # no oracled query's driver row lags its rewrite by >1 round.
+    # --- rewritten in round 2 AFTER their r01 driver row; need fresh rows ---
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "dedup_components": q_dedup_components,
+    "embedding_near_dup": q_embedding_near_dup,
+    "fulltext_bm25": q_fulltext_bm25,
+    # --- new in round 3 (no driver row yet) ---
+    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+    "ann_pq_fullrescore": q_ann_pq_fullrescore,
+    # --- rewritten in round 3 (one-sort equidepth; byte-based audio/video oracles) ---
+    "equidepth_histogram": q_equidepth_histogram,
+    "audio_probe": q_audio_probe,
+    "video_frames": q_video_frames,
+    # --- stalest: oracled, green in CORRECTNESS_r01, unchanged since ---
+    "update_conditional": q_update_conditional,
+    "query_projection": q_query_projection,
+    "token_count": q_token_count,
+    "cube_agg": q_cube_agg,
+    "price_histogram": q_price_histogram,
+    "query_by_ids": q_query_by_ids,
+    "ttl_filter": q_ttl_filter,
+    "json_extract": q_json_extract,
+    "group_topk": q_group_topk,
+    "agg_groupby_stats": q_agg_groupby_stats,
+    "window_running": q_window_running,
+    "window_funcs": q_window_funcs,
+    "scalar_funcs": q_scalar_funcs,
+    "set_ops": q_set_ops,
+    "count_filter": q_count_filter,
+    "delete_filter_limit": q_delete_filter_limit,
+    "percentiles": q_percentiles,
+    "query_filter_sort_paginate": q_query_filter_sort_paginate,
+    "semi_anti_join": q_semi_anti_join,
+    "rollup_agg": q_rollup_agg,
+    "lang_id": q_lang_id,
+    "interval_join": q_interval_join,
+    "join_pruned_dims": q_join_pruned_dims,
+    "doc_repetition": q_doc_repetition,
+    "chunk_expand": q_chunk_expand,
+    "event_window_agg": q_event_window_agg,
+    "doc_fingerprint": q_doc_fingerprint,
+    "knn_join": q_knn_join,
+    "text_quality": q_text_quality,
+    "search_by_id": q_search_by_id,
+    "sliding_window_agg": q_sliding_window_agg,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_exact": q_dedup_exact,
+    "upsert_merge": q_upsert_merge,
+    "search_flat_ip": q_search_flat_ip,
+    "asof_join": q_asof_join,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_near_dup": q_simhash_near_dup,
+    "sparse_encode": q_sparse_encode,
+    "hybrid_weighted": q_hybrid_weighted,
+    "search_radius": q_search_radius,
+    "search_flat_cosine": q_search_flat_cosine,
+    "search_flat_l2": q_search_flat_l2,
+    "search_udtf_topk": q_search_udtf_topk,
+    "hybrid_rrf": q_hybrid_rrf,
+    # --- freshest: oracled, green in CORRECTNESS_r02 ---
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
     "grouping_sets_agg": q_grouping_sets_agg,
@@ -4777,66 +4911,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quota": q_source_quota,
     "incremental_dedup": q_incremental_dedup,
     "profile_table": q_profile_table,
-    "equidepth_histogram": q_equidepth_histogram,
     "lang_top_terms": q_lang_top_terms,
     "group_topk_salted": q_group_topk_salted,
     "label_centroids": q_label_centroids,
     "attribution_last_touch": q_attribution_last_touch,
-    "audio_probe": q_audio_probe,
-    "video_frames": q_video_frames,
     "embedding_outliers": q_embedding_outliers,
     "rolling_active_users": q_rolling_active_users,
-    # --- oracled, green in CORRECTNESS_r01 (fastest first) ---
-    "update_conditional": q_update_conditional,
-    "query_projection": q_query_projection,
-    "token_count": q_token_count,
-    "cube_agg": q_cube_agg,
-    "price_histogram": q_price_histogram,
-    "query_by_ids": q_query_by_ids,
-    "ttl_filter": q_ttl_filter,
-    "json_extract": q_json_extract,
-    "group_topk": q_group_topk,
-    "agg_groupby_stats": q_agg_groupby_stats,
-    "window_running": q_window_running,
-    "window_funcs": q_window_funcs,
-    "scalar_funcs": q_scalar_funcs,
-    "set_ops": q_set_ops,
-    "count_filter": q_count_filter,
-    "delete_filter_limit": q_delete_filter_limit,
-    "percentiles": q_percentiles,
-    "query_filter_sort_paginate": q_query_filter_sort_paginate,
-    "semi_anti_join": q_semi_anti_join,
-    "rollup_agg": q_rollup_agg,
-    "lang_id": q_lang_id,
-    "interval_join": q_interval_join,
-    "join_pruned_dims": q_join_pruned_dims,
-    "minhash_signatures": q_minhash_signatures,
-    "doc_repetition": q_doc_repetition,
-    "chunk_expand": q_chunk_expand,
-    "event_window_agg": q_event_window_agg,
-    "doc_fingerprint": q_doc_fingerprint,
-    "knn_join": q_knn_join,
-    "text_quality": q_text_quality,
-    "search_by_id": q_search_by_id,
-    "sliding_window_agg": q_sliding_window_agg,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "dedup_exact": q_dedup_exact,
-    "embedding_near_dup": q_embedding_near_dup,
-    "upsert_merge": q_upsert_merge,
-    "search_flat_ip": q_search_flat_ip,
-    "asof_join": q_asof_join,
-    "simhash_fingerprint": q_simhash_fingerprint,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "simhash_near_dup": q_simhash_near_dup,
-    "sparse_encode": q_sparse_encode,
-    "hybrid_weighted": q_hybrid_weighted,
-    "search_radius": q_search_radius,
-    "search_flat_cosine": q_search_flat_cosine,
-    "search_flat_l2": q_search_flat_l2,
-    "search_udtf_topk": q_search_udtf_topk,
-    "fulltext_bm25": q_fulltext_bm25,
-    "dedup_components": q_dedup_components,
-    "hybrid_rrf": q_hybrid_rrf,
     # --- rows-only approximate/model ops (no SQL oracle by design) ---
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
@@ -4857,6 +4937,11 @@ ORACLES: dict[str, str] = {
     # the bounded-shuffle scale path must be hash-identical to the
     # declarative path, so it shares the oracle verbatim
     "search_flat_cosine_local_topk": ORACLE_SEARCH_FLAT_COSINE,
+    # exact-limit proofs of the approximate-index machinery: IVF at
+    # nprobe=nlist and PQ at rescore_k=|corpus| must equal flat exact
+    # kNN bit-for-bit, so they share the oracle verbatim too
+    "ann_ivf_fullprobe": ORACLE_SEARCH_FLAT_COSINE,
+    "ann_pq_fullrescore": ORACLE_SEARCH_FLAT_COSINE,
     "image_probe": ORACLE_IMAGE_PROBE,
     "sessionize_udtf": ORACLE_SESSIONIZE,
     "search_binary_hamming": ORACLE_SEARCH_BINARY_HAMMING,

@@ -1,6 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line as the
+FINAL stdout line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+The driver captures only the last ~2000 chars of output, so the inline
+"queries" dict carries just the flagship subset; the FULL per-query
+timing table is written to BENCH_DETAIL.json (and echoed to stderr).
 """
 
 from __future__ import annotations
@@ -97,6 +101,26 @@ HEADLINE = [
     "video_frames",
     "embedding_outliers",
     "rolling_active_users",
+    "ann_ivf_fullprobe",
+    "ann_pq_fullrescore",
+]
+
+# Inline subset for the driver-visible JSON line (kept small so the
+# line survives the driver's 2000-char tail capture); the full table
+# goes to BENCH_DETAIL.json.
+FLAGSHIP = [
+    "search_flat_cosine",
+    "search_by_id",
+    "fulltext_bm25",
+    "hybrid_rrf",
+    "minhash_lsh_candidates",
+    "dedup_components",
+    "embedding_near_dup",
+    "simhash_near_dup",
+    "dedup_exact",
+    "curate_corpus",
+    "sessionize",
+    "group_topk_salted",
 ]
 
 
@@ -151,17 +175,32 @@ def main() -> None:
         timings[name] = round(timings[name], 3)
         print(f"# {name}: {timings[name]}s rows={rows[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(HEADLINE),
+        "queries": timings,
+        "rows": rows,
+        "sf": sf_val,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(HEADLINE),
+        "queries": {k: timings[k] for k in FLAGSHIP if k in timings},
+        "sf": sf_val,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # the driver keeps only the last ~2000 chars of stdout; the compact
+    # line must fit with margin or the official record loses the metric
+    assert len(line) < 1500, f"bench JSON line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
 
 
