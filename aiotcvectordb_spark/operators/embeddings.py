@@ -81,10 +81,14 @@ def mmr_rerank(
         round_digits=round_digits,
     ).select(QUERY_IDX, id_col, "score", vector_col)
 
+    # the id keeps its source type (collections use string primary keys
+    # per the reference data model; the registry's vec_id is long) —
+    # hardcoding a type here would break at the Arrow schema boundary
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
             T.StructField(QUERY_IDX, T.IntegerType(), False),
-            T.StructField(id_col, T.LongType(), False),
+            T.StructField(id_col, id_type, False),
             T.StructField("relevance", T.DoubleType(), False),
             T.StructField("mmr_score", T.DoubleType(), False),
             T.StructField("mmr_rank", T.IntegerType(), False),

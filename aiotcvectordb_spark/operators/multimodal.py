@@ -138,6 +138,8 @@ def audio_features(
     )
 
     def extract(batches: Iterator) -> Iterator:
+        import struct
+
         import pandas as pd
 
         from aiotcvectordb_spark.operators import audiocodec
@@ -149,7 +151,10 @@ def audio_features(
                     f = audiocodec.wav_features(bytes(payload))
                     rows.append((i, f["sample_rate"], f["n_samples"],
                                  f["duration_ms"], f["rms"], f["zcr"], f["peak"]))
-                except ValueError:
+                except (ValueError, struct.error):
+                    # struct.error: a truncated fmt/data chunk fails
+                    # unpack_from before any semantic check — still a
+                    # malformed payload, still flag-don't-fail
                     rows.append((i, None, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,

@@ -36,9 +36,11 @@ DIM = 64
 # resolved scan (schema from the parquet footer) can be reused across
 # queries in one session. Without this every registry query pays the
 # footer read + analysis again — a fixed driver-side tax that dominates
-# sub-second queries. Keyed by SparkContext id so a stopped/new session
-# never serves stale handles.
-_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# sub-second queries. Keyed by (applicationId, startTime) — a stable
+# identity that a new SparkContext can never reuse (unlike id(), which
+# CPython recycles after GC) — and purged on context change, so entries
+# for dead contexts neither leak nor get served stale.
+_LOAD_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -50,10 +52,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # the NTZ->epoch conversion match DuckDB's epoch_ns(naive ts).
     from aiotcvectordb_spark.sources.event_time import normalize_event_time
 
-    key = (id(spark.sparkContext), sf_dir, table)
+    sc = spark.sparkContext
+    ctx = (sc.applicationId, sc.startTime)
+    key = ctx + (sf_dir, table)
     hit = _LOAD_CACHE.get(key)
     if hit is not None:
         return hit
+    # drop handles bound to any previous (now-dead) context
+    for k in [k for k in _LOAD_CACHE if k[:2] != ctx]:
+        del _LOAD_CACHE[k]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = normalize_event_time(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
@@ -1211,8 +1218,51 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), {ROUND_DIGITS}) >= 0.9
 _NEARDUP_THRESHOLD = 0.45
 
 
+# Above this row count the exact path's broadcast matrix (rows x dim x
+# 8 bytes — ~1 GiB at 2M x 64d) stops fitting comfortably per executor,
+# so the router switches to the IVF-bucketed path. Env-overridable so
+# tests (and operators who know their cluster memory) can move the
+# knee without code changes.
+_NEARDUP_EXACT_MAX_ROWS_ENV = "SPARK_GRAFT_NEARDUP_EXACT_MAX_ROWS"
+_NEARDUP_EXACT_MAX_ROWS_DEFAULT = 2_000_000
+
+
+def _neardup_exact_max_rows() -> int:
+    import os
+
+    return int(
+        os.environ.get(_NEARDUP_EXACT_MAX_ROWS_ENV, _NEARDUP_EXACT_MAX_ROWS_DEFAULT)
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold.
+    """Embedding-cosine near-dup pairs above a threshold — scale-routed.
+
+    ONE entry point, two physical plans, chosen by corpus size so the
+    O(N^2)/full-matrix-broadcast plan cannot be invoked on 100 TB by
+    accident:
+
+    - ``n <= SPARK_GRAFT_NEARDUP_EXACT_MAX_ROWS`` (default 2M): the
+      exact broadcast-matmul prefilter (below) — bit-exact, oracle-
+      hashed by the driver at sf0.01.
+    - above: the IVF-bucketed path (``q_embedding_near_dup_ivf``) with
+      multi-probe assignment — bounded shuffles, nothing broadcast or
+      collected; same output schema and the same exact rescore on
+      candidates, approximate only in candidate generation.
+
+    The row count is a parquet-metadata-only job, so routing costs no
+    data scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    n_rows = emb.count()  # metadata-only parquet count
+    if n_rows > _neardup_exact_max_rows():
+        return q_embedding_near_dup_ivf(spark, sf_dir, nprobe=4)
+    return _embedding_near_dup_exact(spark, sf_dir, n_rows)
+
+
+def _embedding_near_dup_exact(
+    spark: SparkSession, sf_dir: str, n_rows: int
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the broadcast-scale plan).
 
     Two-stage exact plan (no O(N^2) row materialization in the JVM):
 
@@ -1265,7 +1315,6 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block x matrix matmul is big enough to amortize that (4k rows per
     # block). At sf0.1 (2k vectors) that's ONE task doing a trivial
     # matmul; at 100k vectors it's ~25 parallel slabs.
-    n_rows = emb.count()  # metadata-only parquet count
     n_blocks = min(32, max(1, n_rows // 4096 + 1))
     blocks = (
         ids_emb.groupBy(F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("__blk"))
@@ -1289,9 +1338,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             for rbids, rbflat, rmids, rmflat in zip(*cols):
                 bids = np.asarray(rbids, dtype=np.int64)
-                bmat = np.asarray(rbflat, dtype=np.float64).reshape(len(bids), -1)
                 mids = np.asarray(rmids, dtype=np.int64)
-                mmat = np.asarray(rmflat, dtype=np.float64).reshape(len(mids), -1)
+                # reshape to the EXPLICIT dim: a null/ragged embedding
+                # must raise here, not silently shift every subsequent
+                # row's vector (which would yield wrong pairs)
+                bmat = np.asarray(rbflat, dtype=np.float64).reshape(len(bids), DIM)
+                mmat = np.asarray(rmflat, dtype=np.float64).reshape(len(mids), DIM)
                 bunit = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
                 munit = mmat / np.linalg.norm(mmat, axis=1, keepdims=True)
                 s = bunit @ munit.T
@@ -1313,9 +1365,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         vector_norm_fixed("embedding", DIM).alias("nb"),
     )
+    # rescore joins broadcast only the OUTPUT-DRIVEN sides: cand (the
+    # ~1e2 surviving pairs) into a's scan, then that still-tiny result
+    # into b's scan — the full table is never broadcast
     return (
-        a.join(F.broadcast(cand), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        b.join(F.broadcast(a.join(F.broadcast(cand), "vec_a")), "vec_b")
         .withColumn(
             "score",
             F.round(dot_score_fixed("ea", "eb", DIM) / (F.col("na") * F.col("nb")), ROUND_DIGITS),
@@ -3981,8 +4035,9 @@ def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage DECODES the payload and computes n_samples / duration / RMS
     on the real samples. Both stages are Arrow-batched and
     shuffle-free (payloads stay on their producing partition); the
-    waveform is a pure function of the text, so the SQL oracle can
-    recompute the same features from the characters."""
+    waveform is a pure function of the text's UTF-8 BYTES, and the SQL
+    oracle expands code points to those same bytes, so parity is exact
+    for any unicode (and empty) text."""
     from aiotcvectordb_spark.operators import multimodal as MM
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
@@ -3995,19 +4050,39 @@ def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Byte-exact oracle: the waveform is one sample per UTF-8 BYTE (not per
+# character), so the SQL expands each code point to its UTF-8 byte
+# sequence before aggregating — parity holds for any unicode text, not
+# just the all-ASCII fixture. Empty text gets the codec's single zero
+# sample via the LEFT JOIN fallback.
 ORACLE_AUDIO_PROBE = """
-WITH s AS (
-  SELECT doc_id, (ascii(c) - 128) / 128.0 AS v
+WITH ch AS (
+  SELECT doc_id, ascii(c) AS cp
   FROM (
     SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
     FROM documents WHERE length(text) > 0
   )
+),
+b AS (
+  SELECT doc_id, unnest(
+    CASE WHEN cp < 128 THEN [cp]
+         WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+         WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+                               128 + cp % 64]
+         ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+               128 + (cp // 64) % 64, 128 + cp % 64] END) AS byte
+  FROM ch
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         sum(((byte - 128) / 128.0) * ((byte - 128) / 128.0)) AS ss
+  FROM b GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_samples,
-       CAST((count(*) * 1000) // 8000 AS BIGINT) AS duration_ms,
-       round(sqrt(sum(v * v) / count(*)), 6) AS rms
-FROM s GROUP BY doc_id
+SELECT d.doc_id,
+       CAST(coalesce(agg.n, 1) AS BIGINT) AS n_samples,
+       CAST(coalesce(agg.n, 1) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       round(sqrt(coalesce(agg.ss, 0) / coalesce(agg.n, 1)), 6) AS rms
+FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -4035,9 +4110,12 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_frames(mpng, stride=_MPNG_STRIDE)
 
 
+# L is the UTF-8 BYTE length (octet_length of the encoded text) — the
+# Spark side strides over text.encode("utf-8"), so a character count
+# would silently diverge on any non-ASCII document.
 ORACLE_VIDEO_FRAMES = f"""
 WITH frames AS (
-  SELECT doc_id, length(text) AS L, unnest(range({_MPNG_FRAMES})) AS j
+  SELECT doc_id, octet_length(encode(text)) AS L, unnest(range({_MPNG_FRAMES})) AS j
   FROM documents
 )
 SELECT doc_id,
@@ -4298,26 +4376,81 @@ GROUP BY 1
 
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth decile histogram of order totals. Exact decile edges
-    via percentile_disc (discrete selection — an actually-occurring
-    value, so cross-engine exact, no interpolation float drift) in one
-    tiny aggregate; the 9-edge array is broadcast back onto the scan
-    and bin assignment fuses into the projection
-    (``size(filter(edges, e -> v > e))``). Two passes over the column,
-    no UDF; the final aggregate shuffles 10 rows."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_edh")
-    edges = spark.sql(
-        "SELECT array("
-        + ", ".join(
-            f"percentile_disc({p / 10}) WITHIN GROUP (ORDER BY o_totalprice)"
-            for p in range(1, 10)
-        )
-        + ") AS edges FROM __orders_edh"
-    )
+    (percentile_disc semantics: the value at ascending rank ⌈p·n⌉,
+    an actually-occurring value, so cross-engine exact with no
+    interpolation float drift) from ONE distributed sort instead of
+    nine sort-based percentile_disc aggregates (the r02 shape — each
+    kept its own full copy of the column in the aggregation buffer):
+
+    1. range-partition + sort-within-partitions on the value (the one
+       ordered pass; Spark's sampling range partitioner keeps the
+       partitions balanced),
+    2. per-partition counts → exclusive prefix offsets (≤P rows of
+       METADATA collected driver-side — same class as collecting
+       KMeans cluster centers, not a data collect),
+    3. each partition emits only the ranks it owns (mapInPandas with a
+       running in-partition counter; output is exactly 9 rows),
+    4. bin assignment fuses the 9-edge literal array into the scan
+       projection; the final aggregate shuffles 10 rows.
+
+    Every stage is linear; nothing driver-side ever exceeds P+9 rows."""
+    import math
+
     orders = load(spark, sf_dir, "orders")
+    prices = orders.select("o_totalprice")
+    n_parts = 32
+    parts = (
+        prices.repartitionByRange(n_parts, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        pc = {
+            r["pid"]: r["cnt"]
+            for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        n = sum(pc.values())
+        offmap = {}
+        acc = 0
+        for pid in sorted(pc):
+            offmap[pid] = acc
+            acc += pc[pid]
+        # percentile_disc(p) = value at 1-indexed ascending rank ⌈p·n⌉
+        targets = sorted(
+            (max(1, math.ceil(p / 10 * n)), p) for p in range(1, 10)
+        )
+
+        def pick(batches):
+            import pandas as pd
+
+            seen = 0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                pid = int(pdf["pid"].iloc[0])
+                start = offmap[pid] + seen  # global rank of row 0 is start+1
+                seen += len(pdf)
+                hits = [
+                    (p, float(pdf["o_totalprice"].iloc[rank - start - 1]))
+                    for rank, p in targets
+                    if start < rank <= start + len(pdf)
+                ]
+                if hits:
+                    yield pd.DataFrame(hits, columns=["p", "edge"])
+
+        edges = [
+            r["edge"]
+            for r in parts.mapInPandas(pick, schema="p int, edge double")
+            .orderBy("p")
+            .collect()
+        ]
+    finally:
+        parts.unpersist()
+    edge_arr = F.array(*[F.lit(float(e)) for e in edges])
     return (
-        orders.crossJoin(F.broadcast(edges))
-        .select(
-            F.expr("size(filter(edges, e -> o_totalprice > e))")
+        orders.select(
+            F.size(F.filter(edge_arr, lambda e: F.col("o_totalprice") > e))
             .cast("int")
             .alias("bin"),
             "o_totalprice",

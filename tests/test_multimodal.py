@@ -271,3 +271,45 @@ def test_probe_media_formats(spark):
     assert (got[3].format, got[3].width, got[3].height) == ("gif", 12, 34)
     assert (got[4].format, got[4].width, got[4].height) == ("bmp", 40, 50)
     assert got[5].format is None and got[5].width is None
+
+
+def test_audio_video_oracle_parity_unicode_and_empty(spark, tmp_path):
+    """The audio/video probe oracles are BYTE-based (UTF-8 expansion in
+    SQL), so Spark/DuckDB parity must hold beyond the all-ASCII
+    fixture: multibyte code points (2-, 3-, 4-byte UTF-8), an empty
+    text (the codec emits one zero sample), and a short-ASCII control
+    row must all hash-match."""
+    import duckdb
+    import pandas as pd
+
+    from aiotcvectordb_spark import queries as Q
+
+    docs = [
+        (1, "plain ascii text"),
+        (2, "héllo wörld"),          # 2-byte sequences
+        (3, "日本語テス"),  # 3-byte sequences
+        (4, "emoji \U0001f600\U0001f680 mix"),  # 4-byte sequences
+        (5, ""),                                # empty -> 1 zero sample
+        (6, "x"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for name in ("audio_probe", "video_frames"):
+        got = Q.QUERIES[name](spark, sf).toPandas()
+        want = con.execute(Q.ORACLES[name]).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), name
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        for c in cols:
+            pd.testing.assert_series_equal(
+                g[c].astype("float64"), w[c].astype("float64"),
+                check_names=False, rtol=0, atol=1e-9,
+            ), (name, c)

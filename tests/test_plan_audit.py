@@ -294,3 +294,32 @@ def test_round2b_ops_shuffle_budgets(spark, sf_dir):
         got = audit.count_shuffles(df)
         assert got <= budget, (name, got, budget)
         audit.assert_no_cartesian(df)
+
+
+def test_embedding_near_dup_scale_routing(spark, sf_dir, monkeypatch):
+    """q_embedding_near_dup is scale-routed: above the row threshold the
+    O(N^2) broadcast-matmul plan must NOT appear — no broadcast of the
+    full matrix (BroadcastNestedLoopJoin) and no block-matmul
+    MapInPandas; the IVF cell equi-join engages instead. Below the
+    threshold the exact plan (matrix ride-along + MapInPandas) stays."""
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.plans import audit
+
+    # force the knee BELOW the fixture size -> must route to IVF
+    monkeypatch.setenv(Q._NEARDUP_EXACT_MAX_ROWS_ENV, "1")
+    routed = Q.q_embedding_near_dup(spark, sf_dir)
+    plan = audit.executed_plan(routed)
+    assert "BroadcastNestedLoop" not in plan
+    assert "MapInPandas" not in plan
+
+    # default knee (2M) -> fixture routes to the exact broadcast plan
+    monkeypatch.delenv(Q._NEARDUP_EXACT_MAX_ROWS_ENV, raising=False)
+    exact = Q.q_embedding_near_dup(spark, sf_dir)
+    plan = audit.executed_plan(exact)
+    assert "MapInPandas" in plan
+
+    # both routes agree on the fixture (IVF recall is exact-complete at
+    # this scale because every true pair shares a probed cell)
+    got = {(r.vec_a, r.vec_b) for r in routed.collect()}
+    want = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    assert want >= got and len(got) >= int(0.8 * len(want))

@@ -58,3 +58,12 @@ def test_oracle_sql_mentions_no_unregistered_tables():
         # subselects introduce parenthesized FROMs the regex skips; any
         # residual unknown name is a genuine missing view
         assert not unknown, f"{name}: unregistered tables {unknown}"
+
+
+def test_driver_row_rotation_enforced():
+    """No oracled query's driver row may lag a rewrite by >1 round or
+    rot past the hard cap; registry order must be stalest-first
+    (tools/check_driver_rows.py policy)."""
+    import check_driver_rows
+
+    assert check_driver_rows.main() == 0

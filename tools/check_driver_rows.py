@@ -45,7 +45,7 @@ REWRITES: dict[str, int] = {
     "minhash_signatures": 2,
     "minhash_lsh_candidates": 2,
     "dedup_components": 2,
-    "embedding_near_dup": 2,
+    "embedding_near_dup": 3,  # r2 executor-side prefilter; r3 scale routing + join-order fix
     "fulltext_bm25": 2,
     "equidepth_histogram": 3,
     "audio_probe": 3,
