@@ -8,7 +8,10 @@ near K (or below, where fixed overhead dominates the 1x run) means the
 operator scales; a ratio near K^2 flags a quadratic blowup that would
 fall over at 100 TB.
 
-Usage: python tools/scale_probe.py [K] [sf_dir]
+Usage: python tools/scale_probe.py [K] [sf_dir] [name ...]
+(names restrict the probe to a subset of PROBE_QUERIES — the 100x run
+targets the flagship kNN + dedup chain + curation pipeline instead of
+re-timing all 38.)
 Writes one JSON line: {"k": K, "queries": {name: {"t1": s, "tk": s,
 "ratio": r}}}.
 """
@@ -30,6 +33,7 @@ from aiotcvectordb_spark.session import get_spark
 
 PROBE_QUERIES = [
     "search_flat_cosine",
+    "search_flat_cosine_local_topk",
     "fulltext_bm25",
     "hybrid_rrf",
     "dedup_exact",
@@ -142,13 +146,17 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    names = sys.argv[3:] or PROBE_QUERIES
+    unknown = set(names) - set(Q.QUERIES)
+    if unknown:
+        raise SystemExit(f"unknown probe queries: {sorted(unknown)}")
     out_dir = f"/tmp/scale_probe_x{k}"
     spark = get_spark("scale_probe")
     build_scaled(spark, sf_dir, out_dir, k)
     # warm
     spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
     results = {}
-    for name in PROBE_QUERIES:
+    for name in names:
         t1 = time_query(spark, name, sf_dir)
         tk = time_query(spark, name, out_dir)
         results[name] = {
