@@ -40,8 +40,17 @@ the distributed rounds do the O(N) work; the collect is capped by
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Round materializations are DISK-backed: a memory-first local
+# checkpoint can lose an evicted block under pressure (observed at the
+# 100x probe: "Block rdd_N does not exist" after MemoryStore
+# evictions), and a lost block is unrecoverable once lineage is
+# truncated. Disk blocks never evict; the per-round edge list is the
+# contracted forest, so the I/O is modest and shrinking.
+_ROUND_LEVEL = StorageLevel.DISK_ONLY
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -146,7 +155,7 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_ROUND_LEVEL)
     )
     spark = cur.sparkSession
     node_type = cur.schema["a"].dataType
@@ -166,7 +175,7 @@ def connected_components(
             return spark.createDataFrame(
                 list(labels.items()), schema=schema
             )
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True, storageLevel=_ROUND_LEVEL)
         # Star fixpoint = edge SET unchanged. Both frames are distinct,
         # so one LIMIT-1 probe over the symmetric difference decides
         # equality in a single job; the edge list only shrinks under

@@ -175,7 +175,9 @@ def decode_features(
     """Decode + feature-extract each payload into a dense feature vector.
 
     ``mode="real"`` decodes PNG payloads for real (stdlib zlib codec,
-    ``imagecodec.decode_png``) and emits a normalized LUMINANCE
+    ``imagecodec.decode_png``) and baseline JPEG payloads for real
+    (numpy Huffman+IDCT, ``jpegcodec.decode_jpeg``) and emits a
+    normalized LUMINANCE
     histogram over the actual pixels; payloads that aren't decodable
     PNGs get ``features = NULL`` (the curation-pipeline convention:
     flag, don't fail the batch). ``mode="fake"`` computes a
@@ -194,7 +196,7 @@ def decode_features(
         import numpy as np
         import pandas as pd
 
-        from aiotcvectordb_spark.operators import imagecodec
+        from aiotcvectordb_spark.operators import imagecodec, jpegcodec
 
         for pdf in batches:
             ids, sizes, feats = [], [], []
@@ -206,8 +208,16 @@ def decode_features(
                     try:
                         lum = imagecodec.luminance(imagecodec.decode_png(raw))
                     except ValueError:
-                        feats.append(None)
-                        continue
+                        try:
+                            px = jpegcodec.decode_jpeg(raw)
+                            lum = (
+                                px.astype(np.float64)
+                                if px.ndim == 2
+                                else imagecodec.luminance(px)
+                            )
+                        except ValueError:
+                            feats.append(None)
+                            continue
                     buckets = np.clip(
                         (lum * n_buckets / 256.0).astype(np.int64),
                         0, n_buckets - 1,
@@ -489,3 +499,97 @@ def probe_media(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(probe, schema=schema)
+
+
+_JPEG_BLOCKS_WIDE = 4  # jpeg probe images are 4 blocks (32 px) wide
+
+
+def with_jpeg_payload(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Attach a REAL baseline-JPEG ``payload``: each UTF-8 byte of the
+    text becomes one CONSTANT 8x8 block with pixel value
+    ``2 * (byte % 128)`` (blocks laid out 4-wide, value-128 pad blocks,
+    empty text = one value-128 block), Huffman-encoded with the Annex K
+    tables (``jpegcodec.encode_jpeg_gray``).
+
+    The even level-shift offsets make the standard quantizer EXACT for
+    these images (a constant block's FDCT is DC-only at 8·v', and the
+    DC step 16 divides 8·2k), so decode is pixel-identical to the
+    source values and the decode round trip is SQL-oracle-checkable —
+    through the REAL entropy coder and REAL IDCT, not a fake."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, payload binary"
+    wide = _JPEG_BLOCKS_WIDE
+
+    def encode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aiotcvectordb_spark.operators import jpegcodec
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8") or b"\x40"  # empty -> byte 64
+                vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                vals = 2 * (vals % 128)
+                nb = len(vals)
+                rows = -(-nb // wide)
+                grid = np.full(rows * wide, 128, dtype=np.uint8)
+                grid[:nb] = vals
+                img = np.repeat(
+                    np.repeat(grid.reshape(rows, wide), 8, axis=0), 8, axis=1
+                )
+                ids.append(i)
+                payloads.append(jpegcodec.encode_jpeg_gray(img))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
+
+
+def jpeg_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """DECODE each baseline-JPEG payload (numpy Huffman + dequant +
+    IDCT — ``jpegcodec.decode_jpeg``) and compute features on the
+    actual pixels: dimensions and mean luminance. Non-JPEG payloads
+    get NULL features (flag, don't fail the batch). Shuffle-free:
+    payloads stay on their producing partition."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, f_width int, f_height int, px_mean double"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from aiotcvectordb_spark.operators import imagecodec, jpegcodec
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px = jpegcodec.decode_jpeg(bytes(payload))
+                    lum = (
+                        px.astype(np.float64)
+                        if px.ndim == 2
+                        else imagecodec.luminance(px)
+                    )
+                    rows.append(
+                        (i, px.shape[1], px.shape[0], float(lum.mean()))
+                    )
+                except ValueError:
+                    rows.append((i, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "f_width", "f_height", "px_mean"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)

@@ -2532,6 +2532,72 @@ FROM documents
 """
 
 
+def q_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG codec end to end, oracle-checked: each
+    document's UTF-8 bytes become a block-constant grayscale image
+    (4 blocks wide, pixel value ``2*(byte%128)``) encoded as a genuine
+    Annex-K-table baseline JPEG (numpy FDCT + Huffman,
+    ``operators/jpegcodec.encode_jpeg_gray``); a second shuffle-free
+    mapInPandas stage DECODES the stream (real Huffman decode, dequant,
+    IDCT) and measures dimensions + mean pixel. Block-constant images
+    with EVEN level-shift offsets quantize exactly under the standard
+    table (DC-only energy, step 16 divides 8·2k), so the decoded pixels
+    equal the source values and DuckDB recomputes the features from the
+    bytes — hashing the full lossy-codec machinery on its lossless
+    subspace."""
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    jp = MM.with_jpeg_payload(df, text_col="text")
+    return MM.jpeg_features(jp).select(
+        "doc_id",
+        "f_width",
+        "f_height",
+        F.round("px_mean", ROUND_DIGITS).alias("px_mean"),
+    )
+
+
+# Byte-exact like ORACLE_AUDIO_PROBE: expand code points to UTF-8
+# bytes in SQL; empty text falls back to the codec's single
+# byte-64 (value-128) block.
+ORACLE_JPEG_PROBE = """
+WITH ch AS (
+  SELECT doc_id, ascii(c) AS cp
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+    FROM documents WHERE length(text) > 0
+  )
+),
+b AS (
+  SELECT doc_id, unnest(
+    CASE WHEN cp < 128 THEN [cp]
+         WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+         WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+                               128 + cp % 64]
+         ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+               128 + (cp // 64) % 64, 128 + cp % 64] END) AS byte
+  FROM ch
+),
+agg AS (
+  SELECT doc_id, count(*) AS nb, sum(2 * (byte % 128)) AS s
+  FROM b GROUP BY doc_id
+),
+dims AS (
+  SELECT d.doc_id,
+         coalesce(agg.nb, 1) AS nb,
+         coalesce(agg.s, 128) AS s,
+         CAST(ceil(coalesce(agg.nb, 1) / 4.0) AS BIGINT) AS rows_
+  FROM documents d LEFT JOIN agg USING (doc_id)
+)
+SELECT doc_id,
+       CAST(32 AS INTEGER) AS f_width,
+       CAST(rows_ * 8 AS INTEGER) AS f_height,
+       round((64 * s + 8192 * (4 * rows_ - nb)) / (256.0 * rows_), 6)
+         AS px_mean
+FROM dims
+"""
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle: embedding model / MLlib approx index)
 # --------------------------------------------------------------------------
@@ -4953,6 +5019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
     # --- rewritten in round 3 (one-sort equidepth; byte-based audio/video oracles) ---
+    "jpeg_probe": q_jpeg_probe,
     "equidepth_histogram": q_equidepth_histogram,
     "audio_probe": q_audio_probe,
     "video_frames": q_video_frames,
@@ -5075,6 +5142,7 @@ ORACLES: dict[str, str] = {
     # kNN bit-for-bit, so they share the oracle verbatim too
     "ann_ivf_fullprobe": ORACLE_SEARCH_FLAT_COSINE,
     "ann_pq_fullrescore": ORACLE_SEARCH_FLAT_COSINE,
+    "jpeg_probe": ORACLE_JPEG_PROBE,
     "image_probe": ORACLE_IMAGE_PROBE,
     "sessionize_udtf": ORACLE_SESSIONIZE,
     "search_binary_hamming": ORACLE_SEARCH_BINARY_HAMMING,

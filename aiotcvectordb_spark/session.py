@@ -27,7 +27,7 @@ def get_spark(app_name: str = "aiotcvectordb_spark") -> SparkSession:
         # nanos as LongType (nanoseconds since epoch) with this flag
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -103,6 +103,7 @@ HEADLINE = [
     "rolling_active_users",
     "ann_ivf_fullprobe",
     "ann_pq_fullrescore",
+    "jpeg_probe",
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

@@ -1,0 +1,84 @@
+"""Baseline JPEG codec: round trips, exactness contract, error paths.
+
+No Spark needed — pure numpy kernel tests (the Spark plumbing is
+covered by the jpeg_probe registry query + plan audits)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aiotcvectordb_spark.operators.jpegcodec import (
+    STD_LUMA_QUANT,
+    decode_jpeg,
+    encode_jpeg_color,
+    encode_jpeg_gray,
+)
+
+
+def test_block_constant_even_offsets_roundtrip_exact():
+    """The exactness contract the jpeg_probe oracle relies on: block-
+    constant images with EVEN level-shift offsets survive the standard
+    quantizer pixel-exactly (DC-only energy, step 16 divides 8*2k)."""
+    rng = np.random.default_rng(7)
+    ks = rng.integers(-64, 64, size=(4, 5))
+    img = np.repeat(np.repeat(128 + 2 * ks, 8, 0), 8, 1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(img))
+    assert np.array_equal(out, img)
+
+
+def test_flat_unquantized_roundtrip_is_float_exact():
+    """quant=1 removes quantization: only DCT float error remains,
+    which stays within +-1 after rounding — the entropy coder itself
+    is bit-lossless."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 40)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(img, quant=np.ones((8, 8), np.int64)))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_noise_image_bounded_error_and_odd_sizes():
+    rng = np.random.default_rng(11)
+    for shape in [(13, 21), (8, 8), (1, 1), (40, 56)]:
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg_gray(img))
+        assert out.shape == shape
+        # std-table loss on worst-case noise stays far from garbage
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 40
+
+
+def test_color_420_roundtrip():
+    yy, xx = np.mgrid[0:48, 0:64]
+    rgb = np.stack(
+        [(xx * 255 / 63), (yy * 255 / 47), ((xx + yy) * 255 / 110)], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_color(rgb))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 16
+
+    flat = np.zeros((24, 40, 3), np.uint8)
+    flat[...] = (90, 160, 200)
+    assert np.array_equal(decode_jpeg(encode_jpeg_color(flat)), flat)
+
+
+def test_error_paths_raise_value_error():
+    img = np.full((8, 8), 128, np.uint8)
+    good = encode_jpeg_gray(img)
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOS
+    # progressive marker (SOF2) rejected honestly
+    progressive = bytearray(good)
+    sof = progressive.find(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(progressive))
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((0, 8), np.uint8))
+
+
+def test_std_tables_shape():
+    assert STD_LUMA_QUANT.shape == (8, 8)
+    assert STD_LUMA_QUANT[0, 0] == 16  # the DC step the probe relies on

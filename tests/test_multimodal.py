@@ -301,7 +301,7 @@ def test_audio_video_oracle_parity_unicode_and_empty(spark, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
     )
-    for name in ("audio_probe", "video_frames"):
+    for name in ("audio_probe", "video_frames", "jpeg_probe"):
         got = Q.QUERIES[name](spark, sf).toPandas()
         want = con.execute(Q.ORACLES[name]).df()
         cols = sorted(got.columns)
