@@ -2603,6 +2603,22 @@ FROM dims
 # --------------------------------------------------------------------------
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-subword token counting: train a BPE vocabulary on the
+    corpus (operators/bpe.py — the corpus collapses once to the word-
+    frequency table; each round is a JVM pair-count aggregate + a
+    driver-side metadata collect of the merge batch + a map-side
+    rewrite of only the touched words), then tokenize every document
+    with the broadcast merge ranks. Rows-only (iterative training has
+    no SQL oracle); equality with classic sequential BPE, lossless
+    round trip, and determinism are asserted in tests/test_bpe.py."""
+    from aiotcvectordb_spark.operators import bpe
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    merges = bpe.bpe_train(df, num_merges=48, batch_merges=16)
+    return bpe.bpe_encode(df, merges).select("doc_id", "n_tokens")
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable sketch aggregates — the 100 TB profiling path where
     exact distinct/percentile would shuffle every value: per-event-type
@@ -5130,6 +5146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "mmr_rerank": q_mmr_rerank,
     "embedding_pca": q_embedding_pca,
+    "bpe_token_count": q_bpe_token_count,
 }
 
 ORACLES: dict[str, str] = {

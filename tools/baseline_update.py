@@ -1,0 +1,107 @@
+"""Regenerate BASELINE.md's standing per-query table from the latest
+bench run — one tool, one table, no narrative drift.
+
+Reads BENCH_DETAIL.json (written by ``python bench.py``) and any probe
+JSONs under ``tools/probes/`` (written by ``tools/scale_probe.py``;
+name them ``probe_x<K>.json``), and rewrites the marked blocks of
+BASELINE.md in place:
+
+    <!-- BEGIN GENERATED BENCH TABLE -->
+    ...
+    <!-- END GENERATED BENCH TABLE -->
+
+    <!-- BEGIN GENERATED SCALE TABLE -->
+    ...
+    <!-- END GENERATED SCALE TABLE -->
+
+Usage: python tools/baseline_update.py [path/to/BENCH_DETAIL.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_BEGIN = "<!-- BEGIN GENERATED BENCH TABLE -->"
+BENCH_END = "<!-- END GENERATED BENCH TABLE -->"
+SCALE_BEGIN = "<!-- BEGIN GENERATED SCALE TABLE -->"
+SCALE_END = "<!-- END GENERATED SCALE TABLE -->"
+
+
+def bench_table(detail: dict) -> str:
+    qs = detail["queries"]
+    rows = detail.get("rows", {})
+    lines = [
+        BENCH_BEGIN,
+        f"Standing bench (`python bench.py`, sf{detail['sf']}, "
+        f"{detail['n_queries']} headline queries, interleaved best-of-3): "
+        f"**total {detail['value']} s**.",
+        "",
+        "| query | sec | rows |",
+        "|---|---|---|",
+    ]
+    for name in sorted(qs, key=lambda n: -qs[n]):
+        lines.append(f"| {name} | {qs[name]:.3f} | {rows.get(name, '')} |")
+    lines.append(BENCH_END)
+    return "\n".join(lines)
+
+
+def scale_table(probes: list[dict]) -> str:
+    lines = [
+        SCALE_BEGIN,
+        "Scale probes (`tools/scale_probe.py K`): runtime ratio at K× the",
+        "sf0.1 data (ids offset per replica; text/embeddings perturbed so",
+        "near-dup ops see distinct rows). Ratio ≈ K = linear; ≪ K = fixed",
+        "overhead still dominates; ≫ K = superlinear red flag.",
+        "",
+        "| query | k | 1x sec | kx sec | ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for probe in sorted(probes, key=lambda p: p["k"]):
+        k = probe["k"]
+        for name, r in sorted(probe["queries"].items()):
+            lines.append(
+                f"| {name} | {k} | {r['t1']:.2f} | {r['tk']:.2f} | {r['ratio']} |"
+            )
+    lines.append(SCALE_END)
+    return "\n".join(lines)
+
+
+def replace_block(text: str, begin: str, end: str, new: str) -> str:
+    pat = re.compile(re.escape(begin) + r".*?" + re.escape(end), re.S)
+    if not pat.search(text):
+        raise SystemExit(f"BASELINE.md is missing the {begin} block")
+    return pat.sub(new.replace("\\", "\\\\"), text)
+
+
+def main() -> None:
+    detail_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        ROOT, "BENCH_DETAIL.json"
+    )
+    with open(detail_path) as f:
+        detail = json.load(f)
+    probes = []
+    for p in sorted(glob.glob(os.path.join(ROOT, "tools", "probes", "probe_x*.json"))):
+        with open(p) as f:
+            probes.append(json.load(f))
+    path = os.path.join(ROOT, "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+    text = replace_block(text, BENCH_BEGIN, BENCH_END, bench_table(detail))
+    if probes:
+        text = replace_block(text, SCALE_BEGIN, SCALE_END, scale_table(probes))
+    with open(path, "w") as f:
+        f.write(text)
+    print(
+        f"BASELINE.md updated: {detail['n_queries']} bench rows, "
+        f"{sum(len(p['queries']) for p in probes)} probe rows"
+    )
+
+
+if __name__ == "__main__":
+    main()
