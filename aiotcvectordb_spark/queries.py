@@ -4952,6 +4952,80 @@ FROM h
 """
 
 
+_PACK_LEN = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the training-data step that concatenates the
+    token stream in doc order and splits it into fixed-budget packs
+    (each doc's pack = where its first token lands). The global
+    exclusive token cumsum is computed SCALE-SAFELY in two phases:
+    range-partition by doc_id, per-partition running sums (a window
+    keyed by the partition id — large partitions, 32 keys), plus a
+    32-row partition-offset table joined back by broadcast. No global
+    single-partition window, no collect; two shuffles of a 2-column
+    table total. Oracle: the same cumsum as one SQL window."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(sparse_fn.tokens_col("text")).alias("ntok")
+    )
+    parts = (
+        tok.repartitionByRange(32, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # per-partition totals -> exclusive offsets (32-row window: metadata)
+    psums = parts.groupBy("pid").agg(F.sum("ntok").alias("psum"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.select(
+        "pid", F.coalesce(F.sum("psum").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        parts.withColumn(
+            "local_cum", F.coalesce(F.sum("ntok").over(w_local), F.lit(0))
+        )
+        .join(F.broadcast(offs), "pid")
+        .withColumn("cum", F.col("local_cum") + F.col("off"))
+    )
+    return (
+        cum.select(
+            F.expr(f"cum div {_PACK_LEN}").alias("pack_id"),
+            "doc_id",
+            "ntok",
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS ntok FROM documents
+),
+c AS (
+  SELECT doc_id, ntok,
+         coalesce(sum(ntok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT CAST(cum // {_PACK_LEN} AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # EWMA smoothing (time-series feature engineering over the event stream)
 # --------------------------------------------------------------------------
@@ -5034,6 +5108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 3 (no driver row yet) ---
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
+    "pack_sequences": q_pack_sequences,
     # --- rewritten in round 3 (one-sort equidepth; byte-based audio/video oracles) ---
     "jpeg_probe": q_jpeg_probe,
     "equidepth_histogram": q_equidepth_histogram,
@@ -5160,6 +5235,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_fullprobe": ORACLE_SEARCH_FLAT_COSINE,
     "ann_pq_fullrescore": ORACLE_SEARCH_FLAT_COSINE,
     "jpeg_probe": ORACLE_JPEG_PROBE,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "image_probe": ORACLE_IMAGE_PROBE,
     "sessionize_udtf": ORACLE_SESSIONIZE,
     "search_binary_hamming": ORACLE_SEARCH_BINARY_HAMMING,
