@@ -323,3 +323,44 @@ def test_embedding_near_dup_scale_routing(spark, sf_dir, monkeypatch):
     got = {(r.vec_a, r.vec_b) for r in routed.collect()}
     want = {(r.vec_a, r.vec_b) for r in exact.collect()}
     assert want >= got and len(got) >= int(0.8 * len(want))
+
+
+def test_round3_ops_shuffle_budgets(spark, sf_dir):
+    """Round-3 additions stay within their designed shuffle budgets:
+    the JPEG codec chain is shuffle-free beyond the deliberate
+    scan-widen repartition, sequence packing spends exactly its two
+    planned exchanges (range partition + pid window) plus the tiny
+    offset/final aggregates, and the one-sort equidepth histogram's
+    returned plan is the bin aggregate only (edges are precomputed
+    metadata)."""
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.plans import audit
+
+    budgets = {
+        "jpeg_probe": 1,        # scan-widen only; encode->decode map-side
+        # 3 data-sized exchanges (range partition, pid window, final
+        # agg) + 3 metadata-sized ones (32-row offset agg/window,
+        # broadcast) — the point is NO global single-partition window
+        # over the data
+        "pack_sequences": 6,
+        "equidepth_histogram": 1,  # final 10-row bin aggregate
+    }
+    for name, budget in budgets.items():
+        df = Q.QUERIES[name](spark, sf_dir)
+        got = audit.count_shuffles(df)
+        assert got <= budget, (name, got, budget)
+        audit.assert_no_cartesian(df)
+
+
+def test_bpe_train_plan_shape(spark, sf_dir):
+    """BPE training's per-round work is JVM pair counting + map-side
+    rewrite: the encode stage itself must be shuffle-free and the
+    registry query must not plan a cartesian product."""
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.plans import audit
+
+    df = Q.QUERIES["bpe_token_count"](spark, sf_dir)
+    # encode is map-only; the single exchange is the deliberate
+    # scan-widen repartition (ensure_min_partitions)
+    assert audit.count_shuffles(df) <= 1
+    audit.assert_no_cartesian(df)
