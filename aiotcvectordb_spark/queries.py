@@ -1346,12 +1346,21 @@ def _embedding_near_dup_exact(
                 mmat = np.asarray(rmflat, dtype=np.float64).reshape(len(mids), DIM)
                 bunit = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
                 munit = mmat / np.linalg.norm(mmat, axis=1, keepdims=True)
-                s = bunit @ munit.T
-                keep = (s >= margin) & (mids[None, :] > bids[:, None])
-                ii, jj = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {"vec_a": bids[ii], "vec_b": mids[jj]}
-                )
+                # Chunk the block rows so the score slab stays bounded
+                # (<=2^25 floats ~ 256 MB) no matter how large N grows —
+                # an unchunked block x N matmul is O(N^2/32) memory and
+                # OOM-killed the JVM at the 100x probe.
+                chunk = max(1, (1 << 25) // max(1, len(mids)))
+                for c0 in range(0, len(bids), chunk):
+                    cb = bunit[c0 : c0 + chunk]
+                    cids = bids[c0 : c0 + chunk]
+                    s = cb @ munit.T
+                    keep = (s >= margin) & (mids[None, :] > cids[:, None])
+                    ii, jj = np.nonzero(keep)
+                    if len(ii):
+                        yield pd.DataFrame(
+                            {"vec_a": cids[ii], "vec_b": mids[jj]}
+                        )
 
     cand = blocks.mapInPandas(emit_pairs, "vec_a long, vec_b long")
 

@@ -174,6 +174,44 @@ SHOWCASE = [
         "7-way explode into window-end days, one count-distinct "
         "aggregate — linear in events, key-partitioned shuffles only",
     ),
+    (
+        "equidepth_histogram",
+        "ONE distributed sort instead of nine percentile_disc "
+        "aggregates: range-partition + sort-within-partitions, "
+        "per-partition counts to exclusive rank offsets (metadata), "
+        "each partition emits only the decile ranks it owns; the bin "
+        "assignment fuses the 9-edge literal array into the scan "
+        "projection and the final aggregate shuffles 10 rows",
+    ),
+    (
+        "pack_sequences",
+        "global token cumsum with NO single-partition window: range "
+        "partition by doc_id, per-pid running-sum window (32 keys, "
+        "large partitions), 32-row offset table broadcast back — then "
+        "pack assignment is integer division fused into the "
+        "projection",
+    ),
+    (
+        "ann_ivf_fullprobe",
+        "the IVF machinery at its exact limit: cluster assignment, "
+        "probe-set isin predicate, exact rerank — nprobe=nlist makes "
+        "the prune a provable no-op, so the plan hash-matches flat "
+        "kNN (driver-verified against the same oracle)",
+    ),
+    (
+        "jpeg_probe",
+        "real baseline-JPEG encode AND decode as two shuffle-free "
+        "Arrow-batched mapInPandas stages — payloads never leave "
+        "their producing partition; only (id, width, height, mean) "
+        "rows reach the output",
+    ),
+    (
+        "bpe_token_count",
+        "learned-subword tokenization: merge ranks ride the closure "
+        "(broadcast), the encode stage is map-only over the document "
+        "scan — the single exchange is the deliberate scan-widen "
+        "repartition",
+    ),
 ]
 
 
