@@ -71,6 +71,11 @@ PROBE_QUERIES = [
     "audio_probe",
     "ann_bq_cosine",
     "video_frames",
+    "jpeg_probe",
+    "pack_sequences",
+    "bpe_token_count",
+    "ann_ivf_fullprobe",
+    "ann_pq_fullrescore",
 ]
 
 # tables each probe query touches (so we only scale what's needed)
