@@ -133,3 +133,23 @@ class TestPCA:
             emb, vector_col="embedding", id_col="vec_id", k=16
         )
         assert sum(ev16) >= sum(ev4) - 1e-12
+
+
+def test_mmr_rerank_string_primary_keys(spark):
+    """Collections use STRING primary keys (reference data model,
+    FIXTURES F1/F2); mmr_rerank must derive the id output type from the
+    input schema instead of assuming long (ADVICE r02)."""
+    from aiotcvectordb_spark.operators import embeddings as E
+
+    rows = [
+        (f"doc-{i:02d}", [1.0 + (0.1 * i if j == i % 8 else 0.01 * j) for j in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id string, vector array<float>")
+    out = E.mmr_rerank(
+        df, [[1.0] * 8], vector_col="vector", id_col="id",
+        fetch_k=10, limit=5,
+    ).collect()
+    assert len(out) == 5
+    assert all(isinstance(r.id, str) and r.id.startswith("doc-") for r in out)
+    assert [r.mmr_rank for r in out] == [1, 2, 3, 4, 5]
