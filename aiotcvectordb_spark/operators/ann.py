@@ -372,10 +372,18 @@ def lsh_search(
     limit: int = 10,
     bucket_length: float = 2.0,
     num_hash_tables: int = 4,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """L2 approximate kNN via MLlib BucketedRandomProjectionLSH
     (the HNSW stand-in). Returns (query_idx, id, score, rank) with
-    score = L2 distance (lower better)."""
+    score = L2 distance (lower better). ``round_digits`` rounds the
+    ranked score (cross-engine-stable ordering — same contract as
+    knn_search); Note: there is
+    NO reachable exact limit via ``bucket_length`` — floor(proj/L)
+    still splits rows into buckets 0 and -1 by projection sign, so
+    candidates can be lost no matter how large L is (verified
+    empirically); LSH correctness is therefore recall-bounded, not
+    hash-provable, unlike IVF (nprobe=nlist) and PQ (full rescore)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
@@ -402,6 +410,8 @@ def lsh_search(
         F.col(f"datasetA.{id_col}").alias(id_col),
         F.col("score"),
     )
+    if round_digits is not None:
+        flat = flat.withColumn("score", F.round("score", round_digits))
     w = Window.partitionBy("query_idx").orderBy(
         F.col("score").asc(), F.col(id_col).asc()
     )
