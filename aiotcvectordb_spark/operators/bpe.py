@@ -231,3 +231,23 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the learned merge table as a parquet artifact
+    (rank, a, b) — the tokenizer analog of a fitted model; rank order
+    IS the vocabulary."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    (
+        spark.createDataFrame(rows, "rank int, a string, b string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table back into the ordered list
+    ``bpe_encode`` consumes."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]

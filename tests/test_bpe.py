@@ -102,3 +102,18 @@ def test_fixture_corpus_trains_nontrivially(spark, sf_dir):
         F.sum(F.length("text")).alias("chars")
     ).first()
     assert stats.bpe < chars.chars
+
+
+def test_merge_table_roundtrips_through_parquet(spark, tmp_path):
+    df = _docs_df(spark)
+    merges = bpe.bpe_train(df, num_merges=6, batch_merges=3)
+    path = str(tmp_path / "bpe_merges")
+    bpe.save_merges(spark, merges, path)
+    assert bpe.load_merges(spark, path) == merges
+    # a fresh session-load encodes identically
+    a = {r.doc_id: r.tokens for r in bpe.bpe_encode(df, merges).collect()}
+    b = {
+        r.doc_id: r.tokens
+        for r in bpe.bpe_encode(df, bpe.load_merges(spark, path)).collect()
+    }
+    assert a == b
