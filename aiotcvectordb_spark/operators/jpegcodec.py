@@ -212,11 +212,18 @@ def _magnitude(v: int) -> tuple[int, int]:
     return ssss, bits
 
 
-def _encode_block(bw_out, block, q, dc_codes, ac_codes, prev_dc) -> int:
-    """FDCT + quantize + Huffman-encode one level-shifted 8x8 block;
-    returns the new DC predictor."""
-    coef = np.round(_fdct(block) / q).astype(np.int64)
-    zz = coef.reshape(64)[ZIGZAG]
+def _fdct_quant_zigzag(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) level-shifted blocks -> (n, 64) quantized zigzag
+    coefficients, fully vectorized (one einsum for all FDCTs)."""
+    coef = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    zq = np.round(coef / q[None, :, :]).astype(np.int64)
+    return zq.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _encode_zz(bw_out, zz, q, dc_codes, ac_codes, prev_dc) -> int:
+    """Huffman-encode one quantized zigzag block; loops only over the
+    NONZERO AC coefficients (run lengths from index gaps), so sparse
+    blocks — the common case — cost O(nonzeros), not O(64)."""
     diff = int(zz[0] - prev_dc)
     new_dc = int(zz[0])
     ssss, bits = _magnitude(diff)
@@ -224,25 +231,30 @@ def _encode_block(bw_out, block, q, dc_codes, ac_codes, prev_dc) -> int:
     bw_out.write(code, length)
     if ssss:
         bw_out.write(bits, ssss)
-    run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    nz = np.flatnonzero(zz[1:]) + 1
+    prev_k = 0
+    for k in nz:
+        run = int(k) - prev_k - 1
         while run > 15:
             zrl, zl = ac_codes[0xF0]
             bw_out.write(zrl, zl)
             run -= 16
-        ssss, bits = _magnitude(v)
+        ssss, bits = _magnitude(int(zz[k]))
         code, length = ac_codes[(run << 4) | ssss]
         bw_out.write(code, length)
         bw_out.write(bits, ssss)
-        run = 0
-    if run:
+        prev_k = int(k)
+    if prev_k != 63:
         eob, el = ac_codes[0x00]
         bw_out.write(eob, el)
     return new_dc
+
+
+def _encode_block(bw_out, block, q, dc_codes, ac_codes, prev_dc) -> int:
+    """FDCT + quantize + Huffman-encode one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    zz = _fdct_quant_zigzag(block[None, :, :], q)[0]
+    return _encode_zz(bw_out, zz, q, dc_codes, ac_codes, prev_dc)
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
@@ -279,10 +291,14 @@ def encode_jpeg_gray(
     ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     bw_out = _BitWriter()
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            prev_dc = _encode_block(bw_out, block, q, dc_codes, ac_codes, prev_dc)
+    # all FDCTs in one vectorized shot; the Python loop touches only
+    # each block's nonzero coefficients
+    blocks = (
+        shifted.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    zzs = _fdct_quant_zigzag(blocks, q)
+    for bi in range(zzs.shape[0]):
+        prev_dc = _encode_zz(bw_out, zzs[bi], q, dc_codes, ac_codes, prev_dc)
     bw_out.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -541,11 +557,12 @@ def _decode_scan(
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        )
+    # Entropy pass fills per-component coefficient stacks (plain int
+    # lists — no per-block numpy allocation); ALL dequant + IDCT work
+    # then runs as one vectorized einsum per component.
+    n_blocks = [mcuy * mcux * c["v"] * c["h"] for c in comps]
+    zz_store = [np.zeros((n, 64), dtype=np.int64) for n in n_blocks]
+    blk_idx = [0] * len(comps)
     br = _BitReader(data, pos)
     preds = [0] * len(comps)
     mcu_count = 0
@@ -560,35 +577,51 @@ def _decode_scan(
                     raise ValueError("expected restart marker")
             for ci, (comp, td, ta) in enumerate(scan):
                 dmap, amap = huff_dc[td], huff_ac[ta]
-                q = qtables[comp["tq"]]
+                for _blk in range(comp["v"] * comp["h"]):
+                    row = zz_store[ci][blk_idx[ci]]
+                    blk_idx[ci] += 1
+                    ssss = _decode_symbol(br, dmap)
+                    diff = _extend(br.read_bits(ssss), ssss)
+                    preds[ci] += diff
+                    row[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_symbol(br, amap)
+                        run, size = rs >> 4, rs & 0x0F
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        row[k] = _extend(br.read_bits(size), size)
+                        k += 1
+            mcu_count += 1
+    planes = []
+    for ci, comp in enumerate(comps):
+        q = qtables[comp["tq"]]
+        coef = np.zeros((n_blocks[ci], 64), dtype=np.float64)
+        coef[:, ZIGZAG] = zz_store[ci] * q.reshape(64)[ZIGZAG][None, :]
+        blocks = (
+            np.einsum("ji,njk,kl->nil", _C, coef.reshape(-1, 8, 8), _C)
+            + 128.0
+        )
+        # scatter the MCU-ordered blocks back into the plane grid
+        ph = mcuy * comp["v"] * 8
+        pw = mcux * comp["h"] * 8
+        plane = np.zeros((ph, pw), dtype=np.float64)
+        bi = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        ssss = _decode_symbol(br, dmap)
-                        diff = _extend(br.read_bits(ssss), ssss)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(br, amap)
-                            run, size = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            zz[k] = _extend(br.read_bits(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
-                        block = _idct(coef.reshape(8, 8)) + 128.0
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = blocks[bi]
+                        bi += 1
+        planes.append(plane)
     # crop + upsample to full resolution
     full = []
     for ci, comp in enumerate(comps):
