@@ -9,11 +9,11 @@ decode / feature-extraction / frame-sampling run as Arrow-batched
 partitioning) is identical to what a real codec UDF would use.
 
 No third-party codec libraries ship in this container, but PNG is
-fully decodable with stdlib zlib + numpy, so ``mode="real"`` is a REAL
-codec path for PNG payloads (see ``imagecodec.py``): actual pixel
-decode, luminance features, true nearest-neighbor resize, and
-header/EXIF probing for PNG/JPEG/GIF/BMP. Payload formats that need an
-entropy decoder (JPEG pixels, video) stay behind
+fully decodable with stdlib zlib + numpy (``imagecodec.py``) and
+baseline JPEG with pure numpy Huffman+IDCT (``jpegcodec.py``), so
+``mode="real"`` is a REAL codec path for both: actual pixel decode,
+luminance features, true nearest-neighbor resize, and header/EXIF
+probing for PNG/JPEG/GIF/BMP. Only entropy-coded VIDEO stays behind
 ``NotImplementedError``; ``mode="fake"`` remains the deterministic
 stand-in (byte histogram / fixed-stride frame slicing) exercising the
 same distributed plumbing on arbitrary bytes.
@@ -399,10 +399,11 @@ def resize_images(
     one row per input with a fixed-size binary plus the recorded target
     dims, so downstream batch shapes are static.
 
-    ``mode="real"`` decodes PNG payloads (stdlib codec) and resizes the
-    ACTUAL pixel grid with nearest-neighbor sampling, emitting the
-    resized interleaved pixel bytes (length = width*height*channels);
-    undecodable payloads get ``pixels = NULL``. Fake mode resamples the
+    ``mode="real"`` decodes PNG (stdlib codec) or baseline JPEG
+    (numpy Huffman+IDCT) payloads and resizes the ACTUAL pixel grid
+    with nearest-neighbor sampling, emitting the resized interleaved
+    pixel bytes (length = width*height*channels); undecodable payloads
+    get ``pixels = NULL``. Fake mode resamples the
     raw byte stream — identical schema, partitioning, and batch shape.
     """
     if mode not in ("fake", "real"):
@@ -416,7 +417,7 @@ def resize_images(
         import numpy as np
         import pandas as pd
 
-        from aiotcvectordb_spark.operators import imagecodec
+        from aiotcvectordb_spark.operators import imagecodec, jpegcodec
 
         for pdf in batches:
             ids, pix = [], []
@@ -427,8 +428,13 @@ def resize_images(
                     try:
                         img = imagecodec.decode_png(raw_bytes)
                     except ValueError:
-                        pix.append(None)
-                        continue
+                        try:
+                            img = jpegcodec.decode_jpeg(raw_bytes)
+                            if img.ndim == 2:
+                                img = img[:, :, None]
+                        except ValueError:
+                            pix.append(None)
+                            continue
                     pix.append(
                         imagecodec.resize_nearest(img, width, height).tobytes()
                     )

@@ -313,3 +313,28 @@ def test_audio_video_oracle_parity_unicode_and_empty(spark, tmp_path):
                 g[c].astype("float64"), w[c].astype("float64"),
                 check_names=False, rtol=0, atol=1e-9,
             ), (name, c)
+
+
+def test_resize_media_real_decodes_jpeg_payloads(spark):
+    """resize_images mode='real' must handle baseline JPEG payloads via
+    the numpy codec (round-3: only entropy-coded VIDEO remains out of
+    scope)."""
+    import numpy as np
+
+    from aiotcvectordb_spark.operators import jpegcodec, multimodal
+
+    img = np.repeat(
+        np.repeat(2 * np.arange(24, dtype=np.uint8).reshape(4, 6) % 128, 8, 0),
+        8, 1,
+    ).astype(np.uint8)
+    rows = [(1, bytearray(jpegcodec.encode_jpeg_gray(img))),
+            (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r
+        for r in multimodal.resize_images(
+            df, width=8, height=8, mode="real"
+        ).collect()
+    }
+    assert got[1].pixels is not None and len(bytes(got[1].pixels)) == 64
+    assert got[2].pixels is None
