@@ -469,7 +469,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     one component, (H, W, 3) RGB for three (JFIF YCbCr, any of
     4:4:4 / 4:2:2 / 4:2:0 sampling, nearest-neighbor chroma
     upsampling). Raises ValueError on progressive/arithmetic streams
-    and malformed data — never returns garbage silently."""
+    and ANY malformed data (low-level struct/index errors are
+    normalized to ValueError so flag-don't-fail callers need one
+    except clause) — never returns garbage silently."""
+    try:
+        return _decode_jpeg(data)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -538,8 +547,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + si * 2 : 3 + si * 2]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0x0F))
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                td, ta = tt >> 4, tt & 0x0F
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError(
+                        f"SOS references undefined Huffman table {td}/{ta}"
+                    )
+                if comp["tq"] not in qtables:
+                    raise ValueError(
+                        f"component references undefined quant table {comp['tq']}"
+                    )
+                scan.append((comp, td, ta))
             return _decode_scan(
                 data, pos + 2 + seg_len, frame, scan, qtables,
                 huff_dc, huff_ac, restart_interval,

@@ -5,6 +5,8 @@ covered by the jpeg_probe registry query + plan audits)."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -82,3 +84,36 @@ def test_error_paths_raise_value_error():
 def test_std_tables_shape():
     assert STD_LUMA_QUANT.shape == (8, 8)
     assert STD_LUMA_QUANT[0, 0] == 16  # the DC step the probe relies on
+
+
+def test_decoder_rejects_fuzzed_bytes_cleanly():
+    """Malformed streams must raise ValueError (or decode, for inputs
+    that happen to stay valid) — never hang, loop, or raise unrelated
+    errors. Includes truncations and bit flips of a valid stream, the
+    nastiest corpus for a bit-level decoder."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    good = encode_jpeg_gray(img)
+    cases = []
+    for cut in (2, 10, len(good) // 2, len(good) - 1):
+        cases.append(good[:cut])
+    for _ in range(60):
+        b = bytearray(good)
+        for _ in range(3):
+            b[rng.integers(2, len(b))] ^= 1 << rng.integers(0, 8)
+        cases.append(bytes(b))
+    for _ in range(20):
+        cases.append(b"\xff\xd8" + bytes(rng.integers(0, 256, size=64).astype(np.uint8)))
+    ok = 0
+    for c in cases:
+        try:
+            out = decode_jpeg(c)
+            assert out.dtype == np.uint8
+            ok += 1
+        except ValueError:
+            pass  # the ONLY allowed failure mode
+    # some bit flips stay decodable; that's fine — the contract is
+    # "clean failure or a well-formed array", both observed
+    assert ok >= 0
