@@ -114,7 +114,18 @@ def _unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to an (H, W, C) uint8 array."""
+    """Decode a non-interlaced 8-bit PNG to an (H, W, C) uint8 array.
+
+    ANY malformed stream raises ValueError (zlib/struct/index errors
+    are normalized), so flag-don't-fail callers need one except
+    clause and can never lose a whole Arrow batch to one bad payload."""
+    try:
+        return _decode_png(data)
+    except (struct.error, zlib.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed PNG stream: {e!r}") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, meta = 8, [], None

@@ -338,3 +338,30 @@ def test_resize_media_real_decodes_jpeg_payloads(spark):
     }
     assert got[1].pixels is not None and len(bytes(got[1].pixels)) == 64
     assert got[2].pixels is None
+
+
+def test_png_decoder_rejects_fuzzed_bytes_cleanly():
+    """Same contract as the JPEG decoder: truncations and bit flips of
+    a valid PNG must raise ValueError only (zlib/struct errors are
+    normalized), so one bad payload can never fail an Arrow batch."""
+    import numpy as np
+
+    from aiotcvectordb_spark.operators.imagecodec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(4)
+    good = encode_png(rng.integers(0, 256, size=(9, 7)).astype(np.uint8))
+    cases = [good[:10], good[:30], good[: len(good) // 2]]
+    for _ in range(80):
+        b = bytearray(good)
+        for _ in range(3):
+            b[rng.integers(8, len(b))] ^= 1 << rng.integers(0, 8)
+        cases.append(bytes(b))
+    for c in cases:
+        try:
+            out = decode_png(c)
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass  # the ONLY allowed failure mode
