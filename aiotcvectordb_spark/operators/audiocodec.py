@@ -38,11 +38,22 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """See ``_decode_wav``; this wrapper normalizes low-level parse
+    errors to ValueError (the uniform codec failure contract)."""
+    try:
+        return _decode_wav(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed WAV stream: {e!r}") from e
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """(samples int16, sample_rate) from PCM16 mono/stereo WAV bytes.
 
     Walks RIFF chunks (fmt then data) rather than assuming the fixed
     44-byte layout, so files with extra chunks (LIST metadata etc.)
-    decode too. Raises ValueError on non-WAV or non-PCM16 payloads.
+    decode too. ANY malformed stream raises ValueError (truncated-chunk
+    struct errors are normalized — same contract as decode_png /
+    decode_jpeg). Raises ValueError on non-WAV or non-PCM16 payloads.
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
