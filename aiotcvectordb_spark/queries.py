@@ -5101,67 +5101,14 @@ FROM w
 # first, then the round-1-verified ones (fastest first so the most
 # entries fit any time budget), then the rows-only approximate ops.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Ordering policy (the driver checks ~50 entries per round, in
-    # order): (1) queries whose implementation changed since their
-    # last driver row come FIRST, so a rewrite is never verified only
-    # by local parity; (2) then new queries with no driver row; (3)
-    # then the STALEST green rows (the r01 block); (4) then the
-    # freshest (r02-green). tools/check_driver_rows.py enforces that
-    # no oracled query's driver row lags its rewrite by >1 round.
-    # --- rewritten in round 2 AFTER their r01 driver row; need fresh rows ---
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "dedup_components": q_dedup_components,
-    "embedding_near_dup": q_embedding_near_dup,
-    "fulltext_bm25": q_fulltext_bm25,
-    # --- new in round 3 (no driver row yet) ---
-    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
-    "ann_pq_fullrescore": q_ann_pq_fullrescore,
-    "pack_sequences": q_pack_sequences,
-    # --- rewritten in round 3 (one-sort equidepth; byte-based audio/video oracles) ---
-    "jpeg_probe": q_jpeg_probe,
-    "equidepth_histogram": q_equidepth_histogram,
-    "audio_probe": q_audio_probe,
-    "video_frames": q_video_frames,
-    # --- stalest: oracled, green in CORRECTNESS_r01, unchanged since ---
-    "update_conditional": q_update_conditional,
-    "query_projection": q_query_projection,
-    "token_count": q_token_count,
-    "cube_agg": q_cube_agg,
-    "price_histogram": q_price_histogram,
-    "query_by_ids": q_query_by_ids,
-    "ttl_filter": q_ttl_filter,
-    "json_extract": q_json_extract,
-    "group_topk": q_group_topk,
-    "agg_groupby_stats": q_agg_groupby_stats,
-    "window_running": q_window_running,
-    "window_funcs": q_window_funcs,
-    "scalar_funcs": q_scalar_funcs,
-    "set_ops": q_set_ops,
-    "count_filter": q_count_filter,
-    "delete_filter_limit": q_delete_filter_limit,
-    "percentiles": q_percentiles,
-    "query_filter_sort_paginate": q_query_filter_sort_paginate,
-    "semi_anti_join": q_semi_anti_join,
-    "rollup_agg": q_rollup_agg,
-    "lang_id": q_lang_id,
-    "interval_join": q_interval_join,
-    "join_pruned_dims": q_join_pruned_dims,
-    "doc_repetition": q_doc_repetition,
-    "chunk_expand": q_chunk_expand,
-    "event_window_agg": q_event_window_agg,
-    "doc_fingerprint": q_doc_fingerprint,
-    "knn_join": q_knn_join,
-    "text_quality": q_text_quality,
-    "search_by_id": q_search_by_id,
-    "sliding_window_agg": q_sliding_window_agg,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "dedup_exact": q_dedup_exact,
-    "upsert_merge": q_upsert_merge,
-    "search_flat_ip": q_search_flat_ip,
-    "asof_join": q_asof_join,
-    "simhash_fingerprint": q_simhash_fingerprint,
-    "simhash_near_dup": q_simhash_near_dup,
+    # Ordering policy (the driver checks the first ~50 oracled entries
+    # per round, in order): (1) queries rewritten since their last
+    # driver row OR with no row yet come FIRST; (2) then ascending
+    # latest-green-row round (stalest first). tools/check_driver_rows.py
+    # enforces this ordering and the 3-round hard age cap.
+    # --- round-4 rewrites / new queries (forced into the next batch) ---
+    # (entries are inserted here as round-4 work lands)
+    # --- stalest: latest green driver row is r01 ---
     "sparse_encode": q_sparse_encode,
     "hybrid_weighted": q_hybrid_weighted,
     "search_radius": q_search_radius,
@@ -5169,7 +5116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_flat_l2": q_search_flat_l2,
     "search_udtf_topk": q_search_udtf_topk,
     "hybrid_rrf": q_hybrid_rrf,
-    # --- freshest: oracled, green in CORRECTNESS_r02 ---
+    # --- latest green driver row is r02 ---
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
     "grouping_sets_agg": q_grouping_sets_agg,
@@ -5217,6 +5164,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_last_touch": q_attribution_last_touch,
     "embedding_outliers": q_embedding_outliers,
     "rolling_active_users": q_rolling_active_users,
+    # --- freshest: latest green driver row is r03 ---
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "dedup_components": q_dedup_components,
+    "embedding_near_dup": q_embedding_near_dup,
+    "fulltext_bm25": q_fulltext_bm25,
+    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+    "ann_pq_fullrescore": q_ann_pq_fullrescore,
+    "pack_sequences": q_pack_sequences,
+    "jpeg_probe": q_jpeg_probe,
+    "equidepth_histogram": q_equidepth_histogram,
+    "audio_probe": q_audio_probe,
+    "video_frames": q_video_frames,
+    "update_conditional": q_update_conditional,
+    "query_projection": q_query_projection,
+    "token_count": q_token_count,
+    "cube_agg": q_cube_agg,
+    "price_histogram": q_price_histogram,
+    "query_by_ids": q_query_by_ids,
+    "ttl_filter": q_ttl_filter,
+    "json_extract": q_json_extract,
+    "group_topk": q_group_topk,
+    "agg_groupby_stats": q_agg_groupby_stats,
+    "window_running": q_window_running,
+    "window_funcs": q_window_funcs,
+    "scalar_funcs": q_scalar_funcs,
+    "set_ops": q_set_ops,
+    "count_filter": q_count_filter,
+    "delete_filter_limit": q_delete_filter_limit,
+    "percentiles": q_percentiles,
+    "query_filter_sort_paginate": q_query_filter_sort_paginate,
+    "semi_anti_join": q_semi_anti_join,
+    "rollup_agg": q_rollup_agg,
+    "lang_id": q_lang_id,
+    "interval_join": q_interval_join,
+    "join_pruned_dims": q_join_pruned_dims,
+    "doc_repetition": q_doc_repetition,
+    "chunk_expand": q_chunk_expand,
+    "event_window_agg": q_event_window_agg,
+    "doc_fingerprint": q_doc_fingerprint,
+    "knn_join": q_knn_join,
+    "text_quality": q_text_quality,
+    "search_by_id": q_search_by_id,
+    "sliding_window_agg": q_sliding_window_agg,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_exact": q_dedup_exact,
+    "upsert_merge": q_upsert_merge,
+    "search_flat_ip": q_search_flat_ip,
+    "asof_join": q_asof_join,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_near_dup": q_simhash_near_dup,
     # --- rows-only approximate/model ops (no SQL oracle by design) ---
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
