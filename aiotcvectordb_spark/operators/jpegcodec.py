@@ -474,7 +474,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     except clause) — never returns garbage silently."""
     try:
         return _decode_jpeg(data)
-    except (struct.error, IndexError, KeyError) as e:
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as e:
         raise ValueError(f"malformed JPEG stream: {e!r}") from e
 
 
@@ -527,12 +527,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             precision, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
+            if h == 0 or w == 0:
+                raise ValueError(f"invalid frame dimensions {w}x{h}")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
-                comps.append(
-                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
-                )
+                ch, cv = samp >> 4, samp & 0x0F
+                # JPEG spec (ITU T.81 B.2.2) bounds Hi/Vi to 1..4; a 0
+                # would divide-by-zero in the MCU geometry below.
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"invalid sampling factors {ch}x{cv} for component {cid}"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker == 0xC2:
             raise ValueError("progressive JPEG not supported (baseline only)")
@@ -562,6 +569,16 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         f"component references undefined quant table {comp['tq']}"
                     )
                 scan.append((comp, td, ta))
+            # The decoder returns after this first scan, so a legal
+            # non-interleaved baseline stream (one scan per component)
+            # must be rejected, not silently decoded as grayscale from
+            # the Y scan alone.
+            if len(scan) != len(frame["comps"]):
+                raise ValueError(
+                    "multi-scan (non-interleaved) baseline JPEG not "
+                    f"supported: first scan covers {len(scan)} of "
+                    f"{len(frame['comps'])} components"
+                )
             return _decode_scan(
                 data, pos + 2 + seg_len, frame, scan, qtables,
                 huff_dc, huff_ac, restart_interval,

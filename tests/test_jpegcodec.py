@@ -117,3 +117,39 @@ def test_decoder_rejects_fuzzed_bytes_cleanly():
     # some bit flips stay decodable; that's fine — the contract is
     # "clean failure or a well-formed array", both observed
     assert ok >= 0
+
+def test_zero_sampling_factor_raises_value_error():
+    """A malformed SOF with sampling factor 0 must fail as ValueError,
+    not ZeroDivisionError, per the normalize-everything contract."""
+    img = np.full((8, 8), 128, np.uint8)
+    good = bytearray(encode_jpeg_gray(img))
+    sof = good.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then [cid samp tq]*nc;
+    # samp byte is at sof+2(marker)+2(len)+6+1 = sof+11 for component 0
+    samp_off = sof + 2 + 2 + 6 + 1
+    for bad in (0x00, 0x10, 0x01, 0x50, 0x15):
+        b = bytearray(good)
+        b[samp_off] = bad
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(b))
+
+
+def test_noninterleaved_multiscan_rejected():
+    """A first SOS covering fewer components than the frame declares
+    (non-interleaved baseline) must raise, not silently decode the Y
+    scan as grayscale."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    rgb = np.stack([xx * 8, yy * 8, xx + yy], axis=2).astype(np.uint8)
+    good = bytearray(encode_jpeg_color(rgb))
+    sos = good.find(b"\xff\xda")
+    assert sos > 0
+    ns_off = sos + 4  # marker(2) + len(2) -> Ns byte
+    assert good[ns_off] == 3
+    b = bytearray(good)
+    b[ns_off] = 1  # claim the scan holds only the first (Y) component
+    # keep segment length consistent: shrink by the 2 dropped pairs
+    seg_len = struct.unpack_from(">H", bytes(b), sos + 2)[0]
+    struct.pack_into(">H", b, sos + 2, seg_len - 4)
+    del b[sos + 4 + 1 + 2 : sos + 4 + 1 + 6]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(bytes(b))
