@@ -25,9 +25,33 @@ from pyspark.sql import types as T
 
 _TOKEN_RE = re.compile(r"[\W_]+", re.UNICODE)
 
+# CJK runs inside a token are emitted as overlapping character bigrams
+# (same classes as the sparse BM25 tokenizer) — an unsegmented Chinese
+# sentence is one \w+ token, which would otherwise reduce search_by_text
+# to near-exact matching on CJK corpora.
+from aiotcvectordb_spark.functions.sparse import CJK_RANGES as _CJK_RANGES
+
+_CJK_RUN_RE = re.compile(f"[{_CJK_RANGES}]+")
+
 
 def _tokens(text: str) -> list[str]:
-    return [t for t in _TOKEN_RE.split(text.lower()) if t]
+    out: list[str] = []
+    for t in _TOKEN_RE.split(text.lower()):
+        if not t:
+            continue
+        pos = 0
+        for m in _CJK_RUN_RE.finditer(t):
+            if m.start() > pos:
+                out.append(t[pos : m.start()])
+            run = m.group(0)
+            if len(run) == 1:
+                out.append(run)
+            else:
+                out.extend(run[i : i + 2] for i in range(len(run) - 1))
+            pos = m.end()
+        if pos < len(t):
+            out.append(t[pos:])
+    return out
 
 
 def _embed_one(text: str, dim: int) -> list[float]:

@@ -5,7 +5,12 @@ Re-creates the client-side ``tcvdb-text`` BM25 encoder's role
 List[[term_id, weight]] — reference stub.py:787-801) as Spark-native
 column expressions:
 
-- tokenize: lower + split on non-alphanumeric (JVM regexp, codegen'd)
+- tokenize: lower + alphanumeric words, with CJK runs emitted as
+  overlapping character bigrams (the Lucene CJKAnalyzer approach — the
+  reference's encoder is jieba-segmented Chinese, so CJK text must
+  produce sub-sentence tokens; bigrams are the standard public
+  segmentation-free approximation). All JVM regexp/array expressions,
+  codegen'd — no Python in the hot path.
 - term id: ``xxhash64(token)`` (JVM-side 64-bit hash, like mmh3's role)
 - weights: classic BM25 (k1=1.2, b=0.75) from corpus statistics computed
   with two aggregations (doc lengths + document frequencies).
@@ -25,13 +30,34 @@ K1 = 1.2
 B = 0.75
 
 # Tokenizer shared by spark and oracle SQL: lowercase, split on runs of
-# non-alphanumeric, drop empties.
+# non-alphanumeric, drop empties. (Plain word tokenizer — used by the
+# corpus-statistics queries; the BM25 path below adds CJK handling.)
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# CJK character classes bigrammed by the BM25 tokenizer (the Lucene
+# CJKAnalyzer set): Hiragana+Katakana, CJK Ext-A, CJK Unified, Hangul.
+CJK_RANGES = "぀-ヿ㐀-䶿一-鿿가-힯"
+# One match per segment: a latin/digit word OR a maximal CJK run.
+SEGMENT_RE = f"[a-z0-9]+|[{CJK_RANGES}]+"
+_CJK_START_RE = f"^[{CJK_RANGES}]"
+_SEGMENT_PAT = re.compile(SEGMENT_RE)
+_CJK_START_PAT = re.compile(_CJK_START_RE)
 
 
 def _TOKENS_FOR_QUERY(text: str) -> list[str]:
-    """Driver-side tokenizer identical to ``tokens_col`` (query side)."""
-    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    """Driver-side tokenizer identical to ``bm25_tokens_col``: latin
+    words as-is, CJK runs as overlapping character bigrams (single char
+    for a length-1 run)."""
+    out: list[str] = []
+    for seg in _SEGMENT_PAT.findall(text.lower()):
+        if _CJK_START_PAT.match(seg):
+            if len(seg) == 1:
+                out.append(seg)
+            else:
+                out.extend(seg[i : i + 2] for i in range(len(seg) - 1))
+        else:
+            out.append(seg)
+    return out
 
 
 def tokens_col(text_col: str) -> Column:
@@ -40,11 +66,41 @@ def tokens_col(text_col: str) -> Column:
     )
 
 
+def bm25_tokens_col(text_col: str) -> Column:
+    """CJK-aware tokenizer for the BM25/full-text path, pure Catalyst.
+
+    Identical to ``tokens_col`` on ASCII text (latin segments are the
+    exact complement of ``TOKEN_SPLIT_RE``); CJK runs additionally emit
+    overlapping character bigrams so Chinese/Japanese/Korean corpora —
+    the reference encoder's home turf (jieba dependency,
+    reference pyproject.toml:13; Chinese ranking test
+    tests/test_documents/test_documents_search_text.py:20-33) — produce
+    matchable sub-sentence terms. regexp_extract_all + transform +
+    flatten: all JVM-side, no UDF."""
+    segs = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(SEGMENT_RE), F.lit(0)
+    )
+    return F.flatten(
+        F.transform(
+            segs,
+            lambda s: F.when(
+                s.rlike(_CJK_START_RE),
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length(s) - 1, F.lit(1))
+                    ),
+                    lambda i: s.substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array(s)),
+        )
+    )
+
+
 def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Explode documents to (id, token, tf, dl) — one row per distinct
     term per document."""
     toks = df.select(
-        F.col(id_col), tokens_col(text_col).alias("__toks")
+        F.col(id_col), bm25_tokens_col(text_col).alias("__toks")
     ).withColumn("dl", F.size("__toks"))
     return (
         toks.select(id_col, "dl", F.explode("__toks").alias("token"))

@@ -100,6 +100,18 @@ _TOKS_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 )
 
+# DuckDB tokenizer identical to sparse_fn.bm25_tokens_col (CJK-aware:
+# latin words as-is, CJK runs as overlapping character bigrams; equal to
+# _TOKS_SQL on pure-ASCII text). range(1, greatest(len, 2)) mirrors
+# sequence(1, greatest(len - 1, 1)): 1..len-1 for len>=2, [1] for len=1.
+_BM25_TOKS_SQL = (
+    "flatten(list_transform("
+    f"regexp_extract_all(lower(text), '{sparse_fn.SEGMENT_RE}'), "
+    f"s -> CASE WHEN regexp_matches(s, '^[{sparse_fn.CJK_RANGES}]') "
+    "THEN list_transform(range(1, greatest(length(s), 2)), i -> substr(s, i, 2)) "
+    "ELSE [s] END))"
+)
+
 
 def _knn_oracle(
     vectors: list[list[float]],
@@ -666,9 +678,12 @@ def q_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_base_cte(relation: str = "documents") -> str:
-    """CTE chain computing terms/stats/dfreq for the BM25 corpus model."""
+    """CTE chain computing terms/stats/dfreq for the BM25 corpus model.
+
+    Uses the CJK-aware tokenizer (_BM25_TOKS_SQL) to mirror
+    sparse_fn.build_postings exactly."""
     return f"""
-toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM {relation}),
+toks AS (SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM {relation}),
 terms AS (
   SELECT doc_id, len(ts) AS dl, t.token AS token, count(*) AS tf
   FROM toks, unnest(ts) AS t(token)
@@ -681,9 +696,11 @@ stats AS (
 dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM terms GROUP BY token)"""
 
 
-def _bm25_oracle_cte(relation: str = "documents") -> str:
-    """Full BM25 CTE chain computing scored(doc_id, s) for _FT_QUERY."""
-    qvals = ", ".join(f"('{t}')" for t in sorted(set(_FT_QUERY.split())))
+def _bm25_oracle_cte(relation: str = "documents", query_text: str = _FT_QUERY) -> str:
+    """Full BM25 CTE chain computing scored(doc_id, s) for query_text."""
+    qvals = ", ".join(
+        f"('{t}')" for t in sorted(set(sparse_fn._TOKENS_FOR_QUERY(query_text)))
+    )
     return f"""{_bm25_base_cte(relation)},
 qterms(token) AS (VALUES {qvals}),
 scored AS (
@@ -707,6 +724,58 @@ SELECT doc_id, round(s, {ROUND_DIGITS}) AS score,
        CAST(row_number() OVER (ORDER BY round(s, {ROUND_DIGITS}) DESC, doc_id) AS INT) AS rank
 FROM scored QUALIFY rank <= 10 ORDER BY rank
 """
+
+# Chinese-language fixture corpus for the CJK full-text path. The
+# reference's flagship text test searches Chinese ("苹果" must rank the
+# apple doc first — tests/test_documents/test_documents_search_text.py:
+# 20-33, jieba-backed encoder); our CJK bigram tokenizer must do the
+# same. Inline corpus so the query is self-contained and the DuckDB
+# oracle sees byte-identical data via a VALUES CTE.
+CJK_CORPUS: list[tuple[str, str]] = [
+    ("c_apple", "苹果很好吃，我每天都吃一个大苹果"),
+    ("c_banana", "香蕉是黄色的水果，猴子最爱吃香蕉"),
+    ("c_grape", "葡萄可以用来酿酒，紫色的葡萄很甜"),
+    ("c_mixed", "水果店里有苹果、香蕉和葡萄，还有 apple juice"),
+    ("c_tech", "apple 手机和电脑都很贵，但是质量不错"),
+    ("c_en", "the quick brown fox jumps over the lazy dog"),
+    ("c_short", "茶"),
+    ("c_punct", "！！！？？？"),
+]
+_CJK_QUERY = "苹果"
+
+
+def q_fulltext_bm25_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 33 on a Chinese corpus: BM25 full-text search with the CJK
+    bigram tokenizer, top-5. Proves the sparse path handles the
+    reference's home-turf language end-to-end (build_postings →
+    fulltext_search_df, nothing special-cased)."""
+    df = spark.createDataFrame(CJK_CORPUS, ["doc_id", "text"]).repartition(4)
+    return fulltext.fulltext_search_df(
+        df,
+        _CJK_QUERY,
+        id_col="doc_id",
+        text_col="text",
+        limit=5,
+        round_digits=ROUND_DIGITS,
+    ).select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+def _cjk_oracle() -> str:
+    corpus_vals = ",\n  ".join(
+        "('" + i + "', '" + t.replace("'", "''") + "')" for i, t in CJK_CORPUS
+    )
+    return f"""
+WITH corpus(doc_id, text) AS (VALUES
+  {corpus_vals}
+),
+{_bm25_oracle_cte("corpus", _CJK_QUERY)}
+SELECT doc_id, round(s, {ROUND_DIGITS}) AS score,
+       CAST(row_number() OVER (ORDER BY round(s, {ROUND_DIGITS}) DESC, doc_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 5 ORDER BY rank
+"""
+
+
+ORACLE_FULLTEXT_BM25_CJK = _cjk_oracle()
 
 _HYBRID_VEC = [qvec(3.5)]
 
@@ -5107,15 +5176,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # latest-green-row round (stalest first). tools/check_driver_rows.py
     # enforces this ordering and the 3-round hard age cap.
     # --- round-4 rewrites / new queries (forced into the next batch) ---
-    # (entries are inserted here as round-4 work lands)
-    # --- stalest: latest green driver row is r01 ---
+    # CJK bigram tokenizer landed in the BM25 path: every sparse-leg
+    # consumer is a rewrite; fulltext_bm25_cjk is new (no row yet).
+    "fulltext_bm25_cjk": q_fulltext_bm25_cjk,
+    "fulltext_bm25": q_fulltext_bm25,
     "sparse_encode": q_sparse_encode,
     "hybrid_weighted": q_hybrid_weighted,
+    "hybrid_rrf": q_hybrid_rrf,
+    # --- stalest: latest green driver row is r01 ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
     "search_flat_l2": q_search_flat_l2,
     "search_udtf_topk": q_search_udtf_topk,
-    "hybrid_rrf": q_hybrid_rrf,
     # --- latest green driver row is r02 ---
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
@@ -5169,7 +5241,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "dedup_components": q_dedup_components,
     "embedding_near_dup": q_embedding_near_dup,
-    "fulltext_bm25": q_fulltext_bm25,
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
     "pack_sequences": q_pack_sequences,
@@ -5282,6 +5353,7 @@ ORACLES: dict[str, str] = {
     "update_conditional": ORACLE_UPDATE_CONDITIONAL,
     "delete_filter_limit": ORACLE_DELETE_FILTER_LIMIT,
     "fulltext_bm25": ORACLE_FULLTEXT_BM25,
+    "fulltext_bm25_cjk": ORACLE_FULLTEXT_BM25_CJK,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "sparse_encode": ORACLE_SPARSE_ENCODE,
     "dedup_exact": ORACLE_DEDUP_EXACT,

@@ -46,7 +46,10 @@ REWRITES: dict[str, int] = {
     "minhash_lsh_candidates": 2,
     "dedup_components": 2,
     "embedding_near_dup": 3,  # r2 executor-side prefilter; r3 scale routing + join-order fix
-    "fulltext_bm25": 2,
+    "fulltext_bm25": 4,  # r4 CJK bigram tokenizer in the BM25 path
+    "sparse_encode": 4,  # r4 CJK bigram tokenizer
+    "hybrid_weighted": 4,  # r4 CJK bigram tokenizer (sparse leg)
+    "hybrid_rrf": 4,  # r4 CJK bigram tokenizer (sparse leg)
     "equidepth_histogram": 3,
     "audio_probe": 3,
     "video_frames": 3,
