@@ -948,9 +948,26 @@ class VectorDBEngine:
 # the oracle-checked entry queries (they are side-effect-free transforms).
 
 
-def upsert_dataframes(old: DataFrame, new: DataFrame, pk: str) -> DataFrame:
+# Never force-broadcast a key set we can't bound: a forced hint bypasses
+# AQE's size check and ships the build side to every executor even when
+# it is arbitrarily large (a filter-only delete can match half the
+# collection). Below this many keys a hint is always safe (~a few MB);
+# above it — or when the count is unknown — leave the join unhinted and
+# let AQE pick broadcast/shuffle from the OBSERVED size at runtime.
+_BROADCAST_KEYS_MAX = 100_000
+
+
+def upsert_dataframes(
+    old: DataFrame, new: DataFrame, pk: str, *, known_small: bool = True
+) -> DataFrame:
     """Insert-or-replace: keep old rows whose pk is absent from new, then
-    union the new batch. Anti-join side is the small batch -> broadcast."""
+    union the new batch.
+
+    ``known_small=True`` (the API path: upsert batches are capped at
+    1000 docs, reference stub.py upsert cap) broadcast-hints the batch
+    key side of the anti-join. Callers merging unbounded frames — the
+    streaming sink, bulk file ingest — pass False and AQE chooses the
+    strategy from the runtime-observed batch size instead."""
     for c in old.columns:
         if c not in new.columns:
             new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
@@ -958,7 +975,9 @@ def upsert_dataframes(old: DataFrame, new: DataFrame, pk: str) -> DataFrame:
         if c not in old.columns:
             old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
     keys = new.select(pk).distinct()
-    survivors = old.join(F.broadcast(keys), pk, "left_anti")
+    if known_small:
+        keys = F.broadcast(keys)
+    survivors = old.join(keys, pk, "left_anti")
     return survivors.unionByName(new.select(*survivors.columns))
 
 
@@ -986,7 +1005,13 @@ def delete_rows(
         victims = victims.orderBy(F.col(pk).asc()).limit(limit)
     victims_keys = victims.select(pk)
     n = victims_keys.count()
-    remaining = df.join(F.broadcast(victims_keys), pk, "left_anti")
+    # The count above bounds the victim set for free: hint broadcast
+    # only when it is genuinely small (limited deletes are — the
+    # reference caps limit at 16384); an unbounded filter-only delete
+    # stays unhinted so AQE sizes the anti-join at runtime.
+    if n <= _BROADCAST_KEYS_MAX:
+        victims_keys = F.broadcast(victims_keys)
+    remaining = df.join(victims_keys, pk, "left_anti")
     return remaining, n
 
 

@@ -1287,13 +1287,15 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), {ROUND_DIGITS}) >= 0.9
 _NEARDUP_THRESHOLD = 0.45
 
 
-# Above this row count the exact path's broadcast matrix (rows x dim x
-# 8 bytes — ~1 GiB at 2M x 64d) stops fitting comfortably per executor,
-# so the router switches to the IVF-bucketed path. Env-overridable so
-# tests (and operators who know their cluster memory) can move the
-# knee without code changes.
+# Above this row count the router switches to the IVF-bucketed path.
+# Default derives from a bytes budget: rows x dim x 8 B <= ~128 MB per
+# executor for the ride-along matrix (250k x 64d = 128 MB) — broadcast
+# memory, prefilter cosine count (~6e10 at the cap), both sane; the old
+# 2M default meant a ~1 GiB broadcast and 4e12 cosines (VERDICT r3).
+# Env-overridable so tests (and operators who know their cluster
+# memory) can move the knee without code changes.
 _NEARDUP_EXACT_MAX_ROWS_ENV = "SPARK_GRAFT_NEARDUP_EXACT_MAX_ROWS"
-_NEARDUP_EXACT_MAX_ROWS_DEFAULT = 2_000_000
+_NEARDUP_EXACT_MAX_ROWS_DEFAULT = 250_000
 
 
 def _neardup_exact_max_rows() -> int:
@@ -1305,22 +1307,37 @@ def _neardup_exact_max_rows() -> int:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold — scale-routed.
+    """Embedding-cosine near-dup pairs above a threshold — EXACT plan,
+    always (broadcast-matmul prefilter + bit-exact rescore).
+
+    This is the hash-oracled registry entry, so it must execute the
+    same plan at every scale/env the driver might run it under — a
+    silent switch to the approximate path would make the oracle check
+    vouch for a plan that didn't run (ADVICE r3). The scale-routed
+    entry point is ``q_embedding_near_dup_auto`` (rows-only), which
+    picks this plan or the IVF-bucketed one by corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    return _embedding_near_dup_exact(spark, sf_dir, emb.count())
+
+
+def q_embedding_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — scale-routed entry point.
 
     ONE entry point, two physical plans, chosen by corpus size so the
     O(N^2)/full-matrix-broadcast plan cannot be invoked on 100 TB by
     accident:
 
-    - ``n <= SPARK_GRAFT_NEARDUP_EXACT_MAX_ROWS`` (default 2M): the
-      exact broadcast-matmul prefilter (below) — bit-exact, oracle-
-      hashed by the driver at sf0.01.
+    - ``n <= SPARK_GRAFT_NEARDUP_EXACT_MAX_ROWS`` (default 250k, a
+      ~128 MB ride-along matrix at 64d): the exact broadcast-matmul
+      prefilter (``q_embedding_near_dup``) — bit-exact.
     - above: the IVF-bucketed path (``q_embedding_near_dup_ivf``) with
       multi-probe assignment — bounded shuffles, nothing broadcast or
       collected; same output schema and the same exact rescore on
       candidates, approximate only in candidate generation.
 
     The row count is a parquet-metadata-only job, so routing costs no
-    data scan."""
+    data scan. Registered rows-only: which plan runs is env/scale-
+    dependent by design, so it cannot carry a value-hash oracle."""
     emb = load(spark, sf_dir, "embeddings")
     n_rows = emb.count()  # metadata-only parquet count
     if n_rows > _neardup_exact_max_rows():
@@ -5183,6 +5200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparse_encode": q_sparse_encode,
     "hybrid_weighted": q_hybrid_weighted,
     "hybrid_rrf": q_hybrid_rrf,
+    "embedding_near_dup": q_embedding_near_dup,
     # --- stalest: latest green driver row is r01 ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -5240,7 +5258,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "dedup_components": q_dedup_components,
-    "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
     "pack_sequences": q_pack_sequences,
@@ -5297,6 +5314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_cosine": q_ann_pq_cosine,
     "ann_bq_cosine": q_ann_bq_cosine,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+    "embedding_near_dup_auto": q_embedding_near_dup_auto,
     "mmr_rerank": q_mmr_rerank,
     "embedding_pca": q_embedding_pca,
     "bpe_token_count": q_bpe_token_count,

@@ -93,7 +93,8 @@ def ingest_dataframe(
         old = engine.store.read(engine.spark, database, meta.name)
     except FileNotFoundError:
         old = None
-    merged = df if old is None else upsert_dataframes(old, df, pk)
+    # Bulk file ingest is unbounded — leave the anti-join unhinted.
+    merged = df if old is None else upsert_dataframes(old, df, pk, known_small=False)
     engine.store.write(merged, database, meta.name, shard=meta.shard)
     return {"affectedCount": n}
 

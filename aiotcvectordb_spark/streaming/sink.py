@@ -58,7 +58,9 @@ def stream_upsert_sink(
         except FileNotFoundError:
             old = None
         if old is not None:
-            merged = upsert_dataframes(old, batch_df, pk)
+            # Stream micro-batches are unbounded — no forced broadcast;
+            # AQE sizes the anti-join per batch.
+            merged = upsert_dataframes(old, batch_df, pk, known_small=False)
         else:
             merged = batch_df
         engine.store.write(
@@ -85,7 +87,7 @@ def stream_upsert_sink(
             except FileNotFoundError:
                 old_codes = None
             merged_codes = (
-                upsert_dataframes(old_codes, batch_codes, pk)
+                upsert_dataframes(old_codes, batch_codes, pk, known_small=False)
                 if old_codes is not None
                 else batch_codes
             )

@@ -45,7 +45,7 @@ REWRITES: dict[str, int] = {
     "minhash_signatures": 2,
     "minhash_lsh_candidates": 2,
     "dedup_components": 2,
-    "embedding_near_dup": 3,  # r2 executor-side prefilter; r3 scale routing + join-order fix
+    "embedding_near_dup": 4,  # r4: oracled entry is exact-only; router split to _auto
     "fulltext_bm25": 4,  # r4 CJK bigram tokenizer in the BM25 path
     "sparse_encode": 4,  # r4 CJK bigram tokenizer
     "hybrid_weighted": 4,  # r4 CJK bigram tokenizer (sparse leg)
