@@ -212,6 +212,12 @@ def _magnitude(v: int) -> tuple[int, int]:
     return ssss, bits
 
 
+# Blocks per vectorized DCT/IDCT chunk on both codec sides: bounds the
+# float64 working set to ~chunk x 64 x 8 B x (a few temporaries) ≈ 8 MB
+# however large the image, keeping per-task memory flat at scale.
+_TRANSFORM_CHUNK_BLOCKS = 4096
+
+
 def _fdct_quant_zigzag(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
     """(n, 8, 8) level-shifted blocks -> (n, 64) quantized zigzag
     coefficients, fully vectorized (one einsum for all FDCTs)."""
@@ -284,21 +290,29 @@ def encode_jpeg_gray(
         raise ValueError("empty image")
     q = STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int64)
     bh, bw = -(-h // 8), -(-w // 8)
-    # edge-replicate padding keeps block statistics honest
-    shifted = _pad_to_blocks(arr, bh, bw).astype(np.float64) - 128.0
+    # edge-replicate padding keeps block statistics honest; stays uint8
+    # until the per-chunk level shift so float64 temporaries are bounded
+    padded = _pad_to_blocks(arr, bh, bw)
 
     dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     bw_out = _BitWriter()
     prev_dc = 0
-    # all FDCTs in one vectorized shot; the Python loop touches only
-    # each block's nonzero coefficients
-    blocks = (
-        shifted.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-    zzs = _fdct_quant_zigzag(blocks, q)
-    for bi in range(zzs.shape[0]):
-        prev_dc = _encode_zz(bw_out, zzs[bi], q, dc_codes, ac_codes, prev_dc)
+    # FDCTs vectorized in bounded chunks of whole block-rows: one giant
+    # einsum allocated ~5 image-sized float64 temporaries per call and
+    # stressed the allocator at the 10x probe (ratio 4.4); chunking
+    # keeps the peak a few MB regardless of image size. The Python loop
+    # still touches only each block's nonzero coefficients.
+    rows_per_chunk = max(1, _TRANSFORM_CHUNK_BLOCKS // bw)
+    for r0 in range(0, bh, rows_per_chunk):
+        r1 = min(bh, r0 + rows_per_chunk)
+        sub = padded[r0 * 8 : r1 * 8].astype(np.float64) - 128.0
+        blocks = (
+            sub.reshape(r1 - r0, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        zzs = _fdct_quant_zigzag(blocks, q)
+        for bi in range(zzs.shape[0]):
+            prev_dc = _encode_zz(bw_out, zzs[bi], q, dc_codes, ac_codes, prev_dc)
     bw_out.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -474,7 +488,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     except clause) — never returns garbage silently."""
     try:
         return _decode_jpeg(data)
-    except (struct.error, IndexError, KeyError, ZeroDivisionError) as e:
+    except (
+        struct.error,
+        IndexError,
+        KeyError,
+        ZeroDivisionError,
+        OverflowError,  # adversarial DC-diff runs overflowing the int32 store
+    ) as e:
         raise ValueError(f"malformed JPEG stream: {e!r}") from e
 
 
@@ -600,7 +620,9 @@ def _decode_scan(
     # lists — no per-block numpy allocation); ALL dequant + IDCT work
     # then runs as one vectorized einsum per component.
     n_blocks = [mcuy * mcux * c["v"] * c["h"] for c in comps]
-    zz_store = [np.zeros((n, 64), dtype=np.int64) for n in n_blocks]
+    # int32 halves the coefficient store vs int64; baseline quantized
+    # coefficients are 11-bit magnitudes (|coef| < 2^15), far inside
+    zz_store = [np.zeros((n, 64), dtype=np.int32) for n in n_blocks]
     blk_idx = [0] * len(comps)
     br = _BitReader(data, pos)
     preds = [0] * len(comps)
@@ -641,25 +663,57 @@ def _decode_scan(
     planes = []
     for ci, comp in enumerate(comps):
         q = qtables[comp["tq"]]
-        coef = np.zeros((n_blocks[ci], 64), dtype=np.float64)
-        coef[:, ZIGZAG] = zz_store[ci] * q.reshape(64)[ZIGZAG][None, :]
-        blocks = (
-            np.einsum("ji,njk,kl->nil", _C, coef.reshape(-1, 8, 8), _C)
-            + 128.0
-        )
-        # scatter the MCU-ordered blocks back into the plane grid
+        qz = q.reshape(64)[ZIGZAG].astype(np.float64)  # dequant, zigzag order
+        zz = zz_store[ci]
         ph = mcuy * comp["v"] * 8
         pw = mcux * comp["h"] * 8
-        plane = np.zeros((ph, pw), dtype=np.float64)
-        bi = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = blocks[bi]
-                        bi += 1
+        plane = np.empty((ph, pw), dtype=np.float64)
+        if comp["v"] == 1 and comp["h"] == 1:
+            # Non-subsampled component: MCU order IS row-major grid
+            # order, so dequant+IDCT+scatter runs in bounded chunks of
+            # whole block-rows with a pure-reshape scatter — no
+            # per-block Python loop, flat memory however tall the image.
+            rows_per_chunk = max(1, _TRANSFORM_CHUNK_BLOCKS // mcux)
+            for r0 in range(0, mcuy, rows_per_chunk):
+                r1 = min(mcuy, r0 + rows_per_chunk)
+                zzc = zz[r0 * mcux : r1 * mcux]
+                coef = np.zeros((zzc.shape[0], 64), dtype=np.float64)
+                coef[:, ZIGZAG] = zzc * qz[None, :]
+                blocks = (
+                    np.einsum("ji,njk,kl->nil", _C, coef.reshape(-1, 8, 8), _C)
+                    + 128.0
+                )
+                plane[r0 * 8 : r1 * 8] = (
+                    blocks.reshape(r1 - r0, mcux, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape((r1 - r0) * 8, pw)
+                )
+        else:
+            # Subsampled component (chroma at 4:2:0/4:2:2): blocks
+            # interleave within MCUs; keep the explicit scatter but
+            # chunk the transform so temporaries stay bounded.
+            vh = comp["v"] * comp["h"]
+            coords = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            coords.append(
+                                ((my * comp["v"] + by) * 8, (mx * comp["h"] + bx) * 8)
+                            )
+            chunk = max(vh, _TRANSFORM_CHUNK_BLOCKS)
+            for b0 in range(0, n_blocks[ci], chunk):
+                b1 = min(n_blocks[ci], b0 + chunk)
+                zzc = zz[b0:b1]
+                coef = np.zeros((zzc.shape[0], 64), dtype=np.float64)
+                coef[:, ZIGZAG] = zzc * qz[None, :]
+                blocks = (
+                    np.einsum("ji,njk,kl->nil", _C, coef.reshape(-1, 8, 8), _C)
+                    + 128.0
+                )
+                for off in range(b1 - b0):
+                    y0, x0 = coords[b0 + off]
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = blocks[off]
         planes.append(plane)
     # crop + upsample to full resolution
     full = []

@@ -5201,6 +5201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_weighted": q_hybrid_weighted,
     "hybrid_rrf": q_hybrid_rrf,
     "embedding_near_dup": q_embedding_near_dup,
+    "jpeg_probe": q_jpeg_probe,
     # --- stalest: latest green driver row is r01 ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -5261,7 +5262,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
     "pack_sequences": q_pack_sequences,
-    "jpeg_probe": q_jpeg_probe,
     "equidepth_histogram": q_equidepth_histogram,
     "audio_probe": q_audio_probe,
     "video_frames": q_video_frames,
