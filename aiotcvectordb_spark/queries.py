@@ -2738,18 +2738,83 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMF_WIDTH = 16  # PNG width for the multimodal_features fixture images
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (deterministic fake decoder — real codecs absent from the container;
-    the Spark plumbing is the real path). Rows-only driver check;
-    determinism + batch shape asserted in pytest."""
+    """REAL decode by default (upgraded r4 from the deterministic fake):
+    each document's UTF-8 bytes become a real zlib-compressed grayscale
+    PNG (``with_png_payload``), then ``decode_features(mode="real")``
+    inflates + defilters the actual pixels and emits a normalized
+    luminance histogram. Pixels are the text bytes zero-padded to the
+    image grid, so DuckDB can recompute the histogram from the bytes —
+    the full PNG codec round trip is hash-checked. n_bytes (the PNG
+    payload size) is dropped from the oracled projection: compressed
+    length is not SQL-expressible."""
     from aiotcvectordb_spark.operators import multimodal
 
     # no 32-way widening: each Python worker pays pandas/numpy import on
     # spawn, which dominates tiny inputs; real corpora arrive multi-split.
     df = load(spark, sf_dir, "documents")
-    media = multimodal.with_binary_payload(df, text_col="text")
-    return multimodal.decode_features(media, id_col="doc_id")
+    media = multimodal.with_png_payload(df, text_col="text", width=_MMF_WIDTH)
+    return multimodal.decode_features(media, id_col="doc_id", mode="real").select(
+        "doc_id",
+        F.transform("features", lambda x: F.round(x, ROUND_DIGITS)).alias(
+            "features"
+        ),
+    )
+
+
+# Recompute the luminance histogram straight from the UTF-8 bytes: the
+# PNG pixels are exactly those bytes zero-padded to ceil(nb/16)x16
+# (min one row), bucket = px * 8 // 256, ratio = count / (h*16).
+ORACLE_MULTIMODAL_FEATURES = f"""
+WITH ch AS (
+  SELECT doc_id, ascii(c) AS cp
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+    FROM documents WHERE length(text) > 0
+  )
+),
+b AS (
+  SELECT doc_id, unnest(
+    CASE WHEN cp < 128 THEN [cp]
+         WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+         WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+                               128 + cp % 64]
+         ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+               128 + (cp // 64) % 64, 128 + cp % 64] END) AS byte
+  FROM ch
+),
+counts AS (
+  SELECT doc_id, byte * 8 // 256 AS bk, count(*) AS c
+  FROM b GROUP BY doc_id, byte * 8 // 256
+),
+dims AS (
+  SELECT d.doc_id,
+         coalesce(nb.nb, 0) AS nb,
+         greatest(1, CAST(ceil(coalesce(nb.nb, 0) / {_MMF_WIDTH}.0) AS BIGINT))
+           AS h
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS nb FROM b GROUP BY doc_id) nb
+    USING (doc_id)
+),
+grid AS (
+  SELECT dims.doc_id, dims.nb, dims.h, r.range AS bk
+  FROM dims CROSS JOIN range(8) r
+),
+filled AS (
+  SELECT g.doc_id, g.bk,
+         coalesce(c.c, 0)
+           + CASE WHEN g.bk = 0 THEN g.h * {_MMF_WIDTH} - g.nb ELSE 0 END AS c,
+         g.h * {_MMF_WIDTH} AS total
+  FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bk = c.bk
+)
+SELECT doc_id,
+       list(round(c / CAST(total AS DOUBLE), {ROUND_DIGITS}) ORDER BY bk)
+         AS features
+FROM filled GROUP BY doc_id
+"""
 
 
 def q_ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5202,6 +5267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "embedding_near_dup": q_embedding_near_dup,
     "jpeg_probe": q_jpeg_probe,
+    "multimodal_features": q_multimodal_features,  # r4: real PNG + new oracle
     # --- stalest: latest green driver row is r01 ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -5308,7 +5374,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "search_by_text": q_search_by_text,
     "ann_lsh_l2": q_ann_lsh_l2,
-    "multimodal_features": q_multimodal_features,
     "approx_sketches": q_approx_sketches,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_pq_cosine": q_ann_pq_cosine,
@@ -5372,6 +5437,7 @@ ORACLES: dict[str, str] = {
     "delete_filter_limit": ORACLE_DELETE_FILTER_LIMIT,
     "fulltext_bm25": ORACLE_FULLTEXT_BM25,
     "fulltext_bm25_cjk": ORACLE_FULLTEXT_BM25_CJK,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "sparse_encode": ORACLE_SPARSE_ENCODE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
