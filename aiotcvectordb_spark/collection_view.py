@@ -70,6 +70,7 @@ class CollectionViewManager:
             "description": meta.description,
             "embedding": meta.embedding,
             "splitterPreprocess": meta.ann_state.get("cv", {}).get("splitter"),
+            "parsingProcess": meta.ann_state.get("cv", {}).get("parsing"),
             "documentSetCount": n,
         }
 
@@ -108,20 +109,34 @@ class CollectionViewManager:
         text: str,
         metadata: dict | None = None,
     ) -> dict:
-        """Op 38: ingest one document — split, embed, append to the chunks
-        table, register the DocumentSet (the reference uploads to COS and
-        the server does this; here the ingestion job IS the engine)."""
+        """Op 38: ingest one document — parse (ParsingProcess + file
+        extension), split, embed, append to the chunks table, register
+        the DocumentSet (the reference uploads to COS and the server
+        does this; here the ingestion job IS the engine). HTML/markdown
+        uploads are tag-stripped by ``operators/docparse``; chunks and
+        positions address the PARSED text (reference
+        collection_view.py:342-423 carries the ParsingProcess config).
+        """
+        from aiotcvectordb_spark.operators import docparse
+
         meta = self.engine.catalog.get_collection(database, cv)
-        cfg = meta.ann_state.get("cv", {}).get("splitter", {})
+        cv_cfg = meta.ann_state.get("cv", {})
+        cfg = cv_cfg.get("splitter", {})
         dim = (meta.embedding or {}).get("dim", 32)
         ds_id = hashlib.md5(f"{database}/{cv}/{doc_name}".encode()).hexdigest()[:16]
 
+        parsed_text, title = docparse.parse_document(text, doc_name)
+        title_prefix = (
+            title if cfg.get("append_title_to_chunk") and title else None
+        )
+
         new_chunks = chunk_ops.load_and_split_text(
             self.engine.spark,
-            [(ds_id, text)],
+            [(ds_id, parsed_text)],
             chunk_size=cfg.get("chunk_size", 200),
             overlap=cfg.get("overlap", 50),
             dim=dim,
+            title_prefix=title_prefix,
         )
         try:
             old = self._chunks(database, cv).filter(F.col("doc_set_id") != ds_id)

@@ -64,11 +64,17 @@ def load_and_split_text(
     chunk_size: int = 200,
     overlap: int = 50,
     dim: int = 32,
+    title_prefix: str | None = None,
 ) -> DataFrame:
     """Ingestion job: (doc_set_id, full_text) pairs → chunks DataFrame
     with embedded vectors. Splitting + embedding run distributed via
     mapInPandas (Arrow batches), so a million documents fan out across
-    executors; nothing is driver-side except the input handles."""
+    executors; nothing is driver-side except the input handles.
+
+    ``title_prefix`` implements SplitterProcess.appendTitleToChunk
+    (reference collection_view.py splitter config): each chunk's TEXT
+    and EMBEDDING get the document title prepended; start/end positions
+    keep addressing the body so expand_chunk ranges stay valid."""
     src = spark.createDataFrame(
         list(docs), "doc_set_id string, full_text string"
     )
@@ -80,6 +86,8 @@ def load_and_split_text(
                 for pos, s, e, chunk in split_text(
                     full, chunk_size=chunk_size, overlap=overlap
                 ):
+                    if title_prefix:
+                        chunk = f"{title_prefix}\n{chunk}"
                     rows.append(
                         (ds_id, pos, s, e, chunk, _embed_one(chunk, dim))
                     )

@@ -1,0 +1,127 @@
+"""Server-side document parsing for the RAG upload path (ops 38/44).
+
+The reference's ``upload_file``/``load_and_split_text`` carry a
+``ParsingProcess`` config and a file name whose extension decides how
+the server extracts text before splitting (reference
+collection_view.py:342-423, ai_database.py:76-125 — upload to COS,
+server parses). This module is that parser, for the formats honestly
+implementable without third-party parsing deps:
+
+- HTML (.html/.htm): script/style/comment removal, tag stripping,
+  entity unescape, whitespace collapse; <title>/<h1> becomes the
+  document title.
+- Markdown (.md/.markdown): fence/heading/emphasis/link/image/inline-
+  code/blockquote/list-marker stripping (content survives, syntax
+  dies); first heading becomes the document title.
+- Plain text (everything else): passthrough.
+
+PDF/Office parsing stays honestly unimplemented (no parsing libraries
+in the container) — ``parse_document`` raises ``ValueError`` for those
+extensions instead of silently splitting raw binary soup.
+
+Parsing is pure-Python string work exposed both as driver-side
+functions (the single-file API path) and usable inside any Arrow batch
+stage (the bulk path maps ``parse_document`` over ``mapInPandas``
+batches like every other kernel).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+# extensions the reference's server-side pipeline accepts for parsing
+_HTML_EXTS = (".html", ".htm")
+_MD_EXTS = (".md", ".markdown")
+_UNSUPPORTED_EXTS = (".pdf", ".doc", ".docx", ".ppt", ".pptx", ".xls", ".xlsx")
+
+_SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.I | re.S)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+_TITLE_RE = re.compile(r"<(?:title|h1)\b[^>]*>(.*?)</(?:title|h1)\s*>", re.I | re.S)
+_BLOCK_TAG_RE = re.compile(
+    r"</?(?:p|div|br|li|ul|ol|table|tr|td|th|h[1-6]|section|article|header|footer)\b[^>]*>",
+    re.I,
+)
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n{2,}")
+
+_MD_FENCE_RE = re.compile(r"^```[^\n]*$", re.M)
+_MD_HEADING_RE = re.compile(r"^#{1,6}\s+", re.M)
+_MD_SETEXT_RE = re.compile(r"^(=+|-{2,})\s*$", re.M)
+_MD_IMAGE_RE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+_MD_LINK_RE = re.compile(r"\[([^\]]+)\]\([^)]*\)")
+_MD_EMPH_RE = re.compile(r"(\*{1,3}|_{1,3})(?=\S)(.+?)(?<=\S)\1")
+_MD_CODE_RE = re.compile(r"`([^`]*)`")
+_MD_QUOTE_RE = re.compile(r"^>\s?", re.M)
+_MD_LIST_RE = re.compile(r"^[ \t]*(?:[-*+]|\d+\.)\s+", re.M)
+_MD_HRULE_RE = re.compile(r"^[ \t]*(?:\*\s*){3,}$", re.M)
+_MD_FIRST_HEADING_RE = re.compile(r"^#{1,6}\s+(.+?)\s*$", re.M)
+
+
+def detect_file_type(doc_name: str) -> str:
+    """File type from the upload name, the way the reference's server
+    decides the parser (extension-driven)."""
+    low = (doc_name or "").lower()
+    if low.endswith(_HTML_EXTS):
+        return "html"
+    if low.endswith(_MD_EXTS):
+        return "markdown"
+    if low.endswith(_UNSUPPORTED_EXTS):
+        return "unsupported"
+    return "text"
+
+
+def parse_html(raw: str) -> tuple[str, str | None]:
+    """Strip an HTML document to its text. Returns (text, title)."""
+    m = _TITLE_RE.search(raw)
+    title = None
+    if m:
+        title = _WS_RE.sub(" ", _html.unescape(_TAG_RE.sub("", m.group(1)))).strip() or None
+    s = _SCRIPT_RE.sub(" ", raw)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _BLOCK_TAG_RE.sub("\n", s)  # block boundaries become line breaks
+    s = _TAG_RE.sub("", s)
+    s = _html.unescape(s)
+    s = _WS_RE.sub(" ", s)
+    s = "\n".join(line.strip() for line in s.split("\n"))
+    s = _NL_RE.sub("\n", s).strip()
+    return s, title
+
+
+def parse_markdown(raw: str) -> tuple[str, str | None]:
+    """Strip Markdown syntax, keep content. Returns (text, title)."""
+    m = _MD_FIRST_HEADING_RE.search(raw)
+    title = m.group(1).strip() if m else None
+    s = _MD_FENCE_RE.sub("", raw)
+    s = _MD_IMAGE_RE.sub(r"\1", s)
+    s = _MD_LINK_RE.sub(r"\1", s)
+    s = _MD_HEADING_RE.sub("", s)
+    s = _MD_SETEXT_RE.sub("", s)
+    s = _MD_HRULE_RE.sub("", s)
+    s = _MD_EMPH_RE.sub(r"\2", s)
+    s = _MD_CODE_RE.sub(r"\1", s)
+    s = _MD_QUOTE_RE.sub("", s)
+    s = _MD_LIST_RE.sub("", s)
+    s = _WS_RE.sub(" ", s)
+    s = "\n".join(line.strip() for line in s.split("\n"))
+    s = _NL_RE.sub("\n", s).strip()
+    return s, title
+
+
+def parse_document(raw: str, doc_name: str) -> tuple[str, str | None]:
+    """Parse an uploaded document per its extension. Returns
+    (plain_text, title_or_None). Raises ValueError for formats whose
+    parsers would need libraries absent from this environment."""
+    ftype = detect_file_type(doc_name)
+    if ftype == "html":
+        return parse_html(raw)
+    if ftype == "markdown":
+        return parse_markdown(raw)
+    if ftype == "unsupported":
+        raise ValueError(
+            f"no parser for {doc_name!r}: PDF/Office parsing needs external "
+            "libraries not present in this environment (honest rejection, "
+            "not silent raw-bytes splitting)"
+        )
+    return raw, None

@@ -40,7 +40,9 @@ PROBE_QUERIES = [
     "minhash_lsh_candidates",
     "dedup_components",
     "simhash_near_dup",
-    "embedding_near_dup",
+    # the scale-routed entry point — the oracled embedding_near_dup is
+    # exact-only by contract (O(N^2)) and must not be probed at 100x
+    "embedding_near_dup_auto",
     "token_count",
     "pricing_summary",
     "top_revenue_orders",
