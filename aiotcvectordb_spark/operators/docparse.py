@@ -118,10 +118,20 @@ def parse_document(raw: str, doc_name: str) -> tuple[str, str | None]:
         return parse_html(raw)
     if ftype == "markdown":
         return parse_markdown(raw)
-    if ftype == "unsupported":
+    if ftype == "unsupported" and _looks_binary(raw):
+        # A PDF/Office BINARY payload needs parsing libraries absent
+        # from this environment — honest rejection, not silent
+        # raw-bytes splitting. Pre-extracted TEXT under a .pdf/.docx
+        # name (the common client-side-extraction flow) passes through.
         raise ValueError(
-            f"no parser for {doc_name!r}: PDF/Office parsing needs external "
-            "libraries not present in this environment (honest rejection, "
-            "not silent raw-bytes splitting)"
+            f"no parser for {doc_name!r}: PDF/Office binary parsing needs "
+            "external libraries not present in this environment"
         )
     return raw, None
+
+
+_BINARY_MAGICS = ("%PDF", "PK\x03\x04", "\xd0\xcf\x11\xe0")
+
+
+def _looks_binary(raw: str) -> bool:
+    return raw.startswith(_BINARY_MAGICS) or "\x00" in raw[:4096]
