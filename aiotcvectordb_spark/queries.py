@@ -5009,10 +5009,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once, not three times. Spark's ContextCleaner unpersists the
     # blocks when the handle is garbage-collected.
     dbf = flat.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("dbf")).persist()
-    c2 = dbf.groupBy("w1", "w2").agg(F.sum("dbf").alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    c2_full = dbf.groupBy("w1", "w2").agg(F.sum("dbf").alias("c2"))
+    c1 = c2_full.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # Singleton pruning — exact, not approximate: a corpus-count-1
+    # bigram joins to c2=1, which is precisely what coalesce supplies on
+    # a miss, so dropping singletons from the JOIN TABLE changes nothing
+    # in the output while roughly halving the build side (singletons
+    # dominate distinct bigrams in web corpora; this is the bigram
+    # table's growth term at scale — 10x ratio was 1.97).
+    c2 = c2_full.where(F.col("c2") >= 2)
     return (
-        dbf.join(c2, ["w1", "w2"])
+        dbf.join(c2, ["w1", "w2"], "left")
+        .withColumn("c2", F.coalesce("c2", F.lit(1)))
         .join(c1, "w1")
         .groupBy("doc_id")
         .agg(
@@ -5268,6 +5276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "jpeg_probe": q_jpeg_probe,
     "multimodal_features": q_multimodal_features,  # r4: real PNG + new oracle
+    "bigram_logprob": q_bigram_logprob,  # r4: exact singleton pruning
     # --- stalest: latest green driver row is r01 ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -5309,7 +5318,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "benchmark_decontaminate": q_benchmark_decontaminate,
     "unigram_logprob": q_unigram_logprob,
-    "bigram_logprob": q_bigram_logprob,
     "training_shards": q_training_shards,
     "ewma_smooth": q_ewma_smooth,
     "source_quota": q_source_quota,

@@ -50,6 +50,7 @@ REWRITES: dict[str, int] = {
     "sparse_encode": 4,  # r4 CJK bigram tokenizer
     "hybrid_weighted": 4,  # r4 CJK bigram tokenizer (sparse leg)
     "hybrid_rrf": 4,  # r4 CJK bigram tokenizer (sparse leg)
+    "bigram_logprob": 4,  # r4 exact singleton pruning of the c2 join table
     "jpeg_probe": 4,  # r4 chunked FDCT/IDCT, int32 store, vector scatter
     "equidepth_histogram": 3,
     "audio_probe": 3,
