@@ -187,6 +187,48 @@ def _mark_frozen_stars(edges: DataFrame) -> DataFrame:
     )
 
 
+def _precontract_partitions(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find pre-contraction: each partition
+    replaces its edges with the spanning forest (node -> local
+    component-min), one narrow Arrow pass, NO shuffle. Global
+    connectivity is preserved exactly (a partition's spanning forest
+    connects the same node set), while LSH candidate graphs — full of
+    redundant within-partition edges and local chains — typically
+    shrink severalfold before the first global round pays its shuffles.
+    Output is oriented (a > b, b the local min); duplicates across
+    partitions are possible and the first star round's distinct absorbs
+    them."""
+
+    def contract(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        out = pd.DataFrame(
+            [(n, r) for n, r in rows if n != r], columns=["a", "b"]
+        )
+        yield out
+
+    return edges.mapInPandas(contract, schema=edges.schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -222,9 +264,11 @@ def connected_components(
     # the whole upstream candidate pipeline (shingles, md5 minhashes,
     # bucket expansion) would re-execute per iteration.
     cur = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
+        _precontract_partitions(
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+                F.col("a") != F.col("b")
+            )
+        )
         .localCheckpoint(eager=True, storageLevel=_ROUND_LEVEL)
     )
     spark = cur.sparkSession

@@ -1055,6 +1055,80 @@ SELECT doc_id,
 FROM documents
 """
 
+
+# Script classes for CJK language ID: kana is unique to Japanese,
+# hangul to Korean; Han alone (no kana) reads as Chinese — the standard
+# segmentation-free script heuristic. Ranges match the BM25 tokenizer's
+# CJK classes (sparse_fn.CJK_RANGES) minus the split into scripts.
+_KANA_CLASS = "぀-ヿ"
+_HANGUL_CLASS = "가-힯"
+_HAN_CLASS = "㐀-䶿一-鿿"
+
+# Mixed-script fixture corpus: the documents tables are European-only,
+# so the CJK branch needs its own rows; inline keeps the query
+# self-contained and byte-identical for the DuckDB oracle.
+CJK_LANG_CORPUS: list[tuple[str, str]] = [
+    ("l_zh", "今天天气很好我们去公园散步"),
+    ("l_ja", "今日はいい天気ですね公園へ行きましょう"),
+    ("l_ko", "오늘 날씨가 좋아서 공원에 갑니다"),
+    ("l_en", "the weather is lovely today let us walk"),
+    ("l_mixed", "天気 weather 날씨"),  # kana-free han + hangul + latin: ja loses, ko wins
+    ("l_zh_en", "spark 引擎 很快"),
+    ("l_empty", "..."),
+]
+
+
+def q_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-ratio language ID for CJK corpora: kana ⇒ ja, else
+    hangul ⇒ ko, else Han ⇒ zh, else latin-stopword fallback en/other.
+    Pure JVM regexp counts (codegen'd) — the same class of heuristic as
+    q_lang_id, extended to the scripts the reference's jieba-based text
+    stack targets."""
+    df = spark.createDataFrame(CJK_LANG_CORPUS, ["doc_id", "text"]).repartition(4)
+    kana = F.size(F.regexp_extract_all("text", F.lit(f"[{_KANA_CLASS}]"), F.lit(0)))
+    hangul = F.size(F.regexp_extract_all("text", F.lit(f"[{_HANGUL_CLASS}]"), F.lit(0)))
+    han = F.size(F.regexp_extract_all("text", F.lit(f"[{_HAN_CLASS}]"), F.lit(0)))
+    latin = F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]"), F.lit(0)))
+    pred = (
+        F.when(kana > 0, "ja")
+        .when(hangul > 0, "ko")
+        .when(han > 0, "zh")
+        .when(latin > 0, "en")
+        .otherwise("unknown")
+    )
+    return df.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        kana.alias("n_kana"),
+        hangul.alias("n_hangul"),
+        han.alias("n_han"),
+    )
+
+
+ORACLE_LANG_ID_CJK = f"""
+WITH corpus(doc_id, text) AS (VALUES
+  {", ".join("('" + i + "', '" + t + "')" for i, t in CJK_LANG_CORPUS)}
+),
+counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[{_KANA_CLASS}]')) AS n_kana,
+         len(regexp_extract_all(text, '[{_HANGUL_CLASS}]')) AS n_hangul,
+         len(regexp_extract_all(text, '[{_HAN_CLASS}]')) AS n_han,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS n_latin
+  FROM corpus
+)
+SELECT doc_id,
+  CASE WHEN n_kana > 0 THEN 'ja'
+       WHEN n_hangul > 0 THEN 'ko'
+       WHEN n_han > 0 THEN 'zh'
+       WHEN n_latin > 0 THEN 'en'
+       ELSE 'unknown' END AS pred_lang,
+  CAST(n_kana AS INTEGER) AS n_kana,
+  CAST(n_hangul AS INTEGER) AS n_hangul,
+  CAST(n_han AS INTEGER) AS n_han
+FROM counted
+"""
+
 _N_MINHASH = 4
 
 
@@ -5277,6 +5351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_probe": q_jpeg_probe,
     "multimodal_features": q_multimodal_features,  # r4: real PNG + new oracle
     "bigram_logprob": q_bigram_logprob,  # r4: exact singleton pruning
+    "lang_id_cjk": q_lang_id_cjk,  # r4: new, no driver row yet
     # --- stalest: latest green driver row is r01 ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -5446,6 +5521,7 @@ ORACLES: dict[str, str] = {
     "fulltext_bm25": ORACLE_FULLTEXT_BM25,
     "fulltext_bm25_cjk": ORACLE_FULLTEXT_BM25_CJK,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "lang_id_cjk": ORACLE_LANG_ID_CJK,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "sparse_encode": ORACLE_SPARSE_ENCODE,
     "dedup_exact": ORACLE_DEDUP_EXACT,

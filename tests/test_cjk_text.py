@@ -81,3 +81,34 @@ def test_registry_cjk_query_matches_reference_semantics(spark):
     rows = Q.q_fulltext_bm25_cjk(spark, "").collect()
     assert [r["doc_id"] for r in rows][:1] == ["c_apple"]
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_engine_search_by_text_chinese(engine):
+    """Engine-path mirror of the reference's Chinese semantic test:
+    upsert Chinese docs through the ai-mode embedding path, then
+    search_by_text with a related Chinese query ranks the apple doc
+    first (CJK bigrams give the hash embedder shared coordinates)."""
+    from aiotcvectordb_spark.catalog import IndexField
+
+    engine.create_database("db_cjk")
+    engine.create_collection(
+        "db_cjk",
+        "cjk_coll",
+        indexes=[
+            IndexField(name="id", kind="primary_key", field_type="string"),
+            IndexField(
+                name="vector", kind="vector", field_type="vector",
+                metric_type="COSINE", index_type="FLAT", dimension=64,
+            ),
+        ],
+        embedding={"field": "text", "vector_field": "vector", "model": "hash-embed"},
+        if_not_exists=True,
+    )
+    engine.upsert(
+        "db_cjk", "cjk_coll",
+        [{"id": i, "vector": t} for i, t in CJK_DOCS],
+    )
+    hits = engine.search_by_text(
+        "db_cjk", "cjk_coll", ["苹果好吃吗"], limit=4
+    )
+    assert hits[0][0]["id"] == "t_apple"
