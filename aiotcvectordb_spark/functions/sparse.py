@@ -66,6 +66,33 @@ def tokens_col(text_col: str) -> Column:
     )
 
 
+def bm25_tokens_sql(col: str = "text") -> str:
+    """Spark-SQL-string form of ``bm25_tokens_col`` for queries built
+    with ``F.expr`` chains (shingling, slicing). Equality with the
+    Column form is pinned by tests/test_cjk_text.py.
+
+    ASCII fast path: a document with no CJK characters takes the plain
+    split (one regex pass) instead of segment-extract + per-segment
+    transform — the branches produce identical arrays on their domains
+    (both delete every non-[a-z0-9] char when no CJK run exists), so
+    this is a pure cost guard for the overwhelmingly-ASCII common case."""
+    cjk_full = (
+        "flatten(transform("
+        f"regexp_extract_all(lower({col}), '{SEGMENT_RE}', 0), "
+        f"s -> CASE WHEN s rlike '{_CJK_START_RE}' "
+        "THEN transform(sequence(1, greatest(length(s) - 1, 1)), "
+        "i -> substring(s, i, 2)) "
+        "ELSE array(s) END))"
+    )
+    ascii_fast = (
+        f"filter(split(lower({col}), '{TOKEN_SPLIT_RE}'), t -> t != '')"
+    )
+    return (
+        f"CASE WHEN {col} rlike '[{CJK_RANGES}]' "
+        f"THEN {cjk_full} ELSE {ascii_fast} END"
+    )
+
+
 def bm25_tokens_col(text_col: str) -> Column:
     """CJK-aware tokenizer for the BM25/full-text path, pure Catalyst.
 
@@ -76,11 +103,12 @@ def bm25_tokens_col(text_col: str) -> Column:
     reference pyproject.toml:13; Chinese ranking test
     tests/test_documents/test_documents_search_text.py:20-33) — produce
     matchable sub-sentence terms. regexp_extract_all + transform +
-    flatten: all JVM-side, no UDF."""
-    segs = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(SEGMENT_RE), F.lit(0)
-    )
-    return F.flatten(
+    flatten: all JVM-side, no UDF. Documents with no CJK characters
+    take the plain-split fast path (identical output, one regex pass —
+    see ``bm25_tokens_sql``)."""
+    lowered = F.lower(F.col(text_col))
+    segs = F.regexp_extract_all(lowered, F.lit(SEGMENT_RE), F.lit(0))
+    cjk_full = F.flatten(
         F.transform(
             segs,
             lambda s: F.when(
@@ -94,6 +122,12 @@ def bm25_tokens_col(text_col: str) -> Column:
             ).otherwise(F.array(s)),
         )
     )
+    ascii_fast = F.filter(
+        F.split(lowered, TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+    return F.when(
+        F.col(text_col).rlike(f"[{CJK_RANGES}]"), cjk_full
+    ).otherwise(ascii_fast)
 
 
 def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

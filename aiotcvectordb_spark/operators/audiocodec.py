@@ -1,13 +1,16 @@
-"""Real WAV (RIFF PCM16) codec — stdlib-only, like imagecodec's PNG.
+"""Real WAV codec (RIFF PCM16 + IMA ADPCM) — stdlib-only, like
+imagecodec's PNG.
 
 Upgrades the audio half of the multimodal surface from a deterministic
 fake to a REAL codec path: payloads are actual RIFF/WAVE files
 (writable and readable by any audio tool; the tests cross-validate
-against the stdlib ``wave`` module), and feature extraction decodes
-real PCM samples and computes real DSP features (duration, RMS,
-zero-crossing rate, peak). Formats needing an entropy decoder (MP3,
-AAC) remain honestly behind ``NotImplementedError`` in
-``multimodal.py``.
+against the stdlib ``wave``/``audioop`` behavior), and feature
+extraction decodes real samples and computes real DSP features
+(duration, RMS, zero-crossing rate, peak). COMPRESSED audio is
+supported for IMA/DVI ADPCM (wFormatTag 0x0011 — the classic 4-bit
+nibble predictor from the public IMA ADPCM spec, 4:1 compression);
+formats needing a full entropy decoder (MP3, AAC) remain honestly
+behind ``NotImplementedError`` in ``multimodal.py``.
 
 Everything here is pure bytes-in/bytes-out so it runs inside
 Arrow-batched ``mapInPandas`` stages — same distributed plumbing as
@@ -58,25 +61,165 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
-    rate = channels = bits = None
+    rate = channels = fmt = block_align = None
     data = None
+    fact_samples = None
     while pos + 8 <= n:
         cid, clen = payload[pos:pos + 4], int.from_bytes(payload[pos + 4:pos + 8], "little")
         body = payload[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
-            if fmt != 1 or bits != 16:
-                raise ValueError("only PCM16 WAV is supported")
+            if fmt == 1 and bits != 16:
+                raise ValueError("only 16-bit PCM WAV is supported")
+            if fmt not in (1, 0x0011):
+                raise ValueError(
+                    f"unsupported WAV format 0x{fmt:04x} (PCM16 and IMA "
+                    "ADPCM only; MP3/AAC need entropy decoders)"
+                )
+        elif cid == b"fact" and clen >= 4:
+            fact_samples = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if fmt == 0x0011:
+        if channels != 1:
+            raise ValueError("IMA ADPCM decode supports mono only")
+        if not block_align or block_align < 5:
+            raise ValueError(f"invalid ADPCM block align {block_align}")
+        return _decode_adpcm_data(data, block_align, fact_samples), rate
     samples = np.frombuffer(data, dtype="<i2")
     if channels and channels > 1:
         samples = samples.reshape(-1, channels).mean(axis=1).astype("<i2")
     return samples, rate
+
+
+# ---------------------------------------------------------------- IMA ADPCM
+# Public IMA/DVI ADPCM tables (IMA Digital Audio Pack, 1992; identical
+# constants in every public implementation: ffmpeg adpcm.c, stdlib
+# audioop, the multimedia wiki).
+
+_IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+_ADPCM_BLOCK_ALIGN = 256  # bytes/block -> 505 samples per mono block
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: reconstruct the next sample from
+    a 4-bit nibble. Shared verbatim by encoder and decoder so the
+    encoder's reconstruction is bit-identical to any conforming
+    decoder's output."""
+    step = int(_IMA_STEP_TABLE[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_TABLE[nibble])))
+    return pred, index
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Mono IMA ADPCM RIFF/WAVE bytes (wFormatTag 0x0011) for an int16
+    sample array — REAL 4:1 lossy compression, block-structured per the
+    IMA spec: each block opens with (predictor int16, step index u8,
+    reserved u8) then packs two 4-bit nibbles per byte, low nibble
+    first."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.size == 0:
+        x = np.zeros(1, dtype=np.int64)
+    spb = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # samples per mono block
+    blocks = bytearray()
+    index = 0
+    n_samples = 0
+    for b0 in range(0, x.size, spb):
+        blk = x[b0 : b0 + spb]
+        pred = int(blk[0])
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in blk[1:]:
+            step = int(_IMA_STEP_TABLE[index])
+            diff = int(s) - pred
+            nibble = 0
+            if diff < 0:
+                nibble = 8
+                diff = -diff
+            if diff >= step:
+                nibble |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nibble |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nibble |= 1
+            pred, index = _ima_step(pred, index, nibble)
+            nibbles.append(nibble)
+        # blocks are fixed-size: pad the tail block's nibble area
+        nibbles += [0] * ((_ADPCM_BLOCK_ALIGN - 4) * 2 - len(nibbles))
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+        n_samples += int(blk.size)
+    data = bytes(blocks)
+    byte_rate = (sample_rate * _ADPCM_BLOCK_ALIGN + spb - 1) // spb
+    fmt_body = struct.pack(
+        "<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
+        _ADPCM_BLOCK_ALIGN, 4, 2, spb,
+    )
+    fact = struct.pack("<4sII", b"fact", 4, n_samples)
+    riff_len = 4 + (8 + len(fmt_body)) + len(fact) + (8 + len(data))
+    return (
+        struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body
+        + fact
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def _decode_adpcm_data(data: bytes, block_align: int, n_samples: int | None) -> np.ndarray:
+    spb = (block_align - 4) * 2 + 1
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        blk = data[b0 : b0 + block_align]
+        if len(blk) < 4:
+            raise ValueError("truncated ADPCM block header")
+        pred, index, _ = struct.unpack_from("<hBB", blk, 0)
+        if index > 88:
+            raise ValueError(f"invalid ADPCM step index {index}")
+        out.append(pred)
+        for byte in blk[4:]:
+            for nibble in (byte & 0x0F, byte >> 4):
+                pred, index = _ima_step(pred, index, nibble)
+                out.append(pred)
+    arr = np.array(out, dtype="<i2")
+    if n_samples is not None:
+        if n_samples > arr.size:
+            raise ValueError("fact chunk claims more samples than data holds")
+        arr = arr[:n_samples]
+    return arr
 
 
 def probe_wav(payload: bytes) -> dict:

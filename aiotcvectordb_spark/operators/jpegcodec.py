@@ -7,8 +7,11 @@ implementable with numpy — Huffman entropy coding, dequantization,
 
 - ``decode_jpeg``: general baseline decoder — grayscale or YCbCr with
   any 4:4:4 / 4:2:2 / 4:2:0 sampling, multiple quant/Huffman tables,
-  restart markers, byte stuffing. Progressive (SOF2) and arithmetic
-  coding raise ``ValueError`` honestly.
+  restart markers, byte stuffing, and both scan structures: fully
+  interleaved (one scan) and non-interleaved (one single-component
+  scan per component, T.81 A.2.2). Progressive (SOF2), arithmetic
+  coding, and partially-interleaved scans raise ``ValueError``
+  honestly.
 - ``encode_jpeg_gray``: baseline grayscale encoder with the T.81
   Annex K example tables — the deterministic fixture generator for the
   decode round trip (the entropy stage is lossless: decode recovers
@@ -482,10 +485,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline (SOF0/SOF1) JPEG. Returns (H, W) uint8 for
     one component, (H, W, 3) RGB for three (JFIF YCbCr, any of
     4:4:4 / 4:2:2 / 4:2:0 sampling, nearest-neighbor chroma
-    upsampling). Raises ValueError on progressive/arithmetic streams
-    and ANY malformed data (low-level struct/index errors are
-    normalized to ValueError so flag-don't-fail callers need one
-    except clause) — never returns garbage silently."""
+    upsampling; interleaved or non-interleaved scan structure).
+    Raises ValueError on progressive/arithmetic streams and ANY
+    malformed data (low-level struct/index errors are normalized to
+    ValueError so flag-don't-fail callers need one except clause) —
+    never returns garbage silently."""
     try:
         return _decode_jpeg(data)
     except (
@@ -507,6 +511,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    zz_store = None
+    scanned_comps: set[int] = set()
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -589,43 +595,110 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         f"component references undefined quant table {comp['tq']}"
                     )
                 scan.append((comp, td, ta))
-            # The decoder returns after this first scan, so a legal
-            # non-interleaved baseline stream (one scan per component)
-            # must be rejected, not silently decoded as grayscale from
-            # the Y scan alone.
-            if len(scan) != len(frame["comps"]):
-                raise ValueError(
-                    "multi-scan (non-interleaved) baseline JPEG not "
-                    f"supported: first scan covers {len(scan)} of "
-                    f"{len(frame['comps'])} components"
+            if len(scan) == len(frame["comps"]):
+                # fully interleaved: single scan finishes the frame
+                return _decode_scan(
+                    data, pos + 2 + seg_len, frame, scan, qtables,
+                    huff_dc, huff_ac, restart_interval, zz_store,
                 )
-            return _decode_scan(
-                data, pos + 2 + seg_len, frame, scan, qtables,
-                huff_dc, huff_ac, restart_interval,
+            # Non-interleaved baseline: one single-component scan per
+            # component (T.81 A.2.2 — MCU is one block, block order is
+            # the component's own grid). Decode this scan into the
+            # shared interleaved-layout store; the frame finishes when
+            # every component has had its scan. Partially-interleaved
+            # scans (1 < ns < Nf) stay rejected.
+            if len(scan) != 1:
+                raise ValueError(
+                    f"partially interleaved scan ({len(scan)} of "
+                    f"{len(frame['comps'])} components) not supported"
+                )
+            if zz_store is None:
+                zz_store = _alloc_zz_store(frame)
+            comp, td, ta = scan[0]
+            ci = next(
+                i for i, c in enumerate(frame["comps"]) if c is comp
             )
+            if ci in scanned_comps:
+                raise ValueError(
+                    f"component {comp['id']} appears in two scans"
+                )
+            pos = _entropy_decode_noninterleaved(
+                data, pos + 2 + seg_len, frame, comp, td, ta,
+                huff_dc, huff_ac, restart_interval, zz_store[ci],
+            )
+            scanned_comps.add(ci)
+            if len(scanned_comps) == len(frame["comps"]):
+                return _finish_frame(frame, zz_store, qtables)
+            continue  # pos already sits at the next marker
         pos += 2 + seg_len
+    if scanned_comps:
+        raise ValueError(
+            f"stream ended with {len(scanned_comps)} of "
+            f"{len(frame['comps'])} component scans decoded"
+        )
     raise ValueError("no SOS marker found")
 
 
+def _decode_block_coeffs(br, row, dmap, amap, pred: int) -> int:
+    """Huffman-decode one 8x8 block's coefficients into ``row`` (zigzag
+    order); returns the updated DC predictor."""
+    ssss = _decode_symbol(br, dmap)
+    diff = _extend(br.read_bits(ssss), ssss)
+    pred += diff
+    row[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(br, amap)
+        run, size = rs >> 4, rs & 0x0F
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC index out of range")
+        row[k] = _extend(br.read_bits(size), size)
+        k += 1
+    return pred
+
+
+def _frame_geometry(frame) -> tuple[int, int, int, int]:
+    """(hmax, vmax, mcux, mcuy) of the FULL frame — scan-independent,
+    so interleaved and non-interleaved scans share one store layout."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_zz_store(frame) -> list[np.ndarray]:
+    """Interleaved-MCU-ordered coefficient stacks, one per frame
+    component. int32 halves the store vs int64; baseline quantized
+    coefficients are 11-bit magnitudes (|coef| < 2^15), far inside."""
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * mcux * c["v"] * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
 def _decode_scan(
-    data, pos, frame, scan, qtables, huff_dc, huff_ac, restart_interval
+    data, pos, frame, scan, qtables, huff_dc, huff_ac, restart_interval,
+    zz_store=None,
 ) -> np.ndarray:
-    h, w = frame["h"], frame["w"]
-    comps = [c for c, _, _ in scan]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    """Entropy-decode a fully-interleaved scan and finish the frame."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
     # Entropy pass fills per-component coefficient stacks (plain int
-    # lists — no per-block numpy allocation); ALL dequant + IDCT work
-    # then runs as one vectorized einsum per component.
-    n_blocks = [mcuy * mcux * c["v"] * c["h"] for c in comps]
-    # int32 halves the coefficient store vs int64; baseline quantized
-    # coefficients are 11-bit magnitudes (|coef| < 2^15), far inside
-    zz_store = [np.zeros((n, 64), dtype=np.int32) for n in n_blocks]
-    blk_idx = [0] * len(comps)
+    # rows — no per-block numpy allocation); ALL dequant + IDCT work
+    # then runs as vectorized chunked einsums per component.
+    if zz_store is None:
+        zz_store = _alloc_zz_store(frame)
+    comp_pos = {id(c): i for i, c in enumerate(frame["comps"])}
+    blk_idx = [0] * len(frame["comps"])
     br = _BitReader(data, pos)
-    preds = [0] * len(comps)
+    preds = [0] * len(scan)
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -633,33 +706,73 @@ def _decode_scan(
                 m = br.align_to_marker()
                 if m is not None and 0xD0 <= m <= 0xD7:
                     br.pos += 2
-                    preds = [0] * len(comps)
+                    preds = [0] * len(scan)
                 else:
                     raise ValueError("expected restart marker")
-            for ci, (comp, td, ta) in enumerate(scan):
+            for si, (comp, td, ta) in enumerate(scan):
+                ci = comp_pos[id(comp)]
                 dmap, amap = huff_dc[td], huff_ac[ta]
                 for _blk in range(comp["v"] * comp["h"]):
                     row = zz_store[ci][blk_idx[ci]]
                     blk_idx[ci] += 1
-                    ssss = _decode_symbol(br, dmap)
-                    diff = _extend(br.read_bits(ssss), ssss)
-                    preds[ci] += diff
-                    row[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(br, amap)
-                        run, size = rs >> 4, rs & 0x0F
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC index out of range")
-                        row[k] = _extend(br.read_bits(size), size)
-                        k += 1
+                    preds[si] = _decode_block_coeffs(
+                        br, row, dmap, amap, preds[si]
+                    )
             mcu_count += 1
+    return _finish_frame(frame, zz_store, qtables)
+
+
+def _entropy_decode_noninterleaved(
+    data, pos, frame, comp, td, ta, huff_dc, huff_ac, restart_interval,
+    zz,
+) -> int:
+    """Entropy-decode one single-component (non-interleaved) scan into
+    the component's interleaved-layout store ``zz``. Per T.81 A.2.2 the
+    scan's MCU is ONE block and block order is row-major over the
+    component's own ceil(w·h_i/hmax/8) x ceil(h·v_i/vmax/8) grid; the
+    index arithmetic maps that order onto the shared MCU-interleaved
+    layout so the transform stage is scan-structure-agnostic. Returns
+    the stream position of the next marker."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    ch_, cv_ = comp["h"], comp["v"]
+    comp_w = -(-(frame["w"] * ch_) // hmax)
+    comp_h = -(-(frame["h"] * cv_) // vmax)
+    comp_bw = -(-comp_w // 8)
+    comp_bh = -(-comp_h // 8)
+    dmap, amap = huff_dc[td], huff_ac[ta]
+    br = _BitReader(data, pos)
+    pred = 0
+    cnt = 0
+    for r in range(comp_bh):
+        for c_ in range(comp_bw):
+            if restart_interval and cnt and cnt % restart_interval == 0:
+                m = br.align_to_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    br.pos += 2
+                    pred = 0
+                else:
+                    raise ValueError("expected restart marker")
+            idx = (
+                ((r // cv_) * mcux + (c_ // ch_)) * cv_ * ch_
+                + (r % cv_) * ch_
+                + (c_ % ch_)
+            )
+            pred = _decode_block_coeffs(br, zz[idx], dmap, amap, pred)
+            cnt += 1
+    br.align_to_marker()
+    return br.pos
+
+
+def _finish_frame(frame, zz_store, qtables) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    n_blocks = [z.shape[0] for z in zz_store]
+    for comp in comps:
+        if comp["tq"] not in qtables:
+            raise ValueError(
+                f"component references undefined quant table {comp['tq']}"
+            )
     planes = []
     for ci, comp in enumerate(comps):
         q = qtables[comp["tq"]]

@@ -95,12 +95,16 @@ def with_wav_payload(
     text_col: str = "text",
     sample_rate: int = 8000,
     n_samples: int | None = 2048,
+    codec: str = "pcm16",
 ) -> DataFrame:
     """Attach a REAL WAV ``payload``: a deterministic int16 waveform
-    derived from the text bytes, encoded as an actual RIFF/WAVE PCM16
-    file (``audiocodec.encode_wav`` — readable by the stdlib ``wave``
-    module, cross-validated in tests). The audio twin of
-    ``with_png_payload``; same Arrow-batched mapInPandas shape."""
+    derived from the text bytes, encoded as an actual RIFF/WAVE file
+    (``audiocodec.encode_wav`` PCM16 — readable by the stdlib ``wave``
+    module, cross-validated in tests — or ``encode_wav_adpcm`` for
+    ``codec="adpcm"``, real IMA ADPCM 4:1 compression). The audio twin
+    of ``with_png_payload``; same Arrow-batched mapInPandas shape."""
+    if codec not in ("pcm16", "adpcm"):
+        raise ValueError(f"unknown WAV codec {codec!r}")
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, payload binary"
 
@@ -109,12 +113,16 @@ def with_wav_payload(
 
         from aiotcvectordb_spark.operators import audiocodec
 
+        enc = (
+            audiocodec.encode_wav_adpcm if codec == "adpcm"
+            else audiocodec.encode_wav
+        )
         for pdf in batches:
             ids, payloads = [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 samples = audiocodec.text_to_samples(text or "", n_samples)
                 ids.append(i)
-                payloads.append(audiocodec.encode_wav(samples, sample_rate))
+                payloads.append(enc(samples, sample_rate))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(encode, schema=schema)

@@ -53,7 +53,7 @@ def quality_stage(
     min_alnum_ratio: float = 0.6,
 ) -> DataFrame:
     """Length + alnum-ratio quality gate over the cleaned text."""
-    toks = sparse_fn.tokens_col("clean_text")
+    toks = sparse_fn.bm25_tokens_col("clean_text")  # CJK-aware (r4)
     alnum = (
         F.length("clean_text")
         - F.length(F.regexp_replace(F.col("clean_text"), "[a-z0-9 ]", ""))
@@ -91,16 +91,22 @@ def minhash_band_hashes(
     two 60-bit hex windows each (chars 1-15 and 17-31) — halving md5
     invocations vs hashing ``s || '#j'`` per function (mirrors
     q_minhash_signatures and its DuckDB oracle)."""
-    toks = f"filter(split({text_col}, '[^a-z0-9]+'), t -> t != '')"
+    # Materialize the token array FIRST (CJK-aware, r4): lambda bodies
+    # are CodegenFallback and re-evaluate their subtree per element, so
+    # an inline tokenizer inside the shingle lambda re-tokenizes the
+    # doc once per shingle.
+    toked = docs.select(
+        F.col(id_col), sparse_fn.bm25_tokens_col(text_col).alias("__toks")
+    ).filter(F.expr(f"size(__toks) >= {shingle}"))
     shingles = (
-        f"transform(sequence(1, size({toks}) - {shingle - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {shingle})))"
+        f"transform(sequence(1, size(__toks) - {shingle - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {shingle})))"
     )
     # Materialize the shingle array ONCE, then derive every minhash from
     # the materialized digests. Inlining `shingles` into all n_hashes
     # expressions re-runs the clean+tokenize+slice chain per hash (and
     # CollapseProject won't dedup it) — measured 11s -> ~1s at sf0.1.
-    shingled = docs.filter(F.expr(f"size({toks}) >= {shingle}")).select(
+    shingled = toked.select(
         F.col(id_col), F.expr(shingles).alias("__sh")
     )
     n_digs = (n_hashes + 1) // 2
@@ -257,12 +263,16 @@ def decontaminate_stage(
     so at corpus scale this broadcasts."""
 
     def shingles_of(df, col):
-        toks = f"filter(split(lower({col}), '[^a-z0-9]+'), t -> t != '')"
+        # tokens materialized once per row (CJK-aware, r4) — see
+        # minhash_band_hashes
+        toked = df.select(
+            *df.columns, sparse_fn.bm25_tokens_col(col).alias("__toks")
+        ).filter(F.expr(f"size(__toks) >= {shingle}"))
         sh = (
-            f"transform(sequence(1, size({toks}) - {shingle - 1}), "
-            f"i -> concat_ws(' ', slice({toks}, i, {shingle})))"
+            f"transform(sequence(1, size(__toks) - {shingle - 1}), "
+            f"i -> concat_ws(' ', slice(__toks, i, {shingle})))"
         )
-        return df.filter(F.expr(f"size({toks}) >= {shingle}")).select(
+        return toked.select(
             *df.columns, F.explode(F.expr(sh)).alias("__shingle")
         )
 

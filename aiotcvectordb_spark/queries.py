@@ -104,13 +104,28 @@ _TOKS_SQL = (
 # latin words as-is, CJK runs as overlapping character bigrams; equal to
 # _TOKS_SQL on pure-ASCII text). range(1, greatest(len, 2)) mirrors
 # sequence(1, greatest(len - 1, 1)): 1..len-1 for len>=2, [1] for len=1.
-_BM25_TOKS_SQL = (
-    "flatten(list_transform("
-    f"regexp_extract_all(lower(text), '{sparse_fn.SEGMENT_RE}'), "
-    f"s -> CASE WHEN regexp_matches(s, '^[{sparse_fn.CJK_RANGES}]') "
-    "THEN list_transform(range(1, greatest(length(s), 2)), i -> substr(s, i, 2)) "
-    "ELSE [s] END))"
-)
+# Mirrors the Spark side's ASCII fast path (CASE on CJK presence) so
+# both engines execute equivalent branch structures.
+
+
+def _duck_bm25_toks_sql(col: str) -> str:
+    cjk_full = (
+        "flatten(list_transform("
+        f"regexp_extract_all(lower({col}), '{sparse_fn.SEGMENT_RE}'), "
+        f"s -> CASE WHEN regexp_matches(s, '^[{sparse_fn.CJK_RANGES}]') "
+        "THEN list_transform(range(1, greatest(length(s), 2)), i -> substr(s, i, 2)) "
+        "ELSE [s] END))"
+    )
+    ascii_fast = (
+        f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    return (
+        f"CASE WHEN regexp_matches({col}, '[{sparse_fn.CJK_RANGES}]') "
+        f"THEN {cjk_full} ELSE {ascii_fast} END"
+    )
+
+
+_BM25_TOKS_SQL = _duck_bm25_toks_sql("text")
 
 
 def _knn_oracle(
@@ -892,18 +907,22 @@ FROM documents GROUP BY md5(lower(text))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: md5 over the normalized token stream."""
+    """Document fingerprint: md5 over the normalized token stream.
+    CJK-aware (r4): the bigram tokenizer keeps Chinese/Japanese/Korean
+    content in the stream — with the ASCII tokenizer every all-CJK doc
+    collapsed to md5(''), one giant false dup group. ASCII corpora hash
+    identically to before (the tokenizers agree on ASCII)."""
     df = load(spark, sf_dir, "documents")
     return df.select(
         "doc_id",
         F.md5(
-            F.concat_ws(" ", sparse_fn.tokens_col("text"))
+            F.concat_ws(" ", sparse_fn.bm25_tokens_col("text"))
         ).alias("fp"),
     )
 
 
 ORACLE_DOC_FINGERPRINT = f"""
-SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp FROM documents
+SELECT doc_id, md5(array_to_string({_BM25_TOKS_SQL}, ' ')) AS fp FROM documents
 """
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -913,8 +932,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, char len, punct ratio, stopword ratio."""
     df = load(spark, sf_dir, "documents")
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
-    toks_sql = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
-    toks = sparse_fn.tokens_col("text")
+    toks_sql = sparse_fn.bm25_tokens_sql("text")  # CJK-aware (r4)
+    toks = sparse_fn.bm25_tokens_col("text")
     return df.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -937,13 +956,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_QUALITY = f"""
 SELECT doc_id,
-       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len({_BM25_TOKS_SQL}) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS len_chars,
        round((length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')))
              * 1.0 / length(text), {ROUND_DIGITS}) AS alnum_ratio,
-       round(len(list_filter({_TOKS_SQL},
+       round(len(list_filter({_BM25_TOKS_SQL},
                  t -> list_contains([{", ".join(f"'{w}'" for w in _STOPWORDS)}], t)))
-             * 1.0 / len({_TOKS_SQL}), {ROUND_DIGITS}) AS stopword_ratio
+             * 1.0 / len({_BM25_TOKS_SQL}), {ROUND_DIGITS}) AS stopword_ratio
 FROM documents
 """
 
@@ -962,7 +981,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions in one projection — fuses into the scan stage, exact
     integer arithmetic until the final division."""
     df = load(spark, sf_dir, "documents")
-    toks_sql = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    toks_sql = sparse_fn.bm25_tokens_sql("text")  # CJK-aware (r4)
     # Materialize tokens and shingles as columns FIRST: higher-order
     # functions are CodegenFallback and evaluate their whole lambda
     # subtree per element, so inlining the regex split into the shingle
@@ -997,7 +1016,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOC_REPETITION = f"""
 WITH t AS (
-  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+  SELECT doc_id, {_BM25_TOKS_SQL} AS toks FROM documents
 ),
 s AS (
   SELECT doc_id, toks,
@@ -1147,17 +1166,23 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed extraction is a cheap fixed-width substring on a 32-char
     string. Docs need >= 3 tokens."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    # Materialize the token array FIRST (one evaluation per row):
+    # higher-order lambdas are CodegenFallback and re-evaluate their
+    # whole subtree per element, so an inline tokenizer inside the
+    # shingle lambda re-tokenizes the doc once per shingle — O(n^2),
+    # catastrophic with the (bigger) CJK-aware expression.
+    toked = df.select(
+        "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
+    ).filter(F.expr("size(__toks) >= 3"))
     shingles = (
-        f"transform(sequence(1, size({toks}) - 2), "
-        f"i -> concat_ws(' ', slice({toks}, i, 3)))"
+        "transform(sequence(1, size(__toks) - 2), "
+        "i -> concat_ws(' ', slice(__toks, i, 3)))"
     )
     # Materialize the two digest arrays ONCE (separate select), then
     # derive all 4 minhashes by windowing — inlining md5 into each mh
     # expression would recompute the digests per hash function.
     digs = (
-        df.filter(F.expr(f"size({toks}) >= 3"))
-        .select("doc_id", F.expr(shingles).alias("sh"))
+        toked.select("doc_id", F.expr(shingles).alias("sh"))
         .select(
             "doc_id",
             F.expr("transform(sh, s -> md5(s))").alias("d1"),
@@ -1191,8 +1216,8 @@ def _oracle_mh_windows(digests_cte: str = "dig") -> str:
 
 ORACLE_MINHASH_SIGNATURES = f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
-  WHERE len({_TOKS_SQL}) >= 3
+  SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents
+  WHERE len({_BM25_TOKS_SQL}) >= 3
 ),
 sh AS (
   SELECT doc_id,
@@ -1313,7 +1338,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     toks = df.select(
         "doc_id",
-        F.array_distinct(sparse_fn.tokens_col("text")).alias("ts"),
+        F.array_distinct(sparse_fn.bm25_tokens_col("text")).alias("ts"),
     )
     e = toks.select("doc_id", F.explode("ts").alias("token"))
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -1341,7 +1366,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD_PAIRS = f"""
 WITH toks AS (
-  SELECT doc_id, list_distinct({_TOKS_SQL}) AS ts FROM documents
+  SELECT doc_id, list_distinct({_BM25_TOKS_SQL}) AS ts FROM documents
 ),
 e AS (SELECT doc_id, t.token FROM toks, unnest(ts) AS t(token)),
 sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
@@ -1775,7 +1800,7 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs, so hashing distinct terms (not occurrences) cuts the md5
     # string work and the conditional sum input by that factor.
     terms = (
-        df.select("doc_id", F.explode(sparse_fn.tokens_col("text")).alias("token"))
+        df.select("doc_id", F.explode(sparse_fn.bm25_tokens_col("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.expr(_portable_hash_expr("token")))
@@ -1826,7 +1851,7 @@ def _simhash_oracle_cte() -> str:
     return f"""
 terms AS (
   SELECT doc_id, t.token AS token, count(*) AS tf
-  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents), unnest(ts) AS t(token)
+  FROM (SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents), unnest(ts) AS t(token)
   GROUP BY doc_id, t.token
 ),
 hashed AS (
@@ -2031,15 +2056,18 @@ def q_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks, mark chunks containing the probe token as hits, and return
     each hit expanded with its +-1 neighboring chunks."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
-    n_chunks = f"cast(ceil(size({toks}) / {_CHUNK_TOKENS}.0) as int)"
+    # tokens materialized once per row (lambda bodies re-evaluate their
+    # subtree per element — see q_minhash_signatures)
+    toked = df.select(
+        "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
+    ).filter(F.expr("size(__toks) > 0"))
+    n_chunks = f"cast(ceil(size(__toks) / {_CHUNK_TOKENS}.0) as int)"
     chunk_arr = (
         f"transform(sequence(0, {n_chunks} - 1), "
-        f"i -> concat_ws(' ', slice({toks}, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS})))"
+        f"i -> concat_ws(' ', slice(__toks, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS})))"
     )
-    chunks = (
-        df.filter(F.expr(f"size({toks}) > 0"))
-        .select("doc_id", F.posexplode(F.expr(chunk_arr)).alias("chunk_pos", "chunk_text"))
+    chunks = toked.select(
+        "doc_id", F.posexplode(F.expr(chunk_arr)).alias("chunk_pos", "chunk_text")
     )
     hits = chunks.filter(
         F.array_contains(F.split("chunk_text", " "), _CHUNK_HIT_TOKEN)
@@ -2057,7 +2085,7 @@ def q_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CHUNK_EXPAND = f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents WHERE len({_TOKS_SQL}) > 0
+  SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents WHERE len({_BM25_TOKS_SQL}) > 0
 ),
 chunks AS (
   SELECT doc_id, CAST(r.i AS INT) AS chunk_pos,
@@ -3438,7 +3466,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest asserts every reported count equals the exact count and the
     cutoff dominates the exact 20th count."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    toks = df.select(F.explode(sparse_fn.tokens_col("text")).alias("token"))
+    toks = df.select(F.explode(sparse_fn.bm25_tokens_col("text")).alias("token"))
     sketch = toks.select(
         F.expr("approx_top_k(token, 20)").alias("tk")
     ).select(F.explode("tk").alias("e"))
@@ -4075,12 +4103,16 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc ids out — the same bounded-join pattern as MinHash-LSH, so it
     scales to a 100 TB corpus against a fixed benchmark suite."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    # tokens materialized once per row (lambda bodies re-evaluate their
+    # subtree per element — see q_minhash_signatures)
+    toked = df.select(
+        "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
+    ).filter(F.expr("size(__toks) >= 8"))
     sh = (
-        f"transform(sequence(1, size({toks}) - 7), "
-        f"i -> concat_ws(' ', slice({toks}, i, 8)))"
+        "transform(sequence(1, size(__toks) - 7), "
+        "i -> concat_ws(' ', slice(__toks, i, 8)))"
     )
-    shingled = df.filter(F.expr(f"size({toks}) >= 8")).select(
+    shingled = toked.select(
         "doc_id", F.explode(F.expr(sh)).alias("shingle")
     )
     bench = shingled.filter(F.col("doc_id") % 5 == 0).select("shingle").distinct()
@@ -4095,8 +4127,8 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BENCHMARK_DECONTAMINATE = f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
-  WHERE len({_TOKS_SQL}) >= 8
+  SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents
+  WHERE len({_BM25_TOKS_SQL}) >= 8
 ),
 shingled AS (
   SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
@@ -4203,9 +4235,7 @@ _CURATE_CLEAN_SQL = (
     r"lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),"
     r" '\s{2,}', ' ', 'g')))"
 )
-_CURATE_TOKS_SQL = (
-    "list_filter(regexp_split_to_array(clean_text, '[^a-z0-9]+'), t -> t <> '')"
-)
+_CURATE_TOKS_SQL = _duck_bm25_toks_sql("clean_text")
 _CURATE_H60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
 
 ORACLE_CURATE_CORPUS = f"""
@@ -4371,6 +4401,27 @@ def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sequence before aggregating — parity holds for any unicode text, not
 # just the all-ASCII fixture. Empty text gets the codec's single zero
 # sample via the LEFT JOIN fallback.
+def q_audio_adpcm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio round trip: the text-derived waveform is
+    IMA-ADPCM-encoded (4:1 lossy, operators/audiocodec.encode_wav_adpcm)
+    and a second shuffle-free mapInPandas stage decodes the nibble
+    stream and computes features on the reconstructed samples.
+    Rows-only by nature: the ADPCM predictor state machine is not
+    SQL-expressible, so the driver checks rows/schema while pytest pins
+    the codec (bit-exact decoder≡encoder-reconstruction, >20 dB SNR,
+    malformed-stream ValueError contract — tests/test_audiocodec.py)."""
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    wav = MM.with_wav_payload(df, n_samples=None, codec="adpcm")
+    return MM.audio_features(wav).select(
+        "doc_id",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", ROUND_DIGITS).alias("rms"),
+    )
+
+
 ORACLE_AUDIO_PROBE = """
 WITH ch AS (
   SELECT doc_id, ascii(c) AS cp
@@ -4807,7 +4858,7 @@ def q_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning.salted_group_topk (two-phase: per-salt top-k, merge)."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     counts = (
-        df.select("lang", F.explode(sparse_fn.tokens_col("text")).alias("token"))
+        df.select("lang", F.explode(sparse_fn.bm25_tokens_col("text")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count("*").alias("n"))
     )
@@ -4820,7 +4871,7 @@ def q_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LANG_TOP_TERMS = f"""
 WITH tok AS (
-  SELECT lang, unnest({_TOKS_SQL}) AS token FROM documents
+  SELECT lang, unnest({_BM25_TOKS_SQL}) AS token FROM documents
 ),
 counts AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2)
 SELECT lang, token, n,
@@ -5032,7 +5083,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected.
     """
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    toks = sparse_fn.bm25_tokens_sql("text")  # CJK-aware (r4)
     tok = df.select("doc_id", F.explode(F.expr(toks)).alias("token"))
     # per-doc term frequency (shrinks the token->vocab join); persisted
     # because it feeds both the vocabulary derivation and the per-doc
@@ -5067,16 +5118,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregation. Ranks fluent repeated phrasing above random
     token soup in a way unigram statistics can't."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    # tokens materialized once per row (lambda bodies re-evaluate their
+    # subtree per element — see q_minhash_signatures)
+    toked = df.select(
+        "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
+    ).filter(F.expr("size(__toks) >= 2"))
     # Spark arrays are 0-indexed: pairs (t[i], t[i+1]) for i in [0, n-2]
     pairs = (
-        f"transform(sequence(0, size({toks}) - 2), "
-        f"i -> struct({toks}[i] AS w1, {toks}[i + 1] AS w2))"
+        "transform(sequence(0, size(__toks) - 2), "
+        "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))"
     )
-    flat = (
-        df.filter(F.expr(f"size({toks}) >= 2"))
-        .select("doc_id", F.explode(F.expr(pairs)).alias("b"))
-        .select("doc_id", "b.w1", "b.w2")
+    flat = toked.select("doc_id", F.explode(F.expr(pairs)).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
     )
     # dbf feeds the per-doc join AND derives both corpus tables; persist
     # so the explode+aggregate pipeline (the expensive stage at scale)
@@ -5108,16 +5161,14 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_BIGRAM_LOGPROB = r"""
+ORACLE_BIGRAM_LOGPROB = rf"""
 WITH tok AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     t -> t <> '') AS t
+  SELECT doc_id, {_BM25_TOKS_SQL} AS t
   FROM documents
 ),
 flat AS (
   SELECT doc_id,
-         unnest(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+         unnest(list_transform(range(1, len(t)), i -> {{'w1': t[i], 'w2': t[i+1]}})) AS b
   FROM tok WHERE len(t) >= 2
 ),
 dbf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS dbf FROM flat GROUP BY 1, 2, 3),
@@ -5130,11 +5181,9 @@ GROUP BY d.doc_id
 """
 
 
-ORACLE_UNIGRAM_LOGPROB = r"""
+ORACLE_UNIGRAM_LOGPROB = rf"""
 WITH tok AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                            t -> t <> '')) AS token
+  SELECT doc_id, unnest({_BM25_TOKS_SQL}) AS token
   FROM documents
 ),
 dtf AS (SELECT doc_id, token, count(*) AS dtf FROM tok GROUP BY 1, 2),
@@ -5208,7 +5257,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window, no collect; two shuffles of a 2-column
     table total. Oracle: the same cumsum as one SQL window."""
     tok = load(spark, sf_dir, "documents").select(
-        "doc_id", F.size(sparse_fn.tokens_col("text")).alias("ntok")
+        "doc_id", F.size(sparse_fn.bm25_tokens_col("text")).alias("ntok")
     )
     parts = (
         tok.repartitionByRange(32, "doc_id")
@@ -5251,7 +5300,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PACK_SEQUENCES = f"""
 WITH t AS (
-  SELECT doc_id, len({_TOKS_SQL}) AS ntok FROM documents
+  SELECT doc_id, len({_BM25_TOKS_SQL}) AS ntok FROM documents
 ),
 c AS (
   SELECT doc_id, ntok,
@@ -5352,6 +5401,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,  # r4: real PNG + new oracle
     "bigram_logprob": q_bigram_logprob,  # r4: exact singleton pruning
     "lang_id_cjk": q_lang_id_cjk,  # r4: new, no driver row yet
+    "doc_fingerprint": q_doc_fingerprint,  # r4: CJK-aware token stream
+    # --- r4 CJK tokenizer swap across the dedup/text family ---
+    "text_quality": q_text_quality,
+    "doc_repetition": q_doc_repetition,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "dedup_components": q_dedup_components,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_near_dup": q_simhash_near_dup,
+    "chunk_expand": q_chunk_expand,
+    "benchmark_decontaminate": q_benchmark_decontaminate,
+    "unigram_logprob": q_unigram_logprob,
+    "lang_top_terms": q_lang_top_terms,
+    "pack_sequences": q_pack_sequences,
+    "curate_corpus": q_curate_corpus,
+    "incremental_dedup": q_incremental_dedup,
     # --- stalest: latest green driver row is r01 ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -5368,7 +5434,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlated_subquery": q_correlated_subquery,
     "clean_text": q_clean_text,
     "dataset_split": q_dataset_split,
-    "curate_corpus": q_curate_corpus,
     "nation_volume_shipping": q_nation_volume_shipping,
     "national_market_share": q_national_market_share,
     "order_priority_check": q_order_priority_check,
@@ -5391,26 +5456,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_udtf": q_sessionize_udtf,
     "search_binary_hamming": q_search_binary_hamming,
     "pii_scrub": q_pii_scrub,
-    "benchmark_decontaminate": q_benchmark_decontaminate,
-    "unigram_logprob": q_unigram_logprob,
     "training_shards": q_training_shards,
     "ewma_smooth": q_ewma_smooth,
     "source_quota": q_source_quota,
-    "incremental_dedup": q_incremental_dedup,
     "profile_table": q_profile_table,
-    "lang_top_terms": q_lang_top_terms,
     "group_topk_salted": q_group_topk_salted,
     "label_centroids": q_label_centroids,
     "attribution_last_touch": q_attribution_last_touch,
     "embedding_outliers": q_embedding_outliers,
     "rolling_active_users": q_rolling_active_users,
     # --- freshest: latest green driver row is r03 ---
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "dedup_components": q_dedup_components,
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
-    "pack_sequences": q_pack_sequences,
     "equidepth_histogram": q_equidepth_histogram,
     "audio_probe": q_audio_probe,
     "video_frames": q_video_frames,
@@ -5437,26 +5494,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "interval_join": q_interval_join,
     "join_pruned_dims": q_join_pruned_dims,
-    "doc_repetition": q_doc_repetition,
-    "chunk_expand": q_chunk_expand,
     "event_window_agg": q_event_window_agg,
-    "doc_fingerprint": q_doc_fingerprint,
     "knn_join": q_knn_join,
-    "text_quality": q_text_quality,
     "search_by_id": q_search_by_id,
     "sliding_window_agg": q_sliding_window_agg,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_exact": q_dedup_exact,
     "upsert_merge": q_upsert_merge,
     "search_flat_ip": q_search_flat_ip,
     "asof_join": q_asof_join,
-    "simhash_fingerprint": q_simhash_fingerprint,
-    "simhash_near_dup": q_simhash_near_dup,
     # --- rows-only approximate/model ops (no SQL oracle by design) ---
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
     "search_by_text": q_search_by_text,
     "ann_lsh_l2": q_ann_lsh_l2,
+    "audio_adpcm_probe": q_audio_adpcm_probe,
     "approx_sketches": q_approx_sketches,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_pq_cosine": q_ann_pq_cosine,

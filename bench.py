@@ -104,6 +104,11 @@ HEADLINE = [
     "ann_ivf_fullprobe",
     "ann_pq_fullrescore",
     "jpeg_probe",
+    "pack_sequences",
+    "bpe_token_count",
+    "fulltext_bm25_cjk",
+    "lang_id_cjk",
+    "audio_adpcm_probe",
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

@@ -50,6 +50,31 @@ def test_spark_tokenizer_matches_python(spark):
     got = [r[0] for r in df.select(sparse_fn.bm25_tokens_col("text")).collect()]
     want = [sparse_fn._TOKENS_FOR_QUERY(t) for t in texts]
     assert got == want
+    # the F.expr string form (used by shingling queries) is identical
+    from pyspark.sql import functions as F
+
+    got_sql = [
+        r[0] for r in df.select(F.expr(sparse_fn.bm25_tokens_sql("text"))).collect()
+    ]
+    assert got_sql == want
+
+
+def test_duckdb_oracle_tokenizer_matches_python():
+    """The DuckDB oracle expression (_BM25_TOKS_SQL) must agree with
+    the driver-side tokenizer on CJK and ASCII — the three-way
+    equality that makes every CJK-aware oracle trustworthy."""
+    import duckdb
+
+    from aiotcvectordb_spark import queries as Q
+
+    texts = [t for _, t in CJK_DOCS] + ["茶", "", "！？", "한국어 text です"]
+    con = duckdb.connect()
+    expr = Q._BM25_TOKS_SQL
+    got = [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS text)", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got == [sparse_fn._TOKENS_FOR_QUERY(t) for t in texts]
 
 
 def test_fulltext_chinese_ranks_apple_doc_first(spark):
@@ -112,3 +137,50 @@ def test_engine_search_by_text_chinese(engine):
         "db_cjk", "cjk_coll", ["苹果好吃吗"], limit=4
     )
     assert hits[0][0]["id"] == "t_apple"
+
+
+def test_minhash_shingles_cover_cjk(spark):
+    """The dedup family must see CJK content: two near-identical
+    Chinese docs share band buckets; with the old ASCII tokenizer they
+    produced zero shingles and were invisible to near-dup detection."""
+    from aiotcvectordb_spark.pipelines import minhash_band_hashes
+
+    docs = spark.createDataFrame(
+        [
+            (1, "今天天气很好我们一起去公园散步吧朋友"),
+            (2, "今天天气很好我们一起去公园散步吧同事"),  # near-dup of 1
+            (3, "完全不同的内容关于机器学习和分布式系统"),
+        ],
+        ["doc_id", "clean_text"],
+    )
+    bands = minhash_band_hashes(docs).collect()
+    assert bands, "CJK docs must produce band hashes"
+    by_doc = {}
+    for r in bands:
+        by_doc.setdefault(r["doc_id"], set()).add((r["band"], r["h"]))
+    assert by_doc.get(1) and by_doc.get(2) and by_doc.get(3)
+    shared_12 = by_doc[1] & by_doc[2]
+    shared_13 = by_doc[1] & by_doc[3]
+    assert shared_12, "near-identical CJK docs must collide in a band"
+    assert not shared_13, "unrelated CJK docs must not collide everywhere"
+
+
+def test_text_quality_counts_cjk_tokens(spark):
+    from aiotcvectordb_spark import queries as Q
+
+    df = spark.createDataFrame(
+        [("d1", "我喜欢吃苹果"), ("d2", "plain english text")],
+        ["doc_id", "text"],
+    )
+    # route through the same expression the registry query uses
+    from aiotcvectordb_spark.functions import sparse as S
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(S.bm25_tokens_col("text")).alias("n")
+        ).collect()
+    }
+    assert rows["d1"] == 5  # 6-char run -> 5 bigrams
+    assert rows["d2"] == 3

@@ -134,10 +134,11 @@ def test_zero_sampling_factor_raises_value_error():
             decode_jpeg(bytes(b))
 
 
-def test_noninterleaved_multiscan_rejected():
-    """A first SOS covering fewer components than the frame declares
-    (non-interleaved baseline) must raise, not silently decode the Y
-    scan as grayscale."""
+def test_lying_single_scan_header_fails_cleanly():
+    """A stream whose SOS claims one component but whose entropy data
+    is actually interleaved must fail as ValueError (wrong block count /
+    missing further scans), never silently return a grayscale image of
+    the full frame."""
     yy, xx = np.mgrid[0:16, 0:16]
     rgb = np.stack([xx * 8, yy * 8, xx + yy], axis=2).astype(np.uint8)
     good = bytearray(encode_jpeg_color(rgb))
@@ -151,5 +152,71 @@ def test_noninterleaved_multiscan_rejected():
     seg_len = struct.unpack_from(">H", bytes(b), sos + 2)[0]
     struct.pack_into(">H", b, sos + 2, seg_len - 4)
     del b[sos + 4 + 1 + 2 : sos + 4 + 1 + 6]
-    with pytest.raises(ValueError, match="non-interleaved"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(b))
+
+
+def _encode_noninterleaved_444(rgb: np.ndarray) -> bytes:
+    """Test-only encoder: baseline 4:4:4 color JPEG written as THREE
+    single-component scans (legal non-interleaved baseline, T.81
+    A.2.2) using the module's own primitives — exercises the
+    multi-scan decode path against an independently-constructed
+    stream."""
+    from aiotcvectordb_spark.operators.jpegcodec import (
+        AC_LUMA_BITS, AC_LUMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS,
+    )
+    from aiotcvectordb_spark.operators import jpegcodec as J
+
+    h, w = rgb.shape[:2]
+    y, cb, cr = J.rgb_to_ycbcr(rgb)
+    q = J.STD_LUMA_QUANT
+    dc_codes = J._build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = J._build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    bh, bw = -(-h // 8), -(-w // 8)
+
+    out = bytearray(b"\xff\xd8")
+    out += J._seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += J._seg(0xFFDB, J._dqt_payload(0, q))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+    out += J._seg(0xFFC0, sof)
+    out += J._seg(0xFFC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += J._seg(0xFFC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    for cid, plane in zip((1, 2, 3), (y, cb, cr)):
+        padded = J._pad_to_blocks(np.round(plane).clip(0, 255), bh, bw)
+        shifted = padded.astype(np.float64) - 128.0
+        blocks = (
+            shifted.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        zzs = J._fdct_quant_zigzag(blocks, q)
+        bw_out = J._BitWriter()
+        prev_dc = 0
+        for bi in range(zzs.shape[0]):
+            prev_dc = J._encode_zz(bw_out, zzs[bi], q, dc_codes, ac_codes, prev_dc)
+        bw_out.flush()
+        out += J._seg(0xFFDA, b"\x01" + bytes([cid, 0x00]) + b"\x00\x3f\x00")
+        out += bw_out.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_noninterleaved_multiscan_decodes():
+    """Legal non-interleaved baseline (one scan per component) decodes
+    and matches the equivalent interleaved 4:4:4 content."""
+    yy, xx = np.mgrid[0:24, 0:40]
+    rgb = np.stack(
+        [(xx * 6) % 256, (yy * 9) % 256, (xx + 3 * yy) % 256], axis=2
+    ).astype(np.uint8)
+    payload = _encode_noninterleaved_444(rgb)
+    out = decode_jpeg(payload)
+    assert out.shape == rgb.shape
+    # 4:4:4 with the luma table on all channels: modest loss only
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 20
+
+    # truncated: only two of three scans present -> clean ValueError
+    second_sos = payload.find(b"\xff\xda", payload.find(b"\xff\xda") + 2)
+    third_sos = payload.find(b"\xff\xda", second_sos + 2)
+    truncated = payload[:third_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="component scans"):
+        decode_jpeg(truncated)

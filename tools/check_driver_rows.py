@@ -42,14 +42,28 @@ DRIVER_BATCH = 50
 # changed (update on every rewrite; additions are covered by the
 # "no driver row" rule and need no entry here)
 REWRITES: dict[str, int] = {
-    "minhash_signatures": 2,
-    "minhash_lsh_candidates": 2,
-    "dedup_components": 2,
+    "minhash_signatures": 4,  # r4 CJK tokenizer
+    "minhash_lsh_candidates": 4,  # r4 CJK tokenizer
+    "dedup_components": 4,  # r4 pre-contraction + frozen-star pruning
     "embedding_near_dup": 4,  # r4: oracled entry is exact-only; router split to _auto
     "fulltext_bm25": 4,  # r4 CJK bigram tokenizer in the BM25 path
     "sparse_encode": 4,  # r4 CJK bigram tokenizer
     "hybrid_weighted": 4,  # r4 CJK bigram tokenizer (sparse leg)
     "hybrid_rrf": 4,  # r4 CJK bigram tokenizer (sparse leg)
+    "doc_fingerprint": 4,  # r4 CJK-aware token stream
+    # r4 CJK tokenizer swap across the dedup/text family:
+    "text_quality": 4,
+    "doc_repetition": 4,
+    "ngram_jaccard_pairs": 4,
+    "simhash_fingerprint": 4,
+    "simhash_near_dup": 4,
+    "chunk_expand": 4,
+    "benchmark_decontaminate": 4,
+    "unigram_logprob": 4,
+    "lang_top_terms": 4,
+    "pack_sequences": 4,
+    "curate_corpus": 4,
+    "incremental_dedup": 4,
     "bigram_logprob": 4,  # r4 exact singleton pruning of the c2 join table
     "jpeg_probe": 4,  # r4 chunked FDCT/IDCT, int32 store, vector scatter
     "equidepth_histogram": 3,
