@@ -5,13 +5,18 @@ ships no PIL/cv2/libjpeg, but baseline DCT JPEG (ITU-T T.81) is fully
 implementable with numpy — Huffman entropy coding, dequantization,
 8x8 inverse DCT, chroma upsampling, YCbCr→RGB. This module provides:
 
-- ``decode_jpeg``: general baseline decoder — grayscale or YCbCr with
-  any 4:4:4 / 4:2:2 / 4:2:0 sampling, multiple quant/Huffman tables,
-  restart markers, byte stuffing, and both scan structures: fully
-  interleaved (one scan) and non-interleaved (one single-component
-  scan per component, T.81 A.2.2). Progressive (SOF2), arithmetic
-  coding, and partially-interleaved scans raise ``ValueError``
-  honestly.
+- ``decode_jpeg``: general Huffman DCT decoder — grayscale or YCbCr
+  with any 4:4:4 / 4:2:2 / 4:2:0 sampling, multiple quant/Huffman
+  tables, restart markers, byte stuffing, both baseline scan
+  structures (fully interleaved and non-interleaved per T.81 A.2.2),
+  AND progressive (SOF2) streams: spectral selection + successive
+  approximation, all four scan kinds (DC/AC first + refinement, EOB
+  runs — T.81 Annex G). Arithmetic coding and partially-interleaved
+  baseline scans raise ``ValueError`` honestly.
+- ``encode_jpeg_gray_progressive``: progressive grayscale encoder
+  (DC first at Al, DC refinements, AC first, AC refinements) —
+  coefficient-exact vs the baseline encoder, so the progressive
+  decode path is provably lossless across its scans.
 - ``encode_jpeg_gray``: baseline grayscale encoder with the T.81
   Annex K example tables — the deterministic fixture generator for the
   decode round trip (the entropy stage is lossless: decode recovers
@@ -403,6 +408,157 @@ def encode_jpeg_color(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_gray_progressive(
+    pixels: np.ndarray, quant: np.ndarray | None = None, al: int = 1
+) -> bytes:
+    """Encode an (H, W) uint8 array as a PROGRESSIVE (SOF2) grayscale
+    JPEG using spectral selection + successive approximation: DC first
+    scan at Al=``al``, DC refinement scans down to 0, AC first scan
+    (band 1..63) at Al=``al``, AC refinement scans down to 0 — the four
+    scan kinds a conforming progressive decoder must handle (T.81
+    Annex G). Coefficient-exact: decoding reproduces the same quantized
+    coefficients as the baseline encoder, so pixels match
+    ``decode_jpeg(encode_jpeg_gray(img))`` exactly."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError(f"wants (H, W), got {pixels.shape}")
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int64)
+    bh, bw = -(-h // 8), -(-w // 8)
+    shifted = _pad_to_blocks(arr, bh, bw).astype(np.float64) - 128.0
+    blocks = (
+        shifted.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    zzs = _fdct_quant_zigzag(blocks, q)  # (n, 64) int64, zigzag order
+
+    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, _dqt_payload(0, q))
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+
+    def sos_header(ss, se, ah, a_) -> bytes:
+        return _seg(0xFFDA, b"\x01" + bytes([1, 0x00, ss, se, (ah << 4) | a_]))
+
+    # ---- DC first scan (Ss=0, Se=0, Ah=0, Al=al) ----
+    bw_out = _BitWriter()
+    pred = 0
+    for bi in range(zzs.shape[0]):
+        v = int(zzs[bi, 0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+        ssss, bits = _magnitude(v - pred)
+        code, length = dc_codes[ssss]
+        bw_out.write(code, length)
+        if ssss:
+            bw_out.write(bits, ssss)
+        pred = v
+    bw_out.flush()
+    out += sos_header(0, 0, 0, al) + bw_out.buf
+
+    # ---- DC refinement scans (Ah=a+1, Al=a) ----
+    for a_ in range(al - 1, -1, -1):
+        bw_out = _BitWriter()
+        for bi in range(zzs.shape[0]):
+            bw_out.write((int(zzs[bi, 0]) >> a_) & 1, 1)
+        bw_out.flush()
+        out += sos_header(0, 0, a_ + 1, a_) + bw_out.buf
+
+    # ---- AC first scan (Ss=1, Se=63, Ah=0, Al=al) ----
+    # EOB per block (EOBRUN=1 — symbol 0x00, no appended bits)
+    bw_out = _BitWriter()
+    for bi in range(zzs.shape[0]):
+        run = 0
+        last_nz = 0
+        vals = []
+        for k in range(1, 64):
+            c = int(zzs[bi, k])
+            t = (abs(c) >> al)  # magnitude shift (T.81 G.1.2.2)
+            vals.append(-t if c < 0 else t)
+            if t:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            v = vals[k - 1]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zrl, zl = ac_codes[0xF0]
+                bw_out.write(zrl, zl)
+                run -= 16
+            ssss, bits = _magnitude(v)
+            code, length = ac_codes[(run << 4) | ssss]
+            bw_out.write(code, length)
+            bw_out.write(bits, ssss)
+            run = 0
+        if last_nz < 63:
+            eob, el = ac_codes[0x00]
+            bw_out.write(eob, el)
+    bw_out.flush()
+    out += sos_header(1, 63, 0, al) + bw_out.buf
+
+    # ---- AC refinement scans (Ah=a+1, Al=a) ----
+    for a_ in range(al - 1, -1, -1):
+        bw_out = _BitWriter()
+        for bi in range(zzs.shape[0]):
+            run = 0
+            br_bits: list[int] = []
+
+            def flush_br():
+                for b in br_bits:
+                    bw_out.write(b, 1)
+                br_bits.clear()
+
+            # last index that emits a SYMBOL this scan (newly nonzero)
+            last_new = 0
+            for k in range(1, 64):
+                c = int(zzs[bi, k])
+                if (abs(c) >> a_) == 1:  # newly nonzero at this level
+                    last_new = k
+            for k in range(1, last_new + 1):
+                c = int(zzs[bi, k])
+                t = abs(c) >> a_
+                if t == 0:
+                    run += 1
+                    continue
+                if t > 1:  # known nonzero: buffered correction bit
+                    br_bits.append(t & 1)
+                    continue
+                # newly nonzero (magnitude exactly 1 at this level)
+                while run > 15:
+                    zrl, zl = ac_codes[0xF0]
+                    bw_out.write(zrl, zl)
+                    flush_br()
+                    run -= 16
+                code, length = ac_codes[(run << 4) | 1]
+                bw_out.write(code, length)
+                bw_out.write(1 if c > 0 else 0, 1)
+                flush_br()
+                run = 0
+            # end of band: correction bits for the remaining known-
+            # nonzero coefficients ride behind an EOB symbol
+            tail_bits = [
+                (abs(int(zzs[bi, k])) >> a_) & 1
+                for k in range(last_new + 1, 64)
+                if (abs(int(zzs[bi, k])) >> a_) > 1
+            ]
+            if last_new < 63 or br_bits:
+                eob, el = ac_codes[0x00]
+                bw_out.write(eob, el)
+                flush_br()
+                for b in tail_bits:
+                    bw_out.write(b, 1)
+        bw_out.flush()
+        out += sos_header(1, 63, a_ + 1, a_) + bw_out.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Decoder (general baseline)
 # --------------------------------------------------------------------------
@@ -425,13 +581,13 @@ class _BitReader:
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                # marker: feed 1-bits (padding semantics); do not advance
+            else:
+                # any marker: feed 1-bits (padding semantics); do not
+                # advance — progressive scans end at the next SOS/DHT
+                # and a trailing partial-byte read must not consume it
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 return
-            else:
-                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
@@ -482,14 +638,15 @@ def _extend(bits: int, ssss: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0/SOF1) JPEG. Returns (H, W) uint8 for
-    one component, (H, W, 3) RGB for three (JFIF YCbCr, any of
-    4:4:4 / 4:2:2 / 4:2:0 sampling, nearest-neighbor chroma
-    upsampling; interleaved or non-interleaved scan structure).
-    Raises ValueError on progressive/arithmetic streams and ANY
-    malformed data (low-level struct/index errors are normalized to
-    ValueError so flag-don't-fail callers need one except clause) —
-    never returns garbage silently."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG.
+    Returns (H, W) uint8 for one component, (H, W, 3) RGB for three
+    (JFIF YCbCr, any of 4:4:4 / 4:2:2 / 4:2:0 sampling,
+    nearest-neighbor chroma upsampling; interleaved, non-interleaved,
+    or progressive scan structure incl. successive approximation).
+    Raises ValueError on arithmetic-coded streams and ANY malformed
+    data (low-level struct/index errors are normalized to ValueError
+    so flag-don't-fail callers need one except clause) — never returns
+    garbage silently."""
     try:
         return _decode_jpeg(data)
     except (
@@ -567,8 +724,22 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported (baseline only)")
+        elif marker == 0xC2:  # SOF2 progressive (huffman)
+            precision, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            if h == 0 or w == 0:
+                raise ValueError(f"invalid frame dimensions {w}x{h}")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
+                ch, cv = samp >> 4, samp & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"invalid sampling factors {ch}x{cv} for component {cid}"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
@@ -577,6 +748,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            progressive = frame.get("progressive", False)
+            # scan header tail: Ss, Se, AhAl (baseline: 0, 63, 0)
+            ss_, se_ = body[1 + ns * 2], body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            ah_, al_ = ahal >> 4, ahal & 0x0F
+            is_dc_scan = ss_ == 0
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + si * 2 : 3 + si * 2]
@@ -586,15 +763,33 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 if comp is None:
                     raise ValueError(f"SOS references unknown component {cs}")
                 td, ta = tt >> 4, tt & 0x0F
-                if td not in huff_dc or ta not in huff_ac:
+                # a progressive DC scan carries no AC table (and a
+                # refinement scan no DC table); only demand what the
+                # scan actually reads
+                need_dc = (not progressive) or (is_dc_scan and ah_ == 0)
+                need_ac = (not progressive) or (not is_dc_scan)
+                if need_dc and td not in huff_dc:
                     raise ValueError(
-                        f"SOS references undefined Huffman table {td}/{ta}"
+                        f"SOS references undefined DC Huffman table {td}"
+                    )
+                if need_ac and ta not in huff_ac:
+                    raise ValueError(
+                        f"SOS references undefined AC Huffman table {ta}"
                     )
                 if comp["tq"] not in qtables:
                     raise ValueError(
                         f"component references undefined quant table {comp['tq']}"
                     )
                 scan.append((comp, td, ta))
+            if progressive:
+                if zz_store is None:
+                    zz_store = _alloc_zz_store(frame)
+                pos = _progressive_scan(
+                    data, pos + 2 + seg_len, frame, scan, huff_dc,
+                    huff_ac, restart_interval, zz_store,
+                    ss_, se_, ah_, al_, scanned_comps,
+                )
+                continue  # pos already sits at the next marker
             if len(scan) == len(frame["comps"]):
                 # fully interleaved: single scan finishes the frame
                 return _decode_scan(
@@ -631,6 +826,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 return _finish_frame(frame, zz_store, qtables)
             continue  # pos already sits at the next marker
         pos += 2 + seg_len
+    if frame is not None and frame.get("progressive") and zz_store is not None:
+        # progressive frames finish at EOI; every component must have
+        # had its DC-first scan (AC scans may be truncated — that is a
+        # legal partially-transmitted progressive image)
+        missing = [
+            c["id"] for i, c in enumerate(frame["comps"]) if i not in scanned_comps
+        ]
+        if missing:
+            raise ValueError(
+                f"progressive stream ended without DC scans for "
+                f"components {missing}"
+            )
+        return _finish_frame(frame, zz_store, qtables)
     if scanned_comps:
         raise ValueError(
             f"stream ended with {len(scanned_comps)} of "
@@ -759,6 +967,206 @@ def _entropy_decode_noninterleaved(
             )
             pred = _decode_block_coeffs(br, zz[idx], dmap, amap, pred)
             cnt += 1
+    br.align_to_marker()
+    return br.pos
+
+
+def _progressive_scan(
+    data, pos, frame, scan, huff_dc, huff_ac, restart_interval,
+    zz_store, ss, se, ah, al, scanned_comps,
+) -> int:
+    """Decode one progressive scan (T.81 Annex G) into the shared
+    coefficient store and return the position of the next marker.
+
+    Four scan kinds: DC first (Ss=0, Ah=0 — diff-coded MSBs, value
+    << Al), DC refinement (one bit per block), AC first (single
+    component, spectral band Ss..Se with EOB runs), AC refinement
+    (correction bits per already-nonzero coefficient + newly-nonzero
+    insertions). Successive approximation and spectral selection
+    compose arbitrarily; every scan writes the same
+    interleaved-layout store the baseline transform stage reads."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    comp_pos = {id(c): i for i, c in enumerate(frame["comps"])}
+    br = _BitReader(data, pos)
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if len(scan) not in (1, len(frame["comps"])):
+            raise ValueError(
+                "progressive DC scan must cover one or all components"
+            )
+        if len(scan) == 1 and len(frame["comps"]) > 1:
+            comp, td, _ = scan[0]
+            ci = comp_pos[id(comp)]
+            zz = zz_store[ci]
+            ch_, cv_ = comp["h"], comp["v"]
+            comp_w = -(-(frame["w"] * ch_) // hmax)
+            comp_h = -(-(frame["h"] * cv_) // vmax)
+            comp_bw = -(-comp_w // 8)
+            comp_bh = -(-comp_h // 8)
+            pred = 0
+            cnt = 0
+            for r in range(comp_bh):
+                for c_ in range(comp_bw):
+                    if restart_interval and cnt and cnt % restart_interval == 0:
+                        m = br.align_to_marker()
+                        if m is not None and 0xD0 <= m <= 0xD7:
+                            br.pos += 2
+                            pred = 0
+                        else:
+                            raise ValueError("expected restart marker")
+                    idx = (
+                        ((r // cv_) * mcux + (c_ // ch_)) * cv_ * ch_
+                        + (r % cv_) * ch_
+                        + (c_ % ch_)
+                    )
+                    if ah == 0:
+                        ssss = _decode_symbol(br, huff_dc[td])
+                        pred += _extend(br.read_bits(ssss), ssss)
+                        zz[idx][0] = pred << al
+                    else:
+                        if br.read_bit():
+                            zz[idx][0] |= 1 << al
+                    cnt += 1
+            if ah == 0:
+                scanned_comps.add(ci)
+        else:
+            preds = [0] * len(scan)
+            blk_idx = [0] * len(frame["comps"])
+            mcu_count = 0
+            for _my in range(mcuy):
+                for _mx in range(mcux):
+                    if (
+                        restart_interval
+                        and mcu_count
+                        and mcu_count % restart_interval == 0
+                    ):
+                        m = br.align_to_marker()
+                        if m is not None and 0xD0 <= m <= 0xD7:
+                            br.pos += 2
+                            preds = [0] * len(scan)
+                        else:
+                            raise ValueError("expected restart marker")
+                    for si, (comp, td, _ta) in enumerate(scan):
+                        ci = comp_pos[id(comp)]
+                        for _ in range(comp["v"] * comp["h"]):
+                            row = zz_store[ci][blk_idx[ci]]
+                            blk_idx[ci] += 1
+                            if ah == 0:
+                                ssss = _decode_symbol(br, huff_dc[td])
+                                preds[si] += _extend(br.read_bits(ssss), ssss)
+                                row[0] = preds[si] << al
+                            else:
+                                if br.read_bit():
+                                    row[0] |= 1 << al
+                    mcu_count += 1
+            if ah == 0:
+                for comp, _td, _ta in scan:
+                    scanned_comps.add(comp_pos[id(comp)])
+        br.align_to_marker()
+        return br.pos
+
+    # AC scan: T.81 G.1.1.1.1 — always a single component
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must have exactly one component")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError(f"invalid spectral band {ss}..{se}")
+    comp, _td, ta = scan[0]
+    ci = comp_pos[id(comp)]
+    if ci not in scanned_comps:
+        raise ValueError(
+            f"AC scan for component {comp['id']} before its DC scan"
+        )
+    amap = huff_ac[ta]
+    zz = zz_store[ci]
+    ch_, cv_ = comp["h"], comp["v"]
+    comp_w = -(-(frame["w"] * ch_) // hmax)
+    comp_h = -(-(frame["h"] * cv_) // vmax)
+    comp_bw = -(-comp_w // 8)
+    comp_bh = -(-comp_h // 8)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    cnt = 0
+    for r in range(comp_bh):
+        for c_ in range(comp_bw):
+            if restart_interval and cnt and cnt % restart_interval == 0:
+                m = br.align_to_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    br.pos += 2
+                    eobrun = 0
+                else:
+                    raise ValueError("expected restart marker")
+            idx = (
+                ((r // cv_) * mcux + (c_ // ch_)) * cv_ * ch_
+                + (r % cv_) * ch_
+                + (c_ % ch_)
+            )
+            row = zz[idx]
+            cnt += 1
+            if ah == 0:  # AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_symbol(br, amap)
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rr == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << rr) - 1
+                        if rr:
+                            eobrun += br.read_bits(rr)
+                        break
+                    k += rr
+                    if k > se:
+                        raise ValueError("AC index beyond spectral band")
+                    row[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:  # AC refinement scan (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_symbol(br, amap)
+                        rr, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if rr < 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += br.read_bits(rr)
+                                break
+                            newval = 0  # ZRL: skip 16 zero-history coeffs
+                        elif s == 1:
+                            newval = p1 if br.read_bit() else m1
+                        else:
+                            raise ValueError(
+                                "AC refinement magnitude must be 1"
+                            )
+                        # advance past rr ZERO-history coefficients,
+                        # emitting correction bits for nonzero ones
+                        while k <= se:
+                            if row[k] != 0:
+                                if br.read_bit() and (row[k] & p1) == 0:
+                                    row[k] += p1 if row[k] > 0 else m1
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if s and k <= se:
+                            row[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB region: correction bits only, for the rest of
+                    # the band
+                    while k <= se:
+                        if row[k] != 0:
+                            if br.read_bit() and (row[k] & p1) == 0:
+                                row[k] += p1 if row[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
     br.align_to_marker()
     return br.pos
 

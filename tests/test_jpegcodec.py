@@ -220,3 +220,52 @@ def test_noninterleaved_multiscan_decodes():
     truncated = payload[:third_sos] + b"\xff\xd9"
     with pytest.raises(ValueError, match="component scans"):
         decode_jpeg(truncated)
+
+
+def test_progressive_roundtrip_equals_baseline():
+    """Progressive encode (DC/AC first + refinement scans) must decode
+    to EXACTLY the pixels of the baseline pipeline — both encode the
+    same quantized coefficients, and successive approximation is
+    lossless across its scans."""
+    from aiotcvectordb_spark.operators.jpegcodec import (
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(21)
+    for shape in [(16, 16), (13, 21), (8, 8), (40, 56), (1, 1)]:
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg_gray(img))
+        for al in (1, 2):
+            prog = decode_jpeg(encode_jpeg_gray_progressive(img, al=al))
+            assert np.array_equal(prog, base), (shape, al)
+
+
+def test_progressive_dc_only_stream_decodes_blocky():
+    """A progressive stream truncated after the DC scans is a LEGAL
+    partially-transmitted image: it must decode (AC coefficients zero
+    -> block-average image), not raise."""
+    from aiotcvectordb_spark.operators import jpegcodec as J
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 24)).astype(np.uint8)
+    full = J.encode_jpeg_gray_progressive(img, al=1)
+    # cut at the AC first scan's SOS header (3rd SOS: DC, DC-refine, AC)
+    sos_positions = []
+    p = 0
+    while True:
+        p = full.find(b"\xff\xda", p + 1)
+        if p < 0:
+            break
+        sos_positions.append(p)
+    assert len(sos_positions) == 4  # DC, DC refine, AC, AC refine
+    truncated = full[: sos_positions[2]] + b"\xff\xd9"
+    out = decode_jpeg(truncated)
+    assert out.shape == img.shape
+    # block-average image: each 8x8 block is near-constant at its mean
+    blk = out[:8, :8].astype(float)
+    assert blk.std() < 3.0
+
+    # but a stream with NO DC scan for the component must raise
+    no_dc = full[: sos_positions[0]] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no SOS|DC scans"):
+        decode_jpeg(no_dc)
