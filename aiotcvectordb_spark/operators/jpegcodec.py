@@ -427,11 +427,20 @@ def encode_jpeg_gray_progressive(
         raise ValueError("empty image")
     q = STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int64)
     bh, bw = -(-h // 8), -(-w // 8)
-    shifted = _pad_to_blocks(arr, bh, bw).astype(np.float64) - 128.0
-    blocks = (
-        shifted.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-    zzs = _fdct_quant_zigzag(blocks, q)  # (n, 64) int64, zigzag order
+    padded = _pad_to_blocks(arr, bh, bw)
+    # (n, 64) int64 zigzag coefficients, FDCT'd in bounded chunks so
+    # float64 temporaries stay flat however tall the image (same policy
+    # as encode_jpeg_gray; the coefficient array itself must persist —
+    # all four scans read it)
+    zzs = np.empty((bh * bw, 64), dtype=np.int64)
+    rows_per_chunk = max(1, _TRANSFORM_CHUNK_BLOCKS // bw)
+    for r0 in range(0, bh, rows_per_chunk):
+        r1 = min(bh, r0 + rows_per_chunk)
+        sub = padded[r0 * 8 : r1 * 8].astype(np.float64) - 128.0
+        blocks = (
+            sub.reshape(r1 - r0, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        zzs[r0 * bw : r1 * bw] = _fdct_quant_zigzag(blocks, q)
 
     dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -471,32 +480,31 @@ def encode_jpeg_gray_progressive(
     # ---- AC first scan (Ss=1, Se=63, Ah=0, Al=al) ----
     # EOB per block (EOBRUN=1 — symbol 0x00, no appended bits)
     bw_out = _BitWriter()
+    eob, el = ac_codes[0x00]
+    zrl, zl = ac_codes[0xF0]
+    # vectorized per-block band prep: magnitude shift + nonzero index
+    # list (empty-band blocks — the common case for sparse images —
+    # cost one numpy call and one EOB symbol, no 63-step Python loop)
+    band = zzs[:, 1:]
+    tmag = (np.abs(band) >> al).astype(np.int64)
+    tvals = np.where(band < 0, -tmag, tmag)
     for bi in range(zzs.shape[0]):
-        run = 0
-        last_nz = 0
-        vals = []
-        for k in range(1, 64):
-            c = int(zzs[bi, k])
-            t = (abs(c) >> al)  # magnitude shift (T.81 G.1.2.2)
-            vals.append(-t if c < 0 else t)
-            if t:
-                last_nz = k
-        for k in range(1, last_nz + 1):
-            v = vals[k - 1]
-            if v == 0:
-                run += 1
-                continue
+        nz = np.flatnonzero(tmag[bi])
+        if nz.size == 0:
+            bw_out.write(eob, el)
+            continue
+        prev = -1
+        for j in nz:
+            run = int(j) - prev - 1
+            prev = int(j)
             while run > 15:
-                zrl, zl = ac_codes[0xF0]
                 bw_out.write(zrl, zl)
                 run -= 16
-            ssss, bits = _magnitude(v)
+            ssss, bits = _magnitude(int(tvals[bi, j]))
             code, length = ac_codes[(run << 4) | ssss]
             bw_out.write(code, length)
             bw_out.write(bits, ssss)
-            run = 0
-        if last_nz < 63:
-            eob, el = ac_codes[0x00]
+        if int(nz[-1]) < 62:  # band index 62 == zigzag k 63
             bw_out.write(eob, el)
     bw_out.flush()
     out += sos_header(1, 63, 0, al) + bw_out.buf
@@ -504,7 +512,12 @@ def encode_jpeg_gray_progressive(
     # ---- AC refinement scans (Ah=a+1, Al=a) ----
     for a_ in range(al - 1, -1, -1):
         bw_out = _BitWriter()
+        babs = np.abs(zzs[:, 1:]) >> a_  # per-level magnitudes, vectorized
         for bi in range(zzs.shape[0]):
+            t_row = babs[bi]
+            if not t_row.any():
+                bw_out.write(eob, el)
+                continue
             run = 0
             br_bits: list[int] = []
 
@@ -513,15 +526,10 @@ def encode_jpeg_gray_progressive(
                     bw_out.write(b, 1)
                 br_bits.clear()
 
-            # last index that emits a SYMBOL this scan (newly nonzero)
-            last_new = 0
-            for k in range(1, 64):
-                c = int(zzs[bi, k])
-                if (abs(c) >> a_) == 1:  # newly nonzero at this level
-                    last_new = k
+            news = np.flatnonzero(t_row == 1)
+            last_new = int(news[-1]) + 1 if news.size else 0  # zigzag k
             for k in range(1, last_new + 1):
-                c = int(zzs[bi, k])
-                t = abs(c) >> a_
+                t = int(t_row[k - 1])
                 if t == 0:
                     run += 1
                     continue
@@ -530,28 +538,22 @@ def encode_jpeg_gray_progressive(
                     continue
                 # newly nonzero (magnitude exactly 1 at this level)
                 while run > 15:
-                    zrl, zl = ac_codes[0xF0]
                     bw_out.write(zrl, zl)
                     flush_br()
                     run -= 16
                 code, length = ac_codes[(run << 4) | 1]
                 bw_out.write(code, length)
-                bw_out.write(1 if c > 0 else 0, 1)
+                bw_out.write(1 if int(zzs[bi, k]) > 0 else 0, 1)
                 flush_br()
                 run = 0
             # end of band: correction bits for the remaining known-
             # nonzero coefficients ride behind an EOB symbol
-            tail_bits = [
-                (abs(int(zzs[bi, k])) >> a_) & 1
-                for k in range(last_new + 1, 64)
-                if (abs(int(zzs[bi, k])) >> a_) > 1
-            ]
+            tail_idx = np.flatnonzero(t_row[last_new:] > 1)
             if last_new < 63 or br_bits:
-                eob, el = ac_codes[0x00]
                 bw_out.write(eob, el)
                 flush_br()
-                for b in tail_bits:
-                    bw_out.write(b, 1)
+                for j in tail_idx:
+                    bw_out.write(int(t_row[last_new + j]) & 1, 1)
         bw_out.flush()
         out += sos_header(1, 63, a_ + 1, a_) + bw_out.buf
 
@@ -1160,12 +1162,13 @@ def _progressive_scan(
                         k += 1
                 if eobrun > 0:
                     # EOB region: correction bits only, for the rest of
-                    # the band
-                    while k <= se:
-                        if row[k] != 0:
-                            if br.read_bit() and (row[k] & p1) == 0:
-                                row[k] += p1 if row[k] > 0 else m1
-                        k += 1
+                    # the band (vectorized nonzero scan — all-zero
+                    # bands, the sparse-image common case, cost one
+                    # numpy call instead of a 63-step Python loop)
+                    for j in np.flatnonzero(row[k : se + 1]):
+                        kk = k + int(j)
+                        if br.read_bit() and (row[kk] & p1) == 0:
+                            row[kk] += p1 if row[kk] > 0 else m1
                     eobrun -= 1
     br.align_to_marker()
     return br.pos

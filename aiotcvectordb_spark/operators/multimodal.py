@@ -523,12 +523,16 @@ def with_jpeg_payload(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    progressive: bool = False,
 ) -> DataFrame:
     """Attach a REAL baseline-JPEG ``payload``: each UTF-8 byte of the
     text becomes one CONSTANT 8x8 block with pixel value
     ``2 * (byte % 128)`` (blocks laid out 4-wide, value-128 pad blocks,
     empty text = one value-128 block), Huffman-encoded with the Annex K
-    tables (``jpegcodec.encode_jpeg_gray``).
+    tables (``jpegcodec.encode_jpeg_gray``; ``progressive=True``
+    emits SOF2 spectral-selection + successive-approximation scans via
+    ``encode_jpeg_gray_progressive`` — coefficient-exact, so the SAME
+    oracle checks both scan structures).
 
     The even level-shift offsets make the standard quantizer EXACT for
     these images (a constant block's FDCT is DC-only at 8·v', and the
@@ -545,6 +549,11 @@ def with_jpeg_payload(
 
         from aiotcvectordb_spark.operators import jpegcodec
 
+        enc = (
+            jpegcodec.encode_jpeg_gray_progressive
+            if progressive
+            else jpegcodec.encode_jpeg_gray
+        )
         for pdf in batches:
             ids, payloads = [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
@@ -559,7 +568,7 @@ def with_jpeg_payload(
                     np.repeat(grid.reshape(rows, wide), 8, axis=0), 8, axis=1
                 )
                 ids.append(i)
-                payloads.append(jpegcodec.encode_jpeg_gray(img))
+                payloads.append(enc(img))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(encode, schema=schema)

@@ -2754,6 +2754,26 @@ def q_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_progressive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) round trip, oracle-checked: the same
+    block-constant images as jpeg_probe, but encoded as four-scan
+    progressive streams (DC first Al=1, DC refine, AC first, AC refine
+    — T.81 Annex G successive approximation) and decoded through the
+    progressive scan machinery. Successive approximation is lossless
+    across its scans, so the SAME SQL oracle as jpeg_probe hash-checks
+    the progressive decoder end to end."""
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    jp = MM.with_jpeg_payload(df, text_col="text", progressive=True)
+    return MM.jpeg_features(jp).select(
+        "doc_id",
+        "f_width",
+        "f_height",
+        F.round("px_mean", ROUND_DIGITS).alias("px_mean"),
+    )
+
+
 # Byte-exact like ORACLE_AUDIO_PROBE: expand code points to UTF-8
 # bytes in SQL; empty text falls back to the codec's single
 # byte-64 (value-128) block.
@@ -5398,6 +5418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "embedding_near_dup": q_embedding_near_dup,
     "jpeg_probe": q_jpeg_probe,
+    "jpeg_progressive_probe": q_jpeg_progressive_probe,  # r4: new
     "multimodal_features": q_multimodal_features,  # r4: real PNG + new oracle
     "bigram_logprob": q_bigram_logprob,  # r4: exact singleton pruning
     "lang_id_cjk": q_lang_id_cjk,  # r4: new, no driver row yet
@@ -5530,6 +5551,10 @@ ORACLES: dict[str, str] = {
     "ann_ivf_fullprobe": ORACLE_SEARCH_FLAT_COSINE,
     "ann_pq_fullrescore": ORACLE_SEARCH_FLAT_COSINE,
     "jpeg_probe": ORACLE_JPEG_PROBE,
+    # progressive encode is coefficient-exact vs baseline, so the
+    # progressive decoder shares the oracle verbatim (an exact-limit
+    # proof in the jpeg_probe style)
+    "jpeg_progressive_probe": ORACLE_JPEG_PROBE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "image_probe": ORACLE_IMAGE_PROBE,
     "sessionize_udtf": ORACLE_SESSIONIZE,

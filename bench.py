@@ -109,6 +109,7 @@ HEADLINE = [
     "fulltext_bm25_cjk",
     "lang_id_cjk",
     "audio_adpcm_probe",
+    "jpeg_progressive_probe",
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

@@ -344,6 +344,7 @@ def test_round3_ops_shuffle_budgets(spark, sf_dir):
 
     budgets = {
         "jpeg_probe": 1,        # scan-widen only; encode->decode map-side
+        "jpeg_progressive_probe": 1,  # same chain, SOF2 scans
         # 3 data-sized exchanges (range partition, pid window, final
         # agg) + 3 metadata-sized ones (32-row offset agg/window,
         # broadcast) — the point is NO global single-partition window
