@@ -74,6 +74,7 @@ PROBE_QUERIES = [
     "ann_bq_cosine",
     "video_frames",
     "jpeg_probe",
+    "jpeg_progressive_probe",
     "multimodal_features",
     "pack_sequences",
     "bpe_token_count",
