@@ -54,9 +54,15 @@ def quality_stage(
 ) -> DataFrame:
     """Length + alnum-ratio quality gate over the cleaned text."""
     toks = sparse_fn.bm25_tokens_col("clean_text")  # CJK-aware (r4)
+    # word chars include CJK (r4) — an ASCII-only class scored every
+    # Chinese doc ~0 and the >= min_alnum_ratio gate dropped them all
     alnum = (
         F.length("clean_text")
-        - F.length(F.regexp_replace(F.col("clean_text"), "[a-z0-9 ]", ""))
+        - F.length(
+            F.regexp_replace(
+                F.col("clean_text"), f"[a-z0-9 {sparse_fn.CJK_RANGES}]", ""
+            )
+        )
     ) / F.greatest(F.length("clean_text"), F.lit(1))
     return docs.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
         "quality_ok",

@@ -127,6 +127,11 @@ def _duck_bm25_toks_sql(col: str) -> str:
 
 _BM25_TOKS_SQL = _duck_bm25_toks_sql("text")
 
+# "word character" class for quality ratios: ascii alnum + space + the
+# CJK scripts the tokenizer handles — identical semantics in Java regex
+# (Spark) and RE2 (DuckDB), both character-class literals
+_WORDCHAR_CLASS = f"[a-z0-9 {sparse_fn.CJK_RANGES}]"
+
 
 def _knn_oracle(
     vectors: list[list[float]],
@@ -938,10 +943,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("len_chars"),
+        # "word characters" include CJK (r4): with the ASCII-only class
+        # every Chinese doc scored alnum_ratio ~0 and the curation
+        # quality gate (>= 0.6) dropped the whole corpus
         F.round(
             (
                 F.length("text")
-                - F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
+                - F.length(
+                    F.regexp_replace(
+                        F.lower("text"), _WORDCHAR_CLASS, ""
+                    )
+                )
             )
             / F.length("text"),
             ROUND_DIGITS,
@@ -958,7 +970,7 @@ ORACLE_TEXT_QUALITY = f"""
 SELECT doc_id,
        CAST(len({_BM25_TOKS_SQL}) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS len_chars,
-       round((length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')))
+       round((length(text) - length(regexp_replace(lower(text), '{_WORDCHAR_CLASS}', '', 'g')))
              * 1.0 / length(text), {ROUND_DIGITS}) AS alnum_ratio,
        round(len(list_filter({_BM25_TOKS_SQL},
                  t -> list_contains([{", ".join(f"'{w}'" for w in _STOPWORDS)}], t)))
@@ -4265,7 +4277,7 @@ WITH clean AS (
 qual AS (
   SELECT doc_id, clean_text,
          len({_CURATE_TOKS_SQL}) AS n_tokens,
-         (length(clean_text) - length(regexp_replace(clean_text, '[a-z0-9 ]', '', 'g')))
+         (length(clean_text) - length(regexp_replace(clean_text, '{_WORDCHAR_CLASS}', '', 'g')))
            / greatest(length(clean_text), 1) AS alnum_ratio
   FROM clean
 ),

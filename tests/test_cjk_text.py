@@ -184,3 +184,24 @@ def test_text_quality_counts_cjk_tokens(spark):
     }
     assert rows["d1"] == 5  # 6-char run -> 5 bigrams
     assert rows["d2"] == 3
+
+
+def test_quality_gate_keeps_cjk_docs(spark):
+    """The curation quality gate must not drop CJK documents: word
+    characters include the CJK scripts, so a normal Chinese doc clears
+    min_alnum_ratio (pre-r4 it scored ~0 and the whole corpus died)."""
+    from aiotcvectordb_spark.pipelines import quality_stage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "今天天气很好我们一起去公园散步吧朋友们"),
+            (2, "plain english document that is long enough"),
+            (3, "!!!###$$$%%%^^^&&&***((()))___+++"),  # junk stays junk
+        ],
+        ["doc_id", "clean_text"],
+    )
+    rows = {r["doc_id"]: r for r in quality_stage(docs).collect()}
+    assert rows[1]["quality_ok"], "Chinese doc must pass the quality gate"
+    assert rows[2]["quality_ok"]
+    assert not rows[3]["quality_ok"]
+    assert rows[1]["n_tokens"] >= 3  # CJK bigrams count as tokens
