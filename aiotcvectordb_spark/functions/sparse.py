@@ -66,6 +66,25 @@ def tokens_col(text_col: str) -> Column:
     )
 
 
+# BPE pre-tokenization: latin words as units, each CJK character its
+# OWN unit (BPE then learns multi-char merges from data — bigrams would
+# double-count overlaps). One match per word or per CJK char.
+BPE_PRETOKEN_RE = f"[a-z0-9]+|[{CJK_RANGES}]"
+_BPE_PRETOKEN_PAT = re.compile(BPE_PRETOKEN_RE)
+
+
+def bpe_pretokens(text: str) -> list[str]:
+    """Driver/executor-side BPE pre-tokenizer (CJK-aware)."""
+    return _BPE_PRETOKEN_PAT.findall(text.lower())
+
+
+def bpe_pretokens_col(text_col: str) -> Column:
+    """Column form of ``bpe_pretokens`` (JVM regexp_extract_all)."""
+    return F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+    )
+
+
 def bm25_tokens_sql(col: str = "text") -> str:
     """Spark-SQL-string form of ``bm25_tokens_col`` for queries built
     with ``F.expr`` chains (shingling, slicing). Equality with the

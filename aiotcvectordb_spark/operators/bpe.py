@@ -48,9 +48,11 @@ _EOW = "</w>"  # end-of-word marker (standard BPE: lets merges learn suffixes)
 
 
 def _word_table(df: DataFrame, text_col: str) -> DataFrame:
-    """(word, n) frequency table — the ONE corpus-sized shuffle."""
+    """(word, n) frequency table — the ONE corpus-sized shuffle.
+    CJK-aware (r4): latin words are units; each CJK char is its own
+    unit, so BPE learns multi-character CJK merges from data."""
     return (
-        df.select(F.explode(sparse_fn.tokens_col(text_col)).alias("word"))
+        df.select(F.explode(sparse_fn.bpe_pretokens_col(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
@@ -211,15 +213,13 @@ def bpe_encode(
     def encode(batches):
         import pandas as pd
 
-        from aiotcvectordb_spark.functions.sparse import TOKEN_SPLIT_RE
-        import re
+        from aiotcvectordb_spark.functions.sparse import bpe_pretokens
 
-        splitter = re.compile(TOKEN_SPLIT_RE)
         cache: dict = {}
         for pdf in batches:
             ids, toks, counts = [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in splitter.split((text or "").lower()) if w]
+                words = bpe_pretokens(text or "")
                 doc_tokens: list[str] = []
                 for w in words:
                     doc_tokens.extend(encode_word(w, cache))

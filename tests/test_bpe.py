@@ -19,11 +19,12 @@ _DOCS = [
 def _reference_bpe(texts: list[str], num_merges: int) -> list[tuple[str, str]]:
     """Plain-python classic BPE (Sennrich et al.) with the same
     tie-break: count desc, then pair lexicographic."""
+    from aiotcvectordb_spark.functions.sparse import bpe_pretokens
+
     words = Counter()
     for t in texts:
-        for w in re.split(r"[^0-9a-z]+", t.lower()):
-            if w:
-                words[w] += 1
+        for w in bpe_pretokens(t):
+            words[w] += 1
     vocab = {w: list(w) + ["</w>"] for w in words}
     merges = []
     for _ in range(num_merges):
@@ -117,3 +118,28 @@ def test_merge_table_roundtrips_through_parquet(spark, tmp_path):
         for r in bpe.bpe_encode(df, bpe.load_merges(spark, path)).collect()
     }
     assert a == b
+
+
+def test_bpe_learns_cjk_merges(spark):
+    """CJK pre-tokenization (each char a unit) lets BPE learn
+    multi-character Chinese merges from data; encoding a Chinese doc is
+    deterministic and lossless over the pre-token stream."""
+    docs = [
+        (1, "机器学习 机器学习 机器学习 深度学习"),
+        (2, "学习机器 机器学习 深度学习 深度学习"),
+        (3, "machine learning 机器学习"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    merges = bpe.bpe_train(df, num_merges=8)
+    # some merge must join two CJK symbols (e.g. 学 + 习)
+    assert any(
+        any("一" <= ch <= "鿿" for ch in a + b) for a, b in merges
+    ), merges
+    enc = {r.doc_id: r.tokens for r in bpe.bpe_encode(df, merges).collect()}
+    # lossless: stripping </w> and concatenating reproduces the
+    # pre-token character stream
+    from aiotcvectordb_spark.functions.sparse import bpe_pretokens
+
+    for i, text in docs:
+        stream = "".join(bpe_pretokens(text))
+        assert "".join(t.replace("</w>", "") for t in enc[i]) == stream
