@@ -1585,8 +1585,55 @@ def _embedding_near_dup_exact(
     )
 
 
+# Target rows per IVF cell (on the ASSIGNMENT table, i.e. after the
+# nprobe expansion). Σcell² work is (nprobe·N)²/nlist, so holding cell
+# size constant — nlist ∝ N — is what keeps candidate volume linear in
+# N. Cells above ~32 switch from the literal-expression centroid
+# distance (codegen-bounded) to Arrow-batched numpy assignment.
+_IVF_NEARDUP_CELL_ROWS = 2000
+_IVF_NEARDUP_MAX_NLIST = 4096
+
+
+def _sampled_spherical_kmeans(
+    emb: DataFrame, k: int, *, sample_rows: int = 100_000, iters: int = 6
+):
+    """Driver-side seeded spherical k-means on a BOUNDED unit-vector
+    sample (the PQ-codebook training pattern — the driver never sees
+    more than ``sample_rows`` rows regardless of table size). Returns
+    an (k, dim) float64 centroid matrix. Chunked matmuls keep the
+    distance temporaries flat for large k."""
+    import numpy as np
+
+    n = emb.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = (
+        emb.sample(fraction=frac, seed=7).limit(sample_rows).collect()
+        if frac < 1.0
+        else emb.collect()
+    )
+    X = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = max(2, min(k, len(X) // 4 or 2))
+    rng = np.random.default_rng(42)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    chunk = 16384
+    for _ in range(iters):
+        assign = np.empty(len(X), dtype=np.int64)
+        for s0 in range(0, len(X), chunk):
+            sl = slice(s0, s0 + chunk)
+            assign[sl] = np.argmax(X[sl] @ C.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                nc = np.linalg.norm(c)
+                if nc > 1e-12:
+                    C[j] = c / nc
+    return C
+
+
 def q_embedding_near_dup_ivf(
-    spark: SparkSession, sf_dir: str, *, nlist: int = 16, nprobe: int = 2
+    spark: SparkSession, sf_dir: str, *, nlist: int | None = None, nprobe: int = 2
 ) -> DataFrame:
     """The 100 TB path for embedding near-dup: IVF bucketing instead of
     the broadcast matmul. Spherical KMeans(nlist) on unit vectors;
@@ -1595,8 +1642,17 @@ def q_embedding_near_dup_ivf(
     pairs are an equi-join on the cell id (vec_a < vec_b), then the
     same exact cosine rescore as the exact operator. Cost is
     sum(cell^2) not N^2, and every stage is a bounded shuffle — nothing
-    is broadcast or collected. Rows-only (iterative KMeans has no SQL
-    oracle); recall vs the exact operator is asserted in pytest."""
+    unbounded is broadcast or collected.
+
+    nlist scales with the corpus (cells of ~2000
+    assignment rows, r4) so candidate volume stays LINEAR in N: small
+    corpora keep the MLlib fit + pure-Catalyst literal-expression
+    assignment (plan-audited, codegen-bounded); above 32 cells the
+    centroids come from driver-side sampled spherical k-means (bounded
+    sample — the PQ training pattern) and assignment is an Arrow
+    mapInPandas matmul against the tiny broadcast centroid matrix.
+    Rows-only (iterative KMeans has no SQL oracle); recall vs the exact
+    operator is asserted in pytest for BOTH assignment paths."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -1607,6 +1663,16 @@ def q_embedding_near_dup_ivf(
     )
 
     emb = load(spark, sf_dir, "embeddings")
+    if nlist is None:
+        n_rows = emb.count()  # parquet-metadata count
+        nlist = max(
+            16,
+            min(n_rows * nprobe // _IVF_NEARDUP_CELL_ROWS, _IVF_NEARDUP_MAX_NLIST),
+        )
+    if nlist > 32:
+        return _embedding_near_dup_ivf_arrow(
+            spark, emb, nlist=nlist, nprobe=nprobe
+        )
     unit = (
         "transform(embedding, x -> cast(x as double) / "
         "sqrt(aggregate(transform(embedding, v -> cast(v as double) * cast(v as double)), "
@@ -1657,6 +1723,17 @@ def q_embedding_near_dup_ivf(
         )
         .select("vec_id", "embedding", F.explode("__near.j").alias("cell"))
     )
+    return _neardup_pairs_from_cells(assigned)
+
+
+def _neardup_pairs_from_cells(assigned: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell) → exact-rescored near-dup pairs via
+    the cell equi-join — shared by both assignment paths."""
+    from aiotcvectordb_spark.functions.vector import (
+        dot_score_fixed,
+        vector_norm_fixed,
+    )
+
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("vec_a"),
@@ -1683,6 +1760,48 @@ def q_embedding_near_dup_ivf(
         .select("vec_a", "vec_b", "score")
         .distinct()
     )
+
+
+def _embedding_near_dup_ivf_arrow(
+    spark: SparkSession, emb: DataFrame, *, nlist: int, nprobe: int
+) -> DataFrame:
+    """Scale-path IVF assignment: centroids from driver-side SAMPLED
+    spherical k-means (bounded collect), cell assignment as one Arrow
+    mapInPandas matmul per batch against the ~nlist x dim float64
+    centroid matrix (a few MB in the task closure — never the data).
+    The literal-expression path stops scaling past ~32 cells (codegen
+    unit grows with nlist); numpy is indifferent to nlist, so cells
+    keep constant SIZE as the corpus grows and candidate volume stays
+    linear."""
+    import numpy as np
+
+    C = _sampled_spherical_kmeans(emb.select("vec_id", "embedding"), nlist)
+    n_probe = min(nprobe, len(C))
+    id_type = dict(emb.dtypes)["vec_id"]
+    emb_type = dict(emb.dtypes)["embedding"]
+    schema = f"vec_id {id_type}, embedding {emb_type}, cell int"
+
+    def assign(batches):
+        import pandas as pd
+
+        CT = C.T  # (dim, k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = U @ CT  # (batch, k) cosine to each centroid
+            top = np.argpartition(-S, n_probe - 1, axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_probe),
+                    "embedding": [e for e in pdf["embedding"] for _ in range(n_probe)],
+                    "cell": top.astype(np.int32).ravel(),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(assign, schema=schema)
+    return _neardup_pairs_from_cells(assigned)
 
 
 ORACLE_EMBEDDING_NEAR_DUP = f"""

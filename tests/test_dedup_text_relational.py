@@ -205,6 +205,29 @@ def test_embedding_near_dup_ivf_recall(spark, sf_dir):
     assert recall >= 0.8, f"recall {recall}: {len(ivf)} ivf vs {len(exact)} exact"
 
 
+def test_embedding_near_dup_ivf_arrow_path(spark, sf_dir):
+    """The large-nlist Arrow assignment path (sampled spherical k-means
+    + mapInPandas matmul — what the scale router exercises at corpus
+    sizes where nlist > 32) keeps the exact-rescore precision contract
+    and reasonable recall even on an absurdly fragmented fixture
+    (dozens of cells over a few hundred rows)."""
+    from aiotcvectordb_spark.plans import audit
+
+    exact = {(r.vec_a, r.vec_b) for r in Q.q_embedding_near_dup(spark, sf_dir).collect()}
+    arrow_df = Q.q_embedding_near_dup_ivf(spark, sf_dir, nlist=48, nprobe=4)
+    assert "MapInPandas" in audit.executed_plan(arrow_df)
+    arrow = {(r.vec_a, r.vec_b) for r in arrow_df.collect()}
+    assert arrow <= exact  # precision 1.0 by exact rescore
+    recall = len(arrow & exact) / len(exact)
+    assert recall >= 0.6, f"recall {recall} on fragmented fixture"
+    # deterministic: seeded sampling + seeded k-means
+    again = {
+        (r.vec_a, r.vec_b)
+        for r in Q.q_embedding_near_dup_ivf(spark, sf_dir, nlist=48, nprobe=4).collect()
+    }
+    assert again == arrow
+
+
 def test_time_gap_fill_full_spine(spark, sf_dir):
     rows = Q.q_time_gap_fill(spark, sf_dir).collect()
     hours = sorted(r.hour_s for r in rows)
