@@ -94,6 +94,30 @@ def test_no_cartesian_product_in_any_registry_query(spark, sf_dir):
     assert not failures, failures
 
 
+def test_no_array_or_struct_in_oracled_projection(spark, sf_dir):
+    """Driver-contract lint: the driver canonicalizer pandas-sorts every
+    projected column before hashing and crashes on array/struct/map
+    cells (``TypeError: unhashable type: 'list'`` — the r4
+    multimodal_features red row). Every ORACLED query's final schema
+    must therefore be scalar-only. ``dedup_components`` (eager
+    iterative build) is covered too — its projection is fixed at
+    (doc_id, component), and a schema check forces the build once."""
+    from pyspark.sql import types as T
+
+    nested = (T.ArrayType, T.StructType, T.MapType)
+    failures = []
+    for name in Q.ORACLES:
+        try:
+            df = Q.QUERIES[name](spark, sf_dir)
+        except Exception as e:
+            failures.append(f"{name}: build error {e}")
+            continue
+        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, nested)]
+        if bad:
+            failures.append(f"{name}: nested-typed oracled columns {bad}")
+    assert not failures, failures
+
+
 def test_fulltext_fractional_cutoff_is_lazy(spark, sf_dir):
     """cutoff_frequency < 1 must read the corpus size from the postings
     n_docs column (a broadcast constant), not launch an eager df.count()

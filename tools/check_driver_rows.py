@@ -66,6 +66,7 @@ REWRITES: dict[str, int] = {
     "incremental_dedup": 4,
     "bigram_logprob": 4,  # r4 exact singleton pruning of the c2 join table
     "jpeg_probe": 4,  # r4 chunked FDCT/IDCT, int32 store, vector scatter
+    "multimodal_features": 5,  # r5 scalar (doc_id,bucket,ratio) projection
     "equidepth_histogram": 3,
     "audio_probe": 3,
     "video_frames": 3,
