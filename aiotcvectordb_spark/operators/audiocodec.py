@@ -149,7 +149,11 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     IMA spec: each block opens with (predictor int16, step index u8,
     reserved u8) then packs two 4-bit nibbles per byte, low nibble
     first."""
-    x = np.asarray(samples, dtype=np.int64)
+    # clip to int16 so the block-header sample (packed raw with '<h')
+    # follows the same clamping as the predictor path — unclamped input
+    # previously raised struct.error instead of this module's ValueError
+    # contract (r5 advice fix)
+    x = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
     if x.size == 0:
         x = np.zeros(1, dtype=np.int64)
     spb = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # samples per mono block

@@ -151,6 +151,14 @@ def _mark_frozen_stars(edges: DataFrame) -> DataFrame:
     """Annotate an oriented (a > b), distinct edge list with ``frz`` =
     this edge belongs to a component already in canonical star form.
 
+    PRECONDITION (exactness): ``edges`` must be DISTINCT and (a > b)-
+    oriented — the degree-local star test double-counts degrees on
+    duplicate edges and would silently sever non-star components.
+    The only caller feeds ``_small_star(...)`` output, whose trailing
+    ``.distinct()`` guarantees this; set
+    ``AIOTCVDB_CHECK_DISTINCT_EDGES=1`` to assert it at runtime (one
+    extra aggregate per round — debug only).
+
     Star test, all degree-local: root b has out-degree 0, and EVERY
     in-neighbor a of b has out-degree 1 and in-degree 0. When it holds,
     {b} ∪ N_in(b) is the entire component (no member can reach anything
@@ -162,6 +170,17 @@ def _mark_frozen_stars(edges: DataFrame) -> DataFrame:
     and a window would sort that entire hot key in one task (observed
     Java-heap OOM at the 100x probe), while groupBy-min partial-
     aggregates it map-side to one row per task."""
+    import os as _os
+
+    if _os.environ.get("AIOTCVDB_CHECK_DISTINCT_EDGES") == "1":
+        dup = (
+            edges.groupBy("a", "b").count().where(F.col("count") > 1).count()
+        )
+        if dup:
+            raise AssertionError(
+                f"_mark_frozen_stars fed {dup} duplicate edges — the "
+                "degree-local star test requires a distinct edge list"
+            )
     deg = (
         edges.select(F.col("a").alias("n"), F.lit(1).alias("o"), F.lit(0).alias("i"))
         .union(edges.select(F.col("b"), F.lit(0), F.lit(1)))
@@ -304,6 +323,9 @@ def connected_components(
             return with_frozen(
                 spark.createDataFrame(list(labels.items()), schema=schema)
             )
+        # INVARIANT: _small_star's trailing .distinct() is what makes
+        # _mark_frozen_stars' degree-local star test exact — never feed
+        # it a non-distinct edge list (see its docstring precondition)
         marked = _mark_frozen_stars(
             _small_star(_large_star(cur))
         ).localCheckpoint(eager=True, storageLevel=_ROUND_LEVEL)

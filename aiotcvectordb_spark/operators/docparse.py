@@ -15,9 +15,14 @@ implementable without third-party parsing deps:
   dies); first heading becomes the document title.
 - Plain text (everything else): passthrough.
 
-PDF/Office parsing stays honestly unimplemented (no parsing libraries
-in the container) — ``parse_document`` raises ``ValueError`` for those
-extensions instead of silently splitting raw binary soup.
+PDF (r5): real binary PDF payloads are parsed by
+``operators/pdfcodec.extract_pdf_text`` — a stdlib-only ISO 32000-1
+subset (object scan + ObjStm expansion, FlateDecode, Tj/TJ/'/" text
+operators, UTF-16BE + PDFDocEncoding strings). Encrypted and
+image-only PDFs are still honestly rejected (ValueError from the
+codec). Office formats stay honestly unimplemented (OOXML/OLE2
+containers need parsers absent from this environment) — ``ValueError``
+instead of silently splitting raw binary soup.
 
 Parsing is pure-Python string work exposed both as driver-side
 functions (the single-file API path) and usable inside any Arrow batch
@@ -33,7 +38,8 @@ import re
 # extensions the reference's server-side pipeline accepts for parsing
 _HTML_EXTS = (".html", ".htm")
 _MD_EXTS = (".md", ".markdown")
-_UNSUPPORTED_EXTS = (".pdf", ".doc", ".docx", ".ppt", ".pptx", ".xls", ".xlsx")
+_PDF_EXTS = (".pdf",)
+_UNSUPPORTED_EXTS = (".doc", ".docx", ".ppt", ".pptx", ".xls", ".xlsx")
 
 _SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.I | re.S)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
@@ -67,6 +73,8 @@ def detect_file_type(doc_name: str) -> str:
         return "html"
     if low.endswith(_MD_EXTS):
         return "markdown"
+    if low.endswith(_PDF_EXTS):
+        return "pdf"
     if low.endswith(_UNSUPPORTED_EXTS):
         return "unsupported"
     return "text"
@@ -118,13 +126,21 @@ def parse_document(raw: str, doc_name: str) -> tuple[str, str | None]:
         return parse_html(raw)
     if ftype == "markdown":
         return parse_markdown(raw)
+    if ftype == "pdf" and raw.startswith("%PDF"):
+        # a REAL binary PDF payload (str carries the bytes latin-1 /
+        # surrogateescape-style): extract text with the stdlib ISO
+        # 32000-1 subset. Encrypted / image-only / exotic-filter PDFs
+        # raise ValueError from the codec — honest rejection survives.
+        from aiotcvectordb_spark.operators.pdfcodec import extract_pdf_text
+
+        return extract_pdf_text(raw.encode("latin-1", "surrogateescape"))
     if ftype == "unsupported" and _looks_binary(raw):
-        # A PDF/Office BINARY payload needs parsing libraries absent
-        # from this environment — honest rejection, not silent
-        # raw-bytes splitting. Pre-extracted TEXT under a .pdf/.docx
-        # name (the common client-side-extraction flow) passes through.
+        # An Office BINARY payload needs container parsers absent from
+        # this environment — honest rejection, not silent raw-bytes
+        # splitting. Pre-extracted TEXT under a .pdf/.docx name (the
+        # common client-side-extraction flow) passes through.
         raise ValueError(
-            f"no parser for {doc_name!r}: PDF/Office binary parsing needs "
+            f"no parser for {doc_name!r}: Office binary parsing needs "
             "external libraries not present in this environment"
         )
     return raw, None

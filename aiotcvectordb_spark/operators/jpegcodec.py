@@ -568,13 +568,33 @@ def encode_jpeg_gray_progressive(
 
 class _BitReader:
     """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers,
-    and lets the MCU loop consume RSTn boundaries."""
+    and lets the MCU loop consume RSTn boundaries.
 
-    def __init__(self, data: bytes, pos: int) -> None:
+    ``strict`` (baseline scans): only RST/EOI/DNL markers may appear
+    inside or at the end of the entropy segment; any other marker means
+    a truncated/corrupt stream and raises instead of feeding padding
+    bits that all-ones Huffman tables could silently decode to garbage.
+    Progressive scans run non-strict — they legitimately end at the
+    next SOS/DHT and a trailing partial-byte read pads with 1-bits.
+    Non-interleaved baseline scans pass ``also_ok`` with the markers
+    that legally open the next scan section (SOS/DHT/DQT/DRI/COM/APPn)."""
+
+    _ALWAYS_OK = frozenset(range(0xD0, 0xD8)) | {0xD9, 0xDC}  # RST/EOI/DNL
+
+    def __init__(
+        self,
+        data: bytes,
+        pos: int,
+        *,
+        strict: bool = False,
+        also_ok: frozenset[int] = frozenset(),
+    ) -> None:
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.strict = strict
+        self._ok = self._ALWAYS_OK | also_ok
 
     def _fill(self) -> None:
         d = self.data
@@ -584,9 +604,14 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 2
             else:
-                # any marker: feed 1-bits (padding semantics); do not
-                # advance — progressive scans end at the next SOS/DHT
-                # and a trailing partial-byte read must not consume it
+                # marker: feed 1-bits (padding semantics); do not
+                # advance — a trailing partial-byte read must not
+                # consume the marker that ends the scan
+                if self.strict and nxt not in self._ok:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside baseline "
+                        "entropy scan (truncated or corrupt stream)"
+                    )
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 return
@@ -907,7 +932,7 @@ def _decode_scan(
         zz_store = _alloc_zz_store(frame)
     comp_pos = {id(c): i for i, c in enumerate(frame["comps"])}
     blk_idx = [0] * len(frame["comps"])
-    br = _BitReader(data, pos)
+    br = _BitReader(data, pos, strict=True)
     preds = [0] * len(scan)
     mcu_count = 0
     for my in range(mcuy):
@@ -950,7 +975,14 @@ def _entropy_decode_noninterleaved(
     comp_bw = -(-comp_w // 8)
     comp_bh = -(-comp_h // 8)
     dmap, amap = huff_dc[td], huff_ac[ta]
-    br = _BitReader(data, pos)
+    # next-scan section markers are legal here (multi-scan frame)
+    br = _BitReader(
+        data,
+        pos,
+        strict=True,
+        also_ok=frozenset({0xDA, 0xC4, 0xDB, 0xDD, 0xFE})
+        | frozenset(range(0xE0, 0xF0)),
+    )
     pred = 0
     cnt = 0
     for r in range(comp_bh):

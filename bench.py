@@ -110,6 +110,7 @@ HEADLINE = [
     "lang_id_cjk",
     "audio_adpcm_probe",
     "jpeg_progressive_probe",
+    "pdf_extract",
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

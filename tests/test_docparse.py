@@ -66,9 +66,14 @@ def test_detect_and_dispatch():
     assert docparse.detect_file_type("b.md") == "markdown"
     assert docparse.detect_file_type("notes.txt") == "text"
     assert docparse.detect_file_type("slides.pptx") == "unsupported"
+    assert docparse.detect_file_type("paper.pdf") == "pdf"
     assert docparse.parse_document("plain", "notes.txt") == ("plain", None)
-    with pytest.raises(ValueError, match="no parser"):
+    # a truncated/contentless PDF is rejected by the codec, not parsed
+    with pytest.raises(ValueError, match="no extractable text"):
         docparse.parse_document("%PDF-1.4", "paper.pdf")
+    # Office binaries are still honestly rejected
+    with pytest.raises(ValueError, match="no parser"):
+        docparse.parse_document("PK\x03\x04binary soup", "deck.pptx")
 
 
 @pytest.fixture()
@@ -119,8 +124,50 @@ def test_upload_markdown_e2e(cv_mgr):
     assert "](" not in joined and "```" not in joined
 
 
-def test_upload_pdf_rejected(cv_mgr):
+def test_upload_pdf_e2e_chunks_contain_extracted_text(cv_mgr):
+    """r5: a REAL binary PDF payload (FlateDecode content stream) is
+    parsed by the stdlib codec; chunks address the extracted text."""
+    from aiotcvectordb_spark.operators.pdfcodec import build_pdf
+
+    pdf = build_pdf(
+        "Revenue grew ten percent this quarter.\nApples and bananas.",
+        title="Quarterly Report",
+    )
+    res = cv_mgr.load_and_split_text(
+        "ai_parse",
+        "cv_parse",
+        doc_name="report.pdf",
+        text=pdf.decode("latin-1"),
+    )
+    assert res["indexed_status"] == "Ready"
+    chunks = cv_mgr.get_chunks(
+        "ai_parse", "cv_parse", document_set_id=res["doc_set_id"]
+    )
+    assert chunks, "PDF upload produced no chunks"
+    joined = " ".join(c["text"] for c in chunks)
+    assert "Revenue grew ten percent" in joined
+    assert "%PDF" not in joined and "FlateDecode" not in joined
+    # append_title_to_chunk honored from the PDF /Info /Title
+    assert all(c["text"].startswith("Quarterly Report\n") for c in chunks)
+
+
+def test_upload_encrypted_pdf_rejected(cv_mgr):
+    from aiotcvectordb_spark.operators.pdfcodec import build_pdf
+
+    pdf = build_pdf("secret").replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(ValueError, match="encrypted PDF"):
+        cv_mgr.load_and_split_text(
+            "ai_parse",
+            "cv_parse",
+            doc_name="secret.pdf",
+            text=pdf.decode("latin-1"),
+        )
+
+
+def test_upload_office_rejected(cv_mgr):
     with pytest.raises(ValueError, match="no parser"):
         cv_mgr.load_and_split_text(
-            "ai_parse", "cv_parse", doc_name="paper.pdf", text="%PDF-1.4 ..."
+            "ai_parse", "cv_parse", doc_name="deck.pptx", text="PK\x03\x04 ..."
         )

@@ -269,3 +269,20 @@ def test_progressive_dc_only_stream_decodes_blocky():
     no_dc = full[: sos_positions[0]] + b"\xff\xd9"
     with pytest.raises(ValueError, match="no SOS|DC scans"):
         decode_jpeg(no_dc)
+
+
+def test_baseline_scan_rejects_foreign_marker_midstream():
+    """r5 (advice): a baseline entropy scan interrupted by a marker
+    that can't legally end it (e.g. a stray DHT/SOF) is a corrupt
+    stream and must raise — NOT decode the 1-bit padding to garbage
+    pixels. RST/EOI stay fine (tested by every round trip above)."""
+    img = np.full((16, 16), 90, dtype=np.uint8)
+    full = encode_jpeg_gray(img)
+    sos = full.find(b"\xff\xda")
+    assert sos > 0
+    entropy_start = sos + 2 + int.from_bytes(full[sos + 2 : sos + 4], "big")
+    # keep only a few entropy bytes, then splice in a DHT marker so the
+    # decoder still needs bits when it hits the marker
+    corrupt = full[: entropy_start + 2] + b"\xff\xc4" + full[-2:]
+    with pytest.raises(ValueError, match="unexpected marker|invalid Huffman"):
+        decode_jpeg(corrupt)
