@@ -20,9 +20,13 @@ PDF (r5): real binary PDF payloads are parsed by
 subset (object scan + ObjStm expansion, FlateDecode, Tj/TJ/'/" text
 operators, UTF-16BE + PDFDocEncoding strings). Encrypted and
 image-only PDFs are still honestly rejected (ValueError from the
-codec). Office formats stay honestly unimplemented (OOXML/OLE2
-containers need parsers absent from this environment) — ``ValueError``
-instead of silently splitting raw binary soup.
+codec).
+
+Office (r5): OOXML containers (.docx/.pptx/.xlsx — ZIP of ECMA-376
+XML) are parsed for real by ``operators/officeparse`` with stdlib
+zipfile + ElementTree. Legacy OLE2 binaries (.doc/.ppt/.xls) and
+encrypted OOXML stay honestly rejected — ``ValueError`` instead of
+silently splitting raw binary soup.
 
 Parsing is pure-Python string work exposed both as driver-side
 functions (the single-file API path) and usable inside any Arrow batch
@@ -39,7 +43,8 @@ import re
 _HTML_EXTS = (".html", ".htm")
 _MD_EXTS = (".md", ".markdown")
 _PDF_EXTS = (".pdf",)
-_UNSUPPORTED_EXTS = (".doc", ".docx", ".ppt", ".pptx", ".xls", ".xlsx")
+_OOXML_EXTS = (".docx", ".pptx", ".xlsx")
+_UNSUPPORTED_EXTS = (".doc", ".ppt", ".xls")
 
 _SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.I | re.S)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
@@ -75,6 +80,8 @@ def detect_file_type(doc_name: str) -> str:
         return "markdown"
     if low.endswith(_PDF_EXTS):
         return "pdf"
+    if low.endswith(_OOXML_EXTS):
+        return low.rsplit(".", 1)[1]  # "docx" | "pptx" | "xlsx"
     if low.endswith(_UNSUPPORTED_EXTS):
         return "unsupported"
     return "text"
@@ -134,14 +141,28 @@ def parse_document(raw: str, doc_name: str) -> tuple[str, str | None]:
         from aiotcvectordb_spark.operators.pdfcodec import extract_pdf_text
 
         return extract_pdf_text(raw.encode("latin-1", "surrogateescape"))
+    if ftype in ("docx", "pptx", "xlsx") and _looks_binary(raw):
+        # real OOXML container (ZIP magic or embedded NULs): stdlib
+        # zipfile + ElementTree parse. Legacy OLE2 / encrypted OOXML
+        # raise inside officeparse. Pre-extracted TEXT under a .docx
+        # name (client-side-extraction flow) passes through below.
+        from aiotcvectordb_spark.operators import officeparse
+
+        payload = raw.encode("latin-1", "surrogateescape")
+        parser = {
+            "docx": officeparse.parse_docx,
+            "pptx": officeparse.parse_pptx,
+            "xlsx": officeparse.parse_xlsx,
+        }[ftype]
+        return parser(payload)
     if ftype == "unsupported" and _looks_binary(raw):
-        # An Office BINARY payload needs container parsers absent from
-        # this environment — honest rejection, not silent raw-bytes
-        # splitting. Pre-extracted TEXT under a .pdf/.docx name (the
-        # common client-side-extraction flow) passes through.
+        # Legacy OLE2 Office binaries (.doc/.ppt/.xls): the Word/
+        # PowerPoint binary record formats need far more than a
+        # container walk — honest rejection, not silent raw-bytes
+        # splitting.
         raise ValueError(
-            f"no parser for {doc_name!r}: Office binary parsing needs "
-            "external libraries not present in this environment"
+            f"no parser for {doc_name!r}: legacy OLE2 Office binary "
+            "parsing is not implemented (OOXML .docx/.pptx/.xlsx are)"
         )
     return raw, None
 

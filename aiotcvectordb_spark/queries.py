@@ -1399,14 +1399,17 @@ _NEARDUP_THRESHOLD = 0.45
 
 
 # Above this row count the router switches to the IVF-bucketed path.
-# Default derives from a bytes budget: rows x dim x 8 B <= ~128 MB per
-# executor for the ride-along matrix (250k x 64d = 128 MB) — broadcast
-# memory, prefilter cosine count (~6e10 at the cap), both sane; the old
-# 2M default meant a ~1 GiB broadcast and 4e12 cosines (VERDICT r3).
-# Env-overridable so tests (and operators who know their cluster
-# memory) can move the knee without code changes.
+# r5: default moved from 250k (the r3/r4 broadcast-bytes bound) to the
+# MEASURED wall-clock crossover — with BLAS-per-cell pair scoring the
+# IVF path already beats the exact broadcast matmul at 20k rows
+# (2.6 s vs 6 s at 20k; 21.5 s vs 201 s at 200k on the x100 fixture),
+# so routing exact any higher buys nothing but quadratic cost. 20k
+# also keeps the tiny-corpus regime (sf0.1 = 2k rows, where IVF's
+# k-means floor dominates) on the exact plan. Env-overridable so tests
+# (and operators who want bit-exact output further up) can move the
+# knee without code changes.
 _NEARDUP_EXACT_MAX_ROWS_ENV = "SPARK_GRAFT_NEARDUP_EXACT_MAX_ROWS"
-_NEARDUP_EXACT_MAX_ROWS_DEFAULT = 250_000
+_NEARDUP_EXACT_MAX_ROWS_DEFAULT = 20_000
 
 
 def _neardup_exact_max_rows() -> int:
@@ -1434,7 +1437,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unreachable at scale by construction from every entry point."""
     emb = load(spark, sf_dir, "embeddings")
     n_rows = emb.count()  # metadata-only parquet count
-    cap = _neardup_exact_max_rows()
+    # Fixed 250k safety bound (the r3/r4 broadcast-bytes budget: 128 MB
+    # ride-along matrix at 64d), deliberately NOT the router's
+    # env-tunable knee — this entry is exact-only at every scale/env by
+    # contract, so lowering the routing knee must not change it; only a
+    # corpus that genuinely breaks the broadcast budget fails fast.
+    cap = max(_neardup_exact_max_rows(), 250_000)
     if n_rows > cap:
         raise ValueError(
             f"embedding_near_dup is the EXACT O(N^2)-prefilter plan, "
@@ -1452,9 +1460,10 @@ def q_embedding_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N^2)/full-matrix-broadcast plan cannot be invoked on 100 TB by
     accident:
 
-    - ``n <= SPARK_GRAFT_NEARDUP_EXACT_MAX_ROWS`` (default 250k, a
-      ~128 MB ride-along matrix at 64d): the exact broadcast-matmul
-      prefilter (``q_embedding_near_dup``) — bit-exact.
+    - ``n <= SPARK_GRAFT_NEARDUP_EXACT_MAX_ROWS`` (default 20k — the
+      measured wall-clock crossover vs the BLAS-celled IVF path, r5):
+      the exact broadcast-matmul prefilter (``q_embedding_near_dup``)
+      — bit-exact.
     - above: the IVF-bucketed path (``q_embedding_near_dup_ivf``) with
       multi-probe assignment — bounded shuffles, nothing broadcast or
       collected; same output schema and the same exact rescore on
@@ -1602,10 +1611,22 @@ def _embedding_near_dup_exact(
 # Target rows per IVF cell (on the ASSIGNMENT table, i.e. after the
 # nprobe expansion). Σcell² work is (nprobe·N)²/nlist, so holding cell
 # size constant — nlist ∝ N — is what keeps candidate volume linear in
-# N. Cells above ~32 switch from the literal-expression centroid
-# distance (codegen-bounded) to Arrow-batched numpy assignment.
+# N. Assignment ladder (r5 — the 4096 hard cap is gone):
+#   nlist ≤ 32        Catalyst literal-expression centroid distance
+#                     (codegen-bounded)
+#   32 < nlist ≤ 8192 flat Arrow matmul against driver-side sampled
+#                     k-means centroids (k-means cost = sample × nlist,
+#                     bounded by the sample, not N)
+#   nlist > 8192      two-level IMI cells: cell = (c1, c2) from TWO
+#                     independent K=⌈√nlist⌉ codebooks over the
+#                     embedding halves — K² cells from 2K driver-
+#                     trainable centroids, so nlist ∝ N holds to ~16.7M
+#                     cells (K capped 4096) ≈ 1.6e10 assignment rows at
+#                     2000/cell without the codebook fit ever growing
+#                     with N. This is the 100 TB shape.
 _IVF_NEARDUP_CELL_ROWS = 2000
-_IVF_NEARDUP_MAX_NLIST = 4096
+_IVF_NEARDUP_FLAT_MAX_NLIST = 8192
+_IVF_NEARDUP_IMI_MAX_K = 4096
 
 
 def _sampled_spherical_kmeans(
@@ -1664,9 +1685,13 @@ def q_embedding_near_dup_ivf(
     assignment (plan-audited, codegen-bounded); above 32 cells the
     centroids come from driver-side sampled spherical k-means (bounded
     sample — the PQ training pattern) and assignment is an Arrow
-    mapInPandas matmul against the tiny broadcast centroid matrix.
-    Rows-only (iterative KMeans has no SQL oracle); recall vs the exact
-    operator is asserted in pytest for BOTH assignment paths."""
+    mapInPandas matmul against the tiny broadcast centroid matrix;
+    above the 8192 flat cap (r5) cells become two-level IMI products
+    (``_embedding_near_dup_imi``) — K² cells from 2K driver-trainable
+    subspace codebooks, so nlist ∝ N holds to ~16.7M cells without the
+    codebook fit ever growing with N. Rows-only (iterative KMeans has
+    no SQL oracle); recall vs the exact operator is asserted in pytest
+    for ALL assignment paths."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -1681,8 +1706,13 @@ def q_embedding_near_dup_ivf(
         n_rows = emb.count()  # parquet-metadata count
         nlist = max(
             16,
-            min(n_rows * nprobe // _IVF_NEARDUP_CELL_ROWS, _IVF_NEARDUP_MAX_NLIST),
+            min(
+                n_rows * nprobe // _IVF_NEARDUP_CELL_ROWS,
+                _IVF_NEARDUP_IMI_MAX_K**2,
+            ),
         )
+    if nlist > _IVF_NEARDUP_FLAT_MAX_NLIST:
+        return _embedding_near_dup_imi(spark, emb, nlist=nlist, nprobe=nprobe)
     if nlist > 32:
         return _embedding_near_dup_ivf_arrow(
             spark, emb, nlist=nlist, nprobe=nprobe
@@ -1741,37 +1771,64 @@ def q_embedding_near_dup_ivf(
 
 
 def _neardup_pairs_from_cells(assigned: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cell) → exact-rescored near-dup pairs via
-    the cell equi-join — shared by both assignment paths."""
-    from aiotcvectordb_spark.functions.vector import (
-        dot_score_fixed,
-        vector_norm_fixed,
-    )
+    """(vec_id, embedding, cell) → exact-rescored near-dup pairs,
+    shared by all assignment paths (flat Arrow and IMI).
 
-    a = assigned.select(
-        "cell",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        vector_norm_fixed("embedding", DIM).alias("na"),
-    )
-    b = assigned.select(
-        "cell",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        vector_norm_fixed("embedding", DIM).alias("nb"),
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "score",
-            F.round(
-                dot_score_fixed("ea", "eb", DIM) / (F.col("na") * F.col("nb")),
-                ROUND_DIGITS,
-            ),
+    r5 rewrite: per-cell BLAS instead of a per-pair JVM expression.
+    The previous cell self-join evaluated the unrolled 64-term cosine
+    chain INSIDE the SortMergeJoin condition (and again in the
+    projection) — ~7 µs per candidate pair, measured as the wall-clock
+    dominator at the 300x probe. One ``applyInPandas`` per cell now
+    computes the whole cell's cosine matrix as a chunked numpy matmul
+    (~35 ns per pair, S-chunks capped ~32 MB so a skewed cell degrades
+    to more chunks, not an OOM). Same shuffle shape — one exchange on
+    cell — with ~200x less CPU per candidate; BLAS inside cells,
+    shuffles between, which is the constant you want at 100 TB."""
+    import numpy as np
+
+    thr = _NEARDUP_THRESHOLD
+    schema = "vec_a long, vec_b long, score double"
+
+    def pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "score": []})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.asarray(list(pdf["embedding"]), dtype=np.float64)[order]
+        U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, (1 << 22) // n)  # S-chunk ≈ 32 MB of float64
+        for s0 in range(0, n - 1, chunk):
+            s1 = min(s0 + chunk, n - 1)
+            S = np.round(U[s0:s1] @ U.T, ROUND_DIGITS)
+            for r in range(s1 - s0):
+                row = S[r, s0 + r + 1 :]
+                hit = np.nonzero(row >= thr)[0]
+                if len(hit):
+                    out_a.append(np.full(len(hit), ids[s0 + r]))
+                    out_b.append(ids[s0 + r + 1 + hit])
+                    out_s.append(row[hit])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "score": []})
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "score": np.concatenate(out_s),
+            }
         )
-        .filter(F.col("score") >= _NEARDUP_THRESHOLD)
-        .select("vec_a", "vec_b", "score")
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(pairs, schema=schema)
+        .select(
+            F.col("vec_a").cast("long").alias("vec_a"),
+            F.col("vec_b").cast("long").alias("vec_b"),
+            "score",
+        )
         .distinct()
     )
 
@@ -1811,6 +1868,108 @@ def _embedding_near_dup_ivf_arrow(
                     "vec_id": pdf["vec_id"].to_numpy().repeat(n_probe),
                     "embedding": [e for e in pdf["embedding"] for _ in range(n_probe)],
                     "cell": top.astype(np.int32).ravel(),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(assign, schema=schema)
+    return _neardup_pairs_from_cells(assigned)
+
+
+def _sampled_subspace_kmeans(
+    X, k: int, *, iters: int = 6, seed: int = 42
+):
+    """Plain (euclidean) Lloyd's on an in-memory subvector sample —
+    seeded and chunked like ``_sampled_spherical_kmeans``. Subvectors
+    of unit vectors are NOT unit, so the spherical update is wrong
+    here; assignment uses min-L2 == max(dot − ‖c‖²/2)."""
+    import numpy as np
+
+    k = max(2, min(k, len(X) // 4 or 2))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    chunk = 16384
+    for _ in range(iters):
+        half = 0.5 * (C * C).sum(axis=1)  # (k,)
+        assign = np.empty(len(X), dtype=np.int64)
+        for s0 in range(0, len(X), chunk):
+            sl = slice(s0, s0 + chunk)
+            assign[sl] = np.argmax(X[sl] @ C.T - half, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def _embedding_near_dup_imi(
+    spark: SparkSession, emb: DataFrame, *, nlist: int, nprobe: int
+) -> DataFrame:
+    """Beyond-flat-cap IVF: two-level inverted multi-index cells
+    (IMI — Babenko & Lempitsky, "The Inverted Multi-Index", CVPR
+    2012). The coarse quantizer is the PRODUCT of two independent
+    K=⌈√nlist⌉ codebooks over the embedding halves, so K² cells come
+    from 2K driver-trainable centroids: the codebook fit stays bounded
+    by the SAMPLE no matter how big the corpus (K caps at 4096 → 16.7M
+    cells), which is what lets nlist ∝ N — constant cell size, linear
+    candidate volume — hold at 100 TB instead of stopping at a flat
+    cap. Multi-probe ranks the top-nprobe (c1, c2) pairs by combined
+    subspace distance over the nprobe×nprobe candidate grid. Same
+    bucket-join + exact rescore as every other path."""
+    import numpy as np
+
+    sample_rows = 100_000
+    n = emb.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = (
+        emb.select("embedding").sample(fraction=frac, seed=7)
+        .limit(sample_rows).collect()
+        if frac < 1.0
+        else emb.select("embedding").collect()
+    )
+    X = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d2 = X.shape[1] // 2
+    K = min(_IVF_NEARDUP_IMI_MAX_K, int(np.ceil(np.sqrt(nlist))))
+    C1 = _sampled_subspace_kmeans(X[:, :d2], K, seed=42)
+    C2 = _sampled_subspace_kmeans(X[:, d2:], K, seed=43)
+    K1, K2 = len(C1), len(C2)
+
+    id_type = dict(emb.dtypes)["vec_id"]
+    emb_type = dict(emb.dtypes)["embedding"]
+    schema = f"vec_id {id_type}, embedding {emb_type}, cell bigint"
+    t = min(nprobe, K1, K2)  # per-half probe width; t*t >= nprobe
+
+    def assign(batches):
+        import pandas as pd
+
+        h1 = 0.5 * (C1 * C1).sum(axis=1)
+        h2 = 0.5 * (C2 * C2).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            U = Xb / np.maximum(
+                np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12
+            )
+            S1 = U[:, :d2] @ C1.T - h1  # −L2²/2 + const per row
+            S2 = U[:, d2:] @ C2.T - h2
+            b = len(U)
+            top1 = np.argpartition(-S1, t - 1, axis=1)[:, :t]
+            top2 = np.argpartition(-S2, t - 1, axis=1)[:, :t]
+            s1 = np.take_along_axis(S1, top1, 1)
+            s2 = np.take_along_axis(S2, top2, 1)
+            comb = (s1[:, :, None] + s2[:, None, :]).reshape(b, t * t)
+            sel = np.argpartition(-comb, nprobe - 1, axis=1)[:, :nprobe]
+            i1 = np.take_along_axis(top1, sel // t, 1)
+            i2 = np.take_along_axis(top2, sel % t, 1)
+            cells = (i1.astype(np.int64) * K2 + i2).ravel()
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(nprobe),
+                    "embedding": [
+                        e for e in pdf["embedding"] for _ in range(nprobe)
+                    ],
+                    "cell": cells,
                 }
             )
 
@@ -3090,6 +3249,30 @@ SELECT doc_id,
        round(c / CAST(total AS DOUBLE), {ROUND_DIGITS}) AS ratio
 FROM filled
 """
+
+
+def q_audio_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III round trip (r5): the text-derived waveform
+    is MP3-encoded (real polyphase analysis + MDCT + Huffman codebook 1,
+    operators/mp3codec.encode_mp3) and a second shuffle-free mapInPandas
+    stage decodes the stream — side info, requantization, alias
+    reduction, IMDCT, synthesis filterbank — and computes features on
+    the reconstructed PCM. Rows-only by nature (the lossy subband
+    cascade is not SQL-expressible); pytest pins the codec (±20 Hz sine
+    frequency, <25% RMS drift, real-world container parse, tampered-
+    codebook rejection — tests/test_mp3codec.py). Honest subset per the
+    mp3codec module docstring: ISO Table B.7 codebooks beyond 0/1 and
+    the Table B.3 synthesis window are NOT reproduced."""
+    from aiotcvectordb_spark.operators import mp3codec as M3
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    mp3 = M3.with_mp3_payload(df)
+    return M3.mp3_features(mp3).select(
+        "doc_id",
+        "n_frames",
+        "duration_ms",
+        F.round("rms", ROUND_DIGITS).alias("rms"),
+    )
 
 
 _PDF_LINES_PER_PAGE = 20
@@ -5062,21 +5245,32 @@ GROUP BY 1
 
 def q_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 tokens per language: token counts partially aggregate
-    map-side before the (lang, token) shuffle, then a per-lang window
-    with deterministic (count desc, token) order takes the top-10. The
-    skew-safe variant at boilerplate-token scale is
-    partitioning.salted_group_topk (two-phase: per-salt top-k, merge)."""
+    map-side before the (lang, token) shuffle, then a two-phase salted
+    top-k (partitioning.salted_group_topk) takes the per-lang top-10.
+
+    r5: the plain ``Window.partitionBy(lang)`` sorted each language's
+    ENTIRE vocabulary in one task — the per-language candidate pool
+    grows with the corpus (10x ratio 2.17), exactly the hot-key shape
+    the salted form exists for. Phase 1 ranks within (lang, salt) and
+    keeps 10 per slice, so the final window sees ≤ salt×10 rows per
+    language regardless of vocab size — identical output (any global
+    top-10 row is top-10 of its slice)."""
+    from aiotcvectordb_spark import partitioning
+
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     counts = (
         df.select("lang", F.explode(sparse_fn.bm25_tokens_col("text")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("term_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("term_rank") <= 10)
+    ranked = partitioning.salted_group_topk(
+        counts,
+        ["lang"],
+        [F.desc("n"), F.asc("token")],
+        10,
+        rank_col="term_rank",
     )
+    return ranked.withColumn("term_rank", F.col("term_rank").cast("int"))
 
 
 ORACLE_LANG_TOP_TERMS = f"""
@@ -5302,10 +5496,18 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("doc_id", "token").agg(F.count("*").alias("dtf")).persist()
     )
     # corpus vocabulary with counts, plus the corpus token total
-    tf = dtf.groupBy("token").agg(F.sum("dtf").alias("tf"))
-    total = tf.agg(F.sum("tf").alias("n"))
+    tf_full = dtf.groupBy("token").agg(F.sum("dtf").alias("tf"))
+    total = tf_full.agg(F.sum("tf").alias("n"))
+    # Hapax pruning — exact, not approximate (the bigram_logprob trick,
+    # r5): a corpus-count-1 token joins to tf=1, which is precisely the
+    # coalesce miss default, so dropping hapaxes from the JOIN TABLE
+    # changes nothing in the output while cutting the build side by the
+    # hapax share (~40-50% of web-corpus vocab — the vocab table's
+    # growth term at scale; 10x ratio was 2.06).
+    tf = tf_full.where(F.col("tf") >= 2)
     return (
-        dtf.join(tf, "token")
+        dtf.join(tf, "token", "left")
+        .withColumn("tf", F.coalesce("tf", F.lit(1)))
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -5355,10 +5557,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominate distinct bigrams in web corpora; this is the bigram
     # table's growth term at scale — 10x ratio was 1.97).
     c2 = c2_full.where(F.col("c2") >= 2)
+    # Same exact pruning for the PREFIX table (r5): c1(w1) = 1 forces
+    # the lone bigram to c2 = 1, and coalesce supplies 1/1 on the
+    # double miss — log2(1) = 0, identical contribution, smaller build
+    # side (hapax prefixes ≈ hapax unigrams ≈ 40-50% of vocab).
+    c1p = c1.where(F.col("c1") >= 2)
     return (
         dbf.join(c2, ["w1", "w2"], "left")
         .withColumn("c2", F.coalesce("c2", F.lit(1)))
-        .join(c1, "w1")
+        .join(c1p, "w1", "left")
+        .withColumn("c1", F.coalesce("c1", F.lit(1)))
         .groupBy("doc_id")
         .agg(
             F.sum("dbf").cast("long").alias("n_bigrams"),
@@ -5603,6 +5811,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 forced: rewritten this round / no green row yet ---
     "multimodal_features": q_multimodal_features,
     "pdf_extract": q_pdf_extract,  # r5: new, no driver row yet
+    "unigram_logprob": q_unigram_logprob,  # r5: exact hapax pruning
+    "lang_top_terms": q_lang_top_terms,  # r5: salted two-phase top-k
+    "bigram_logprob": q_bigram_logprob,  # r5: exact prefix pruning
     # --- r2-age rows (hard cap: must be in the next batch) ---
     "large_volume_customers": q_large_volume_customers,
     "time_gap_fill": q_time_gap_fill,
@@ -5672,7 +5883,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "jpeg_probe": q_jpeg_probe,
     "jpeg_progressive_probe": q_jpeg_progressive_probe,
-    "bigram_logprob": q_bigram_logprob,
     "lang_id_cjk": q_lang_id_cjk,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
@@ -5685,8 +5895,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "chunk_expand": q_chunk_expand,
     "benchmark_decontaminate": q_benchmark_decontaminate,
-    "unigram_logprob": q_unigram_logprob,
-    "lang_top_terms": q_lang_top_terms,
     "pack_sequences": q_pack_sequences,
     "curate_corpus": q_curate_corpus,
     "incremental_dedup": q_incremental_dedup,
@@ -5719,6 +5927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_by_text": q_search_by_text,
     "ann_lsh_l2": q_ann_lsh_l2,
     "audio_adpcm_probe": q_audio_adpcm_probe,
+    "audio_mp3_probe": q_audio_mp3_probe,  # r5: Layer III codec subset
     "approx_sketches": q_approx_sketches,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_pq_cosine": q_ann_pq_cosine,

@@ -109,6 +109,7 @@ HEADLINE = [
     "fulltext_bm25_cjk",
     "lang_id_cjk",
     "audio_adpcm_probe",
+    "audio_mp3_probe",
     "jpeg_progressive_probe",
     "pdf_extract",
 ]

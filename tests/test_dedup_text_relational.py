@@ -228,6 +228,46 @@ def test_embedding_near_dup_ivf_arrow_path(spark, sf_dir):
     assert again == arrow
 
 
+def test_embedding_near_dup_imi_path(spark, sf_dir):
+    """The beyond-flat-cap IMI path (r5: two-level product cells —
+    cell = (c1, c2) from two independent subspace codebooks) keeps the
+    exact-rescore precision contract and reasonable recall, even forced
+    onto a tiny fixture (nlist above the flat cap routes here). This is
+    the nlist ∝ N design that holds past the old 4096 cap: K² cells
+    from 2K driver-trainable centroids."""
+    from aiotcvectordb_spark.plans import audit
+    from aiotcvectordb_spark.queries import _IVF_NEARDUP_FLAT_MAX_NLIST
+
+    from aiotcvectordb_spark.queries import _embedding_near_dup_imi, load
+
+    exact = {(r.vec_a, r.vec_b) for r in Q.q_embedding_near_dup(spark, sf_dir).collect()}
+    emb = load(spark, sf_dir, "embeddings")
+    # IMI at sane cell occupancy (nlist=64 → K=8 per half, several
+    # vectors per cell — the occupancy the router produces at real
+    # scale, where nlist ∝ N keeps ~2000 rows/cell)
+    imi_df = _embedding_near_dup_imi(spark, emb, nlist=64, nprobe=4)
+    assert "MapInPandas" in audit.executed_plan(imi_df)
+    imi = {(r.vec_a, r.vec_b) for r in imi_df.collect()}
+    assert imi <= exact  # precision 1.0 by exact rescore
+    recall = len(imi & exact) / len(exact)
+    assert recall >= 0.6, f"IMI recall {recall}"
+    # deterministic: seeded sampling + seeded subspace k-means
+    again = {
+        (r.vec_a, r.vec_b)
+        for r in _embedding_near_dup_imi(spark, emb, nlist=64, nprobe=4).collect()
+    }
+    assert again == imi
+    # the router actually dispatches above the flat cap, and the
+    # over-fragmented result still honors the precision contract
+    routed = {
+        (r.vec_a, r.vec_b)
+        for r in Q.q_embedding_near_dup_ivf(
+            spark, sf_dir, nlist=_IVF_NEARDUP_FLAT_MAX_NLIST + 1, nprobe=4
+        ).collect()
+    }
+    assert routed <= exact
+
+
 def test_time_gap_fill_full_spine(spark, sf_dir):
     rows = Q.q_time_gap_fill(spark, sf_dir).collect()
     hours = sorted(r.hour_s for r in rows)

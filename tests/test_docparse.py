@@ -65,15 +65,21 @@ def test_detect_and_dispatch():
     assert docparse.detect_file_type("a.HTML") == "html"
     assert docparse.detect_file_type("b.md") == "markdown"
     assert docparse.detect_file_type("notes.txt") == "text"
-    assert docparse.detect_file_type("slides.pptx") == "unsupported"
+    assert docparse.detect_file_type("slides.pptx") == "pptx"  # r5: OOXML parsed
+    assert docparse.detect_file_type("deck.ppt") == "unsupported"  # legacy OLE2
     assert docparse.detect_file_type("paper.pdf") == "pdf"
     assert docparse.parse_document("plain", "notes.txt") == ("plain", None)
     # a truncated/contentless PDF is rejected by the codec, not parsed
     with pytest.raises(ValueError, match="no extractable text"):
         docparse.parse_document("%PDF-1.4", "paper.pdf")
-    # Office binaries are still honestly rejected
-    with pytest.raises(ValueError, match="no parser"):
+    # a malformed OOXML container is rejected by the zip layer
+    with pytest.raises(ValueError, match="not an OOXML"):
         docparse.parse_document("PK\x03\x04binary soup", "deck.pptx")
+    # legacy Office binaries are still honestly rejected
+    with pytest.raises(ValueError, match="no parser"):
+        docparse.parse_document(
+            "\xd0\xcf\x11\xe0binary soup", "deck.ppt"
+        )
 
 
 @pytest.fixture()
@@ -166,8 +172,11 @@ def test_upload_encrypted_pdf_rejected(cv_mgr):
         )
 
 
-def test_upload_office_rejected(cv_mgr):
+def test_upload_legacy_office_rejected(cv_mgr):
     with pytest.raises(ValueError, match="no parser"):
         cv_mgr.load_and_split_text(
-            "ai_parse", "cv_parse", doc_name="deck.pptx", text="PK\x03\x04 ..."
+            "ai_parse",
+            "cv_parse",
+            doc_name="deck.ppt",
+            text="\xd0\xcf\x11\xe0 legacy binary",
         )

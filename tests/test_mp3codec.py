@@ -1,0 +1,182 @@
+"""MP3 codec (operators/mp3codec): transform-stage exactness, full
+encode→decode round trips with signal-level properties, container
+parsing against a real-world file when present, and the
+honest-rejection contract for everything outside the implemented
+subset (see the module docstring for what that subset is)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from aiotcvectordb_spark.operators import mp3codec as M
+
+_REAL_MP3 = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+)
+
+
+# ---------------------------------------------------------------------------
+# transform stages
+
+
+def test_mdct_overlap_add_is_perfect_reconstruction():
+    rng = np.random.default_rng(0)
+    x = np.concatenate([np.zeros(18), rng.standard_normal(18 * 40), np.zeros(18)])
+    coef = [
+        M._MDCT36 @ (x[f * 18 : f * 18 + 36] * M._WIN36)
+        for f in range((len(x) - 18) // 18)
+    ]
+    rec = np.zeros(len(x))
+    for f, c in enumerate(coef):
+        rec[f * 18 : f * 18 + 36] += (M._IMDCT36 @ c) * M._WIN36
+    err = rec[36:-36] - x[36:-36]
+    snr = 10 * np.log10(np.sum(x[36:-36] ** 2) / max(np.sum(err**2), 1e-300))
+    assert snr > 200, f"MDCT TDAC SNR {snr}"
+
+
+def test_alias_reduction_butterflies_invert_exactly():
+    rng = np.random.default_rng(1)
+    xr = rng.standard_normal(576)
+    back = M._alias_reduce(M._alias_reduce(xr, inverse=True))
+    assert np.allclose(back, xr, atol=1e-12)
+
+
+def test_polyphase_filterbank_near_pr():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(32 * 300)
+    y = M._synthesis_filterbank(M._analysis_filterbank(x))
+    d = M._FB_DELAY
+    xa, ya = x[: len(x) - d], y[d:]
+    g = np.dot(ya, xa) / np.dot(xa, xa)
+    assert 0.98 < g < 1.02  # unit gain cascade
+    err = ya / g - xa
+    core = slice(1024, len(xa) - 1024)
+    snr = 10 * np.log10(np.sum(xa[core] ** 2) / np.sum(err[core] ** 2))
+    assert snr > 40, f"filterbank SNR {snr} dB"
+
+
+# ---------------------------------------------------------------------------
+# encode → decode round trips
+
+
+@pytest.mark.parametrize("freq", [440.0, 1000.0, 3000.0])
+@pytest.mark.parametrize("fs", [44100, 48000])
+def test_round_trip_sine_frequency_and_energy(freq, fs):
+    t = np.arange(int(0.3 * fs)) / fs
+    x = 0.5 * np.sin(2 * np.pi * freq * t)
+    pcm, sr = M.decode_mp3(M.encode_mp3(x, fs, 128))
+    assert sr == fs
+    # duration: padded to whole frames
+    assert len(pcm) >= len(x) and len(pcm) % 1152 == 0
+    seg = pcm[4000:16000]
+    S = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f0 = np.argmax(S) * fs / len(seg)
+    assert abs(f0 - freq) < 20, f"peak {f0} vs {freq}"
+    rms_in = np.sqrt(np.mean(x**2))
+    rms_out = np.sqrt(np.mean(pcm[2000 : len(x) - 2000] ** 2))
+    assert abs(rms_out - rms_in) / rms_in < 0.25, (rms_in, rms_out)
+
+
+def test_round_trip_silence():
+    pcm, sr = M.decode_mp3(M.encode_mp3(np.zeros(1152 * 3), 44100, 128))
+    assert sr == 44100
+    assert np.abs(pcm).max() < 1e-6
+
+
+def test_probe_of_own_stream():
+    x = 0.3 * np.sin(2 * np.pi * 700 * np.arange(22050) / 44100)
+    mp3 = M.encode_mp3(x, 44100, 160)
+    info = M.probe_mp3(mp3)
+    assert info["layer"] == 3 and info["sample_rate"] == 44100
+    assert info["bitrate_kbps"] == 160 and info["channels"] == 1
+    assert not info["vbr"]
+    # 22050 samples pad to 20 frames of 1152
+    assert info["n_frames"] == 20
+    assert abs(info["duration_ms"] - 20 * 1152 * 1000 / 44100) <= 1
+
+
+# ---------------------------------------------------------------------------
+# real-world container parsing
+
+
+@pytest.mark.skipif(not os.path.exists(_REAL_MP3), reason="no fixture on host")
+def test_probe_real_world_file():
+    """A real MP3 from the host filesystem (ID3v2 tag + MPEG-2 Layer
+    III frames): the container parser must walk every frame and the
+    numbers must be self-consistent (frames x samples/frame == duration
+    at the parsed sample rate)."""
+    data = open(_REAL_MP3, "rb").read()
+    info = M.probe_mp3(data)
+    assert info["layer"] == 3
+    assert info["n_frames"] > 10
+    assert info["sample_rate"] in (44100, 48000, 32000, 22050, 24000, 16000)
+    expect_ms = info["n_frames"] * 576 * 1000.0 / info["sample_rate"]
+    assert abs(info["duration_ms"] - expect_ms) <= 2
+    # and the decoder rejects what it cannot faithfully decode
+    with pytest.raises(ValueError):
+        M.decode_mp3(data)
+
+
+# ---------------------------------------------------------------------------
+# honest rejection
+
+
+def test_rejects_non_mp3():
+    with pytest.raises(ValueError, match="no MPEG audio frame"):
+        M.probe_mp3(b"RIFF....WAVEnot an mp3 at all" * 4)
+
+
+def test_rejects_free_format():
+    # craft a single free-format header (bitrate index 0)
+    hdr = bytes([0xFF, 0xFB, 0x00 | (0 << 2), 0xC0]) + b"\x00" * 64
+    with pytest.raises(ValueError, match="free-format"):
+        M.probe_mp3(hdr)
+
+
+def test_rejects_foreign_huffman_codebook():
+    x = 0.4 * np.sin(2 * np.pi * 500 * np.arange(4608) / 44100)
+    mp3 = bytearray(M.encode_mp3(x, 44100, 128))
+    # side info starts at byte 4; table_select for granule 0 sits at
+    # bit offset 9+5+4 + 12+9+8+4+1 = 52 within the side info. Flip the
+    # 5-bit field from 1 to 7 (an unimplemented codebook).
+    side_bit = 52
+    for rel, bit in enumerate([0, 0, 1, 1, 1]):  # value 7
+        pos = side_bit + rel
+        byte_i = 4 + pos // 8
+        mask = 0x80 >> (pos % 8)
+        if bit:
+            mp3[byte_i] |= mask
+        else:
+            mp3[byte_i] &= ~mask
+    with pytest.raises(ValueError, match="codebook 7 not implemented"):
+        M.decode_mp3(bytes(mp3))
+
+
+def test_rejects_unsupported_bitrate_and_rate():
+    with pytest.raises(ValueError, match="sample rate"):
+        M.encode_mp3(np.zeros(1152), 22050, 128)
+    with pytest.raises(ValueError, match="bitrate"):
+        M.encode_mp3(np.zeros(1152), 44100, 123)
+
+
+def test_round_trip_stereo_independent_channels():
+    """Stereo (mode 0, independent channels): each channel must come
+    back with ITS OWN frequency and amplitude — cross-talk or channel
+    ordering bugs would swap/blend the peaks."""
+    fs = 44100
+    t = np.arange(int(0.3 * fs)) / fs
+    L = 0.5 * np.sin(2 * np.pi * 440 * t)
+    R = 0.4 * np.sin(2 * np.pi * 1200 * t)
+    pcm, sr = M.decode_mp3(M.encode_mp3(np.stack([L, R], axis=1), fs, 192))
+    assert sr == fs and pcm.ndim == 2 and pcm.shape[1] == 2
+    for ch, (sig, f_exp) in enumerate([(L, 440.0), (R, 1200.0)]):
+        seg = pcm[4000:12000, ch]
+        S = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f0 = np.argmax(S) * fs / len(seg)
+        assert abs(f0 - f_exp) < 20
+        rms_i = np.sqrt(np.mean(sig**2))
+        rms_o = np.sqrt(np.mean(pcm[2000 : len(sig) - 2000, ch] ** 2))
+        assert abs(rms_o - rms_i) / rms_i < 0.25

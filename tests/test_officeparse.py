@@ -1,0 +1,148 @@
+"""OOXML text extraction (operators/officeparse): real ZIP+XML
+fixtures built with the stdlib, dispatch through docparse, upload e2e,
+and the honest-rejection contract for legacy OLE2 binaries."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from aiotcvectordb_spark.operators import docparse, officeparse
+
+_W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+_A_NS = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+_S_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+_CORE = (
+    '<cp:coreProperties '
+    'xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" '
+    'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+    "<dc:title>Quarterly Report</dc:title></cp:coreProperties>"
+)
+
+
+def _zip_bytes(parts: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in parts.items():
+            zf.writestr(name, content)
+    return buf.getvalue()
+
+
+def _docx(paragraphs: list[str]) -> bytes:
+    body = "".join(
+        f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs
+    )
+    return _zip_bytes(
+        {
+            "word/document.xml": f"<w:document {_W_NS}><w:body>{body}</w:body></w:document>",
+            "docProps/core.xml": _CORE,
+        }
+    )
+
+
+def test_docx_paragraphs_and_title():
+    data = _docx(["Revenue grew ten percent.", "Apples and bananas."])
+    text, title = officeparse.parse_docx(data)
+    assert text == "Revenue grew ten percent.\nApples and bananas."
+    assert title == "Quarterly Report"
+
+
+def test_docx_tabs_and_breaks():
+    doc = (
+        f"<w:document {_W_NS}><w:body><w:p><w:r>"
+        "<w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t>"
+        "</w:r></w:p></w:body></w:document>"
+    )
+    text, _ = officeparse.parse_docx(_zip_bytes({"word/document.xml": doc}))
+    assert text == "a\tb\nc"
+
+
+def test_pptx_slides_in_order():
+    def slide(lines):
+        ps = "".join(
+            f"<a:p><a:r><a:t>{ln}</a:t></a:r></a:p>" for ln in lines
+        )
+        return f"<p:sld xmlns:p=\"urn:x\" {_A_NS}><p:cSld>{ps}</p:cSld></p:sld>"
+
+    data = _zip_bytes(
+        {
+            "ppt/slides/slide2.xml": slide(["second slide"]),
+            "ppt/slides/slide1.xml": slide(["Deck Title", "intro line"]),
+            "ppt/slides/slide10.xml": slide(["tenth slide"]),
+        }
+    )
+    text, title = officeparse.parse_pptx(data)
+    # numeric sort: 1, 2, 10 — not lexicographic 1, 10, 2
+    assert text.index("Deck Title") < text.index("second slide") < text.index("tenth slide")
+    assert title == "Deck Title"
+
+
+def test_xlsx_shared_and_inline_strings():
+    shared = (
+        f"<sst {_S_NS}><si><t>alpha</t></si><si><t>beta</t></si></sst>"
+    )
+    sheet = (
+        f"<worksheet {_S_NS}><sheetData>"
+        '<row><c t="s"><v>0</v></c><c><v>42</v></c></row>'
+        '<row><c t="s"><v>1</v></c><c t="inlineStr"><is><t>gamma</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    data = _zip_bytes(
+        {"xl/sharedStrings.xml": shared, "xl/worksheets/sheet1.xml": sheet}
+    )
+    text, _ = officeparse.parse_xlsx(data)
+    assert text == "alpha\t42\nbeta\tgamma"
+
+
+def test_ole2_rejected():
+    ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64
+    with pytest.raises(ValueError, match="OLE2"):
+        officeparse.parse_docx(ole)
+    with pytest.raises(ValueError, match="no parser"):
+        docparse.parse_document(ole.decode("latin-1"), "legacy.doc")
+
+
+def test_garbage_zip_rejected():
+    with pytest.raises(ValueError, match="not an OOXML"):
+        officeparse.parse_pptx(b"PK\x03\x04 but not really a zip")
+
+
+def test_dispatch_through_parse_document():
+    data = _docx(["hello from word"])
+    text, title = docparse.parse_document(
+        data.decode("latin-1"), "report.docx"
+    )
+    assert text == "hello from word"
+    assert title == "Quarterly Report"
+    # pre-extracted text under an OOXML name still passes through
+    assert docparse.parse_document("plain text", "notes.docx") == (
+        "plain text", None,
+    )
+
+
+def test_upload_docx_e2e(engine):
+    from aiotcvectordb_spark.collection_view import CollectionViewManager
+
+    engine.create_ai_database("ai_office")
+    mgr = CollectionViewManager(engine)
+    mgr.create_collection_view(
+        "ai_office",
+        "cv_office",
+        splitter_process={"chunk_size": 60, "overlap": 10},
+        parsing_process={"parsing_type": "AlgorithmParsing"},
+    )
+    data = _docx(["Revenue grew ten percent this quarter.", "Apples."])
+    res = mgr.load_and_split_text(
+        "ai_office",
+        "cv_office",
+        doc_name="report.docx",
+        text=data.decode("latin-1"),
+    )
+    chunks = mgr.get_chunks(
+        "ai_office", "cv_office", document_set_id=res["doc_set_id"]
+    )
+    joined = " ".join(c["text"] for c in chunks)
+    assert "Revenue grew ten percent" in joined
+    assert "word/document" not in joined

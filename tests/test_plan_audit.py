@@ -306,7 +306,10 @@ def test_round2b_ops_shuffle_budgets(spark, sf_dir):
         "source_quota": 1,      # per-source window
         "ewma_smooth": 1,       # per-user window
         "attribution_last_touch": 2,  # user window + tiny group agg
-        "lang_top_terms": 3,    # scan-widen repartition + partial agg + window
+        # scan-widen repartition + partial agg + salted phase-1 window +
+        # merge window (r5: +1 bounded exchange buys away the
+        # vocab-sized single-task sort per language)
+        "lang_top_terms": 4,
         # codec chains: zero exchanges beyond the deliberate scan-widen
         # repartition (ensure_min_partitions on the single-row-group
         # testdata file) — encode->decode itself never shuffles
@@ -342,7 +345,7 @@ def test_embedding_near_dup_scale_routing(spark, sf_dir, monkeypatch):
     oracled = Q.q_embedding_near_dup(spark, sf_dir)
     assert "MapInPandas" in audit.executed_plan(oracled)
 
-    # default knee (250k) -> fixture routes to the exact broadcast plan
+    # default knee (20k, r5) -> fixture routes to the exact broadcast plan
     monkeypatch.delenv(Q._NEARDUP_EXACT_MAX_ROWS_ENV, raising=False)
     exact = Q.q_embedding_near_dup_auto(spark, sf_dir)
     plan = audit.executed_plan(exact)

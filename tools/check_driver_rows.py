@@ -59,14 +59,14 @@ REWRITES: dict[str, int] = {
     "simhash_near_dup": 4,
     "chunk_expand": 4,
     "benchmark_decontaminate": 4,
-    "unigram_logprob": 4,
-    "lang_top_terms": 4,
     "pack_sequences": 4,
     "curate_corpus": 4,
     "incremental_dedup": 4,
-    "bigram_logprob": 4,  # r4 exact singleton pruning of the c2 join table
+    "bigram_logprob": 5,  # r5 exact prefix (c1) pruning joins the r4 c2 pruning
     "jpeg_probe": 4,  # r4 chunked FDCT/IDCT, int32 store, vector scatter
     "multimodal_features": 5,  # r5 scalar (doc_id,bucket,ratio) projection
+    "unigram_logprob": 5,  # r5 exact hapax pruning of the vocab join table
+    "lang_top_terms": 5,  # r5 salted two-phase top-k (vocab-sized window)
     "equidepth_histogram": 3,
     "audio_probe": 3,
     "video_frames": 3,

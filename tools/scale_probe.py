@@ -107,9 +107,15 @@ def build_scaled(spark, sf_dir: str, out_dir: str, k: int) -> None:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(sf_dir, f"{t}.parquet"), dst)
+    only = os.environ.get("SCALE_PROBE_TABLES")
+    wanted = set(only.split(",")) if only else None
     for t in SCALED_TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if os.path.exists(dst):
+            continue
+        if wanted is not None and t not in wanted:
+            # targeted probes (e.g. a 300x embeddings-only IMI probe)
+            # skip building the tables their queries never read
             continue
         df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
         idc = ID_COLS[t]
@@ -163,7 +169,8 @@ def main() -> None:
     spark = get_spark("scale_probe")
     build_scaled(spark, sf_dir, out_dir, k)
     # warm
-    spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
+    if os.path.exists(f"{out_dir}/lineitem.parquet"):
+        spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
     results = {}
     for name in names:
         t1 = time_query(spark, name, sf_dir)
