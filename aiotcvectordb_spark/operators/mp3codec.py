@@ -417,6 +417,24 @@ def _decode_big_values(br: _BitReader, g: dict, end_bit: int) -> np.ndarray:
             y = -y if br.read_bit() else y
         ix[i], ix[i + 1] = x, y
         i += 2
+    # count1 region (r5): quadruples of {0, ±1} lines after big_values
+    # until part2_3_length is exhausted. Table B is the structurally
+    # fixed codebook (4-bit one's complement of the magnitude quad);
+    # table A's variable-length codes are spec numerics we do not
+    # reproduce — honest rejection when bits remain under select=0.
+    if br.pos + 4 <= end_bit and g["count1table_select"] == 0:
+        raise ValueError(
+            "count1 codebook A not implemented: only the fixed 4-bit "
+            "codebook B is available in this environment"
+        )
+    while br.pos + 4 <= end_bit and i + 4 <= 576:
+        quad = (~br.read(4)) & 0xF
+        for k in range(4):
+            v = (quad >> (3 - k)) & 1
+            if v and br.pos < end_bit:
+                v = -v if br.read_bit() else v
+            ix[i + k] = v
+        i += 4
     return ix
 
 
@@ -535,8 +553,10 @@ def _synth_stateful(sb: np.ndarray, state: dict, key: str) -> np.ndarray:
 
 def _encode_granule(xr: np.ndarray, max_gr_bits: int) -> tuple[_BitWriter, dict]:
     """Quantize one granule's 576 spectral lines to {-1, 0, +1}
-    (amplitude in global_gain) and Huffman-code with codebook 1,
-    trimming highest-frequency-first to the bit budget."""
+    (amplitude in global_gain) and Huffman-code: codebook 1 for the
+    big_values region, with the trailing quad-aligned nonzero chunk
+    (up to 6 quads, the spec's count1 shape) coded as count1 codebook-B
+    quadruples. Trims highest-frequency-first to the bit budget."""
     amp = np.abs(xr).max()
     if amp <= 1e-12:
         gg = 0
@@ -547,20 +567,42 @@ def _encode_granule(xr: np.ndarray, max_gr_bits: int) -> tuple[_BitWriter, dict]
         ix = np.where(np.abs(xr) >= gain / 2.0, np.sign(xr), 0.0).astype(np.int64)
     bw = _BitWriter()
     nz = np.nonzero(ix)[0]
-    last = (int(nz[-1]) + 2) // 2 * 2 if len(nz) else 0
-    big_values = last // 2
+    if len(nz):
+        lz = int(nz[-1])
+        nq = min(6, lz // 4 + 1)
+        c1_start = 4 * (lz // 4 - nq + 1)
+        big_values = c1_start // 2
+    else:
+        nq = 0
+        c1_start = 0
+        big_values = 0
+    overflow = False
     for p in range(big_values):
         a, b_ = int(ix[2 * p]), int(ix[2 * p + 1])
         code = _HUFF1_ENC[(abs(a), abs(b_))]
         need = len(code) + (1 if a else 0) + (1 if b_ else 0)
         if bw.tell() + need > max_gr_bits:
             big_values = p
+            overflow = True
             break
         bw.write_str(code)
         if a:
             bw.write(1 if a < 0 else 0, 1)
         if b_:
             bw.write(1 if b_ < 0 else 0, 1)
+    if not overflow:
+        for q in range(nq):
+            lines = ix[c1_start + 4 * q : c1_start + 4 * q + 4]
+            mag = 0
+            for v in lines:
+                mag = (mag << 1) | (1 if v else 0)
+            need = 4 + int(np.count_nonzero(lines))
+            if bw.tell() + need > max_gr_bits:
+                break
+            bw.write((~mag) & 0xF, 4)
+            for v in lines:
+                if v:
+                    bw.write(1 if v < 0 else 0, 1)
     return bw, {"part2_3_length": bw.tell(), "big_values": big_values,
                 "global_gain": gg}
 

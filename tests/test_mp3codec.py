@@ -180,3 +180,23 @@ def test_round_trip_stereo_independent_channels():
         rms_i = np.sqrt(np.mean(sig**2))
         rms_o = np.sqrt(np.mean(pcm[2000 : len(sig) - 2000, ch] ** 2))
         assert abs(rms_o - rms_i) / rms_i < 0.25
+
+
+def test_count1_region_round_trips_and_rejects_table_a():
+    """r5: trailing quad-aligned nonzero lines are coded as count1
+    codebook-B quadruples (the structurally fixed 4-bit complement
+    codes). Flipping count1table_select to codebook A must raise — this
+    both pins the honest rejection AND proves count1 bits are actually
+    present and consumed in our own streams."""
+    fs = 44100
+    x = 0.5 * np.sin(2 * np.pi * 1000 * np.arange(int(0.2 * fs)) / fs)
+    mp3 = M.encode_mp3(x, fs, 128)
+    pcm, _ = M.decode_mp3(mp3)
+    rms_i = np.sqrt(np.mean(x**2))
+    rms_o = np.sqrt(np.mean(pcm[2000 : len(x) - 2000] ** 2))
+    assert abs(rms_o - rms_i) / rms_i < 0.25
+    b = bytearray(mp3)
+    pos = 18 + 58  # granule-0 count1table_select bit (mono side info)
+    b[4 + pos // 8] &= ~(0x80 >> (pos % 8))
+    with pytest.raises(ValueError, match="count1 codebook A"):
+        M.decode_mp3(bytes(b))
