@@ -551,21 +551,44 @@ def _synth_stateful(sb: np.ndarray, state: dict, key: str) -> np.ndarray:
 # encoder (mono, 44.1/48/32 kHz, long blocks, codebook 1)
 
 
-def _encode_granule(xr: np.ndarray, max_gr_bits: int) -> tuple[_BitWriter, dict]:
-    """Quantize one granule's 576 spectral lines to {-1, 0, +1}
-    (amplitude in global_gain) and Huffman-code: codebook 1 for the
-    big_values region, with the trailing quad-aligned nonzero chunk
-    (up to 6 quads, the spec's count1 shape) coded as count1 codebook-B
-    quadruples. Trims highest-frequency-first to the bit budget."""
+_ENC_SCF_COMPRESS = 15  # slen (4, 3): sfb 0-10 get 4-bit, 11-20 3-bit
+
+
+def _encode_granule(
+    xr: np.ndarray, max_gr_bits: int, bands: list[int]
+) -> tuple[_BitWriter, dict]:
+    """Quantize one granule's 576 spectral lines to {-1, 0, +1} per
+    scalefactor band (global amplitude in global_gain, per-band level
+    in REAL transmitted scalefactors — r5: without them every band
+    decoded to the same magnitude and multi-tone signals lost their
+    relative levels) and Huffman-code: codebook 1 for the big_values
+    region, the trailing quad-aligned nonzero chunk (up to 6 quads) as
+    count1 codebook-B quadruples. Trims highest-frequency-first to the
+    bit budget."""
     amp = np.abs(xr).max()
+    sf = np.zeros(21, dtype=np.int64)
     if amp <= 1e-12:
         gg = 0
         ix = np.zeros(576, dtype=np.int64)
     else:
         gg = int(np.clip(round(210 + 4 * np.log2(amp)), 0, 255))
         gain = 2.0 ** ((gg - 210.0) / 4.0)
-        ix = np.where(np.abs(xr) >= gain / 2.0, np.sign(xr), 0.0).astype(np.int64)
+        # per-band level: decode multiplies by 2^(-0.5*sf), so boost
+        # the quantization threshold down to the band's own peak
+        thr = np.full(576, gain / 2.0)
+        for sfb in range(21):
+            lo, hi = bands[sfb], bands[sfb + 1]
+            p = np.abs(xr[lo:hi]).max() if hi > lo else 0.0
+            if p > 1e-12:
+                limit = 15 if sfb < 11 else 7
+                sf[sfb] = int(np.clip(round(-2.0 * np.log2(p / amp)), 0, limit))
+                thr[lo:hi] = gain * 2.0 ** (-0.5 * sf[sfb]) / 2.0
+        ix = np.where(np.abs(xr) >= thr, np.sign(xr), 0.0).astype(np.int64)
     bw = _BitWriter()
+    for sfb in range(11):
+        bw.write(int(sf[sfb]), 4)
+    for sfb in range(11, 21):
+        bw.write(int(sf[sfb]), 3)
     nz = np.nonzero(ix)[0]
     if len(nz):
         lz = int(nz[-1])
@@ -662,7 +685,9 @@ def encode_mp3(
                 segT[1::2, 1::2] *= -1.0  # matches decoder's inversion
                 grid = (segT * _WIN36[None, :]) @ _MDCT36.T  # (32, 18)
                 xr = _alias_reduce(grid.reshape(576), inverse=True)
-                bw, g = _encode_granule(xr, max_gr_bits)
+                bw, g = _encode_granule(
+                    xr, max_gr_bits, _SFB_LONG[sample_rate]
+                )
                 payloads.append(bw)
                 sides.append(g)
 
@@ -679,7 +704,7 @@ def encode_mp3(
             sw.write(g["part2_3_length"], 12)
             sw.write(g["big_values"], 9)
             sw.write(g["global_gain"], 8)
-            sw.write(0, 4)   # scalefac_compress (no scalefactor bits)
+            sw.write(_ENC_SCF_COMPRESS, 4)  # slen (4,3): real scalefactors
             sw.write(0, 1)   # window_switching (long blocks)
             for _ in range(3):
                 sw.write(1, 5)  # table_select = codebook 1

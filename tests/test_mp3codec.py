@@ -200,3 +200,20 @@ def test_count1_region_round_trips_and_rejects_table_a():
     b[4 + pos // 8] &= ~(0x80 >> (pos % 8))
     with pytest.raises(ValueError, match="count1 codebook A"):
         M.decode_mp3(bytes(b))
+
+
+def test_scalefactors_preserve_per_band_levels():
+    """r5: REAL transmitted scalefactors (slen 4,3) carry per-band
+    levels, so a two-tone signal with a 12 dB level difference keeps
+    its spectral balance — without them both tones decoded to the same
+    magnitude. Also exercises the decoder's nonzero-slen path."""
+    fs = 44100
+    t = np.arange(int(0.3 * fs)) / fs
+    x = 0.5 * np.sin(2 * np.pi * 400 * t) + 0.125 * np.sin(2 * np.pi * 5000 * t)
+    pcm, _ = M.decode_mp3(M.encode_mp3(x, fs, 128))
+    seg = pcm[4000:20000]
+    S = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f = np.arange(len(S)) * fs / len(seg)
+    a_low = S[(f > 350) & (f < 450)].max()
+    a_high = S[(f > 4900) & (f < 5100)].max()
+    assert 2.5 < a_low / a_high < 6.5, a_low / a_high  # true ratio 4
