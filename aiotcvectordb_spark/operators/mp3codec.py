@@ -138,9 +138,14 @@ class _BitReader:
 
     def read(self, n: int) -> int:
         v = 0
+        data = self.data
         for _ in range(n):
-            byte = self.data[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            idx = self.pos >> 3
+            if idx >= len(data):
+                raise ValueError(
+                    "truncated MP3 frame: bit reader ran off the payload"
+                )
+            v = (v << 1) | ((data[idx] >> (7 - (self.pos & 7))) & 1)
             self.pos += 1
         return v
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 import io
 import re
 import zipfile
+import zlib
 from xml.etree import ElementTree
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
@@ -52,10 +53,30 @@ def _open_zip(data: bytes, kind: str) -> zipfile.ZipFile:
         raise ValueError(f"not an OOXML {kind} container: {e}") from None
 
 
+def _read_xml(zf: zipfile.ZipFile, name: str):
+    """Read + parse one XML part; any corruption (bad deflate, CRC
+    mismatch, malformed XML) surfaces as ValueError — never a leaked
+    zlib.error / BadZipFile / ParseError (fuzz-pinned contract)."""
+    try:
+        return ElementTree.fromstring(zf.read(name))
+    except KeyError:
+        raise
+    except (
+        zlib.error,              # bad deflate data
+        zipfile.BadZipFile,      # CRC / local-header mismatch
+        ElementTree.ParseError,  # malformed XML
+        NotImplementedError,     # flipped compression-method byte
+        RuntimeError,            # "encrypted, password required"
+        EOFError,
+        OSError,
+    ) as e:
+        raise ValueError(f"corrupt OOXML part {name!r}: {e}") from None
+
+
 def _core_title(zf: zipfile.ZipFile) -> str | None:
     try:
-        root = ElementTree.fromstring(zf.read("docProps/core.xml"))
-    except (KeyError, ElementTree.ParseError):
+        root = _read_xml(zf, "docProps/core.xml")
+    except (KeyError, ValueError):
         return None
     el = root.find(f"{_DC}title")
     return (el.text or "").strip() or None if el is not None else None
@@ -65,10 +86,9 @@ def parse_docx(data: bytes) -> tuple[str, str | None]:
     """Extract (text, title) from a .docx payload."""
     zf = _open_zip(data, ".docx")
     try:
-        doc = zf.read("word/document.xml")
+        root = _read_xml(zf, "word/document.xml")
     except KeyError:
         raise ValueError("not a .docx: word/document.xml missing") from None
-    root = ElementTree.fromstring(doc)
     lines: list[str] = []
     for p in root.iter(f"{_W}p"):
         parts: list[str] = []
@@ -96,7 +116,7 @@ def parse_pptx(data: bytes) -> tuple[str, str | None]:
         raise ValueError("not a .pptx: no ppt/slides/slide*.xml parts")
     slides: list[str] = []
     for name in slide_names:
-        root = ElementTree.fromstring(zf.read(name))
+        root = _read_xml(zf, name)
         lines = []
         for p in root.iter(f"{_A}p"):
             runs = [t.text or "" for t in p.iter(f"{_A}t")]
@@ -116,7 +136,7 @@ def parse_xlsx(data: bytes) -> tuple[str, str | None]:
     zf = _open_zip(data, ".xlsx")
     shared: list[str] = []
     if "xl/sharedStrings.xml" in zf.namelist():
-        sroot = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+        sroot = _read_xml(zf, "xl/sharedStrings.xml")
         for si in sroot.iter(f"{_S}si"):
             shared.append("".join(t.text or "" for t in si.iter(f"{_S}t")))
     sheet_names = sorted(
@@ -128,7 +148,7 @@ def parse_xlsx(data: bytes) -> tuple[str, str | None]:
         raise ValueError("not an .xlsx: no xl/worksheets/sheet*.xml parts")
     out_lines: list[str] = []
     for name in sheet_names:
-        root = ElementTree.fromstring(zf.read(name))
+        root = _read_xml(zf, name)
         for row in root.iter(f"{_S}row"):
             cells: list[str] = []
             for c in row.iter(f"{_S}c"):

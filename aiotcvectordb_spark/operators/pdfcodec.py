@@ -92,8 +92,13 @@ def _stream_of(body: bytes) -> bytes | None:
     try:
         return zlib.decompress(raw)
     except zlib.error:
-        # tolerate trailing garbage after the deflate stream
-        return zlib.decompressobj().decompress(raw)
+        # tolerate trailing garbage after the deflate stream; a stream
+        # that still fails is corrupt — ValueError, never a leaked
+        # zlib.error (fuzz-pinned contract)
+        try:
+            return zlib.decompressobj().decompress(raw)
+        except zlib.error as e:
+            raise ValueError(f"corrupt FlateDecode stream: {e}") from None
 
 
 def _collect_objects(data: bytes) -> dict[int, bytes]:
@@ -328,6 +333,9 @@ def _page_text(cs: bytes) -> tuple[list[str], bool]:
             j = i
             while j < n and cs[j] not in _WHITESPACE + _DELIMS:
                 j += 1
+            if j == i:  # stray delimiter (corrupt stream): skip, don't spin
+                i += 1
+                continue
             op = cs[i:j]
             i = j
             if op == b"Tj" and operands and isinstance(operands[-1], bytes):
