@@ -186,6 +186,7 @@ def _parse_header(data: bytes, i: int) -> dict | None:
     sample_rate = _SAMPLE_RATE[version][sr_idx]
     padding = (b2 >> 1) & 0x1
     mode = (b3 >> 6) & 0x3  # 0 stereo, 1 joint, 2 dual, 3 mono
+    mode_ext = (b3 >> 4) & 0x3  # joint: bit1 = MS stereo, bit0 = intensity
     if bitrate == 0:
         frame_len = None  # free format: undeterminable from the header
     elif layer == 1:
@@ -196,7 +197,7 @@ def _parse_header(data: bytes, i: int) -> dict | None:
     return {
         "version": version, "layer": layer, "crc": crc,
         "bitrate_kbps": bitrate, "sample_rate": sample_rate,
-        "padding": padding, "mode": mode,
+        "padding": padding, "mode": mode, "mode_ext": mode_ext,
         "channels": 1 if mode == 3 else 2,
         "frame_len": frame_len,
         "samples": _SPF[(vkey, layer)],
@@ -483,11 +484,12 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
             )
         if h["frame_len"] is None:
             raise ValueError("free-format MP3 not supported")
-        if h["mode"] == 1:
+        if h["mode"] == 1 and h["mode_ext"] & 1:
             raise ValueError(
-                "joint-stereo (MS/intensity) decode not implemented "
-                "(stereo/dual/mono are)"
+                "intensity-stereo decode not implemented (MS joint "
+                "stereo, plain stereo, dual and mono are)"
             )
+        ms_stereo = h["mode"] == 1 and bool(h["mode_ext"] & 2)
         nch = h["channels"]
         sample_rate = h["sample_rate"]
         frame = data[i : i + h["frame_len"]]
@@ -501,16 +503,17 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
             )
         main = _BitReader(body[(br.pos + 7) // 8 :])
         for gr in range(2):
-            chans = []
+            # pass 1: entropy-decode + requantize every channel's
+            # spectrum (MS stereo mixes channels, so both must exist
+            # before any transform)
+            xrs = []
             for ch in range(nch):
                 g = si["gr"][gr][ch]
                 start = main.pos
                 end_bit = start + g["part2_3_length"]
                 sf = _decode_scalefactors(main, g)
                 ix = _decode_big_values(main, g, end_bit)
-                # count1 region: this subset's encoder emits none; skip
-                # any stuffing bits to the granule boundary
-                main.pos = end_bit
+                main.pos = end_bit  # skip any stuffing to the boundary
                 # requantize (long blocks, Table B.8 bands)
                 gain = 2.0 ** ((g["global_gain"] - 210.0) / 4.0)
                 mult = 0.5 * (1 + g["scalefac_scale"])
@@ -521,9 +524,16 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                     if g["preflag"]:
                         s += _PRETAB[sfb]
                     scale[bands[sfb] : bands[sfb + 1]] = 2.0 ** (-mult * s)
-                xr = np.sign(ix) * np.abs(ix) ** (4.0 / 3.0) * gain * scale
-                xr = _alias_reduce(xr)
-                # IMDCT + overlap-add + frequency inversion
+                xrs.append(
+                    np.sign(ix) * np.abs(ix) ** (4.0 / 3.0) * gain * scale
+                )
+            if ms_stereo and nch == 2:
+                m, s_ = xrs
+                xrs = [(m + s_) / np.sqrt(2.0), (m - s_) / np.sqrt(2.0)]
+            # pass 2: alias reduction + IMDCT + synthesis per channel
+            chans = []
+            for ch in range(nch):
+                xr = _alias_reduce(xrs[ch])
                 if ch not in overlap:
                     overlap[ch] = np.zeros((32, 18))
                 grid = xr.reshape(32, 18)
@@ -636,14 +646,21 @@ def _encode_granule(
 
 
 def encode_mp3(
-    samples: np.ndarray, sample_rate: int = 44100, bitrate_kbps: int = 128
+    samples: np.ndarray,
+    sample_rate: int = 44100,
+    bitrate_kbps: int = 128,
+    *,
+    joint_stereo: bool = False,
 ) -> bytes:
     """Encode PCM (float in [-1, 1]; shape (n,) mono or (n, 2) stereo)
     as a valid MPEG-1 Layer III stream within the module's subset: real
     polyphase analysis + MDCT, lines quantized to {-1, 0, +1} with
     per-granule amplitude in global_gain, Huffman codebook 1, no
-    reservoir. Stereo is encoded as independent channels (mode 0 —
-    no MS/intensity coding). Frames whose Huffman payload would
+    reservoir. Stereo defaults to independent channels (mode 0);
+    ``joint_stereo=True`` encodes MS (mode 1, mode_extension 2:
+    M=(L+R)/√2, S=(L−R)/√2 on the spectra — correlated channels
+    concentrate into M; intensity stereo is not implemented either
+    direction). Frames whose Huffman payload would
     overflow the frame budget drop lines highest-frequency-first
     (documented lossy behavior, like any encoder at a fixed bitrate)."""
     if sample_rate not in _SFB_LONG:
@@ -676,11 +693,13 @@ def encode_mp3(
     budget_bits = (frame_len - 4 - side_bytes) * 8
     max_gr_bits = budget_bits // (2 * nch) - 8
 
+    ms = joint_stereo and nch == 2
     out = bytearray()
     for f in range(n_frames):
         payloads = []
         sides = []
         for gr in range(2):
+            xrs = []
             for ch in range(nch):
                 slot0 = f * 36 + gr * 18
                 seg = sbs[ch][slot0 : slot0 + 36, :]
@@ -689,7 +708,14 @@ def encode_mp3(
                 segT = seg.T.copy()  # (32 bands, 36 slots)
                 segT[1::2, 1::2] *= -1.0  # matches decoder's inversion
                 grid = (segT * _WIN36[None, :]) @ _MDCT36.T  # (32, 18)
-                xr = _alias_reduce(grid.reshape(576), inverse=True)
+                xrs.append(_alias_reduce(grid.reshape(576), inverse=True))
+            if ms:
+                left, right = xrs
+                xrs = [
+                    (left + right) / np.sqrt(2.0),
+                    (left - right) / np.sqrt(2.0),
+                ]
+            for xr in xrs:
                 bw, g = _encode_granule(
                     xr, max_gr_bits, _SFB_LONG[sample_rate]
                 )
@@ -700,7 +726,12 @@ def encode_mp3(
         hdr[0] = 0xFF
         hdr[1] = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG-1, Layer III, no CRC
         hdr[2] = (br_idx << 4) | (sr_idx << 2)
-        hdr[3] = (3 if nch == 1 else 0) << 6  # mono / stereo
+        if nch == 1:
+            hdr[3] = 3 << 6  # mono
+        elif ms:
+            hdr[3] = (1 << 6) | (2 << 4)  # joint stereo, MS on
+        else:
+            hdr[3] = 0  # plain stereo
         sw = _BitWriter()
         sw.write(0, 9)                  # main_data_begin
         sw.write(0, 5 if nch == 1 else 3)  # private

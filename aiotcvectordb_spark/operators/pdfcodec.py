@@ -269,11 +269,43 @@ def _skip_dict(cs: bytes, i: int) -> int:
     return i
 
 
-def _page_text(cs: bytes) -> tuple[list[str], bool]:
+def _form_xobjects(objs: dict[int, bytes], page: bytes) -> dict[bytes, bytes]:
+    """Name -> decoded stream for the page's /Subtype /Form XObjects
+    (r5): text drawn via ``/Fm1 Do`` lives in these streams, which the
+    page-content walk alone would miss. Image XObjects are skipped."""
+    res = {}
+    xm = re.search(
+        rb"/XObject\s*<<((?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>", page
+    )
+    if not xm:
+        return res
+    for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", xm.group(1)):
+        body = objs.get(int(m.group(2)))
+        if body is None:
+            continue
+        head = body[: body.find(b"stream") if b"stream" in body else len(body)]
+        if not re.search(rb"/Subtype\s*/Form\b", head):
+            continue
+        try:
+            payload = _stream_of(body)
+        except ValueError:
+            continue  # unsupported filter on a form: skip, page text survives
+        if payload is not None:
+            res[m.group(1)] = payload
+    return res
+
+
+def _page_text(
+    cs: bytes,
+    forms: dict[bytes, bytes] | None = None,
+    depth: int = 0,
+) -> tuple[list[str], bool]:
     """Extract text pieces from one content stream. Returns
     (pieces, any_show_op). Newlines from line-advance operators are
     suppressed until the first show operator so the initial cursor
-    positioning (``72 720 Td``) doesn't inject a leading break."""
+    positioning (``72 720 Td``) doesn't inject a leading break.
+    ``Do`` on a known /Form XObject recurses into the form's stream
+    in place (depth-capped — forms can nest and cycle)."""
     out: list[str] = []
     operands: list = []
     shown = False
@@ -369,6 +401,18 @@ def _page_text(cs: bytes) -> tuple[list[str], bool]:
                     last_tm_y = ty
             elif op == b"BT":
                 last_tm_y = None
+            elif op == b"Do" and forms and depth < 8:
+                name = next(
+                    (o[1] for o in reversed(operands)
+                     if isinstance(o, tuple) and o[0] == "name"),
+                    None,
+                )
+                if name is not None and name[1:] in forms:
+                    sub, sub_shown = _page_text(
+                        forms[name[1:]], forms, depth + 1
+                    )
+                    out.extend(sub)
+                    shown = shown or sub_shown
             operands.clear()
     return out, shown
 
@@ -398,8 +442,9 @@ def _extract(data: bytes) -> tuple[str, str | None, int]:
     page_order = _page_order(objs, data)
     for page_num in page_order:
         page_pieces: list[str] = []
+        forms = _form_xobjects(objs, objs[page_num])
         for cs in _content_streams(objs, objs[page_num]):
-            ps, shown = _page_text(cs)
+            ps, shown = _page_text(cs, forms)
             page_pieces.extend(ps)
             any_shown = any_shown or shown
         if pieces and page_pieces:

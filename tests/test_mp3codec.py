@@ -217,3 +217,29 @@ def test_scalefactors_preserve_per_band_levels():
     a_low = S[(f > 350) & (f < 450)].max()
     a_high = S[(f > 4900) & (f < 5100)].max()
     assert 2.5 < a_low / a_high < 6.5, a_low / a_high  # true ratio 4
+
+
+def test_round_trip_ms_joint_stereo():
+    """MS joint stereo (mode 1, mode_extension 2): channels mix to
+    M/S spectra on encode and must separate cleanly on decode — each
+    channel keeps its own frequency and level. Intensity stereo stays
+    honestly rejected (flip the mode_extension intensity bit)."""
+    fs = 44100
+    t = np.arange(int(0.3 * fs)) / fs
+    L = 0.5 * np.sin(2 * np.pi * 440 * t)
+    R = 0.4 * np.sin(2 * np.pi * 1200 * t)
+    mp3 = M.encode_mp3(np.stack([L, R], axis=1), fs, 192, joint_stereo=True)
+    pcm, sr = M.decode_mp3(mp3)
+    assert sr == fs and pcm.shape[1] == 2
+    for ch, (sig, f_exp) in enumerate([(L, 440.0), (R, 1200.0)]):
+        seg = pcm[4000:12000, ch]
+        S = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f0 = np.argmax(S) * fs / len(seg)
+        assert abs(f0 - f_exp) < 20
+        rms_i = np.sqrt(np.mean(sig**2))
+        rms_o = np.sqrt(np.mean(pcm[2000 : len(sig) - 2000, ch] ** 2))
+        assert abs(rms_o - rms_i) / rms_i < 0.25
+    bad = bytearray(mp3)
+    bad[3] |= 1 << 4  # set the intensity bit
+    with pytest.raises(ValueError, match="intensity"):
+        M.decode_mp3(bytes(bad))

@@ -168,3 +168,44 @@ def test_rejects_image_only():
     content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"  # no text-showing ops
     with pytest.raises(ValueError, match="no extractable text"):
         extract_pdf_text(_wrap_single_page(content))
+
+
+def test_form_xobject_text_extracted():
+    """r5: text drawn via a /Form XObject (``/Fm1 Do``) must be
+    extracted in place — the page content walk alone would miss it."""
+    content = b"BT /F1 12 Tf 72 720 Td (before) Tj ET /Fm1 Do BT (after) Tj ET"
+    form = b"BT /F1 10 Tf 100 100 Td (inside form) Tj ET"
+    pdf = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /Fm1 5 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(content), content)
+        + b"5 0 obj << /Type /XObject /Subtype /Form /Length %d >> "
+        b"stream\n%s\nendstream endobj\n" % (len(form), form)
+        + b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    got, _ = extract_pdf_text(pdf)
+    assert got == "beforeinside formafter"
+
+
+def test_form_xobject_cycle_is_depth_capped():
+    # a form whose stream invokes itself must not recurse forever
+    content = b"/Fm1 Do BT (page) Tj ET"
+    form = b"BT (loop) Tj ET /Fm1 Do"
+    pdf = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /Fm1 5 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(content), content)
+        + b"5 0 obj << /Type /XObject /Subtype /Form /Length %d >> "
+        b"stream\n%s\nendstream endobj\n" % (len(form), form)
+        + b"trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    got, _ = extract_pdf_text(pdf)
+    assert "loop" in got and "page" in got
