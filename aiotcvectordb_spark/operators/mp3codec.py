@@ -974,7 +974,7 @@ def mp3_features(df, *, id_col: str = "doc_id", payload_col: str = "payload"):
                 try:
                     b = bytes(payload)
                     info = probe_mp3(b)
-                    pcm, _sr = decode_mp3(b)
+                    pcm, _sr = decode_mpeg_audio(b)  # Layer I or III
                     rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
                     rows.append(
                         (i, info["n_frames"], info["sample_rate"],
