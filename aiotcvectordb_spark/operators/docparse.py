@@ -44,6 +44,8 @@ _HTML_EXTS = (".html", ".htm")
 _MD_EXTS = (".md", ".markdown")
 _PDF_EXTS = (".pdf",)
 _OOXML_EXTS = (".docx", ".pptx", ".xlsx")
+_RTF_EXTS = (".rtf",)
+_EPUB_EXTS = (".epub",)
 _UNSUPPORTED_EXTS = (".doc", ".ppt", ".xls")
 
 _SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.I | re.S)
@@ -82,6 +84,10 @@ def detect_file_type(doc_name: str) -> str:
         return "pdf"
     if low.endswith(_OOXML_EXTS):
         return low.rsplit(".", 1)[1]  # "docx" | "pptx" | "xlsx"
+    if low.endswith(_RTF_EXTS):
+        return "rtf"
+    if low.endswith(_EPUB_EXTS):
+        return "epub"
     if low.endswith(_UNSUPPORTED_EXTS):
         return "unsupported"
     return "text"
@@ -141,6 +147,14 @@ def parse_document(raw: str, doc_name: str) -> tuple[str, str | None]:
         from aiotcvectordb_spark.operators.pdfcodec import extract_pdf_text
 
         return extract_pdf_text(raw.encode("latin-1", "surrogateescape"))
+    if ftype == "rtf" and raw.startswith("{\\rtf"):
+        from aiotcvectordb_spark.operators.rtfepub import parse_rtf
+
+        return parse_rtf(raw)
+    if ftype == "epub" and _looks_binary(raw):
+        from aiotcvectordb_spark.operators.rtfepub import parse_epub
+
+        return parse_epub(raw.encode("latin-1", "surrogateescape"))
     if ftype in ("docx", "pptx", "xlsx") and _looks_binary(raw):
         # real OOXML container (ZIP magic or embedded NULs): stdlib
         # zipfile + ElementTree parse. Legacy OLE2 / encrypted OOXML

@@ -1,0 +1,168 @@
+"""RTF and EPUB text extraction for the RAG upload path (r5) — stdlib
+only, same honest-rejection contract as the PDF/OOXML parsers.
+
+- **RTF** (public Microsoft RTF spec): a text format of control words
+  and groups. The parser walks the token stream — ``\\par``/``\\line``
+  become newlines, ``\\tab`` a tab, ``\\'hh`` hex escapes and
+  ``\\uN`` Unicode escapes decode (with the ``\\ucN`` skip-count
+  honored), destination groups whose content is not document text
+  (``\\fonttbl``, ``\\stylesheet``, ``\\*`` destinations, pict, info)
+  are skipped wholesale, everything else passes through.
+- **EPUB** (IDPF OCF/OPF): a ZIP whose ``content.opf`` manifest +
+  spine order the XHTML chapters; each chapter runs through the
+  existing HTML tag-stripper (``docparse.parse_html``). Falls back to
+  archive order for a missing/odd OPF. DRM'd EPUBs (``encryption.xml``
+  present) are honestly rejected.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import re
+import zipfile
+import zlib
+
+# destinations whose group content is metadata/binary, not body text
+_RTF_SKIP_DESTS = {
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+    "header", "footer", "themedata", "colorschememapping", "listtable",
+    "listoverridetable", "latentstyles", "rsidtbl", "generator",
+    "xmlnstbl", "datastore",
+}
+_RTF_CW = re.compile(r"\\([a-zA-Z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\(.)")
+
+
+def parse_rtf(raw: str) -> tuple[str, str | None]:
+    """Extract plain text from an RTF document. Returns (text, None) —
+    RTF carries its title only in the skipped \\info destination."""
+    if not raw.startswith("{\\rtf"):
+        raise ValueError("not an RTF payload (missing {\\rtf header)")
+    out: list[str] = []
+    i, n = 0, len(raw)
+    depth = 0
+    skip_until_depth: int | None = None
+    uc_skip = 1
+    pending_skip = 0
+    while i < n:
+        c = raw[i]
+        if c == "{":
+            depth += 1
+            i += 1
+        elif c == "}":
+            depth -= 1
+            if skip_until_depth is not None and depth < skip_until_depth:
+                skip_until_depth = None
+            i += 1
+        elif c == "\\":
+            m = _RTF_CW.match(raw, i)
+            if not m:
+                i += 1
+                continue
+            i = m.end()
+            word, param, hexc, esc = m.groups()
+            if skip_until_depth is not None:
+                continue
+            if word:
+                if word in _RTF_SKIP_DESTS:
+                    skip_until_depth = depth
+                elif word in ("par", "line", "sect", "page"):
+                    out.append("\n")
+                elif word == "tab":
+                    out.append("\t")
+                elif word == "uc":
+                    uc_skip = int(param or 1)
+                elif word == "u":
+                    # \uN is a signed 16-bit value per spec; mask so a
+                    # malformed huge parameter cannot overflow chr()
+                    cp = int(param or 0) & 0xFFFF
+                    out.append(chr(cp))
+                    pending_skip = uc_skip
+                elif word in ("emdash", "endash"):
+                    out.append("\u2014" if word == "emdash" else "\u2013")
+                elif word in ("lquote", "rquote"):
+                    out.append("\u2018" if word == "lquote" else "\u2019")
+                elif word in ("ldblquote", "rdblquote"):
+                    out.append("\u201c" if word == "ldblquote" else "\u201d")
+                # other control words (formatting) are ignored
+            elif hexc is not None:
+                if pending_skip:
+                    pending_skip -= 1
+                else:
+                    out.append(bytes([int(hexc, 16)]).decode("cp1252", "replace"))
+            elif esc is not None:
+                if esc in "{}\\":
+                    out.append(esc)
+                elif esc == "~":
+                    out.append("\u00a0")
+                elif esc in "\r\n":
+                    out.append("\n")
+        else:
+            if skip_until_depth is None:
+                if pending_skip and c not in "\r\n":
+                    pending_skip -= 1
+                elif c not in "\r\n":
+                    out.append(c)
+            i += 1
+    text = re.sub(r"\n{3,}", "\n\n", "".join(out)).strip("\n ")
+    return text, None
+
+
+def parse_epub(data: bytes) -> tuple[str, str | None]:
+    """Extract (text, title) from an EPUB: chapters in spine order via
+    the OPF manifest, each tag-stripped by the HTML parser."""
+    from aiotcvectordb_spark.operators.docparse import parse_html
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"not an EPUB container: {e}") from None
+    names = zf.namelist()
+    if any(n.endswith("META-INF/encryption.xml") for n in names):
+        raise ValueError("DRM-protected EPUB (encryption.xml present)")
+
+    def read(name: str) -> str:
+        try:
+            return zf.read(name).decode("utf-8", "replace")
+        except (KeyError, zlib.error, zipfile.BadZipFile, NotImplementedError,
+                RuntimeError, EOFError, OSError) as e:
+            raise ValueError(f"corrupt EPUB part {name!r}: {e}") from None
+
+    title = None
+    ordered: list[str] = []
+    opf_name = next((n for n in names if n.endswith(".opf")), None)
+    if opf_name:
+        opf = read(opf_name)
+        tm = re.search(r"<dc:title[^>]*>(.*?)</dc:title>", opf, re.S)
+        if tm:
+            title = tm.group(1).strip() or None
+        base = posixpath.dirname(opf_name)
+        # id -> href regardless of attribute order within the tag
+        by_id: dict[str, str] = {}
+        for tag in re.findall(r"<item\b[^>]*>", opf):
+            mid = re.search(r'\bid="([^"]+)"', tag)
+            mhref = re.search(r'\bhref="([^"]+)"', tag)
+            if mid and mhref:
+                by_id[mid.group(1)] = mhref.group(1)
+        for idref in re.findall(r'<itemref\b[^>]*?\bidref="([^"]+)"', opf):
+            href = by_id.get(idref)
+            if href:
+                ordered.append(
+                    posixpath.normpath(posixpath.join(base, href))
+                )
+    if not ordered:
+        ordered = [
+            n for n in names if n.lower().endswith((".xhtml", ".html", ".htm"))
+        ]
+    if not ordered:
+        raise ValueError("not an EPUB: no XHTML chapters found")
+    chapters: list[str] = []
+    for name in ordered:
+        if name not in names:
+            continue
+        text, chap_title = parse_html(read(name))
+        if title is None and chap_title:
+            title = chap_title
+        if text:
+            chapters.append(text)
+    return "\n\n".join(chapters).strip("\n"), title
