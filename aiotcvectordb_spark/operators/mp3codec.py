@@ -930,10 +930,14 @@ def decode_mpeg_audio(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def with_mp3_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
-                     n_samples: int = 2304, bitrate_kbps: int = 128):
-    """Attach a REAL Layer III ``payload``: the deterministic
+                     n_samples: int = 2304, bitrate_kbps: int = 128,
+                     mix_layer1: bool = False):
+    """Attach a REAL MPEG audio ``payload``: the deterministic
     text-derived waveform (``audiocodec.text_to_samples``) encoded by
-    ``encode_mp3``. The MP3 twin of ``with_wav_payload``."""
+    ``encode_mp3``. With ``mix_layer1`` odd ids get a Layer I stream
+    instead (448 kbps fixed allocation) so the layer-dispatching decode
+    path runs distributed, not just in unit tests. The MP3 twin of
+    ``with_wav_payload``."""
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, payload binary"
 
@@ -944,12 +948,13 @@ def with_mp3_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
 
         for pdf in batches:
             payloads = []
-            for text in pdf[text_col]:
+            for i, text in zip(pdf[id_col], pdf[text_col]):
                 s = audiocodec.text_to_samples(text or "", n_samples)
-                payloads.append(
-                    encode_mp3(s.astype(np.float64) / 32768.0, 44100,
-                               bitrate_kbps)
-                )
+                pcm = s.astype(np.float64) / 32768.0
+                if mix_layer1 and int(i) % 2 == 1:
+                    payloads.append(encode_mp1(pcm, 44100, 448))
+                else:
+                    payloads.append(encode_mp3(pcm, 44100, bitrate_kbps))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(encode, schema=schema)

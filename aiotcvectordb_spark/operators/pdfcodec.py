@@ -401,6 +401,16 @@ def _page_text(
                     last_tm_y = ty
             elif op == b"BT":
                 last_tm_y = None
+            elif op == b"BI":
+                # inline image: raw binary follows the ID operator up
+                # to a whitespace-delimited EI — walking into it would
+                # misparse pixel bytes as operators/text (ISO 32000-1
+                # §8.9.7). Skip the whole object.
+                id_at = cs.find(b"ID", i)
+                scan_from = id_at + 3 if id_at >= 0 else i
+                m2 = re.search(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)",
+                               cs[scan_from:])
+                i = scan_from + m2.end() if m2 else n
             elif op == b"Do" and forms and depth < 8:
                 name = next(
                     (o[1] for o in reversed(operands)

@@ -3254,19 +3254,21 @@ FROM filled
 def q_audio_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MPEG-1 Layer III round trip (r5): the text-derived waveform
     is MP3-encoded (real polyphase analysis + MDCT + Huffman codebook 1,
-    operators/mp3codec.encode_mp3) and a second shuffle-free mapInPandas
-    stage decodes the stream — side info, requantization, alias
-    reduction, IMDCT, synthesis filterbank — and computes features on
-    the reconstructed PCM. Rows-only by nature (the lossy subband
-    cascade is not SQL-expressible); pytest pins the codec (±20 Hz sine
-    frequency, <25% RMS drift, real-world container parse, tampered-
-    codebook rejection — tests/test_mp3codec.py). Honest subset per the
-    mp3codec module docstring: ISO Table B.7 codebooks beyond 0/1 and
-    the Table B.3 synthesis window are NOT reproduced."""
+    operators/mp3codec.encode_mp3; odd ids carry a FULL Layer I stream
+    instead, so the layer-dispatching decode runs distributed) and a
+    second shuffle-free mapInPandas stage decodes — side info,
+    requantization, alias reduction, IMDCT, synthesis filterbank — and
+    computes features on the reconstructed PCM. Rows-only by nature
+    (the lossy subband cascade is not SQL-expressible); pytest pins the
+    codec (±20 Hz sine frequency, <25% RMS drift, real-world container
+    parse, tampered-codebook rejection — tests/test_mp3codec.py).
+    Honest subset per the mp3codec module docstring: ISO Table B.7
+    codebooks beyond 0/1/count1-B and the Table B.3 synthesis window
+    are NOT reproduced."""
     from aiotcvectordb_spark.operators import mp3codec as M3
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    mp3 = M3.with_mp3_payload(df)
+    mp3 = M3.with_mp3_payload(df, mix_layer1=True)
     return M3.mp3_features(mp3).select(
         "doc_id",
         "n_frames",

@@ -209,3 +209,17 @@ def test_form_xobject_cycle_is_depth_capped():
     )
     got, _ = extract_pdf_text(pdf)
     assert "loop" in got and "page" in got
+
+
+def test_inline_image_binary_skipped():
+    """r5: inline-image binary (BI .. ID <bytes> EI) must be skipped
+    wholesale — its bytes can contain anything, including sequences
+    that would misparse as text-showing operators."""
+    fake_ops = b"(garbage) Tj \xff\x00\x9c (more) Tj"
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (before) Tj ET "
+        b"BI /W 4 /H 4 /BPC 8 /CS /G ID " + fake_ops + b" EI "
+        b"BT (after) Tj ET"
+    )
+    got, _ = extract_pdf_text(_wrap_single_page(content))
+    assert got == "beforeafter"
