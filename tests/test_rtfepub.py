@@ -102,3 +102,36 @@ def test_dispatch_through_parse_document():
     assert "epub body text" in text and title == "The Book"
     assert docparse.detect_file_type("memo.rtf") == "rtf"
     assert docparse.detect_file_type("book.epub") == "epub"
+
+
+def test_upload_rtf_and_epub_e2e(engine):
+    from aiotcvectordb_spark.collection_view import CollectionViewManager
+
+    engine.create_ai_database("ai_rtfepub")
+    mgr = CollectionViewManager(engine)
+    mgr.create_collection_view(
+        "ai_rtfepub",
+        "cv_re",
+        splitter_process={"chunk_size": 60, "overlap": 10},
+        parsing_process={"parsing_type": "AlgorithmParsing"},
+    )
+    res = mgr.load_and_split_text(
+        "ai_rtfepub", "cv_re", doc_name="memo.rtf", text=RTF_DOC
+    )
+    chunks = mgr.get_chunks(
+        "ai_rtfepub", "cv_re", document_set_id=res["doc_set_id"]
+    )
+    joined = " ".join(c["text"] for c in chunks)
+    assert "Revenue grew ten percent" in joined and "fonttbl" not in joined
+
+    data = _epub(
+        {"c.xhtml": "epub chapter body for chunking"}, spine=["c.xhtml"]
+    )
+    res = mgr.load_and_split_text(
+        "ai_rtfepub", "cv_re", doc_name="book.epub", text=data.decode("latin-1")
+    )
+    chunks = mgr.get_chunks(
+        "ai_rtfepub", "cv_re", document_set_id=res["doc_set_id"]
+    )
+    joined = " ".join(c["text"] for c in chunks)
+    assert "epub chapter body" in joined and "content.opf" not in joined
