@@ -5807,62 +5807,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per round, in order): (1) queries rewritten since their last
     # driver row OR with no row yet come FIRST; (2) then ascending
     # latest-green-row round (stalest first). tools/check_driver_rows.py
-    # enforces this ordering and the 3-round hard age cap. Re-rotation
-    # is the round's CLOSING commit (r4 verdict item 2) so the enforcer
-    # is green at judge time and the next driver batch is correct.
-    # --- round-5 forced: rewritten this round / no green row yet ---
-    "multimodal_features": q_multimodal_features,
-    "pdf_extract": q_pdf_extract,  # r5: new, no driver row yet
-    "unigram_logprob": q_unigram_logprob,  # r5: exact hapax pruning
-    "lang_top_terms": q_lang_top_terms,  # r5: salted two-phase top-k
-    "bigram_logprob": q_bigram_logprob,  # r5: exact prefix pruning
-    # --- r2-age rows (hard cap: must be in the next batch) ---
-    "large_volume_customers": q_large_volume_customers,
-    "time_gap_fill": q_time_gap_fill,
-    "window_range_frame": q_window_range_frame,
-    "zscore_outliers": q_zscore_outliers,
-    "corr_stats": q_corr_stats,
-    "percentile_disc": q_percentile_disc,
-    "funnel_steps": q_funnel_steps,
-    "retention_cohorts": q_retention_cohorts,
-    "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,
-    "image_probe": q_image_probe,
-    "sessionize_udtf": q_sessionize_udtf,
-    "search_binary_hamming": q_search_binary_hamming,
-    "pii_scrub": q_pii_scrub,
-    "training_shards": q_training_shards,
-    "ewma_smooth": q_ewma_smooth,
-    "source_quota": q_source_quota,
-    "profile_table": q_profile_table,
-    "group_topk_salted": q_group_topk_salted,
-    "label_centroids": q_label_centroids,
-    "attribution_last_touch": q_attribution_last_touch,
-    "embedding_outliers": q_embedding_outliers,
-    "rolling_active_users": q_rolling_active_users,
-    # --- r3-age rows, stalest-first ---
-    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
-    "ann_pq_fullrescore": q_ann_pq_fullrescore,
-    "equidepth_histogram": q_equidepth_histogram,
-    "audio_probe": q_audio_probe,
-    "video_frames": q_video_frames,
-    "update_conditional": q_update_conditional,
-    "query_projection": q_query_projection,
-    "token_count": q_token_count,
-    "cube_agg": q_cube_agg,
-    "price_histogram": q_price_histogram,
-    "query_by_ids": q_query_by_ids,
-    "ttl_filter": q_ttl_filter,
-    "json_extract": q_json_extract,
-    "group_topk": q_group_topk,
-    "agg_groupby_stats": q_agg_groupby_stats,
-    "window_running": q_window_running,
-    "window_funcs": q_window_funcs,
-    "scalar_funcs": q_scalar_funcs,
-    "set_ops": q_set_ops,
-    "count_filter": q_count_filter,
-    "delete_filter_limit": q_delete_filter_limit,
-    "percentiles": q_percentiles,
-    "query_filter_sort_paginate": q_query_filter_sort_paginate,
+    # enforces this ordering plus the post-driver age cap by simulating
+    # the driver consuming the front batch; tools/rotate_registry.py
+    # regenerates this block. Re-rotation is the round's CLOSING commit.
+    # --- r3 rows (age 3) (must be in the next batch) ---
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
     "lang_id": q_lang_id,
@@ -5876,7 +5824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsert_merge": q_upsert_merge,
     "search_flat_ip": q_search_flat_ip,
     "asof_join": q_asof_join,
-    # --- r4 rows (fresh) ---
+    # --- r4 rows (age 2) ---
     "fulltext_bm25_cjk": q_fulltext_bm25_cjk,
     "fulltext_bm25": q_fulltext_bm25,
     "sparse_encode": q_sparse_encode,
@@ -5923,13 +5871,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue_change": q_forecast_revenue_change,
     "small_quantity_revenue": q_small_quantity_revenue,
+    # --- r5 rows (age 1) ---
+    "multimodal_features": q_multimodal_features,
+    "pdf_extract": q_pdf_extract,
+    "unigram_logprob": q_unigram_logprob,
+    "lang_top_terms": q_lang_top_terms,
+    "bigram_logprob": q_bigram_logprob,
+    "large_volume_customers": q_large_volume_customers,
+    "time_gap_fill": q_time_gap_fill,
+    "window_range_frame": q_window_range_frame,
+    "zscore_outliers": q_zscore_outliers,
+    "corr_stats": q_corr_stats,
+    "percentile_disc": q_percentile_disc,
+    "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
+    "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,
+    "image_probe": q_image_probe,
+    "sessionize_udtf": q_sessionize_udtf,
+    "search_binary_hamming": q_search_binary_hamming,
+    "pii_scrub": q_pii_scrub,
+    "training_shards": q_training_shards,
+    "ewma_smooth": q_ewma_smooth,
+    "source_quota": q_source_quota,
+    "profile_table": q_profile_table,
+    "group_topk_salted": q_group_topk_salted,
+    "label_centroids": q_label_centroids,
+    "attribution_last_touch": q_attribution_last_touch,
+    "embedding_outliers": q_embedding_outliers,
+    "rolling_active_users": q_rolling_active_users,
+    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+    "ann_pq_fullrescore": q_ann_pq_fullrescore,
+    "equidepth_histogram": q_equidepth_histogram,
+    "audio_probe": q_audio_probe,
+    "video_frames": q_video_frames,
+    "update_conditional": q_update_conditional,
+    "query_projection": q_query_projection,
+    "token_count": q_token_count,
+    "cube_agg": q_cube_agg,
+    "price_histogram": q_price_histogram,
+    "query_by_ids": q_query_by_ids,
+    "ttl_filter": q_ttl_filter,
+    "json_extract": q_json_extract,
+    "group_topk": q_group_topk,
+    "agg_groupby_stats": q_agg_groupby_stats,
+    "window_running": q_window_running,
+    "window_funcs": q_window_funcs,
+    "scalar_funcs": q_scalar_funcs,
+    "set_ops": q_set_ops,
+    "count_filter": q_count_filter,
+    "delete_filter_limit": q_delete_filter_limit,
+    "percentiles": q_percentiles,
+    "query_filter_sort_paginate": q_query_filter_sort_paginate,
     # --- non-oracled entries (rows-only driver check; order free) ---
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
     "search_by_text": q_search_by_text,
     "ann_lsh_l2": q_ann_lsh_l2,
     "audio_adpcm_probe": q_audio_adpcm_probe,
-    "audio_mp3_probe": q_audio_mp3_probe,  # r5: Layer III codec subset
+    "audio_mp3_probe": q_audio_mp3_probe,
     "approx_sketches": q_approx_sketches,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_pq_cosine": q_ann_pq_cosine,
