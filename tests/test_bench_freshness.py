@@ -1,0 +1,78 @@
+"""Standing-bench freshness gate (r5 verdict item 2).
+
+BASELINE.md's standing table is the yardstick the driver's per-round
+bench is judged against, so it must be regenerated AFTER the round's
+last functional commit. Round 5 shipped a stale row: the standing
+table was committed two minutes before a commit that doubled
+``audio_mp3_probe``'s decode work, which then read as a spurious 2.04x
+regression in the driver bench.
+
+This test compares committed history only: the newest commit touching
+perf-relevant code (``aiotcvectordb_spark/`` or ``bench.py``) must not
+postdate the newest commit touching the standing artifacts
+(BASELINE.md / BENCH_DETAIL.json, and EXPLAIN.md for the plan dumps).
+A single commit touching both sides counts as fresh. Uncommitted
+working-tree edits are ignored — the gate binds the close workflow
+(regen + commit last), not mid-edit iteration.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PERF_CODE = ["aiotcvectordb_spark", "bench.py"]
+STANDING = ["BASELINE.md", "BENCH_DETAIL.json"]
+EXPLAIN = ["EXPLAIN.md"]
+
+
+def _last_commit_ts(paths: list[str]) -> int | None:
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", *paths],
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout.strip()
+    except (subprocess.SubprocessError, FileNotFoundError):
+        pytest.skip("git unavailable")
+    return int(out) if out else None
+
+
+def _last_commit_sha(paths: list[str]) -> str:
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%h %s", "--", *paths],
+        cwd=ROOT,
+        capture_output=True,
+        text=True,
+        timeout=30,
+    ).stdout.strip()
+    return out
+
+
+def test_standing_bench_not_stale():
+    code_ts = _last_commit_ts(PERF_CODE)
+    standing_ts = _last_commit_ts(STANDING)
+    assert standing_ts is not None, "BASELINE.md/BENCH_DETAIL.json never committed"
+    assert code_ts is None or standing_ts >= code_ts, (
+        "standing bench table predates the last functional commit — regenerate "
+        "BENCH_DETAIL.json (python bench.py) + BASELINE.md "
+        "(python tools/baseline_update.py) after "
+        f"[{_last_commit_sha(PERF_CODE)}]"
+    )
+
+
+def test_explain_dump_not_stale():
+    code_ts = _last_commit_ts(PERF_CODE)
+    explain_ts = _last_commit_ts(EXPLAIN)
+    assert explain_ts is not None, "EXPLAIN.md never committed"
+    assert code_ts is None or explain_ts >= code_ts, (
+        "EXPLAIN.md predates the last functional commit — regenerate with "
+        f"python tools/explain_dump.py > EXPLAIN.md after [{_last_commit_sha(PERF_CODE)}]"
+    )
