@@ -56,9 +56,43 @@ def _last_commit_sha(paths: list[str]) -> str:
     return out
 
 
+def _stamp_ts(artifact: str) -> int | None:
+    """Commit time of the 'source commit <sha>' stamp the regen tools
+    embed — this sees a regen even when the regenerated content is
+    byte-identical (EXPLAIN.md often is)."""
+    import re
+
+    path = os.path.join(ROOT, artifact)
+    if not os.path.exists(path):
+        return None
+    m = re.search(r"source commit ([0-9a-f]{6,40})", open(path).read())
+    if not m:
+        return None
+    try:
+        out = subprocess.run(
+            ["git", "show", "-s", "--format=%ct", m.group(1)],
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout.strip()
+        return int(out)
+    except (subprocess.SubprocessError, ValueError):
+        return None
+
+
+def _artifact_ts(artifact: str, committed_paths: list[str]) -> int | None:
+    stamped = _stamp_ts(artifact)
+    committed = _last_commit_ts(committed_paths)
+    if stamped is None:
+        return committed
+    return max(stamped, committed or 0)
+
+
 def test_standing_bench_not_stale():
     code_ts = _last_commit_ts(PERF_CODE)
-    standing_ts = _last_commit_ts(STANDING)
+    standing_ts = _artifact_ts("BASELINE.md", STANDING)
     assert standing_ts is not None, "BASELINE.md/BENCH_DETAIL.json never committed"
     assert code_ts is None or standing_ts >= code_ts, (
         "standing bench table predates the last functional commit — regenerate "
@@ -70,7 +104,7 @@ def test_standing_bench_not_stale():
 
 def test_explain_dump_not_stale():
     code_ts = _last_commit_ts(PERF_CODE)
-    explain_ts = _last_commit_ts(EXPLAIN)
+    explain_ts = _artifact_ts("EXPLAIN.md", EXPLAIN)
     assert explain_ts is not None, "EXPLAIN.md never committed"
     assert code_ts is None or explain_ts >= code_ts, (
         "EXPLAIN.md predates the last functional commit — regenerate with "

@@ -33,6 +33,20 @@ SCALE_BEGIN = "<!-- BEGIN GENERATED SCALE TABLE -->"
 SCALE_END = "<!-- END GENERATED SCALE TABLE -->"
 
 
+def _head() -> str:
+    """Short HEAD sha at regen time — tests/test_bench_freshness.py
+    checks this stamp against the latest functional commit."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def bench_table(detail: dict) -> str:
     qs = detail["queries"]
     rows = detail.get("rows", {})
@@ -40,7 +54,7 @@ def bench_table(detail: dict) -> str:
         BENCH_BEGIN,
         f"Standing bench (`python bench.py`, sf{detail['sf']}, "
         f"{detail['n_queries']} headline queries, interleaved best-of-3): "
-        f"**total {detail['value']} s**.",
+        f"**total {detail['value']} s** (source commit {_head()}).",
         "",
         "| query | sec | rows |",
         "|---|---|---|",

@@ -219,11 +219,24 @@ def main() -> None:
     spark = get_spark("explain_dump")
     print("# EXPLAIN — physical plans of the flagship queries")
     print()
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = "unknown"
     print(
         "Auto-generated by `python tools/explain_dump.py > EXPLAIN.md` "
-        f"at {SF_DIR}. The point: each plan is the one you'd WANT at "
-        "100 TB — pushdown, partial aggregation, broadcast where small, "
-        "TakeOrdered instead of global sorts."
+        f"at {SF_DIR} (source commit {head}; tests/test_bench_freshness.py "
+        "checks this stamp against the latest functional commit). The "
+        "point: each plan is the one you'd WANT at 100 TB — pushdown, "
+        "partial aggregation, broadcast where small, TakeOrdered instead "
+        "of global sorts."
     )
     for name, why in SHOWCASE:
         df = Q.QUERIES[name](spark, SF_DIR)
