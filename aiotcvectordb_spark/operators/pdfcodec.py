@@ -33,17 +33,38 @@ round trip — the same encode-then-decode oracle pattern as the PNG/JPEG
 codecs: DuckDB can predict the extracted text exactly (it is the input
 text), so the whole parser is hash-checked by the driver.
 
-Font ``/ToUnicode`` CMaps and per-font ``/Encoding`` differences are
-NOT implemented: 1-byte strings decode as PDFDocEncoding≈Latin-1 and
-2-byte strings as UTF-16BE — exactly right for the writers that cover
-the vast majority of text-first PDFs (and for this module's own
-writer), wrong for exotic subset-embedded fonts, which would need the
-full CMap machinery.
+r6 adds the font machinery that covers the majority of in-the-wild
+PDFs (subset-embedded fonts whose byte codes are NOT character codes):
+
+- ``/ToUnicode`` CMaps (ISO 32000-1 §9.10.3): codespacerange / bfchar /
+  bfrange parsing, multi-byte codes, UTF-16BE targets incl. surrogate
+  pairs. The content walker tracks the current font through ``Tf`` and
+  decodes each shown string with that font's CMap.
+- per-font ``/Encoding`` (§9.6.5): WinAnsi (stdlib cp1252), MacRoman
+  (stdlib mac_roman), Standard (ASCII + the documented high-range
+  names), and ``/Differences`` arrays resolved through an algorithmic
+  glyph-name mapper (``uniXXXX``/``uXXXX[XX]`` forms, AGL composition
+  of accented Latin names via unicodedata, plus the standard
+  punctuation/ligature names). Unknown glyph names extract as '' —
+  documented lossy, never garbage bytes.
+- ``/LZWDecode`` (§7.4.4, stdlib-only) and PNG predictors 10-15
+  (§7.4.4.4) for both Flate and LZW streams.
+- ``/Length``-sliced stream payloads: the stream dict's direct
+  /Length wins over endstream scanning, so payloads that legitimately
+  end in CR/LF survive (scan remains the fallback for indirect or
+  inconsistent lengths).
+
+The writer emits three font modes — ``simple`` (unencoded text
+strings), ``type0`` (2-byte codes + /ToUnicode CMap), and
+``differences`` (1-byte custom codes + /Differences names) — so the
+whole CMap/Differences machinery is covered by the same
+encode-then-decode oracle round trip as the base extractor.
 """
 
 from __future__ import annotations
 
 import re
+import unicodedata
 import zlib
 
 __all__ = ["build_pdf", "extract_pdf_text"]
@@ -62,9 +83,119 @@ def _find_ref(body: bytes, key: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """ISO 32000-1 §7.4.4 LZWDecode: 9→12-bit variable-width codes,
+    256 = clear table, 257 = end of data, EarlyChange default 1."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("corrupt LZWDecode stream: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZWDecode stream: code out of range")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            # conventional EarlyChange=1: 10-bit codes once entry 511
+            # exists (table len + early reaches 2^width)
+            while len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _png_predictor(data: bytes, colors: int, columns: int) -> bytes:
+    """Undo PNG predictors 10-15 (§7.4.4.4): each row is prefixed with
+    a per-row filter byte (None/Sub/Up/Average/Paeth)."""
+    rowlen = colors * columns
+    out = bytearray()
+    prev_row = bytes(rowlen)
+    i, n = 0, len(data)
+    while i + 1 <= n:
+        ftype = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        if len(row) < rowlen:
+            row += bytes(rowlen - len(row))
+        i += 1 + rowlen
+        if ftype == 1:  # Sub
+            for x in range(colors, rowlen):
+                row[x] = (row[x] + row[x - colors]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(rowlen):
+                row[x] = (row[x] + prev_row[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(rowlen):
+                left = row[x - colors] if x >= colors else 0
+                row[x] = (row[x] + ((left + prev_row[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(rowlen):
+                a = row[x - colors] if x >= colors else 0
+                b = prev_row[x]
+                c = prev_row[x - colors] if x >= colors else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"corrupt predictor row type {ftype}")
+        out += row
+        prev_row = bytes(row)
+    return bytes(out)
+
+
+def _apply_parms(payload: bytes, head: bytes) -> bytes:
+    """Apply /DecodeParms predictors to a decompressed payload."""
+    pm = re.search(rb"/DecodeParms\s*(?:\[\s*)?<<(.*?)>>", head, re.S)
+    if not pm:
+        return payload
+    parms = pm.group(1)
+    pred_m = re.search(rb"/Predictor\s+(\d+)", parms)
+    pred = int(pred_m.group(1)) if pred_m else 1
+    if pred <= 1:
+        return payload
+    if pred == 2:
+        raise ValueError("TIFF predictor 2 is not implemented")
+    colors_m = re.search(rb"/Colors\s+(\d+)", parms)
+    cols_m = re.search(rb"/Columns\s+(\d+)", parms)
+    bpc_m = re.search(rb"/BitsPerComponent\s+(\d+)", parms)
+    if bpc_m and int(bpc_m.group(1)) != 8:
+        raise ValueError("predictor BitsPerComponent != 8 is not implemented")
+    return _png_predictor(
+        payload,
+        int(colors_m.group(1)) if colors_m else 1,
+        int(cols_m.group(1)) if cols_m else 1,
+    )
+
+
 def _stream_of(body: bytes) -> bytes | None:
     """Decoded stream payload of an object body, or None if no stream.
-    Raises ValueError for filters beyond FlateDecode."""
+
+    The payload is sliced by the stream dict's direct /Length when it
+    is present and consistent (an uncompressed stream may legitimately
+    end in CR/LF, which the endstream scan would strip — r5 advice);
+    endstream scanning is the fallback for indirect or wrong lengths.
+    Raises ValueError for filters beyond FlateDecode/LZWDecode."""
     i = body.find(b"stream")
     if i < 0:
         return None
@@ -74,31 +205,46 @@ def _stream_of(body: bytes) -> bytes | None:
         j += 2
     elif body[j : j + 1] in (b"\n", b"\r"):
         j += 1
-    k = body.find(b"endstream", j)
-    if k < 0:
-        k = len(body)
-    raw = body[j:k]
-    while raw[-1:] in (b"\r", b"\n"):
-        raw = raw[:-1]
+    raw = None
+    len_m = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+    if len_m:
+        length = int(len_m.group(1))
+        end = j + length
+        if end <= len(body) and body[end:].lstrip(_WHITESPACE).startswith(
+            b"endstream"
+        ):
+            raw = body[j:end]
+    if raw is None:
+        k = body.find(b"endstream", j)
+        if k < 0:
+            k = len(body)
+        raw = body[j:k]
+        while raw[-1:] in (b"\r", b"\n"):
+            raw = raw[:-1]
     filt = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", head)
     if filt is None:
         return raw
     name = filt.group(1)
+    if name == b"LZWDecode":
+        early_m = re.search(rb"/EarlyChange\s+(\d+)", head)
+        payload = _lzw_decode(raw, int(early_m.group(1)) if early_m else 1)
+        return _apply_parms(payload, head)
     if name != b"FlateDecode":
         raise ValueError(
             f"unsupported PDF stream filter /{name.decode('latin-1')}: only "
-            "FlateDecode (stdlib zlib) is implemented"
+            "FlateDecode and LZWDecode (stdlib) are implemented"
         )
     try:
-        return zlib.decompress(raw)
+        payload = zlib.decompress(raw)
     except zlib.error:
         # tolerate trailing garbage after the deflate stream; a stream
         # that still fails is corrupt — ValueError, never a leaked
         # zlib.error (fuzz-pinned contract)
         try:
-            return zlib.decompressobj().decompress(raw)
+            payload = zlib.decompressobj().decompress(raw)
         except zlib.error as e:
             raise ValueError(f"corrupt FlateDecode stream: {e}") from None
+    return _apply_parms(payload, head)
 
 
 def _collect_objects(data: bytes) -> dict[int, bytes]:
@@ -184,6 +330,288 @@ def _decode_pdf_string(raw: bytes) -> str:
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", "replace")
     return raw.decode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# font machinery: glyph names, /Encoding /Differences, /ToUnicode CMaps
+
+# Adobe Glyph List subset: the standard ASCII + Latin punctuation /
+# symbol / ligature names (public AGL). Accented Latin letters are
+# composed algorithmically below, so they need no table entries.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "acute": "´",
+    "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾",
+    "questiondown": "¿", "multiply": "×", "divide": "÷",
+    "AE": "Æ", "ae": "æ", "Eth": "Ð", "eth": "ð",
+    "Thorn": "Þ", "thorn": "þ", "germandbls": "ß",
+    "OE": "Œ", "oe": "œ", "Lslash": "Ł",
+    "lslash": "ł", "Oslash": "Ø", "oslash": "ø",
+    "dotlessi": "ı", "florin": "ƒ", "circumflex": "ˆ",
+    "caron": "ˇ", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "ogonek": "˛", "tilde": "˜",
+    "hungarumlaut": "˝", "endash": "–", "emdash": "—",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotesinglbase": "‚", "quotedblleft": "“",
+    "quotedblright": "”", "quotedblbase": "„",
+    "dagger": "†", "daggerdbl": "‡", "bullet": "•",
+    "ellipsis": "…", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "fraction": "⁄", "Euro": "€", "euro": "€",
+    "trademark": "™", "minus": "−", "fi": "ﬁ",
+    "fl": "ﬂ",
+}
+
+_ACCENT_NAMES = {
+    "grave": "GRAVE", "acute": "ACUTE", "circumflex": "CIRCUMFLEX",
+    "tilde": "TILDE", "dieresis": "DIAERESIS", "ring": "RING ABOVE",
+    "cedilla": "CEDILLA", "macron": "MACRON", "breve": "BREVE",
+    "caron": "CARON", "hungarumlaut": "DOUBLE ACUTE",
+    "ogonek": "OGONEK", "dotaccent": "DOT ABOVE",
+}
+
+
+def _glyph_to_char(name: str) -> str:
+    """AGL-style glyph name -> character(s). Algorithmic forms
+    (uniXXXX / uXXXX[XX], accent composition) first, then the table;
+    unknown names map to '' — documented lossy, never wrong bytes."""
+    if not name:
+        return ""
+    if len(name) == 1:
+        return name  # single-char names map to themselves (AGL rule)
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            units = [
+                int(name[i : i + 4], 16) for i in range(3, len(name) - 3, 4)
+            ]
+            return (
+                b"".join(u.to_bytes(2, "big") for u in units)
+            ).decode("utf-16-be", "replace")
+        except ValueError:
+            return ""
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except (ValueError, OverflowError):
+            return ""
+    if name in _AGL:
+        return _AGL[name]
+    # compose accented Latin: 'eacute' -> LATIN SMALL LETTER E WITH ACUTE
+    for suffix, uni_accent in _ACCENT_NAMES.items():
+        if name.endswith(suffix) and len(name) == 1 + len(suffix):
+            base = name[0]
+            if base.isalpha() and base.isascii():
+                case = "CAPITAL" if base.isupper() else "SMALL"
+                try:
+                    return unicodedata.lookup(
+                        f"LATIN {case} LETTER {base.upper()} WITH {uni_accent}"
+                    )
+                except KeyError:
+                    return ""
+    return ""
+
+
+class _CMapDecoder:
+    """Decode font byte codes via a parsed /ToUnicode CMap
+    (ISO 32000-1 §9.10.3)."""
+
+    def __init__(self, cmap: bytes) -> None:
+        self.single: dict[int, str] = {}
+        self.ranges: list[tuple[int, int, int, str | list[str]]] = []
+        self.code_lens: list[tuple[int, int, int]] = []  # (nbytes, lo, hi)
+        self._parse(cmap)
+        if not self.code_lens:
+            self.code_lens = [(2, 0x0000, 0xFFFF)]
+
+    @staticmethod
+    def _hexes(chunk: bytes):
+        return re.findall(rb"<([0-9A-Fa-f]+)>", chunk)
+
+    @staticmethod
+    def _utf16(hexbytes: bytes) -> str:
+        digits = hexbytes.decode("ascii")
+        if len(digits) % 2:
+            digits += "0"
+        return bytes.fromhex(digits).decode("utf-16-be", "replace")
+
+    def _parse(self, cmap: bytes) -> None:
+        for m in re.finditer(
+            rb"begincodespacerange(.*?)endcodespacerange", cmap, re.S
+        ):
+            hx = self._hexes(m.group(1))
+            for lo, hi in zip(hx[0::2], hx[1::2]):
+                nbytes = max(1, len(lo) // 2)
+                self.code_lens.append(
+                    (nbytes, int(lo, 16), int(hi, 16))
+                )
+        for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+            hx = self._hexes(m.group(1))
+            for src, dst in zip(hx[0::2], hx[1::2]):
+                self.single[int(src, 16)] = self._utf16(dst)
+        for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+            body = m.group(1)
+            i = 0
+            token = re.compile(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)*)\s*\])"
+            )
+            for tm in token.finditer(body):
+                lo, hi = int(tm.group(1), 16), int(tm.group(2), 16)
+                if tm.group(3) is not None:
+                    self.ranges.append(
+                        (lo, hi, len(tm.group(1)) // 2, self._utf16(tm.group(3)))
+                    )
+                else:
+                    dsts = [self._utf16(h) for h in self._hexes(tm.group(4))]
+                    self.ranges.append((lo, hi, len(tm.group(1)) // 2, dsts))
+            del i
+
+    def _lookup(self, code: int) -> str | None:
+        hit = self.single.get(code)
+        if hit is not None:
+            return hit
+        for lo, hi, _nb, dst in self.ranges:
+            if lo <= code <= hi:
+                if isinstance(dst, list):
+                    return dst[code - lo] if code - lo < len(dst) else ""
+                if not dst:
+                    return ""
+                # incrementing last UTF-16 unit (§9.10.3 bfrange rule)
+                units = dst.encode("utf-16-be")
+                last = int.from_bytes(units[-2:], "big") + (code - lo)
+                return (units[:-2] + last.to_bytes(2, "big")).decode(
+                    "utf-16-be", "replace"
+                )
+        return None
+
+    def decode(self, raw: bytes) -> str:
+        out: list[str] = []
+        i, n = 0, len(raw)
+        lens = sorted({nb for nb, _, _ in self.code_lens})
+        while i < n:
+            matched = False
+            for nb, lo, hi in self.code_lens:
+                if i + nb <= n:
+                    code = int.from_bytes(raw[i : i + nb], "big")
+                    if lo <= code <= hi:
+                        hit = self._lookup(code)
+                        if hit is not None:
+                            out.append(hit)
+                        i += nb
+                        matched = True
+                        break
+            if not matched:
+                # outside every codespace: consume the shortest code
+                # width and drop it (spec: treat as undefined)
+                i += lens[0] if lens else 1
+        return "".join(out)
+
+
+class _TableDecoder:
+    """Decode 1-byte codes via a 256-entry table built from a base
+    encoding (+ /Differences)."""
+
+    def __init__(self, table: list[str]) -> None:
+        self.table = table
+
+    def decode(self, raw: bytes) -> str:
+        return "".join(self.table[b] for b in raw)
+
+
+def _base_encoding_table(name: bytes) -> list[str]:
+    if name == b"WinAnsiEncoding":
+        return [
+            bytes([i]).decode("cp1252", "replace").replace("�", "")
+            for i in range(256)
+        ]
+    if name == b"MacRomanEncoding":
+        return [bytes([i]).decode("mac_roman") for i in range(256)]
+    # StandardEncoding (and the default): ASCII range matches Latin-1;
+    # the high range is font-specific — extract ASCII, drop the rest
+    return [chr(i) if 32 <= i < 127 else "" for i in range(256)]
+
+
+def _encoding_decoder(enc_body: bytes) -> _TableDecoder:
+    base_m = re.search(rb"/BaseEncoding\s*/(\w+)", enc_body)
+    table = _base_encoding_table(base_m.group(1) if base_m else b"")
+    diff_m = re.search(rb"/Differences\s*\[(.*?)\]", enc_body, re.S)
+    if diff_m:
+        code = 0
+        for tok in re.finditer(
+            rb"(\d+)|/([^\s/<>\[\]()]+)", diff_m.group(1)
+        ):
+            if tok.group(1) is not None:
+                code = int(tok.group(1))
+            else:
+                if code < 256:
+                    table[code] = _glyph_to_char(
+                        tok.group(2).decode("latin-1")
+                    )
+                code += 1
+    return _TableDecoder(table)
+
+
+def _font_decoders(objs: dict[int, bytes], page: bytes) -> dict[bytes, object]:
+    """Resource-name -> decoder for the page's /Font resources. Fonts
+    with neither /ToUnicode nor a usable /Encoding get no entry, and
+    strings shown in them fall back to the default PDFDoc/UTF-16BE
+    heuristic (correct for unembedded standard-14 text)."""
+    out: dict[bytes, object] = {}
+    fm = re.search(
+        rb"/Font\s*<<((?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>", page
+    )
+    if not fm:
+        return out
+    for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+        body = objs.get(int(m.group(2)))
+        if body is None:
+            continue
+        tu_num = _find_ref(body, b"ToUnicode")
+        if tu_num is not None and tu_num in objs:
+            try:
+                cmap = _stream_of(objs[tu_num])
+            except ValueError:
+                cmap = None
+            if cmap:
+                out[m.group(1)] = _CMapDecoder(cmap)
+                continue
+        enc_ref = _find_ref(body, b"Encoding")
+        enc_body: bytes | None = None
+        if enc_ref is not None and enc_ref in objs:
+            enc_body = objs[enc_ref]
+        else:
+            em = re.search(
+                rb"/Encoding\s*(<<(?:[^<>]|<<[^<>]*>>)*>>|/\w+)", body
+            )
+            if em:
+                enc_body = em.group(1)
+        if enc_body is not None and (
+            b"/Differences" in enc_body
+            or b"WinAnsiEncoding" in enc_body
+            or b"MacRomanEncoding" in enc_body
+        ):
+            if enc_body.startswith(b"/"):
+                enc_body = b"/BaseEncoding " + enc_body
+            out[m.group(1)] = _encoding_decoder(enc_body)
+    return out
 
 
 _LIT_ESCAPES = {
@@ -298,19 +726,29 @@ def _form_xobjects(objs: dict[int, bytes], page: bytes) -> dict[bytes, bytes]:
 def _page_text(
     cs: bytes,
     forms: dict[bytes, bytes] | None = None,
+    fonts: dict[bytes, object] | None = None,
     depth: int = 0,
 ) -> tuple[list[str], bool]:
     """Extract text pieces from one content stream. Returns
     (pieces, any_show_op). Newlines from line-advance operators are
     suppressed until the first show operator so the initial cursor
     positioning (``72 720 Td``) doesn't inject a leading break.
+    ``Tf`` selects the current font, whose /ToUnicode CMap or
+    /Encoding table decodes subsequent shown strings (r6); fonts
+    without one fall back to the PDFDoc/UTF-16BE heuristic.
     ``Do`` on a known /Form XObject recurses into the form's stream
     in place (depth-capped — forms can nest and cycle)."""
     out: list[str] = []
     operands: list = []
     shown = False
     last_tm_y: float | None = None
+    cur_font: object | None = None
     i, n = 0, len(cs)
+
+    def decode(raw: bytes) -> str:
+        if cur_font is not None:
+            return cur_font.decode(raw)
+        return _decode_pdf_string(raw)
 
     def newline() -> None:
         if shown:
@@ -371,22 +809,30 @@ def _page_text(
             op = cs[i:j]
             i = j
             if op == b"Tj" and operands and isinstance(operands[-1], bytes):
-                out.append(_decode_pdf_string(operands[-1]))
+                out.append(decode(operands[-1]))
                 shown = True
             elif op in (b"'", b'"'):
                 newline()
                 strs = [o for o in operands if isinstance(o, bytes)]
                 if strs:
-                    out.append(_decode_pdf_string(strs[-1]))
+                    out.append(decode(strs[-1]))
                 shown = True
             elif op == b"TJ" and operands and isinstance(operands[-1], list):
                 for el in operands[-1]:
                     if isinstance(el, bytes):
-                        out.append(_decode_pdf_string(el))
+                        out.append(decode(el))
                         shown = True
                     elif isinstance(el, float) and el < -180:
                         # large negative kern == inter-word gap
                         out.append(" ")
+            elif op == b"Tf":
+                name = next(
+                    (o[1] for o in reversed(operands)
+                     if isinstance(o, tuple) and o[0] == "name"),
+                    None,
+                )
+                if fonts is not None and name is not None:
+                    cur_font = fonts.get(name[1:])
             elif op in (b"Td", b"TD"):
                 if len(operands) >= 2 and isinstance(operands[-1], float):
                     if operands[-1] != 0.0:
@@ -419,7 +865,7 @@ def _page_text(
                 )
                 if name is not None and name[1:] in forms:
                     sub, sub_shown = _page_text(
-                        forms[name[1:]], forms, depth + 1
+                        forms[name[1:]], forms, fonts, depth + 1
                     )
                     out.extend(sub)
                     shown = shown or sub_shown
@@ -453,8 +899,9 @@ def _extract(data: bytes) -> tuple[str, str | None, int]:
     for page_num in page_order:
         page_pieces: list[str] = []
         forms = _form_xobjects(objs, objs[page_num])
+        fonts = _font_decoders(objs, objs[page_num])
         for cs in _content_streams(objs, objs[page_num]):
-            ps, shown = _page_text(cs, forms)
+            ps, shown = _page_text(cs, forms, fonts)
             page_pieces.extend(ps)
             any_shown = any_shown or shown
         if pieces and page_pieces:
@@ -490,18 +937,153 @@ def _pdf_text_string(s: str) -> bytes:
     return b"<" + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode("ascii") + b">"
 
 
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder mirroring ``_lzw_decode`` (used by the writer's
+    ``filter_mode='lzw'`` so LZWDecode is covered by the same round-trip
+    oracle as FlateDecode). Width transitions simulate the decoder's
+    table growth exactly."""
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    dec_len = 258  # decoder table length, tracked exactly
+    width = 9
+    emitted = 0  # data codes emitted since the clear
+
+    def emit_data(code: int) -> None:
+        # The decoder appends one table entry while processing every
+        # data code except the first, then bumps its width; mirror
+        # that so each code is written at the width the decoder will
+        # read it with.
+        nonlocal emitted, dec_len, width
+        emit(code, width)
+        emitted += 1
+        if emitted >= 2 and dec_len < 4096:
+            dec_len += 1
+        while dec_len + early >= (1 << width) and width < 12:
+            width += 1
+
+    emit(256, width)  # leading clear (conventional)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit_data(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        w = bytes([b])
+    if w:
+        emit_data(table[w])
+    emit(257, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _codes_string(line: str, code_of: dict[str, int], nbytes: int) -> bytes:
+    """Hex string of per-character font codes (type0/differences)."""
+    payload = b"".join(code_of[ch].to_bytes(nbytes, "big") for ch in line)
+    return b"<" + payload.hex().encode("ascii") + b">"
+
+
+def _tounicode_cmap(code_of: dict[str, int]) -> bytes:
+    """Minimal /ToUnicode CMap stream (§9.10.3): one codespace range +
+    bfchar blocks of <=100 entries."""
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /Synth-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    items = sorted(code_of.items(), key=lambda kv: kv[1])
+    for i in range(0, len(items), 100):
+        chunk = items[i : i + 100]
+        lines.append(b"%d beginbfchar" % len(chunk))
+        for ch, code in chunk:
+            dst = ch.encode("utf-16-be").hex().encode("ascii")
+            lines.append(b"<%04x> <" % code + dst + b">")
+        lines.append(b"endbfchar")
+    lines += [b"endcmap", b"end", b"end"]
+    return b"\n".join(lines)
+
+
+_AGL_REVERSE = {ch: name for name, ch in _AGL.items() if len(ch) == 1}
+
+
+def _char_glyph_name(ch: str) -> bytes:
+    """Writer-side glyph name for a char: ASCII letters/digits use the
+    AGL convention (letters are their own names, digits are spelled),
+    known punctuation uses its AGL name, everything else uniXXXX — all
+    forms the extractor's ``_glyph_to_char`` resolves."""
+    if ch.isascii() and ch.isalpha():
+        return ch.encode("ascii")
+    if ch in _AGL_REVERSE:
+        return _AGL_REVERSE[ch].encode("ascii")
+    return b"uni" + b"".join(
+        b"%04X" % u for u in
+        (int.from_bytes(ch.encode("utf-16-be")[i : i + 2], "big")
+         for i in range(0, len(ch.encode("utf-16-be")), 2))
+    )
+
+
+def _wrap_stream(body: bytes, filter_mode: str) -> bytes:
+    if filter_mode == "flate":
+        payload = zlib.compress(body)
+        return (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(payload)
+            + payload
+            + b"\nendstream"
+        )
+    if filter_mode == "lzw":
+        payload = _lzw_encode(body)
+        return (
+            b"<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(payload)
+            + payload
+            + b"\nendstream"
+        )
+    return b"<< /Length %d >>\nstream\n" % len(body) + body + b"\nendstream"
+
+
 def build_pdf(
     text: str,
     *,
     title: str | None = None,
     lines_per_page: int | None = None,
     compress: bool = True,
+    font_mode: str = "simple",
+    filter_mode: str | None = None,
 ) -> bytes:
     """Write a small, valid PDF whose extracted text is exactly
     ``text``: one Tj per line, T* between lines, pages split every
-    ``lines_per_page`` lines (default: single page). Content streams
-    are FlateDecode'd by default. Used by fixtures and by the
-    ``pdf_extract`` oracle round trip."""
+    ``lines_per_page`` lines (default: single page).
+
+    ``font_mode``: ``simple`` shows UTF-16BE text strings directly;
+    ``type0`` assigns opaque 2-byte codes per distinct char and maps
+    them back via an embedded /ToUnicode CMap (the subset-font shape
+    that dominates real-world PDFs); ``differences`` assigns 1-byte
+    codes mapped via an /Encoding /Differences array of glyph names
+    (auto-falls back to type0 past 223 distinct chars).
+    ``filter_mode``: ``flate`` (default when ``compress``), ``lzw``,
+    or ``none``. Used by fixtures and the ``pdf_extract`` oracle
+    round trip."""
+    if filter_mode is None:
+        filter_mode = "flate" if compress else "none"
     lines = text.split("\n")
     if lines_per_page is None or lines_per_page <= 0:
         pages_lines = [lines]
@@ -511,26 +1093,51 @@ def build_pdf(
             for i in range(0, len(lines), lines_per_page)
         ] or [[""]]
 
+    distinct = sorted(set(text.replace("\n", "")))
+    if font_mode == "differences" and len(distinct) > 223:
+        font_mode = "type0"
+
     objs: dict[int, bytes] = {}
     font_num = 3
-    objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    page_nums: list[int] = []
     next_num = 4
+    if font_mode == "type0":
+        code_of = {ch: i + 1 for i, ch in enumerate(distinct)}
+        cmap_num, desc_num = next_num, next_num + 1
+        next_num += 2
+        objs[cmap_num] = _wrap_stream(_tounicode_cmap(code_of), filter_mode)
+        objs[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_num, cmap_num)
+        )
+        enc = lambda ln: _codes_string(ln, code_of, 2)  # noqa: E731
+    elif font_mode == "differences":
+        code_of = {ch: 33 + i for i, ch in enumerate(distinct)}
+        diffs = bytearray(b"/Differences [ 33")
+        for ch in distinct:
+            diffs += b" /" + _char_glyph_name(ch)
+        diffs += b" ]"
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Synth "
+            b"/Encoding << " + bytes(diffs) + b" >> >>"
+        )
+        enc = lambda ln: _codes_string(ln, code_of, 1)  # noqa: E731
+    else:
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
+        enc = _pdf_text_string
+    page_nums: list[int] = []
     for pl in pages_lines:
         body = b"BT /F1 12 Tf 14 TL 72 720 Td\n" + b" T*\n".join(
-            _pdf_text_string(ln) + b" Tj" for ln in pl
+            enc(ln) + b" Tj" for ln in pl
         ) + b"\nET"
-        if compress:
-            payload = zlib.compress(body)
-            stream_obj = (
-                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(payload)
-                + payload
-                + b"\nendstream"
-            )
-        else:
-            stream_obj = (
-                b"<< /Length %d >>\nstream\n" % len(body) + body + b"\nendstream"
-            )
+        stream_obj = _wrap_stream(body, filter_mode)
         content_num = next_num
         objs[content_num] = stream_obj
         page_num = next_num + 1
@@ -577,29 +1184,42 @@ def build_pdf(
 
 
 def with_pdf_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
-                     lines_per_page: int = 20):
-    """Attach a real FlateDecode PDF ``payload`` built from
-    ``text_col`` (one page per ``lines_per_page`` lines). Deterministic
-    content-addressed bytes, so extraction output is a pure function of
-    the text — what makes the full parser ORACLE-CHECKABLE. Real
-    ingestion would read files via ``spark.read.format("binaryFile")``
-    into the same (id, payload) shape."""
+                     lines_per_page: int = 20, mix_modes: bool = False):
+    """Attach a real PDF ``payload`` built from ``text_col`` (one page
+    per ``lines_per_page`` lines). Deterministic content-addressed
+    bytes, so extraction output is a pure function of the text — what
+    makes the full parser ORACLE-CHECKABLE. With ``mix_modes`` (the
+    registry round trip), the font mode rotates simple/type0/
+    differences and the stream filter rotates flate/lzw per document
+    (keyed on a crc of the id), so the CMap, Differences, and LZW
+    paths all run distributed under the same oracle. Real ingestion
+    would read files via ``spark.read.format("binaryFile")`` into the
+    same (id, payload) shape."""
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, payload binary"
+    fonts = ("simple", "type0", "differences")
+    filters = ("flate", "lzw")
 
     def encode(batches):
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "payload": [
-                        build_pdf(t or "", lines_per_page=lines_per_page)
-                        for t in pdf[text_col]
-                    ],
-                }
-            )
+            payloads = []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                if mix_modes:
+                    key = zlib.crc32(str(doc_id).encode("utf-8"))
+                    fm, flt = fonts[key % 3], filters[(key // 3) % 2]
+                else:
+                    fm, flt = "simple", "flate"
+                payloads.append(
+                    build_pdf(
+                        t or "",
+                        lines_per_page=lines_per_page,
+                        font_mode=fm,
+                        filter_mode=flt,
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
 

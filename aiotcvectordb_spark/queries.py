@@ -3287,7 +3287,11 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex strings so CJK survives, one page per 20 lines), then a second
     shuffle-free mapInPandas stage runs the stdlib ISO 32000-1
     extractor (object scan + ObjStm, zlib inflate, Tj/TJ/'/" text
-    operators, Root->Pages->Kids page walk). Extracted text must equal
+    operators, Root->Pages->Kids page walk). r6: ``mix_modes`` rotates
+    the writer per document across font modes simple / Type0+ToUnicode
+    CMap / Encoding-Differences and stream filters Flate / LZW, so the
+    CMap machinery, glyph-name resolution, and the LZW codec all run
+    distributed under this same oracle. Extracted text must equal
     the input text EXACTLY and n_pages = ceil(lines/20) — DuckDB
     predicts both from the raw text, so the driver hash-checks the
     whole parser: the RAG upload path's PDF ingestion (reference
@@ -3299,7 +3303,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") > 0
     )
     pdfs = pdfcodec.with_pdf_payload(
-        df, lines_per_page=_PDF_LINES_PER_PAGE
+        df, lines_per_page=_PDF_LINES_PER_PAGE, mix_modes=True
     )
     return pdfcodec.extract_text_df(pdfs).select("doc_id", "text", "n_pages")
 
@@ -5810,6 +5814,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # enforces this ordering plus the post-driver age cap by simulating
     # the driver consuming the front batch; tools/rotate_registry.py
     # regenerates this block. Re-rotation is the round's CLOSING commit.
+    # --- forced for r6: rewritten since last row / no row yet ---
+    "pdf_extract": q_pdf_extract,  # rewritten r6
     # --- r3 rows (age 3) (must be in the next batch) ---
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
@@ -5873,7 +5879,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_quantity_revenue": q_small_quantity_revenue,
     # --- r5 rows (age 1) ---
     "multimodal_features": q_multimodal_features,
-    "pdf_extract": q_pdf_extract,
     "unigram_logprob": q_unigram_logprob,
     "lang_top_terms": q_lang_top_terms,
     "bigram_logprob": q_bigram_logprob,

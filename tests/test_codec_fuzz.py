@@ -37,6 +37,21 @@ def test_pdf_fuzz_no_hangs_no_foreign_exceptions():
             pass
 
 
+def test_pdf_fuzz_font_modes_and_lzw():
+    """r6: the CMap/Differences decode paths and the LZW inflater must
+    also honor the ValueError-or-success contract under mutation."""
+    rng = random.Random(1042)
+    base_text = "CMap fuzz 中文 éß\nline two " * 10
+    for fm, flt in (("type0", "lzw"), ("differences", "flate"), ("type0", "none")):
+        pdf = P.build_pdf(base_text, font_mode=fm, filter_mode=flt)
+        for b in _mutations(pdf, rng, 80):
+            try:
+                text, _ = P.extract_pdf_text(b)
+                assert isinstance(text, str)
+            except ValueError:
+                pass
+
+
 def test_mp3_fuzz_no_hangs_no_foreign_exceptions():
     rng = random.Random(43)
     x = 0.4 * np.sin(2 * np.pi * 800 * np.arange(9216) / 44100)

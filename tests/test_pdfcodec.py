@@ -158,10 +158,22 @@ def test_rejects_unsupported_filter():
     content = b"BT (hi) Tj ET"
     pdf = _wrap_single_page(content).replace(
         b"<< /Length %d >>" % len(content),
-        b"<< /Length %d /Filter /LZWDecode >>" % len(content),
+        b"<< /Length %d /Filter /RunLengthDecode >>" % len(content),
     )
     with pytest.raises(ValueError, match="unsupported PDF stream filter"):
         extract_pdf_text(pdf)
+
+
+def test_lzw_filter_supported():
+    from aiotcvectordb_spark.operators.pdfcodec import _lzw_encode
+
+    content = b"BT (lzw payload) Tj ET"
+    payload = _lzw_encode(content)
+    pdf = _wrap_single_page(payload).replace(
+        b"<< /Length %d >>" % len(payload),
+        b"<< /Length %d /Filter /LZWDecode >>" % len(payload),
+    )
+    assert extract_pdf_text(pdf)[0] == "lzw payload"
 
 
 def test_rejects_image_only():
@@ -223,3 +235,140 @@ def test_inline_image_binary_skipped():
     )
     got, _ = extract_pdf_text(_wrap_single_page(content))
     assert got == "beforeafter"
+
+
+# ---------------------------------------------------------------------------
+# r6 font machinery: ToUnicode CMaps, /Differences, LZW, predictors
+
+
+def test_round_trip_all_font_and_filter_modes():
+    from aiotcvectordb_spark.operators.pdfcodec import build_pdf
+
+    texts = [
+        "Hello, World!\nSecond line: #$%&",
+        "CJK: 中文文档测试\nRussian: привет мир",
+        "accents: éèêë ÄÖÜ ß œ ñ",
+        "astral: \U0001F600 \U0001D400 mixed",
+        "",
+    ]
+    for fm in ("simple", "type0", "differences"):
+        for flt in ("flate", "lzw", "none"):
+            for t in texts:
+                pdf = build_pdf(t, font_mode=fm, filter_mode=flt, lines_per_page=2)
+                got, _ = extract_pdf_text(pdf)
+                assert got == t, (fm, flt, t[:30], got[:50])
+
+
+def test_differences_mode_falls_back_to_type0_past_223_chars():
+    from aiotcvectordb_spark.operators.pdfcodec import build_pdf
+
+    text = "".join(chr(0x4E00 + i) for i in range(300))
+    pdf = build_pdf(text, font_mode="differences")
+    assert b"/ToUnicode" in pdf  # type0 machinery engaged
+    assert extract_pdf_text(pdf)[0] == text
+
+
+def test_glyph_name_resolver():
+    from aiotcvectordb_spark.operators.pdfcodec import _glyph_to_char
+
+    assert _glyph_to_char("a") == "a"
+    assert _glyph_to_char("Q") == "Q"
+    assert _glyph_to_char("seven") == "7"
+    assert _glyph_to_char("comma") == ","
+    assert _glyph_to_char("eacute") == "é"
+    assert _glyph_to_char("Adieresis") == "Ä"
+    assert _glyph_to_char("ccedilla") == "ç"
+    assert _glyph_to_char("ntilde") == "ñ"
+    assert _glyph_to_char("germandbls") == "ß"
+    assert _glyph_to_char("quotedblleft") == "“"
+    assert _glyph_to_char("emdash") == "—"
+    assert _glyph_to_char("fi") == "ﬁ"
+    assert _glyph_to_char("uni4E2D") == "中"
+    assert _glyph_to_char("uni0041") == "A"
+    assert _glyph_to_char("u1F600") == "\U0001F600"
+    assert _glyph_to_char("notarealglyphname") == ""
+    assert _glyph_to_char("") == ""
+
+
+def test_hand_built_differences_with_winansi_base():
+    # codes: 65 -> eacute via Differences; 0x80 stays WinAnsi euro
+    font = (
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /X "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 65 /eacute ] >> >> endobj\n"
+    )
+    content = b"BT /F1 12 Tf <41 80> Tj ET"
+    pdf = _wrap_single_page(content, extra_objs=font).replace(
+        b"/Contents 4 0 R",
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R",
+    )
+    got, _ = extract_pdf_text(pdf)
+    assert got == "é€"
+
+
+def test_hand_built_tounicode_bfrange():
+    cmap = (
+        b"begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfrange <41> <43> <0061> endbfrange\n"
+        b"1 beginbfchar <20> <0020> endbfchar\n"
+    )
+    objs = (
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /X "
+        b"/ToUnicode 6 0 R >> endobj\n"
+        b"6 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(cmap), cmap)
+    )
+    content = b"BT /F1 12 Tf <41 42 43 20 41> Tj ET"
+    pdf = _wrap_single_page(content, extra_objs=objs).replace(
+        b"/Contents 4 0 R",
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R",
+    )
+    got, _ = extract_pdf_text(pdf)
+    assert got == "abc a"  # bfrange increments, 1-byte codespace honored
+
+
+def test_length_sliced_stream_keeps_trailing_newline_data():
+    # an uncompressed stream whose payload legitimately ends in \n:
+    # /Length slicing must keep it (the old endstream scan stripped it)
+    content = b"BT (line) Tj ET\n"
+    pdf = _wrap_single_page(content)
+    assert extract_pdf_text(pdf)[0] == "line"
+    # and a wrong /Length falls back to scanning without crashing
+    bad = pdf.replace(b"<< /Length %d >>" % len(content), b"<< /Length 9999 >>")
+    assert extract_pdf_text(bad)[0] == "line"
+
+
+def test_png_predictor_roundtrip():
+    import zlib as _z
+
+    from aiotcvectordb_spark.operators.pdfcodec import _png_predictor
+
+    # predictor rows: filter byte 2 (Up) over two 4-byte rows
+    raw = bytes([0, 1, 2, 3, 4]) + bytes([2, 1, 1, 1, 1])
+    out = _png_predictor(raw, 1, 4)
+    assert out == bytes([1, 2, 3, 4, 2, 3, 4, 5])
+    # wire it through a Flate stream with DecodeParms
+    content = b"BT (pred) Tj ET"
+    # encode with predictor 0 rows (None filter): payload = rows of 15
+    rows = b"".join(b"\x00" + content[i : i + 15] for i in range(0, len(content), 15))
+    payload = _z.compress(rows)
+    pdf = _wrap_single_page(payload).replace(
+        b"<< /Length %d >>" % len(payload),
+        b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns 15 >> >>" % len(payload),
+    )
+    assert extract_pdf_text(pdf)[0] == "pred"
+
+
+def test_lzw_codec_exhaustive():
+    import os as _os
+    import random as _r
+
+    from aiotcvectordb_spark.operators.pdfcodec import _lzw_decode, _lzw_encode
+
+    _r.seed(13)
+    for n in (0, 1, 2, 257, 1000, 9000):
+        blob = _os.urandom(n)
+        assert _lzw_decode(_lzw_encode(blob)) == blob
+    rep = b"tika" * 3000  # repetitive: deep table
+    assert _lzw_decode(_lzw_encode(rep)) == rep

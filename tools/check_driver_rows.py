@@ -93,6 +93,7 @@ REWRITES: dict[str, int] = {
     "equidepth_histogram": 3,
     "audio_probe": 3,
     "video_frames": 3,
+    "pdf_extract": 6,  # r6 mixed font modes (CMap/Differences) + LZW filter
 }
 
 
