@@ -24,9 +24,10 @@ codec).
 
 Office (r5): OOXML containers (.docx/.pptx/.xlsx — ZIP of ECMA-376
 XML) are parsed for real by ``operators/officeparse`` with stdlib
-zipfile + ElementTree. Legacy OLE2 binaries (.doc/.ppt/.xls) and
-encrypted OOXML stay honestly rejected — ``ValueError`` instead of
-silently splitting raw binary soup.
+zipfile + ElementTree. Legacy binary Word .doc (r6): real [MS-CFB]
+container + [MS-DOC] piece-table extraction via ``operators/cfbdoc``.
+OLE2 .ppt/.xls and encrypted documents stay honestly rejected —
+``ValueError`` instead of silently splitting raw binary soup.
 
 Parsing is pure-Python string work exposed both as driver-side
 functions (the single-file API path) and usable inside any Arrow batch
@@ -46,7 +47,8 @@ _PDF_EXTS = (".pdf",)
 _OOXML_EXTS = (".docx", ".pptx", ".xlsx")
 _RTF_EXTS = (".rtf",)
 _EPUB_EXTS = (".epub",)
-_UNSUPPORTED_EXTS = (".doc", ".ppt", ".xls")
+_DOC_EXTS = (".doc",)
+_UNSUPPORTED_EXTS = (".ppt", ".xls")
 
 _SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.I | re.S)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
@@ -88,6 +90,8 @@ def detect_file_type(doc_name: str) -> str:
         return "rtf"
     if low.endswith(_EPUB_EXTS):
         return "epub"
+    if low.endswith(_DOC_EXTS):
+        return "doc"
     if low.endswith(_UNSUPPORTED_EXTS):
         return "unsupported"
     return "text"
@@ -169,14 +173,20 @@ def parse_document(raw: str, doc_name: str) -> tuple[str, str | None]:
             "xlsx": officeparse.parse_xlsx,
         }[ftype]
         return parser(payload)
+    if ftype == "doc" and _looks_binary(raw):
+        # legacy binary Word (r6): real [MS-CFB] + [MS-DOC] piece-table
+        # extraction. Encrypted .doc and non-Word CFB raise inside
+        # cfbdoc. Pre-extracted TEXT under a .doc name passes through.
+        from aiotcvectordb_spark.operators.cfbdoc import parse_doc
+
+        return parse_doc(raw.encode("latin-1", "surrogateescape"))
     if ftype == "unsupported" and _looks_binary(raw):
-        # Legacy OLE2 Office binaries (.doc/.ppt/.xls): the Word/
-        # PowerPoint binary record formats need far more than a
-        # container walk — honest rejection, not silent raw-bytes
-        # splitting.
+        # Legacy OLE2 .ppt/.xls: the PowerPoint/Excel record formats
+        # are still out of scope — honest rejection, not silent
+        # raw-bytes splitting (.doc is parsed for real since r6).
         raise ValueError(
-            f"no parser for {doc_name!r}: legacy OLE2 Office binary "
-            "parsing is not implemented (OOXML .docx/.pptx/.xlsx are)"
+            f"no parser for {doc_name!r}: legacy OLE2 .ppt/.xls record "
+            "parsing is not implemented (.doc/.docx/.pptx/.xlsx are)"
         )
     return raw, None
 

@@ -3318,6 +3318,37 @@ WHERE length(text) > 0
 """
 
 
+def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary Word (.doc) parser round trip, oracle-checked (r6):
+    each document's text becomes a genuine [MS-CFB] compound file with
+    WordDocument + 0Table streams and a multi-piece [MS-DOC] piece
+    table (``operators/cfbdoc.build_doc`` — FIB, Clx/Pcdt/PlcPcd,
+    compressed cp1252 and UTF-16LE pieces alternating per id, mini
+    stream for small docs and FAT chains for large ones), then a
+    second shuffle-free mapInPandas stage runs the stdlib CFB reader +
+    piece-table extractor. Word stores paragraph marks as CR, so the
+    oracle predicts extraction as the CR->LF mapping with the final
+    paragraph mark stripped — DuckDB hash-checks the whole container
+    and text machinery. Covers the last common enterprise ingest
+    format the upload path (reference collection_view.py:342-423)
+    rejected."""
+    from aiotcvectordb_spark.operators import cfbdoc
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    docs = cfbdoc.with_doc_payload(df)
+    return cfbdoc.extract_text_df(docs).select("doc_id", "text")
+
+
+ORACLE_DOC_EXTRACT = """
+SELECT doc_id,
+       rtrim(replace(text, chr(13), chr(10)), chr(10)) AS text
+FROM documents
+WHERE length(text) > 0
+"""
+
+
 def q_ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized kNN (operators/pq.py): 32x-compressed codes
     scored with an ADC lookup table, then exact cosine rescore of the
@@ -5816,6 +5847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # regenerates this block. Re-rotation is the round's CLOSING commit.
     # --- forced for r6: rewritten since last row / no row yet ---
     "pdf_extract": q_pdf_extract,  # rewritten r6
+    "doc_extract": q_doc_extract,  # new, no driver row yet
     # --- r3 rows (age 3) (must be in the next batch) ---
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
@@ -6003,6 +6035,7 @@ ORACLES: dict[str, str] = {
     "fulltext_bm25_cjk": ORACLE_FULLTEXT_BM25_CJK,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "pdf_extract": ORACLE_PDF_EXTRACT,
+    "doc_extract": ORACLE_DOC_EXTRACT,
     "lang_id_cjk": ORACLE_LANG_ID_CJK,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "sparse_encode": ORACLE_SPARSE_ENCODE,

@@ -112,6 +112,7 @@ HEADLINE = [
     "audio_mp3_probe",
     "jpeg_progressive_probe",
     "pdf_extract",
+    "doc_extract",
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

@@ -100,8 +100,13 @@ def test_ole2_rejected():
     ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64
     with pytest.raises(ValueError, match="OLE2"):
         officeparse.parse_docx(ole)
-    with pytest.raises(ValueError, match="no parser"):
+    # .doc now routes to the real CFB parser (r6), which rejects this
+    # truncated container as corrupt rather than "no parser"
+    with pytest.raises(ValueError, match="truncated CFB|corrupt CFB"):
         docparse.parse_document(ole.decode("latin-1"), "legacy.doc")
+    # .ppt/.xls remain honestly unimplemented
+    with pytest.raises(ValueError, match="no parser"):
+        docparse.parse_document(ole.decode("latin-1"), "legacy.ppt")
 
 
 def test_garbage_zip_rejected():
