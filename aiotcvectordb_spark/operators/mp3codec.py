@@ -399,13 +399,24 @@ def _alias_reduce(xr: np.ndarray, inverse: bool = False) -> np.ndarray:
 def _decode_big_values(br: _BitReader, g: dict, end_bit: int) -> np.ndarray:
     ix = np.zeros(576)
     tables = g["table_select"]
-    for t in tables[: 2 if g["window_switching"] else 3]:
+    used = tables[: 2 if g["window_switching"] else 3]
+    for t in used:
         if t not in (0, 1):
             raise ValueError(
                 f"Huffman codebook {t} not implemented: only ISO Table "
                 "B.7 codebooks 0 and 1 are available in this environment "
                 "(see mp3codec module docstring)"
             )
+    if g["big_values"] and 0 in used and 1 in used:
+        # regions mixing codebook 0 (zero-bit, zero-pair) and codebook 1
+        # would need the Table B.8 region boundaries to decode correctly;
+        # decoding everything with table 1 would silently misalign the
+        # spectrum — reject instead (r5 advice, 'never silent garbage')
+        raise ValueError(
+            "big_values regions mix codebooks 0 and 1: region-boundary "
+            "decode needs the ISO scalefactor-band tables, which are not "
+            "reproduced in this environment"
+        )
     n_lines = min(2 * g["big_values"], 576)
     i = 0
     while i < n_lines:

@@ -93,6 +93,14 @@ def parse_rtf(raw: str) -> tuple[str, str | None]:
             elif esc is not None:
                 if esc in "{}\\":
                     out.append(esc)
+                elif esc == "*":
+                    # ignorable-destination marker: {\*\dest ...} group
+                    # content is never body text (spec: readers that
+                    # don't understand \dest must discard the group);
+                    # skip EVERY starred destination, not just the ones
+                    # in _RTF_SKIP_DESTS (r5 advice: unknown ones like
+                    # \*\wgrffmtfilter leaked their payload)
+                    skip_until_depth = depth
                 elif esc == "~":
                     out.append("\u00a0")
                 elif esc in "\r\n":

@@ -1798,12 +1798,19 @@ def _neardup_pairs_from_cells(assigned: DataFrame) -> DataFrame:
         order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
         ids = pdf["vec_id"].to_numpy()[order]
         X = np.asarray(list(pdf["embedding"]), dtype=np.float64)[order]
-        U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        norms = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
         out_a, out_b, out_s = [], [], []
         chunk = max(1, (1 << 22) // n)  # S-chunk ≈ 32 MB of float64
+        scale = 10.0 ** ROUND_DIGITS
         for s0 in range(0, n - 1, chunk):
             s1 = min(s0 + chunk, n - 1)
-            S = np.round(U[s0:s1] @ U.T, ROUND_DIGITS)
+            # match the exact path's arithmetic (r5 advice): raw dot,
+            # THEN divide by the norm product — not normalize-then-dot
+            # — and round HALF_UP like Spark/DuckDB ROUND, not numpy's
+            # banker's rounding, so threshold-boundary pairs agree
+            # between the IVF and exact operators
+            S = (X[s0:s1] @ X.T) / np.outer(norms[s0:s1], norms)
+            S = np.sign(S) * np.floor(np.abs(S) * scale + 0.5) / scale
             for r in range(s1 - s0):
                 row = S[r, s0 + r + 1 :]
                 hit = np.nonzero(row >= thr)[0]
@@ -1937,7 +1944,11 @@ def _embedding_near_dup_imi(
     id_type = dict(emb.dtypes)["vec_id"]
     emb_type = dict(emb.dtypes)["embedding"]
     schema = f"vec_id {id_type}, embedding {emb_type}, cell bigint"
-    t = min(nprobe, K1, K2)  # per-half probe width; t*t >= nprobe
+    t = min(nprobe, K1, K2)  # per-half probe width
+    # r5 advice: with a tiny training sample K1/K2 can be clamped so
+    # far that t*t < nprobe — argpartition's kth would go out of range.
+    # The product grid only has t*t cells; probe at most that many.
+    nprobe = min(nprobe, t * t)
 
     def assign(batches):
         import pandas as pd
