@@ -207,12 +207,66 @@ def _parse_header(data: bytes, i: int) -> dict | None:
     }
 
 
+def _parse_vbr_header(data: bytes, at: int, h: dict) -> dict | None:
+    """Xing/Info/VBRI VBR header in the FIRST frame (r6, public LAME /
+    Fraunhofer layouts): declared frame/byte counts give an accurate
+    duration for VBR files without walking the whole payload (and for
+    truncated streams where the walk under-counts). Returns
+    {kind, frames, bytes, quality, toc_present} or None."""
+    # Xing/Info: right after the (CRC +) Layer III side info
+    if h["layer"] == 3:
+        side = (
+            (17 if h["channels"] == 1 else 32)
+            if h["version"] == "1"
+            else (9 if h["channels"] == 1 else 17)
+        )
+        off = at + 4 + (2 if h["crc"] else 0) + side
+        magic = data[off : off + 4]
+        if magic in (b"Xing", b"Info"):
+            flags = int.from_bytes(data[off + 4 : off + 8], "big")
+            p = off + 8
+            out = {
+                "kind": magic.decode("ascii"),
+                "frames": None,
+                "bytes": None,
+                "quality": None,
+                "toc_present": bool(flags & 0x4),
+            }
+            if flags & 0x1:
+                out["frames"] = int.from_bytes(data[p : p + 4], "big")
+                p += 4
+            if flags & 0x2:
+                out["bytes"] = int.from_bytes(data[p : p + 4], "big")
+                p += 4
+            if flags & 0x4:
+                p += 100  # TOC
+            if flags & 0x8:
+                out["quality"] = int.from_bytes(data[p : p + 4], "big")
+            return out
+    # VBRI (Fraunhofer): fixed 32 bytes after the 4-byte frame header
+    off = at + 36
+    if data[off : off + 4] == b"VBRI":
+        return {
+            "kind": "VBRI",
+            "frames": int.from_bytes(data[off + 14 : off + 18], "big"),
+            "bytes": int.from_bytes(data[off + 10 : off + 14], "big"),
+            "quality": int.from_bytes(data[off + 8 : off + 10], "big"),
+            "toc_present": int.from_bytes(data[off + 18 : off + 20], "big") > 0,
+        }
+    return None
+
+
 def probe_mp3(data: bytes) -> dict:
     """Parse every frame header of an MP3 payload (any layer/version).
     Returns n_frames, sample_rate, bitrate_kbps (of the first frame),
-    channels, duration_ms, layer, vbr (True if bitrate varies)."""
+    channels, duration_ms, layer, vbr (True if bitrate varies), plus
+    r6 VBR-header fields: ``vbr_header`` (parsed Xing/Info/VBRI dict
+    or None) and ``declared_duration_ms`` (from the header's declared
+    frame count — the accurate duration for VBR/truncated payloads;
+    None without a header). The walked fields are unchanged."""
     i = _skip_id3(data)
     first = None
+    vbr_header = None
     n = 0
     bitrates = set()
     total_samples = 0
@@ -230,12 +284,23 @@ def probe_mp3(data: bytes) -> dict:
             )
         if first is None:
             first = h
+            vbr_header = _parse_vbr_header(data, i, h)
         n += 1
         bitrates.add(h["bitrate_kbps"])
         total_samples += h["samples"]
         i += h["frame_len"]
     if first is None:
         raise ValueError("no MPEG audio frame found (not an MP3 payload?)")
+    declared_ms = None
+    if vbr_header is not None and vbr_header["frames"]:
+        # the Xing/VBRI frame itself carries no audio — by convention
+        # its declared count covers the audio frames that follow
+        declared_ms = int(
+            round(
+                vbr_header["frames"] * first["samples"] * 1000.0
+                / first["sample_rate"]
+            )
+        )
     return {
         "n_frames": n,
         "sample_rate": first["sample_rate"],
@@ -243,7 +308,11 @@ def probe_mp3(data: bytes) -> dict:
         "channels": first["channels"],
         "duration_ms": int(round(total_samples * 1000.0 / first["sample_rate"])),
         "layer": first["layer"],
-        "vbr": len(bitrates) > 1,
+        "vbr": len(bitrates) > 1 or (
+            vbr_header is not None and vbr_header["kind"] in ("Xing", "VBRI")
+        ),
+        "vbr_header": vbr_header,
+        "declared_duration_ms": declared_ms,
     }
 
 

@@ -281,3 +281,80 @@ def test_layer2_honestly_rejected():
     frame = hdr + b"\x00" * 412
     with pytest.raises(ValueError, match="Layer II"):
         M.decode_mpeg_audio(frame)
+
+
+# ---------------------------------------------------------------------------
+# r6: Xing/Info/VBRI VBR headers
+
+
+def _mk_frame(payload: bytes = b"") -> bytes:
+    """Valid MPEG-1 Layer III stereo frame, 128 kbps @ 44100 (417
+    bytes), zero-filled beyond the given payload."""
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # v1 L3 128k 44100 stereo
+    body = payload + b"\x00" * (417 - 4 - len(payload))
+    return hdr + body[: 417 - 4]
+
+
+def test_xing_header_parsed():
+    import struct as _s
+
+    from aiotcvectordb_spark.operators.mp3codec import probe_mp3
+
+    # stereo MPEG-1 Layer III: Xing sits 32 bytes of side info past the
+    # 4-byte header (no CRC)
+    xing = b"\x00" * 32 + b"Xing" + _s.pack(">I", 0x3) + _s.pack(">II", 250, 104250)
+    data = _mk_frame(xing) + _mk_frame() * 3
+    info = probe_mp3(data)
+    assert info["vbr"] is True  # Xing (not Info) declares VBR
+    assert info["vbr_header"]["kind"] == "Xing"
+    assert info["vbr_header"]["frames"] == 250
+    assert info["vbr_header"]["bytes"] == 104250
+    # 250 frames * 1152 samples / 44100 Hz = 6531 ms
+    assert info["declared_duration_ms"] == 6531
+    assert info["n_frames"] == 4  # the walked count is unchanged
+
+
+def test_info_header_is_cbr():
+    import struct as _s
+
+    from aiotcvectordb_spark.operators.mp3codec import probe_mp3
+
+    tag = b"\x00" * 32 + b"Info" + _s.pack(">I", 0x1) + _s.pack(">I", 100)
+    info = probe_mp3(_mk_frame(tag) + _mk_frame())
+    assert info["vbr"] is False  # Info = CBR encode with a LAME tag
+    assert info["vbr_header"]["kind"] == "Info"
+    assert info["declared_duration_ms"] is not None
+
+
+def test_vbri_header_parsed():
+    import struct as _s
+
+    from aiotcvectordb_spark.operators.mp3codec import probe_mp3
+
+    # VBRI: fixed 32 bytes after the header
+    vbri = (
+        b"\x00" * 32
+        + b"VBRI"
+        + _s.pack(">H", 1)      # version
+        + _s.pack(">H", 0)      # delay
+        + _s.pack(">H", 80)     # quality
+        + _s.pack(">I", 204800) # bytes
+        + _s.pack(">I", 512)    # frames
+        + _s.pack(">H", 0)      # toc entries
+        + _s.pack(">H", 1) + _s.pack(">H", 2) + _s.pack(">H", 4)
+    )
+    info = probe_mp3(_mk_frame(vbri) + _mk_frame())
+    assert info["vbr"] is True
+    assert info["vbr_header"]["kind"] == "VBRI"
+    assert info["vbr_header"]["frames"] == 512
+    assert info["vbr_header"]["bytes"] == 204800
+    assert info["declared_duration_ms"] == int(round(512 * 1152 * 1000 / 44100))
+
+
+def test_no_vbr_header_is_none():
+    from aiotcvectordb_spark.operators.mp3codec import probe_mp3
+
+    info = probe_mp3(_mk_frame() * 3)
+    assert info["vbr_header"] is None
+    assert info["declared_duration_ms"] is None
+    assert info["vbr"] is False
