@@ -22,9 +22,10 @@ extractor (``extract_pdf_text``):
   line-advance operators Td TD T* Tm become text and newlines.
 
 honest rejections (ValueError, never silent garbage): encrypted
-documents (``/Encrypt``), unsupported stream filters on content
-streams, and documents with no text-showing operators at all
-(image-only scans).
+documents needing a real password or AES (the empty-user-password
+RC4 standard handler decrypts since r6), unsupported stream filters
+on content streams, and documents with no text-showing operators at
+all (image-only scans).
 
 writer (``build_pdf``): a correct small PDF generator (proper xref +
 trailer, FlateDecode content streams, UTF-16BE hex strings so CJK
@@ -59,6 +60,18 @@ strings), ``type0`` (2-byte codes + /ToUnicode CMap), and
 ``differences`` (1-byte custom codes + /Differences names) — so the
 whole CMap/Differences machinery is covered by the same
 encode-then-decode oracle round trip as the base extractor.
+
+r6 also implements ISO 32000-1 §7.6.3's standard security handler for
+the empty-user-password case (RC4 V1/V2 R2/R3: Algorithm 2 key
+derivation, Algorithm 4/5 /U validation, per-object keys): the
+document is decrypted object-by-object into a plaintext map before
+the normal pipeline runs. The writer's ``encrypt=True`` emits RC4-128
+documents (Algorithm 3 /O, symmetric RC4 reuses the decryptor), and
+~20% of the oracled round trip's documents are encrypted, so the
+handler math is hash-checked too. AES (/AESV2+) and real passwords
+still reject honestly. Real-world validation: the TeX/DocBook PDFs
+shipped with this OS (subset fonts + ToUnicode CMaps) extract clean
+text (tests/test_pdfcodec.py::test_real_world_system_pdfs).
 """
 
 from __future__ import annotations
@@ -247,12 +260,22 @@ def _stream_of(body: bytes) -> bytes | None:
     return _apply_parms(payload, head)
 
 
+def _scan_objects(data: bytes) -> dict[int, tuple[int, bytes]]:
+    """Top-level objects only: num -> (generation, body)."""
+    out: dict[int, tuple[int, bytes]] = {}
+    for m in _OBJ_RE.finditer(data):
+        out[int(m.group(1))] = (int(m.group(2)), m.group(3))
+    return out
+
+
 def _collect_objects(data: bytes) -> dict[int, bytes]:
     """Scan every top-level object; expand /ObjStm object streams so
     PDF 1.5+ compressed-xref files are covered."""
-    objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(data):
-        objs[int(m.group(1))] = m.group(3)
+    objs = {num: body for num, (_, body) in _scan_objects(data).items()}
+    return _expand_objstm(objs)
+
+
+def _expand_objstm(objs: dict[int, bytes]) -> dict[int, bytes]:
     for body in list(objs.values()):
         i = body.find(b"stream")
         if i < 0 or b"/ObjStm" not in body[:i]:
@@ -873,6 +896,201 @@ def _page_text(
     return out, shown
 
 
+# ---------------------------------------------------------------------------
+# encryption: standard security handler, empty user password (r6)
+# (ISO 32000-1 §7.6.3 — RC4 variants V1/V2, R2/R3; the algorithms and
+# the 32-byte padding string are printed in the public standard)
+
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for t, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[t] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _enc_string_at(body: bytes, key: bytes) -> bytes | None:
+    """Value bytes of /O or /U style 32-byte string entries."""
+    m = re.search(rb"/" + key + rb"\s*(\(|<(?!<))", body)
+    if not m:
+        return None
+    at = m.start(1)
+    if body[at : at + 1] == b"(":
+        raw, _ = _lit_string(body, at)
+    else:
+        raw, _ = _hex_string(body, at)
+    return raw
+
+
+class _StdDecryptor:
+    """Empty-user-password standard security handler (Algorithms 2/4/5
+    of §7.6.3). Raises ValueError when the document needs a real
+    password or uses an unimplemented V/R/crypt filter."""
+
+    def __init__(self, enc_body: bytes, file_id: bytes) -> None:
+        import hashlib
+
+        filt = re.search(rb"/Filter\s*/(\w+)", enc_body)
+        if not filt or filt.group(1) != b"Standard":
+            raise ValueError(
+                "encrypted PDF: only the /Standard security handler is "
+                "implemented"
+            )
+        v_m = re.search(rb"/V\s+(\d+)", enc_body)
+        r_m = re.search(rb"/R\s+(\d+)", enc_body)
+        v = int(v_m.group(1)) if v_m else 0
+        r = int(r_m.group(1)) if r_m else 2
+        if v not in (1, 2) or r not in (2, 3):
+            raise ValueError(
+                f"encrypted PDF: V={v} R={r} (AES/crypt-filter variants) "
+                "not implemented — only RC4 V1/V2 R2/R3"
+            )
+        len_m = re.search(rb"/Length\s+(\d+)", enc_body)
+        n = (int(len_m.group(1)) // 8) if len_m else 5
+        if r == 2:
+            n = 5
+        o = _enc_string_at(enc_body, b"O")
+        u = _enc_string_at(enc_body, b"U")
+        p_m = re.search(rb"/P\s+(-?\d+)", enc_body)
+        if o is None or u is None or p_m is None:
+            raise ValueError("encrypted PDF: /O /U /P entries missing")
+        p = int(p_m.group(1)) & 0xFFFFFFFF
+        h = hashlib.md5(
+            _PW_PAD + o[:32] + p.to_bytes(4, "little") + file_id
+        ).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        self.key = h[:n]
+        # verify the empty USER password against /U
+        if r == 2:
+            expect = _rc4(self.key, _PW_PAD)
+            ok = expect == u[:32]
+        else:
+            e = hashlib.md5(_PW_PAD + file_id).digest()
+            e = _rc4(self.key, e)
+            for i in range(1, 20):
+                e = _rc4(bytes(b ^ i for b in self.key), e)
+            ok = e == u[:16]
+        if not ok:
+            raise ValueError(
+                "encrypted PDF: non-empty user password required "
+                "(standard handler check failed)"
+            )
+
+    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        import hashlib
+
+        ok = hashlib.md5(
+            self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(len(self.key) + 5, 16)]
+        return _rc4(ok, data)
+
+
+def _decrypt_object(body: bytes, num: int, gen: int, dec: _StdDecryptor) -> bytes:
+    """Decrypt an object's stream payload and string tokens in place,
+    returning a plaintext body the rest of the pipeline can treat as
+    unencrypted. RC4 preserves lengths, so /Length stays valid."""
+    out = bytearray()
+    i = body.find(b"stream")
+    dict_part = body if i < 0 else body[:i]
+    j = 0
+    n = len(dict_part)
+    while j < n:
+        c = dict_part[j : j + 1]
+        if c == b"(":
+            raw, j2 = _lit_string(dict_part, j)
+            out += b"<" + dec.decrypt(raw, num, gen).hex().encode("ascii") + b">"
+            j = j2
+        elif dict_part[j : j + 2] in (b"<<", b">>"):
+            out += dict_part[j : j + 2]
+            j += 2
+        elif c == b"<":
+            raw, j2 = _hex_string(dict_part, j)
+            out += b"<" + dec.decrypt(raw, num, gen).hex().encode("ascii") + b">"
+            j = j2
+        else:
+            out += c
+            j += 1
+    if i < 0:
+        return bytes(out)
+    # stream payload: slice exactly as _stream_of would, decrypt, re-emit
+    j = i + len(b"stream")
+    if body[j : j + 2] == b"\r\n":
+        j += 2
+    elif body[j : j + 1] in (b"\n", b"\r"):
+        j += 1
+    raw = None
+    len_m = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", dict_part)
+    if len_m:
+        end = j + int(len_m.group(1))
+        if end <= len(body) and body[end:].lstrip(_WHITESPACE).startswith(
+            b"endstream"
+        ):
+            raw = body[j:end]
+    if raw is None:
+        k = body.find(b"endstream", j)
+        if k < 0:
+            k = len(body)
+        raw = body[j:k]
+        while raw[-1:] in (b"\r", b"\n"):
+            raw = raw[:-1]
+    out += b"stream\n" + dec.decrypt(raw, num, gen) + b"\nendstream"
+    return bytes(out)
+
+
+def _decrypt_document(data: bytes) -> dict[int, bytes]:
+    """Build the plaintext object map of an encrypted PDF (empty user
+    password) — ObjStm expansion runs after decryption, since objects
+    inside object streams are not separately encrypted (§7.6.2)."""
+    enc_m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", data)
+    scanned = _scan_objects(data)
+    if enc_m:
+        enc_num = int(enc_m.group(1))
+        enc_body = scanned.get(enc_num, (0, b""))[1]
+    else:
+        im = re.search(rb"/Encrypt\s*<<", data)
+        if im is None:
+            raise ValueError("encrypted PDF: /Encrypt dict not found")
+        enc_num = -1
+        end = _skip_dict(data, data.find(b"<<", im.start()))
+        enc_body = data[im.start() : end]
+    id_m = re.search(rb"/ID\s*\[\s*(<[0-9A-Fa-f]*>|\([^)]*\))", data)
+    if id_m:
+        at = id_m.start(1)
+        if data[at : at + 1] == b"(":
+            file_id, _ = _lit_string(data, at)
+        else:
+            file_id, _ = _hex_string(data, at)
+    else:
+        file_id = b""
+    dec = _StdDecryptor(enc_body, file_id)
+    objs: dict[int, bytes] = {}
+    for num, (gen, body) in scanned.items():
+        objs[num] = body if num == enc_num else _decrypt_object(
+            body, num, gen, dec
+        )
+    return _expand_objstm(objs)
+
+
 def extract_pdf_text(data: bytes) -> tuple[str, str | None]:
     """Extract (text, title_or_None) from a PDF byte payload.
 
@@ -887,12 +1105,16 @@ def extract_pdf_text(data: bytes) -> tuple[str, str | None]:
 def _extract(data: bytes) -> tuple[str, str | None, int]:
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF payload (missing %PDF header)")
-    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data) or b"/Encrypt<<" in data:
-        raise ValueError(
-            "encrypted PDF: decryption (RC4/AES per ISO 32000-1 §7.6) is "
-            "not implemented"
-        )
-    objs = _collect_objects(data)
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data) or re.search(
+        rb"/Encrypt\s*<<", data
+    ):
+        # r6: standard security handler with an EMPTY user password
+        # (the common "encrypted but openable" case) decrypts RC4
+        # V1/V2 R2/R3 documents; genuinely passworded or AES documents
+        # still raise ValueError from the handler
+        objs = _decrypt_document(data)
+    else:
+        objs = _collect_objects(data)
     pieces: list[str] = []
     any_shown = False
     page_order = _page_order(objs, data)
@@ -1068,6 +1290,7 @@ def build_pdf(
     compress: bool = True,
     font_mode: str = "simple",
     filter_mode: str | None = None,
+    encrypt: bool = False,
 ) -> bytes:
     """Write a small, valid PDF whose extracted text is exactly
     ``text``: one Tj per line, T* between lines, pages split every
@@ -1080,8 +1303,10 @@ def build_pdf(
     codes mapped via an /Encoding /Differences array of glyph names
     (auto-falls back to type0 past 223 distinct chars).
     ``filter_mode``: ``flate`` (default when ``compress``), ``lzw``,
-    or ``none``. Used by fixtures and the ``pdf_extract`` oracle
-    round trip."""
+    or ``none``. ``encrypt`` (r6) wraps the document in the standard
+    security handler (RC4-128, V2 R3, empty user/owner passwords) —
+    every stream and string RC4'd with per-object keys. Used by
+    fixtures and the ``pdf_extract`` oracle round trip."""
     if filter_mode is None:
         filter_mode = "flate" if compress else "none"
     lines = text.split("\n")
@@ -1157,7 +1382,55 @@ def build_pdf(
     info_num = 0
     if title is not None:
         info_num = next_num
+        next_num += 1
         objs[info_num] = b"<< /Title " + _pdf_text_string(title) + b" >>"
+
+    enc_num = 0
+    file_id = b""
+    if encrypt:
+        import hashlib
+
+        file_id = hashlib.md5(
+            text.encode("utf-8", "surrogatepass") + b"|pdf-id"
+        ).digest()
+        # Algorithm 3 (O entry), empty owner AND user passwords:
+        h = hashlib.md5(_PW_PAD).digest()
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+        okey = h[:16]
+        o_entry = _rc4(okey, _PW_PAD)
+        for i in range(1, 20):
+            o_entry = _rc4(bytes(b ^ i for b in okey), o_entry)
+        p = 0xFFFFFFFF  # /P -1: all permissions
+        # Algorithm 2 (file key), then Algorithm 5 (U entry):
+        h = hashlib.md5(
+            _PW_PAD + o_entry + p.to_bytes(4, "little") + file_id
+        ).digest()
+        for _ in range(50):
+            h = hashlib.md5(h[:16]).digest()
+        key = h[:16]
+        u = hashlib.md5(_PW_PAD + file_id).digest()
+        u = _rc4(key, u)
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u_entry = u + b"\x00" * 16
+        enc_num = next_num
+        next_num += 1
+        enc_body = (
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -1 /O <"
+            + o_entry.hex().encode("ascii")
+            + b"> /U <"
+            + u_entry.hex().encode("ascii")
+            + b"> >>"
+        )
+        # the handler validates our own O/U/key math before use, and
+        # RC4 is symmetric — encrypting IS _decrypt_object
+        dec = _StdDecryptor(enc_body, file_id)
+        objs = {
+            num: _decrypt_object(body, num, 0, dec)
+            for num, body in objs.items()
+        }
+        objs[enc_num] = enc_body
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -1173,6 +1446,12 @@ def build_pdf(
     trailer = b"<< /Size %d /Root 1 0 R" % (max_num + 1)
     if info_num:
         trailer += b" /Info %d 0 R" % info_num
+    if enc_num:
+        trailer += b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_num,
+            file_id.hex().encode("ascii"),
+            file_id.hex().encode("ascii"),
+        )
     trailer += b" >>"
     out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
@@ -1209,14 +1488,16 @@ def with_pdf_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
                 if mix_modes:
                     key = zlib.crc32(str(doc_id).encode("utf-8"))
                     fm, flt = fonts[key % 3], filters[(key // 3) % 2]
+                    enc = key % 5 == 0  # ~20% RC4-encrypted documents
                 else:
-                    fm, flt = "simple", "flate"
+                    fm, flt, enc = "simple", "flate", False
                 payloads.append(
                     build_pdf(
                         t or "",
                         lines_per_page=lines_per_page,
                         font_mode=fm,
                         filter_mode=flt,
+                        encrypt=enc,
                     )
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})

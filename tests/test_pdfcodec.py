@@ -148,10 +148,34 @@ def test_rejects_non_pdf():
         extract_pdf_text(b"GIF89a not a pdf")
 
 
-def test_rejects_encrypted():
+def test_rejects_encrypted_with_unknown_handler():
+    # /Encrypt pointing at a missing object -> no /Standard filter
     pdf = build_pdf("x").replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
-    with pytest.raises(ValueError, match="encrypted"):
+    with pytest.raises(ValueError, match="security handler"):
         extract_pdf_text(pdf)
+
+
+def test_encrypted_rc4_round_trip():
+    """r6: standard security handler, RC4-128, empty user password —
+    writer encrypts every stream/string with per-object keys, extractor
+    validates /U and decrypts."""
+    for fm in ("simple", "type0", "differences"):
+        pdf = build_pdf(
+            "classified body\nsecond line", font_mode=fm, encrypt=True,
+            title="Dossier",
+        )
+        assert b"/Encrypt" in pdf and b"classified" not in pdf
+        got, title = extract_pdf_text(pdf)
+        assert got == "classified body\nsecond line"
+        assert title == "Dossier"  # /Info strings decrypt too
+
+
+def test_encrypted_wrong_password_rejected():
+    pdf = bytearray(build_pdf("x", encrypt=True))
+    i = pdf.find(b"/U <")
+    pdf[i + 4 : i + 8] = b"dead"  # corrupt the /U validator
+    with pytest.raises(ValueError, match="password"):
+        extract_pdf_text(bytes(pdf))
 
 
 def test_rejects_unsupported_filter():
@@ -372,3 +396,28 @@ def test_lzw_codec_exhaustive():
         assert _lzw_decode(_lzw_encode(blob)) == blob
     rep = b"tika" * 3000  # repetitive: deep table
     assert _lzw_decode(_lzw_encode(rep)) == rep
+
+
+def test_real_world_system_pdfs():
+    """The r6 font machinery must extract real TeX/DocBook PDFs (subset
+    fonts + ToUnicode CMaps) shipped with the OS — skipped when the
+    docs packages are absent."""
+    import os
+
+    fixtures = [
+        ("/usr/share/doc/libtasn1-doc/libtasn1.pdf", "Abstract Syntax Notation"),
+        (
+            "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf",
+            "Shared MIME-info Database",
+        ),
+    ]
+    ran = 0
+    for path, needle in fixtures:
+        if not os.path.exists(path):
+            continue
+        text, _ = extract_pdf_text(open(path, "rb").read())
+        assert needle in text, (path, text[:200])
+        assert len(text) > 10_000
+        ran += 1
+    if not ran:
+        pytest.skip("no system PDFs present")
