@@ -24,10 +24,11 @@ codec).
 
 Office (r5): OOXML containers (.docx/.pptx/.xlsx — ZIP of ECMA-376
 XML) are parsed for real by ``operators/officeparse`` with stdlib
-zipfile + ElementTree. Legacy binary Word .doc (r6): real [MS-CFB]
-container + [MS-DOC] piece-table extraction via ``operators/cfbdoc``.
-OLE2 .ppt/.xls and encrypted documents stay honestly rejected —
-``ValueError`` instead of silently splitting raw binary soup.
+zipfile + ElementTree. Legacy OLE2 binaries (r6): .doc via
+``operators/cfbdoc`` ([MS-CFB] container + [MS-DOC] piece table),
+.ppt/.xls via ``operators/olebin`` ([MS-PPT] record walk / [MS-XLS]
+BIFF8). Encrypted documents stay honestly rejected — ``ValueError``
+instead of silently splitting raw binary soup.
 
 Parsing is pure-Python string work exposed both as driver-side
 functions (the single-file API path) and usable inside any Arrow batch
@@ -48,7 +49,8 @@ _OOXML_EXTS = (".docx", ".pptx", ".xlsx")
 _RTF_EXTS = (".rtf",)
 _EPUB_EXTS = (".epub",)
 _DOC_EXTS = (".doc",)
-_UNSUPPORTED_EXTS = (".ppt", ".xls")
+_PPT_EXTS = (".ppt",)
+_XLS_EXTS = (".xls",)
 
 _SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.I | re.S)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
@@ -92,8 +94,10 @@ def detect_file_type(doc_name: str) -> str:
         return "epub"
     if low.endswith(_DOC_EXTS):
         return "doc"
-    if low.endswith(_UNSUPPORTED_EXTS):
-        return "unsupported"
+    if low.endswith(_PPT_EXTS):
+        return "ppt"
+    if low.endswith(_XLS_EXTS):
+        return "xls"
     return "text"
 
 
@@ -180,14 +184,14 @@ def parse_document(raw: str, doc_name: str) -> tuple[str, str | None]:
         from aiotcvectordb_spark.operators.cfbdoc import parse_doc
 
         return parse_doc(raw.encode("latin-1", "surrogateescape"))
-    if ftype == "unsupported" and _looks_binary(raw):
-        # Legacy OLE2 .ppt/.xls: the PowerPoint/Excel record formats
-        # are still out of scope — honest rejection, not silent
-        # raw-bytes splitting (.doc is parsed for real since r6).
-        raise ValueError(
-            f"no parser for {doc_name!r}: legacy OLE2 .ppt/.xls record "
-            "parsing is not implemented (.doc/.docx/.pptx/.xlsx are)"
-        )
+    if ftype in ("ppt", "xls") and _looks_binary(raw):
+        # legacy binary PowerPoint/Excel (r6): real [MS-PPT] record
+        # walk / [MS-XLS] BIFF8 record scan. Encrypted documents raise
+        # inside olebin.
+        from aiotcvectordb_spark.operators import olebin
+
+        parser = olebin.parse_ppt if ftype == "ppt" else olebin.parse_xls
+        return parser(raw.encode("latin-1", "surrogateescape"))
     return raw, None
 
 

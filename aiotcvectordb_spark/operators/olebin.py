@@ -1,0 +1,377 @@
+"""Legacy binary PowerPoint (.ppt) and Excel (.xls) text extraction +
+matching writers (ops 38/44, r6) — the last two upload formats the
+reference's server-side parsing path covers that this engine rejected
+(reference collection_view.py:342-423 ``upload_file``/ParsingProcess).
+
+Both record formats are PUBLIC specs and the text layer is fully
+algorithmic:
+
+- **[MS-PPT]**: the ``PowerPoint Document`` stream is a tree of
+  records with 8-byte headers (recVer/recInstance, recType, recLen);
+  containers have recVer 0xF. Text lives in ``TextCharsAtom``
+  (0x0FA0, UTF-16LE) and ``TextBytesAtom`` (0x0FA8, cp1252) atoms.
+  Extraction walks the record tree depth-first and collects the atoms
+  in stream order — the PersistDirectory/UserEditAtom slide *ordering*
+  machinery is not implemented, so atom order is stream order (equal
+  to slide order for linearly-written files, including this module's
+  writer; documented approximation for incrementally-edited decks).
+- **[MS-XLS]** (BIFF8): the ``Workbook`` stream is a flat record
+  sequence (2-byte type + 2-byte length). Strings live in the shared
+  string table (``SST`` 0x00FC, XLUnicodeRichExtendedString entries
+  with the fHighByte/fRichSt/fExtSt flags) referenced by ``LabelSst``
+  cells (0x00FD); inline ``Label`` (0x0204) and numeric ``Number``
+  (0x0203) / ``RK`` (0x027E) cells are also decoded. Cells group into
+  rows (tab-joined) in (row, col) order, one line per row — the same
+  text shape as the OOXML .xlsx parser. SST entries spanning
+  ``Continue`` records are rejected (honest ValueError), not
+  mis-decoded.
+
+The writers emit spec-correct minimal files inside real CFB
+containers (via ``cfbdoc``), covering both character widths per
+format, which makes both parsers oracle-checkable via the same
+encode-then-decode round trip as the PDF/.doc codecs
+(``ppt_extract`` / ``xls_extract`` registry queries).
+
+Encrypted documents (``EncryptionHeader`` / ``FilePass`` records)
+raise ValueError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from aiotcvectordb_spark.operators.cfbdoc import CfbReader, _cfb_build
+
+__all__ = ["parse_ppt", "build_ppt", "parse_xls", "build_xls"]
+
+# [MS-PPT] record types
+_RT_DOCUMENT = 0x03E8
+_RT_SLIDE_LIST_WITH_TEXT = 0x0FF0
+_RT_TEXT_HEADER_ATOM = 0x0F9F
+_RT_TEXT_CHARS_ATOM = 0x0FA0
+_RT_TEXT_BYTES_ATOM = 0x0FA8
+_RT_ENCRYPTION = 0x2F14  # CryptSession10Container
+
+
+def _ppt_walk(data: bytes, out: list[str]) -> None:
+    i, n = 0, len(data)
+    while i + 8 <= n:
+        (ver_inst, rec_type, rec_len) = struct.unpack_from("<HHI", data, i)
+        i += 8
+        if rec_len > n - i:
+            raise ValueError("corrupt .ppt: record length overruns stream")
+        body = data[i : i + rec_len]
+        i += rec_len
+        rec_ver = ver_inst & 0xF
+        if rec_type == _RT_ENCRYPTION:
+            raise ValueError(
+                "encrypted .ppt: CryptSession10 decryption not implemented"
+            )
+        if rec_ver == 0xF:  # container: recurse
+            _ppt_walk(body, out)
+        elif rec_type == _RT_TEXT_CHARS_ATOM:
+            out.append(body.decode("utf-16-le", "replace"))
+        elif rec_type == _RT_TEXT_BYTES_ATOM:
+            out.append(body.decode("cp1252", "replace"))
+
+
+def parse_ppt(data: bytes) -> tuple[str, str | None]:
+    """Extract (text, title) from a binary PowerPoint .ppt payload.
+    Title = first text atom. Raises ValueError for encrypted decks and
+    non-PowerPoint CFB files."""
+    cfb = CfbReader(data)
+    try:
+        stream = cfb.stream("PowerPoint Document")
+    except KeyError:
+        names = [n for n, t, _, _ in cfb.dir_entries if t == 2]
+        raise ValueError(
+            f"OLE2 container without a PowerPoint Document stream "
+            f"(streams: {names[:8]})"
+        ) from None
+    atoms: list[str] = []
+    _ppt_walk(stream, atoms)
+    if not atoms:
+        raise ValueError("no text atoms found in the PowerPoint stream")
+    # PPT uses CR as the in-atom paragraph separator
+    lines = [a.replace("\r", "\n").rstrip("\n") for a in atoms]
+    text = "\n".join(lines).strip("\n")
+    title = next((ln for ln in text.split("\n") if ln.strip()), "") or None
+    return text, title
+
+
+def _ppt_record(rec_type: int, body: bytes, container: bool = False) -> bytes:
+    ver = 0xF if container else 0x0
+    return struct.pack("<HHI", ver, rec_type, len(body)) + body
+
+
+def build_ppt(text: str, *, force_unicode: bool = False) -> bytes:
+    """Write a minimal valid .ppt whose extracted text is ``text``:
+    one text atom per line inside a SlideListWithText container,
+    alternating TextBytesAtom (cp1252) and TextCharsAtom (UTF-16LE)
+    so both widths round-trip."""
+    atoms = bytearray()
+    for idx, line in enumerate(text.split("\n")):
+        atoms += _ppt_record(_RT_TEXT_HEADER_ATOM, struct.pack("<I", 0))
+        use_bytes = not force_unicode and idx % 2 == 0
+        if use_bytes:
+            try:
+                raw = line.encode("cp1252")
+            except UnicodeEncodeError:
+                use_bytes = False
+        if use_bytes:
+            atoms += _ppt_record(_RT_TEXT_BYTES_ATOM, raw)
+        else:
+            atoms += _ppt_record(
+                _RT_TEXT_CHARS_ATOM, line.encode("utf-16-le")
+            )
+    slwt = _ppt_record(_RT_SLIDE_LIST_WITH_TEXT, bytes(atoms), container=True)
+    doc = _ppt_record(_RT_DOCUMENT, slwt, container=True)
+    return _cfb_build({"PowerPoint Document": doc, "Current User": b"\x00" * 8})
+
+
+# ---------------------------------------------------------------------------
+# [MS-XLS] BIFF8
+
+_B_BOF = 0x0809
+_B_EOF = 0x000A
+_B_SST = 0x00FC
+_B_LABELSST = 0x00FD
+_B_LABEL = 0x0204
+_B_NUMBER = 0x0203
+_B_RK = 0x027E
+_B_FILEPASS = 0x002F
+_B_CONTINUE = 0x003C
+
+
+def _xl_string(data: bytes, i: int) -> tuple[str, int]:
+    """XLUnicodeRichExtendedString at data[i]; returns (s, next_i)."""
+    (cch, flags) = struct.unpack_from("<HB", data, i)
+    i += 3
+    high = flags & 0x1
+    ext = flags & 0x4
+    rich = flags & 0x8
+    c_run = 0
+    cb_ext = 0
+    if rich:
+        (c_run,) = struct.unpack_from("<H", data, i)
+        i += 2
+    if ext:
+        (cb_ext,) = struct.unpack_from("<i", data, i)
+        i += 4
+    nbytes = cch * 2 if high else cch
+    if i + nbytes > len(data):
+        raise ValueError(
+            "corrupt .xls: SST string overruns its record (strings "
+            "spanning Continue records are not implemented)"
+        )
+    raw = data[i : i + nbytes]
+    s = raw.decode("utf-16-le", "replace") if high else raw.decode("cp1252")
+    i += nbytes + 4 * c_run + cb_ext
+    return s, i
+
+
+def _fmt_num(v: float) -> str:
+    return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+
+
+def _decode_rk(rk: int) -> float:
+    div100 = rk & 0x1
+    if rk & 0x2:  # signed 30-bit integer (arithmetic shift)
+        v = float(struct.unpack("<i", struct.pack("<I", rk & 0xFFFFFFFF))[0] >> 2)
+    else:  # high 30 bits of an IEEE double
+        v = struct.unpack(
+            "<d", b"\x00\x00\x00\x00" + struct.pack("<I", rk & 0xFFFFFFFC)
+        )[0]
+    return v / 100.0 if div100 else v
+
+
+def parse_xls(data: bytes) -> tuple[str, str | None]:
+    """Extract (text, title=None) from a binary Excel .xls payload:
+    one line per row, cells tab-joined in (row, col) order, sheets in
+    stream order — the same shape as the .xlsx parser. Raises
+    ValueError for encrypted workbooks and non-Excel CFB files."""
+    cfb = CfbReader(data)
+    stream = None
+    for name in ("Workbook", "Book"):
+        try:
+            stream = cfb.stream(name)
+            break
+        except KeyError:
+            continue
+    if stream is None:
+        names = [n for n, t, _, _ in cfb.dir_entries if t == 2]
+        raise ValueError(
+            f"OLE2 container without a Workbook stream (streams: {names[:8]})"
+        )
+    sst: list[str] = []
+    sheets: list[dict[tuple[int, int], str]] = []
+    cells: dict[tuple[int, int], str] | None = None
+    i, n = 0, len(stream)
+    while i + 4 <= n:
+        (rec_type, rec_len) = struct.unpack_from("<HH", stream, i)
+        i += 4
+        body = stream[i : i + rec_len]
+        i += rec_len
+        if rec_type == _B_FILEPASS:
+            raise ValueError(
+                "encrypted .xls: FilePass (XOR/RC4) decryption not implemented"
+            )
+        if rec_type == _B_BOF:
+            # BOF's dt field: 0x0005 workbook globals, 0x0010 worksheet
+            dt = struct.unpack_from("<H", body, 2)[0] if rec_len >= 4 else 0
+            if dt == 0x0005:
+                cells = None  # globals substream (SST lives here)
+            else:
+                cells = {}
+                sheets.append(cells)
+            continue
+        if rec_type == _B_EOF:
+            cells = None
+            continue
+        if rec_type == _B_SST and rec_len >= 8:
+            (_total, unique) = struct.unpack_from("<ii", body, 0)
+            j = 8
+            for _ in range(unique):
+                if j >= len(body):
+                    raise ValueError(
+                        "corrupt .xls: SST shorter than its declared count "
+                        "(Continue-spanning strings are not implemented)"
+                    )
+                s, j = _xl_string(body, j)
+                sst.append(s)
+        elif cells is not None and rec_type == _B_LABELSST and rec_len >= 10:
+            rw, col, _ixfe, isst = struct.unpack_from("<HHHi", body, 0)
+            cells[(rw, col)] = sst[isst] if 0 <= isst < len(sst) else ""
+        elif cells is not None and rec_type == _B_LABEL and rec_len >= 9:
+            rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
+            s, _ = _xl_string(body, 6)
+            cells[(rw, col)] = s
+        elif cells is not None and rec_type == _B_NUMBER and rec_len >= 14:
+            rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
+            (v,) = struct.unpack_from("<d", body, 6)
+            cells[(rw, col)] = _fmt_num(v)
+        elif cells is not None and rec_type == _B_RK and rec_len >= 10:
+            rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
+            (rk,) = struct.unpack_from("<I", body, 6)
+            cells[(rw, col)] = _fmt_num(_decode_rk(rk))
+    if not sheets and not sst:
+        raise ValueError("no BIFF cell records found in the Workbook stream")
+    out_lines: list[str] = []
+    for sheet in sheets:
+        if not sheet:
+            continue
+        rows: dict[int, dict[int, str]] = {}
+        for (rw, col), s in sheet.items():
+            rows.setdefault(rw, {})[col] = s
+        for rw in sorted(rows):
+            cols = rows[rw]
+            out_lines.append(
+                "\t".join(cols.get(c, "") for c in range(max(cols) + 1))
+            )
+    return "\n".join(out_lines).strip("\n"), None
+
+
+def _biff_record(rec_type: int, body: bytes) -> bytes:
+    return struct.pack("<HH", rec_type, len(body)) + body
+
+
+def _xl_write_string(s: str) -> bytes:
+    try:
+        raw = s.encode("cp1252")
+        return struct.pack("<HB", len(s), 0) + raw
+    except UnicodeEncodeError:
+        return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+
+
+def build_xls(text: str) -> bytes:
+    """Write a minimal valid BIFF8 .xls whose extracted text is
+    ``text``: lines become rows, tabs split cells; all cells go
+    through the SST + LabelSst path (both character widths chosen per
+    cell content)."""
+    rows = [line.split("\t") for line in text.split("\n")]
+    strings: list[str] = []
+    index: dict[str, int] = {}
+    cell_recs = bytearray()
+    total_refs = 0
+    for rw, cols in enumerate(rows):
+        if rw > 0xFFFF:
+            raise ValueError("too many rows for BIFF8 (max 65536)")
+        for col, s in enumerate(cols):
+            if s not in index:
+                index[s] = len(strings)
+                strings.append(s)
+            cell_recs += _biff_record(
+                _B_LABELSST,
+                struct.pack("<HHHi", rw, col, 15, index[s]),
+            )
+            total_refs += 1
+    sst_body = struct.pack("<ii", total_refs, len(strings)) + b"".join(
+        _xl_write_string(s) for s in strings
+    )
+    if len(sst_body) > 0xFFFF:
+        raise ValueError(
+            "SST too large for a single BIFF record (Continue-record "
+            "writing is not implemented)"
+        )
+    bof = _biff_record(_B_BOF, struct.pack("<HHHIII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bof_sheet = _biff_record(
+        _B_BOF, struct.pack("<HHHIII", 0x0600, 0x0010, 0, 0, 0, 0)
+    )
+    eof = _biff_record(_B_EOF, b"")
+    workbook = (
+        bof
+        + _biff_record(_B_SST, bytes(sst_body))
+        + eof
+        + bof_sheet
+        + bytes(cell_recs)
+        + eof
+    )
+    return _cfb_build({"Workbook": workbook})
+
+
+# ---------------------------------------------------------------------------
+# Spark kernels (Arrow-batched, shuffle-free — same shape as the
+# PDF/.doc codec stages; codec cost partitions with the data)
+
+
+def with_office_payload(df, builder, *, id_col: str = "doc_id",
+                        text_col: str = "text", alternate: bool = True):
+    """Attach a binary payload built from ``text_col`` by ``builder``
+    (build_ppt / build_xls). For build_ppt, ``alternate`` flips
+    force_unicode on a crc of the id so both atom widths run
+    distributed."""
+    import zlib
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, payload binary"
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if alternate and builder is build_ppt:
+                    fu = bool(zlib.crc32(str(i).encode("utf-8")) % 2)
+                    payloads.append(builder(t or "", force_unicode=fu))
+                else:
+                    payloads.append(builder(t or ""))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
+
+
+def extract_office_text_df(df, parser, *, id_col: str = "doc_id"):
+    """Run ``parser`` (parse_ppt / parse_xls) over a (id, payload)
+    frame; returns (id, text)."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, text string"
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = [parser(bytes(p))[0] for p in pdf["payload"]]
+            yield pd.DataFrame({id_col: pdf[id_col], "text": texts})
+
+    return df.mapInPandas(decode, schema=schema)

@@ -3360,6 +3360,63 @@ WHERE length(text) > 0
 """
 
 
+def q_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary PowerPoint (.ppt) parser round trip, oracle-checked
+    (r6): each document's text becomes a genuine [MS-PPT] record tree
+    (Document > SlideListWithText containers with TextBytesAtom/
+    TextCharsAtom alternating per id) inside a real [MS-CFB] container
+    (``operators/olebin.build_ppt``), then a second shuffle-free
+    mapInPandas stage walks the record tree and collects the text
+    atoms. DuckDB predicts the extraction exactly (edge newlines
+    trimmed), hash-checking the whole record walker + both character
+    widths."""
+    from aiotcvectordb_spark.operators import olebin
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    decks = olebin.with_office_payload(df, olebin.build_ppt)
+    return olebin.extract_office_text_df(decks, olebin.parse_ppt).select(
+        "doc_id", "text"
+    )
+
+
+ORACLE_PPT_EXTRACT = """
+SELECT doc_id, trim(text, chr(10)) AS text
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+def q_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary Excel (.xls, BIFF8) parser round trip,
+    oracle-checked (r6): each document's text becomes a genuine BIFF8
+    Workbook stream — workbook-globals substream carrying the SST
+    shared-string table (both narrow cp1252 and wide UTF-16LE entries
+    by content), a worksheet substream of LabelSst cells (lines = rows,
+    tabs = cells) — inside a real [MS-CFB] container
+    (``operators/olebin.build_xls``); a second shuffle-free mapInPandas
+    stage parses the records back to tab/newline text. DuckDB predicts
+    the extraction exactly, hash-checking the record scan, SST
+    decoding, and row/cell assembly."""
+    from aiotcvectordb_spark.operators import olebin
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    books = olebin.with_office_payload(df, olebin.build_xls)
+    return olebin.extract_office_text_df(books, olebin.parse_xls).select(
+        "doc_id", "text"
+    )
+
+
+ORACLE_XLS_EXTRACT = """
+SELECT doc_id, trim(text, chr(10)) AS text
+FROM documents
+WHERE length(text) > 0
+"""
+
+
 def q_ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized kNN (operators/pq.py): 32x-compressed codes
     scored with an ADC lookup table, then exact cosine rescore of the
@@ -5859,6 +5916,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- forced for r6: rewritten since last row / no row yet ---
     "pdf_extract": q_pdf_extract,  # rewritten r6
     "doc_extract": q_doc_extract,  # new, no driver row yet
+    "ppt_extract": q_ppt_extract,  # new, no driver row yet
+    "xls_extract": q_xls_extract,  # new, no driver row yet
     # --- r3 rows (age 3) (must be in the next batch) ---
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
@@ -6047,6 +6106,8 @@ ORACLES: dict[str, str] = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "pdf_extract": ORACLE_PDF_EXTRACT,
     "doc_extract": ORACLE_DOC_EXTRACT,
+    "ppt_extract": ORACLE_PPT_EXTRACT,
+    "xls_extract": ORACLE_XLS_EXTRACT,
     "lang_id_cjk": ORACLE_LANG_ID_CJK,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "sparse_encode": ORACLE_SPARSE_ENCODE,

@@ -113,6 +113,8 @@ HEADLINE = [
     "jpeg_progressive_probe",
     "pdf_extract",
     "doc_extract",
+    "ppt_extract",
+    "xls_extract",
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

@@ -95,11 +95,12 @@ def test_docparse_dispatch():
         data.decode("latin-1"), "legacy.doc"
     )
     assert text == "Body text from a legacy doc.\nSecond paragraph."
-    # .ppt stays honestly rejected
+    # a CFB that claims to be PowerPoint but has no text atoms is
+    # rejected by the real .ppt parser (r6), not a blanket "no parser"
     from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
 
     ppt = _cfb_build({"PowerPoint Document": b"\x00" * 64})
-    with pytest.raises(ValueError, match="no parser"):
+    with pytest.raises(ValueError, match="text atoms"):
         docparse.parse_document(ppt.decode("latin-1"), "deck.ppt")
 
 

@@ -66,7 +66,7 @@ def test_detect_and_dispatch():
     assert docparse.detect_file_type("b.md") == "markdown"
     assert docparse.detect_file_type("notes.txt") == "text"
     assert docparse.detect_file_type("slides.pptx") == "pptx"  # r5: OOXML parsed
-    assert docparse.detect_file_type("deck.ppt") == "unsupported"  # legacy OLE2
+    assert docparse.detect_file_type("deck.ppt") == "ppt"  # r6: parsed for real
     assert docparse.detect_file_type("paper.pdf") == "pdf"
     assert docparse.parse_document("plain", "notes.txt") == ("plain", None)
     # a truncated/contentless PDF is rejected by the codec, not parsed
@@ -75,8 +75,9 @@ def test_detect_and_dispatch():
     # a malformed OOXML container is rejected by the zip layer
     with pytest.raises(ValueError, match="not an OOXML"):
         docparse.parse_document("PK\x03\x04binary soup", "deck.pptx")
-    # legacy Office binaries are still honestly rejected
-    with pytest.raises(ValueError, match="no parser"):
+    # a truncated OLE2 container is rejected by the CFB layer (r6:
+    # .doc/.ppt/.xls all parse for real now)
+    with pytest.raises(ValueError, match="CFB"):
         docparse.parse_document(
             "\xd0\xcf\x11\xe0binary soup", "deck.ppt"
         )
@@ -172,8 +173,9 @@ def test_upload_encrypted_pdf_rejected(cv_mgr):
         )
 
 
-def test_upload_legacy_office_rejected(cv_mgr):
-    with pytest.raises(ValueError, match="no parser"):
+def test_upload_corrupt_legacy_office_rejected(cv_mgr):
+    # r6: .ppt parses for real; a truncated container still rejects
+    with pytest.raises(ValueError, match="CFB"):
         cv_mgr.load_and_split_text(
             "ai_parse",
             "cv_parse",

@@ -104,8 +104,9 @@ def test_ole2_rejected():
     # truncated container as corrupt rather than "no parser"
     with pytest.raises(ValueError, match="truncated CFB|corrupt CFB"):
         docparse.parse_document(ole.decode("latin-1"), "legacy.doc")
-    # .ppt/.xls remain honestly unimplemented
-    with pytest.raises(ValueError, match="no parser"):
+    # .ppt/.xls now route to the real BIFF/record parsers (r6), which
+    # reject this truncated container as corrupt
+    with pytest.raises(ValueError, match="truncated CFB|corrupt CFB"):
         docparse.parse_document(ole.decode("latin-1"), "legacy.ppt")
 
 

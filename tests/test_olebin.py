@@ -1,0 +1,180 @@
+"""Binary PowerPoint/.xls extraction (operators/olebin): record-tree
+and BIFF8 round trips through the module's own writers, dispatch
+through docparse, upload e2e, fuzz, and honest rejection of encrypted
+documents."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from aiotcvectordb_spark.operators import docparse
+from aiotcvectordb_spark.operators.olebin import (
+    build_ppt,
+    build_xls,
+    parse_ppt,
+    parse_xls,
+)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "Slide title\nBullet one\nBullet two",
+        "CJK 演示文稿\n第二行 mixed ascii",
+        "single line",
+        "",
+        "x\n" * 300 + "big deck tail",
+    ],
+)
+@pytest.mark.parametrize("force_unicode", [False, True])
+def test_ppt_round_trip(text, force_unicode):
+    got, title = parse_ppt(build_ppt(text, force_unicode=force_unicode))
+    assert got == text.strip("\n")
+
+
+def test_ppt_title_is_first_text_line():
+    _, title = parse_ppt(build_ppt("Deck Title\nbody"))
+    assert title == "Deck Title"
+
+
+def test_ppt_cr_paragraphs_become_newlines():
+    # a hand-built TextCharsAtom with CR-separated paragraphs
+    from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
+    from aiotcvectordb_spark.operators.olebin import (
+        _RT_DOCUMENT,
+        _RT_TEXT_CHARS_ATOM,
+        _ppt_record,
+    )
+
+    atom = _ppt_record(
+        _RT_TEXT_CHARS_ATOM, "para one\rpara two".encode("utf-16-le")
+    )
+    doc = _ppt_record(_RT_DOCUMENT, atom, container=True)
+    data = _cfb_build({"PowerPoint Document": doc})
+    assert parse_ppt(data)[0] == "para one\npara two"
+
+
+def test_ppt_rejects_encrypted():
+    from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
+    from aiotcvectordb_spark.operators.olebin import (
+        _RT_DOCUMENT,
+        _RT_ENCRYPTION,
+        _ppt_record,
+    )
+
+    enc = _ppt_record(_RT_ENCRYPTION, b"\x00" * 16)
+    doc = _ppt_record(_RT_DOCUMENT, enc, container=True)
+    with pytest.raises(ValueError, match="encrypted .ppt"):
+        parse_ppt(_cfb_build({"PowerPoint Document": doc}))
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "alpha\t42\nbeta\tgamma",
+        "a\tb\tc\nd\te\tf\ng",
+        "中文\tcell\nrow2 wide 值",
+        "one",
+        "x\t\ty",
+        "",
+    ],
+)
+def test_xls_round_trip(text):
+    got, _ = parse_xls(build_xls(text))
+    assert got == text.strip("\n")
+
+
+def test_xls_number_and_rk_cells():
+    from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
+    from aiotcvectordb_spark.operators.olebin import (
+        _B_BOF,
+        _B_EOF,
+        _B_NUMBER,
+        _B_RK,
+        _biff_record,
+    )
+
+    bof_g = _biff_record(_B_BOF, struct.pack("<HHHIII", 0x600, 0x5, 0, 0, 0, 0))
+    bof_s = _biff_record(_B_BOF, struct.pack("<HHHIII", 0x600, 0x10, 0, 0, 0, 0))
+    eof = _biff_record(_B_EOF, b"")
+    num = _biff_record(_B_NUMBER, struct.pack("<HHHd", 0, 0, 15, 2.5))
+    rk_int = _biff_record(_B_RK, struct.pack("<HHHI", 0, 1, 15, (7 << 2) | 0x2))
+    wb = bof_g + eof + bof_s + num + rk_int + eof
+    got, _ = parse_xls(_cfb_build({"Workbook": wb}))
+    assert got == "2.5\t7"
+
+
+def test_xls_rejects_encrypted():
+    from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
+    from aiotcvectordb_spark.operators.olebin import (
+        _B_BOF,
+        _B_FILEPASS,
+        _biff_record,
+    )
+
+    wb = _biff_record(_B_BOF, struct.pack("<HHHIII", 0x600, 0x5, 0, 0, 0, 0))
+    wb += _biff_record(_B_FILEPASS, b"\x01\x00")
+    with pytest.raises(ValueError, match="encrypted .xls"):
+        parse_xls(_cfb_build({"Workbook": wb}))
+
+
+def test_docparse_dispatch_ppt_xls():
+    text, title = docparse.parse_document(
+        build_ppt("Deck heading\nBody bullet").decode("latin-1"), "deck.ppt"
+    )
+    assert text == "Deck heading\nBody bullet"
+    assert title == "Deck heading"
+    text2, _ = docparse.parse_document(
+        build_xls("h1\th2\nv1\tv2").decode("latin-1"), "sheet.xls"
+    )
+    assert text2 == "h1\th2\nv1\tv2"
+
+
+def test_fuzz_no_hangs_no_foreign_exceptions():
+    import random
+
+    rng = random.Random(11)
+    for build, parse in ((build_ppt, parse_ppt), (build_xls, parse_xls)):
+        blob = build("fuzz target\tcell\nanother row " * 20)
+        for _ in range(120):
+            b = bytearray(blob)
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                b = b[: rng.randrange(len(b))]
+            try:
+                text, _ = parse(bytes(b))
+                assert isinstance(text, str)
+            except ValueError:
+                pass
+
+
+def test_upload_ppt_xls_e2e(engine):
+    from aiotcvectordb_spark.collection_view import CollectionViewManager
+
+    engine.create_ai_database("ai_olebin")
+    mgr = CollectionViewManager(engine)
+    mgr.create_collection_view(
+        "ai_olebin",
+        "cv_olebin",
+        splitter_process={"chunk_size": 60, "overlap": 10},
+        parsing_process={"parsing_type": "AlgorithmParsing"},
+    )
+    for name, payload in (
+        ("deck.ppt", build_ppt("Forecast overview slide.\nDetails follow.")),
+        ("sheet.xls", build_xls("region\trevenue\nwest\t1200")),
+    ):
+        res = mgr.load_and_split_text(
+            "ai_olebin", "cv_olebin", doc_name=name,
+            text=payload.decode("latin-1"),
+        )
+        chunks = mgr.get_chunks(
+            "ai_olebin", "cv_olebin", document_set_id=res["doc_set_id"]
+        )
+        joined = " ".join(c["text"] for c in chunks)
+        if name.endswith(".ppt"):
+            assert "Forecast overview slide" in joined
+        else:
+            assert "revenue" in joined and "1200" in joined
