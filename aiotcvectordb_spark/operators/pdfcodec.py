@@ -911,6 +911,167 @@ _PW_PAD = bytes(
 )
 
 
+# --- AES-128 (FIPS-197), stdlib-only. The S-box is GENERATED from the
+# field definition (multiplicative inverse in GF(2^8) mod 0x11B, then
+# the affine transform with 0x63) rather than pasted as a table, and
+# tests assert sbox[inv_sbox[x]] == x and MixColumns∘InvMixColumns ==
+# identity — the implementation is self-verifying, not spec-numeric.
+
+
+def _gf_mul(a: int, b: int) -> int:
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+        b >>= 1
+    return p
+
+
+def _build_sbox() -> tuple[bytes, bytes]:
+    inv = [0] * 256
+    for x in range(1, 256):
+        for y in range(1, 256):
+            if _gf_mul(x, y) == 1:
+                inv[x] = y
+                break
+    sbox = bytearray(256)
+    for x in range(256):
+        b = inv[x]
+        s = 0x63
+        for i in range(8):
+            bit = (
+                (b >> i)
+                ^ (b >> ((i + 4) % 8))
+                ^ (b >> ((i + 5) % 8))
+                ^ (b >> ((i + 6) % 8))
+                ^ (b >> ((i + 7) % 8))
+            ) & 1
+            s ^= bit << i
+        sbox[x] = s
+    inv_sbox = bytearray(256)
+    for x in range(256):
+        inv_sbox[sbox[x]] = x
+    return bytes(sbox), bytes(inv_sbox)
+
+
+_SBOX, _INV_SBOX = _build_sbox()
+# precomputed GF(2^8) multiplication columns for the (Inv)MixColumns
+# circulants — pure-python per-byte _gf_mul is ~10x slower
+_GF_TABLES = {
+    m: bytes(_gf_mul(x, m) for x in range(256))
+    for m in (2, 3, 9, 11, 13, 14)
+}
+
+
+def _aes_expand_key(key: bytes) -> list[list[int]]:
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    rcon = 1
+    for i in range(4, 44):
+        w = list(words[i - 1])
+        if i % 4 == 0:
+            w = w[1:] + w[:1]
+            w = [_SBOX[b] for b in w]
+            w[0] ^= rcon
+            rcon = _gf_mul(rcon, 2)
+        words.append([a ^ b for a, b in zip(words[i - 4], w)])
+    return words
+
+
+def _aes_decrypt_block(block: bytes, words: list[list[int]]) -> bytes:
+    # state is column-major: state[r][c] = block[4c + r]
+    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
+
+    def add_round_key(rnd: int) -> None:
+        for c in range(4):
+            for r in range(4):
+                s[r][c] ^= words[4 * rnd + c][r]
+
+    add_round_key(10)
+    for rnd in range(9, -1, -1):
+        # InvShiftRows
+        for r in range(1, 4):
+            s[r] = s[r][-r:] + s[r][:-r]
+        # InvSubBytes
+        for r in range(4):
+            for c in range(4):
+                s[r][c] = _INV_SBOX[s[r][c]]
+        add_round_key(rnd)
+        if rnd:
+            # InvMixColumns: [0e 0b 0d 09] circulant
+            t14, t11, t13, t9 = (
+                _GF_TABLES[14], _GF_TABLES[11], _GF_TABLES[13], _GF_TABLES[9],
+            )
+            for c in range(4):
+                a = [s[r][c] for r in range(4)]
+                s[0][c] = t14[a[0]] ^ t11[a[1]] ^ t13[a[2]] ^ t9[a[3]]
+                s[1][c] = t9[a[0]] ^ t14[a[1]] ^ t11[a[2]] ^ t13[a[3]]
+                s[2][c] = t13[a[0]] ^ t9[a[1]] ^ t14[a[2]] ^ t11[a[3]]
+                s[3][c] = t11[a[0]] ^ t13[a[1]] ^ t9[a[2]] ^ t14[a[3]]
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def _aes_encrypt_block(block: bytes, words: list[list[int]]) -> bytes:
+    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
+
+    def add_round_key(rnd: int) -> None:
+        for c in range(4):
+            for r in range(4):
+                s[r][c] ^= words[4 * rnd + c][r]
+
+    add_round_key(0)
+    for rnd in range(1, 11):
+        for r in range(4):
+            for c in range(4):
+                s[r][c] = _SBOX[s[r][c]]
+        for r in range(1, 4):
+            s[r] = s[r][r:] + s[r][:r]
+        if rnd != 10:
+            t2, t3 = _GF_TABLES[2], _GF_TABLES[3]
+            for c in range(4):
+                a = [s[r][c] for r in range(4)]
+                s[0][c] = t2[a[0]] ^ t3[a[1]] ^ a[2] ^ a[3]
+                s[1][c] = a[0] ^ t2[a[1]] ^ t3[a[2]] ^ a[3]
+                s[2][c] = a[0] ^ a[1] ^ t2[a[2]] ^ t3[a[3]]
+                s[3][c] = t3[a[0]] ^ a[1] ^ a[2] ^ t2[a[3]]
+        add_round_key(rnd)
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 payload: 16-byte IV || ciphertext; PKCS#5 padding."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("corrupt AESV2 payload (bad length)")
+    words = _aes_expand_key(key)
+    iv = data[:16]
+    out = bytearray()
+    prev = iv
+    for i in range(16, len(data), 16):
+        block = data[i : i + 16]
+        plain = _aes_decrypt_block(block, words)
+        out += bytes(a ^ b for a, b in zip(plain, prev))
+        prev = block
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        raise ValueError("corrupt AESV2 payload (bad padding)")
+    return bytes(out[:-pad])
+
+
+def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    words = _aes_expand_key(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _aes_encrypt_block(block, words)
+        out += prev
+    return bytes(out)
+
+
 def _rc4(key: bytes, data: bytes) -> bytes:
     S = list(range(256))
     j = 0
@@ -958,15 +1119,31 @@ class _StdDecryptor:
         r_m = re.search(rb"/R\s+(\d+)", enc_body)
         v = int(v_m.group(1)) if v_m else 0
         r = int(r_m.group(1)) if r_m else 2
-        if v not in (1, 2) or r not in (2, 3):
+        self.aes = False
+        if v == 4 and r == 4:
+            # crypt-filter layer: require the default StdCF with AESV2
+            # (AES-128-CBC) or V2 (RC4) as both StmF and StrF
+            cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
+            if cfm is None or cfm.group(1) not in (b"AESV2", b"V2"):
+                raise ValueError(
+                    "encrypted PDF: V4 crypt filter other than AESV2/V2 "
+                    "(e.g. AESV3/Identity) not implemented"
+                )
+            self.aes = cfm.group(1) == b"AESV2"
+        elif v not in (1, 2) or r not in (2, 3):
             raise ValueError(
-                f"encrypted PDF: V={v} R={r} (AES/crypt-filter variants) "
-                "not implemented — only RC4 V1/V2 R2/R3"
+                f"encrypted PDF: V={v} R={r} not implemented — RC4 V1/V2 "
+                "R2/R3 and AESV2 V4/R4 are"
             )
         len_m = re.search(rb"/Length\s+(\d+)", enc_body)
         n = (int(len_m.group(1)) // 8) if len_m else 5
         if r == 2:
             n = 5
+        if self.aes:
+            n = 16
+        self.no_meta_salt = b""
+        if r >= 4 and re.search(rb"/EncryptMetadata\s+false", enc_body):
+            self.no_meta_salt = b"\xff\xff\xff\xff"
         o = _enc_string_at(enc_body, b"O")
         u = _enc_string_at(enc_body, b"U")
         p_m = re.search(rb"/P\s+(-?\d+)", enc_body)
@@ -975,6 +1152,7 @@ class _StdDecryptor:
         p = int(p_m.group(1)) & 0xFFFFFFFF
         h = hashlib.md5(
             _PW_PAD + o[:32] + p.to_bytes(4, "little") + file_id
+            + self.no_meta_salt
         ).digest()
         if r >= 3:
             for _ in range(50):
@@ -996,12 +1174,19 @@ class _StdDecryptor:
                 "(standard handler check failed)"
             )
 
-    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+    def obj_key(self, num: int, gen: int) -> bytes:
         import hashlib
 
-        ok = hashlib.md5(
+        salt = b"sAlT" if self.aes else b""
+        return hashlib.md5(
             self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            + salt
         ).digest()[: min(len(self.key) + 5, 16)]
+
+    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        ok = self.obj_key(num, gen)
+        if self.aes:
+            return _aes_cbc_decrypt(ok, data)
         return _rc4(ok, data)
 
 
@@ -1053,7 +1238,21 @@ def _decrypt_object(body: bytes, num: int, gen: int, dec: _StdDecryptor) -> byte
         raw = body[j:k]
         while raw[-1:] in (b"\r", b"\n"):
             raw = raw[:-1]
-    out += b"stream\n" + dec.decrypt(raw, num, gen) + b"\nendstream"
+    new_payload = dec.decrypt(raw, num, gen)
+    if len(new_payload) != len(raw):
+        # AES adds IV+padding (encrypt) or strips them (decrypt): the
+        # dict's /Length must track the stored payload or the reader's
+        # slice-by-length falls back to endstream scanning, which can
+        # eat ciphertext bytes that happen to end in CR/LF
+        out = bytearray(
+            re.sub(
+                rb"/Length\s+\d+(?!\s+\d+\s+R)",
+                b"/Length %d" % len(new_payload),
+                bytes(out),
+                count=1,
+            )
+        )
+    out += b"stream\n" + new_payload + b"\nendstream"
     return bytes(out)
 
 
@@ -1387,7 +1586,10 @@ def build_pdf(
 
     enc_num = 0
     file_id = b""
-    if encrypt:
+    enc_mode = {True: "rc4", False: None}.get(encrypt, encrypt)
+    if enc_mode not in (None, "rc4", "aes"):
+        raise ValueError(f"unknown encrypt mode {enc_mode!r}")
+    if enc_mode:
         import hashlib
 
         file_id = hashlib.md5(
@@ -1416,18 +1618,44 @@ def build_pdf(
         u_entry = u + b"\x00" * 16
         enc_num = next_num
         next_num += 1
-        enc_body = (
-            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -1 /O <"
-            + o_entry.hex().encode("ascii")
-            + b"> /U <"
-            + u_entry.hex().encode("ascii")
-            + b"> >>"
-        )
-        # the handler validates our own O/U/key math before use, and
-        # RC4 is symmetric — encrypting IS _decrypt_object
+        if enc_mode == "aes":
+            enc_body = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -1 "
+                b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF /O <"
+                + o_entry.hex().encode("ascii")
+                + b"> /U <"
+                + u_entry.hex().encode("ascii")
+                + b"> >>"
+            )
+        else:
+            enc_body = (
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -1 /O <"
+                + o_entry.hex().encode("ascii")
+                + b"> /U <"
+                + u_entry.hex().encode("ascii")
+                + b"> >>"
+            )
+        # the handler validates our own O/U/key math before use. RC4 is
+        # symmetric, so encrypting IS _decrypt_object; for AES a thin
+        # wrapper flips decrypt() to CBC-encrypt with a deterministic
+        # per-object IV (content-addressed payloads — fixture-grade
+        # determinism, not cryptographic IV hygiene)
         dec = _StdDecryptor(enc_body, file_id)
+        if enc_mode == "aes":
+            class _AesEnc:
+                def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+                    ok = dec.obj_key(num, gen)
+                    iv = hashlib.md5(
+                        b"pdf-iv" + ok + hashlib.md5(data).digest()
+                    ).digest()
+                    return _aes_cbc_encrypt(ok, data, iv)
+
+            enc_helper = _AesEnc()
+        else:
+            enc_helper = dec
         objs = {
-            num: _decrypt_object(body, num, 0, dec)
+            num: _decrypt_object(body, num, 0, enc_helper)
             for num, body in objs.items()
         }
         objs[enc_num] = enc_body
@@ -1488,16 +1716,17 @@ def with_pdf_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
                 if mix_modes:
                     key = zlib.crc32(str(doc_id).encode("utf-8"))
                     fm, flt = fonts[key % 3], filters[(key // 3) % 2]
-                    enc = key % 5 == 0  # ~20% RC4-encrypted documents
+                    # ~20% RC4- and ~20% AES-encrypted documents
+                    enc = ("rc4", "aes", None, None, None)[key % 5]
                 else:
-                    fm, flt, enc = "simple", "flate", False
+                    fm, flt, enc = "simple", "flate", None
                 payloads.append(
                     build_pdf(
                         t or "",
                         lines_per_page=lines_per_page,
                         font_mode=fm,
                         filter_mode=flt,
-                        encrypt=enc,
+                        encrypt=enc or False,
                     )
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})

@@ -421,3 +421,46 @@ def test_real_world_system_pdfs():
         ran += 1
     if not ran:
         pytest.skip("no system PDFs present")
+
+
+def test_aes_fips_vector_and_selfchecks():
+    """The AES core is generated from the field definition; pin it to
+    the official FIPS-197 Appendix B vector so a table-generation slip
+    can never ship."""
+    from aiotcvectordb_spark.operators.pdfcodec import (
+        _INV_SBOX,
+        _SBOX,
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand_key,
+    )
+
+    assert _SBOX[0x00] == 0x63 and _SBOX[0x53] == 0xED
+    assert all(_INV_SBOX[_SBOX[x]] == x for x in range(256))
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    pt = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    ct = _aes_encrypt_block(pt, _aes_expand_key(key))
+    assert ct == bytes.fromhex("3925841d02dc09fbdc118597196a0b32")
+    assert _aes_decrypt_block(ct, _aes_expand_key(key)) == pt
+
+
+def test_encrypted_aes_round_trip():
+    for fm in ("simple", "type0", "differences"):
+        pdf = build_pdf(
+            "aes classified\nsecond line 中文", font_mode=fm,
+            encrypt="aes", title="Vault",
+        )
+        assert b"/AESV2" in pdf and b"classified" not in pdf
+        got, title = extract_pdf_text(pdf)
+        assert got == "aes classified\nsecond line 中文"
+        assert title == "Vault"
+    # padding edge: lengths that make the last pad byte land on \n
+    for ln in range(1, 34):
+        t = "y" * ln
+        assert extract_pdf_text(build_pdf(t, encrypt="aes"))[0] == t
+
+
+def test_aesv3_still_rejected():
+    pdf = build_pdf("x", encrypt="aes").replace(b"/CFM /AESV2", b"/CFM /AESV3")
+    with pytest.raises(ValueError, match="AESV3|crypt filter"):
+        extract_pdf_text(pdf)
