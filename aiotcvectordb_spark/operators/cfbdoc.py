@@ -202,8 +202,9 @@ def _map_word_text(s: str) -> str:
 
 
 def parse_doc(data: bytes) -> tuple[str, str | None]:
-    """Extract (text, title) from a binary Word .doc payload. Title is
-    always None (the SummaryInformation property set is out of scope).
+    """Extract (text, title) from a binary Word .doc payload. Title
+    comes from the [MS-OLEPS] SummaryInformation property set when
+    present (r6).
 
     Raises ValueError for encrypted documents, non-Word CFB files, and
     corrupt containers — honest rejection over silent garbage; no
@@ -277,7 +278,7 @@ def _parse_doc(data: bytes) -> tuple[str, str | None]:
             pieces.append(raw.decode("utf-16-le", "replace"))
         got_cps += take
     text = _map_word_text("".join(pieces)).rstrip("\n")
-    return text, None
+    return text, read_summary_title(cfb)
 
 
 # ---------------------------------------------------------------------------
@@ -447,7 +448,9 @@ def _utf16_pieces(text: str, max_cps: int) -> list[str]:
     return pieces
 
 
-def build_doc(text: str, *, force_unicode: bool = False) -> bytes:
+def build_doc(
+    text: str, *, force_unicode: bool = False, title: str | None = None
+) -> bytes:
     """Write a valid binary Word .doc whose extracted text is exactly
     ``text`` (modulo Word's CR paragraph marks: '\\n' is written as CR
     and read back as '\\n'). The piece table splits every
@@ -498,7 +501,10 @@ def build_doc(text: str, *, force_unicode: bool = False) -> bytes:
     table = clx  # Clx at offset 0 of 0Table
     struct.pack_into("<II", word, _FC_CLX_OFF, 0, len(clx))
 
-    return _cfb_build({"WordDocument": bytes(word), "0Table": table})
+    streams = {"WordDocument": bytes(word), "0Table": table}
+    if title is not None:
+        streams["\x05SummaryInformation"] = build_summary_stream(title)
+    return _cfb_build(streams)
 
 
 # ---------------------------------------------------------------------------
@@ -548,3 +554,74 @@ def extract_text_df(df, *, id_col: str = "doc_id"):
             yield pd.DataFrame({id_col: pdf[id_col], "text": texts})
 
     return df.mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# [MS-OLEPS] SummaryInformation: document title (r6)
+
+_FMTID_SUMMARY = bytes.fromhex("e0859ff2f94f6810ab9108002b27b3d9")
+_PIDSI_TITLE = 0x02
+_VT_LPSTR = 30
+_VT_LPWSTR = 31
+
+
+def read_summary_title(cfb: CfbReader) -> str | None:
+    """Title from the \\x05SummaryInformation property set, or None.
+    Property-set layout per [MS-OLEPS]: header + per-set (FMTID,
+    offset), each set = size + count + (propId, propOffset) pairs;
+    the title is PIDSI_TITLE (0x02) as VT_LPSTR (cp1252, the set's
+    code page is honored as cp1252/utf-16 via the VT) or VT_LPWSTR."""
+    try:
+        raw = cfb.stream("\x05SummaryInformation")
+    except KeyError:
+        return None
+    try:
+        (n_sets,) = struct.unpack_from("<I", raw, 24)
+        for k in range(min(n_sets, 4)):
+            fmtid = raw[28 + 20 * k : 44 + 20 * k]
+            (off,) = struct.unpack_from("<I", raw, 44 + 20 * k)
+            if fmtid != _FMTID_SUMMARY:
+                continue
+            (_size, n_props) = struct.unpack_from("<II", raw, off)
+            for p in range(n_props):
+                pid, poff = struct.unpack_from("<II", raw, off + 8 + 8 * p)
+                if pid != _PIDSI_TITLE:
+                    continue
+                vt, = struct.unpack_from("<I", raw, off + poff)
+                (cb,) = struct.unpack_from("<I", raw, off + poff + 4)
+                at = off + poff + 8
+                if vt == _VT_LPSTR:
+                    s = raw[at : at + cb].split(b"\x00")[0].decode(
+                        "cp1252", "replace"
+                    )
+                elif vt == _VT_LPWSTR:
+                    s = raw[at : at + 2 * cb].decode(
+                        "utf-16-le", "replace"
+                    ).split("\x00")[0]
+                else:
+                    return None
+                return s.strip() or None
+    except struct.error:
+        return None
+    return None
+
+
+def build_summary_stream(title: str) -> bytes:
+    """A minimal \\x05SummaryInformation stream carrying one
+    PIDSI_TITLE property (VT_LPWSTR so any Unicode survives)."""
+    chars = title + "\x00"
+    prop = struct.pack("<II", _VT_LPWSTR, len(chars)) + chars.encode(
+        "utf-16-le"
+    )
+    if len(prop) % 4:
+        prop += b"\x00" * (4 - len(prop) % 4)
+    # one set, one property: set body = size + count + (pid, off) + prop
+    body = struct.pack("<IIII", 16 + len(prop), 1, _PIDSI_TITLE, 16) + prop
+    header = (
+        struct.pack("<HHI", 0xFFFE, 0, 0)
+        + b"\x00" * 16
+        + struct.pack("<I", 1)
+        + _FMTID_SUMMARY
+        + struct.pack("<I", 48)
+    )
+    return header + body

@@ -95,7 +95,11 @@ def parse_ppt(data: bytes) -> tuple[str, str | None]:
     # PPT uses CR as the in-atom paragraph separator
     lines = [a.replace("\r", "\n").rstrip("\n") for a in atoms]
     text = "\n".join(lines).strip("\n")
-    title = next((ln for ln in text.split("\n") if ln.strip()), "") or None
+    from aiotcvectordb_spark.operators.cfbdoc import read_summary_title
+
+    title = read_summary_title(cfb) or next(
+        (ln for ln in text.split("\n") if ln.strip()), ""
+    ) or None
     return text, title
 
 
@@ -268,7 +272,9 @@ def parse_xls(data: bytes) -> tuple[str, str | None]:
             out_lines.append(
                 "\t".join(cols.get(c, "") for c in range(max(cols) + 1))
             )
-    return "\n".join(out_lines).strip("\n"), None
+    from aiotcvectordb_spark.operators.cfbdoc import read_summary_title
+
+    return "\n".join(out_lines).strip("\n"), read_summary_title(cfb)
 
 
 def _biff_record(rec_type: int, body: bytes) -> bytes:

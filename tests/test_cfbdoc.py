@@ -146,3 +146,32 @@ def test_upload_doc_e2e(engine):
     joined = " ".join(c["text"] for c in chunks)
     assert "Margins improved across legacy divisions" in joined
     assert "WordDocument" not in joined  # no container bytes leaked
+
+
+def test_summary_information_title():
+    """r6: [MS-OLEPS] SummaryInformation title round trip (VT_LPWSTR),
+    and VT_LPSTR variant read."""
+    import struct as _s
+
+    from aiotcvectordb_spark.operators.cfbdoc import (
+        _FMTID_SUMMARY,
+        _cfb_build,
+        build_summary_stream,
+        read_summary_title,
+    )
+
+    got, title = parse_doc(build_doc("body", title="Annual Report 年报"))
+    assert title == "Annual Report 年报"
+    assert parse_doc(build_doc("body"))[1] is None
+    # VT_LPSTR (cp1252) variant
+    chars = b"Legacy Title\x00"
+    prop = _s.pack("<II", 30, len(chars)) + chars
+    body = _s.pack("<IIII", 16 + len(prop), 1, 0x02, 16) + prop
+    header = (
+        _s.pack("<HHI", 0xFFFE, 0, 0) + b"\x00" * 16
+        + _s.pack("<I", 1) + _FMTID_SUMMARY + _s.pack("<I", 48)
+    )
+    data = _cfb_build(
+        {"WordDocument": b"\x00" * 64, "\x05SummaryInformation": header + body}
+    )
+    assert read_summary_title(CfbReader(data)) == "Legacy Title"
