@@ -32,6 +32,10 @@ from aiotcvectordb_spark import queries as Q
 from aiotcvectordb_spark.session import get_spark
 
 PROBE_QUERIES = [
+    "pdf_extract",
+    "doc_extract",
+    "ppt_extract",
+    "xls_extract",
     "search_flat_cosine",
     "search_flat_cosine_local_topk",
     "fulltext_bm25",
