@@ -38,7 +38,9 @@ PDF codec (``doc_extract`` registry query).
 
 Honest rejections (ValueError): encrypted documents (FIB base flag
 ``fEncrypted`` 0x0100), non-Word CFB files (no WordDocument stream),
-and corrupt containers. .ppt/.xls record formats remain out of scope.
+and corrupt containers. Legacy .ppt/.xls are parsed by
+``operators/olebin`` on top of this module's CfbReader; document
+titles come from the [MS-OLEPS] SummaryInformation property set.
 """
 
 from __future__ import annotations

@@ -15,11 +15,12 @@ implementable without third-party parsing deps:
   dies); first heading becomes the document title.
 - Plain text (everything else): passthrough.
 
-PDF (r5): real binary PDF payloads are parsed by
-``operators/pdfcodec.extract_pdf_text`` — a stdlib-only ISO 32000-1
-subset (object scan + ObjStm expansion, FlateDecode, Tj/TJ/'/" text
-operators, UTF-16BE + PDFDocEncoding strings). Encrypted and
-image-only PDFs are still honestly rejected (ValueError from the
+PDF (r5, font machinery + encryption r6): real binary PDF payloads
+are parsed by ``operators/pdfcodec.extract_pdf_text`` — a stdlib-only
+ISO 32000-1 subset (object scan + ObjStm expansion, Flate/LZW
+filters, ToUnicode CMaps and /Differences encodings, the
+empty-user-password RC4/AESV2 standard security handler). Passworded
+and image-only PDFs are honestly rejected (ValueError from the
 codec).
 
 Office (r5): OOXML containers (.docx/.pptx/.xlsx — ZIP of ECMA-376

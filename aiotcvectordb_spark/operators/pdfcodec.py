@@ -1716,8 +1716,11 @@ def with_pdf_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
                 if mix_modes:
                     key = zlib.crc32(str(doc_id).encode("utf-8"))
                     fm, flt = fonts[key % 3], filters[(key // 3) % 2]
-                    # ~20% RC4- and ~20% AES-encrypted documents
-                    enc = ("rc4", "aes", None, None, None)[key % 5]
+                    # ~10% RC4- and ~10% AES-encrypted documents
+                    # (pure-python RC4/AES is the dominant writer cost;
+                    # 10% of sf0.01's 500 docs still gives ~50 docs per
+                    # cipher under the oracle)
+                    enc = ("rc4", "aes") [key % 10] if key % 10 < 2 else None
                 else:
                     fm, flt, enc = "simple", "flate", None
                 payloads.append(
