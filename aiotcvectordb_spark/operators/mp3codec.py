@@ -168,6 +168,59 @@ def _skip_id3(data: bytes) -> int:
     return 0
 
 
+_ID3V2_TEXT = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+
+
+def _id3_text(enc: int, raw: bytes) -> str:
+    if enc == 0:
+        s = raw.decode("latin-1", "replace")
+    elif enc == 1:
+        s = raw.decode("utf-16", "replace")  # BOM-led
+    elif enc == 2:
+        s = raw.decode("utf-16-be", "replace")
+    else:
+        s = raw.decode("utf-8", "replace")
+    return s.split("\x00")[0].strip()
+
+
+def mp3_tags(data: bytes) -> dict:
+    """Title/artist/album metadata from ID3v2.3/2.4 text frames
+    (TIT2/TPE1/TALB; latin-1 / UTF-16(+BOM) / UTF-16BE / UTF-8
+    encodings) with ID3v1 (the trailing 128-byte TAG block) as the
+    fallback — the same stored-metadata story as the Office OLEPS
+    titles (r6). Absent fields are None; no tag at all returns all
+    None."""
+    out: dict[str, str | None] = {"title": None, "artist": None, "album": None}
+    if data[:3] == b"ID3" and len(data) >= 10:
+        ver = data[3]
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+               ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        i, end = 10, min(10 + size, len(data))
+        while i + 10 <= end:
+            fid = data[i : i + 4]
+            if not fid.strip(b"\x00"):
+                break  # padding
+            if ver >= 4:  # v2.4: syncsafe frame sizes
+                fsz = ((data[i + 4] & 0x7F) << 21) | ((data[i + 5] & 0x7F) << 14) \
+                    | ((data[i + 6] & 0x7F) << 7) | (data[i + 7] & 0x7F)
+            else:
+                fsz = int.from_bytes(data[i + 4 : i + 8], "big")
+            body = data[i + 10 : i + 10 + fsz]
+            i += 10 + fsz
+            key = _ID3V2_TEXT.get(fid)
+            if key and body:
+                out[key] = _id3_text(body[0], body[1:]) or None
+    if all(v is None for v in out.values()) and len(data) >= 128:
+        tail = data[-128:]
+        if tail[:3] == b"TAG":
+            for key, lo in (("title", 3), ("artist", 33), ("album", 63)):
+                s = tail[lo : lo + 30].split(b"\x00")[0].decode(
+                    "latin-1", "replace"
+                ).strip()
+                out[key] = s or None
+    return out
+
+
 def _parse_header(data: bytes, i: int) -> dict | None:
     if i + 4 > len(data):
         return None

@@ -358,3 +358,55 @@ def test_no_vbr_header_is_none():
     assert info["vbr_header"] is None
     assert info["declared_duration_ms"] is None
     assert info["vbr"] is False
+
+
+# ---------------------------------------------------------------------------
+# r6: ID3 tag metadata
+
+
+def _id3v2(frames: dict[bytes, bytes], ver: int = 3) -> bytes:
+    body = b""
+    for fid, payload in frames.items():
+        if ver >= 4:
+            sz = bytes(
+                [(len(payload) >> s) & 0x7F for s in (21, 14, 7, 0)]
+            )
+        else:
+            sz = len(payload).to_bytes(4, "big")
+        body += fid + sz + b"\x00\x00" + payload
+    size = len(body)
+    ss = bytes([(size >> s) & 0x7F for s in (21, 14, 7, 0)])
+    return b"ID3" + bytes([ver, 0, 0]) + ss + body
+
+
+def test_id3v2_text_frames():
+    from aiotcvectordb_spark.operators.mp3codec import mp3_tags, probe_mp3
+
+    tag = _id3v2({
+        b"TIT2": b"\x00My Song",
+        b"TPE1": b"\x01" + "Artist 名".encode("utf-16"),  # BOM-led
+        b"TALB": b"\x03" + "Album ütf8".encode("utf-8"),
+    })
+    data = tag + _mk_frame() * 2
+    tags = mp3_tags(data)
+    assert tags == {"title": "My Song", "artist": "Artist 名", "album": "Album ütf8"}
+    probe_mp3(data)  # tag skip still works for the frame walk
+
+
+def test_id3v24_syncsafe_sizes():
+    from aiotcvectordb_spark.operators.mp3codec import mp3_tags
+
+    tag = _id3v2({b"TIT2": b"\x00" + b"x" * 200}, ver=4)
+    assert mp3_tags(tag + _mk_frame())["title"] == "x" * 200
+
+
+def test_id3v1_fallback():
+    from aiotcvectordb_spark.operators.mp3codec import mp3_tags
+
+    v1 = b"TAG" + b"Old Title".ljust(30, b"\x00") + b"Old Artist".ljust(30, b"\x00") \
+        + b"Old Album".ljust(30, b"\x00") + b"\x00" * 35
+    data = _mk_frame() * 2 + v1
+    assert mp3_tags(data) == {
+        "title": "Old Title", "artist": "Old Artist", "album": "Old Album",
+    }
+    assert mp3_tags(_mk_frame()) == {"title": None, "artist": None, "album": None}
