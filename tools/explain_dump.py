@@ -21,6 +21,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # (query, what to look for in the plan)
 SHOWCASE = [
     (
+        "doc_extract",
+        "shuffle-free document codec shape: two chained mapInPandas "
+        "stages (writer, then CFB/piece-table extractor) directly over "
+        "the parquet scan — no Exchange anywhere, so the codec cost "
+        "partitions with the data at any scale",
+    ),
+    (
         "search_flat_cosine",
         "filter pushed to the parquet scan (PushedFilters), vector column "
         "read only for scoring, broadcast of the query side, single "
