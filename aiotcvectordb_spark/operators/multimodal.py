@@ -13,7 +13,10 @@ fully decodable with stdlib zlib + numpy (``imagecodec.py``) and
 baseline JPEG with pure numpy Huffman+IDCT (``jpegcodec.py``), so
 ``mode="real"`` is a REAL codec path for both: actual pixel decode,
 luminance features, true nearest-neighbor resize, and header/EXIF
-probing for PNG/JPEG/GIF/BMP. Only entropy-coded VIDEO stays behind
+probing for PNG/JPEG/GIF/BMP, and animated GIF decodes as a REAL
+entropy-coded video container (``gifcodec``: LSB-first LZW, palettes,
+interlace, disposal compositing) for ``frame_sample(mode="real")``.
+Only non-GIF entropy-coded video (H.264 etc.) stays behind
 ``NotImplementedError``; ``mode="fake"`` remains the deterministic
 stand-in (byte histogram / fixed-stride frame slicing) exercising the
 same distributed plumbing on arbitrary bytes.
@@ -362,27 +365,45 @@ def frame_sample(
     """Sample fixed-stride frames out of each payload (the video
     frame-sampling shape: one input row -> N frame rows).
 
-    Fake mode slices raw bytes. For REAL frame extraction from the
-    MPNG multi-frame container, use ``extract_frames`` (container
-    parse + per-frame PNG decode); entropy-coded video formats remain
-    behind this error honestly.
+    Fake mode slices raw bytes. ``mode="real"`` (r6) decodes animated
+    GIF — a genuine entropy-coded (LZW) video container — with the
+    stdlib+numpy ``gifcodec`` and emits every ``stride``-th composed
+    frame's interleaved RGB bytes (frame_off carries the frame's index
+    in the stream); the MPNG container keeps its own path in
+    ``extract_frames``. Non-GIF entropy-coded video (H.264/VP9/...)
+    still raises — those codecs genuinely aren't implementable here.
     """
-    if mode == "real":
-        raise NotImplementedError(
-            "real frame sampling of entropy-coded video requires codecs "
-            "not present in this environment; for the MPNG container "
-            "use extract_frames, else mode='fake'"
-        )
+    if mode not in ("fake", "real"):
+        raise ValueError(f"unknown mode {mode!r}")
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, frame_no int, frame_off long, frame binary"
+    real = mode == "real"
 
     def sample(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from aiotcvectordb_spark.operators import gifcodec
 
         for pdf in batches:
             out = {id_col: [], "frame_no": [], "frame_off": [], "frame": []}
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
+                if real:
+                    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+                        raise NotImplementedError(
+                            "real frame sampling implements the GIF "
+                            "container (gifcodec); other entropy-coded "
+                            "video needs codecs not present in this "
+                            "environment — use extract_frames for MPNG "
+                            "or mode='fake'"
+                        )
+                    _w, _h, frames, _delays = gifcodec.decode_gif(raw)
+                    for n, j in enumerate(range(0, len(frames), stride)):
+                        out[id_col].append(i)
+                        out["frame_no"].append(n)
+                        out["frame_off"].append(j)
+                        out["frame"].append(frames[j].tobytes())
+                    continue
                 for n, off in enumerate(range(0, len(raw), stride)):
                     out[id_col].append(i)
                     out["frame_no"].append(n)

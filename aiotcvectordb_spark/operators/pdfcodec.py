@@ -187,18 +187,21 @@ def _apply_parms(payload: bytes, head: bytes) -> bytes:
     pred = int(pred_m.group(1)) if pred_m else 1
     if pred <= 1:
         return payload
-    if pred == 2:
-        raise ValueError("TIFF predictor 2 is not implemented")
     colors_m = re.search(rb"/Colors\s+(\d+)", parms)
     cols_m = re.search(rb"/Columns\s+(\d+)", parms)
     bpc_m = re.search(rb"/BitsPerComponent\s+(\d+)", parms)
     if bpc_m and int(bpc_m.group(1)) != 8:
         raise ValueError("predictor BitsPerComponent != 8 is not implemented")
-    return _png_predictor(
-        payload,
-        int(colors_m.group(1)) if colors_m else 1,
-        int(cols_m.group(1)) if cols_m else 1,
-    )
+    colors = int(colors_m.group(1)) if colors_m else 1
+    columns = int(cols_m.group(1)) if cols_m else 1
+    if pred == 2:  # TIFF horizontal differencing (r6)
+        row = colors * columns
+        out = bytearray(payload)
+        for r0 in range(0, len(out) - row + 1, row):
+            for x in range(colors, row):
+                out[r0 + x] = (out[r0 + x] + out[r0 + x - colors]) & 0xFF
+        return bytes(out)
+    return _png_predictor(payload, colors, columns)
 
 
 def _stream_of(body: bytes) -> bytes | None:
@@ -352,6 +355,8 @@ def _content_streams(objs: dict[int, bytes], page: bytes) -> list[bytes]:
 def _decode_pdf_string(raw: bytes) -> str:
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", "replace")
+    if raw[:3] == b"\xef\xbb\xbf":  # PDF 2.0 §7.9.2.2 UTF-8 strings
+        return raw[3:].decode("utf-8", "replace")
     return raw.decode("latin-1")
 
 

@@ -38,12 +38,14 @@ def test_decode_features_deterministic(spark, sf_dir):
         assert abs(sum(feats) - 1.0) < 1e-9 or n_bytes == 0
 
 
-def test_video_real_mode_raises(spark, sf_dir):
-    """Video frame sampling genuinely needs an entropy decoder that
-    isn't available — the real seam stays an explicit raise there."""
-    media = _media(spark, sf_dir)
-    with pytest.raises(NotImplementedError):
-        multimodal.frame_sample(media, mode="real")
+def test_video_real_mode_rejects_non_gif(spark, sf_dir):
+    """r6: GIF decodes for real (tests/test_gifcodec.py); any OTHER
+    entropy-coded payload still raises at execution — the plan builds
+    (the check is per-payload inside the kernel) but collecting
+    non-GIF bytes must fail loudly, not emit garbage frames."""
+    media = _media(spark, sf_dir).limit(2)
+    with pytest.raises(Exception, match="NotImplementedError|entropy-coded"):
+        multimodal.frame_sample(media, mode="real").collect()
 
 
 def test_frame_sample_shape(spark, sf_dir):

@@ -464,3 +464,28 @@ def test_aesv3_still_rejected():
     pdf = build_pdf("x", encrypt="aes").replace(b"/CFM /AESV2", b"/CFM /AESV3")
     with pytest.raises(ValueError, match="AESV3|crypt filter"):
         extract_pdf_text(pdf)
+
+
+def test_tiff_predictor_2_and_utf8_strings():
+    import zlib as _z
+
+    # TIFF predictor: rows stored as horizontal differences
+    content = b"BT (tiff) Tj ET"
+    row = 15
+    diffed = bytearray()
+    for r0 in range(0, len(content), row):
+        chunk = content[r0 : r0 + row]
+        prev = 0
+        for i, b in enumerate(chunk):
+            diffed.append((b - (chunk[i - 1] if i else 0)) & 0xFF)
+    payload = _z.compress(bytes(diffed))
+    pdf = _wrap_single_page(payload).replace(
+        b"<< /Length %d >>" % len(payload),
+        b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 2 /Columns 15 >> >>" % len(payload),
+    )
+    assert extract_pdf_text(pdf)[0] == "tiff"
+    # PDF 2.0 UTF-8 text string with BOM
+    utf8 = b"\xef\xbb\xbf" + "café 中".encode("utf-8")
+    content2 = b"BT <" + utf8.hex().encode() + b"> Tj ET"
+    assert extract_pdf_text(_wrap_single_page(content2))[0] == "café 中"
