@@ -298,3 +298,69 @@ def build_gif(
         out += b"\x00"
     out += b"\x3B"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Spark kernels (Arrow-batched, shuffle-free — the same codec-stage
+# shape as the PNG/WAV/PDF kernels)
+
+_FRAME_W = 16
+_FRAME_H = 16
+_MAX_FRAMES = 6
+_GRAY_PAL = np.stack([np.arange(16, dtype=np.uint8) * 17] * 3, axis=1)
+
+
+def with_gif_payload(df, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Attach a REAL animated-GIF ``payload``: the text's UTF-8 bytes
+    (mod 16) become indexed 16x16 frames over a gray palette, one
+    frame per 256 bytes capped at ``_MAX_FRAMES`` (zero-padded), with
+    the first frame interlaced so the deinterlacer runs distributed.
+    Deterministic — frame count/geometry are pure functions of the
+    byte length, which is what makes the codec ORACLE-CHECKABLE."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, payload binary"
+    area = _FRAME_W * _FRAME_H
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                n = min(max(1, -(-len(raw) // area)), _MAX_FRAMES)
+                frames = []
+                for j in range(n):
+                    buf = np.zeros(area, dtype=np.uint8)
+                    chunk = raw[j * area : (j + 1) * area]
+                    buf[: len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
+                    frames.append((buf % 16).reshape(_FRAME_H, _FRAME_W))
+                payloads.append(
+                    build_gif(frames, _GRAY_PAL, interlace_first=True)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
+
+
+def gif_frames(df, *, id_col: str = "doc_id"):
+    """Decode GIF payloads with the REAL codec and emit one row per
+    frame: (id, frame_no, f_width, f_height) — geometry and frame
+    count verified through actual LZW decode + compositing."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, frame_no int, f_width int, f_height int"
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, frames, _delays = decode_gif(bytes(payload))
+                for j in range(len(frames)):
+                    rows.append((i, j, w, h))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_no", "f_width", "f_height"]
+            )
+
+    return df.mapInPandas(decode, schema=schema)

@@ -4993,6 +4993,42 @@ WHERE j % {_MPNG_STRIDE} = 0
 """
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF codec round trip, oracle-checked (r6): each
+    document's UTF-8 bytes become indexed 16x16 frames (one per 256
+    bytes, capped at 6; first frame interlaced) written by
+    ``operators/gifcodec.build_gif`` — genuine LSB-first LZW, palette,
+    GIF89a block structure — then a second shuffle-free mapInPandas
+    stage runs the full decoder (LZW, deinterlace, compositing) and
+    emits per-frame geometry. Frame count and dimensions are pure
+    functions of the byte length, so DuckDB predicts every row: the
+    entropy-coded video path that was a NotImplementedError until r6
+    is now driver-hash-checked."""
+    from aiotcvectordb_spark.operators import gifcodec
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    gifs = gifcodec.with_gif_payload(df)
+    return gifcodec.gif_frames(gifs).select(
+        "doc_id", "frame_no", "f_width", "f_height"
+    )
+
+
+ORACLE_GIF_FRAMES = """
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) AS L, unnest(range(6)) AS j
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(j AS INTEGER) AS frame_no,
+       16 AS f_width,
+       16 AS f_height
+FROM f
+WHERE j < least(CAST(ceil(L / 256.0) AS BIGINT), 6)
+"""
+
+
 def q_ann_bq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantization ANN — the 1-bit member of the quantized
     index family (IVF_PQ = 8x codes + ADC, IVF_SQ8 = scalar int8, BQ =
@@ -5918,6 +5954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_extract": q_doc_extract,  # new, no driver row yet
     "ppt_extract": q_ppt_extract,  # new, no driver row yet
     "xls_extract": q_xls_extract,  # new, no driver row yet
+    "gif_frames": q_gif_frames,  # new, no driver row yet
     # --- r3 rows (age 3) (must be in the next batch) ---
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
@@ -6108,6 +6145,7 @@ ORACLES: dict[str, str] = {
     "doc_extract": ORACLE_DOC_EXTRACT,
     "ppt_extract": ORACLE_PPT_EXTRACT,
     "xls_extract": ORACLE_XLS_EXTRACT,
+    "gif_frames": ORACLE_GIF_FRAMES,
     "lang_id_cjk": ORACLE_LANG_ID_CJK,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "sparse_encode": ORACLE_SPARSE_ENCODE,

@@ -115,6 +115,7 @@ HEADLINE = [
     "doc_extract",
     "ppt_extract",
     "xls_extract",
+    "gif_frames",
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the
