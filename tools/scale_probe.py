@@ -36,6 +36,7 @@ PROBE_QUERIES = [
     "doc_extract",
     "ppt_extract",
     "xls_extract",
+    "gif_frames",
     "search_flat_cosine",
     "search_flat_cosine_local_topk",
     "fulltext_bm25",
