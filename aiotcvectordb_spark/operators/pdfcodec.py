@@ -204,6 +204,78 @@ def _apply_parms(payload: bytes, head: bytes) -> bytes:
     return _png_predictor(payload, colors, columns)
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """§7.4.2 ASCIIHexDecode: hex pairs, whitespace ignored, '>' EOD."""
+    end = data.find(b">")
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", data[: end if end >= 0 else len(data)])
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except ValueError as e:
+        raise ValueError(f"corrupt ASCIIHexDecode stream: {e}") from None
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3 ASCII85Decode: 5 chars -> 4 bytes base 85, 'z' = four
+    zero bytes, '~>' EOD, partial final group truncated."""
+    end = data.find(b"~>")
+    body = re.sub(rb"[\x00\t\n\x0c\r ]", b"", data[: end if end >= 0 else len(data)])
+    if body.startswith(b"<~"):
+        body = body[2:]
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("corrupt ASCII85Decode: z inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            raise ValueError(f"corrupt ASCII85Decode: byte 0x{ch:02x}")
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("corrupt ASCII85Decode: group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("corrupt ASCII85Decode: lone trailing char")
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """§7.4.5 RunLengthDecode (PackBits): len byte L<128 copies L+1
+    literals, 128<L<256 repeats the next byte 257-L times, 128 EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            chunk = data[i + 1 : i + 2 + ln]
+            if len(chunk) < ln + 1:
+                raise ValueError("corrupt RunLengthDecode: truncated literal")
+            out += chunk
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise ValueError("corrupt RunLengthDecode: truncated run")
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
 def _stream_of(body: bytes) -> bytes | None:
     """Decoded stream payload of an object body, or None if no stream.
 
@@ -245,10 +317,17 @@ def _stream_of(body: bytes) -> bytes | None:
         early_m = re.search(rb"/EarlyChange\s+(\d+)", head)
         payload = _lzw_decode(raw, int(early_m.group(1)) if early_m else 1)
         return _apply_parms(payload, head)
+    if name == b"ASCIIHexDecode":
+        return _ascii_hex_decode(raw)
+    if name == b"ASCII85Decode":
+        return _ascii85_decode(raw)
+    if name == b"RunLengthDecode":
+        return _runlength_decode(raw)
     if name != b"FlateDecode":
         raise ValueError(
-            f"unsupported PDF stream filter /{name.decode('latin-1')}: only "
-            "FlateDecode and LZWDecode (stdlib) are implemented"
+            f"unsupported PDF stream filter /{name.decode('latin-1')}: the "
+            "text-bearing filters (Flate/LZW/ASCIIHex/ASCII85/RunLength) "
+            "are implemented; image filters (DCT/CCITT/JBIG2/JPX) are not"
         )
     try:
         payload = zlib.decompress(raw)

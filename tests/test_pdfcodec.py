@@ -179,10 +179,12 @@ def test_encrypted_wrong_password_rejected():
 
 
 def test_rejects_unsupported_filter():
+    # image filters stay out of scope (RunLength is a TEXT filter and
+    # decodes since r6 — see test_text_bearing_filters)
     content = b"BT (hi) Tj ET"
     pdf = _wrap_single_page(content).replace(
         b"<< /Length %d >>" % len(content),
-        b"<< /Length %d /Filter /RunLengthDecode >>" % len(content),
+        b"<< /Length %d /Filter /JBIG2Decode >>" % len(content),
     )
     with pytest.raises(ValueError, match="unsupported PDF stream filter"):
         extract_pdf_text(pdf)
@@ -489,3 +491,88 @@ def test_tiff_predictor_2_and_utf8_strings():
     utf8 = b"\xef\xbb\xbf" + "café 中".encode("utf-8")
     content2 = b"BT <" + utf8.hex().encode() + b"> Tj ET"
     assert extract_pdf_text(_wrap_single_page(content2))[0] == "café 中"
+
+
+def _a85(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * pad, "big")
+        if v == 0 and pad == 0:
+            out += b"z"
+            continue
+        g = []
+        for _ in range(5):
+            g.append(v % 85)
+            v //= 85
+        enc = bytes(33 + x for x in reversed(g))
+        out += enc[: 5 - pad]
+    return bytes(out) + b"~>"
+
+
+def _rle(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        j = i
+        while j + 1 < len(data) and data[j + 1] == data[i] and j - i < 126:
+            j += 1
+        if j > i:
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+        else:
+            k = i
+            while (
+                k < len(data)
+                and (k + 1 >= len(data) or data[k + 1] != data[k])
+                and k - i < 127
+            ):
+                k += 1
+            out += bytes([k - i - 1]) + data[i:k]
+            i = k
+    return bytes(out) + b"\x80"
+
+
+@pytest.mark.parametrize(
+    "fname,enc",
+    [
+        ("ASCIIHexDecode", lambda d: d.hex().encode() + b">"),
+        ("ASCII85Decode", _a85),
+        ("RunLengthDecode", _rle),
+    ],
+)
+def test_text_bearing_filters(fname, enc):
+    """r6: the three remaining text-bearing stream filters decode;
+    reference encoders live in this test, independent of the codec."""
+    import os as _os
+    import random as _r
+
+    from aiotcvectordb_spark.operators import pdfcodec as P
+
+    dec = {
+        "ASCIIHexDecode": P._ascii_hex_decode,
+        "ASCII85Decode": P._ascii85_decode,
+        "RunLengthDecode": P._runlength_decode,
+    }[fname]
+    _r.seed(9)
+    for n in (0, 1, 3, 4, 5, 100, 997):
+        d = _os.urandom(n)
+        assert dec(enc(d)) == d, (fname, n)
+    content = b"BT (filtered text) Tj ET"
+    payload = enc(content)
+    pdf = _wrap_single_page(payload).replace(
+        b"<< /Length %d >>" % len(payload),
+        b"<< /Length %d /Filter /%s >>" % (len(payload), fname.encode()),
+    )
+    assert extract_pdf_text(pdf)[0] == "filtered text"
+
+
+def test_image_filters_still_rejected():
+    content = b"BT (x) Tj ET"
+    pdf = _wrap_single_page(content).replace(
+        b"<< /Length %d >>" % len(content),
+        b"<< /Length %d /Filter /DCTDecode >>" % len(content),
+    )
+    with pytest.raises(ValueError, match="unsupported PDF stream filter"):
+        extract_pdf_text(pdf)
