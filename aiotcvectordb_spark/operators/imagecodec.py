@@ -253,3 +253,82 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * h // height).clip(0, h - 1)
     xs = (np.arange(width) * w // width).clip(0, w - 1)
     return pixels[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB, BI_RGB) — r6: real decode + writer
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Write an uncompressed bottom-up 24-bit BMP from (H, W) gray or
+    (H, W, 3) RGB uint8 pixels."""
+    import struct
+
+    import numpy as np
+
+    if pixels.ndim == 2:
+        pixels = np.stack([pixels] * 3, axis=-1)
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        bgr = pixels[y, :, ::-1].astype(np.uint8).tobytes()
+        body += bgr + b"\x00" * pad
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return bytes(header) + dib + bytes(body)
+
+
+def decode_bmp(data: bytes) -> "np.ndarray":
+    """Decode an uncompressed (BI_RGB) 8-bit-palette, 24- or 32-bit
+    BMP to (H, W, 3) uint8 RGB. Top-down (negative height) and
+    bottom-up layouts both handled; other compressions raise."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", data, 10)
+    (dib_size,) = struct.unpack_from("<I", data, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+    w, h = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    if comp != 0:
+        raise ValueError(f"unsupported BMP compression {comp} (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0 or w * h > 1 << 26:
+        raise ValueError("corrupt BMP dimensions")
+    palette = None
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", data, 46)
+        n_colors = n_colors or 256
+        pal_at = 14 + dib_size
+        raw_pal = np.frombuffer(
+            data[pal_at : pal_at + 4 * n_colors], dtype=np.uint8
+        )
+        if raw_pal.size < 4 * n_colors:
+            raise ValueError("truncated BMP palette")
+        palette = raw_pal.reshape(-1, 4)[:, 2::-1].copy()  # BGRA -> RGB
+    bytes_pp = bpp // 8
+    row = w * bytes_pp
+    stride = row + ((-row) % 4)
+    need = stride * h
+    body = data[off : off + need]
+    if len(body) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)[:, :row]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        return palette[rows]
+    px = rows.reshape(h, w, bytes_pp)
+    return px[:, :, 2::-1].copy() if bytes_pp >= 3 else px

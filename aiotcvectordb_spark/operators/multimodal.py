@@ -176,6 +176,33 @@ def audio_features(
     return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)
 
 
+def _decode_any_image(raw: bytes):
+    """PNG / baseline JPEG / BMP / GIF (first frame) -> pixel array,
+    or None when no real codec matches (r6 dispatch shared by the
+    real-mode feature and resize stages)."""
+    from aiotcvectordb_spark.operators import gifcodec, imagecodec, jpegcodec
+
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return gifcodec.decode_gif(raw)[2][0]
+        except ValueError:
+            return None
+    if raw[:2] == b"BM":
+        try:
+            return imagecodec.decode_bmp(raw)
+        except ValueError:
+            return None
+    try:
+        return imagecodec.decode_png(raw)
+    except ValueError:
+        pass
+    try:
+        img = jpegcodec.decode_jpeg(raw)
+        return img[:, :, None] if img.ndim == 2 else img
+    except ValueError:
+        return None
+
+
 def decode_features(
     df: DataFrame,
     *,
@@ -216,19 +243,17 @@ def decode_features(
                 ids.append(i)
                 sizes.append(len(raw))
                 if real:
-                    try:
-                        lum = imagecodec.luminance(imagecodec.decode_png(raw))
-                    except ValueError:
-                        try:
-                            px = jpegcodec.decode_jpeg(raw)
-                            lum = (
-                                px.astype(np.float64)
-                                if px.ndim == 2
-                                else imagecodec.luminance(px)
-                            )
-                        except ValueError:
-                            feats.append(None)
-                            continue
+                    px = _decode_any_image(raw)
+                    if px is None:
+                        feats.append(None)
+                        continue
+                    if px.ndim == 3 and px.shape[2] == 1:
+                        px = px[:, :, 0]
+                    lum = (
+                        px.astype(np.float64)
+                        if px.ndim == 2
+                        else imagecodec.luminance(px)
+                    )
                     buckets = np.clip(
                         (lum * n_buckets / 256.0).astype(np.int64),
                         0, n_buckets - 1,
@@ -454,16 +479,10 @@ def resize_images(
                 raw_bytes = bytes(payload)
                 ids.append(i)
                 if real:
-                    try:
-                        img = imagecodec.decode_png(raw_bytes)
-                    except ValueError:
-                        try:
-                            img = jpegcodec.decode_jpeg(raw_bytes)
-                            if img.ndim == 2:
-                                img = img[:, :, None]
-                        except ValueError:
-                            pix.append(None)
-                            continue
+                    img = _decode_any_image(raw_bytes)
+                    if img is None:
+                        pix.append(None)
+                        continue
                     pix.append(
                         imagecodec.resize_nearest(img, width, height).tobytes()
                     )

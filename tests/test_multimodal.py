@@ -367,3 +367,30 @@ def test_png_decoder_rejects_fuzzed_bytes_cleanly():
             assert out.dtype == np.uint8
         except ValueError:
             pass  # the ONLY allowed failure mode
+
+
+def test_resize_and_features_decode_bmp_and_gif(spark):
+    """r6: the real-mode image dispatch covers BMP and GIF payloads
+    alongside PNG/JPEG."""
+    import numpy as np
+
+    from aiotcvectordb_spark.operators.gifcodec import build_gif
+    from aiotcvectordb_spark.operators.imagecodec import encode_bmp
+
+    rng = np.random.RandomState(4)
+    bmp = encode_bmp(rng.randint(0, 256, (10, 12, 3)).astype(np.uint8))
+    pal = np.stack([np.arange(16, dtype=np.uint8) * 17] * 3, axis=1)
+    gif = build_gif([rng.randint(0, 16, (9, 7)).astype(np.uint8)], pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(gif)), (3, bytearray(b"garbage"))],
+        "doc_id long, payload binary",
+    )
+    resized = {r.doc_id: r.pixels for r in
+               multimodal.resize_images(df, mode="real", width=4, height=4).collect()}
+    assert resized[1] is not None and len(resized[1]) == 4 * 4 * 3
+    assert resized[2] is not None and len(resized[2]) == 4 * 4 * 3
+    assert resized[3] is None  # undecodable flagged, not failed
+    feats = {r.doc_id: r for r in
+             multimodal.decode_features(df, mode="real").collect()}
+    assert feats[1].features is not None and feats[2].features is not None
+    assert feats[3].features is None
