@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, functions as F
 from aiotcvectordb_spark.catalog import AI_DOC, CollectionMeta
 from aiotcvectordb_spark.errors import ParamError
 from aiotcvectordb_spark.operators import chunks as chunk_ops
+from aiotcvectordb_spark.operators.chunks import document_keywords
 
 
 class CollectionViewManager:
@@ -129,6 +130,10 @@ class CollectionViewManager:
         title_prefix = (
             title if cfg.get("append_title_to_chunk") and title else None
         )
+        keywords_prefix = None
+        if cfg.get("append_keywords_to_chunk"):
+            kws = document_keywords(parsed_text)
+            keywords_prefix = ", ".join(kws) if kws else None
 
         new_chunks = chunk_ops.load_and_split_text(
             self.engine.spark,
@@ -137,6 +142,7 @@ class CollectionViewManager:
             overlap=cfg.get("overlap", 50),
             dim=dim,
             title_prefix=title_prefix,
+            keywords_prefix=keywords_prefix,
         )
         try:
             old = self._chunks(database, cv).filter(F.col("doc_set_id") != ds_id)

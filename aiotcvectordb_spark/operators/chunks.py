@@ -57,6 +57,34 @@ def split_text(
     return out
 
 
+_KW_STOPWORDS = frozenset(
+    "the a an and or of to in for on with is are was were be been this "
+    "that these those it its as at by from not but if then than into "
+    "about over under after before between out up down off will would "
+    "can could should may might do does did done have has had you your "
+    "we our they their he she his her i me my".split()
+)
+
+
+def document_keywords(text: str, *, k: int = 5) -> list[str]:
+    """Deterministic document keywords for
+    SplitterProcess.appendKeywordsToChunk: top-``k`` tokens by
+    (frequency desc, token asc) using the engine's BM25 tokenizer
+    (latin words / CJK bigrams), stopwords and short latin tokens
+    dropped. Pure function of the text, so keyworded chunks stay
+    content-addressed."""
+    from collections import Counter
+
+    from aiotcvectordb_spark.functions.sparse import _TOKENS_FOR_QUERY
+
+    counts = Counter(
+        t
+        for t in _TOKENS_FOR_QUERY(text or "")
+        if t not in _KW_STOPWORDS and (len(t) >= 3 or not t.isascii())
+    )
+    return [t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+
 def load_and_split_text(
     spark: SparkSession,
     docs: Sequence[tuple[str, str]],
@@ -65,16 +93,19 @@ def load_and_split_text(
     overlap: int = 50,
     dim: int = 32,
     title_prefix: str | None = None,
+    keywords_prefix: str | None = None,
 ) -> DataFrame:
     """Ingestion job: (doc_set_id, full_text) pairs → chunks DataFrame
     with embedded vectors. Splitting + embedding run distributed via
     mapInPandas (Arrow batches), so a million documents fan out across
     executors; nothing is driver-side except the input handles.
 
-    ``title_prefix`` implements SplitterProcess.appendTitleToChunk
-    (reference collection_view.py splitter config): each chunk's TEXT
-    and EMBEDDING get the document title prepended; start/end positions
-    keep addressing the body so expand_chunk ranges stay valid."""
+    ``title_prefix`` implements SplitterProcess.appendTitleToChunk and
+    ``keywords_prefix`` appendKeywordsToChunk (reference
+    collection_view.py splitter config): each chunk's TEXT and
+    EMBEDDING get the document title and/or keyword line prepended;
+    start/end positions keep addressing the body so expand_chunk
+    ranges stay valid."""
     src = spark.createDataFrame(
         list(docs), "doc_set_id string, full_text string"
     )
@@ -86,6 +117,8 @@ def load_and_split_text(
                 for pos, s, e, chunk in split_text(
                     full, chunk_size=chunk_size, overlap=overlap
                 ):
+                    if keywords_prefix:
+                        chunk = f"{keywords_prefix}\n{chunk}"
                     if title_prefix:
                         chunk = f"{title_prefix}\n{chunk}"
                     rows.append(

@@ -144,3 +144,34 @@ def test_ai_object_handles(engine):
         engine.ai_database("nope")
     with _pytest.raises(Exception):
         aidb.collection_view("nope")
+
+
+def test_append_keywords_to_chunk(engine):
+    """r6: SplitterProcess.appendKeywordsToChunk — deterministic top-k
+    keywords prepended to every chunk (after the title line when both
+    are on), positions still addressing the body text."""
+    from aiotcvectordb_spark.collection_view import CollectionViewManager
+
+    engine.create_ai_database("ai_kw")
+    mgr = CollectionViewManager(engine)
+    mgr.create_collection_view(
+        "ai_kw",
+        "cv_kw",
+        splitter_process={
+            "chunk_size": 40,
+            "overlap": 5,
+            "append_keywords_to_chunk": True,
+        },
+        parsing_process={"parsing_type": "AlgorithmParsing"},
+    )
+    body = "revenue revenue margin margin margin growth outlook " * 4
+    res = mgr.load_and_split_text(
+        "ai_kw", "cv_kw", doc_name="kpi.txt", text=body
+    )
+    chunks = mgr.get_chunks(
+        "ai_kw", "cv_kw", document_set_id=res["doc_set_id"]
+    )
+    assert chunks
+    for c in chunks:
+        first_line = c["text"].split("\n")[0]
+        assert first_line.startswith("margin, revenue") or "margin" in first_line
