@@ -68,8 +68,10 @@ document is decrypted object-by-object into a plaintext map before
 the normal pipeline runs. The writer's ``encrypt=True`` emits RC4-128
 documents (Algorithm 3 /O, symmetric RC4 reuses the decryptor), and
 ~20% of the oracled round trip's documents are encrypted, so the
-handler math is hash-checked too. AES (/AESV2+) and real passwords
-still reject honestly. Real-world validation: the TeX/DocBook PDFs
+handler math is hash-checked too; AES-256 (V5/R6 AESV3 with the
+ISO 32000-2 Algorithm 2.B hardened hash) round-trips in unit tests
+(kept out of the bulk path — the 64-round hash is ~1s/derivation in
+pure python). Real passwords still reject honestly. Real-world validation: the TeX/DocBook PDFs
 shipped with this OS (subset fonts + ToUnicode CMaps) extract clean
 text (tests/test_pdfcodec.py::test_real_world_system_pdfs).
 """
@@ -1051,16 +1053,24 @@ _GF_TABLES = {
 
 
 def _aes_expand_key(key: bytes) -> list[list[int]]:
-    words = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    """FIPS-197 key expansion for AES-128 (Nk=4, Nr=10) and AES-256
+    (Nk=8, Nr=14)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError(f"AES key must be 16 or 32 bytes, got {len(key)}")
+    nr = nk + 6
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         w = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             w = w[1:] + w[:1]
             w = [_SBOX[b] for b in w]
             w[0] ^= rcon
             rcon = _gf_mul(rcon, 2)
-        words.append([a ^ b for a, b in zip(words[i - 4], w)])
+        elif nk > 6 and i % nk == 4:
+            w = [_SBOX[b] for b in w]
+        words.append([a ^ b for a, b in zip(words[i - nk], w)])
     return words
 
 
@@ -1073,8 +1083,9 @@ def _aes_decrypt_block(block: bytes, words: list[list[int]]) -> bytes:
             for r in range(4):
                 s[r][c] ^= words[4 * rnd + c][r]
 
-    add_round_key(10)
-    for rnd in range(9, -1, -1):
+    nr = len(words) // 4 - 1
+    add_round_key(nr)
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows
         for r in range(1, 4):
             s[r] = s[r][-r:] + s[r][:-r]
@@ -1105,14 +1116,15 @@ def _aes_encrypt_block(block: bytes, words: list[list[int]]) -> bytes:
             for r in range(4):
                 s[r][c] ^= words[4 * rnd + c][r]
 
+    nr = len(words) // 4 - 1
     add_round_key(0)
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         for r in range(4):
             for c in range(4):
                 s[r][c] = _SBOX[s[r][c]]
         for r in range(1, 4):
             s[r] = s[r][r:] + s[r][:r]
-        if rnd != 10:
+        if rnd != nr:
             t2, t3 = _GF_TABLES[2], _GF_TABLES[3]
             for c in range(4):
                 a = [s[r][c] for r in range(4)]
@@ -1143,17 +1155,53 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     return bytes(out[:-pad])
 
 
-def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+def _aes_cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt, NO padding and NO IV prefix (data % 16 == 0) —
+    the primitive the R6 hardened hash and UE/OE unwrapping use."""
     words = _aes_expand_key(key)
-    pad = 16 - len(data) % 16
-    data = data + bytes([pad]) * pad
-    out = bytearray(iv)
+    out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
         prev = _aes_encrypt_block(block, words)
         out += prev
     return bytes(out)
+
+
+def _aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    words = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        plain = _aes_decrypt_block(block, words)
+        out += bytes(a ^ b for a, b in zip(plain, prev))
+        prev = block
+    return bytes(out)
+
+
+def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    pad = 16 - len(data) % 16
+    return iv + _aes_cbc_encrypt_raw(key, iv, data + bytes([pad]) * pad)
+
+
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (R6): SHA-256 seed,
+    then >=64 rounds of AES-128-CBC over 64 repeats of (pw|K|udata)
+    with the digest size steered by the ciphertext."""
+    import hashlib
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = _aes_cbc_encrypt_raw(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _rc4(key: bytes, data: bytes) -> bytes:
@@ -1204,6 +1252,25 @@ class _StdDecryptor:
         v = int(v_m.group(1)) if v_m else 0
         r = int(r_m.group(1)) if r_m else 2
         self.aes = False
+        self.v5 = False
+        if v == 5 and r == 6:
+            # PDF 2.0 AES-256 (AESV3): SHA-2 hardened hash, file key
+            # unwrapped from /UE; strings/streams use the file key
+            # directly (no per-object derivation)
+            u = _enc_string_at(enc_body, b"U")
+            ue = _enc_string_at(enc_body, b"UE")
+            if u is None or len(u) < 48 or ue is None or len(ue) < 32:
+                raise ValueError("encrypted PDF: V5 /U /UE entries missing")
+            if _hash_2b(b"", u[32:40], b"") != u[:32]:
+                raise ValueError(
+                    "encrypted PDF: non-empty user password required "
+                    "(R6 hardened-hash check failed)"
+                )
+            ik = _hash_2b(b"", u[40:48], b"")
+            self.key = _aes_cbc_decrypt_raw(ik, b"\x00" * 16, ue[:32])
+            self.aes = True
+            self.v5 = True
+            return
         if v == 4 and r == 4:
             # crypt-filter layer: require the default StdCF with AESV2
             # (AES-128-CBC) or V2 (RC4) as both StmF and StrF
@@ -1261,6 +1328,8 @@ class _StdDecryptor:
     def obj_key(self, num: int, gen: int) -> bytes:
         import hashlib
 
+        if self.v5:
+            return self.key  # AESV3: the file key IS the object key
         salt = b"sAlT" if self.aes else b""
         return hashlib.md5(
             self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
@@ -1671,7 +1740,7 @@ def build_pdf(
     enc_num = 0
     file_id = b""
     enc_mode = {True: "rc4", False: None}.get(encrypt, encrypt)
-    if enc_mode not in (None, "rc4", "aes"):
+    if enc_mode not in (None, "rc4", "aes", "aes256"):
         raise ValueError(f"unknown encrypt mode {enc_mode!r}")
     if enc_mode:
         import hashlib
@@ -1702,7 +1771,39 @@ def build_pdf(
         u_entry = u + b"\x00" * 16
         enc_num = next_num
         next_num += 1
-        if enc_mode == "aes":
+        if enc_mode == "aes256":
+            # V5/R6 (PDF 2.0): empty user AND owner passwords. All
+            # salts/keys derive from the text so payloads stay
+            # content-addressed (fixture determinism, not key hygiene).
+            seed = hashlib.sha256(
+                text.encode("utf-8", "surrogatepass") + b"|r6"
+            ).digest()
+            vsalt, ksalt = seed[:8], seed[8:16]
+            file_key = hashlib.sha256(seed + b"|filekey").digest()
+            u48 = _hash_2b(b"", vsalt, b"") + vsalt + ksalt
+            ik = _hash_2b(b"", ksalt, b"")
+            ue = _aes_cbc_encrypt_raw(ik, b"\x00" * 16, file_key)
+            ovsalt, oksalt = seed[16:24], seed[24:32]
+            o48 = _hash_2b(b"", ovsalt, u48) + ovsalt + oksalt
+            oik = _hash_2b(b"", oksalt, u48)
+            oe = _aes_cbc_encrypt_raw(oik, b"\x00" * 16, file_key)
+            perms = _aes_encrypt_block(
+                (0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xff" + b"Tadb" + seed[:4],
+                _aes_expand_key(file_key),
+            )
+            enc_body = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -1 "
+                b"/EncryptMetadata true "
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF /U <"
+                + u48.hex().encode("ascii") + b"> /UE <"
+                + ue.hex().encode("ascii") + b"> /O <"
+                + o48.hex().encode("ascii") + b"> /OE <"
+                + oe.hex().encode("ascii") + b"> /Perms <"
+                + perms.hex().encode("ascii") + b"> >>"
+            )
+        elif enc_mode == "aes":
             enc_body = (
                 b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -1 "
                 b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
@@ -1726,7 +1827,7 @@ def build_pdf(
         # per-object IV (content-addressed payloads — fixture-grade
         # determinism, not cryptographic IV hygiene)
         dec = _StdDecryptor(enc_body, file_id)
-        if enc_mode == "aes":
+        if enc_mode in ("aes", "aes256"):
             class _AesEnc:
                 def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
                     ok = dec.obj_key(num, gen)

@@ -576,3 +576,38 @@ def test_image_filters_still_rejected():
     )
     with pytest.raises(ValueError, match="unsupported PDF stream filter"):
         extract_pdf_text(pdf)
+
+
+def test_aes256_fips_vector():
+    from aiotcvectordb_spark.operators.pdfcodec import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand_key,
+    )
+
+    # FIPS-197 Appendix C.3
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _aes_encrypt_block(pt, _aes_expand_key(key))
+    assert ct == bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert _aes_decrypt_block(ct, _aes_expand_key(key)) == pt
+
+
+def test_encrypted_aes256_r6_round_trip():
+    """PDF 2.0 AES-256 (V5/R6): hardened-hash /U validation, file key
+    unwrapped from /UE, strings+streams under the file key directly.
+    One fixture — the 64+-round Algorithm 2.B hash is ~1s/derivation
+    in pure python, so this path stays out of the bulk round trip."""
+    pdf = build_pdf(
+        "R6 sealed body\n第二行", encrypt="aes256", title="Vault256",
+    )
+    assert b"/AESV3" in pdf and b"sealed" not in pdf
+    got, title = extract_pdf_text(pdf)
+    assert got == "R6 sealed body\n第二行"
+    assert title == "Vault256"
+    # tampered /U -> honest password rejection
+    b = bytearray(pdf)
+    i = b.find(b"/U <")
+    b[i + 4 : i + 8] = b"dead"
+    with pytest.raises(ValueError, match="password"):
+        extract_pdf_text(bytes(b))
