@@ -22,9 +22,15 @@ algorithmic:
   cells (0x00FD); inline ``Label`` (0x0204) and numeric ``Number``
   (0x0203) / ``RK`` (0x027E) cells are also decoded. Cells group into
   rows (tab-joined) in (row, col) order, one line per row — the same
-  text shape as the OOXML .xlsx parser. SST entries spanning
-  ``Continue`` records are rejected (honest ValueError), not
-  mis-decoded.
+  text shape as the OOXML .xlsx parser. SST tables spanning
+  ``Continue`` (0x003C) records — every real workbook beyond ~8 KB of
+  strings, since BIFF bodies cap at 8224 bytes — are fully supported:
+  strings may split inside their character array (each continuation
+  restarts with a fresh fHighByte option byte, so the character width
+  can legally change mid-string) or between strings / inside rich-run
+  and ExtRst payloads (no option byte), per [MS-XLS] 2.5.293 +
+  2.4.58. The writer emits spec-correct Continue splits so the
+  spanning decode path is round-trip proven at both widths.
 
 The writers emit spec-correct minimal files inside real CFB
 containers (via ``cfbdoc``), covering both character widths per
@@ -147,6 +153,91 @@ _B_FILEPASS = 0x002F
 _B_CONTINUE = 0x003C
 
 
+class _SstCursor:
+    """Byte cursor over the SST body plus its trailing Continue record
+    bodies ([MS-XLS] 2.4.58 + 2.5.293). ``read_raw`` spans record
+    boundaries transparently (string headers, rich runs, ExtRst);
+    ``read_chars`` is the character-array reader that consumes the
+    fresh option-flags byte a continuation begins with when a string's
+    character data is what got split — the width may change there."""
+
+    def __init__(self, parts: list[bytes]) -> None:
+        self.parts = parts
+        self.p = 0
+        self.o = 0
+
+    def _avail(self) -> int:
+        return len(self.parts[self.p]) - self.o
+
+    def _advance(self) -> None:
+        self.p += 1
+        self.o = 0
+        if self.p >= len(self.parts):
+            raise ValueError(
+                "corrupt .xls: SST data overruns its Continue records"
+            )
+
+    def read_raw(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0:
+            while self._avail() == 0:
+                self._advance()
+            take = min(n, self._avail())
+            out += self.parts[self.p][self.o : self.o + take]
+            self.o += take
+            n -= take
+        return bytes(out)
+
+    def read_chars(self, cch: int, high: int) -> str:
+        text: list[str] = []
+        while cch > 0:
+            if self._avail() == 0:
+                self._advance()
+                # continuation within character data: fresh option byte
+                high = self.read_raw(1)[0] & 0x1
+            width = 2 if high else 1
+            nch = min(cch, self._avail() // width)
+            if nch == 0:
+                raise ValueError(
+                    "corrupt .xls: Continue boundary splits a UTF-16 "
+                    "code unit"
+                )
+            raw = self.read_raw(nch * width)
+            text.append(
+                raw.decode("utf-16-le", "replace")
+                if high
+                else raw.decode("cp1252")
+            )
+            cch -= nch
+        return "".join(text)
+
+
+def _sst_parse(parts: list[bytes]) -> list[str]:
+    """Decode the full shared string table from the SST record body and
+    any trailing Continue bodies."""
+    if len(parts[0]) < 8:
+        return []
+    (_total, unique) = struct.unpack_from("<ii", parts[0], 0)
+    cur = _SstCursor(parts)
+    cur.o = 8
+    out: list[str] = []
+    for _ in range(max(0, unique)):
+        cch, flags = struct.unpack("<HB", cur.read_raw(3))
+        high = flags & 0x1
+        c_run = 0
+        cb_ext = 0
+        if flags & 0x8:  # fRichSt
+            (c_run,) = struct.unpack("<H", cur.read_raw(2))
+        if flags & 0x4:  # fExtSt
+            (cb_ext,) = struct.unpack("<i", cur.read_raw(4))
+        out.append(cur.read_chars(cch, high))
+        if c_run:
+            cur.read_raw(4 * c_run)
+        if cb_ext > 0:
+            cur.read_raw(cb_ext)
+    return out
+
+
 def _xl_string(data: bytes, i: int) -> tuple[str, int]:
     """XLUnicodeRichExtendedString at data[i]; returns (s, next_i)."""
     (cch, flags) = struct.unpack_from("<HB", data, i)
@@ -164,10 +255,7 @@ def _xl_string(data: bytes, i: int) -> tuple[str, int]:
         i += 4
     nbytes = cch * 2 if high else cch
     if i + nbytes > len(data):
-        raise ValueError(
-            "corrupt .xls: SST string overruns its record (strings "
-            "spanning Continue records are not implemented)"
-        )
+        raise ValueError("corrupt .xls: inline string overruns its record")
     raw = data[i : i + nbytes]
     s = raw.decode("utf-16-le", "replace") if high else raw.decode("cp1252")
     i += nbytes + 4 * c_run + cb_ext
@@ -233,16 +321,14 @@ def parse_xls(data: bytes) -> tuple[str, str | None]:
             cells = None
             continue
         if rec_type == _B_SST and rec_len >= 8:
-            (_total, unique) = struct.unpack_from("<ii", body, 0)
-            j = 8
-            for _ in range(unique):
-                if j >= len(body):
-                    raise ValueError(
-                        "corrupt .xls: SST shorter than its declared count "
-                        "(Continue-spanning strings are not implemented)"
-                    )
-                s, j = _xl_string(body, j)
-                sst.append(s)
+            parts = [body]
+            while i + 4 <= n:
+                (nxt_type, nxt_len) = struct.unpack_from("<HH", stream, i)
+                if nxt_type != _B_CONTINUE:
+                    break
+                parts.append(stream[i + 4 : i + 4 + nxt_len])
+                i += 4 + nxt_len
+            sst = _sst_parse(parts)
         elif cells is not None and rec_type == _B_LABELSST and rec_len >= 10:
             rw, col, _ixfe, isst = struct.unpack_from("<HHHi", body, 0)
             cells[(rw, col)] = sst[isst] if 0 <= isst < len(sst) else ""
@@ -281,19 +367,64 @@ def _biff_record(rec_type: int, body: bytes) -> bytes:
     return struct.pack("<HH", rec_type, len(body)) + body
 
 
-def _xl_write_string(s: str) -> bytes:
-    try:
-        raw = s.encode("cp1252")
-        return struct.pack("<HB", len(s), 0) + raw
-    except UnicodeEncodeError:
-        return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+_BIFF_MAX_BODY = 8224  # [MS-XLS] 2.1.4: record bodies cap at 8224 bytes
 
 
-def build_xls(text: str) -> bytes:
+def _sst_records(
+    total_refs: int, strings: list[str], *, max_body: int = _BIFF_MAX_BODY
+) -> bytes:
+    """Serialize the SST as one 0x00FC record plus as many Continue
+    (0x003C) records as needed, splitting only where [MS-XLS] 2.5.293
+    allows: between strings, or inside a character array with a fresh
+    option byte opening the continuation."""
+    if not 8 <= max_body <= _BIFF_MAX_BODY:
+        raise ValueError("max_body out of range")
+    bodies: list[bytearray] = []
+    cur = bytearray(struct.pack("<ii", total_refs, len(strings)))
+
+    def room() -> int:
+        return max_body - len(cur)
+
+    def flush() -> None:
+        nonlocal cur
+        bodies.append(cur)
+        cur = bytearray()
+
+    for s in strings:
+        if len(s) > 0xFFFF:
+            raise ValueError("SST string longer than 65535 characters")
+        try:
+            s.encode("cp1252")
+            high = 0
+        except UnicodeEncodeError:
+            high = 1
+        width = 2 if high else 1
+        # the 3-byte header (plus one character, if any) must not split
+        if room() < 3 + (width if s else 0):
+            flush()
+        cur += struct.pack("<HB", len(s), high)
+        pos = 0
+        while pos < len(s):
+            if room() < width:
+                flush()
+                cur.append(high)  # continuation inside character data
+            nch = min(len(s) - pos, room() // width)
+            chunk = s[pos : pos + nch]
+            cur += chunk.encode("utf-16-le") if high else chunk.encode("cp1252")
+            pos += nch
+    flush()
+    out = _biff_record(_B_SST, bytes(bodies[0]))
+    for b in bodies[1:]:
+        out += _biff_record(_B_CONTINUE, bytes(b))
+    return out
+
+
+def build_xls(text: str, *, sst_max_body: int = _BIFF_MAX_BODY) -> bytes:
     """Write a minimal valid BIFF8 .xls whose extracted text is
     ``text``: lines become rows, tabs split cells; all cells go
     through the SST + LabelSst path (both character widths chosen per
-    cell content)."""
+    cell content). ``sst_max_body`` shrinks the record cap so tests
+    can force Continue splits without megabyte inputs."""
     rows = [line.split("\t") for line in text.split("\n")]
     strings: list[str] = []
     index: dict[str, int] = {}
@@ -311,14 +442,6 @@ def build_xls(text: str) -> bytes:
                 struct.pack("<HHHi", rw, col, 15, index[s]),
             )
             total_refs += 1
-    sst_body = struct.pack("<ii", total_refs, len(strings)) + b"".join(
-        _xl_write_string(s) for s in strings
-    )
-    if len(sst_body) > 0xFFFF:
-        raise ValueError(
-            "SST too large for a single BIFF record (Continue-record "
-            "writing is not implemented)"
-        )
     bof = _biff_record(_B_BOF, struct.pack("<HHHIII", 0x0600, 0x0005, 0, 0, 0, 0))
     bof_sheet = _biff_record(
         _B_BOF, struct.pack("<HHHIII", 0x0600, 0x0010, 0, 0, 0, 0)
@@ -326,7 +449,7 @@ def build_xls(text: str) -> bytes:
     eof = _biff_record(_B_EOF, b"")
     workbook = (
         bof
-        + _biff_record(_B_SST, bytes(sst_body))
+        + _sst_records(total_refs, strings, max_body=sst_max_body)
         + eof
         + bof_sheet
         + bytes(cell_recs)

@@ -106,6 +106,50 @@ def test_xls_number_and_rk_cells():
     assert got == "2.5\t7"
 
 
+def test_xls_sst_continue_spanning_round_trip():
+    # Force many Continue splits with a tiny record cap: splits land
+    # between strings, inside narrow character data, and inside wide
+    # character data (fresh option byte each time, width may change).
+    rows = []
+    for i in range(40):
+        wide = "值" * (i % 7) + f"宽{i}" if i % 3 == 0 else ""
+        rows.append(f"cell{i}-" + "x" * (i % 11) + ("\t" + wide if wide else ""))
+    text = "\n".join(rows)
+    payload = build_xls(text, sst_max_body=64)
+    got, _ = parse_xls(payload)
+    assert got == text
+
+    # same content must also survive the real 8224-byte cap
+    big = "\n".join(f"row{i}\t" + "long cell value 宽 " * 40 for i in range(200))
+    got_big, _ = parse_xls(build_xls(big))
+    assert got_big == big
+
+
+def test_xls_sst_single_string_spans_many_continues():
+    # one 20k-char string (both widths) crossing dozens of boundaries
+    for ch in ("a", "文"):
+        text = ch * 20000
+        got, _ = parse_xls(build_xls(text, sst_max_body=512))
+        assert got == text
+
+
+def test_xls_sst_overrun_is_honest_valueerror():
+    from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
+    from aiotcvectordb_spark.operators.olebin import (
+        _B_BOF,
+        _B_EOF,
+        _B_SST,
+        _biff_record,
+    )
+
+    bof = _biff_record(_B_BOF, struct.pack("<HHHIII", 0x600, 0x5, 0, 0, 0, 0))
+    # SST claims 2 strings but carries only one short one
+    body = struct.pack("<ii", 2, 2) + struct.pack("<HB", 3, 0) + b"abc"
+    wb = bof + _biff_record(_B_SST, body) + _biff_record(_B_EOF, b"")
+    with pytest.raises(ValueError, match="overruns its Continue"):
+        parse_xls(_cfb_build({"Workbook": wb}))
+
+
 def test_xls_rejects_encrypted():
     from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
     from aiotcvectordb_spark.operators.olebin import (
