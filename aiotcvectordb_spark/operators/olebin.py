@@ -10,11 +10,14 @@ algorithmic:
   records with 8-byte headers (recVer/recInstance, recType, recLen);
   containers have recVer 0xF. Text lives in ``TextCharsAtom``
   (0x0FA0, UTF-16LE) and ``TextBytesAtom`` (0x0FA8, cp1252) atoms.
-  Extraction walks the record tree depth-first and collects the atoms
-  in stream order — the PersistDirectory/UserEditAtom slide *ordering*
-  machinery is not implemented, so atom order is stream order (equal
-  to slide order for linearly-written files, including this module's
-  writer; documented approximation for incrementally-edited decks).
+  Extraction follows the spec's reading order ([MS-PPT] 2.1.2):
+  CurrentUserAtom → UserEditAtom chain → merged PersistDirectoryAtoms
+  → the live DocumentContainer's SlideListWithText, whose
+  SlidePersistAtoms give slide order and whose referenced Slide
+  containers are walked for drawing-hosted text — so incrementally
+  edited decks yield only the current edit's text, never superseded
+  content. Decks without the persist machinery fall back to
+  depth-first stream-order atom collection.
 - **[MS-XLS]** (BIFF8): the ``Workbook`` stream is a flat record
   sequence (2-byte type + 2-byte length). Strings live in the shared
   string table (``SST`` 0x00FC, XLUnicodeRichExtendedString entries
@@ -52,11 +55,19 @@ __all__ = ["parse_ppt", "build_ppt", "parse_xls", "build_xls"]
 
 # [MS-PPT] record types
 _RT_DOCUMENT = 0x03E8
+_RT_SLIDE = 0x03EE
+_RT_SLIDE_PERSIST_ATOM = 0x03F3
 _RT_SLIDE_LIST_WITH_TEXT = 0x0FF0
+_RT_USER_EDIT_ATOM = 0x0FF5
+_RT_CURRENT_USER_ATOM = 0x0FF6
 _RT_TEXT_HEADER_ATOM = 0x0F9F
 _RT_TEXT_CHARS_ATOM = 0x0FA0
 _RT_TEXT_BYTES_ATOM = 0x0FA8
+_RT_PERSIST_DIRECTORY_ATOM = 0x1772
 _RT_ENCRYPTION = 0x2F14  # CryptSession10Container
+
+_CU_TOKEN_PLAIN = 0xE391C05F
+_CU_TOKEN_ENCRYPTED = 0xF3D1C4DF
 
 
 def _ppt_walk(data: bytes, out: list[str]) -> None:
@@ -81,10 +92,139 @@ def _ppt_walk(data: bytes, out: list[str]) -> None:
             out.append(body.decode("cp1252", "replace"))
 
 
+def _ppt_decode_atom(rec_type: int, body: bytes) -> str:
+    if rec_type == _RT_TEXT_CHARS_ATOM:
+        return body.decode("utf-16-le", "replace")
+    return body.decode("cp1252", "replace")
+
+
+def _ppt_rec_at(stream: bytes, off: int) -> tuple[int, int, bytes]:
+    """Record header + body at absolute stream offset ``off``."""
+    if off < 0 or off + 8 > len(stream):
+        raise ValueError("persist offset outside the PowerPoint stream")
+    ver_inst, rec_type, rec_len = struct.unpack_from("<HHI", stream, off)
+    body = stream[off + 8 : off + 8 + rec_len]
+    if len(body) != rec_len:
+        raise ValueError("persist record overruns the PowerPoint stream")
+    return ver_inst, rec_type, body
+
+
+def _ppt_current_edit_offset(cfb: CfbReader) -> int:
+    """offsetToCurrentEdit from the Current User stream's
+    CurrentUserAtom ([MS-PPT] 2.3.2). Raises ValueError when the
+    stream is absent/malformed (caller falls back to stream order) or
+    when the headerToken marks the deck encrypted (not swallowed)."""
+    cu = cfb.stream("Current User")  # KeyError → caller falls back
+    if len(cu) < 20:
+        raise ValueError("Current User stream too short")
+    (_vi, rec_type, _ln) = struct.unpack_from("<HHI", cu, 0)
+    if rec_type != _RT_CURRENT_USER_ATOM:
+        raise ValueError("Current User stream without a CurrentUserAtom")
+    _size, token, off_cur_edit = struct.unpack_from("<III", cu, 8)
+    if token == _CU_TOKEN_ENCRYPTED:
+        raise ValueError(
+            "encrypted .ppt: CryptSession10 decryption not implemented"
+        )
+    if token != _CU_TOKEN_PLAIN:
+        raise ValueError("unrecognized CurrentUserAtom headerToken")
+    return off_cur_edit
+
+
+def _ppt_persist_texts(stream: bytes, cur_edit_off: int) -> list[str]:
+    """Text atoms of the CURRENT edit, in slide order ([MS-PPT] 2.1.2
+    reading order): walk the UserEditAtom chain newest→oldest, merge
+    PersistDirectoryAtoms oldest→newest so later edits override, then
+    read the live DocumentContainer's SlideListWithText — its
+    SlidePersistAtoms give slide order, and each referenced slide's own
+    container is walked for drawing-hosted text. Superseded edits'
+    text never appears (the stream-order fallback would leak it)."""
+    persist: dict[int, int] = {}
+    dirs: list[int] = []
+    doc_ref = None
+    off = cur_edit_off
+    seen: set[int] = set()
+    while off:
+        if off in seen:
+            raise ValueError("UserEditAtom chain loops")
+        seen.add(off)
+        _vi, rec_type, body = _ppt_rec_at(stream, off)
+        if rec_type != _RT_USER_EDIT_ATOM or len(body) < 20:
+            raise ValueError("offsetToCurrentEdit is not a UserEditAtom")
+        off_last, off_dir, doc_pid = struct.unpack_from("<III", body, 8)
+        if doc_ref is None:
+            doc_ref = doc_pid
+        dirs.append(off_dir)
+        off = off_last
+    for d in reversed(dirs):  # oldest first → newest edits override
+        _vi, rec_type, body = _ppt_rec_at(stream, d)
+        if rec_type != _RT_PERSIST_DIRECTORY_ATOM:
+            raise ValueError("offsetPersistDirectory mismatch")
+        i = 0
+        while i + 4 <= len(body):
+            (word,) = struct.unpack_from("<I", body, i)
+            i += 4
+            pid, cnt = word & 0xFFFFF, word >> 20
+            if i + 4 * cnt > len(body):
+                raise ValueError("PersistDirectoryAtom entry overruns")
+            for k in range(cnt):
+                persist[pid + k] = struct.unpack_from("<I", body, i)[0]
+                i += 4
+    if doc_ref is None or doc_ref not in persist:
+        raise ValueError("docPersistIdRef unresolved")
+    _vi, rec_type, doc_body = _ppt_rec_at(stream, persist[doc_ref])
+    if rec_type != _RT_DOCUMENT:
+        raise ValueError("document persist object is not a DocumentContainer")
+
+    doc_texts: list[str] = []
+    slides: list[tuple[int, list[str]]] = []  # (persistIdRef, SLWT texts)
+
+    def walk(data: bytes, in_slwt: bool) -> None:
+        i, n = 0, len(data)
+        while i + 8 <= n:
+            ver_inst, rec_type, rec_len = struct.unpack_from("<HHI", data, i)
+            i += 8
+            if rec_len > n - i:
+                raise ValueError("corrupt .ppt: record length overruns stream")
+            body = data[i : i + rec_len]
+            i += rec_len
+            rec_ver = ver_inst & 0xF
+            if rec_type == _RT_ENCRYPTION:
+                raise ValueError(
+                    "encrypted .ppt: CryptSession10 decryption not implemented"
+                )
+            if rec_ver == 0xF:
+                walk(body, in_slwt or rec_type == _RT_SLIDE_LIST_WITH_TEXT)
+            elif in_slwt and rec_type == _RT_SLIDE_PERSIST_ATOM and len(body) >= 4:
+                slides.append((struct.unpack_from("<I", body, 0)[0], []))
+            elif rec_type in (_RT_TEXT_CHARS_ATOM, _RT_TEXT_BYTES_ATOM):
+                s = _ppt_decode_atom(rec_type, body)
+                if in_slwt and slides:
+                    slides[-1][1].append(s)
+                else:
+                    doc_texts.append(s)
+
+    walk(doc_body, False)
+    out = list(doc_texts)
+    for pid, texts in slides:
+        out.extend(texts)
+        s_off = persist.get(pid)
+        if s_off is None:
+            continue
+        _vi, s_type, s_body = _ppt_rec_at(stream, s_off)
+        if s_type == _RT_SLIDE:
+            extra: list[str] = []
+            _ppt_walk(s_body, extra)
+            out.extend(extra)
+    return out
+
+
 def parse_ppt(data: bytes) -> tuple[str, str | None]:
-    """Extract (text, title) from a binary PowerPoint .ppt payload.
-    Title = first text atom. Raises ValueError for encrypted decks and
-    non-PowerPoint CFB files."""
+    """Extract (text, title) from a binary PowerPoint .ppt payload, in
+    slide order via the CurrentUserAtom → UserEditAtom →
+    PersistDirectoryAtom machinery (so incrementally-edited decks show
+    only the live edit); falls back to stream-order atom collection for
+    decks without that machinery. Title = first text atom. Raises
+    ValueError for encrypted decks and non-PowerPoint CFB files."""
     cfb = CfbReader(data)
     try:
         stream = cfb.stream("PowerPoint Document")
@@ -94,8 +234,23 @@ def parse_ppt(data: bytes) -> tuple[str, str | None]:
             f"OLE2 container without a PowerPoint Document stream "
             f"(streams: {names[:8]})"
         ) from None
-    atoms: list[str] = []
-    _ppt_walk(stream, atoms)
+    atoms: list[str] | None = None
+    try:
+        cur_edit = _ppt_current_edit_offset(cfb)
+    except (KeyError, ValueError, struct.error) as e:
+        if "encrypted" in str(e):
+            raise
+        cur_edit = None
+    if cur_edit is not None:
+        try:
+            atoms = _ppt_persist_texts(stream, cur_edit) or None
+        except (ValueError, struct.error) as e:
+            if "encrypted" in str(e):
+                raise
+            atoms = None
+    if atoms is None:
+        atoms = []
+        _ppt_walk(stream, atoms)
     if not atoms:
         raise ValueError("no text atoms found in the PowerPoint stream")
     # PPT uses CR as the in-atom paragraph separator
@@ -114,29 +269,109 @@ def _ppt_record(rec_type: int, body: bytes, container: bool = False) -> bytes:
     return struct.pack("<HHI", ver, rec_type, len(body)) + body
 
 
-def build_ppt(text: str, *, force_unicode: bool = False) -> bytes:
-    """Write a minimal valid .ppt whose extracted text is ``text``:
-    one text atom per line inside a SlideListWithText container,
-    alternating TextBytesAtom (cp1252) and TextCharsAtom (UTF-16LE)
-    so both widths round-trip."""
+def _ppt_text_atom(line: str, idx: int, force_unicode: bool) -> bytes:
+    use_bytes = not force_unicode and idx % 2 == 0
+    if use_bytes:
+        try:
+            return _ppt_record(_RT_TEXT_BYTES_ATOM, line.encode("cp1252"))
+        except UnicodeEncodeError:
+            pass
+    return _ppt_record(_RT_TEXT_CHARS_ATOM, line.encode("utf-16-le"))
+
+
+def _ppt_build_edit(
+    stream: bytearray,
+    text: str,
+    *,
+    force_unicode: bool,
+    prev_edit_off: int,
+    first_slide_pid: int,
+) -> tuple[int, int]:
+    """Append one complete edit — per-line Slide persist objects, a
+    DocumentContainer whose SlideListWithText orders them via
+    SlidePersistAtoms, a PersistDirectoryAtom, and a UserEditAtom — to
+    ``stream``. Returns (user_edit_offset, next_free_persist_id). The
+    document always claims persist id 1, so a later edit supersedes an
+    earlier one exactly like an incremental PowerPoint save."""
+    lines = text.split("\n")
+    slide_offs: list[int] = []
+    for _ in lines:
+        slide_offs.append(len(stream))
+        stream += _ppt_record(_RT_SLIDE, b"", container=True)
     atoms = bytearray()
-    for idx, line in enumerate(text.split("\n")):
+    for idx, line in enumerate(lines):
+        atoms += _ppt_record(
+            _RT_SLIDE_PERSIST_ATOM,
+            struct.pack("<IIiii", first_slide_pid + idx, 0, 1, 256 + idx, 0),
+        )
         atoms += _ppt_record(_RT_TEXT_HEADER_ATOM, struct.pack("<I", 0))
-        use_bytes = not force_unicode and idx % 2 == 0
-        if use_bytes:
-            try:
-                raw = line.encode("cp1252")
-            except UnicodeEncodeError:
-                use_bytes = False
-        if use_bytes:
-            atoms += _ppt_record(_RT_TEXT_BYTES_ATOM, raw)
-        else:
-            atoms += _ppt_record(
-                _RT_TEXT_CHARS_ATOM, line.encode("utf-16-le")
-            )
+        atoms += _ppt_text_atom(line, idx, force_unicode)
     slwt = _ppt_record(_RT_SLIDE_LIST_WITH_TEXT, bytes(atoms), container=True)
-    doc = _ppt_record(_RT_DOCUMENT, slwt, container=True)
-    return _cfb_build({"PowerPoint Document": doc, "Current User": b"\x00" * 8})
+    doc_off = len(stream)
+    stream += _ppt_record(_RT_DOCUMENT, slwt, container=True)
+    pd = bytearray(struct.pack("<II", 1 | (1 << 20), doc_off))
+    if slide_offs:
+        pd += struct.pack("<I", first_slide_pid | (len(slide_offs) << 20))
+        for so in slide_offs:
+            pd += struct.pack("<I", so)
+    pd_off = len(stream)
+    stream += _ppt_record(_RT_PERSIST_DIRECTORY_ATOM, bytes(pd))
+    ue_off = len(stream)
+    next_pid = first_slide_pid + len(lines)
+    stream += _ppt_record(
+        _RT_USER_EDIT_ATOM,
+        struct.pack(
+            "<IHBBIIIIHH",
+            256 + len(lines) - 1,  # lastSlideIdRef
+            0, 0, 3,  # version, minorVersion, majorVersion
+            prev_edit_off,
+            pd_off,
+            1,  # docPersistIdRef
+            next_pid,  # persistIdSeed
+            0, 0,
+        ),
+    )
+    return ue_off, next_pid
+
+
+def _ppt_current_user_stream(off_cur_edit: int) -> bytes:
+    body = struct.pack(
+        "<IIIHHBBH",
+        0x14, _CU_TOKEN_PLAIN, off_cur_edit,
+        0,  # lenUserName (empty)
+        0x03F4, 0x03, 0x00, 0,
+    ) + struct.pack("<I", 0x00000009)  # relVersion
+    return struct.pack("<HHI", 0, _RT_CURRENT_USER_ATOM, len(body)) + body
+
+
+def build_ppt(
+    text: str, *, force_unicode: bool = False, stale_text: str | None = None
+) -> bytes:
+    """Write a valid .ppt whose extracted text is ``text``: one slide
+    per line (Slide persist object + SlidePersistAtom-ordered text in
+    SlideListWithText), with the full CurrentUserAtom → UserEditAtom →
+    PersistDirectoryAtom machinery, alternating TextBytesAtom (cp1252)
+    and TextCharsAtom (UTF-16LE) so both widths round-trip. When
+    ``stale_text`` is given, that content is written as a FIRST,
+    superseded edit and ``text`` as an incremental save on top — a
+    persist-aware reader must return only ``text`` while naive
+    stream-order collection would leak both."""
+    stream = bytearray()
+    prev_edit = 0
+    next_pid = 2
+    if stale_text is not None:
+        prev_edit, next_pid = _ppt_build_edit(
+            stream, stale_text, force_unicode=force_unicode,
+            prev_edit_off=0, first_slide_pid=next_pid,
+        )
+    cur_edit, _ = _ppt_build_edit(
+        stream, text, force_unicode=force_unicode,
+        prev_edit_off=prev_edit, first_slide_pid=next_pid,
+    )
+    return _cfb_build({
+        "PowerPoint Document": bytes(stream),
+        "Current User": _ppt_current_user_stream(cur_edit),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -464,11 +699,14 @@ def build_xls(text: str, *, sst_max_body: int = _BIFF_MAX_BODY) -> bytes:
 
 
 def with_office_payload(df, builder, *, id_col: str = "doc_id",
-                        text_col: str = "text", alternate: bool = True):
+                        text_col: str = "text", alternate: bool = True,
+                        variant_fn=None):
     """Attach a binary payload built from ``text_col`` by ``builder``
     (build_ppt / build_xls). For build_ppt, ``alternate`` flips
     force_unicode on a crc of the id so both atom widths run
-    distributed."""
+    distributed. ``variant_fn(id, text) -> kwargs`` lets callers vary
+    builder options deterministically per row (stale edits, forced
+    Continue splits) so those decode paths run distributed too."""
     import zlib
 
     id_type = dict(df.dtypes)[id_col]
@@ -480,11 +718,13 @@ def with_office_payload(df, builder, *, id_col: str = "doc_id",
         for pdf in batches:
             payloads = []
             for i, t in zip(pdf[id_col], pdf[text_col]):
+                kwargs = dict(variant_fn(i, t)) if variant_fn else {}
                 if alternate and builder is build_ppt:
-                    fu = bool(zlib.crc32(str(i).encode("utf-8")) % 2)
-                    payloads.append(builder(t or "", force_unicode=fu))
-                else:
-                    payloads.append(builder(t or ""))
+                    kwargs.setdefault(
+                        "force_unicode",
+                        bool(zlib.crc32(str(i).encode("utf-8")) % 2),
+                    )
+                payloads.append(builder(t or "", **kwargs))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(encode, schema=schema)

@@ -1052,88 +1052,144 @@ _GF_TABLES = {
 }
 
 
-def _aes_expand_key(key: bytes) -> list[list[int]]:
+def _rotr8(w: int, n: int) -> int:
+    return ((w >> n) | (w << (32 - n))) & 0xFFFFFFFF
+
+
+def _build_t_tables() -> tuple[tuple[tuple[int, ...], ...],
+                               tuple[tuple[int, ...], ...]]:
+    """Word-oriented round tables (the classic T-table formulation),
+    GENERATED from the derived S-box and GF multiplication columns —
+    still zero pasted spec constants. T0[x] packs MixColumns applied
+    to S[x] in the row-0 position; TD0 is its inverse-cipher twin;
+    T1..T3 / TD1..TD3 are byte rotations for the other rows."""
+    t2, t3 = _GF_TABLES[2], _GF_TABLES[3]
+    t9, t11 = _GF_TABLES[9], _GF_TABLES[11]
+    t13, t14 = _GF_TABLES[13], _GF_TABLES[14]
+    t0 = tuple(
+        (t2[s] << 24) | (s << 16) | (s << 8) | t3[s]
+        for s in _SBOX
+    )
+    td0 = tuple(
+        (t14[d] << 24) | (t9[d] << 16) | (t13[d] << 8) | t11[d]
+        for d in _INV_SBOX
+    )
+    enc = (t0,) + tuple(tuple(_rotr8(w, 8 * k) for w in t0) for k in (1, 2, 3))
+    dec = (td0,) + tuple(
+        tuple(_rotr8(w, 8 * k) for w in td0) for k in (1, 2, 3)
+    )
+    return enc, dec
+
+
+(_T0, _T1, _T2, _T3), (_TD0, _TD1, _TD2, _TD3) = _build_t_tables()
+
+
+def _imc_word(w: int) -> int:
+    """InvMixColumns applied to one packed round-key word (for the
+    equivalent inverse cipher's key schedule)."""
+    t9, t11 = _GF_TABLES[9], _GF_TABLES[11]
+    t13, t14 = _GF_TABLES[13], _GF_TABLES[14]
+    a0, a1, a2, a3 = (w >> 24) & 0xFF, (w >> 16) & 0xFF, (w >> 8) & 0xFF, w & 0xFF
+    return (
+        ((t14[a0] ^ t11[a1] ^ t13[a2] ^ t9[a3]) << 24)
+        | ((t9[a0] ^ t14[a1] ^ t11[a2] ^ t13[a3]) << 16)
+        | ((t13[a0] ^ t9[a1] ^ t14[a2] ^ t11[a3]) << 8)
+        | (t11[a0] ^ t13[a1] ^ t9[a2] ^ t14[a3])
+    )
+
+
+def _aes_expand_key(key: bytes) -> tuple[tuple[int, ...], tuple[int, ...]]:
     """FIPS-197 key expansion for AES-128 (Nk=4, Nr=10) and AES-256
-    (Nk=8, Nr=14)."""
+    (Nk=8, Nr=14). Returns (enc_rk, dec_rk): packed uint32 round-key
+    words for the forward cipher and for the equivalent inverse cipher
+    (middle rounds passed through InvMixColumns, order reversed)."""
     nk = len(key) // 4
-    if nk not in (4, 8):
+    if nk not in (4, 8) or len(key) % 4:
         raise ValueError(f"AES key must be 16 or 32 bytes, got {len(key)}")
     nr = nk + 6
-    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    words = [int.from_bytes(key[4 * i : 4 * i + 4], "big") for i in range(nk)]
     rcon = 1
+    sbox = _SBOX
     for i in range(nk, 4 * (nr + 1)):
-        w = list(words[i - 1])
+        w = words[i - 1]
         if i % nk == 0:
-            w = w[1:] + w[:1]
-            w = [_SBOX[b] for b in w]
-            w[0] ^= rcon
+            w = ((w << 8) | (w >> 24)) & 0xFFFFFFFF  # RotWord
+            w = (
+                (sbox[(w >> 24) & 0xFF] << 24)
+                | (sbox[(w >> 16) & 0xFF] << 16)
+                | (sbox[(w >> 8) & 0xFF] << 8)
+                | sbox[w & 0xFF]
+            )
+            w ^= rcon << 24
             rcon = _gf_mul(rcon, 2)
         elif nk > 6 and i % nk == 4:
-            w = [_SBOX[b] for b in w]
-        words.append([a ^ b for a, b in zip(words[i - nk], w)])
-    return words
-
-
-def _aes_decrypt_block(block: bytes, words: list[list[int]]) -> bytes:
-    # state is column-major: state[r][c] = block[4c + r]
-    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
-
-    def add_round_key(rnd: int) -> None:
-        for c in range(4):
-            for r in range(4):
-                s[r][c] ^= words[4 * rnd + c][r]
-
-    nr = len(words) // 4 - 1
-    add_round_key(nr)
-    for rnd in range(nr - 1, -1, -1):
-        # InvShiftRows
-        for r in range(1, 4):
-            s[r] = s[r][-r:] + s[r][:-r]
-        # InvSubBytes
-        for r in range(4):
-            for c in range(4):
-                s[r][c] = _INV_SBOX[s[r][c]]
-        add_round_key(rnd)
-        if rnd:
-            # InvMixColumns: [0e 0b 0d 09] circulant
-            t14, t11, t13, t9 = (
-                _GF_TABLES[14], _GF_TABLES[11], _GF_TABLES[13], _GF_TABLES[9],
+            w = (
+                (sbox[(w >> 24) & 0xFF] << 24)
+                | (sbox[(w >> 16) & 0xFF] << 16)
+                | (sbox[(w >> 8) & 0xFF] << 8)
+                | sbox[w & 0xFF]
             )
-            for c in range(4):
-                a = [s[r][c] for r in range(4)]
-                s[0][c] = t14[a[0]] ^ t11[a[1]] ^ t13[a[2]] ^ t9[a[3]]
-                s[1][c] = t9[a[0]] ^ t14[a[1]] ^ t11[a[2]] ^ t13[a[3]]
-                s[2][c] = t13[a[0]] ^ t9[a[1]] ^ t14[a[2]] ^ t11[a[3]]
-                s[3][c] = t11[a[0]] ^ t13[a[1]] ^ t9[a[2]] ^ t14[a[3]]
-    return bytes(s[r][c] for c in range(4) for r in range(4))
+        words.append(words[i - nk] ^ w)
+    enc = tuple(words)
+    dec = list(enc[4 * nr : 4 * nr + 4])
+    for rnd in range(1, nr):
+        dec.extend(_imc_word(w) for w in enc[4 * (nr - rnd) : 4 * (nr - rnd) + 4])
+    dec.extend(enc[0:4])
+    return enc, tuple(dec)
 
 
-def _aes_encrypt_block(block: bytes, words: list[list[int]]) -> bytes:
-    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
+def _aes_decrypt_block(block: bytes, ks) -> bytes:
+    rk = ks[1]
+    nr = len(rk) // 4 - 1
+    w0 = int.from_bytes(block[0:4], "big") ^ rk[0]
+    w1 = int.from_bytes(block[4:8], "big") ^ rk[1]
+    w2 = int.from_bytes(block[8:12], "big") ^ rk[2]
+    w3 = int.from_bytes(block[12:16], "big") ^ rk[3]
+    td0, td1, td2, td3 = _TD0, _TD1, _TD2, _TD3
+    k = 4
+    for _ in range(nr - 1):
+        e0 = td0[w0 >> 24] ^ td1[(w3 >> 16) & 0xFF] ^ td2[(w2 >> 8) & 0xFF] ^ td3[w1 & 0xFF] ^ rk[k]
+        e1 = td0[w1 >> 24] ^ td1[(w0 >> 16) & 0xFF] ^ td2[(w3 >> 8) & 0xFF] ^ td3[w2 & 0xFF] ^ rk[k + 1]
+        e2 = td0[w2 >> 24] ^ td1[(w1 >> 16) & 0xFF] ^ td2[(w0 >> 8) & 0xFF] ^ td3[w3 & 0xFF] ^ rk[k + 2]
+        e3 = td0[w3 >> 24] ^ td1[(w2 >> 16) & 0xFF] ^ td2[(w1 >> 8) & 0xFF] ^ td3[w0 & 0xFF] ^ rk[k + 3]
+        w0, w1, w2, w3 = e0, e1, e2, e3
+        k += 4
+    si = _INV_SBOX
+    o0 = ((si[w0 >> 24] << 24) | (si[(w3 >> 16) & 0xFF] << 16) | (si[(w2 >> 8) & 0xFF] << 8) | si[w1 & 0xFF]) ^ rk[k]
+    o1 = ((si[w1 >> 24] << 24) | (si[(w0 >> 16) & 0xFF] << 16) | (si[(w3 >> 8) & 0xFF] << 8) | si[w2 & 0xFF]) ^ rk[k + 1]
+    o2 = ((si[w2 >> 24] << 24) | (si[(w1 >> 16) & 0xFF] << 16) | (si[(w0 >> 8) & 0xFF] << 8) | si[w3 & 0xFF]) ^ rk[k + 2]
+    o3 = ((si[w3 >> 24] << 24) | (si[(w2 >> 16) & 0xFF] << 16) | (si[(w1 >> 8) & 0xFF] << 8) | si[w0 & 0xFF]) ^ rk[k + 3]
+    return (
+        o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+        + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+    )
 
-    def add_round_key(rnd: int) -> None:
-        for c in range(4):
-            for r in range(4):
-                s[r][c] ^= words[4 * rnd + c][r]
 
-    nr = len(words) // 4 - 1
-    add_round_key(0)
-    for rnd in range(1, nr + 1):
-        for r in range(4):
-            for c in range(4):
-                s[r][c] = _SBOX[s[r][c]]
-        for r in range(1, 4):
-            s[r] = s[r][r:] + s[r][:r]
-        if rnd != nr:
-            t2, t3 = _GF_TABLES[2], _GF_TABLES[3]
-            for c in range(4):
-                a = [s[r][c] for r in range(4)]
-                s[0][c] = t2[a[0]] ^ t3[a[1]] ^ a[2] ^ a[3]
-                s[1][c] = a[0] ^ t2[a[1]] ^ t3[a[2]] ^ a[3]
-                s[2][c] = a[0] ^ a[1] ^ t2[a[2]] ^ t3[a[3]]
-                s[3][c] = t3[a[0]] ^ a[1] ^ a[2] ^ t2[a[3]]
-        add_round_key(rnd)
-    return bytes(s[r][c] for c in range(4) for r in range(4))
+def _aes_encrypt_block(block: bytes, ks) -> bytes:
+    rk = ks[0]
+    nr = len(rk) // 4 - 1
+    w0 = int.from_bytes(block[0:4], "big") ^ rk[0]
+    w1 = int.from_bytes(block[4:8], "big") ^ rk[1]
+    w2 = int.from_bytes(block[8:12], "big") ^ rk[2]
+    w3 = int.from_bytes(block[12:16], "big") ^ rk[3]
+    t0, t1, t2, t3 = _T0, _T1, _T2, _T3
+    k = 4
+    for _ in range(nr - 1):
+        e0 = t0[w0 >> 24] ^ t1[(w1 >> 16) & 0xFF] ^ t2[(w2 >> 8) & 0xFF] ^ t3[w3 & 0xFF] ^ rk[k]
+        e1 = t0[w1 >> 24] ^ t1[(w2 >> 16) & 0xFF] ^ t2[(w3 >> 8) & 0xFF] ^ t3[w0 & 0xFF] ^ rk[k + 1]
+        e2 = t0[w2 >> 24] ^ t1[(w3 >> 16) & 0xFF] ^ t2[(w0 >> 8) & 0xFF] ^ t3[w1 & 0xFF] ^ rk[k + 2]
+        e3 = t0[w3 >> 24] ^ t1[(w0 >> 16) & 0xFF] ^ t2[(w1 >> 8) & 0xFF] ^ t3[w2 & 0xFF] ^ rk[k + 3]
+        w0, w1, w2, w3 = e0, e1, e2, e3
+        k += 4
+    s = _SBOX
+    o0 = ((s[w0 >> 24] << 24) | (s[(w1 >> 16) & 0xFF] << 16) | (s[(w2 >> 8) & 0xFF] << 8) | s[w3 & 0xFF]) ^ rk[k]
+    o1 = ((s[w1 >> 24] << 24) | (s[(w2 >> 16) & 0xFF] << 16) | (s[(w3 >> 8) & 0xFF] << 8) | s[w0 & 0xFF]) ^ rk[k + 1]
+    o2 = ((s[w2 >> 24] << 24) | (s[(w3 >> 16) & 0xFF] << 16) | (s[(w0 >> 8) & 0xFF] << 8) | s[w1 & 0xFF]) ^ rk[k + 2]
+    o3 = ((s[w3 >> 24] << 24) | (s[(w0 >> 16) & 0xFF] << 16) | (s[(w1 >> 8) & 0xFF] << 8) | s[w2 & 0xFF]) ^ rk[k + 3]
+    return (
+        o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+        + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+    )
 
 
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
@@ -1185,10 +1241,19 @@ def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     return iv + _aes_cbc_encrypt_raw(key, iv, data + bytes([pad]) * pad)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def _hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
     """ISO 32000-2 Algorithm 2.B hardened hash (R6): SHA-256 seed,
     then >=64 rounds of AES-128-CBC over 64 repeats of (pw|K|udata)
-    with the digest size steered by the ciphertext."""
+    with the digest size steered by the ciphertext. The KDF is a
+    deliberately slow password hardener (~0.3 s here), so results are
+    memoized on the exact (pw, salt, udata) input: corpora whose files
+    share one security policy — same salts, same password — pay it
+    once per worker instead of once per document; unique salts simply
+    miss the cache and pay full price, as they must."""
     import hashlib
 
     k = hashlib.sha256(pw + salt + udata).digest()
@@ -1772,12 +1837,13 @@ def build_pdf(
         enc_num = next_num
         next_num += 1
         if enc_mode == "aes256":
-            # V5/R6 (PDF 2.0): empty user AND owner passwords. All
-            # salts/keys derive from the text so payloads stay
-            # content-addressed (fixture determinism, not key hygiene).
-            seed = hashlib.sha256(
-                text.encode("utf-8", "surrogatepass") + b"|r6"
-            ).digest()
+            # V5/R6 (PDF 2.0): empty user AND owner passwords. The
+            # seed is a FILE-CONSTANT (one security policy across the
+            # corpus, the common enterprise shape), so payloads stay
+            # content-addressed AND the Algorithm 2.B KDF memoizes to
+            # one evaluation per worker (fixture determinism, not key
+            # hygiene).
+            seed = hashlib.sha256(b"aiotcvectordb-spark|v5r6-policy").digest()
             vsalt, ksalt = seed[:8], seed[8:16]
             file_key = hashlib.sha256(seed + b"|filekey").digest()
             u48 = _hash_2b(b"", vsalt, b"") + vsalt + ksalt
@@ -1901,11 +1967,17 @@ def with_pdf_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
                 if mix_modes:
                     key = zlib.crc32(str(doc_id).encode("utf-8"))
                     fm, flt = fonts[key % 3], filters[(key // 3) % 2]
-                    # ~10% RC4- and ~10% AES-encrypted documents
-                    # (pure-python RC4/AES is the dominant writer cost;
-                    # 10% of sf0.01's 500 docs still gives ~50 docs per
-                    # cipher under the oracle)
-                    enc = ("rc4", "aes") [key % 10] if key % 10 < 2 else None
+                    # ~1/15 each of RC4-, AES-128- and AES-256-encrypted
+                    # documents (pure-python ciphers are the dominant
+                    # writer cost; 1/15 of sf0.01's 500 docs still gives
+                    # ~33 docs per cipher under the oracle). AES-256's
+                    # Algorithm 2.B KDF memoizes across the corpus's
+                    # shared security policy, so V5/R6 is bulk-viable.
+                    enc = (
+                        ("rc4", "aes", "aes256")[key % 15]
+                        if key % 15 < 3
+                        else None
+                    )
                 else:
                     fm, flt, enc = "simple", "flate", None
                 payloads.append(

@@ -3366,16 +3366,29 @@ def q_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Document > SlideListWithText containers with TextBytesAtom/
     TextCharsAtom alternating per id) inside a real [MS-CFB] container
     (``operators/olebin.build_ppt``), then a second shuffle-free
-    mapInPandas stage walks the record tree and collects the text
-    atoms. DuckDB predicts the extraction exactly (edge newlines
-    trimmed), hash-checking the whole record walker + both character
-    widths."""
+    mapInPandas stage follows the spec's reading order — CurrentUserAtom
+    → UserEditAtom chain → merged PersistDirectoryAtoms →
+    SlidePersistAtom slide ordering ([MS-PPT] 2.1.2). Every third deck
+    is written as an INCREMENTAL SAVE carrying a superseded edit whose
+    stale text is physically present in the stream; the oracle predicts
+    only the live edit, so any stream-order leak of superseded content
+    hash-mismatches. DuckDB predicts the extraction exactly (edge
+    newlines trimmed), hash-checking the record walker, the persist
+    machinery, and both character widths."""
+    import zlib
+
     from aiotcvectordb_spark.operators import olebin
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
         F.length("text") > 0
     )
-    decks = olebin.with_office_payload(df, olebin.build_ppt)
+
+    def variant(i, _t):
+        if zlib.crc32(str(i).encode("utf-8")) % 3 == 0:
+            return {"stale_text": f"superseded edit of {i}\nstale bullet"}
+        return {}
+
+    decks = olebin.with_office_payload(df, olebin.build_ppt, variant_fn=variant)
     return olebin.extract_office_text_df(decks, olebin.parse_ppt).select(
         "doc_id", "text"
     )
@@ -3396,15 +3409,27 @@ def q_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     by content), a worksheet substream of LabelSst cells (lines = rows,
     tabs = cells) — inside a real [MS-CFB] container
     (``operators/olebin.build_xls``); a second shuffle-free mapInPandas
-    stage parses the records back to tab/newline text. DuckDB predicts
-    the extraction exactly, hash-checking the record scan, SST
-    decoding, and row/cell assembly."""
+    stage parses the records back to tab/newline text. Every second
+    workbook is written with a 256-byte record cap so its SST spans
+    Continue records ([MS-XLS] 2.4.58/2.5.293) — splits between
+    strings and mid-character-array with fresh option bytes — putting
+    the spanning reader on the oracled path. DuckDB predicts the
+    extraction exactly, hash-checking the record scan, SST decoding
+    (single-record and Continue-spanning), and row/cell assembly."""
+    import zlib
+
     from aiotcvectordb_spark.operators import olebin
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
         F.length("text") > 0
     )
-    books = olebin.with_office_payload(df, olebin.build_xls)
+
+    def variant(i, _t):
+        if zlib.crc32(str(i).encode("utf-8")) % 2 == 0:
+            return {"sst_max_body": 256}
+        return {}
+
+    books = olebin.with_office_payload(df, olebin.build_xls, variant_fn=variant)
     return olebin.extract_office_text_df(books, olebin.parse_xls).select(
         "doc_id", "text"
     )

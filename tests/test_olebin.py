@@ -34,6 +34,76 @@ def test_ppt_round_trip(text, force_unicode):
     assert got == text.strip("\n")
 
 
+def test_ppt_incremental_edit_supersedes_stale_text():
+    # an incremental save: the persist-aware reader must return only
+    # the live edit; naive stream-order collection would leak both.
+    payload = build_ppt(
+        "Fresh title\nFresh bullet",
+        stale_text="Old title\nOld bullet one\nOld bullet two",
+    )
+    got, title = parse_ppt(payload)
+    assert got == "Fresh title\nFresh bullet"
+    assert "Old" not in got
+    assert title == "Fresh title"
+
+    # sanity: the stale text IS physically present in the stream
+    from aiotcvectordb_spark.operators.cfbdoc import CfbReader
+    from aiotcvectordb_spark.operators.olebin import _ppt_walk
+
+    raw_atoms: list[str] = []
+    _ppt_walk(CfbReader(payload).stream("PowerPoint Document"), raw_atoms)
+    assert any("Old" in a for a in raw_atoms)
+
+
+def test_ppt_slide_order_follows_persist_atoms_not_stream():
+    # hand-build a deck whose SLWT orders slides opposite to their
+    # stream position: persist-aware extraction follows SLWT order.
+    from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
+    from aiotcvectordb_spark.operators.olebin import (
+        _RT_DOCUMENT,
+        _RT_PERSIST_DIRECTORY_ATOM,
+        _RT_SLIDE,
+        _RT_SLIDE_LIST_WITH_TEXT,
+        _RT_SLIDE_PERSIST_ATOM,
+        _RT_TEXT_CHARS_ATOM,
+        _RT_USER_EDIT_ATOM,
+        _ppt_current_user_stream,
+        _ppt_record,
+    )
+
+    stream = bytearray()
+    off_b = len(stream)
+    stream += _ppt_record(_RT_SLIDE, b"", container=True)
+    off_a = len(stream)
+    stream += _ppt_record(_RT_SLIDE, b"", container=True)
+    atoms = bytearray()
+    for pid, label in ((3, "first"), (2, "second")):  # pid 3 = off_a
+        atoms += _ppt_record(
+            _RT_SLIDE_PERSIST_ATOM, struct.pack("<IIiii", pid, 0, 1, 0, 0)
+        )
+        atoms += _ppt_record(_RT_TEXT_CHARS_ATOM, label.encode("utf-16-le"))
+    slwt = _ppt_record(_RT_SLIDE_LIST_WITH_TEXT, bytes(atoms), container=True)
+    doc_off = len(stream)
+    stream += _ppt_record(_RT_DOCUMENT, slwt, container=True)
+    pd = struct.pack("<II", 1 | (1 << 20), doc_off) + struct.pack(
+        "<III", 2 | (2 << 20), off_b, off_a
+    )
+    pd_off = len(stream)
+    stream += _ppt_record(_RT_PERSIST_DIRECTORY_ATOM, pd)
+    ue_off = len(stream)
+    stream += _ppt_record(
+        _RT_USER_EDIT_ATOM,
+        struct.pack("<IHBBIIIIHH", 256, 0, 0, 3, 0, pd_off, 1, 4, 0, 0),
+    )
+    data = _cfb_build(
+        {
+            "PowerPoint Document": bytes(stream),
+            "Current User": _ppt_current_user_stream(ue_off),
+        }
+    )
+    assert parse_ppt(data)[0] == "first\nsecond"
+
+
 def test_ppt_title_is_first_text_line():
     _, title = parse_ppt(build_ppt("Deck Title\nbody"))
     assert title == "Deck Title"

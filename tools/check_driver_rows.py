@@ -94,6 +94,8 @@ REWRITES: dict[str, int] = {
     "audio_probe": 3,
     "video_frames": 3,
     "pdf_extract": 6,  # r6 mixed font modes (CMap/Differences) + LZW filter
+    "ppt_extract": 6,  # r6 persist-aware reading order + stale-edit decks
+    "xls_extract": 6,  # r6 SST Continue-record spanning on the oracled path
 }
 
 
