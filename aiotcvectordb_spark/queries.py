@@ -4688,6 +4688,108 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_HEADERS = [
+    "Subscribe to our newsletter",
+    "Follow us on social media",
+    "Cookie policy: we use cookies",
+    "Sign in to continue reading",
+    "Advertisement",
+]
+_BOILER_FOOTERS = [
+    "Copyright 2024 Example Corp",
+    "All rights reserved",
+    "Terms of service apply",
+    "Back to top",
+    "Contact us at example dot com",
+]
+_LINE_DEDUP_MIN_COUNT = 5
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal — the web-corpus
+    cleaning pass that strips headers/footers/nav text repeated across
+    pages while keeping each page's unique content. Pages are built
+    from the documents table (header + text + footer, template keyed
+    on md5(doc_id) — the same construction in the oracle), then:
+    posexplode to (doc, pos, line) rows, one groupBy(norm) with
+    map-side partial counts to find lines occurring >=
+    _LINE_DEDUP_MIN_COUNT times corpus-wide, a LEFT ANTI equi-join
+    against that (distinct-key, so no row amplification and no skew
+    blowup on hot boilerplate lines), and ordered per-doc reassembly
+    via array_sort(collect_list(struct(pos,line))) — two bounded
+    shuffles total, linear in corpus size; the boilerplate side is
+    count-thresholded so it stays tiny relative to the corpus at any
+    scale."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    idx = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 5
+    hdr = F.element_at(F.array([F.lit(s) for s in _BOILER_HEADERS]), idx + 1)
+    ftr = F.element_at(F.array([F.lit(s) for s in _BOILER_FOOTERS]), idx + 1)
+    pages = df.select(
+        "doc_id", F.concat_ws("\n", hdr, F.col("text"), ftr).alias("page")
+    )
+    lines = pages.select(
+        "doc_id", F.posexplode(F.split("page", "\n")).alias("pos", "line")
+    ).withColumn("norm", F.lower(F.trim("line")))
+    boiler = (
+        lines.groupBy("norm")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _LINE_DEDUP_MIN_COUNT)
+        .select("norm")
+    )
+    kept = lines.join(boiler, "norm", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("kept_lines"),
+    )
+
+
+_LD_HDRS = "[" + ",".join(f"'{s}'" for s in _BOILER_HEADERS) + "]"
+_LD_FTRS = "[" + ",".join(f"'{s}'" for s in _BOILER_FOOTERS) + "]"
+
+ORACLE_LINE_DEDUP = f"""
+WITH paged AS (
+  SELECT doc_id,
+         list_extract({_LD_HDRS},
+           ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5) + 1)
+         || chr(10) || text || chr(10) ||
+         list_extract({_LD_FTRS},
+           ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5) + 1)
+         AS page
+  FROM documents WHERE length(text) > 0
+), lines AS (
+  SELECT doc_id, unnest(string_split(page, chr(10))) AS line,
+         generate_subscripts(string_split(page, chr(10)), 1) AS pos
+  FROM paged
+), normed AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines
+), boiler AS (
+  SELECT norm FROM normed GROUP BY norm
+  HAVING count(*) >= {_LINE_DEDUP_MIN_COUNT}
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS text,
+       CAST(count(*) AS BIGINT) AS kept_lines
+FROM normed WHERE norm NOT IN (SELECT norm FROM boiler)
+GROUP BY doc_id
+"""
+
+
 ORACLE_CLEAN_TEXT = r"""
 SELECT doc_id,
        lower(trim(regexp_replace(
@@ -5980,6 +6082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppt_extract": q_ppt_extract,  # new, no driver row yet
     "xls_extract": q_xls_extract,  # new, no driver row yet
     "gif_frames": q_gif_frames,  # new, no driver row yet
+    "line_dedup": q_line_dedup,  # new, no driver row yet
     # --- r3 rows (age 3) (must be in the next batch) ---
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
@@ -6214,6 +6317,7 @@ ORACLES: dict[str, str] = {
     "top_revenue_orders": ORACLE_TOP_REVENUE_ORDERS,
     "correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
     "clean_text": ORACLE_CLEAN_TEXT,
+    "line_dedup": ORACLE_LINE_DEDUP,
     "dataset_split": ORACLE_DATASET_SPLIT,
     # stratified_sample: intentionally no oracle (engine RNG; property test)
     # embedding_near_dup_ivf: intentionally no oracle (iterative KMeans;
