@@ -4688,6 +4688,102 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_DEDUP_N = 8
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring removal (the Lee et al. 2022
+    'Deduplicating Training Data' pass, word-granular): every token
+    position covered by an N-gram that occurs more than once
+    corpus-wide is cut, and the survivors reassemble in order. Unlike
+    MinHash/SimHash (whole-doc near-dup) or line_dedup (exact repeated
+    lines), this removes the *overlapping spans themselves* — copied
+    passages inside otherwise-unique documents. Pipeline: tokens with
+    positions; N-grams via a JVM transform over the token array (one
+    slice+concat per position, no UDF); one groupBy(gram) with
+    map-side partials to find duplicated grams; an inner equi-join
+    back (output is just the duplicated occurrences — linear in the
+    dup fraction); each hit explodes to its N covered positions
+    (bounded xN); a LEFT ANTI join on (doc_id, pos) keeps the
+    uncovered tokens; ordered reassembly per doc. Every stage is a
+    bounded shuffle on a key that partitions with the data — no
+    pairwise doc comparison anywhere, the shape that survives 100 TB."""
+    n = _SUBSTR_DEDUP_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    toks_arr = df.select("doc_id", F.split("text", " ").alias("w"))
+    grams = toks_arr.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+            )
+        ).alias("i", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0
+), toks_arr AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs
+), grams AS (
+  SELECT doc_id, i,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM toks_arr,
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM grams g JOIN dup USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM docs
+)
+SELECT t.doc_id,
+       string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS kept_tokens
+FROM tokens t
+WHERE NOT EXISTS (
+  SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+)
+GROUP BY t.doc_id
+"""
+
+
 _BOILER_HEADERS = [
     "Subscribe to our newsletter",
     "Follow us on social media",
@@ -6083,6 +6179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xls_extract": q_xls_extract,  # new, no driver row yet
     "gif_frames": q_gif_frames,  # new, no driver row yet
     "line_dedup": q_line_dedup,  # new, no driver row yet
+    "substring_dedup": q_substring_dedup,  # new, no driver row yet
     # --- r3 rows (age 3) (must be in the next batch) ---
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
@@ -6318,6 +6415,7 @@ ORACLES: dict[str, str] = {
     "correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
     "clean_text": ORACLE_CLEAN_TEXT,
     "line_dedup": ORACLE_LINE_DEDUP,
+    "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "dataset_split": ORACLE_DATASET_SPLIT,
     # stratified_sample: intentionally no oracle (engine RNG; property test)
     # embedding_near_dup_ivf: intentionally no oracle (iterative KMeans;

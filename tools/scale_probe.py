@@ -49,6 +49,8 @@ PROBE_QUERIES = [
     # exact-only by contract (O(N^2)) and must not be probed at 100x
     "embedding_near_dup_auto",
     "token_count",
+    "line_dedup",
+    "substring_dedup",
     "pricing_summary",
     "top_revenue_orders",
     "group_topk",
