@@ -3316,7 +3316,9 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdfs = pdfcodec.with_pdf_payload(
         df, lines_per_page=_PDF_LINES_PER_PAGE, mix_modes=True
     )
-    return pdfcodec.extract_text_df(pdfs).select("doc_id", "text", "n_pages")
+    return pdfcodec.extract_text_df(
+        pdfs, prime_kdf=pdfcodec.v5_policy_kdf_pairs()
+    ).select("doc_id", "text", "n_pages")
 
 
 ORACLE_PDF_EXTRACT = f"""

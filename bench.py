@@ -116,6 +116,8 @@ HEADLINE = [
     "ppt_extract",
     "xls_extract",
     "gif_frames",
+    "line_dedup",
+    "substring_dedup",
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

@@ -596,8 +596,8 @@ def test_aes256_fips_vector():
 def test_encrypted_aes256_r6_round_trip():
     """PDF 2.0 AES-256 (V5/R6): hardened-hash /U validation, file key
     unwrapped from /UE, strings+streams under the file key directly.
-    One fixture — the 64+-round Algorithm 2.B hash is ~1s/derivation
-    in pure python, so this path stays out of the bulk round trip."""
+    (The bulk pdf_extract round trip carries a 1/15 AES-256 share; the
+    file-constant policy's KDF results memoize + ship to workers.)"""
     pdf = build_pdf(
         "R6 sealed body\n第二行", encrypt="aes256", title="Vault256",
     )
@@ -611,3 +611,23 @@ def test_encrypted_aes256_r6_round_trip():
     b[i + 4 : i + 8] = b"dead"
     with pytest.raises(ValueError, match="password"):
         extract_pdf_text(bytes(b))
+
+
+def test_v5_policy_kdf_pairs_match_fresh_computation():
+    # the driver-shipped KDF results must equal the real Algorithm 2.B
+    # output — priming is memoization, never a different code path
+    from aiotcvectordb_spark.operators import pdfcodec
+    from aiotcvectordb_spark.operators.pdfcodec import (
+        _hash_2b,
+        v5_policy_kdf_pairs,
+    )
+
+    pairs = v5_policy_kdf_pairs()
+    saved = dict(pdfcodec._HASH2B_PRIMED)
+    pdfcodec._HASH2B_PRIMED.clear()
+    try:
+        for args, digest in pairs:
+            assert _hash_2b.__wrapped__(*args) == digest
+            assert len(digest) == 32
+    finally:
+        pdfcodec._HASH2B_PRIMED.update(saved)
