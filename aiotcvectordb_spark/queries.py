@@ -4714,16 +4714,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
         F.length("text") > 0
     )
-    toks_arr = df.select("doc_id", F.split("text", " ").alias("w"))
-    grams = toks_arr.filter(F.size("w") >= n).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - n),
-                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
-            )
-        ).alias("i", "gram"),
-    )
+    grams = _word_ngrams(df, n)
     dup = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("c"))
@@ -4774,6 +4765,111 @@ WITH docs AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM docs
+)
+SELECT t.doc_id,
+       string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS kept_tokens
+FROM tokens t
+WHERE NOT EXISTS (
+  SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+)
+GROUP BY t.doc_id
+"""
+
+
+def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, i, gram): word n-grams with start positions, built
+    JVM-side (slice+concat over the token array, no UDF)."""
+    toks = df.select("doc_id", F.split("text", " ").alias("w"))
+    return toks.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+            )
+        ).alias("i", "gram"),
+    )
+
+
+def q_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring_dedup's continuous-ingest twin: clean a NEW batch
+    (doc_id % 10 == 0) against a STANDING corpus (the rest) without
+    ever rescanning corpus text pairwise. Batch positions are covered
+    when their N-gram exists anywhere in the standing corpus's
+    distinct-gram INDEX (at serving scale that index is a stored
+    artifact maintained on ingest, exactly like streaming/neardup.py's
+    LSH buckets — here it is recomputed from the table so the whole
+    composition stays oracle-checkable) OR repeats within the batch
+    itself. Cost is O(batch + index-collisions): one distinct over
+    corpus grams, one batch gram count, one equi-join — the corpus is
+    never joined against itself."""
+    n = _SUBSTR_DEDUP_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    batch = df.filter(F.col("doc_id") % 10 == 0)
+    corpus = df.filter(F.col("doc_id") % 10 != 0)
+    bg = _word_ngrams(batch, n)
+    corpus_index = _word_ngrams(corpus, n).select("gram").distinct()
+    batch_dup = (
+        bg.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    hot = corpus_index.union(batch_dup).distinct()
+    covered = (
+        bg.join(hot, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = batch.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+
+
+ORACLE_INCREMENTAL_SUBSTRING_DEDUP = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0
+), batch AS (
+  SELECT * FROM docs WHERE doc_id % 10 = 0
+), corpus AS (
+  SELECT * FROM docs WHERE doc_id % 10 <> 0
+), bg AS (
+  SELECT doc_id, i, array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), corpus_index AS (
+  SELECT DISTINCT array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), hot AS (
+  SELECT gram FROM corpus_index
+  UNION
+  SELECT gram FROM bg GROUP BY gram HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM bg g JOIN hot USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM batch
 )
 SELECT t.doc_id,
        string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
@@ -6182,6 +6278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gif_frames": q_gif_frames,  # new, no driver row yet
     "line_dedup": q_line_dedup,  # new, no driver row yet
     "substring_dedup": q_substring_dedup,  # new, no driver row yet
+    "incremental_substring_dedup": q_incremental_substring_dedup,  # new, no driver row yet
     # --- r3 rows (age 3) (must be in the next batch) ---
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
@@ -6418,6 +6515,7 @@ ORACLES: dict[str, str] = {
     "clean_text": ORACLE_CLEAN_TEXT,
     "line_dedup": ORACLE_LINE_DEDUP,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+    "incremental_substring_dedup": ORACLE_INCREMENTAL_SUBSTRING_DEDUP,
     "dataset_split": ORACLE_DATASET_SPLIT,
     # stratified_sample: intentionally no oracle (engine RNG; property test)
     # embedding_near_dup_ivf: intentionally no oracle (iterative KMeans;

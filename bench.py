@@ -118,6 +118,7 @@ HEADLINE = [
     "gif_frames",
     "line_dedup",
     "substring_dedup",
+    "incremental_substring_dedup",
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the
