@@ -80,6 +80,27 @@ def exact_dedup_stage(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return docs.withColumn("exact_keeper", keeper == F.col(id_col))
 
 
+def word_ngrams(df: DataFrame, n: int, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, i, gram): word n-grams with 0-based start positions, built
+    JVM-side (slice+concat over the token array, no UDF). Shared
+    kernel of the batch ``substring_dedup`` /
+    ``incremental_substring_dedup`` queries and the streaming ingest
+    twin (streaming/substrdedup.py) — one implementation, so
+    batch and stream agree by construction."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.split(text_col, " ").alias("w"))
+    return toks.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+            )
+        ).alias("i", "gram"),
+    )
+
+
 def minhash_band_hashes(
     docs: DataFrame,
     *,

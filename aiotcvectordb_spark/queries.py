@@ -4778,18 +4778,10 @@ GROUP BY t.doc_id
 
 
 def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, i, gram): word n-grams with start positions, built
-    JVM-side (slice+concat over the token array, no UDF)."""
-    toks = df.select("doc_id", F.split("text", " ").alias("w"))
-    return toks.filter(F.size("w") >= n).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - n),
-                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
-            )
-        ).alias("i", "gram"),
-    )
+    """Shared gram kernel — see pipelines.word_ngrams."""
+    from aiotcvectordb_spark.pipelines import word_ngrams
+
+    return word_ngrams(df, n)
 
 
 def q_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
