@@ -203,6 +203,34 @@ def test_xls_sst_single_string_spans_many_continues():
         assert got == text
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_cell_text = st.text(
+    alphabet=st.sampled_from("abcXYZ09 宽值文"), min_size=0, max_size=40
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.lists(_cell_text, min_size=1, max_size=4), min_size=1, max_size=12
+    ),
+    max_body=st.integers(min_value=16, max_value=200),
+)
+def test_xls_sst_continue_round_trip_property(rows, max_body):
+    """Any cell grid survives the SST writer/reader at ANY record cap:
+    splits land at arbitrary points between strings, inside narrow and
+    wide character arrays, and around headers."""
+    text = "\n".join("\t".join(cols) for cols in rows)
+    got, _ = parse_xls(build_xls(text, sst_max_body=max_body))
+    assert got == text.strip("\n")
+
+
 def test_xls_sst_overrun_is_honest_valueerror():
     from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
     from aiotcvectordb_spark.operators.olebin import (
