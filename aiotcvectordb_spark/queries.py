@@ -4690,6 +4690,92 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "zh": 0.15, "es": 0.15, "fr": 0.15}
+_MIX_BUDGET_FRAC = 0.3  # token budget as a fraction of corpus tokens
+_MIX_SALTS = 16
+
+
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted dataset mixing — the 'data mixture' step of a
+    training run: given per-language target weights and a total token
+    budget (30% of the corpus here), pick documents per language until
+    that language's token quota fills, deterministically. Scale shape:
+    pass 1 is ONE tiny global aggregate (total tokens) broadcast back
+    onto the scan; selection is hash-ordered greedy *within
+    (lang, salt) buckets*, each owning quota/S tokens — the salted
+    two-phase trick (cf. group_topk_salted) that keeps every window
+    sort bounded to 1/S of a language, so a 90%-English corpus never
+    funnels into one partition. Selection is a pure function of
+    (doc_id, lang, n_tokens): stable under repartition and re-ingest,
+    like dataset_split."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    toks = df.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(_portable_hash_expr("cast(doc_id as string)")).alias("h"),
+    )
+    totals = toks.groupBy().agg(F.sum("n_tokens").alias("total"))
+    wmap = F.create_map(
+        *[
+            x
+            for lang, wt in sorted(_MIX_WEIGHTS.items())
+            for x in (F.lit(lang), F.lit(wt))
+        ]
+    )
+    salted = (
+        toks.crossJoin(F.broadcast(totals))
+        .withColumn("salt", F.col("h") % _MIX_SALTS)
+        .withColumn(
+            "quota",
+            wmap[F.col("lang")]
+            * F.col("total")
+            * F.lit(_MIX_BUDGET_FRAC)
+            / F.lit(_MIX_SALTS),
+        )
+    )
+    win = (
+        Window.partitionBy("lang", "salt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = salted.withColumn("run", F.sum("n_tokens").over(win)).filter(
+        (F.col("run") - F.col("n_tokens")) < F.col("quota")
+    )
+    return sel.select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+_MIX_W_SQL = ",".join(f"('{k}',{v})" for k, v in sorted(_MIX_WEIGHTS.items()))
+
+ORACLE_DATASET_MIX = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents WHERE length(text) > 0
+), t AS (
+  SELECT sum(n_tokens) AS total FROM toks
+), w(lang, wt) AS (
+  VALUES {_MIX_W_SQL}
+), s AS (
+  SELECT toks.*, h % {_MIX_SALTS} AS salt,
+         CAST(wt AS DOUBLE) * total * {_MIX_BUDGET_FRAC} / {_MIX_SALTS} AS quota
+  FROM toks JOIN w USING (lang) CROSS JOIN t
+), r AS (
+  SELECT *, sum(n_tokens) OVER (
+      PARTITION BY lang, salt ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM s
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM r WHERE run - n_tokens < quota
+"""
+
+
 _SUBSTR_DEDUP_N = 8
 
 
@@ -6271,6 +6357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,  # new, no driver row yet
     "substring_dedup": q_substring_dedup,  # new, no driver row yet
     "incremental_substring_dedup": q_incremental_substring_dedup,  # new, no driver row yet
+    "dataset_mix": q_dataset_mix,  # new, no driver row yet
     # --- r3 rows (age 3) (must be in the next batch) ---
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
@@ -6508,6 +6595,7 @@ ORACLES: dict[str, str] = {
     "line_dedup": ORACLE_LINE_DEDUP,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "incremental_substring_dedup": ORACLE_INCREMENTAL_SUBSTRING_DEDUP,
+    "dataset_mix": ORACLE_DATASET_MIX,
     "dataset_split": ORACLE_DATASET_SPLIT,
     # stratified_sample: intentionally no oracle (engine RNG; property test)
     # embedding_near_dup_ivf: intentionally no oracle (iterative KMeans;

@@ -119,6 +119,7 @@ HEADLINE = [
     "line_dedup",
     "substring_dedup",
     "incremental_substring_dedup",
+    "dataset_mix",
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

@@ -51,6 +51,7 @@ PROBE_QUERIES = [
     "token_count",
     "line_dedup",
     "substring_dedup",
+    "dataset_mix",
     "pricing_summary",
     "top_revenue_orders",
     "group_topk",
