@@ -219,6 +219,21 @@ SHOWCASE = [
         "scan — the single exchange is the deliberate scan-widen "
         "repartition",
     ),
+    (
+        "substring_dedup",
+        "exact repeated-substring removal: grams built JVM-side in the "
+        "scan projection (no UDF), ONE hash aggregate finds duplicated "
+        "grams, the coverage join is a bounded equi-join (no pairwise "
+        "doc compare), the keep filter a LEFT ANTI hash join on "
+        "(doc_id, pos) — every exchange keyed, nothing quadratic",
+    ),
+    (
+        "dataset_mix",
+        "token-budgeted data mixture: pass 1 collapses to a one-row "
+        "broadcast (global token count), selection windows sort only "
+        "within (lang, salt) buckets — language skew never funnels "
+        "into a single partition",
+    ),
 ]
 
 
