@@ -10,6 +10,11 @@ files are ZIP containers of ECMA-376 XML parts, so the stdlib
 - **.docx**: ``word/document.xml`` — paragraphs ``<w:p>`` become
   lines; text runs ``<w:t>``, tabs ``<w:tab/>``, explicit breaks
   ``<w:br/>``; title from ``docProps/core.xml`` ``<dc:title>``.
+  Footnotes/endnotes (``word/footnotes.xml``/``word/endnotes.xml``,
+  skipping the separator/continuationSeparator stubs) and then
+  headers/footers (``word/header*.xml``/``footer*.xml``, name-sorted)
+  are appended after the body in that documented order — real-world
+  documents carry citation text there (r6).
 - **.pptx**: every ``ppt/slides/slideN.xml`` in slide order; text runs
   ``<a:t>``, one line per paragraph ``<a:p>``; slide boundaries are
   blank lines; title = first text line of slide 1.
@@ -17,11 +22,14 @@ files are ZIP containers of ECMA-376 XML parts, so the stdlib
   inline strings, one line per row (cells tab-joined), sheets in
   workbook order. Numbers/formulas render as their cached values.
 
-Legacy OLE2/CFB binaries (.doc/.ppt/.xls, magic D0 CF 11 E0) remain
-honestly rejected — the Word/PowerPoint binary record formats need far
-more than a container walk, and a half-parse would silently emit
-garbage. Encrypted OOXML (which is OLE2-wrapped) is rejected by the
-same magic check.
+Legacy OLE2/CFB binaries (.doc/.ppt/.xls, magic D0 CF 11 E0) are
+routed to the real binary parsers (``cfbdoc``/``olebin``) by this
+module's magic check via ``docparse``; encrypted OOXML (OLE2-wrapped)
+is rejected there. The ``build_docx``/``build_pptx``/``build_xlsx``
+writers emit spec-shaped minimal packages so all three parsers are
+oracle-checkable by encode-then-decode round trips
+(``docx_extract``/``pptx_extract``/``xlsx_extract`` registry queries),
+the same proof pattern as the PDF/.doc/.ppt/.xls codecs.
 """
 
 from __future__ import annotations
@@ -82,13 +90,7 @@ def _core_title(zf: zipfile.ZipFile) -> str | None:
     return (el.text or "").strip() or None if el is not None else None
 
 
-def parse_docx(data: bytes) -> tuple[str, str | None]:
-    """Extract (text, title) from a .docx payload."""
-    zf = _open_zip(data, ".docx")
-    try:
-        root = _read_xml(zf, "word/document.xml")
-    except KeyError:
-        raise ValueError("not a .docx: word/document.xml missing") from None
+def _docx_paragraph_lines(root) -> list[str]:
     lines: list[str] = []
     for p in root.iter(f"{_W}p"):
         parts: list[str] = []
@@ -100,6 +102,39 @@ def parse_docx(data: bytes) -> tuple[str, str | None]:
             elif el.tag == f"{_W}br":
                 parts.append("\n")
         lines.append("".join(parts))
+    return lines
+
+
+_NOTE_STUB_TYPES = ("separator", "continuationSeparator")
+
+
+def parse_docx(data: bytes) -> tuple[str, str | None]:
+    """Extract (text, title) from a .docx payload: body paragraphs,
+    then footnotes/endnotes (Word's empty separator/
+    continuationSeparator stubs skipped), then headers/footers
+    (name-sorted) — one documented, deterministic reading order."""
+    zf = _open_zip(data, ".docx")
+    try:
+        root = _read_xml(zf, "word/document.xml")
+    except KeyError:
+        raise ValueError("not a .docx: word/document.xml missing") from None
+    lines = _docx_paragraph_lines(root)
+    names = set(zf.namelist())
+    for part, tag in (
+        ("word/footnotes.xml", f"{_W}footnote"),
+        ("word/endnotes.xml", f"{_W}endnote"),
+    ):
+        if part not in names:
+            continue
+        nroot = _read_xml(zf, part)
+        for note in nroot.iter(tag):
+            if note.get(f"{_W}type") in _NOTE_STUB_TYPES:
+                continue
+            lines.extend(_docx_paragraph_lines(note))
+    for part in sorted(
+        n for n in names if re.fullmatch(r"word/(header|footer)\d+\.xml", n)
+    ):
+        lines.extend(_docx_paragraph_lines(_read_xml(zf, part)))
     text = "\n".join(lines).strip("\n")
     return text, _core_title(zf)
 
@@ -167,3 +202,161 @@ def parse_xlsx(data: bytes) -> tuple[str, str | None]:
                     cells.append((v.text or "") if v is not None else "")
             out_lines.append("\t".join(cells))
     return "\n".join(out_lines).strip("\n"), _core_title(zf)
+
+
+# ---------------------------------------------------------------------------
+# Writers: minimal spec-shaped ECMA-376 packages, so each parser is
+# oracle-checkable via an encode-then-decode round trip (the same
+# proof pattern as the PDF/.doc/.ppt/.xls codecs).
+
+_XML_DECL = '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+_W_URI = _W[1:-1]
+_A_URI = _A[1:-1]
+_S_URI = _S[1:-1]
+_DC_URI = _DC[1:-1]
+_P_URI = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_CT_XML = (
+    _XML_DECL
+    + '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types"><Default Extension="xml" '
+    'ContentType="application/xml"/></Types>'
+)
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _zip_pack(parts: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in parts.items():
+            zf.writestr(name, content)
+    return buf.getvalue()
+
+
+def _core_xml(title: str) -> str:
+    return (
+        _XML_DECL
+        + '<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/'
+        f'package/2006/metadata/core-properties" xmlns:dc="{_DC_URI}">'
+        f"<dc:title>{_xml_escape(title)}</dc:title></cp:coreProperties>"
+    )
+
+
+def _w_paragraph(line: str) -> str:
+    runs = (
+        f'<w:r><w:t xml:space="preserve">{_xml_escape(seg)}</w:t></w:r>'
+        for seg in line.split("\t")
+    )
+    return "<w:p>" + "<w:r><w:tab/></w:r>".join(runs) + "</w:p>"
+
+
+def build_docx(
+    text: str,
+    *,
+    title: str | None = None,
+    footnote: str | None = None,
+    header: str | None = None,
+) -> bytes:
+    """Write a minimal valid .docx whose extracted text is ``text``
+    (lines = paragraphs, tabs preserved as <w:tab/>), optionally with
+    a real footnote part (including Word's separator/
+    continuationSeparator stubs, which extraction must skip) and a
+    header part — appended to the extraction in the parser's
+    documented body -> notes -> header order."""
+    body = "".join(_w_paragraph(ln) for ln in text.split("\n"))
+    parts = {
+        "[Content_Types].xml": _CT_XML,
+        "word/document.xml": (
+            _XML_DECL
+            + f'<w:document xmlns:w="{_W_URI}"><w:body>{body}</w:body>'
+            "</w:document>"
+        ),
+    }
+    if footnote is not None:
+        parts["word/footnotes.xml"] = (
+            _XML_DECL
+            + f'<w:footnotes xmlns:w="{_W_URI}">'
+            '<w:footnote w:type="separator" w:id="-1"><w:p/></w:footnote>'
+            '<w:footnote w:type="continuationSeparator" w:id="0"><w:p/>'
+            "</w:footnote>"
+            f'<w:footnote w:id="1">{_w_paragraph(footnote)}</w:footnote>'
+            "</w:footnotes>"
+        )
+    if header is not None:
+        parts["word/header1.xml"] = (
+            _XML_DECL
+            + f'<w:hdr xmlns:w="{_W_URI}">{_w_paragraph(header)}</w:hdr>'
+        )
+    if title is not None:
+        parts["docProps/core.xml"] = _core_xml(title)
+    return _zip_pack(parts)
+
+
+def build_pptx(text: str, *, title: str | None = None) -> bytes:
+    """Write a minimal valid .pptx whose extracted text is ``text``:
+    blank-line-separated groups become slides, lines inside a group
+    become <a:p> paragraphs."""
+    slides = text.split("\n\n")
+    parts = {"[Content_Types].xml": _CT_XML}
+    for i, slide in enumerate(slides, start=1):
+        paras = "".join(
+            f"<a:p><a:r><a:t>{_xml_escape(ln)}</a:t></a:r></a:p>"
+            for ln in slide.split("\n")
+        )
+        parts[f"ppt/slides/slide{i}.xml"] = (
+            _XML_DECL
+            + f'<p:sld xmlns:p="{_P_URI}" xmlns:a="{_A_URI}">'
+            f"<p:cSld><p:spTree><p:sp><p:txBody>{paras}</p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>"
+        )
+    if title is not None:
+        parts["docProps/core.xml"] = _core_xml(title)
+    return _zip_pack(parts)
+
+
+def build_xlsx(text: str, *, title: str | None = None) -> bytes:
+    """Write a minimal valid .xlsx whose extracted text is ``text``
+    (lines = rows, tabs = cells). Cell encodings rotate deterministically
+    so all three decode paths run: pure-digit cells as number cells,
+    every third remaining cell as inlineStr, the rest through the
+    sharedStrings table."""
+    shared: list[str] = []
+    index: dict[str, int] = {}
+    rows_xml: list[str] = []
+    for line in text.split("\n"):
+        cells_xml: list[str] = []
+        for j, cell in enumerate(line.split("\t")):
+            if cell.isdigit():
+                cells_xml.append(f"<c><v>{cell}</v></c>")
+            elif j % 3 == 2:
+                cells_xml.append(
+                    '<c t="inlineStr"><is><t xml:space="preserve">'
+                    f"{_xml_escape(cell)}</t></is></c>"
+                )
+            else:
+                if cell not in index:
+                    index[cell] = len(shared)
+                    shared.append(cell)
+                cells_xml.append(f'<c t="s"><v>{index[cell]}</v></c>')
+        rows_xml.append("<row>" + "".join(cells_xml) + "</row>")
+    sst = "".join(
+        f'<si><t xml:space="preserve">{_xml_escape(s)}</t></si>'
+        for s in shared
+    )
+    parts = {
+        "[Content_Types].xml": _CT_XML,
+        "xl/sharedStrings.xml": (
+            _XML_DECL + f'<sst xmlns="{_S_URI}">{sst}</sst>'
+        ),
+        "xl/worksheets/sheet1.xml": (
+            _XML_DECL
+            + f'<worksheet xmlns="{_S_URI}"><sheetData>'
+            + "".join(rows_xml)
+            + "</sheetData></worksheet>"
+        ),
+    }
+    if title is not None:
+        parts["docProps/core.xml"] = _core_xml(title)
+    return _zip_pack(parts)

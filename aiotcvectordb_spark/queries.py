@@ -3444,6 +3444,108 @@ WHERE length(text) > 0
 """
 
 
+def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOXML .docx parser round trip, oracle-checked (r6): each
+    document becomes a genuine ECMA-376 package
+    (``operators/officeparse.build_docx`` — word/document.xml
+    paragraphs with preserved tabs), parsed back by the stdlib
+    zipfile+etree extractor. Documents whose md5(doc_id) starts 0-4
+    additionally carry a REAL footnotes part (including Word's
+    separator/continuationSeparator stubs the extractor must skip) and
+    a header part; the oracle predicts the documented
+    body -> footnote -> header reading order, so stub-skipping and
+    part ordering are driver-hash-checked, not just unit-tested.
+    Shuffle-free mapInPandas both ways — the 100 TB codec shape."""
+    import hashlib
+
+    from aiotcvectordb_spark.operators import officeparse, olebin
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+
+    def variant(i, _t):
+        if hashlib.md5(str(i).encode("utf-8")).hexdigest()[0] in "01234":
+            return {
+                "footnote": f"Footnote for {i}",
+                "header": f"Header of {i}",
+            }
+        return {}
+
+    docs = olebin.with_office_payload(
+        df, officeparse.build_docx, alternate=False, variant_fn=variant
+    )
+    return olebin.extract_office_text_df(docs, officeparse.parse_docx).select(
+        "doc_id", "text"
+    )
+
+
+ORACLE_DOCX_EXTRACT = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                 ('0','1','2','3','4')
+            THEN trim(text, chr(10)) || chr(10) ||
+                 'Footnote for ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                 'Header of ' || CAST(doc_id AS VARCHAR)
+            ELSE trim(text, chr(10)) END AS text
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+def q_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOXML .pptx parser round trip, oracle-checked (r6): each
+    document becomes a real presentation package
+    (``operators/officeparse.build_pptx`` — ppt/slides/slideN.xml with
+    <a:p> paragraphs), parsed back slide-by-slide in numeric order.
+    Shuffle-free mapInPandas both ways."""
+    from aiotcvectordb_spark.operators import officeparse, olebin
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    decks = olebin.with_office_payload(
+        df, officeparse.build_pptx, alternate=False
+    )
+    return olebin.extract_office_text_df(decks, officeparse.parse_pptx).select(
+        "doc_id", "text"
+    )
+
+
+ORACLE_PPTX_EXTRACT = """
+SELECT doc_id, trim(text, chr(10)) AS text
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOXML .xlsx parser round trip, oracle-checked (r6): each
+    document becomes a real workbook package
+    (``operators/officeparse.build_xlsx`` — lines as rows, tabs as
+    cells, encodings rotating number / inlineStr / sharedStrings so
+    all three cell-decode paths run under the oracle), parsed back to
+    tab/newline text. Shuffle-free mapInPandas both ways."""
+    from aiotcvectordb_spark.operators import officeparse, olebin
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    books = olebin.with_office_payload(
+        df, officeparse.build_xlsx, alternate=False
+    )
+    return olebin.extract_office_text_df(books, officeparse.parse_xlsx).select(
+        "doc_id", "text"
+    )
+
+
+ORACLE_XLSX_EXTRACT = """
+SELECT doc_id, trim(text, chr(10)) AS text
+FROM documents
+WHERE length(text) > 0
+"""
+
+
 def q_ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized kNN (operators/pq.py): 32x-compressed codes
     scored with an ADC lookup table, then exact cosine rescore of the
@@ -6353,6 +6455,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_extract": q_doc_extract,  # new, no driver row yet
     "ppt_extract": q_ppt_extract,  # new, no driver row yet
     "xls_extract": q_xls_extract,  # new, no driver row yet
+    "docx_extract": q_docx_extract,  # new, no driver row yet
+    "pptx_extract": q_pptx_extract,  # new, no driver row yet
+    "xlsx_extract": q_xlsx_extract,  # new, no driver row yet
     "gif_frames": q_gif_frames,  # new, no driver row yet
     "line_dedup": q_line_dedup,  # new, no driver row yet
     "substring_dedup": q_substring_dedup,  # new, no driver row yet
@@ -6548,6 +6653,9 @@ ORACLES: dict[str, str] = {
     "doc_extract": ORACLE_DOC_EXTRACT,
     "ppt_extract": ORACLE_PPT_EXTRACT,
     "xls_extract": ORACLE_XLS_EXTRACT,
+    "docx_extract": ORACLE_DOCX_EXTRACT,
+    "pptx_extract": ORACLE_PPTX_EXTRACT,
+    "xlsx_extract": ORACLE_XLSX_EXTRACT,
     "gif_frames": ORACLE_GIF_FRAMES,
     "lang_id_cjk": ORACLE_LANG_ID_CJK,
     "hybrid_rrf": ORACLE_HYBRID_RRF,

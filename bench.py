@@ -115,6 +115,9 @@ HEADLINE = [
     "doc_extract",
     "ppt_extract",
     "xls_extract",
+    "docx_extract",
+    "pptx_extract",
+    "xlsx_extract",
     "gif_frames",
     "line_dedup",
     "substring_dedup",

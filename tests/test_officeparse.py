@@ -96,6 +96,45 @@ def test_xlsx_shared_and_inline_strings():
     assert text == "alpha\t42\nbeta\tgamma"
 
 
+def test_docx_footnotes_headers_and_stub_skipping():
+    from aiotcvectordb_spark.operators.officeparse import build_docx
+
+    payload = build_docx(
+        "Body para one\nBody two\tcol",
+        footnote="A real citation",
+        header="Confidential",
+        title="Deep Doc",
+    )
+    text, title = officeparse.parse_docx(payload)
+    # documented order: body -> footnotes -> headers; separator stubs
+    # contribute NOTHING (they hold an empty <w:p/>)
+    assert text == "Body para one\nBody two\tcol\nA real citation\nConfidential"
+    assert title == "Deep Doc"
+
+
+def test_ooxml_writer_round_trips():
+    from aiotcvectordb_spark.operators.officeparse import (
+        build_docx,
+        build_pptx,
+        build_xlsx,
+    )
+
+    cases = [
+        "plain text",
+        "tabs\tand <xml> & escapes",
+        "宽字符 mixed with ascii",
+        "42\t007\tnot42x",  # digit cells take the number path
+        "",
+    ]
+    for t in cases:
+        assert officeparse.parse_docx(build_docx(t))[0] == t.strip("\n")
+        assert officeparse.parse_pptx(build_pptx(t))[0] == t.strip("\n")
+        assert officeparse.parse_xlsx(build_xlsx(t))[0] == t.strip("\n")
+    # pptx: blank-line groups become slides and survive
+    deck = "s1 line1\ns1 line2\n\ns2 only"
+    assert officeparse.parse_pptx(build_pptx(deck))[0] == deck
+
+
 def test_ole2_rejected():
     ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64
     with pytest.raises(ValueError, match="OLE2"):

@@ -36,6 +36,9 @@ PROBE_QUERIES = [
     "doc_extract",
     "ppt_extract",
     "xls_extract",
+    "docx_extract",
+    "pptx_extract",
+    "xlsx_extract",
     "gif_frames",
     "search_flat_cosine",
     "search_flat_cosine_local_topk",
