@@ -174,3 +174,100 @@ def parse_epub(data: bytes) -> tuple[str, str | None]:
         if text:
             chapters.append(text)
     return "\n\n".join(chapters).strip("\n"), title
+
+
+# ---------------------------------------------------------------------------
+# Writers: minimal spec-shaped RTF / EPUB documents, so both parsers
+# are oracle-checkable by encode-then-decode round trips
+# (``rtf_extract`` / ``epub_extract``), like every other upload format.
+
+
+def build_rtf(text: str) -> str:
+    """Write a minimal valid RTF document whose extracted text is
+    ``text`` (newlines as ``\\par``, tabs as ``\\tab``, non-ASCII as
+    ``\\uN?`` escapes — BMP only). Includes an ``{\\info}`` block and
+    a starred ``{\\*\\wgrffmtfilter}`` destination so the parser's
+    group-skipping machinery runs on every round trip. Exact for
+    texts without leading/trailing whitespace or 3+ consecutive
+    newlines (the parser canonicalizes those)."""
+    out = [
+        "{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Helvetica;}}",
+        "{\\info{\\title synthetic}}{\\*\\wgrffmtfilter 013f}\\uc1 ",
+    ]
+    for i, line in enumerate(text.split("\n")):
+        if i:
+            out.append("\\par ")
+        for c in line:
+            cp = ord(c)
+            if c in "\\{}":
+                out.append("\\" + c)
+            elif c == "\t":
+                out.append("\\tab ")
+            elif 32 <= cp < 128:
+                out.append(c)
+            elif cp <= 0xFFFF:
+                out.append(f"\\u{cp if cp < 0x8000 else cp - 0x10000}?")
+            else:
+                raise ValueError(
+                    "RTF \\uN escapes are 16-bit; astral characters do "
+                    "not round-trip through this writer"
+                )
+    out.append("}")
+    return "".join(out)
+
+
+def _x(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def build_epub(
+    text: str, *, title: str = "Synthetic Book", chapter_lines: int | None = None
+) -> bytes:
+    """Write a minimal valid EPUB (OCF container, OPF manifest+spine,
+    XHTML chapters; one ``<p>`` per line) whose extracted text is
+    ``text``. ``chapter_lines`` splits lines into multiple spine
+    chapters (the parser joins chapters with a blank line, so exact
+    round trips use the default single chapter). The HTML stripper
+    canonicalizes whitespace, so exact for single-spaced text."""
+    lines = text.split("\n")
+    if chapter_lines:
+        groups = [
+            lines[i : i + chapter_lines]
+            for i in range(0, len(lines), chapter_lines)
+        ] or [[""]]
+    else:
+        groups = [lines]
+    manifest = []
+    spine = []
+    parts: dict[str, str | bytes] = {
+        "mimetype": "application/epub+zip",
+        "META-INF/container.xml": (
+            '<?xml version="1.0"?><container version="1.0" '
+            'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" "
+            'media-type="application/oebps-package+xml"/></rootfiles>'
+            "</container>"
+        ),
+    }
+    for i, group in enumerate(groups, start=1):
+        body = "".join(f"<p>{_x(ln)}</p>" for ln in group)
+        parts[f"OEBPS/chap{i}.xhtml"] = (
+            "<html><head></head><body>" + body + "</body></html>"
+        )
+        manifest.append(
+            f'<item id="c{i}" href="chap{i}.xhtml" '
+            'media-type="application/xhtml+xml"/>'
+        )
+        spine.append(f'<itemref idref="c{i}"/>')
+    parts["OEBPS/content.opf"] = (
+        '<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/opf" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/" version="2.0">'
+        f"<metadata><dc:title>{_x(title)}</dc:title></metadata>"
+        f"<manifest>{''.join(manifest)}</manifest>"
+        f"<spine>{''.join(spine)}</spine></package>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in parts.items():
+            zf.writestr(name, content)
+    return buf.getvalue()

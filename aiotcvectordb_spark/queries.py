@@ -3546,6 +3546,66 @@ WHERE length(text) > 0
 """
 
 
+def q_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF parser round trip, oracle-checked (r6): each document
+    becomes a real RTF token stream (``operators/rtfepub.build_rtf`` —
+    escaped braces/backslashes, ``\\uN?`` Unicode escapes, an
+    ``{\\info}`` metadata block and a starred ``{\\*\\wgrffmtfilter}``
+    ignorable destination in EVERY payload), then the control-word
+    walker extracts the text back — so group skipping, escape
+    decoding, and destination handling are driver-hash-checked.
+    Shuffle-free mapInPandas both ways."""
+    from aiotcvectordb_spark.operators import olebin, rtfepub
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+
+    def builder(t):
+        return rtfepub.build_rtf(t).encode("utf-8")
+
+    def parser(b):
+        return rtfepub.parse_rtf(bytes(b).decode("utf-8", "replace"))
+
+    docs = olebin.with_office_payload(df, builder, alternate=False)
+    return olebin.extract_office_text_df(docs, parser).select(
+        "doc_id", "text"
+    )
+
+
+ORACLE_RTF_EXTRACT = """
+SELECT doc_id, trim(text, chr(10) || ' ') AS text
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB parser round trip, oracle-checked (r6): each document
+    becomes a real OCF/OPF package (``operators/rtfepub.build_epub`` —
+    container.xml, manifest + spine, XHTML chapters), then the spine
+    walk + HTML tag-stripper extract the text back. Shuffle-free
+    mapInPandas both ways."""
+    from aiotcvectordb_spark.operators import olebin, rtfepub
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    docs = olebin.with_office_payload(
+        df, rtfepub.build_epub, alternate=False
+    )
+    return olebin.extract_office_text_df(docs, rtfepub.parse_epub).select(
+        "doc_id", "text"
+    )
+
+
+ORACLE_EPUB_EXTRACT = """
+SELECT doc_id, trim(text, chr(10)) AS text
+FROM documents
+WHERE length(text) > 0
+"""
+
+
 def q_ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized kNN (operators/pq.py): 32x-compressed codes
     scored with an ADC lookup table, then exact cosine rescore of the
@@ -6458,6 +6518,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docx_extract": q_docx_extract,  # new, no driver row yet
     "pptx_extract": q_pptx_extract,  # new, no driver row yet
     "xlsx_extract": q_xlsx_extract,  # new, no driver row yet
+    "rtf_extract": q_rtf_extract,  # new, no driver row yet
+    "epub_extract": q_epub_extract,  # new, no driver row yet
     "gif_frames": q_gif_frames,  # new, no driver row yet
     "line_dedup": q_line_dedup,  # new, no driver row yet
     "substring_dedup": q_substring_dedup,  # new, no driver row yet
@@ -6656,6 +6718,8 @@ ORACLES: dict[str, str] = {
     "docx_extract": ORACLE_DOCX_EXTRACT,
     "pptx_extract": ORACLE_PPTX_EXTRACT,
     "xlsx_extract": ORACLE_XLSX_EXTRACT,
+    "rtf_extract": ORACLE_RTF_EXTRACT,
+    "epub_extract": ORACLE_EPUB_EXTRACT,
     "gif_frames": ORACLE_GIF_FRAMES,
     "lang_id_cjk": ORACLE_LANG_ID_CJK,
     "hybrid_rrf": ORACLE_HYBRID_RRF,

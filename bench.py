@@ -118,6 +118,8 @@ HEADLINE = [
     "docx_extract",
     "pptx_extract",
     "xlsx_extract",
+    "rtf_extract",
+    "epub_extract",
     "gif_frames",
     "line_dedup",
     "substring_dedup",

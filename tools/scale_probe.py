@@ -39,6 +39,8 @@ PROBE_QUERIES = [
     "docx_extract",
     "pptx_extract",
     "xlsx_extract",
+    "rtf_extract",
+    "epub_extract",
     "gif_frames",
     "search_flat_cosine",
     "search_flat_cosine_local_topk",
