@@ -57,7 +57,10 @@ def _open_zip(data: bytes, kind: str) -> zipfile.ZipFile:
         )
     try:
         return zipfile.ZipFile(io.BytesIO(data))
-    except zipfile.BadZipFile as e:
+    except (zipfile.BadZipFile, NotImplementedError, ValueError, OSError) as e:
+        # NotImplementedError: central-directory extract_version byte
+        # beyond the stdlib's max (fuzz-pinned); ValueError/OSError:
+        # truncated or inconsistent end-of-central-directory records
         raise ValueError(f"not an OOXML {kind} container: {e}") from None
 
 

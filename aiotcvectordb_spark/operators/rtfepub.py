@@ -123,7 +123,10 @@ def parse_epub(data: bytes) -> tuple[str, str | None]:
 
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
-    except zipfile.BadZipFile as e:
+    except (zipfile.BadZipFile, NotImplementedError, ValueError, OSError) as e:
+        # NotImplementedError: central-directory extract_version beyond
+        # the stdlib's max (fuzz-pinned); ValueError/OSError: truncated
+        # or inconsistent end-of-central-directory records
         raise ValueError(f"not an EPUB container: {e}") from None
     names = zf.namelist()
     if any(n.endswith("META-INF/encryption.xml") for n in names):

@@ -85,3 +85,37 @@ def test_ooxml_fuzz_no_foreign_exceptions():
             assert isinstance(text, str)
         except ValueError:
             pass
+
+
+def test_writer_built_formats_fuzz_no_foreign_exceptions():
+    """Mutations of every writer-built upload payload either parse to a
+    str or raise ValueError — never a leaked zlib/zipfile/etree/struct
+    error (the same contract the binary codecs pin)."""
+    from aiotcvectordb_spark.operators import rtfepub
+    from aiotcvectordb_spark.operators.officeparse import (
+        build_docx,
+        build_pptx,
+        build_xlsx,
+        parse_pptx,
+        parse_xlsx,
+    )
+
+    seed_text = "fuzz target text\twith cells\nand a second row\t42"
+    cases = [
+        (build_docx(seed_text, footnote="note", header="hdr"), O.parse_docx),
+        (build_pptx(seed_text), parse_pptx),
+        (build_xlsx(seed_text), parse_xlsx),
+        (
+            rtfepub.build_rtf(seed_text).encode("utf-8"),
+            lambda b: rtfepub.parse_rtf(bytes(b).decode("utf-8", "replace")),
+        ),
+        (rtfepub.build_epub(seed_text), rtfepub.parse_epub),
+    ]
+    rng = random.Random(45)
+    for payload, parse in cases:
+        for b in _mutations(payload, rng, 120):
+            try:
+                text, _ = parse(b)
+                assert isinstance(text, str)
+            except ValueError:
+                pass
