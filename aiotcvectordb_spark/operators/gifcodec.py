@@ -223,6 +223,9 @@ def decode_gif(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
             if left + w > W or top + h > H:
                 raise ValueError("GIF frame exceeds the logical screen")
             region = canvas[top : top + h, left : left + w]
+            # disposal 3 (restore-to-previous): snapshot the region
+            # BEFORE this frame draws, put it back after compositing
+            prev = region.copy() if disposal == 3 else None
             safe = np.minimum(idx, len(pal) - 1)
             rgb = pal[safe]
             if transparent is not None:
@@ -236,6 +239,8 @@ def decode_gif(data: bytes) -> tuple[int, int, list[np.ndarray], list[int]]:
                 canvas[top : top + h, left : left + w] = background[
                     top : top + h, left : left + w
                 ]
+            elif disposal == 3:  # restore the pre-draw pixels
+                canvas[top : top + h, left : left + w] = prev
             transparent = None
             disposal = 0
             delay = 0

@@ -224,7 +224,15 @@ def parse_ppt(data: bytes) -> tuple[str, str | None]:
     PersistDirectoryAtom machinery (so incrementally-edited decks show
     only the live edit); falls back to stream-order atom collection for
     decks without that machinery. Title = first text atom. Raises
-    ValueError for encrypted decks and non-PowerPoint CFB files."""
+    ValueError for encrypted decks and non-PowerPoint CFB files —
+    never struct.error (same fuzz-pinned contract as cfbdoc.parse_doc)."""
+    try:
+        return _parse_ppt(data)
+    except struct.error as e:
+        raise ValueError(f"corrupt .ppt: {e}") from None
+
+
+def _parse_ppt(data: bytes) -> tuple[str, str | None]:
     cfb = CfbReader(data)
     try:
         stream = cfb.stream("PowerPoint Document")
@@ -516,7 +524,17 @@ def parse_xls(data: bytes) -> tuple[str, str | None]:
     """Extract (text, title=None) from a binary Excel .xls payload:
     one line per row, cells tab-joined in (row, col) order, sheets in
     stream order — the same shape as the .xlsx parser. Raises
-    ValueError for encrypted workbooks and non-Excel CFB files."""
+    ValueError for encrypted workbooks and non-Excel CFB files —
+    never struct.error (a Label record whose length lies about the
+    fRichSt/fExtSt trailers would otherwise leak one from
+    unpack_from; same fuzz-pinned contract as cfbdoc.parse_doc)."""
+    try:
+        return _parse_xls(data)
+    except struct.error as e:
+        raise ValueError(f"corrupt .xls: {e}") from None
+
+
+def _parse_xls(data: bytes) -> tuple[str, str | None]:
     cfb = CfbReader(data)
     stream = None
     for name in ("Workbook", "Book"):

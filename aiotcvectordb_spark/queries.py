@@ -3472,8 +3472,17 @@ def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         return {}
 
+    def builder(t, **kw):
+        # Canonical form (r7): build from edge-trimmed text, so the
+        # builder, the parser (which keeps interior empty paragraphs
+        # but edge-strips the final join), and the oracle agree for
+        # texts ENDING in newlines too — previously the oracle trimmed
+        # the body before appending 'Footnote/Header' while the parser
+        # kept the trailing empty paragraph between body and notes.
+        return officeparse.build_docx(t.strip("\n"), **kw)
+
     docs = olebin.with_office_payload(
-        df, officeparse.build_docx, alternate=False, variant_fn=variant
+        df, builder, alternate=False, variant_fn=variant
     )
     return olebin.extract_office_text_df(docs, officeparse.parse_docx).select(
         "doc_id", "text"
@@ -3484,9 +3493,9 @@ ORACLE_DOCX_EXTRACT = """
 SELECT doc_id,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
                  ('0','1','2','3','4')
-            THEN trim(text, chr(10)) || chr(10) ||
+            THEN trim(trim(text, chr(10)) || chr(10) ||
                  'Footnote for ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-                 'Header of ' || CAST(doc_id AS VARCHAR)
+                 'Header of ' || CAST(doc_id AS VARCHAR), chr(10))
             ELSE trim(text, chr(10)) END AS text
 FROM documents
 WHERE length(text) > 0
@@ -3561,8 +3570,17 @@ def q_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") > 0
     )
 
+    import re as _re
+
     def builder(t):
-        return rtfepub.build_rtf(t).encode("utf-8")
+        # Canonical form (r7): pre-apply the parser's own
+        # canonicalization (collapse 3+ newlines, strip edge
+        # newline/space) so builder, parser, and oracle agree for ALL
+        # texts — the oracle previously predicted only the edge trim,
+        # diverging from the parser's interior collapse on texts with
+        # blank-line runs.
+        c = _re.sub(r"\n{3,}", "\n\n", t).strip("\n ")
+        return rtfepub.build_rtf(c).encode("utf-8")
 
     def parser(b):
         return rtfepub.parse_rtf(bytes(b).decode("utf-8", "replace"))
@@ -3573,8 +3591,10 @@ def q_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_RTF_EXTRACT = """
-SELECT doc_id, trim(text, chr(10) || ' ') AS text
+ORACLE_RTF_EXTRACT = r"""
+SELECT doc_id,
+       trim(regexp_replace(text, '\n{3,}', chr(10) || chr(10), 'g'),
+            chr(10) || ' ') AS text
 FROM documents
 WHERE length(text) > 0
 """

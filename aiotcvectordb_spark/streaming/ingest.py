@@ -61,6 +61,13 @@ def parse_documents_stream(
                     texts.append(None)
                     titles.append(None)
                     errors.append(str(e))
+                except Exception as e:  # noqa: BLE001 — poison-document
+                    # isolation: parsers promise ValueError, but a
+                    # leaked struct.error/KeyError from a hostile
+                    # payload must not kill the whole streaming query
+                    texts.append(None)
+                    titles.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(
                 {
                     name_col: names,

@@ -39,20 +39,43 @@ from aiotcvectordb_spark.pipelines import word_ngrams
 _DEFAULT_N = 8
 
 
+def _epoch_ids(spark, index_dir: str) -> list[int]:
+    """Committed ``epoch=N`` directory ids under ``index_dir``, via the
+    Hadoop FileSystem API — the same code path on local disk, HDFS,
+    and object stores (never ``os.listdir``). Empty list when the
+    index directory does not exist yet."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out: list[int] = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch="):
+            try:
+                out.append(int(name[6:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def _read_gram_index(spark, index_dir: str, *, before_epoch: int | None = None) -> DataFrame:
-    """Distinct grams across committed epochs; empty frame when no
-    epoch has committed yet. ``before_epoch`` restricts the read to
-    strictly earlier epochs — an at-least-once REPLAY of epoch N must
-    not see epoch N's own grams as 'prior corpus' (partition pruning
-    on the epoch directory makes the filter free)."""
-    try:
-        log = spark.read.option("basePath", index_dir).parquet(
-            os.path.join(index_dir, "epoch=*")
-        )
-    except Exception:
-        return spark.createDataFrame([], "gram string")
+    """Distinct grams across committed epochs; empty frame ONLY when
+    no epoch directory exists (checked explicitly — a transient read
+    failure re-raises so the micro-batch retries, instead of silently
+    cleaning against an empty index and breaking replay==original).
+    ``before_epoch`` restricts the read to strictly earlier epochs —
+    an at-least-once REPLAY of epoch N must not see epoch N's own
+    grams as 'prior corpus' (compacted generations use descending
+    NEGATIVE ids, so they are always 'earlier' than any live epoch)."""
+    epochs = _epoch_ids(spark, index_dir)
     if before_epoch is not None:
-        log = log.filter(F.col("epoch") < before_epoch)
+        epochs = [e for e in epochs if e < before_epoch]
+    if not epochs:
+        return spark.createDataFrame([], "gram string")
+    paths = [f"{index_dir}/epoch={e}" for e in epochs]
+    log = spark.read.option("basePath", index_dir).parquet(*paths)
     return log.select("gram").distinct()
 
 
@@ -131,14 +154,28 @@ def read_clean_docs(spark, results_dir: str) -> DataFrame:
 
 
 def compact_gram_index(spark, index_dir: str) -> None:
-    """Rewrite the epoch log as one epoch directory of global distinct
+    """Rewrite the epoch log as ONE epoch directory of global distinct
     grams (run offline between streaming runs; the read path is
-    identical before and after)."""
-    tmp = os.path.join(index_dir, "_compact_tmp")
-    _read_gram_index(spark, index_dir).write.mode("overwrite").parquet(tmp)
-    import shutil
+    identical before and after).
 
-    for name in os.listdir(index_dir):
-        if name.startswith("epoch="):
-            shutil.rmtree(os.path.join(index_dir, name))
-    os.rename(tmp, os.path.join(index_dir, "epoch=0"))
+    Object-store-safe by construction (r7): the compacted generation
+    is WRITTEN through Spark to a fresh ``epoch=<negative id>``
+    directory (ids descend -1, -2, ... across compactions — never
+    colliding with Structured Streaming's monotonically increasing
+    batch ids, and always passing any replay's ``before_epoch``
+    filter), then the superseded epoch directories are deleted through
+    the Hadoop FileSystem API. No rename anywhere, and every crash
+    window is safe: old ∪ compacted is the same distinct-gram set, so
+    a half-finished compaction changes nothing the readers see."""
+    epochs = _epoch_ids(spark, index_dir)
+    if len(epochs) <= 1:
+        return  # nothing to merge
+    target = min(epochs) - 1 if epochs[0] < 0 else -1
+    _read_gram_index(spark, index_dir).write.mode("overwrite").parquet(
+        f"{index_dir}/epoch={target}"
+    )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for e in epochs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/epoch={e}"), True)

@@ -66,6 +66,29 @@ def test_transparency_and_disposal_composite():
     assert np.array_equal(frames[1], frames[0])  # transparent px changed nothing
 
 
+def test_disposal_restore_to_previous():
+    import struct
+
+    # frame 1 full index-1; frame 2 draws index 2 at (0,0) with
+    # disposal 3 (restore-to-previous); frame 3 draws index 3 at (1,1).
+    # After frame 2 is composited the canvas must revert, so frame 3
+    # shows index 1 at (0,0) again — not frame 2's leftover pixel.
+    base = build_gif([np.ones((4, 4), dtype=np.uint8)], _PAL)
+    body = bytearray(base[:-1])  # drop trailer
+    body += bytes([0x21, 0xF9, 4, 3 << 2]) + struct.pack("<H", 0) + bytes([0, 0])
+    lzw2 = _lzw_gif_encode(bytes([2]), 2)
+    body += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 1, 1) + bytes([0x00, 2])
+    body += bytes([len(lzw2)]) + lzw2 + b"\x00"
+    lzw3 = _lzw_gif_encode(bytes([3]), 2)
+    body += bytes([0x2C]) + struct.pack("<HHHH", 1, 1, 1, 1) + bytes([0x00, 2])
+    body += bytes([len(lzw3)]) + lzw3 + b"\x00\x3B"
+    _, _, frames, _ = decode_gif(bytes(body))
+    assert len(frames) == 3
+    assert np.array_equal(frames[1][0, 0], _PAL[2])
+    assert np.array_equal(frames[2][0, 0], _PAL[1])  # restored
+    assert np.array_equal(frames[2][1, 1], _PAL[3])
+
+
 def test_rejections():
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"PNG not gif")

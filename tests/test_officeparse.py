@@ -191,3 +191,39 @@ def test_upload_docx_e2e(engine):
     joined = " ".join(c["text"] for c in chunks)
     assert "Revenue grew ten percent" in joined
     assert "word/document" not in joined
+
+
+def test_docx_oracle_agrees_on_trailing_newline_texts():
+    """r7 advice: texts ending in newlines used to hash-diverge when
+    the footnote/header variant fired (oracle trimmed the body before
+    appending notes; the parser kept the trailing empty paragraph).
+    Pin builder+parser == ORACLE_DOCX_EXTRACT for that class."""
+    import hashlib
+
+    import duckdb
+
+    from aiotcvectordb_spark.queries import ORACLE_DOCX_EXTRACT
+
+    texts = ["body line\n", "a\n\n", "para\n\npara2\n\n\n", "x", "tab\there\n"]
+    rows = [(i, texts[(i - 1) % len(texts)]) for i in range(1, 21)]
+
+    def extract(doc_id: int, t: str) -> str:
+        kw = {}
+        if hashlib.md5(str(doc_id).encode()).hexdigest()[0] in "01234":
+            kw = {
+                "footnote": f"Footnote for {doc_id}",
+                "header": f"Header of {doc_id}",
+            }
+        data = officeparse.build_docx(t.strip("\n"), **kw)
+        return officeparse.parse_docx(data)[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = dict(con.execute(ORACLE_DOCX_EXTRACT).fetchall())
+    variant_fired = 0
+    for doc_id, t in rows:
+        assert extract(doc_id, t) == oracle[doc_id], (doc_id, t)
+        if hashlib.md5(str(doc_id).encode()).hexdigest()[0] in "01234":
+            variant_fired += 1
+    assert variant_fired > 0

@@ -176,6 +176,27 @@ def test_xls_number_and_rk_cells():
     assert got == "2.5\t7"
 
 
+def test_xls_truncated_label_raises_valueerror_not_struct_error():
+    # Label with rec_len 9 (cch+flags only) but fRichSt|fExtSt set:
+    # the c_run/cb_ext unpacks read past the body and must surface as
+    # the module's ValueError contract, never a leaked struct.error.
+    from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
+    from aiotcvectordb_spark.operators.olebin import (
+        _B_BOF,
+        _B_EOF,
+        _B_LABEL,
+        _biff_record,
+    )
+
+    bof_g = _biff_record(_B_BOF, struct.pack("<HHHIII", 0x600, 0x5, 0, 0, 0, 0))
+    bof_s = _biff_record(_B_BOF, struct.pack("<HHHIII", 0x600, 0x10, 0, 0, 0, 0))
+    eof = _biff_record(_B_EOF, b"")
+    bad = _biff_record(_B_LABEL, struct.pack("<HHHHB", 0, 0, 15, 1, 0x0C))
+    wb = bof_g + eof + bof_s + bad + eof
+    with pytest.raises(ValueError):
+        parse_xls(_cfb_build({"Workbook": wb}))
+
+
 def test_xls_sst_continue_spanning_round_trip():
     # Force many Continue splits with a tiny record cap: splits land
     # between strings, inside narrow character data, and inside wide

@@ -135,3 +135,35 @@ def test_upload_rtf_and_epub_e2e(engine):
     )
     joined = " ".join(c["text"] for c in chunks)
     assert "epub chapter body" in joined and "content.opf" not in joined
+
+
+def test_rtf_oracle_agrees_on_blank_line_runs():
+    """r7 advice twin of the docx case: the RTF oracle used to predict
+    only the edge trim while parse_rtf also collapses 3+ newline runs.
+    Pin builder+parser == ORACLE_RTF_EXTRACT for that class."""
+    import re
+
+    import duckdb
+
+    from aiotcvectordb_spark.operators import rtfepub
+    from aiotcvectordb_spark.queries import ORACLE_RTF_EXTRACT
+
+    texts = [
+        "a\n\n\nb",
+        " leading and trailing \n",
+        "x\n\n\n\n\ny\n",
+        "plain",
+        "\n mixed \n\n\n edges \n ",
+    ]
+    rows = [(i, texts[i - 1]) for i in range(1, len(texts) + 1)]
+
+    def extract(t: str) -> str:
+        c = re.sub(r"\n{3,}", "\n\n", t).strip("\n ")
+        return rtfepub.parse_rtf(rtfepub.build_rtf(c))[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = dict(con.execute(ORACLE_RTF_EXTRACT).fetchall())
+    for doc_id, t in rows:
+        assert extract(t) == oracle[doc_id], (doc_id, t)

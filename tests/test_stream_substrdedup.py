@@ -123,3 +123,22 @@ def test_replay_is_idempotent_and_compaction_read_invariant(
     compact_gram_index(spark, index_dir)
     grams_after = {r.gram for r in _read_gram_index(spark, index_dir).collect()}
     assert grams_after == grams_before
+    # object-store-safe layout (r7): the compacted generation is a
+    # fresh NEGATIVE epoch id (no rename, no collision with future
+    # stream batch ids) and any replay's before_epoch still sees it
+    from aiotcvectordb_spark.streaming.substrdedup import _epoch_ids
+
+    assert _epoch_ids(spark, index_dir) == [-1]
+    replay_view = {
+        r.gram
+        for r in _read_gram_index(spark, index_dir, before_epoch=2).collect()
+    }
+    assert replay_view == grams_before
+    # a second compaction descends to -2 (never overwrites the
+    # directory it is reading) and preserves the distinct-gram set
+    sink(df.filter("doc_id <= 2"), 2)
+    compact_gram_index(spark, index_dir)
+    assert _epoch_ids(spark, index_dir) == [-2]
+    assert {
+        r.gram for r in _read_gram_index(spark, index_dir).collect()
+    } == grams_before
