@@ -101,6 +101,56 @@ def word_ngrams(df: DataFrame, n: int, *, id_col: str = "doc_id",
     )
 
 
+CJK_ROUTE_THRESHOLD = 0.3
+
+
+def cjk_ratio_col(text_col: str = "text"):
+    """Fraction of characters in the CJK ranges — the dedup family's
+    lane router (r7). Substring/line dedup tokenize on ASCII space,
+    which silently no-ops on CJK/whitespace-free text; documents above
+    ``CJK_ROUTE_THRESHOLD`` route to the char-n-gram lane instead
+    (the same reasoning that made BM25 char-bigram in
+    functions/sparse.py)."""
+    return F.length(
+        F.regexp_replace(F.col(text_col), f"[^{sparse_fn.CJK_RANGES}]", "")
+    ) / F.greatest(F.length(text_col), F.lit(1))
+
+
+def char_ngrams(df: DataFrame, n: int, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, i, gram): CHARACTER n-grams with 0-based start positions,
+    built JVM-side (substring over a position sequence, no UDF) — the
+    whitespace-free-script twin of ``word_ngrams``, shared by the
+    batch ``substring_dedup_cjk`` query and the streaming ingest twin.
+    Guarded to length >= n because Spark's ``sequence(1, 0)`` counts
+    DOWN, not empty."""
+    t = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    return t.filter(F.length("__t") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(__t) - {n - 1}), "
+                f"i -> substring(__t, i, {n}))"
+            )
+        ).alias("i", "gram"),
+    )
+
+
+def char_units(df: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, pos, unit): one row per character, 0-based — the char
+    lane's analog of the word lane's posexploded token stream."""
+    t = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    return t.filter(F.length("__t") >= 1).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(__t)), j -> substring(__t, j, 1))"
+            )
+        ).alias("pos", "unit"),
+    )
+
+
 def minhash_band_hashes(
     docs: DataFrame,
     *,

@@ -5052,6 +5052,171 @@ def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
     return word_ngrams(df, n)
 
 
+# 62 CJK codepoints standing in for [a-zA-Z0-9] when the fixture
+# corpus is CJK-ified (the test corpus is pure-ASCII, so the CJK lane
+# needs a constructed whitespace-free share — built identically in
+# Spark and the DuckDB oracle via translate()).
+_CJK_SRC = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+_CJK_DST = "".join(chr(0x4E00 + k) for k in range(len(_CJK_SRC)))
+_SUBSTR_CJK_CHAR_N = 12
+
+
+def q_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANG-ROUTED exact repeated-substring removal (r7) — closes the
+    multilingual gap where space-tokenized substring dedup silently
+    no-ops on CJK/whitespace-free documents (a CJK doc is ONE word
+    token, so no 8-gram ever fires). Documents whose CJK character
+    fraction exceeds ``pipelines.CJK_ROUTE_THRESHOLD`` route to a
+    CHARACTER-n-gram lane (``pipelines.char_ngrams``, N=12 chars, the
+    same reasoning that made BM25 char-bigram in functions/sparse.py);
+    the rest keep the word lane. Each lane runs the identical Lee et
+    al. pass — one gram aggregate for corpus-wide duplicates, bounded
+    coverage explode, LEFT ANTI keep join, ordered reassembly — so the
+    cost model is unchanged: keyed shuffles that partition with the
+    data, no pairwise doc comparison, at any corpus scale. Because
+    the test corpus is pure ASCII, docs with md5(doc_id) starting 0-7
+    are deterministically CJK-ified (translate to U+4E00.. + space
+    removal, mirrored in the oracle), so BOTH lanes and the router
+    itself are driver-hash-checked."""
+    from aiotcvectordb_spark import pipelines
+
+    n_w, n_c = _SUBSTR_DEDUP_N, _SUBSTR_CJK_CHAR_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
+    corpus = df.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            cjkified,
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    routed = corpus.withColumn("__r", pipelines.cjk_ratio_col("text"))
+    is_cjk = F.col("__r") >= pipelines.CJK_ROUTE_THRESHOLD
+    word_docs = routed.filter(~is_cjk).select("doc_id", "text")
+    char_docs = routed.filter(is_cjk).select("doc_id", "text")
+
+    def lane(docs, grams, units, n, joiner, name):
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("gram")
+        )
+        covered = (
+            grams.join(dup, "gram")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("i"), F.col("i") + n - 1)
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+        kept = units.join(covered, ["doc_id", "pos"], "left_anti")
+        return kept.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                    lambda s: s["unit"],
+                ),
+                joiner,
+            ).alias("clean_text"),
+            F.count("*").alias("kept_units"),
+        ).withColumn("lane", F.lit(name))
+
+    word_units = word_docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "unit")
+    )
+    out_w = lane(
+        word_docs, _word_ngrams(word_docs, n_w), word_units, n_w, " ", "word"
+    )
+    out_c = lane(
+        char_docs,
+        pipelines.char_ngrams(char_docs, n_c),
+        pipelines.char_units(char_docs),
+        n_c,
+        "",
+        "char",
+    )
+    return out_w.unionByName(out_c).select(
+        "doc_id", "lane", "clean_text", F.col("kept_units").cast("long")
+    )
+
+
+ORACLE_SUBSTRING_DEDUP_CJK = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7')
+              THEN translate(text, '{_CJK_SRC} ', '{_CJK_DST}')
+              ELSE text END AS text
+  FROM documents WHERE length(text) > 0
+), routed AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_replace(text, '[^぀-ヿ㐀-䶿一-鿿가-힯]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS r
+  FROM corpus
+), word_docs AS (
+  SELECT doc_id, text FROM routed WHERE r < 0.3
+), char_docs AS (
+  SELECT doc_id, text FROM routed WHERE r >= 0.3
+), wgrams AS (
+  SELECT doc_id, i,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM word_docs),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), wdup AS (
+  SELECT gram FROM wgrams GROUP BY gram HAVING count(*) >= 2
+), wcov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM wgrams g JOIN wdup USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), wtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS unit,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM word_docs
+), wkept AS (
+  SELECT t.doc_id, 'word' AS lane,
+         string_agg(t.unit, ' ' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM wtok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wcov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+), cgrams AS (
+  SELECT doc_id, i, substr(text, i, {_SUBSTR_CJK_CHAR_N}) AS gram
+  FROM char_docs,
+       LATERAL unnest(generate_series(1, length(text) - {_SUBSTR_CJK_CHAR_N - 1})) AS t(i)
+), cdup AS (
+  SELECT gram FROM cgrams GROUP BY gram HAVING count(*) >= 2
+), ccov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM cgrams g JOIN cdup USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_CJK_CHAR_N - 1})) AS c(pos)
+), ctok AS (
+  SELECT doc_id, j AS pos, substr(text, j, 1) AS unit
+  FROM char_docs, LATERAL unnest(generate_series(1, length(text))) AS t(j)
+), ckept AS (
+  SELECT t.doc_id, 'char' AS lane,
+         string_agg(t.unit, '' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM ctok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ccov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+)
+SELECT * FROM wkept UNION ALL SELECT * FROM ckept
+"""
+
+
 def q_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """substring_dedup's continuous-ingest twin: clean a NEW batch
     (doc_id % 10 == 0) against a STANDING corpus (the rest) without
@@ -6530,59 +6695,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # enforces this ordering plus the post-driver age cap by simulating
     # the driver consuming the front batch; tools/rotate_registry.py
     # regenerates this block. Re-rotation is the round's CLOSING commit.
-    # --- forced for r6: rewritten since last row / no row yet ---
-    "pdf_extract": q_pdf_extract,  # rewritten r6
-    "doc_extract": q_doc_extract,  # new, no driver row yet
-    "ppt_extract": q_ppt_extract,  # new, no driver row yet
-    "xls_extract": q_xls_extract,  # new, no driver row yet
-    "docx_extract": q_docx_extract,  # new, no driver row yet
-    "pptx_extract": q_pptx_extract,  # new, no driver row yet
-    "xlsx_extract": q_xlsx_extract,  # new, no driver row yet
-    "rtf_extract": q_rtf_extract,  # new, no driver row yet
-    "epub_extract": q_epub_extract,  # new, no driver row yet
-    "gif_frames": q_gif_frames,  # new, no driver row yet
-    "line_dedup": q_line_dedup,  # new, no driver row yet
-    "substring_dedup": q_substring_dedup,  # new, no driver row yet
-    "incremental_substring_dedup": q_incremental_substring_dedup,  # new, no driver row yet
-    "dataset_mix": q_dataset_mix,  # new, no driver row yet
-    # --- r3 rows (age 3) (must be in the next batch) ---
-    "semi_anti_join": q_semi_anti_join,
-    "rollup_agg": q_rollup_agg,
-    "lang_id": q_lang_id,
-    "interval_join": q_interval_join,
-    "join_pruned_dims": q_join_pruned_dims,
-    "event_window_agg": q_event_window_agg,
-    "knn_join": q_knn_join,
-    "search_by_id": q_search_by_id,
-    "sliding_window_agg": q_sliding_window_agg,
-    "dedup_exact": q_dedup_exact,
-    "upsert_merge": q_upsert_merge,
-    "search_flat_ip": q_search_flat_ip,
-    "asof_join": q_asof_join,
-    # --- r4 rows (age 2) ---
-    "fulltext_bm25_cjk": q_fulltext_bm25_cjk,
-    "fulltext_bm25": q_fulltext_bm25,
-    "sparse_encode": q_sparse_encode,
-    "hybrid_weighted": q_hybrid_weighted,
-    "hybrid_rrf": q_hybrid_rrf,
-    "embedding_near_dup": q_embedding_near_dup,
-    "jpeg_probe": q_jpeg_probe,
-    "jpeg_progressive_probe": q_jpeg_progressive_probe,
-    "lang_id_cjk": q_lang_id_cjk,
-    "doc_fingerprint": q_doc_fingerprint,
-    "text_quality": q_text_quality,
-    "doc_repetition": q_doc_repetition,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "dedup_components": q_dedup_components,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash_fingerprint": q_simhash_fingerprint,
-    "simhash_near_dup": q_simhash_near_dup,
-    "chunk_expand": q_chunk_expand,
-    "benchmark_decontaminate": q_benchmark_decontaminate,
-    "pack_sequences": q_pack_sequences,
-    "curate_corpus": q_curate_corpus,
-    "incremental_dedup": q_incremental_dedup,
+    # --- forced for r7: rewritten since last row / no row yet ---
+    "docx_extract": q_docx_extract,  # rewritten r7
+    "rtf_extract": q_rtf_extract,  # rewritten r7
+    "substring_dedup_cjk": q_substring_dedup_cjk,  # new, no driver row yet
+    # --- r4 rows (age 3) (must be in the next batch) ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
     "search_flat_l2": q_search_flat_l2,
@@ -6606,7 +6723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue_change": q_forecast_revenue_change,
     "small_quantity_revenue": q_small_quantity_revenue,
-    # --- r5 rows (age 1) ---
+    # --- r5 rows (age 2) ---
     "multimodal_features": q_multimodal_features,
     "unigram_logprob": q_unigram_logprob,
     "lang_top_terms": q_lang_top_terms,
@@ -6656,6 +6773,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_filter_limit": q_delete_filter_limit,
     "percentiles": q_percentiles,
     "query_filter_sort_paginate": q_query_filter_sort_paginate,
+    # --- r6 rows (age 1) ---
+    "pdf_extract": q_pdf_extract,
+    "doc_extract": q_doc_extract,
+    "ppt_extract": q_ppt_extract,
+    "xls_extract": q_xls_extract,
+    "pptx_extract": q_pptx_extract,
+    "xlsx_extract": q_xlsx_extract,
+    "epub_extract": q_epub_extract,
+    "gif_frames": q_gif_frames,
+    "line_dedup": q_line_dedup,
+    "substring_dedup": q_substring_dedup,
+    "incremental_substring_dedup": q_incremental_substring_dedup,
+    "dataset_mix": q_dataset_mix,
+    "semi_anti_join": q_semi_anti_join,
+    "rollup_agg": q_rollup_agg,
+    "lang_id": q_lang_id,
+    "interval_join": q_interval_join,
+    "join_pruned_dims": q_join_pruned_dims,
+    "event_window_agg": q_event_window_agg,
+    "knn_join": q_knn_join,
+    "search_by_id": q_search_by_id,
+    "sliding_window_agg": q_sliding_window_agg,
+    "dedup_exact": q_dedup_exact,
+    "upsert_merge": q_upsert_merge,
+    "search_flat_ip": q_search_flat_ip,
+    "asof_join": q_asof_join,
+    "fulltext_bm25_cjk": q_fulltext_bm25_cjk,
+    "fulltext_bm25": q_fulltext_bm25,
+    "sparse_encode": q_sparse_encode,
+    "hybrid_weighted": q_hybrid_weighted,
+    "hybrid_rrf": q_hybrid_rrf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "jpeg_probe": q_jpeg_probe,
+    "jpeg_progressive_probe": q_jpeg_progressive_probe,
+    "lang_id_cjk": q_lang_id_cjk,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_quality": q_text_quality,
+    "doc_repetition": q_doc_repetition,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "dedup_components": q_dedup_components,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_near_dup": q_simhash_near_dup,
+    "chunk_expand": q_chunk_expand,
+    "benchmark_decontaminate": q_benchmark_decontaminate,
+    "pack_sequences": q_pack_sequences,
+    "curate_corpus": q_curate_corpus,
+    "incremental_dedup": q_incremental_dedup,
     # --- non-oracled entries (rows-only driver check; order free) ---
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
@@ -6785,6 +6951,7 @@ ORACLES: dict[str, str] = {
     "correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
     "clean_text": ORACLE_CLEAN_TEXT,
     "line_dedup": ORACLE_LINE_DEDUP,
+    "substring_dedup_cjk": ORACLE_SUBSTRING_DEDUP_CJK,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "incremental_substring_dedup": ORACLE_INCREMENTAL_SUBSTRING_DEDUP,
     "dataset_mix": ORACLE_DATASET_MIX,

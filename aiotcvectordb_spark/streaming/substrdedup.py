@@ -34,9 +34,16 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from aiotcvectordb_spark.pipelines import word_ngrams
+from aiotcvectordb_spark.pipelines import (
+    CJK_ROUTE_THRESHOLD,
+    char_ngrams,
+    char_units,
+    cjk_ratio_col,
+    word_ngrams,
+)
 
 _DEFAULT_N = 8
+_DEFAULT_CHAR_N = 12  # char-lane gram width, = queries._SUBSTR_CJK_CHAR_N
 
 
 def _epoch_ids(spark, index_dir: str) -> list[int]:
@@ -73,10 +80,52 @@ def _read_gram_index(spark, index_dir: str, *, before_epoch: int | None = None) 
     if before_epoch is not None:
         epochs = [e for e in epochs if e < before_epoch]
     if not epochs:
-        return spark.createDataFrame([], "gram string")
+        return spark.createDataFrame([], "lane string, gram string")
     paths = [f"{index_dir}/epoch={e}" for e in epochs]
     log = spark.read.option("basePath", index_dir).parquet(*paths)
-    return log.select("gram").distinct()
+    return log.select("lane", "gram").distinct()
+
+
+def _lane_clean(df, grams, prior_grams, n: int, joiner: str):
+    """One lane of the Lee-et-al pass against a standing gram index:
+    positions covered by a prior-index gram or a batch-repeated gram
+    are cut; survivors reassemble in order. ``df`` must carry
+    (doc_id, text); ``grams`` (doc_id, i, gram) from the lane's
+    kernel. Returns (out, lane_grams): the per-doc cleaned frame and
+    the batch's distinct grams for the index."""
+    batch_dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    hot = prior_grams.union(batch_dup).distinct()
+    covered = (
+        grams.join(hot, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    if joiner == " ":
+        units = df.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "unit")
+        )
+    else:
+        units = char_units(df)
+    kept = units.join(covered, ["doc_id", "pos"], "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+    return out, grams.select("gram").distinct()
 
 
 def stream_substring_dedup_sink(
@@ -86,61 +135,77 @@ def stream_substring_dedup_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = _DEFAULT_N,
+    char_n: int = _DEFAULT_CHAR_N,
+    tokenizer: str = "word",
 ):
     """Returns a ``foreachBatch`` callable that cleans each arriving
     document of spans covered by already-seen (or batch-repeated)
     N-grams. Results land under ``results_dir/epoch=N`` as
-    (doc_id, clean_text, kept_tokens) rows; the gram index accumulates
-    under ``index_dir/epoch=N``. Both writes are per-epoch overwrites,
-    so replays are idempotent."""
+    (doc_id, clean_text, kept_tokens, lane) rows; the gram index
+    accumulates under ``index_dir/epoch=N`` as (lane, gram). Both
+    writes are per-epoch overwrites, so replays are idempotent.
+
+    ``tokenizer="auto"`` (r7) lang-routes each document exactly like
+    the batch ``substring_dedup_cjk`` query: CJK-heavy documents
+    (``pipelines.cjk_ratio_col`` >= threshold) run a CHARACTER-n-gram
+    lane, the rest the word lane — closing the gap where a
+    whitespace-free document was ONE token and the word pass silently
+    no-oped. Lanes are keyed separately in the index so a word gram
+    never collides with a char gram."""
+    if tokenizer not in ("word", "auto"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         df = batch_df.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         ).filter(F.length("text") > 0)
-        bg = word_ngrams(df, n).persist()
+        if tokenizer == "word":
+            lanes = [("word", df, n, " ")]
+        else:
+            routed = df.withColumn("__r", cjk_ratio_col("text"))
+            is_cjk = F.col("__r") >= CJK_ROUTE_THRESHOLD
+            lanes = [
+                ("word", routed.filter(~is_cjk).select("doc_id", "text"), n, " "),
+                ("char", routed.filter(is_cjk).select("doc_id", "text"),
+                 char_n, ""),
+            ]
+        prior = _read_gram_index(spark, index_dir, before_epoch=epoch_id)
+        outs, indexed = [], []
+        cached = []
         try:
-            prior = _read_gram_index(spark, index_dir, before_epoch=epoch_id)
-            batch_dup = (
-                bg.groupBy("gram")
-                .agg(F.count("*").alias("c"))
-                .filter(F.col("c") >= 2)
-                .select("gram")
-            )
-            hot = prior.union(batch_dup).distinct()
-            covered = (
-                bg.join(hot, "gram")
-                .select(
-                    "doc_id",
-                    F.explode(
-                        F.sequence(F.col("i"), F.col("i") + n - 1)
-                    ).alias("pos"),
+            for lane_name, lane_df, lane_n, joiner in lanes:
+                grams = (
+                    word_ngrams(lane_df, lane_n)
+                    if joiner == " "
+                    else char_ngrams(lane_df, lane_n)
+                ).persist()
+                cached.append(grams)
+                prior_lane = prior.filter(
+                    F.col("lane") == lane_name
+                ).select("gram")
+                out, lane_grams = _lane_clean(
+                    lane_df, grams, prior_lane, lane_n, joiner
                 )
-                .distinct()
-            )
-            tokens = df.select(
-                "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-            )
-            kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
-            out = kept.groupBy("doc_id").agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                        lambda s: s["tok"],
-                    ),
-                    " ",
-                ).alias("clean_text"),
-                F.count("*").alias("kept_tokens"),
-            )
-            out.write.mode("overwrite").parquet(
+                outs.append(out.withColumn("lane", F.lit(lane_name)))
+                indexed.append(
+                    lane_grams.select(F.lit(lane_name).alias("lane"), "gram")
+                )
+            result = outs[0]
+            for o in outs[1:]:
+                result = result.unionByName(o)
+            result.write.mode("overwrite").parquet(
                 os.path.join(results_dir, f"epoch={epoch_id}")
             )
-            bg.select("gram").distinct().write.mode("overwrite").parquet(
+            index = indexed[0]
+            for g in indexed[1:]:
+                index = index.unionByName(g)
+            index.write.mode("overwrite").parquet(
                 os.path.join(index_dir, f"epoch={epoch_id}")
             )
         finally:
-            bg.unpersist()
+            for c in cached:
+                c.unpersist()
 
     return apply_batch
 

@@ -142,3 +142,82 @@ def test_replay_is_idempotent_and_compaction_read_invariant(
     assert {
         r.gram for r in _read_gram_index(spark, index_dir).collect()
     } == grams_before
+
+
+def _cjk(k: int, n: int) -> str:
+    """n distinct CJK chars starting at offset k (test fixture text)."""
+    return "".join(chr(0x4E00 + k + j) for j in range(n))
+
+
+def test_auto_tokenizer_routes_and_cuts_cjk_spans(spark, tmp_path):
+    # epoch 0: one whitespace-free CJK doc. epoch 1: doc 2 copies doc
+    # 1's first 12 chars (cut against the index), doc 3 repeats a
+    # 12-char block internally (cut within the batch — the case the
+    # word tokenizer silently no-ops on), doc 4 is ASCII (word lane,
+    # intact).
+    corpus = [(1, _cjk(0, 30))]
+    s = _cjk(100, 12)
+    batch = [
+        (2, _cjk(0, 12) + _cjk(200, 10)),
+        (3, s + s + _cjk(300, 9)),
+        (4, "wholly distinct content with eight different words inside"),
+    ]
+    index_dir = str(tmp_path / "index")
+    results_dir = str(tmp_path / "results")
+    sink = stream_substring_dedup_sink(index_dir, results_dir, tokenizer="auto")
+    sink(spark.createDataFrame(corpus, "doc_id long, text string"), 0)
+    sink(spark.createDataFrame(batch, "doc_id long, text string"), 1)
+    rows = {
+        r.doc_id: (r.clean_text, r.lane)
+        for r in read_clean_docs(spark, results_dir).collect()
+    }
+    assert rows[1] == (_cjk(0, 30), "char")  # epoch 0: intact
+    assert rows[2] == (_cjk(200, 10), "char")  # copied span cut
+    assert rows[3] == (_cjk(300, 9), "char")  # in-batch repeat cut
+    assert rows[4] == (
+        "wholly distinct content with eight different words inside",
+        "word",
+    )
+
+
+def test_auto_stream_single_epoch_equals_batch_cjk_query(
+    spark, sf_dir, tmp_path
+):
+    """The whole constructed corpus in ONE epoch (empty prior index)
+    is the same computation as the batch substring_dedup_cjk query —
+    equality by shared kernel, proven bit-for-bit here."""
+    from aiotcvectordb_spark.queries import _CJK_DST, _CJK_SRC
+
+    import hashlib
+
+    tbl = str.maketrans(_CJK_SRC, _CJK_DST, " ")
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    constructed = [
+        (
+            i,
+            t.translate(tbl)
+            if hashlib.md5(str(i).encode()).hexdigest()[0] in "01234567"
+            else t,
+        )
+        for i, t in docs
+    ]
+    index_dir = str(tmp_path / "index")
+    results_dir = str(tmp_path / "results")
+    sink = stream_substring_dedup_sink(index_dir, results_dir, tokenizer="auto")
+    sink(spark.createDataFrame(constructed, "doc_id long, text string"), 0)
+    streamed = {
+        r.doc_id: (r.clean_text, r.kept_tokens, r.lane)
+        for r in read_clean_docs(spark, results_dir).collect()
+    }
+    batch = {
+        r.doc_id: (r.clean_text, r.kept_units, r.lane)
+        for r in Q.QUERIES["substring_dedup_cjk"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert {lane for _, _, lane in streamed.values()} == {"word", "char"}
