@@ -4877,19 +4877,11 @@ _MIX_BUDGET_FRAC = 0.3  # token budget as a fraction of corpus tokens
 _MIX_SALTS = 16
 
 
-def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budgeted dataset mixing — the 'data mixture' step of a
-    training run: given per-language target weights and a total token
-    budget (30% of the corpus here), pick documents per language until
-    that language's token quota fills, deterministically. Scale shape:
-    pass 1 is ONE tiny global aggregate (total tokens) broadcast back
-    onto the scan; selection is hash-ordered greedy *within
-    (lang, salt) buckets*, each owning quota/S tokens — the salted
-    two-phase trick (cf. group_topk_salted) that keeps every window
-    sort bounded to 1/S of a language, so a 90%-English corpus never
-    funnels into one partition. Selection is a pure function of
-    (doc_id, lang, n_tokens): stable under repartition and re-ingest,
-    like dataset_split."""
+def _mix_select(spark: SparkSession, sf_dir: str,
+                weights: dict[str, float]) -> DataFrame:
+    """Shared salted token-budget selection body of ``dataset_mix``
+    and ``dataset_mix_temp`` — identical plan, parameterized only by
+    the per-language weight map."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
         F.length("text") > 0
     )
@@ -4903,7 +4895,7 @@ def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmap = F.create_map(
         *[
             x
-            for lang, wt in sorted(_MIX_WEIGHTS.items())
+            for lang, wt in sorted(weights.items())
             for x in (F.lit(lang), F.lit(wt))
         ]
     )
@@ -4931,9 +4923,54 @@ def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MIX_W_SQL = ",".join(f"('{k}',{v})" for k, v in sorted(_MIX_WEIGHTS.items()))
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted dataset mixing — the 'data mixture' step of a
+    training run: given per-language target weights and a total token
+    budget (30% of the corpus here), pick documents per language until
+    that language's token quota fills, deterministically. Scale shape:
+    pass 1 is ONE tiny global aggregate (total tokens) broadcast back
+    onto the scan; selection is hash-ordered greedy *within
+    (lang, salt) buckets*, each owning quota/S tokens — the salted
+    two-phase trick (cf. group_topk_salted) that keeps every window
+    sort bounded to 1/S of a language, so a 90%-English corpus never
+    funnels into one partition. Selection is a pure function of
+    (doc_id, lang, n_tokens): stable under repartition and re-ingest,
+    like dataset_split."""
+    return _mix_select(spark, sf_dir, _MIX_WEIGHTS)
 
-ORACLE_DATASET_MIX = f"""
+
+_MIX_TEMPERATURE = 2.0
+
+
+def _temp_weights(weights: dict[str, float], T: float) -> dict[str, float]:
+    """Temperature-scaled mixture weights w ∝ w^(1/T), renormalized —
+    the standard pretraining mixture control (T>1 UPweights
+    low-resource languages toward uniform; T=1 is the base mixture).
+    Computed driver-side to full double precision; the Spark literals
+    and the oracle's VALUES rows carry the identical repr() floats, so
+    the greedy quota comparison is bit-equal on both engines."""
+    raised = {k: v ** (1.0 / T) for k, v in weights.items()}
+    z = sum(raised.values())
+    return {k: v / z for k, v in raised.items()}
+
+
+def q_dataset_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dataset_mix`` with the TEMPERATURE knob (r7): weights are
+    w^(1/T) renormalized (T=2 here — the up-sample-the-tail setting
+    every multilingual pretraining recipe uses, cf. mT5/XLM-R), then
+    the identical salted two-phase greedy selection runs. Same plan,
+    same scale shape — one tiny broadcast aggregate, (lang, salt)
+    bounded window sorts, deterministic under repartition."""
+    return _mix_select(
+        spark, sf_dir, _temp_weights(_MIX_WEIGHTS, _MIX_TEMPERATURE)
+    )
+
+
+def _mix_oracle_sql(weights: dict[str, float]) -> str:
+    w_sql = ",".join(
+        f"('{k}',{v!r})" for k, v in sorted(weights.items())
+    )
+    return f"""
 WITH toks AS (
   SELECT doc_id, lang,
          len(string_split(text, ' ')) AS n_tokens,
@@ -4942,7 +4979,7 @@ WITH toks AS (
 ), t AS (
   SELECT sum(n_tokens) AS total FROM toks
 ), w(lang, wt) AS (
-  VALUES {_MIX_W_SQL}
+  VALUES {w_sql}
 ), s AS (
   SELECT toks.*, h % {_MIX_SALTS} AS salt,
          CAST(wt AS DOUBLE) * total * {_MIX_BUDGET_FRAC} / {_MIX_SALTS} AS quota
@@ -4956,6 +4993,12 @@ WITH toks AS (
 SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
 FROM r WHERE run - n_tokens < quota
 """
+
+
+ORACLE_DATASET_MIX = _mix_oracle_sql(_MIX_WEIGHTS)
+ORACLE_DATASET_MIX_TEMP = _mix_oracle_sql(
+    _temp_weights(_MIX_WEIGHTS, _MIX_TEMPERATURE)
+)
 
 
 _SUBSTR_DEDUP_N = 8
@@ -6699,6 +6742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docx_extract": q_docx_extract,  # rewritten r7
     "rtf_extract": q_rtf_extract,  # rewritten r7
     "substring_dedup_cjk": q_substring_dedup_cjk,  # new, no driver row yet
+    "dataset_mix_temp": q_dataset_mix_temp,  # new r7, no driver row yet
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -6955,6 +6999,7 @@ ORACLES: dict[str, str] = {
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "incremental_substring_dedup": ORACLE_INCREMENTAL_SUBSTRING_DEDUP,
     "dataset_mix": ORACLE_DATASET_MIX,
+    "dataset_mix_temp": ORACLE_DATASET_MIX_TEMP,
     "dataset_split": ORACLE_DATASET_SPLIT,
     # stratified_sample: intentionally no oracle (engine RNG; property test)
     # embedding_near_dup_ivf: intentionally no oracle (iterative KMeans;
