@@ -247,12 +247,21 @@ def _core_xml(title: str) -> str:
     )
 
 
-def _w_paragraph(line: str) -> str:
+def _w_runs(segment: str) -> str:
     runs = (
         f'<w:r><w:t xml:space="preserve">{_xml_escape(seg)}</w:t></w:r>'
-        for seg in line.split("\t")
+        for seg in segment.split("\t")
     )
-    return "<w:p>" + "<w:r><w:tab/></w:r>".join(runs) + "</w:p>"
+    return "<w:r><w:tab/></w:r>".join(runs)
+
+
+def _w_paragraph(line: str, *, br_first_space: bool = False) -> str:
+    if br_first_space and " " in line:
+        a, b = line.split(" ", 1)
+        inner = _w_runs(a) + "<w:r><w:br/></w:r>" + _w_runs(b)
+    else:
+        inner = _w_runs(line)
+    return "<w:p>" + inner + "</w:p>"
 
 
 def build_docx(
@@ -261,14 +270,21 @@ def build_docx(
     title: str | None = None,
     footnote: str | None = None,
     header: str | None = None,
+    br_first_space: bool = False,
 ) -> bytes:
     """Write a minimal valid .docx whose extracted text is ``text``
     (lines = paragraphs, tabs preserved as <w:tab/>), optionally with
     a real footnote part (including Word's separator/
     continuationSeparator stubs, which extraction must skip) and a
     header part — appended to the extraction in the parser's
-    documented body -> notes -> header order."""
-    body = "".join(_w_paragraph(ln) for ln in text.split("\n"))
+    documented body -> notes -> header order. ``br_first_space`` (r7)
+    stores each paragraph's FIRST space as an explicit line break
+    ``<w:br/>`` — the extractor reads it back as a newline, putting
+    the break path on oracled round trips."""
+    body = "".join(
+        _w_paragraph(ln, br_first_space=br_first_space)
+        for ln in text.split("\n")
+    )
     parts = {
         "[Content_Types].xml": _CT_XML,
         "word/document.xml": (
@@ -319,12 +335,18 @@ def build_pptx(text: str, *, title: str | None = None) -> bytes:
     return _zip_pack(parts)
 
 
-def build_xlsx(text: str, *, title: str | None = None) -> bytes:
+def build_xlsx(
+    text: str, *, title: str | None = None, sheets: int = 1
+) -> bytes:
     """Write a minimal valid .xlsx whose extracted text is ``text``
     (lines = rows, tabs = cells). Cell encodings rotate deterministically
     so all three decode paths run: pure-digit cells as number cells,
     every third remaining cell as inlineStr, the rest through the
-    sharedStrings table."""
+    sharedStrings table. ``sheets`` > 1 (r7) splits the rows into that
+    many CONTIGUOUS worksheet parts (one sharedStrings table spanning
+    all of them), so the reader's multi-sheet walk and cross-sheet SST
+    indexing run on oracled round trips; trailing sheets may be empty
+    for short texts."""
     shared: list[str] = []
     index: dict[str, int] = {}
     rows_xml: list[str] = []
@@ -353,13 +375,18 @@ def build_xlsx(text: str, *, title: str | None = None) -> bytes:
         "xl/sharedStrings.xml": (
             _XML_DECL + f'<sst xmlns="{_S_URI}">{sst}</sst>'
         ),
-        "xl/worksheets/sheet1.xml": (
+    }
+    if sheets < 1:
+        raise ValueError("sheets must be >= 1")
+    per = -(-len(rows_xml) // sheets)  # ceil — contiguous chunks
+    for k in range(sheets):
+        chunk = rows_xml[k * per : (k + 1) * per]
+        parts[f"xl/worksheets/sheet{k + 1}.xml"] = (
             _XML_DECL
             + f'<worksheet xmlns="{_S_URI}"><sheetData>'
-            + "".join(rows_xml)
+            + "".join(chunk)
             + "</sheetData></worksheet>"
-        ),
-    }
+        )
     if title is not None:
         parts["docProps/core.xml"] = _core_xml(title)
     return _zip_pack(parts)

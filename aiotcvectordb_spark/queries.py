@@ -3455,7 +3455,12 @@ def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     a header part; the oracle predicts the documented
     body -> footnote -> header reading order, so stub-skipping and
     part ordering are driver-hash-checked, not just unit-tested.
-    Shuffle-free mapInPandas both ways — the 100 TB codec shape."""
+    r7 rotates two more writer-emission modes in so the reader's
+    break/tab paths are hash-proven too: md5 5-7 docs store each
+    paragraph's first space as an explicit ``<w:br/>`` (read back as
+    a newline), md5 8-a docs carry their second space as a real
+    ``<w:tab/>`` run. Shuffle-free mapInPandas both ways — the 100 TB
+    codec shape."""
     import hashlib
 
     from aiotcvectordb_spark.operators import officeparse, olebin
@@ -3465,12 +3470,22 @@ def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def variant(i, _t):
-        if hashlib.md5(str(i).encode("utf-8")).hexdigest()[0] in "01234":
+        h = hashlib.md5(str(i).encode("utf-8")).hexdigest()[0]
+        if h in "01234":
             return {
                 "footnote": f"Footnote for {i}",
                 "header": f"Header of {i}",
             }
+        if h in "567":
+            return {"br_first_space": True}
+        if h in "89a":
+            return {"tabify": True}
         return {}
+
+    def tabify_line(line: str) -> str:
+        i = line.find(" ")
+        j = line.find(" ", i + 1) if i >= 0 else -1
+        return line if j < 0 else line[:j] + "\t" + line[j + 1 :]
 
     def builder(t, **kw):
         # Canonical form (r7): build from edge-trimmed text, so the
@@ -3479,7 +3494,10 @@ def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         # texts ENDING in newlines too — previously the oracle trimmed
         # the body before appending 'Footnote/Header' while the parser
         # kept the trailing empty paragraph between body and notes.
-        return officeparse.build_docx(t.strip("\n"), **kw)
+        t = t.strip("\n")
+        if kw.pop("tabify", False):
+            t = "\n".join(tabify_line(ln) for ln in t.split("\n"))
+        return officeparse.build_docx(t, **kw)
 
     docs = olebin.with_office_payload(
         df, builder, alternate=False, variant_fn=variant
@@ -3496,6 +3514,17 @@ SELECT doc_id,
             THEN trim(trim(text, chr(10)) || chr(10) ||
                  'Footnote for ' || CAST(doc_id AS VARCHAR) || chr(10) ||
                  'Header of ' || CAST(doc_id AS VARCHAR), chr(10))
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                 ('5','6','7')
+            THEN trim(array_to_string(list_transform(
+                   string_split(trim(text, chr(10)), chr(10)),
+                   l -> regexp_replace(l, ' ', chr(10))), chr(10)), chr(10))
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                 ('8','9','a')
+            THEN array_to_string(list_transform(
+                   string_split(trim(text, chr(10)), chr(10)),
+                   l -> regexp_replace(l, '^([^ ]* [^ ]*) ', '\\1' || chr(9))),
+                 chr(10))
             ELSE trim(text, chr(10)) END AS text
 FROM documents
 WHERE length(text) > 0
@@ -3534,14 +3563,36 @@ def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/officeparse.build_xlsx`` — lines as rows, tabs as
     cells, encodings rotating number / inlineStr / sharedStrings so
     all three cell-decode paths run under the oracle), parsed back to
-    tab/newline text. Shuffle-free mapInPandas both ways."""
+    tab/newline text. r7: documents with md5(doc_id) starting 0-7
+    split their first two spaces into row breaks and are written as a
+    THREE-worksheet workbook (contiguous row chunks, one shared-string
+    table spanning all sheets), so the reader's multi-sheet walk and
+    cross-sheet SST indexing are driver-hash-proven. Shuffle-free
+    mapInPandas both ways."""
+    import hashlib
+
     from aiotcvectordb_spark.operators import officeparse, olebin
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
         F.length("text") > 0
     )
+
+    def variant(i, _t):
+        if hashlib.md5(str(i).encode("utf-8")).hexdigest()[0] in "01234567":
+            return {"multisheet": True}
+        return {}
+
+    def builder(t, **kw):
+        if kw.pop("multisheet", False):
+            # first two spaces become row breaks -> three rows, one
+            # per worksheet (trailing sheets empty for short texts)
+            return officeparse.build_xlsx(
+                t.replace(" ", "\n", 2), sheets=3, **kw
+            )
+        return officeparse.build_xlsx(t, **kw)
+
     books = olebin.with_office_payload(
-        df, officeparse.build_xlsx, alternate=False
+        df, builder, alternate=False, variant_fn=variant
     )
     return olebin.extract_office_text_df(books, officeparse.parse_xlsx).select(
         "doc_id", "text"
@@ -3549,7 +3600,12 @@ def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_XLSX_EXTRACT = """
-SELECT doc_id, trim(text, chr(10)) AS text
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                 ('0','1','2','3','4','5','6','7')
+            THEN trim(regexp_replace(regexp_replace(text, ' ', chr(10)),
+                                     ' ', chr(10)), chr(10))
+            ELSE trim(text, chr(10)) END AS text
 FROM documents
 WHERE length(text) > 0
 """
@@ -6742,7 +6798,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docx_extract": q_docx_extract,  # rewritten r7
     "rtf_extract": q_rtf_extract,  # rewritten r7
     "substring_dedup_cjk": q_substring_dedup_cjk,  # new, no driver row yet
-    "dataset_mix_temp": q_dataset_mix_temp,  # new r7, no driver row yet
+    "dataset_mix_temp": q_dataset_mix_temp,  # new, no driver row yet
+    "xlsx_extract": q_xlsx_extract,  # rewritten r7
+    "dataset_mix": q_dataset_mix,  # rewritten r7
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -6823,13 +6881,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppt_extract": q_ppt_extract,
     "xls_extract": q_xls_extract,
     "pptx_extract": q_pptx_extract,
-    "xlsx_extract": q_xlsx_extract,
     "epub_extract": q_epub_extract,
     "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
     "incremental_substring_dedup": q_incremental_substring_dedup,
-    "dataset_mix": q_dataset_mix,
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
     "lang_id": q_lang_id,

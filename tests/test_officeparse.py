@@ -207,14 +207,25 @@ def test_docx_oracle_agrees_on_trailing_newline_texts():
     texts = ["body line\n", "a\n\n", "para\n\npara2\n\n\n", "x", "tab\there\n"]
     rows = [(i, texts[(i - 1) % len(texts)]) for i in range(1, 21)]
 
+    def tabify_line(line: str) -> str:
+        i = line.find(" ")
+        j = line.find(" ", i + 1) if i >= 0 else -1
+        return line if j < 0 else line[:j] + "\t" + line[j + 1 :]
+
     def extract(doc_id: int, t: str) -> str:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
         kw = {}
-        if hashlib.md5(str(doc_id).encode()).hexdigest()[0] in "01234":
+        if h in "01234":
             kw = {
                 "footnote": f"Footnote for {doc_id}",
                 "header": f"Header of {doc_id}",
             }
-        data = officeparse.build_docx(t.strip("\n"), **kw)
+        t = t.strip("\n")
+        if h in "567":
+            kw = {"br_first_space": True}
+        if h in "89a":
+            t = "\n".join(tabify_line(ln) for ln in t.split("\n"))
+        data = officeparse.build_docx(t, **kw)
         return officeparse.parse_docx(data)[0]
 
     con = duckdb.connect()
@@ -227,3 +238,26 @@ def test_docx_oracle_agrees_on_trailing_newline_texts():
         if hashlib.md5(str(doc_id).encode()).hexdigest()[0] in "01234":
             variant_fired += 1
     assert variant_fired > 0
+
+
+def test_docx_br_first_space_round_trip():
+    data = officeparse.build_docx(
+        "alpha beta gamma\nsecond line here", br_first_space=True
+    )
+    text, _ = officeparse.parse_docx(data)
+    assert text == "alpha\nbeta gamma\nsecond\nline here"
+
+
+def test_xlsx_multisheet_round_trip_and_layout():
+    src = "r1c1\tr1c2\nrow two\nrow three\nrow four\nrow five"
+    data = officeparse.build_xlsx(src, sheets=3)
+    import io
+    import zipfile
+
+    names = zipfile.ZipFile(io.BytesIO(data)).namelist()
+    assert {f"xl/worksheets/sheet{k}.xml" for k in (1, 2, 3)} <= set(names)
+    text, _ = officeparse.parse_xlsx(data)
+    assert text == src
+    # short text: trailing sheets empty, round trip still exact
+    short = officeparse.build_xlsx("only row", sheets=3)
+    assert officeparse.parse_xlsx(short)[0] == "only row"

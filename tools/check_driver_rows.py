@@ -99,6 +99,7 @@ REWRITES: dict[str, int] = {
     "dataset_mix": 7,  # r7 body shared with dataset_mix_temp (same plan)
     "docx_extract": 7,  # r7 canonical edge-trim builder + outer-trim oracle
     "rtf_extract": 7,  # r7 canonical blank-line-run collapse at the builder
+    "xlsx_extract": 7,  # r7 three-sheet variant on the oracled round trip
 }
 
 
