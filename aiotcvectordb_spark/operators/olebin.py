@@ -394,6 +394,8 @@ _B_NUMBER = 0x0203
 _B_RK = 0x027E
 _B_FILEPASS = 0x002F
 _B_CONTINUE = 0x003C
+_B_FORMULA = 0x0006
+_B_STRING = 0x0207
 
 
 class _SstCursor:
@@ -551,6 +553,7 @@ def _parse_xls(data: bytes) -> tuple[str, str | None]:
     sst: list[str] = []
     sheets: list[dict[tuple[int, int], str]] = []
     cells: dict[tuple[int, int], str] | None = None
+    pending_str: tuple[int, int] | None = None  # Formula awaiting String
     i, n = 0, len(stream)
     while i + 4 <= n:
         (rec_type, rec_len) = struct.unpack_from("<HH", stream, i)
@@ -569,9 +572,11 @@ def _parse_xls(data: bytes) -> tuple[str, str | None]:
             else:
                 cells = {}
                 sheets.append(cells)
+            pending_str = None
             continue
         if rec_type == _B_EOF:
             cells = None
+            pending_str = None
             continue
         if rec_type == _B_SST and rec_len >= 8:
             parts = [body]
@@ -597,6 +602,44 @@ def _parse_xls(data: bytes) -> tuple[str, str | None]:
             rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
             (rk,) = struct.unpack_from("<I", body, 6)
             cells[(rw, col)] = _fmt_num(_decode_rk(rk))
+        elif cells is not None and rec_type == _B_FORMULA and rec_len >= 20:
+            # [MS-XLS] 2.4.127: the parser renders the CACHED result
+            # (FormulaValue / trailing String record) — real workbooks
+            # are full of Formula cells and BIFF stores the last
+            # computed value inline, so no expression evaluation needed
+            rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
+            val = body[6:14]
+            if val[6:8] == b"\xff\xff":
+                t = val[0]
+                if t == 0:  # cached string follows in a String record
+                    cells[(rw, col)] = ""
+                    pending_str = (rw, col)
+                elif t == 1:  # cached boolean
+                    cells[(rw, col)] = "TRUE" if val[2] else "FALSE"
+                elif t == 3:  # cached blank string
+                    cells[(rw, col)] = ""
+                else:  # cached error value
+                    cells[(rw, col)] = "#ERR"
+            else:
+                (v,) = struct.unpack_from("<d", body, 6)
+                cells[(rw, col)] = _fmt_num(v)
+        elif (
+            cells is not None
+            and rec_type == _B_STRING
+            and pending_str is not None
+            and rec_len >= 3
+        ):
+            cch, fl = struct.unpack_from("<HB", body, 0)
+            width = 2 if fl & 0x1 else 1
+            raw = body[3 : 3 + cch * width]
+            if len(raw) < cch * width:
+                raise ValueError("corrupt .xls: String record short of cch")
+            cells[pending_str] = (
+                raw.decode("utf-16-le", "replace")
+                if width == 2
+                else raw.decode("cp1252")
+            )
+            pending_str = None
     if not sheets and not sst:
         raise ValueError("no BIFF cell records found in the Workbook stream")
     out_lines: list[str] = []
@@ -672,12 +715,56 @@ def _sst_records(
     return out
 
 
-def build_xls(text: str, *, sst_max_body: int = _BIFF_MAX_BODY) -> bytes:
+def _formula_cached_number(rw: int, col: int, v: float) -> bytes:
+    """Formula record whose FormulaValue is the cached double and
+    whose rgce is the matching PtgNum constant expression."""
+    rgce = b"\x1f" + struct.pack("<d", v)
+    return _biff_record(
+        _B_FORMULA,
+        struct.pack("<HHH", rw, col, 15)
+        + struct.pack("<d", v)
+        + struct.pack("<HIH", 0, 0, len(rgce))
+        + rgce,
+    )
+
+
+def _formula_cached_string(rw: int, col: int, s: str) -> bytes:
+    """Formula record with the string-result marker (byte 0 = 0,
+    bytes 6-7 = FFFF), a PtgStr constant rgce, and the cached value in
+    the trailing String record ([MS-XLS] 2.5.133 + 2.4.268)."""
+    try:
+        enc, high = s.encode("cp1252"), 0
+    except UnicodeEncodeError:
+        enc, high = s.encode("utf-16-le"), 1
+    rgce = b"\x17" + bytes([len(s), high]) + enc
+    formula = _biff_record(
+        _B_FORMULA,
+        struct.pack("<HHH", rw, col, 15)
+        + bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])
+        + struct.pack("<HIH", 0, 0, len(rgce))
+        + rgce,
+    )
+    return formula + _biff_record(
+        _B_STRING, struct.pack("<HB", len(s), high) + enc
+    )
+
+
+def build_xls(
+    text: str,
+    *,
+    sst_max_body: int = _BIFF_MAX_BODY,
+    formula_cells: bool = False,
+) -> bytes:
     """Write a minimal valid BIFF8 .xls whose extracted text is
     ``text``: lines become rows, tabs split cells; all cells go
     through the SST + LabelSst path (both character widths chosen per
     cell content). ``sst_max_body`` shrinks the record cap so tests
-    can force Continue splits without megabyte inputs."""
+    can force Continue splits without megabyte inputs.
+    ``formula_cells`` (r7) stores eligible cells as Formula records
+    carrying CACHED results instead: canonical integer cells as a
+    cached-number FormulaValue (PtgNum rgce), and every second string
+    cell of <= 255 chars as a cached-string Formula + String record
+    pair — the record shapes real workbooks are full of."""
     rows = [line.split("\t") for line in text.split("\n")]
     strings: list[str] = []
     index: dict[str, int] = {}
@@ -687,6 +774,21 @@ def build_xls(text: str, *, sst_max_body: int = _BIFF_MAX_BODY) -> bytes:
         if rw > 0xFFFF:
             raise ValueError("too many rows for BIFF8 (max 65536)")
         for col, s in enumerate(cols):
+            if (
+                formula_cells
+                and s.isdigit()
+                and len(s) <= 15  # exact in a double
+                and s == str(int(s))
+            ):
+                cell_recs += _formula_cached_number(rw, col, float(s))
+                continue
+            if (
+                formula_cells
+                and 0 < len(s) <= 255
+                and (rw + col) % 2 == 0
+            ):
+                cell_recs += _formula_cached_string(rw, col, s)
+                continue
             if s not in index:
                 index[s] = len(strings)
                 strings.append(s)

@@ -3415,9 +3415,15 @@ def q_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     workbook is written with a 256-byte record cap so its SST spans
     Continue records ([MS-XLS] 2.4.58/2.5.293) — splits between
     strings and mid-character-array with fresh option bytes — putting
-    the spanning reader on the oracled path. DuckDB predicts the
-    extraction exactly, hash-checking the record scan, SST decoding
-    (single-record and Continue-spanning), and row/cell assembly."""
+    the spanning reader on the oracled path. r7: an independent half
+    of the corpus (crc of id+'f') is written with ``formula_cells`` —
+    eligible cells become Formula records carrying CACHED results
+    ([MS-XLS] 2.4.127: cached-string Formula + String record pairs,
+    cached-number FormulaValues), the record shapes real workbooks
+    are full of, so the cached-result reader is driver-hash-proven.
+    DuckDB predicts the extraction exactly, hash-checking the record
+    scan, SST decoding (single-record and Continue-spanning), formula
+    caches, and row/cell assembly."""
     import zlib
 
     from aiotcvectordb_spark.operators import olebin
@@ -3427,9 +3433,12 @@ def q_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def variant(i, _t):
+        kw = {}
         if zlib.crc32(str(i).encode("utf-8")) % 2 == 0:
-            return {"sst_max_body": 256}
-        return {}
+            kw["sst_max_body"] = 256
+        if zlib.crc32((str(i) + "f").encode("utf-8")) % 2 == 0:
+            kw["formula_cells"] = True
+        return kw
 
     books = olebin.with_office_payload(df, olebin.build_xls, variant_fn=variant)
     return olebin.extract_office_text_df(books, olebin.parse_xls).select(
@@ -6801,6 +6810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mix_temp": q_dataset_mix_temp,  # new, no driver row yet
     "xlsx_extract": q_xlsx_extract,  # rewritten r7
     "dataset_mix": q_dataset_mix,  # rewritten r7
+    "xls_extract": q_xls_extract,  # rewritten r7
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -6879,7 +6889,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_extract": q_pdf_extract,
     "doc_extract": q_doc_extract,
     "ppt_extract": q_ppt_extract,
-    "xls_extract": q_xls_extract,
     "pptx_extract": q_pptx_extract,
     "epub_extract": q_epub_extract,
     "gif_frames": q_gif_frames,

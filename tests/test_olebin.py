@@ -341,3 +341,49 @@ def test_upload_ppt_xls_e2e(engine):
             assert "Forecast overview slide" in joined
         else:
             assert "revenue" in joined and "1200" in joined
+
+
+def test_xls_formula_cached_values_round_trip():
+    # mixed rows: canonical integers -> cached-number Formula records,
+    # short strings on even (rw+col) -> cached-string Formula + String
+    # record pairs, everything else through the SST/LabelSst path
+    text = "alpha\t123\tbeta\n42\tgamma delta\t007\nwide值\t999999999999999"
+    got, _ = parse_xls(build_xls(text, formula_cells=True))
+    assert got == text
+    # formula mode composes with forced SST Continue splits
+    got2, _ = parse_xls(build_xls(text, formula_cells=True, sst_max_body=64))
+    assert got2 == text
+
+
+def test_xls_formula_cached_bool_error_blank():
+    from aiotcvectordb_spark.operators.cfbdoc import _cfb_build
+    from aiotcvectordb_spark.operators.olebin import (
+        _B_BOF,
+        _B_EOF,
+        _B_FORMULA,
+        _biff_record,
+    )
+
+    def fval(t, b2=0):
+        return bytes([t, 0, b2, 0, 0, 0, 0xFF, 0xFF])
+
+    bof_g = _biff_record(_B_BOF, struct.pack("<HHHIII", 0x600, 0x5, 0, 0, 0, 0))
+    bof_s = _biff_record(_B_BOF, struct.pack("<HHHIII", 0x600, 0x10, 0, 0, 0, 0))
+    eof = _biff_record(_B_EOF, b"")
+
+    def frec(col, val):
+        return _biff_record(
+            _B_FORMULA,
+            struct.pack("<HHH", 0, col, 15) + val + struct.pack("<HIH", 0, 0, 0),
+        )
+
+    wb = (
+        bof_g + eof + bof_s
+        + frec(0, fval(1, 1))   # cached TRUE
+        + frec(1, fval(1, 0))   # cached FALSE
+        + frec(2, fval(2, 7))   # cached error
+        + frec(3, fval(3))      # cached blank
+        + eof
+    )
+    got, _ = parse_xls(_cfb_build({"Workbook": wb}))
+    assert got == "TRUE\tFALSE\t#ERR\t"
