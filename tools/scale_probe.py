@@ -56,6 +56,7 @@ PROBE_QUERIES = [
     "token_count",
     "line_dedup",
     "substring_dedup",
+    "substring_dedup_hashed",
     "substring_dedup_cjk",
     "dataset_mix",
     "pricing_summary",
