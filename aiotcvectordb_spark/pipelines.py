@@ -151,6 +151,55 @@ def char_units(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def lane_cut(df: DataFrame, grams: DataFrame, prior_grams: DataFrame,
+             n: int, joiner: str) -> tuple[DataFrame, DataFrame]:
+    """One lane of the Lee-et-al substring-removal pass against a
+    standing gram index: positions covered by a prior-index gram or a
+    gram repeated within ``df`` itself are cut; survivors reassemble
+    in order. The SHARED kernel of the batch ``substring_dedup_cjk``
+    / ``incremental_substring_dedup_cjk`` queries and the streaming
+    ingest twin (streaming/substrdedup.py) — one implementation, so
+    batch, incremental, and stream agree by construction. ``df``
+    carries (doc_id, text); ``grams`` (doc_id, i, gram) from
+    ``word_ngrams`` (joiner " ") or ``char_ngrams`` (joiner "").
+    Returns (out, lane_grams): the per-doc cleaned frame
+    (doc_id, clean_text, kept_tokens) and the batch's distinct grams
+    for index maintenance."""
+    batch_dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    hot = prior_grams.union(batch_dup).distinct()
+    covered = (
+        grams.join(hot, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    if joiner == " ":
+        units = df.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "unit")
+        )
+    else:
+        units = char_units(df)
+    kept = units.join(covered, ["doc_id", "pos"], "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+    return out, grams.select("gram").distinct()
+
+
 def minhash_band_hashes(
     docs: DataFrame,
     *,

@@ -5267,52 +5267,162 @@ def q_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_docs = routed.filter(~is_cjk).select("doc_id", "text")
     char_docs = routed.filter(is_cjk).select("doc_id", "text")
 
-    def lane(docs, grams, units, n, joiner, name):
-        dup = (
-            grams.groupBy("gram")
-            .agg(F.count("*").alias("c"))
-            .filter(F.col("c") >= 2)
-            .select("gram")
+    empty = spark.createDataFrame([], "gram string")
+    out_w, _ = pipelines.lane_cut(
+        word_docs, _word_ngrams(word_docs, n_w), empty, n_w, " "
+    )
+    out_c, _ = pipelines.lane_cut(
+        char_docs, pipelines.char_ngrams(char_docs, n_c), empty, n_c, ""
+    )
+    return (
+        out_w.withColumn("lane", F.lit("word"))
+        .unionByName(out_c.withColumn("lane", F.lit("char")))
+        .select(
+            "doc_id",
+            "lane",
+            "clean_text",
+            F.col("kept_tokens").cast("long").alias("kept_units"),
         )
-        covered = (
-            grams.join(dup, "gram")
-            .select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.col("i"), F.col("i") + n - 1)
-                ).alias("pos"),
-            )
-            .distinct()
-        )
-        kept = units.join(covered, ["doc_id", "pos"], "left_anti")
-        return kept.groupBy("doc_id").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
-                    lambda s: s["unit"],
-                ),
-                joiner,
-            ).alias("clean_text"),
-            F.count("*").alias("kept_units"),
-        ).withColumn("lane", F.lit(name))
+    )
 
-    word_units = word_docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "unit")
+
+def q_incremental_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lang-routed pass's continuous-ingest twin (r7) — composes
+    ``incremental_substring_dedup``'s batch-vs-standing-index shape
+    with ``substring_dedup_cjk``'s lane routing: a NEW batch
+    (doc_id % 10 == 0 of the constructed mixed-script corpus) is
+    cleaned against the standing corpus's PER-LANE distinct-gram
+    indexes (word grams check the word index, char grams the char
+    index — lanes can never cross-fire) plus within-batch repeats.
+    Cost stays O(batch + index collisions); the corpus is never
+    self-joined. All three compositions — routing, incremental index,
+    streaming ingest — now run the same ``pipelines.lane_cut`` kernel,
+    and this query puts the routing×incremental interaction under the
+    DuckDB driver oracle (the streaming twin proves it only
+    Spark-vs-Spark)."""
+    from aiotcvectordb_spark import pipelines
+
+    n_w, n_c = _SUBSTR_DEDUP_N, _SUBSTR_CJK_CHAR_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
     )
-    out_w = lane(
-        word_docs, _word_ngrams(word_docs, n_w), word_units, n_w, " ", "word"
+    cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
+    corpus = df.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            cjkified,
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
     )
-    out_c = lane(
-        char_docs,
-        pipelines.char_ngrams(char_docs, n_c),
-        pipelines.char_units(char_docs),
-        n_c,
-        "",
-        "char",
+    routed = corpus.withColumn("__r", pipelines.cjk_ratio_col("text"))
+    is_cjk = F.col("__r") >= pipelines.CJK_ROUTE_THRESHOLD
+    is_batch = F.col("doc_id") % 10 == 0
+    outs = []
+    for name, cond, n, joiner, kernel in (
+        ("word", ~is_cjk, n_w, " ", _word_ngrams),
+        ("char", is_cjk, n_c, "", pipelines.char_ngrams),
+    ):
+        batch_docs = routed.filter(cond & is_batch).select("doc_id", "text")
+        standing = routed.filter(cond & ~is_batch).select("doc_id", "text")
+        prior = kernel(standing, n).select("gram").distinct()
+        out, _ = pipelines.lane_cut(
+            batch_docs, kernel(batch_docs, n), prior, n, joiner
+        )
+        outs.append(out.withColumn("lane", F.lit(name)))
+    return outs[0].unionByName(outs[1]).select(
+        "doc_id",
+        "lane",
+        "clean_text",
+        F.col("kept_tokens").cast("long").alias("kept_units"),
     )
-    return out_w.unionByName(out_c).select(
-        "doc_id", "lane", "clean_text", F.col("kept_units").cast("long")
-    )
+
+
+ORACLE_INCREMENTAL_SUBSTRING_DEDUP_CJK = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7')
+              THEN translate(text, '{_CJK_SRC} ', '{_CJK_DST}')
+              ELSE text END AS text
+  FROM documents WHERE length(text) > 0
+), routed AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_replace(text, '[^぀-ヿ㐀-䶿一-鿿가-힯]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS r
+  FROM corpus
+), wb AS (
+  SELECT doc_id, text FROM routed WHERE r < 0.3 AND doc_id % 10 = 0
+), ws AS (
+  SELECT doc_id, text FROM routed WHERE r < 0.3 AND doc_id % 10 <> 0
+), cb AS (
+  SELECT doc_id, text FROM routed WHERE r >= 0.3 AND doc_id % 10 = 0
+), cs AS (
+  SELECT doc_id, text FROM routed WHERE r >= 0.3 AND doc_id % 10 <> 0
+), wbg AS (
+  SELECT doc_id, i,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM wb),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), windex AS (
+  SELECT DISTINCT array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ws),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), whot AS (
+  SELECT gram FROM windex
+  UNION
+  SELECT gram FROM wbg GROUP BY gram HAVING count(*) >= 2
+), wcov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM wbg g JOIN whot USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), wtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS unit,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM wb
+), wkept AS (
+  SELECT t.doc_id, 'word' AS lane,
+         string_agg(t.unit, ' ' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM wtok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wcov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+), cbg AS (
+  SELECT doc_id, i, substr(text, i, {_SUBSTR_CJK_CHAR_N}) AS gram
+  FROM cb,
+       LATERAL unnest(generate_series(1, length(text) - {_SUBSTR_CJK_CHAR_N - 1})) AS t(i)
+), cindex AS (
+  SELECT DISTINCT substr(text, i, {_SUBSTR_CJK_CHAR_N}) AS gram
+  FROM cs,
+       LATERAL unnest(generate_series(1, length(text) - {_SUBSTR_CJK_CHAR_N - 1})) AS t(i)
+), chot AS (
+  SELECT gram FROM cindex
+  UNION
+  SELECT gram FROM cbg GROUP BY gram HAVING count(*) >= 2
+), ccov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM cbg g JOIN chot USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_CJK_CHAR_N - 1})) AS c(pos)
+), ctok AS (
+  SELECT doc_id, j AS pos, substr(text, j, 1) AS unit
+  FROM cb, LATERAL unnest(generate_series(1, length(text))) AS t(j)
+), ckept AS (
+  SELECT t.doc_id, 'char' AS lane,
+         string_agg(t.unit, '' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM ctok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ccov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+)
+SELECT * FROM wkept UNION ALL SELECT * FROM ckept
+"""
 
 
 ORACLE_SUBSTRING_DEDUP_CJK = f"""
@@ -6866,6 +6976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rtf_extract": q_rtf_extract,  # rewritten r7
     "substring_dedup_cjk": q_substring_dedup_cjk,  # new, no driver row yet
     "dataset_mix_temp": q_dataset_mix_temp,  # new, no driver row yet
+    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,  # new, no driver row yet
     "xlsx_extract": q_xlsx_extract,  # rewritten r7
     "dataset_mix": q_dataset_mix,  # rewritten r7
     "xls_extract": q_xls_extract,  # rewritten r7
@@ -7005,9 +7116,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "embedding_pca": q_embedding_pca,
     "bpe_token_count": q_bpe_token_count,
-    # rows-only by design: 128-bit hashed gram keys have no DuckDB
-    # analog; bit-equality with the oracled string-exact query is
-    # pinned in tests/test_dedup_text_relational.py
     "substring_dedup_hashed": q_substring_dedup_hashed,
 }
 
@@ -7127,6 +7235,7 @@ ORACLES: dict[str, str] = {
     "incremental_substring_dedup": ORACLE_INCREMENTAL_SUBSTRING_DEDUP,
     "dataset_mix": ORACLE_DATASET_MIX,
     "dataset_mix_temp": ORACLE_DATASET_MIX_TEMP,
+    "incremental_substring_dedup_cjk": ORACLE_INCREMENTAL_SUBSTRING_DEDUP_CJK,
     "dataset_split": ORACLE_DATASET_SPLIT,
     # stratified_sample: intentionally no oracle (engine RNG; property test)
     # embedding_near_dup_ivf: intentionally no oracle (iterative KMeans;

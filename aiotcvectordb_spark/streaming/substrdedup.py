@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 from aiotcvectordb_spark.pipelines import (
     CJK_ROUTE_THRESHOLD,
     char_ngrams,
-    char_units,
     cjk_ratio_col,
+    lane_cut,
     word_ngrams,
 )
 
@@ -89,46 +89,9 @@ def _read_gram_index(spark, index_dir: str, *, before_epoch: int | None = None) 
     return log.select("lane", "gram").distinct()
 
 
-def _lane_clean(df, grams, prior_grams, n: int, joiner: str):
-    """One lane of the Lee-et-al pass against a standing gram index:
-    positions covered by a prior-index gram or a batch-repeated gram
-    are cut; survivors reassemble in order. ``df`` must carry
-    (doc_id, text); ``grams`` (doc_id, i, gram) from the lane's
-    kernel. Returns (out, lane_grams): the per-doc cleaned frame and
-    the batch's distinct grams for the index."""
-    batch_dup = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("gram")
-    )
-    hot = prior_grams.union(batch_dup).distinct()
-    covered = (
-        grams.join(hot, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
-        )
-        .distinct()
-    )
-    if joiner == " ":
-        units = df.select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "unit")
-        )
-    else:
-        units = char_units(df)
-    kept = units.join(covered, ["doc_id", "pos"], "left_anti")
-    out = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
-                lambda s: s["unit"],
-            ),
-            joiner,
-        ).alias("clean_text"),
-        F.count("*").alias("kept_tokens"),
-    )
-    return out, grams.select("gram").distinct()
+# the per-lane cleaning kernel lives in pipelines.lane_cut (r7) so the
+# batch queries, the incremental queries, and this sink share one
+# implementation — batch == stream by construction
 
 
 def stream_substring_dedup_sink(
@@ -187,7 +150,7 @@ def stream_substring_dedup_sink(
                 prior_lane = prior.filter(
                     F.col("lane") == lane_name
                 ).select("gram")
-                out, lane_grams = _lane_clean(
+                out, lane_grams = lane_cut(
                     lane_df, grams, prior_lane, lane_n, joiner
                 )
                 outs.append(out.withColumn("lane", F.lit(lane_name)))

@@ -125,6 +125,7 @@ HEADLINE = [
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",
+    "incremental_substring_dedup_cjk",
     "incremental_substring_dedup",
     "dataset_mix",
 ]

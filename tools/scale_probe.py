@@ -58,6 +58,7 @@ PROBE_QUERIES = [
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",
+    "incremental_substring_dedup_cjk",
     "dataset_mix",
     "pricing_summary",
     "top_revenue_orders",
