@@ -142,25 +142,39 @@ def parse_docx(data: bytes) -> tuple[str, str | None]:
     return text, _core_title(zf)
 
 
+def _pptx_slide_text(root) -> str:
+    lines = []
+    for p in root.iter(f"{_A}p"):
+        runs = [t.text or "" for t in p.iter(f"{_A}t")]
+        lines.append("".join(runs))
+    return "\n".join(lines)
+
+
 def parse_pptx(data: bytes) -> tuple[str, str | None]:
-    """Extract (text, title) from a .pptx payload, slides in order."""
+    """Extract (text, title) from a .pptx payload, slides in numeric
+    order, then SPEAKER NOTES (``ppt/notesSlides/notesSlideN.xml``,
+    numeric order) appended after the deck body (r7) — real decks
+    carry substantial prose there and dropping it loses exactly the
+    content a RAG upload wants. One documented, deterministic reading
+    order: slides -> notes, blank-line-separated."""
     zf = _open_zip(data, ".pptx")
-    slide_names = sorted(
-        (n for n in zf.namelist()
-         if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
-        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
-    )
+    names = zf.namelist()
+
+    def numbered(pattern: str) -> list[str]:
+        return sorted(
+            (n for n in names if re.fullmatch(pattern, n)),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
+        )
+
+    slide_names = numbered(r"ppt/slides/slide\d+\.xml")
     if not slide_names:
         raise ValueError("not a .pptx: no ppt/slides/slide*.xml parts")
-    slides: list[str] = []
-    for name in slide_names:
-        root = _read_xml(zf, name)
-        lines = []
-        for p in root.iter(f"{_A}p"):
-            runs = [t.text or "" for t in p.iter(f"{_A}t")]
-            lines.append("".join(runs))
-        slides.append("\n".join(line for line in lines))
-    text = "\n\n".join(s.strip("\n") for s in slides).strip("\n")
+    parts = [_pptx_slide_text(_read_xml(zf, n)) for n in slide_names]
+    parts += [
+        _pptx_slide_text(_read_xml(zf, n))
+        for n in numbered(r"ppt/notesSlides/notesSlide\d+\.xml")
+    ]
+    text = "\n\n".join(s.strip("\n") for s in parts).strip("\n")
     title = _core_title(zf)
     if title is None:
         first = next((ln for ln in text.split("\n") if ln.strip()), "")
@@ -313,23 +327,34 @@ def build_docx(
     return _zip_pack(parts)
 
 
-def build_pptx(text: str, *, title: str | None = None) -> bytes:
+def build_pptx(
+    text: str, *, title: str | None = None, notes: str | None = None
+) -> bytes:
     """Write a minimal valid .pptx whose extracted text is ``text``:
     blank-line-separated groups become slides, lines inside a group
-    become <a:p> paragraphs."""
+    become <a:p> paragraphs. ``notes`` (r7) writes a real
+    ``ppt/notesSlides/notesSlide1.xml`` part — the extractor appends
+    speaker notes after the deck body, so the notes path is
+    round-trip provable."""
     slides = text.split("\n\n")
     parts = {"[Content_Types].xml": _CT_XML}
-    for i, slide in enumerate(slides, start=1):
+
+    def txbody(content: str, root: str) -> str:
         paras = "".join(
             f"<a:p><a:r><a:t>{_xml_escape(ln)}</a:t></a:r></a:p>"
-            for ln in slide.split("\n")
+            for ln in content.split("\n")
         )
-        parts[f"ppt/slides/slide{i}.xml"] = (
+        return (
             _XML_DECL
-            + f'<p:sld xmlns:p="{_P_URI}" xmlns:a="{_A_URI}">'
+            + f'<p:{root} xmlns:p="{_P_URI}" xmlns:a="{_A_URI}">'
             f"<p:cSld><p:spTree><p:sp><p:txBody>{paras}</p:txBody></p:sp>"
-            "</p:spTree></p:cSld></p:sld>"
+            f"</p:spTree></p:cSld></p:{root}>"
         )
+
+    for i, slide in enumerate(slides, start=1):
+        parts[f"ppt/slides/slide{i}.xml"] = txbody(slide, "sld")
+    if notes is not None:
+        parts["ppt/notesSlides/notesSlide1.xml"] = txbody(notes, "notes")
     if title is not None:
         parts["docProps/core.xml"] = _core_xml(title)
     return _zip_pack(parts)

@@ -3545,14 +3545,27 @@ def q_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     document becomes a real presentation package
     (``operators/officeparse.build_pptx`` — ppt/slides/slideN.xml with
     <a:p> paragraphs), parsed back slide-by-slide in numeric order.
+    r7: documents with md5(doc_id) starting 0-4 carry a real SPEAKER
+    NOTES part (ppt/notesSlides/notesSlide1.xml); the extractor
+    appends notes after the deck body in the documented slides ->
+    notes order, so the notes path — the prose-heavy content a RAG
+    upload actually wants from real decks — is driver-hash-proven.
     Shuffle-free mapInPandas both ways."""
+    import hashlib
+
     from aiotcvectordb_spark.operators import officeparse, olebin
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
         F.length("text") > 0
     )
+
+    def variant(i, _t):
+        if hashlib.md5(str(i).encode("utf-8")).hexdigest()[0] in "01234":
+            return {"notes": f"Notes for {i}"}
+        return {}
+
     decks = olebin.with_office_payload(
-        df, officeparse.build_pptx, alternate=False
+        df, officeparse.build_pptx, alternate=False, variant_fn=variant
     )
     return olebin.extract_office_text_df(decks, officeparse.parse_pptx).select(
         "doc_id", "text"
@@ -3560,7 +3573,12 @@ def q_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PPTX_EXTRACT = """
-SELECT doc_id, trim(text, chr(10)) AS text
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                 ('0','1','2','3','4')
+            THEN trim(trim(text, chr(10)) || chr(10) || chr(10) ||
+                 'Notes for ' || CAST(doc_id AS VARCHAR), chr(10))
+            ELSE trim(text, chr(10)) END AS text
 FROM documents
 WHERE length(text) > 0
 """
@@ -6980,6 +6998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xlsx_extract": q_xlsx_extract,  # rewritten r7
     "dataset_mix": q_dataset_mix,  # rewritten r7
     "xls_extract": q_xls_extract,  # rewritten r7
+    "pptx_extract": q_pptx_extract,  # rewritten r7
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -7058,7 +7077,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_extract": q_pdf_extract,
     "doc_extract": q_doc_extract,
     "ppt_extract": q_ppt_extract,
-    "pptx_extract": q_pptx_extract,
     "epub_extract": q_epub_extract,
     "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,

@@ -261,3 +261,15 @@ def test_xlsx_multisheet_round_trip_and_layout():
     # short text: trailing sheets empty, round trip still exact
     short = officeparse.build_xlsx("only row", sheets=3)
     assert officeparse.parse_xlsx(short)[0] == "only row"
+
+
+def test_pptx_speaker_notes_round_trip():
+    data = officeparse.build_pptx(
+        "Title slide\n\nSecond slide body", notes="Speaker note line\nmore"
+    )
+    text, title = officeparse.parse_pptx(data)
+    assert text == "Title slide\n\nSecond slide body\n\nSpeaker note line\nmore"
+    assert title == "Title slide"
+    # notes order is numeric, appended strictly after every slide
+    plain = officeparse.parse_pptx(officeparse.build_pptx("just a deck"))[0]
+    assert plain == "just a deck"

@@ -95,6 +95,7 @@ REWRITES: dict[str, int] = {
     "video_frames": 3,
     "pdf_extract": 6,  # r6 mixed font modes (CMap/Differences) + LZW filter
     "ppt_extract": 6,  # r6 persist-aware reading order + stale-edit decks
+    "pptx_extract": 7,  # r7 speaker-notes part on the oracled round trip
     "xls_extract": 7,  # r7 Formula cached-value records on the oracled path
     "dataset_mix": 7,  # r7 body shared with dataset_mix_temp (same plan)
     "docx_extract": 7,  # r7 canonical edge-trim builder + outer-trim oracle
