@@ -215,7 +215,11 @@ def parse_xlsx(data: bytes) -> tuple[str, str | None]:
                         "".join(t.text or "" for t in is_el.iter(f"{_S}t"))
                         if is_el is not None else ""
                     )
-                else:
+                elif ctype == "b":  # boolean cells render as Excel shows them
+                    cells.append(
+                        "TRUE" if v is not None and v.text == "1" else "FALSE"
+                    )
+                else:  # n (number), str (formula cache), e (error): raw <v>
                     cells.append((v.text or "") if v is not None else "")
             out_lines.append("\t".join(cells))
     return "\n".join(out_lines).strip("\n"), _core_title(zf)

@@ -273,3 +273,16 @@ def test_pptx_speaker_notes_round_trip():
     # notes order is numeric, appended strictly after every slide
     plain = officeparse.parse_pptx(officeparse.build_pptx("just a deck"))[0]
     assert plain == "just a deck"
+
+
+def test_xlsx_boolean_and_error_cells():
+    sheet = (
+        f"<worksheet {_S_NS}><sheetData>"
+        '<row><c t="b"><v>1</v></c><c t="b"><v>0</v></c>'
+        '<c t="e"><v>#DIV/0!</v></c><c t="str"><v>cached</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    text, _ = officeparse.parse_xlsx(
+        _zip_bytes({"xl/worksheets/sheet1.xml": sheet})
+    )
+    assert text == "TRUE\tFALSE\t#DIV/0!\tcached"
