@@ -528,9 +528,12 @@ def with_doc_payload(df, *, id_col: str = "doc_id", text_col: str = "text"):
         import pandas as pd
 
         for pdf in batches:
+            # newline-canonicalize (CRLF / lone CR -> LF) like the other
+            # payload kernels; Word stores paragraph marks as CR, so an
+            # uncanonicalized CRLF would round trip as a doubled break
             payloads = [
                 build_doc(
-                    t or "",
+                    (t or "").replace("\r\n", "\n").replace("\r", "\n"),
                     force_unicode=bool(
                         zlib.crc32(str(i).encode("utf-8")) % 2
                     ),

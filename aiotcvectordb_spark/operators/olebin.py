@@ -666,6 +666,16 @@ def _biff_record(rec_type: int, body: bytes) -> bytes:
 _BIFF_MAX_BODY = 8224  # [MS-XLS] 2.1.4: record bodies cap at 8224 bytes
 
 
+def _utf16_units(s: str) -> list[bytes]:
+    """The string as UTF-16LE code units (surrogate pairs = 2 units)."""
+    u = s.encode("utf-16-le")
+    return [u[i : i + 2] for i in range(0, len(u), 2)]
+
+
+def _is_high_surrogate(unit: bytes) -> bool:
+    return (unit[1] & 0xFC) == 0xD8
+
+
 def _sst_records(
     total_refs: int, strings: list[str], *, max_body: int = _BIFF_MAX_BODY
 ) -> bytes:
@@ -687,26 +697,42 @@ def _sst_records(
         cur = bytearray()
 
     for s in strings:
-        if len(s) > 0xFFFF:
-            raise ValueError("SST string longer than 65535 characters")
         try:
             s.encode("cp1252")
             high = 0
         except UnicodeEncodeError:
             high = 1
         width = 2 if high else 1
+        # cch counts UTF-16 code units, not code points ([MS-XLS]
+        # 2.5.293 rgb is "cch characters" of 2-byte UTF-16) — a
+        # non-BMP char is TWO units, so counting Python chars here
+        # truncated the tail of any string with astral-plane text.
+        units = _utf16_units(s) if high else [c for c in s]
+        if len(units) > 0xFFFF:
+            raise ValueError("SST string longer than 65535 characters")
         # the 3-byte header (plus one character, if any) must not split
         if room() < 3 + (width if s else 0):
             flush()
-        cur += struct.pack("<HB", len(s), high)
+        cur += struct.pack("<HB", len(units), high)
         pos = 0
-        while pos < len(s):
+        while pos < len(units):
             if room() < width:
                 flush()
                 cur.append(high)  # continuation inside character data
-            nch = min(len(s) - pos, room() // width)
-            chunk = s[pos : pos + nch]
-            cur += chunk.encode("utf-16-le") if high else chunk.encode("cp1252")
+            nch = min(len(units) - pos, room() // width)
+            if high:
+                # never split a surrogate pair across Continue records
+                # — the reader decodes each span independently
+                while nch > 1 and _is_high_surrogate(units[pos + nch - 1]):
+                    nch -= 1
+                if (nch == 1 and pos + 1 < len(units)
+                        and _is_high_surrogate(units[pos])):
+                    flush()
+                    cur.append(high)
+                    continue
+                cur += b"".join(units[pos : pos + nch])
+            else:
+                cur += "".join(units[pos : pos + nch]).encode("cp1252")
             pos += nch
     flush()
     out = _biff_record(_B_SST, bytes(bodies[0]))
@@ -736,7 +762,13 @@ def _formula_cached_string(rw: int, col: int, s: str) -> bytes:
         enc, high = s.encode("cp1252"), 0
     except UnicodeEncodeError:
         enc, high = s.encode("utf-16-le"), 1
-    rgce = b"\x17" + bytes([len(s), high]) + enc
+    # cch is UTF-16 code units when wide ([MS-XLS] 2.5.268), so
+    # astral-plane chars count as two — byte length over width, not
+    # len(s).
+    cch = len(enc) // 2 if high else len(s)
+    if cch > 0xFF:
+        raise ValueError("cached formula string longer than PtgStr's cap")
+    rgce = b"\x17" + bytes([cch, high]) + enc
     formula = _biff_record(
         _B_FORMULA,
         struct.pack("<HHH", rw, col, 15)
@@ -745,7 +777,7 @@ def _formula_cached_string(rw: int, col: int, s: str) -> bytes:
         + rgce,
     )
     return formula + _biff_record(
-        _B_STRING, struct.pack("<HB", len(s), high) + enc
+        _B_STRING, struct.pack("<HB", cch, high) + enc
     )
 
 
@@ -784,7 +816,9 @@ def build_xls(
                 continue
             if (
                 formula_cells
-                and 0 < len(s) <= 255
+                and 0 < len(s)
+                # PtgStr caps cch at 255 UTF-16 code units, not chars
+                and len(s.encode("utf-16-le")) <= 510
                 and (rw + col) % 2 == 0
             ):
                 cell_recs += _formula_cached_string(rw, col, s)
@@ -826,7 +860,15 @@ def with_office_payload(df, builder, *, id_col: str = "doc_id",
     force_unicode on a crc of the id so both atom widths run
     distributed. ``variant_fn(id, text) -> kwargs`` lets callers vary
     builder options deterministically per row (stale edits, forced
-    Continue splits) so those decode paths run distributed too."""
+    Continue splits) so those decode paths run distributed too.
+
+    Text is newline-canonicalized (CRLF / lone CR -> LF) before
+    building — the upload-extraction contract every real pipeline
+    applies, and what makes the round trip well-defined across
+    formats whose native line separator IS CR (.ppt atoms, .doc
+    paragraph marks) or whose XML parsers normalize CR on read
+    (OOXML); the matching extract oracles apply the same
+    regexp_replace innermost."""
     import zlib
 
     id_type = dict(df.dtypes)[id_col]
@@ -838,6 +880,7 @@ def with_office_payload(df, builder, *, id_col: str = "doc_id",
         for pdf in batches:
             payloads = []
             for i, t in zip(pdf[id_col], pdf[text_col]):
+                t = (t or "").replace("\r\n", "\n").replace("\r", "\n")
                 kwargs = dict(variant_fn(i, t)) if variant_fn else {}
                 if alternate and builder is build_ppt:
                     kwargs.setdefault(

@@ -2005,6 +2005,10 @@ def with_pdf_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
         for pdf in batches:
             payloads = []
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                # newline-canonicalize (CRLF / lone CR -> LF) like the
+                # office payload kernel — the extraction contract the
+                # oracles predict with the same regexp_replace
+                t = (t or "").replace("\r\n", "\n").replace("\r", "\n")
                 if mix_modes:
                     key = zlib.crc32(str(doc_id).encode("utf-8"))
                     fm, flt = fonts[key % 3], filters[(key // 3) % 2]

@@ -112,7 +112,15 @@ def parse_rtf(raw: str) -> tuple[str, str | None]:
                 elif c not in "\r\n":
                     out.append(c)
             i += 1
-    text = re.sub(r"\n{3,}", "\n\n", "".join(out)).strip("\n ")
+    joined = "".join(out)
+    # \uN escapes carry UTF-16 code units, so an astral char arrives as
+    # two surrogate chr()s — re-decode through UTF-16 to combine pairs
+    # (a lone surrogate in malformed input becomes U+FFFD, never an
+    # unpaired surrogate that would break Arrow transfer downstream)
+    joined = joined.encode("utf-16-le", "surrogatepass").decode(
+        "utf-16-le", "replace"
+    )
+    text = re.sub(r"\n{3,}", "\n\n", joined).strip("\n ")
     return text, None
 
 
@@ -188,7 +196,8 @@ def parse_epub(data: bytes) -> tuple[str, str | None]:
 def build_rtf(text: str) -> str:
     """Write a minimal valid RTF document whose extracted text is
     ``text`` (newlines as ``\\par``, tabs as ``\\tab``, non-ASCII as
-    ``\\uN?`` escapes — BMP only). Includes an ``{\\info}`` block and
+    ``\\uN?`` escapes, astral chars as surrogate-pair escapes per
+    RTF 1.9). Includes an ``{\\info}`` block and
     a starred ``{\\*\\wgrffmtfilter}`` destination so the parser's
     group-skipping machinery runs on every round trip. Exact for
     texts without leading/trailing whitespace or 3+ consecutive
@@ -211,10 +220,13 @@ def build_rtf(text: str) -> str:
             elif cp <= 0xFFFF:
                 out.append(f"\\u{cp if cp < 0x8000 else cp - 0x10000}?")
             else:
-                raise ValueError(
-                    "RTF \\uN escapes are 16-bit; astral characters do "
-                    "not round-trip through this writer"
-                )
+                # RTF 1.9 writes astral chars as a UTF-16 surrogate
+                # pair: two \uN? escapes with the signed-16-bit unit
+                # values (both units are >= 0x8000, hence - 0x10000)
+                v = cp - 0x10000
+                hi = 0xD800 + (v >> 10)
+                lo = 0xDC00 + (v & 0x3FF)
+                out.append(f"\\u{hi - 0x10000}?\\u{lo - 0x10000}?")
     out.append("}")
     return "".join(out)
 

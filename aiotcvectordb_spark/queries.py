@@ -3326,8 +3326,11 @@ SELECT doc_id,
        text,
        CAST(ceil(((length(text) - length(replace(text, chr(10), ''))) + 1)
                  / {_PDF_LINES_PER_PAGE}.0) AS INTEGER) AS n_pages
-FROM documents
-WHERE length(text) > 0
+FROM (SELECT doc_id,
+             replace(replace(text, chr(13) || chr(10), chr(10)),
+                     chr(13), chr(10)) AS text
+      FROM documents
+      WHERE length(text) > 0) newline_canon
 """
 
 
@@ -3357,8 +3360,11 @@ def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOC_EXTRACT = """
 SELECT doc_id,
        rtrim(replace(text, chr(13), chr(10)), chr(10)) AS text
-FROM documents
-WHERE length(text) > 0
+FROM (SELECT doc_id,
+             replace(replace(text, chr(13) || chr(10), chr(10)),
+                     chr(13), chr(10)) AS text
+      FROM documents
+      WHERE length(text) > 0) newline_canon
 """
 
 
@@ -3398,8 +3404,11 @@ def q_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PPT_EXTRACT = """
 SELECT doc_id, trim(text, chr(10)) AS text
-FROM documents
-WHERE length(text) > 0
+FROM (SELECT doc_id,
+             replace(replace(text, chr(13) || chr(10), chr(10)),
+                     chr(13), chr(10)) AS text
+      FROM documents
+      WHERE length(text) > 0) newline_canon
 """
 
 
@@ -3448,8 +3457,11 @@ def q_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_XLS_EXTRACT = """
 SELECT doc_id, trim(text, chr(10)) AS text
-FROM documents
-WHERE length(text) > 0
+FROM (SELECT doc_id,
+             replace(replace(text, chr(13) || chr(10), chr(10)),
+                     chr(13), chr(10)) AS text
+      FROM documents
+      WHERE length(text) > 0) newline_canon
 """
 
 
@@ -3535,8 +3547,11 @@ SELECT doc_id,
                    l -> regexp_replace(l, '^([^ ]* [^ ]*) ', '\\1' || chr(9))),
                  chr(10))
             ELSE trim(text, chr(10)) END AS text
-FROM documents
-WHERE length(text) > 0
+FROM (SELECT doc_id,
+             replace(replace(text, chr(13) || chr(10), chr(10)),
+                     chr(13), chr(10)) AS text
+      FROM documents
+      WHERE length(text) > 0) newline_canon
 """
 
 
@@ -3579,8 +3594,11 @@ SELECT doc_id,
             THEN trim(trim(text, chr(10)) || chr(10) || chr(10) ||
                  'Notes for ' || CAST(doc_id AS VARCHAR), chr(10))
             ELSE trim(text, chr(10)) END AS text
-FROM documents
-WHERE length(text) > 0
+FROM (SELECT doc_id,
+             replace(replace(text, chr(13) || chr(10), chr(10)),
+                     chr(13), chr(10)) AS text
+      FROM documents
+      WHERE length(text) > 0) newline_canon
 """
 
 
@@ -3633,8 +3651,11 @@ SELECT doc_id,
             THEN trim(regexp_replace(regexp_replace(text, ' ', chr(10)),
                                      ' ', chr(10)), chr(10))
             ELSE trim(text, chr(10)) END AS text
-FROM documents
-WHERE length(text) > 0
+FROM (SELECT doc_id,
+             replace(replace(text, chr(13) || chr(10), chr(10)),
+                     chr(13), chr(10)) AS text
+      FROM documents
+      WHERE length(text) > 0) newline_canon
 """
 
 
@@ -3678,8 +3699,11 @@ ORACLE_RTF_EXTRACT = r"""
 SELECT doc_id,
        trim(regexp_replace(text, '\n{3,}', chr(10) || chr(10), 'g'),
             chr(10) || ' ') AS text
-FROM documents
-WHERE length(text) > 0
+FROM (SELECT doc_id,
+             replace(replace(text, chr(13) || chr(10), chr(10)),
+                     chr(13), chr(10)) AS text
+      FROM documents
+      WHERE length(text) > 0) newline_canon
 """
 
 
@@ -3694,18 +3718,40 @@ def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
         F.length("text") > 0
     )
-    docs = olebin.with_office_payload(
-        df, rtfepub.build_epub, alternate=False
-    )
+
+    import re as _re
+
+    def builder(t):
+        # Canonical form (r7): pre-apply the HTML stripper's own
+        # whitespace canonicalization (space/tab runs collapse to one
+        # space, per-line edge trim, empty lines dropped) so builder,
+        # parser, and oracle agree for ALL text shapes — not just the
+        # single-spaced corpus the driver hashes.
+        lines = (
+            _re.sub(r"[ \t]+", " ", ln).strip(" ") for ln in t.split("\n")
+        )
+        return rtfepub.build_epub("\n".join(ln for ln in lines if ln))
+
+    docs = olebin.with_office_payload(df, builder, alternate=False)
     return olebin.extract_office_text_df(docs, rtfepub.parse_epub).select(
         "doc_id", "text"
     )
 
 
 ORACLE_EPUB_EXTRACT = """
-SELECT doc_id, trim(text, chr(10)) AS text
-FROM documents
-WHERE length(text) > 0
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+             l -> trim(regexp_replace(l, '[ ' || chr(9) || ']+', ' ', 'g'),
+                       ' ')),
+           x -> x <> ''),
+         chr(10)), '') AS text
+FROM (SELECT doc_id,
+             replace(replace(text, chr(13) || chr(10), chr(10)),
+                     chr(13), chr(10)) AS text
+      FROM documents
+      WHERE length(text) > 0) newline_canon
 """
 
 
@@ -6999,6 +7045,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mix": q_dataset_mix,  # rewritten r7
     "xls_extract": q_xls_extract,  # rewritten r7
     "pptx_extract": q_pptx_extract,  # rewritten r7
+    "pdf_extract": q_pdf_extract,  # rewritten r7
+    "doc_extract": q_doc_extract,  # rewritten r7
+    "ppt_extract": q_ppt_extract,  # rewritten r7
+    "epub_extract": q_epub_extract,  # rewritten r7
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -7074,10 +7124,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "query_filter_sort_paginate": q_query_filter_sort_paginate,
     # --- r6 rows (age 1) ---
-    "pdf_extract": q_pdf_extract,
-    "doc_extract": q_doc_extract,
-    "ppt_extract": q_ppt_extract,
-    "epub_extract": q_epub_extract,
     "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,

@@ -387,3 +387,15 @@ def test_xls_formula_cached_bool_error_blank():
     )
     got, _ = parse_xls(_cfb_build({"Workbook": wb}))
     assert got == "TRUE\tFALSE\t#ERR\t"
+
+
+def test_xls_sst_astral_utf16_unit_counts():
+    # cch counts UTF-16 code units ([MS-XLS] 2.5.293): astral chars
+    # are two units each, and the Continue splitter must never part a
+    # surrogate pair (each span decodes independently)
+    t = "emoji \U0001F600\U0001F680\U0001F600\U0001F680 tail chars"
+    for max_body in (256, 16, 17):
+        got = parse_xls(build_xls(t, sst_max_body=max_body))[0]
+        assert got == t, max_body
+    got = parse_xls(build_xls(t, formula_cells=True))[0]
+    assert got == t

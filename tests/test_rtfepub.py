@@ -167,3 +167,19 @@ def test_rtf_oracle_agrees_on_blank_line_runs():
     oracle = dict(con.execute(ORACLE_RTF_EXTRACT).fetchall())
     for doc_id, t in rows:
         assert extract(t) == oracle[doc_id], (doc_id, t)
+
+
+def test_rtf_astral_surrogate_pair_round_trip():
+    # RTF 1.9 stores non-BMP chars as two signed-16-bit \uN? escapes
+    # (the UTF-16 surrogate pair); the parser re-combines them
+    from aiotcvectordb_spark.operators.rtfepub import build_rtf
+
+    t = "emoji \U0001F600 and \U0001D400 math"
+    assert parse_rtf(build_rtf(t))[0] == t
+
+
+def test_rtf_lone_surrogate_becomes_replacement_char():
+    # malformed input: a high surrogate escape with no low half must
+    # never surface as an unpaired surrogate (breaks Arrow transfer)
+    doc = "{\\rtf1 a\\u-10179?b}"
+    assert parse_rtf(doc)[0] == "a�b"

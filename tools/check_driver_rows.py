@@ -93,14 +93,20 @@ REWRITES: dict[str, int] = {
     "equidepth_histogram": 3,
     "audio_probe": 3,
     "video_frames": 3,
-    "pdf_extract": 6,  # r6 mixed font modes (CMap/Differences) + LZW filter
-    "ppt_extract": 6,  # r6 persist-aware reading order + stale-edit decks
-    "pptx_extract": 7,  # r7 speaker-notes part on the oracled round trip
-    "xls_extract": 7,  # r7 Formula cached-value records on the oracled path
+    # r7: whole extract family newline-canonicalized (CRLF/CR -> LF at
+    # the payload kernels, matching oracle subquery), plus per-family
+    # r7 features — speaker notes, Formula caches, three-sheet books,
+    # RTF surrogate pairs, epub whitespace canon, BIFF8 UTF-16 cch fix
+    "pdf_extract": 7,
+    "ppt_extract": 7,
+    "doc_extract": 7,
+    "pptx_extract": 7,
+    "xls_extract": 7,
+    "docx_extract": 7,
+    "rtf_extract": 7,
+    "xlsx_extract": 7,
+    "epub_extract": 7,
     "dataset_mix": 7,  # r7 body shared with dataset_mix_temp (same plan)
-    "docx_extract": 7,  # r7 canonical edge-trim builder + outer-trim oracle
-    "rtf_extract": 7,  # r7 canonical blank-line-run collapse at the builder
-    "xlsx_extract": 7,  # r7 three-sheet variant on the oracled round trip
 }
 
 
