@@ -927,7 +927,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DOC_FINGERPRINT = f"""
-SELECT doc_id, md5(array_to_string({_BM25_TOKS_SQL}, ' ')) AS fp FROM documents
+SELECT doc_id,
+       md5(COALESCE(array_to_string({_BM25_TOKS_SQL}, ' '), '')) AS fp
+FROM documents
 """
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -955,12 +957,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
             )
-            / F.length("text"),
+            # NULLIF guard: a zero-length or zero-token doc must score
+            # NULL, not abort the whole scan with DIVIDE_BY_ZERO under
+            # ANSI mode — at 100 TB one empty doc would kill the job
+            / F.nullif(F.length("text"), F.lit(0)),
             ROUND_DIGITS,
         ).alias("alnum_ratio"),
         F.round(
             F.expr(f"size(filter({toks_sql}, t -> t IN ({stop_list})))")
-            / F.size(toks),
+            / F.nullif(F.size(toks), F.lit(0)),
             ROUND_DIGITS,
         ).alias("stopword_ratio"),
     )
@@ -971,10 +976,10 @@ SELECT doc_id,
        CAST(len({_BM25_TOKS_SQL}) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS len_chars,
        round((length(text) - length(regexp_replace(lower(text), '{_WORDCHAR_CLASS}', '', 'g')))
-             * 1.0 / length(text), {ROUND_DIGITS}) AS alnum_ratio,
+             * 1.0 / NULLIF(length(text), 0), {ROUND_DIGITS}) AS alnum_ratio,
        round(len(list_filter({_BM25_TOKS_SQL},
                  t -> list_contains([{", ".join(f"'{w}'" for w in _STOPWORDS)}], t)))
-             * 1.0 / len({_BM25_TOKS_SQL}), {ROUND_DIGITS}) AS stopword_ratio
+             * 1.0 / NULLIF(len({_BM25_TOKS_SQL}), 0), {ROUND_DIGITS}) AS stopword_ratio
 FROM documents
 """
 
@@ -7049,6 +7054,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_extract": q_doc_extract,  # rewritten r7
     "ppt_extract": q_ppt_extract,  # rewritten r7
     "epub_extract": q_epub_extract,  # rewritten r7
+    "doc_fingerprint": q_doc_fingerprint,  # rewritten r7
+    "text_quality": q_text_quality,  # rewritten r7
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -7150,8 +7157,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_probe": q_jpeg_probe,
     "jpeg_progressive_probe": q_jpeg_progressive_probe,
     "lang_id_cjk": q_lang_id_cjk,
-    "doc_fingerprint": q_doc_fingerprint,
-    "text_quality": q_text_quality,
     "doc_repetition": q_doc_repetition,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,

@@ -73,9 +73,9 @@ REWRITES: dict[str, int] = {
     "sparse_encode": 4,  # r4 CJK bigram tokenizer
     "hybrid_weighted": 4,  # r4 CJK bigram tokenizer (sparse leg)
     "hybrid_rrf": 4,  # r4 CJK bigram tokenizer (sparse leg)
-    "doc_fingerprint": 4,  # r4 CJK-aware token stream
+    "doc_fingerprint": 7,  # r7 empty-token-doc NULL/md5('') oracle agreement
     # r4 CJK tokenizer swap across the dedup/text family:
-    "text_quality": 4,
+    "text_quality": 7,  # r7 NULLIF guards (ANSI div-by-zero on empty docs)
     "doc_repetition": 4,
     "ngram_jaccard_pairs": 4,
     "simhash_fingerprint": 4,
