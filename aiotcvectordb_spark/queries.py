@@ -6753,6 +6753,124 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering: score every document by its
+    cross-entropy (bits/token) under a PER-LANGUAGE unigram LM derived
+    from the corpus itself, then keep the best 70% of each language —
+    the standard pretraining quality gate (CCNet buckets by LM
+    perplexity per language; reference's AI surface feeds exactly such
+    filtered corpora).
+
+    Scale shape: the LM is the unigram_logprob machinery keyed by
+    (lang, token) — per-doc term frequencies first, hapax-pruned join
+    table, three key-partitioned shuffles. The 70% cut does NOT sort
+    the corpus: scores are rounded, so a per-(lang, bits) histogram
+    (tiny — bounded by distinct rounded scores) yields each language's
+    threshold via a cumulative window over the HISTOGRAM, and only the
+    boundary tie-group needs a row_number, partitioned by (lang, bits).
+    At 100 TB that is two map-side-combinable aggregates plus joins;
+    the only windows run over histogram-sized or tie-group-sized data.
+    """
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toks = sparse_fn.bm25_tokens_sql("text")  # CJK-aware
+    tok = df.select(
+        "doc_id", "lang", F.explode(F.expr(toks)).alias("token")
+    )
+    dtf = (
+        tok.groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("dtf"))
+        .persist()
+    )
+    lm_full = dtf.groupBy("lang", "token").agg(F.sum("dtf").alias("tf"))
+    totals = lm_full.groupBy("lang").agg(F.sum("tf").alias("n"))
+    # hapax pruning is exact (see q_unigram_logprob): tf=1 is the join
+    # miss default, so dropping tf=1 rows from the build side changes
+    # nothing while cutting the vocab table by the hapax share
+    lm = lm_full.where(F.col("tf") >= 2)
+    scored = (
+        dtf.join(lm, ["lang", "token"], "left")
+        .withColumn("tf", F.coalesce("tf", F.lit(1)))
+        .join(F.broadcast(totals), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                -F.sum(F.col("dtf") * F.log2(F.col("tf") / F.col("n")))
+                / F.sum("dtf"),
+                ROUND_DIGITS,
+            ).alias("ppl_bits")
+        )
+    ).persist()
+    # per-(lang, bits) histogram -> cumulative coverage -> threshold
+    hist = scored.groupBy("lang", "ppl_bits").agg(
+        F.count("*").alias("cnt")
+    )
+    quota = scored.groupBy("lang").agg(
+        F.ceil(0.7 * F.count("*")).cast("long").alias("quota")
+    )
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy("ppl_bits")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        hist.withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("below", F.col("cum") - F.col("cnt"))
+        .join(F.broadcast(quota), "lang")
+        .where(F.col("below") < F.col("quota"))
+        .withColumn(
+            "keep_cnt",
+            F.least(F.col("cnt"), F.col("quota") - F.col("below")),
+        )
+        .select("lang", "ppl_bits", "cnt", "keep_cnt")
+    )
+    kept = scored.join(
+        F.broadcast(hist), ["lang", "ppl_bits"]
+    )
+    full = kept.where(F.col("keep_cnt") == F.col("cnt"))
+    tie_w = Window.partitionBy("lang", "ppl_bits").orderBy("doc_id")
+    boundary = (
+        kept.where(F.col("keep_cnt") < F.col("cnt"))
+        .withColumn("rn", F.row_number().over(tie_w))
+        .where(F.col("rn") <= F.col("keep_cnt"))
+        .drop("rn")
+    )
+    return full.unionByName(boundary).select("doc_id", "lang", "ppl_bits")
+
+
+ORACLE_PERPLEXITY_FILTER = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_BM25_TOKS_SQL}) AS token FROM documents
+),
+dtf AS (
+  SELECT doc_id, lang, token, count(*) AS dtf FROM tok GROUP BY ALL
+),
+lm AS (
+  SELECT lang, token, sum(dtf) AS tf FROM dtf GROUP BY ALL
+),
+tot AS (
+  SELECT lang, sum(tf) AS n FROM lm GROUP BY lang
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         round(-sum(d.dtf * log2(COALESCE(l.tf, 1) * 1.0 / t.n))
+               / sum(d.dtf), {ROUND_DIGITS}) AS ppl_bits
+  FROM dtf d
+  LEFT JOIN (SELECT * FROM lm WHERE tf >= 2) l
+         ON d.lang = l.lang AND d.token = l.token
+  JOIN tot t ON d.lang = t.lang
+  GROUP BY d.doc_id, d.lang
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ppl_bits, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_docs
+  FROM scored
+)
+SELECT doc_id, lang, ppl_bits FROM ranked WHERE rn <= ceil(0.7 * n_docs)
+"""
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM quality score (KenLM-lite, order 2): per-document mean
     log2 of the corpus-derived conditional probability
@@ -7056,6 +7174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epub_extract": q_epub_extract,  # rewritten r7
     "doc_fingerprint": q_doc_fingerprint,  # rewritten r7
     "text_quality": q_text_quality,  # rewritten r7
+    "perplexity_filter": q_perplexity_filter,  # new, no driver row yet
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -7210,6 +7329,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "perplexity_filter": ORACLE_PERPLEXITY_FILTER,
     "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "training_shards": ORACLE_TRAINING_SHARDS,
     "ewma_smooth": ORACLE_EWMA_SMOOTH,

@@ -83,6 +83,7 @@ HEADLINE = [
     "sliding_window_agg",
     "price_histogram",
     "unigram_logprob",
+    "perplexity_filter",
     "training_shards",
     "ewma_smooth",
     "mmr_rerank",

@@ -78,6 +78,7 @@ QUERY_NAMES = [
     "clean_text",
     "dataset_split",
     "unigram_logprob",
+    "perplexity_filter",
     "lang_top_terms",
     "bigram_logprob",
     "pii_scrub",

@@ -74,6 +74,7 @@ PROBE_QUERIES = [
     "window_range_frame",
     "zscore_outliers",
     "unigram_logprob",
+    "perplexity_filter",
     "training_shards",
     "ewma_smooth",
     "source_quota",
