@@ -707,7 +707,8 @@ def _sst_records(
         # 2.5.293 rgb is "cch characters" of 2-byte UTF-16) — a
         # non-BMP char is TWO units, so counting Python chars here
         # truncated the tail of any string with astral-plane text.
-        units = _utf16_units(s) if high else [c for c in s]
+        # narrow path: cch == chars == bytes, the str itself suffices
+        units = _utf16_units(s) if high else s
         if len(units) > 0xFFFF:
             raise ValueError("SST string longer than 65535 characters")
         # the 3-byte header (plus one character, if any) must not split
@@ -732,7 +733,7 @@ def _sst_records(
                     continue
                 cur += b"".join(units[pos : pos + nch])
             else:
-                cur += "".join(units[pos : pos + nch]).encode("cp1252")
+                cur += units[pos : pos + nch].encode("cp1252")
             pos += nch
     flush()
     out = _biff_record(_B_SST, bytes(bodies[0]))

@@ -197,16 +197,27 @@ def compact_gram_index(spark, index_dir: str) -> None:
     filter), then the superseded epoch directories are deleted through
     the Hadoop FileSystem API. No rename anywhere, and every crash
     window is safe: old ∪ compacted is the same distinct-gram set, so
-    a half-finished compaction changes nothing the readers see."""
+    a half-finished compaction changes nothing the readers see.
+
+    Replay safety (r7): the NEWEST live epoch is never merged.
+    foreachBatch is at-least-once — after a crash the last uncommitted
+    batch id replays, and its ``before_epoch`` filter would otherwise
+    find the batch's OWN grams inside the compacted generation
+    (written by the crashed first attempt), making the replay clean
+    against itself and diverge from a clean run. Every strictly older
+    epoch is checkpoint-committed and can never replay, so compacting
+    those is always safe — no coordination with the stream needed."""
     epochs = _epoch_ids(spark, index_dir)
-    if len(epochs) <= 1:
+    live = [e for e in epochs if e >= 0]
+    merge = [e for e in epochs if not live or e != max(live)]
+    if len(merge) <= 1:
         return  # nothing to merge
     target = min(epochs) - 1 if epochs[0] < 0 else -1
-    _read_gram_index(spark, index_dir).write.mode("overwrite").parquet(
-        f"{index_dir}/epoch={target}"
-    )
+    _read_gram_index(
+        spark, index_dir, before_epoch=max(live) if live else None
+    ).write.mode("overwrite").parquet(f"{index_dir}/epoch={target}")
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    for e in epochs:
+    for e in merge:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/epoch={e}"), True)

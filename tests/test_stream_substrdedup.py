@@ -116,32 +116,53 @@ def test_replay_is_idempotent_and_compaction_read_invariant(
         for r in read_clean_docs(spark, results_dir).collect()
     }
     assert after == before
-    # compaction changes the layout, not the reads
-    from aiotcvectordb_spark.streaming.substrdedup import _read_gram_index
+    # compaction changes the layout, not the reads — and it NEVER
+    # merges the newest live epoch: that is the only batch id
+    # foreachBatch can replay after a crash, and merging it would let
+    # the replay's before_epoch filter find the batch's own grams
+    # inside the compacted generation (replay would clean against
+    # itself and diverge from a clean run)
+    from aiotcvectordb_spark.streaming.substrdedup import (
+        _epoch_ids,
+        _read_gram_index,
+    )
 
-    grams_before = {r.gram for r in _read_gram_index(spark, index_dir).collect()}
+    grams_01 = {r.gram for r in _read_gram_index(spark, index_dir).collect()}
     compact_gram_index(spark, index_dir)
-    grams_after = {r.gram for r in _read_gram_index(spark, index_dir).collect()}
-    assert grams_after == grams_before
+    # only epoch 0 is mergeable here -> nothing to merge, no-op
+    assert _epoch_ids(spark, index_dir) == [0, 1]
+    # a third epoch with NEW grams makes epochs {0, 1} mergeable
+    docs2 = [
+        (i, f"tail{i} " + "another shared body of exactly eight words", )
+        for i in range(10, 13)
+    ]
+    df2 = spark.createDataFrame(docs2, "doc_id long, text string")
+    sink(df2, 2)
+    all_grams = {r.gram for r in _read_gram_index(spark, index_dir).collect()}
+    assert all_grams > grams_01
+    compact_gram_index(spark, index_dir)
     # object-store-safe layout (r7): the compacted generation is a
     # fresh NEGATIVE epoch id (no rename, no collision with future
-    # stream batch ids) and any replay's before_epoch still sees it
-    from aiotcvectordb_spark.streaming.substrdedup import _epoch_ids
-
-    assert _epoch_ids(spark, index_dir) == [-1]
+    # stream batch ids); the newest live epoch survives untouched
+    assert _epoch_ids(spark, index_dir) == [-1, 2]
+    assert {
+        r.gram for r in _read_gram_index(spark, index_dir).collect()
+    } == all_grams
+    # replay safety: a replay of epoch 2 must see exactly the
+    # pre-epoch-2 corpus — its own grams are NOT in the compacted gen
     replay_view = {
         r.gram
         for r in _read_gram_index(spark, index_dir, before_epoch=2).collect()
     }
-    assert replay_view == grams_before
+    assert replay_view == grams_01
     # a second compaction descends to -2 (never overwrites the
     # directory it is reading) and preserves the distinct-gram set
-    sink(df.filter("doc_id <= 2"), 2)
+    sink(df.filter("doc_id <= 2"), 3)
     compact_gram_index(spark, index_dir)
-    assert _epoch_ids(spark, index_dir) == [-2]
+    assert _epoch_ids(spark, index_dir) == [-2, 3]
     assert {
         r.gram for r in _read_gram_index(spark, index_dir).collect()
-    } == grams_before
+    } == all_grams
 
 
 def _cjk(k: int, n: int) -> str:
