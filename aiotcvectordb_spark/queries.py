@@ -6753,6 +6753,148 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 8192
+_DSIR_KEEP = 0.25
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by its log importance weight between a TARGET
+    distribution (here the curated ``source = 'src0'`` slice — the
+    paper's formal-text proxy) and the RAW pool, under hashed-bigram
+    bag-of-ngrams models, then keep the top 25% of raw docs.
+
+    Features: token bigrams hashed into {_DSIR_BUCKETS} buckets with
+    the portable 60-bit md5 hash (the minhash family's idiom, exact on
+    both engines). Per-bucket add-one-smoothed probabilities for
+    target and raw give a {_DSIR_BUCKETS}-row log-ratio table —
+    broadcast onto the raw docs' (doc_id, bucket) occurrences, one
+    per-doc sum, no corpus sort: the global 25% cut reuses the
+    perplexity_filter histogram-threshold shape (cumulative window
+    over per-rounded-weight counts, row_number only over the boundary
+    tie-group). At 100 TB: two map-side-combinable aggregates over
+    bucket ids (domain {_DSIR_BUCKETS}), one broadcast join, one
+    per-doc agg — every shuffle keyed and bounded."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toked = df.select(
+        "doc_id",
+        "source",
+        sparse_fn.bm25_tokens_col("text").alias("__toks"),
+    ).filter(F.expr("size(__toks) >= 2"))
+    bigrams = (
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat_ws(' ', slice(__toks, i, 2)))"
+    )
+    occ = toked.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(bigrams)).alias("bg"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"pmod({_portable_hash_expr('bg')}, {_DSIR_BUCKETS})"
+        ).alias("bucket"),
+    )
+    is_target = F.col("source") == "src0"
+    counts = occ.groupBy("bucket").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_target, 0).otherwise(1)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log2((F.col("ct") + 1) / (F.col("tt") + _DSIR_BUCKETS))
+            - F.log2((F.col("cr") + 1) / (F.col("tr") + _DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    scored = (
+        occ.filter(~is_target)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lr"), ROUND_DIGITS).alias("weight"))
+    ).persist()
+    # global top-25% by weight desc via the histogram threshold (no
+    # corpus sort — same shape as perplexity_filter's per-lang cut)
+    hist = scored.groupBy("weight").agg(F.count("*").alias("cnt"))
+    quota = scored.agg(
+        F.ceil(_DSIR_KEEP * F.count("*")).cast("long").alias("quota")
+    )
+    cum_w = (
+        Window.orderBy(F.col("weight").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        hist.withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("above", F.col("cum") - F.col("cnt"))
+        .crossJoin(F.broadcast(quota))
+        .where(F.col("above") < F.col("quota"))
+        .withColumn(
+            "keep_cnt",
+            F.least(F.col("cnt"), F.col("quota") - F.col("above")),
+        )
+        .select("weight", "cnt", "keep_cnt")
+    )
+    kept = scored.join(F.broadcast(hist), "weight")
+    full = kept.where(F.col("keep_cnt") == F.col("cnt"))
+    tie_w = Window.partitionBy("weight").orderBy("doc_id")
+    boundary = (
+        kept.where(F.col("keep_cnt") < F.col("cnt"))
+        .withColumn("rn", F.row_number().over(tie_w))
+        .where(F.col("rn") <= F.col("keep_cnt"))
+        .drop("rn")
+    )
+    return full.unionByName(boundary).select("doc_id", "weight")
+
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH toked AS (
+  SELECT doc_id, source, {_BM25_TOKS_SQL} AS ts FROM documents
+  WHERE len({_BM25_TOKS_SQL}) >= 2
+),
+occ AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(bg), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(ts)),
+                                 i -> array_to_string(ts[i:i+1], ' '))) AS bg
+    FROM toked
+  )
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS cr
+  FROM occ GROUP BY bucket
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+ratios AS (
+  SELECT bucket,
+         log2((ct + 1) * 1.0 / (tt + {_DSIR_BUCKETS}))
+         - log2((cr + 1) * 1.0 / (tr + {_DSIR_BUCKETS})) AS lr
+  FROM counts, tot
+),
+scored AS (
+  SELECT o.doc_id, round(sum(r.lr), {ROUND_DIGITS}) AS weight
+  FROM occ o JOIN ratios r USING (bucket)
+  WHERE o.source <> 'src0'
+  GROUP BY o.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY weight DESC, doc_id) AS rn,
+         count(*) OVER () AS n_docs
+  FROM scored
+)
+SELECT doc_id, weight FROM ranked WHERE rn <= ceil({_DSIR_KEEP} * n_docs)
+"""
+
+
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filtering: score every document by its
     cross-entropy (bits/token) under a PER-LANGUAGE unigram LM derived
@@ -7175,6 +7317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,  # rewritten r7
     "text_quality": q_text_quality,  # rewritten r7
     "perplexity_filter": q_perplexity_filter,  # new, no driver row yet
+    "dsir_weights": q_dsir_weights,  # new, no driver row yet
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -7330,6 +7473,7 @@ ORACLES: dict[str, str] = {
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "perplexity_filter": ORACLE_PERPLEXITY_FILTER,
+    "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "training_shards": ORACLE_TRAINING_SHARDS,
     "ewma_smooth": ORACLE_EWMA_SMOOTH,

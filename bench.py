@@ -84,6 +84,7 @@ HEADLINE = [
     "price_histogram",
     "unigram_logprob",
     "perplexity_filter",
+    "dsir_weights",
     "training_shards",
     "ewma_smooth",
     "mmr_rerank",

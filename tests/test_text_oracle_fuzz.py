@@ -79,6 +79,7 @@ QUERY_NAMES = [
     "dataset_split",
     "unigram_logprob",
     "perplexity_filter",
+    "dsir_weights",
     "lang_top_terms",
     "bigram_logprob",
     "pii_scrub",

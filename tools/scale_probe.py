@@ -75,6 +75,7 @@ PROBE_QUERIES = [
     "zscore_outliers",
     "unigram_logprob",
     "perplexity_filter",
+    "dsir_weights",
     "training_shards",
     "ewma_smooth",
     "source_quota",
