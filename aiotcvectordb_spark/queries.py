@@ -4363,13 +4363,27 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
     mean = F.col("s1") / F.col("n")
-    var = F.col("s2") / F.col("n") - mean * mean
+    # clamp: floating cancellation can leave var at -1e-12 for a
+    # near-constant group (sqrt would be NaN here, an ERROR in DuckDB)
+    var = F.greatest(
+        F.col("s2") / F.col("n") - mean * mean, F.lit(0.0)
+    )
     stats = stats.select(
         "event_type", mean.alias("mu"), F.sqrt(var).alias("sigma")
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .withColumn("z", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6))
+        # NULLIF: a constant group has sigma 0 and NO outliers by
+        # definition — without the guard ANSI mode aborts the whole
+        # job with DIVIDE_BY_ZERO on the first degenerate group
+        .withColumn(
+            "z",
+            F.round(
+                (F.col("value") - F.col("mu"))
+                / F.nullif(F.col("sigma"), F.lit(0.0)),
+                6,
+            ),
+        )
         .filter("abs(z) > 3")
         .select("event_id", "event_type", F.round("value", 6).alias("value"), "z")
     )
@@ -4381,13 +4395,14 @@ WITH stats AS (
   FROM events GROUP BY event_type
 ),
 ms AS (
-  SELECT event_type, s1 / n AS mu, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma
+  SELECT event_type, s1 / n AS mu,
+         sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS sigma
   FROM stats
 )
 SELECT event_id, event_type, round(value, 6) AS value,
-       round((value - mu) / sigma, 6) AS z
+       round((value - mu) / NULLIF(sigma, 0), 6) AS z
 FROM events JOIN ms USING (event_type)
-WHERE abs(round((value - mu) / sigma, 6)) > 3
+WHERE abs(round((value - mu) / NULLIF(sigma, 0), 6)) > 3
 """
 
 
@@ -7318,6 +7333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,  # rewritten r7
     "perplexity_filter": q_perplexity_filter,  # new, no driver row yet
     "dsir_weights": q_dsir_weights,  # new, no driver row yet
+    "zscore_outliers": q_zscore_outliers,  # rewritten r7
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_radius": q_search_radius,
     "search_flat_cosine": q_search_flat_cosine,
@@ -7350,7 +7366,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": q_large_volume_customers,
     "time_gap_fill": q_time_gap_fill,
     "window_range_frame": q_window_range_frame,
-    "zscore_outliers": q_zscore_outliers,
     "corr_stats": q_corr_stats,
     "percentile_disc": q_percentile_disc,
     "funnel_steps": q_funnel_steps,

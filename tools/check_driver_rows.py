@@ -107,6 +107,7 @@ REWRITES: dict[str, int] = {
     "xlsx_extract": 7,
     "epub_extract": 7,
     "dataset_mix": 7,  # r7 body shared with dataset_mix_temp (same plan)
+    "zscore_outliers": 7,  # r7 NULLIF sigma + clamped var (ANSI div-by-zero)
 }
 
 
