@@ -46,7 +46,19 @@ def vector_norm(vec_col: str) -> Column:
 
 
 def cosine_score(vec_col: str, query_col: str) -> Column:
-    return dot_score(vec_col, query_col) / (vector_norm(vec_col) * vector_norm(query_col))
+    """Cosine similarity; a zero-norm vector scores 0.0 ("no
+    similarity") instead of aborting the scan — under ANSI mode an
+    unguarded norm division kills the whole job on the first
+    zero embedding (failed upstream encodes are a fact of life in a
+    100 TB embedding column). The SQL oracles apply the identical
+    COALESCE/NULLIF so both engines agree."""
+    return F.coalesce(
+        dot_score(vec_col, query_col)
+        / F.nullif(
+            vector_norm(vec_col) * vector_norm(query_col), F.lit(0.0)
+        ),
+        F.lit(0.0),
+    )
 
 
 def l2_score(vec_col: str, query_col: str) -> Column:
@@ -83,8 +95,15 @@ def vector_norm_fixed(vec_col: str, dim: int) -> Column:
 
 
 def cosine_score_fixed(vec_col: str, query_col: str, dim: int) -> Column:
-    return dot_score_fixed(vec_col, query_col, dim) / (
-        vector_norm_fixed(vec_col, dim) * vector_norm_fixed(query_col, dim)
+    # zero-norm guard: see cosine_score — 0.0, never DIVIDE_BY_ZERO
+    return F.coalesce(
+        dot_score_fixed(vec_col, query_col, dim)
+        / F.nullif(
+            vector_norm_fixed(vec_col, dim)
+            * vector_norm_fixed(query_col, dim),
+            F.lit(0.0),
+        ),
+        F.lit(0.0),
     )
 
 
@@ -161,9 +180,10 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
     "cosine_sim": """
 CREATE OR REPLACE TEMPORARY FUNCTION cosine_sim(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
 RETURNS DOUBLE
-RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-  / (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v))
-     * sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v)))
+RETURN COALESCE(
+  aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+  / NULLIF(sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v))
+     * sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v)), 0D), 0D)
 """,
     "l2_distance": """
 CREATE OR REPLACE TEMPORARY FUNCTION l2_distance(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)

@@ -183,7 +183,10 @@ def _local_topk_candidates(
             if metric_u == "IP":
                 scores = mat @ qmat.T  # (N, Q)
             elif metric_u == "COSINE":
-                dn = np.linalg.norm(mat, axis=1)
+                # zero-norm floor: a zero vector scores exactly 0.0
+                # (its dot is 0), matching the JVM cosine's
+                # COALESCE/NULLIF guard — never a NaN into top-k
+                dn = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
                 scores = (mat @ qmat.T) / np.outer(dn, qn)
             elif metric_u == "HAMMING":
                 # byte-packed binary vectors: popcount of XOR via

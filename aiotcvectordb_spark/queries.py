@@ -84,9 +84,9 @@ def _sql_queries_cte(vectors: list[list[float]]) -> str:
 
 
 _COS_SQL = (
-    "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / "
-    "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) "
-    "* sqrt(list_dot_product(q.qv, q.qv)))"
+    "COALESCE(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / "
+    "NULLIF(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) "
+    "* sqrt(list_dot_product(q.qv, q.qv)), 0), 0.0)"
 )
 _IP_SQL = "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
 _L2_SQL = (
@@ -460,9 +460,9 @@ WITH probes AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                 FROM embeddings WHERE vec_id < 3),
 scored AS (
   SELECT p.query_id, e.vec_id, e.label,
-         list_dot_product(CAST(e.embedding AS DOUBLE[]), p.qv)
-         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(p.qv, p.qv))) AS s
+         COALESCE(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.qv)
+         / NULLIF(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(p.qv, p.qv)), 0), 0.0) AS s
   FROM embeddings e CROSS JOIN probes p WHERE e.label = 0
 )
 SELECT query_id, vec_id, round(s, {ROUND_DIGITS}) AS score,
@@ -833,9 +833,9 @@ WITH base AS (
 {_sql_queries_cte(_HYBRID_VEC)},
 dense_scored AS (
   SELECT e.doc_id,
-         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(q.qv, q.qv))), {ROUND_DIGITS}) AS s
+         round(COALESCE(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / NULLIF(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv)), 0), 0.0), {ROUND_DIGITS}) AS s
   FROM base e CROSS JOIN queries q
 ),
 dense AS (
@@ -1569,8 +1569,14 @@ def _embedding_near_dup_exact(
                 # row's vector (which would yield wrong pairs)
                 bmat = np.asarray(rbflat, dtype=np.float64).reshape(len(bids), DIM)
                 mmat = np.asarray(rmflat, dtype=np.float64).reshape(len(mids), DIM)
-                bunit = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
-                munit = mmat / np.linalg.norm(mmat, axis=1, keepdims=True)
+                # 1e-12 floor (the cell scorer's convention): a zero
+                # vector scores 0.0 instead of NaN-poisoning the block
+                bunit = bmat / np.maximum(
+                    np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12
+                )
+                munit = mmat / np.maximum(
+                    np.linalg.norm(mmat, axis=1, keepdims=True), 1e-12
+                )
                 # Chunk the block rows so the score slab stays bounded
                 # (<=2^25 floats ~ 256 MB) no matter how large N grows —
                 # an unchunked block x N matmul is O(N^2/32) memory and
@@ -1995,14 +2001,14 @@ def _embedding_near_dup_imi(
 
 ORACLE_EMBEDDING_NEAR_DUP = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+       round(COALESCE(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 0.0),
          {ROUND_DIGITS}) AS score
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+WHERE round(COALESCE(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 0.0),
          {ROUND_DIGITS}) >= {_NEARDUP_THRESHOLD}
 """
 
@@ -2325,9 +2331,9 @@ WITH base AS (
 {_sql_queries_cte(_HYBRID_VEC)},
 dense_scored AS (
   SELECT e.doc_id,
-         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(q.qv, q.qv))), {ROUND_DIGITS}) AS s
+         round(COALESCE(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / NULLIF(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv)), 0), 0.0), {ROUND_DIGITS}) AS s
   FROM base e CROSS JOIN queries q
 ),
 dense AS (
@@ -7334,11 +7340,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_filter": q_perplexity_filter,  # new, no driver row yet
     "dsir_weights": q_dsir_weights,  # new, no driver row yet
     "zscore_outliers": q_zscore_outliers,  # rewritten r7
+    "search_radius": q_search_radius,  # rewritten r7
+    "search_flat_cosine": q_search_flat_cosine,  # rewritten r7
+    "search_udtf_topk": q_search_udtf_topk,  # rewritten r7
+    "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,  # rewritten r7
+    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,  # rewritten r7
+    "ann_pq_fullrescore": q_ann_pq_fullrescore,  # rewritten r7
+    "knn_join": q_knn_join,  # rewritten r7
+    "search_by_id": q_search_by_id,  # rewritten r7
+    "hybrid_weighted": q_hybrid_weighted,  # rewritten r7
+    "hybrid_rrf": q_hybrid_rrf,  # rewritten r7
+    "embedding_near_dup": q_embedding_near_dup,  # rewritten r7
     # --- r4 rows (age 3) (must be in the next batch) ---
-    "search_radius": q_search_radius,
-    "search_flat_cosine": q_search_flat_cosine,
     "search_flat_l2": q_search_flat_l2,
-    "search_udtf_topk": q_search_udtf_topk,
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,
     "grouping_sets_agg": q_grouping_sets_agg,
@@ -7370,7 +7384,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_disc": q_percentile_disc,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
-    "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,
     "image_probe": q_image_probe,
     "sessionize_udtf": q_sessionize_udtf,
     "search_binary_hamming": q_search_binary_hamming,
@@ -7384,8 +7397,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_last_touch": q_attribution_last_touch,
     "embedding_outliers": q_embedding_outliers,
     "rolling_active_users": q_rolling_active_users,
-    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
-    "ann_pq_fullrescore": q_ann_pq_fullrescore,
     "equidepth_histogram": q_equidepth_histogram,
     "audio_probe": q_audio_probe,
     "video_frames": q_video_frames,
@@ -7418,8 +7429,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "join_pruned_dims": q_join_pruned_dims,
     "event_window_agg": q_event_window_agg,
-    "knn_join": q_knn_join,
-    "search_by_id": q_search_by_id,
     "sliding_window_agg": q_sliding_window_agg,
     "dedup_exact": q_dedup_exact,
     "upsert_merge": q_upsert_merge,
@@ -7428,9 +7437,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fulltext_bm25_cjk": q_fulltext_bm25_cjk,
     "fulltext_bm25": q_fulltext_bm25,
     "sparse_encode": q_sparse_encode,
-    "hybrid_weighted": q_hybrid_weighted,
-    "hybrid_rrf": q_hybrid_rrf,
-    "embedding_near_dup": q_embedding_near_dup,
     "jpeg_probe": q_jpeg_probe,
     "jpeg_progressive_probe": q_jpeg_progressive_probe,
     "lang_id_cjk": q_lang_id_cjk,

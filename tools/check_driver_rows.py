@@ -68,11 +68,8 @@ REWRITES: dict[str, int] = {
     "minhash_signatures": 4,  # r4 CJK tokenizer
     "minhash_lsh_candidates": 4,  # r4 CJK tokenizer
     "dedup_components": 4,  # r4 pre-contraction + frozen-star pruning
-    "embedding_near_dup": 4,  # r4: oracled entry is exact-only; router split to _auto
     "fulltext_bm25": 4,  # r4 CJK bigram tokenizer in the BM25 path
     "sparse_encode": 4,  # r4 CJK bigram tokenizer
-    "hybrid_weighted": 4,  # r4 CJK bigram tokenizer (sparse leg)
-    "hybrid_rrf": 4,  # r4 CJK bigram tokenizer (sparse leg)
     "doc_fingerprint": 7,  # r7 empty-token-doc NULL/md5('') oracle agreement
     # r4 CJK tokenizer swap across the dedup/text family:
     "text_quality": 7,  # r7 NULLIF guards (ANSI div-by-zero on empty docs)
@@ -108,6 +105,19 @@ REWRITES: dict[str, int] = {
     "epub_extract": 7,
     "dataset_mix": 7,  # r7 body shared with dataset_mix_temp (same plan)
     "zscore_outliers": 7,  # r7 NULLIF sigma + clamped var (ANSI div-by-zero)
+    # r7 zero-norm cosine guard (COALESCE/NULLIF on every engine+oracle
+    # cosine; a zero embedding aborted the scan under ANSI mode):
+    "search_flat_cosine": 7,
+    "search_flat_cosine_local_topk": 7,
+    "search_radius": 7,
+    "search_udtf_topk": 7,
+    "search_by_id": 7,
+    "knn_join": 7,
+    "hybrid_rrf": 7,
+    "hybrid_weighted": 7,
+    "embedding_near_dup": 7,
+    "ann_ivf_fullprobe": 7,
+    "ann_pq_fullrescore": 7,
 }
 
 
