@@ -4331,9 +4331,20 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), ROUND_DIGITS).alias(
-                "qty_price_corr"
-            ),
+            # explicit Pearson: covar / (sx * sy) with a NULLIF guard —
+            # the built-in corr() divides by the stddevs internally and
+            # ANSI-aborts the whole job on a zero-variance group
+            # (constant quantity within a flag); NULL is the defined
+            # value there, and the oracle uses the identical formula
+            F.round(
+                F.covar_pop("l_quantity", "l_extendedprice")
+                / F.nullif(
+                    F.stddev_pop("l_quantity")
+                    * F.stddev_pop("l_extendedprice"),
+                    F.lit(0.0),
+                ),
+                ROUND_DIGITS,
+            ).alias("qty_price_corr"),
             F.round(
                 F.covar_pop("l_quantity", "l_extendedprice"), ROUND_DIGITS
             ).alias("qty_price_covar"),
@@ -4346,7 +4357,9 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CORR_STATS = """
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_pop(l_quantity, l_extendedprice)
+             / NULLIF(stddev_pop(l_quantity) * stddev_pop(l_extendedprice),
+                      0), 6) AS qty_price_corr,
        round(covar_pop(l_quantity, l_extendedprice), 6) AS qty_price_covar,
        round(stddev_pop(l_quantity), 6) AS qty_stddev,
        count(*) AS n
@@ -7351,6 +7364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_weighted": q_hybrid_weighted,  # rewritten r7
     "hybrid_rrf": q_hybrid_rrf,  # rewritten r7
     "embedding_near_dup": q_embedding_near_dup,  # rewritten r7
+    "corr_stats": q_corr_stats,  # rewritten r7
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_flat_l2": q_search_flat_l2,
     "sessionize": q_sessionize,
@@ -7380,7 +7394,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": q_large_volume_customers,
     "time_gap_fill": q_time_gap_fill,
     "window_range_frame": q_window_range_frame,
-    "corr_stats": q_corr_stats,
     "percentile_disc": q_percentile_disc,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,

@@ -118,6 +118,7 @@ REWRITES: dict[str, int] = {
     "embedding_near_dup": 7,
     "ann_ivf_fullprobe": 7,
     "ann_pq_fullrescore": 7,
+    "corr_stats": 7,  # r7 explicit guarded Pearson (ANSI zero-variance abort)
 }
 
 
