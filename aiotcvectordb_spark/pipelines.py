@@ -200,6 +200,49 @@ def lane_cut(df: DataFrame, grams: DataFrame, prior_grams: DataFrame,
     return out, grams.select("gram").distinct()
 
 
+def doc_term_freqs(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """(doc_id, lang, token, dtf): per-document term frequencies over
+    the CJK-aware BM25 token stream — the input shape of the unigram
+    LM family. Aggregating to (doc, token) pairs FIRST shrinks every
+    downstream vocab join from total-token rows to distinct pairs."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(sparse_fn.bm25_tokens_col(text_col)).alias("token"),
+    )
+    return tok.groupBy("doc_id", "lang", "token").agg(
+        F.count("*").alias("dtf")
+    )
+
+
+def lm_bits(dtf: DataFrame, lm: DataFrame, totals: DataFrame,
+            round_digits: int) -> DataFrame:
+    """(doc_id, lang, ppl_bits): cross-entropy bits/token of each
+    document under a per-(lang, token) count LM. The SHARED scoring
+    kernel of the batch ``perplexity_filter`` query and the streaming
+    quality-gate sink (streaming/qualitygate.py) — one implementation,
+    so batch and stream agree by construction. ``lm`` carries
+    (lang, token, tf); ``totals`` (lang, n). Hapax pruning is exact:
+    tf=1 is the join-miss default, so rows with tf < 2 can be dropped
+    from the build side without changing any score."""
+    pruned = lm.where(F.col("tf") >= 2)
+    return (
+        dtf.join(pruned, ["lang", "token"], "left")
+        .withColumn("tf", F.coalesce("tf", F.lit(1)))
+        .join(F.broadcast(totals), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                -F.sum(F.col("dtf") * F.log2(F.col("tf") / F.col("n")))
+                / F.sum("dtf"),
+                round_digits,
+            ).alias("ppl_bits")
+        )
+    )
+
+
 def minhash_band_hashes(
     docs: DataFrame,
     *,

@@ -6947,35 +6947,16 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB that is two map-side-combinable aggregates plus joins;
     the only windows run over histogram-sized or tie-group-sized data.
     """
+    from aiotcvectordb_spark import pipelines
+
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    toks = sparse_fn.bm25_tokens_sql("text")  # CJK-aware
-    tok = df.select(
-        "doc_id", "lang", F.explode(F.expr(toks)).alias("token")
-    )
-    dtf = (
-        tok.groupBy("doc_id", "lang", "token")
-        .agg(F.count("*").alias("dtf"))
-        .persist()
-    )
-    lm_full = dtf.groupBy("lang", "token").agg(F.sum("dtf").alias("tf"))
-    totals = lm_full.groupBy("lang").agg(F.sum("tf").alias("n"))
-    # hapax pruning is exact (see q_unigram_logprob): tf=1 is the join
-    # miss default, so dropping tf=1 rows from the build side changes
-    # nothing while cutting the vocab table by the hapax share
-    lm = lm_full.where(F.col("tf") >= 2)
-    scored = (
-        dtf.join(lm, ["lang", "token"], "left")
-        .withColumn("tf", F.coalesce("tf", F.lit(1)))
-        .join(F.broadcast(totals), "lang")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                -F.sum(F.col("dtf") * F.log2(F.col("tf") / F.col("n")))
-                / F.sum("dtf"),
-                ROUND_DIGITS,
-            ).alias("ppl_bits")
-        )
-    ).persist()
+    # shared kernels (pipelines.doc_term_freqs / lm_bits): the
+    # streaming quality-gate sink scores with the SAME code, so batch
+    # and ingest agree by construction
+    dtf = pipelines.doc_term_freqs(df).persist()
+    lm = dtf.groupBy("lang", "token").agg(F.sum("dtf").alias("tf"))
+    totals = lm.groupBy("lang").agg(F.sum("tf").alias("n"))
+    scored = pipelines.lm_bits(dtf, lm, totals, ROUND_DIGITS).persist()
     # per-(lang, bits) histogram -> cumulative coverage -> threshold
     hist = scored.groupBy("lang", "ppl_bits").agg(
         F.count("*").alias("cnt")
