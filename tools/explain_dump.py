@@ -234,6 +234,22 @@ SHOWCASE = [
         "within (lang, salt) buckets — language skew never funnels "
         "into a single partition",
     ),
+    (
+        "perplexity_filter",
+        "CCNet-style LM filter: per-doc term frequencies first, ONE "
+        "hapax-pruned vocab equi-join, per-doc agg; the 70% cut never "
+        "sorts the corpus — the cumulative window runs over the tiny "
+        "(lang, rounded-bits) histogram and row_number only over the "
+        "boundary tie-group",
+    ),
+    (
+        "dsir_weights",
+        "DSIR importance weights: hashed-bigram buckets built in the "
+        "scan projection, two bucket-domain aggregates (8192 keys, "
+        "map-side combinable), the log-ratio table broadcast onto the "
+        "raw occurrences, one per-doc agg; global top-25% via the same "
+        "histogram threshold — no corpus sort",
+    ),
 ]
 
 
