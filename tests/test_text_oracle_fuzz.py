@@ -111,6 +111,25 @@ QUERY_NAMES = [
     "query_projection",
     "update_conditional",
     "upsert_merge",
+    # completeness: every remaining oracled query runs on the hostile
+    # corpus too — codec probes exercise their payload builders over
+    # nasty text/ids, the dedup/rank family its banding and components,
+    # the hybrids their sparse+dense legs (embeddings copied in)
+    "lang_id_cjk",
+    "fulltext_bm25_cjk",
+    "incremental_dedup",
+    "minhash_lsh_candidates",
+    "simhash_near_dup",
+    "dedup_components",
+    "hybrid_rrf",
+    "hybrid_weighted",
+    "image_probe",
+    "gif_frames",
+    "jpeg_probe",
+    "jpeg_progressive_probe",
+    "audio_probe",
+    "video_frames",
+    "multimodal_features",
 ]
 
 LANGS = ["en", "zh", "en", "de", "fr", "en"]
@@ -142,6 +161,14 @@ def nasty_sf(tmp_path_factory):
         }
     )
     pq.write_table(tbl, str(d / "documents.parquet"))
+    # the hybrid queries join an embeddings side; the real tiny table
+    # keeps the adversarial part the documents
+    import shutil
+
+    shutil.copyfile(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        str(d / "embeddings.parquet"),
+    )
     return str(d)
 
 
@@ -170,6 +197,10 @@ def test_text_query_matches_oracle_on_nasty_corpus(spark, nasty_sf, name):
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
         f"'{nasty_sf}/documents.parquet'"
+    )
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{nasty_sf}/embeddings.parquet'"
     )
     odf = con.sql(Q.ORACLES[name]).df()
 
