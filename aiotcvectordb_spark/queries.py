@@ -6929,6 +6929,32 @@ SELECT doc_id, weight FROM ranked WHERE rn <= ceil({_DSIR_KEEP} * n_docs)
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (the GPT-3/LLaMA-pipeline method):
+    logistic regression on curated-slice-vs-raw labels over hashed
+    bigram features, fit driver-side on a bounded deterministic sample
+    (``operators/classifier.py`` — the PQ-codebook pattern), then
+    every document scored DISTRIBUTED: one broadcast join of the
+    (bucket, weight) table onto JVM-built hashed occurrences, one
+    per-doc agg, map-side sigmoid. Rows-only by the model-op policy
+    (training has no SQL oracle); separation/determinism properties
+    pinned in tests/test_classifier.py. Completes the curation-scoring
+    triad with ``perplexity_filter`` (LM threshold) and
+    ``dsir_weights`` (importance ratio)."""
+    from aiotcvectordb_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    model = train_quality_classifier(
+        docs,
+        target_pred=F.col("source") == "src0",
+        train_sample=2048,
+    )
+    return score_quality(spark, docs, model, round_digits=ROUND_DIGITS)
+
+
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filtering: score every document by its
     cross-entropy (bits/token) under a PER-LANGUAGE unigram LM derived
@@ -7447,6 +7473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "incremental_dedup": q_incremental_dedup,
     # --- non-oracled entries (rows-only driver check; order free) ---
+    "quality_classifier": q_quality_classifier,
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
     "search_by_text": q_search_by_text,

@@ -85,6 +85,7 @@ HEADLINE = [
     "unigram_logprob",
     "perplexity_filter",
     "dsir_weights",
+    "quality_classifier",
     "training_shards",
     "ewma_smooth",
     "mmr_rerank",

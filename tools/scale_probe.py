@@ -76,6 +76,7 @@ PROBE_QUERIES = [
     "unigram_logprob",
     "perplexity_filter",
     "dsir_weights",
+    "quality_classifier",
     "training_shards",
     "ewma_smooth",
     "source_quota",
