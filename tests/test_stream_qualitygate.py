@@ -185,3 +185,26 @@ def test_real_stream_drives_the_sink(spark, tmp_path):
         for r in read_gate_decisions(spark, results_dir).collect()
     }
     assert got == _batch_reference(spark, _B1 + _B2, [])
+
+
+def test_hostile_corpus_epoch_does_not_poison_the_gate(spark, tmp_path):
+    # the hostile shapes from the batch sweeps, pushed through the sink
+    hostile = [
+        (101, "en", "trailing newline\n"),
+        (102, "en", "\n\n"),
+        (103, "en", "   "),
+        (104, "zh", "东风夜放花千树更吹落星如雨"),
+        (105, "en", "emoji 😀 doc \U0001f680"),
+        (106, "en", "x"),
+        (107, "en", "carriage\r\nreturn doc"),
+    ]
+    lm_dir, results_dir, sink = _run_epochs(spark, tmp_path, _B1, hostile)
+    dec = read_gate_decisions(spark, results_dir)
+    # zero-token docs produce no dtf rows and are absent from the
+    # decisions (same as the batch kernels); the rest all scored
+    scored_ids = {r.doc_id for r in dec.filter("epoch = 1").collect()}
+    assert scored_ids == {101, 104, 105, 106, 107}
+    assert {
+        (r.doc_id, r.lang): r.ppl_bits
+        for r in dec.filter("epoch = 1").collect()
+    } == _batch_reference(spark, hostile, _B1)

@@ -242,3 +242,36 @@ def test_auto_stream_single_epoch_equals_batch_cjk_query(
     }
     assert streamed == batch
     assert {lane for _, _, lane in streamed.values()} == {"word", "char"}
+
+
+def test_hostile_corpus_epoch_auto_lane(spark, tmp_path):
+    """Hostile shapes through the auto-routed sink: CJK, CRLF, emoji,
+    whitespace-only — no crash, lanes route, batch kernel agreement."""
+    hostile = [
+        (201, "prefix one " + "shared body of exactly eight words here x" + " tail"),
+        (202, "prefix two " + "shared body of exactly eight words here x" + " end"),
+        (203, "".join(chr(0x4E00 + j) for j in range(30))),
+        (204, "".join(chr(0x4E00 + j) for j in range(10, 40))),
+        (205, "emoji 😀 short doc"),
+        (206, "\n\n"),
+        (207, "   "),
+        (208, "carriage\r\nreturn doc body"),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, text string")
+    sink = stream_substring_dedup_sink(
+        str(tmp_path / "hidx"), str(tmp_path / "hres"), tokenizer="auto"
+    )
+    sink(df, 0)
+    out = {
+        r.doc_id: (r.lane, r.clean_text)
+        for r in read_clean_docs(spark, str(tmp_path / "hres")).collect()
+    }
+    # whitespace-only doc 207 survives the length filter (word lane,
+    # never gram-eligible); 206 is newline-only but non-empty too
+    assert set(out) == {201, 202, 203, 204, 205, 206, 207, 208}
+    assert out[203][0] == "char" and out[204][0] == "char"
+    assert out[205][0] == "word" and out[201][0] == "word"
+    # the shared 12-char run between the two CJK docs is cut from one
+    assert (out[203][1] == hostile[2][1]) != (out[204][1] == hostile[3][1]) or (
+        out[203][1] != hostile[2][1] and out[204][1] != hostile[3][1]
+    )
