@@ -243,6 +243,14 @@ SHOWCASE = [
         "boundary tie-group",
     ),
     (
+        "quality_classifier",
+        "trained quality scoring: hashed-bigram occurrences built in "
+        "the scan projection, the learned (bucket, weight) table "
+        "broadcast, one per-doc aggregate, map-side sigmoid — model "
+        "training is bounded driver-side (PQ-codebook pattern), the "
+        "corpus-sized work is all keyed joins and aggregates",
+    ),
+    (
         "dsir_weights",
         "DSIR importance weights: hashed-bigram buckets built in the "
         "scan projection, two bucket-domain aggregates (8192 keys, "
