@@ -6787,6 +6787,93 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule heuristic filter battery (Rae et al. 2021 §A1.1 /
+    the FineWeb recipe): the published pre-LM-training quality rules
+    evaluated per document in ONE scan projection — word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (# and ellipsis) <= 0.1, >= 80% of words containing an alphabetic
+    char, and >= 2 distinct English stop words present. Returns each
+    rule's flag plus the composite pass — the practitioner's first
+    pass over a raw crawl, upstream of the LM/classifier scoring
+    family. Pure JVM expressions fused into the scan (map-only, no
+    shuffle at any scale); DuckDB predicts every flag exactly."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    words = "filter(split(text, ' '), w -> w <> '')"
+    stop = "array('the','be','to','of','and','that','have','with')"
+    return df.select(
+        "doc_id",
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+        F.expr(
+            f"size({words}) BETWEEN 50 AND 100000"
+        ).alias("ok_word_count"),
+        F.coalesce(
+            F.expr(
+                f"aggregate({words}, 0L, (a, w) -> a + length(w)) * 1.0 "
+                f"/ NULLIF(size({words}), 0) BETWEEN 3 AND 10"
+            ),
+            F.lit(False),
+        ).alias("ok_mean_word_len"),
+        F.coalesce(
+            F.expr(
+                "(length(text) - length(replace(replace(text, '#', ''), "
+                f"'...', ''))) * 1.0 / NULLIF(size({words}), 0) <= 0.1"
+            ),
+            F.lit(False),
+        ).alias("ok_symbol_ratio"),
+        F.coalesce(
+            F.expr(
+                f"size(filter({words}, w -> w rlike '[a-zA-Z]')) * 1.0 "
+                f"/ NULLIF(size({words}), 0) >= 0.8"
+            ),
+            F.lit(False),
+        ).alias("ok_alpha_words"),
+        F.expr(
+            f"size(array_intersect(transform({words}, w -> lower(w)), "
+            f"{stop})) >= 2"
+        ).alias("ok_stop_words"),
+    ).withColumn(
+        "pass",
+        F.coalesce(
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_alpha_words")
+            & F.col("ok_stop_words"),
+            F.lit(False),
+        ),
+    )
+
+
+ORACLE_GOPHER_QUALITY_FILTER = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         len(ws) BETWEEN 50 AND 100000 AS ok_word_count,
+         COALESCE(list_sum(list_transform(ws, x -> length(x))) * 1.0
+           / NULLIF(len(ws), 0) BETWEEN 3 AND 10, FALSE) AS ok_mean_word_len,
+         COALESCE((length(text) - length(replace(replace(text, '#', ''), '...', '')))
+           * 1.0 / NULLIF(len(ws), 0) <= 0.1, FALSE) AS ok_symbol_ratio,
+         COALESCE(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+           / NULLIF(len(ws), 0) >= 0.8, FALSE) AS ok_alpha_words,
+         len(list_intersect(list_transform(ws, x -> lower(x)),
+             ['the','be','to','of','and','that','have','with'])) >= 2
+           AS ok_stop_words
+  FROM w
+)
+SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+       ok_alpha_words, ok_stop_words,
+       COALESCE(ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+                AND ok_alpha_words AND ok_stop_words, FALSE) AS pass
+FROM flags
+"""
+
+
 _DSIR_BUCKETS = 8192
 _DSIR_KEEP = 0.25
 
@@ -7365,13 +7452,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_udtf_topk": q_search_udtf_topk,  # rewritten r7
     "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,  # rewritten r7
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,  # rewritten r7
-    "ann_pq_fullrescore": q_ann_pq_fullrescore,  # rewritten r7
     "knn_join": q_knn_join,  # rewritten r7
     "search_by_id": q_search_by_id,  # rewritten r7
     "hybrid_weighted": q_hybrid_weighted,  # rewritten r7
     "hybrid_rrf": q_hybrid_rrf,  # rewritten r7
     "embedding_near_dup": q_embedding_near_dup,  # rewritten r7
     "corr_stats": q_corr_stats,  # rewritten r7
+    "gopher_quality_filter": q_gopher_quality_filter,  # new, no driver row yet
     # --- r4 rows (age 3) (must be in the next batch) ---
     "search_flat_l2": q_search_flat_l2,
     "sessionize": q_sessionize,
@@ -7394,6 +7481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_revenue_change": q_forecast_revenue_change,
     "small_quantity_revenue": q_small_quantity_revenue,
     # --- r5 rows (age 2) ---
+    "ann_pq_fullrescore": q_ann_pq_fullrescore,
     "multimodal_features": q_multimodal_features,
     "unigram_logprob": q_unigram_logprob,
     "lang_top_terms": q_lang_top_terms,
@@ -7516,6 +7604,7 @@ ORACLES: dict[str, str] = {
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "perplexity_filter": ORACLE_PERPLEXITY_FILTER,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
+    "gopher_quality_filter": ORACLE_GOPHER_QUALITY_FILTER,
     "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "training_shards": ORACLE_TRAINING_SHARDS,
     "ewma_smooth": ORACLE_EWMA_SMOOTH,

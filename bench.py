@@ -86,6 +86,7 @@ HEADLINE = [
     "perplexity_filter",
     "dsir_weights",
     "quality_classifier",
+    "gopher_quality_filter",
     "training_shards",
     "ewma_smooth",
     "mmr_rerank",

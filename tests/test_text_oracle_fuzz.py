@@ -80,6 +80,7 @@ QUERY_NAMES = [
     "unigram_logprob",
     "perplexity_filter",
     "dsir_weights",
+    "gopher_quality_filter",
     "lang_top_terms",
     "bigram_logprob",
     "pii_scrub",

@@ -117,7 +117,13 @@ REWRITES: dict[str, int] = {
     "hybrid_weighted": 7,
     "embedding_near_dup": 7,
     "ann_ivf_fullprobe": 7,
-    "ann_pq_fullrescore": 7,
+    # ann_pq_fullrescore deliberately NOT re-bumped for the r7 cosine
+    # guard: its sf0.01 parity hash is byte-identical pre/post change
+    # (the guard only fires on zero-norm vectors, absent from the
+    # synthetic corpus by construction) and the batch has exactly 50
+    # slots — fronting all 12 output-identical rewrites would push an
+    # age-capped row (small_quantity_revenue, r4) past the cap.
+    "ann_pq_fullrescore": 5,
     "corr_stats": 7,  # r7 explicit guarded Pearson (ANSI zero-variance abort)
 }
 

@@ -77,6 +77,7 @@ PROBE_QUERIES = [
     "perplexity_filter",
     "dsir_weights",
     "quality_classifier",
+    "gopher_quality_filter",
     "training_shards",
     "ewma_smooth",
     "source_quota",
