@@ -243,6 +243,12 @@ SHOWCASE = [
         "boundary tie-group",
     ),
     (
+        "gopher_quality_filter",
+        "published heuristic rule battery in ONE scan projection — "
+        "no Exchange in the plan at all (map-only), every flag a "
+        "codegen'd array/string expression over the split token list",
+    ),
+    (
         "quality_classifier",
         "trained quality scoring: hashed-bigram occurrences built in "
         "the scan projection, the learned (bucket, weight) table "
