@@ -450,6 +450,28 @@ def _utf16_pieces(text: str, max_cps: int) -> list[str]:
     return pieces
 
 
+# C0 controls except tab/newline: stripped by every upload payload
+# kernel (after CRLF/CR -> LF). XML 1.0 cannot represent them at all
+# (a writer that emitted them produced OOXML its own parser rejected),
+# and binary Word assigns some of them structural meaning (0x07 is the
+# cell mark) — a real extraction pipeline normalizes them away. The
+# extract oracles apply the identical translate().
+_CTRL_CODES = [c for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)]
+_CTRL_DELETE = dict.fromkeys(_CTRL_CODES)
+
+
+def canon_upload_text(t: str) -> str:
+    """The upload-extraction text canon shared by every payload
+    kernel: CRLF / lone CR -> LF, then XML-invalid C0 controls
+    stripped (tab and newline survive)."""
+    return (
+        (t or "")
+        .replace("\r\n", "\n")
+        .replace("\r", "\n")
+        .translate(_CTRL_DELETE)
+    )
+
+
 def build_doc(
     text: str, *, force_unicode: bool = False, title: str | None = None
 ) -> bytes:
@@ -528,12 +550,13 @@ def with_doc_payload(df, *, id_col: str = "doc_id", text_col: str = "text"):
         import pandas as pd
 
         for pdf in batches:
-            # newline-canonicalize (CRLF / lone CR -> LF) like the other
-            # payload kernels; Word stores paragraph marks as CR, so an
-            # uncanonicalized CRLF would round trip as a doubled break
+            # canon_upload_text: CRLF/CR -> LF + C0-control strip, the
+            # canon every payload kernel applies; Word stores paragraph
+            # marks as CR and cell marks as 0x07, so uncanonicalized
+            # input would round trip with phantom breaks/tabs
             payloads = [
                 build_doc(
-                    (t or "").replace("\r\n", "\n").replace("\r", "\n"),
+                    canon_upload_text(t),
                     force_unicode=bool(
                         zlib.crc32(str(i).encode("utf-8")) % 2
                     ),

@@ -863,13 +863,14 @@ def with_office_payload(df, builder, *, id_col: str = "doc_id",
     builder options deterministically per row (stale edits, forced
     Continue splits) so those decode paths run distributed too.
 
-    Text is newline-canonicalized (CRLF / lone CR -> LF) before
-    building — the upload-extraction contract every real pipeline
-    applies, and what makes the round trip well-defined across
-    formats whose native line separator IS CR (.ppt atoms, .doc
-    paragraph marks) or whose XML parsers normalize CR on read
-    (OOXML); the matching extract oracles apply the same
-    regexp_replace innermost."""
+    Text is canonicalized (CRLF / lone CR -> LF, XML-invalid C0
+    controls stripped — ``cfbdoc.canon_upload_text``) before
+    building: the upload-extraction contract every real pipeline
+    applies, what makes the round trip well-defined across formats
+    whose native line separator IS CR (.ppt atoms, .doc paragraph
+    marks) or whose XML parsers normalize CR on read (OOXML), and
+    what keeps the XML writers from emitting characters XML 1.0
+    cannot represent; the extract oracles apply the same canon."""
     import zlib
 
     id_type = dict(df.dtypes)[id_col]
@@ -880,8 +881,10 @@ def with_office_payload(df, builder, *, id_col: str = "doc_id",
 
         for pdf in batches:
             payloads = []
+            from aiotcvectordb_spark.operators.cfbdoc import canon_upload_text
+
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                t = (t or "").replace("\r\n", "\n").replace("\r", "\n")
+                t = canon_upload_text(t)
                 kwargs = dict(variant_fn(i, t)) if variant_fn else {}
                 if alternate and builder is build_ppt:
                     kwargs.setdefault(

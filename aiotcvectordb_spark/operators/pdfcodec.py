@@ -2005,10 +2005,13 @@ def with_pdf_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
         for pdf in batches:
             payloads = []
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                # newline-canonicalize (CRLF / lone CR -> LF) like the
-                # office payload kernel — the extraction contract the
-                # oracles predict with the same regexp_replace
-                t = (t or "").replace("\r\n", "\n").replace("\r", "\n")
+                # shared upload canon (CRLF/CR -> LF + C0-control
+                # strip) — the extraction contract the oracles twin
+                from aiotcvectordb_spark.operators.cfbdoc import (
+                    canon_upload_text,
+                )
+
+                t = canon_upload_text(t)
                 if mix_modes:
                     key = zlib.crc32(str(doc_id).encode("utf-8"))
                     fm, flt = fonts[key % 3], filters[(key // 3) % 2]

@@ -3338,10 +3338,17 @@ SELECT doc_id,
        CAST(ceil(((length(text) - length(replace(text, chr(10), ''))) + 1)
                  / {_PDF_LINES_PER_PAGE}.0) AS INTEGER) AS n_pages
 FROM (SELECT doc_id,
-             replace(replace(text, chr(13) || chr(10), chr(10)),
-                     chr(13), chr(10)) AS text
+             translate(
+                 replace(replace(text, chr(13) || chr(10), chr(10)),
+                         chr(13), chr(10)),
+                 chr(0) || chr(1) || chr(2) || chr(3) || chr(4) || chr(5) ||
+                       chr(6) || chr(7) || chr(8) || chr(11) || chr(12) || chr(14) ||
+                       chr(15) || chr(16) || chr(17) || chr(18) || chr(19) || chr(20) ||
+                       chr(21) || chr(22) || chr(23) || chr(24) || chr(25) || chr(26) ||
+                       chr(27) || chr(28) || chr(29) || chr(30) || chr(31),
+                 '') AS text
       FROM documents
-      WHERE length(text) > 0) newline_canon
+      WHERE length(text) > 0) upload_canon
 """
 
 
@@ -3372,10 +3379,17 @@ ORACLE_DOC_EXTRACT = """
 SELECT doc_id,
        rtrim(replace(text, chr(13), chr(10)), chr(10)) AS text
 FROM (SELECT doc_id,
-             replace(replace(text, chr(13) || chr(10), chr(10)),
-                     chr(13), chr(10)) AS text
+             translate(
+                 replace(replace(text, chr(13) || chr(10), chr(10)),
+                         chr(13), chr(10)),
+                 chr(0) || chr(1) || chr(2) || chr(3) || chr(4) || chr(5) ||
+                       chr(6) || chr(7) || chr(8) || chr(11) || chr(12) || chr(14) ||
+                       chr(15) || chr(16) || chr(17) || chr(18) || chr(19) || chr(20) ||
+                       chr(21) || chr(22) || chr(23) || chr(24) || chr(25) || chr(26) ||
+                       chr(27) || chr(28) || chr(29) || chr(30) || chr(31),
+                 '') AS text
       FROM documents
-      WHERE length(text) > 0) newline_canon
+      WHERE length(text) > 0) upload_canon
 """
 
 
@@ -3416,10 +3430,17 @@ def q_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PPT_EXTRACT = """
 SELECT doc_id, trim(text, chr(10)) AS text
 FROM (SELECT doc_id,
-             replace(replace(text, chr(13) || chr(10), chr(10)),
-                     chr(13), chr(10)) AS text
+             translate(
+                 replace(replace(text, chr(13) || chr(10), chr(10)),
+                         chr(13), chr(10)),
+                 chr(0) || chr(1) || chr(2) || chr(3) || chr(4) || chr(5) ||
+                       chr(6) || chr(7) || chr(8) || chr(11) || chr(12) || chr(14) ||
+                       chr(15) || chr(16) || chr(17) || chr(18) || chr(19) || chr(20) ||
+                       chr(21) || chr(22) || chr(23) || chr(24) || chr(25) || chr(26) ||
+                       chr(27) || chr(28) || chr(29) || chr(30) || chr(31),
+                 '') AS text
       FROM documents
-      WHERE length(text) > 0) newline_canon
+      WHERE length(text) > 0) upload_canon
 """
 
 
@@ -3469,10 +3490,17 @@ def q_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_XLS_EXTRACT = """
 SELECT doc_id, trim(text, chr(10)) AS text
 FROM (SELECT doc_id,
-             replace(replace(text, chr(13) || chr(10), chr(10)),
-                     chr(13), chr(10)) AS text
+             translate(
+                 replace(replace(text, chr(13) || chr(10), chr(10)),
+                         chr(13), chr(10)),
+                 chr(0) || chr(1) || chr(2) || chr(3) || chr(4) || chr(5) ||
+                       chr(6) || chr(7) || chr(8) || chr(11) || chr(12) || chr(14) ||
+                       chr(15) || chr(16) || chr(17) || chr(18) || chr(19) || chr(20) ||
+                       chr(21) || chr(22) || chr(23) || chr(24) || chr(25) || chr(26) ||
+                       chr(27) || chr(28) || chr(29) || chr(30) || chr(31),
+                 '') AS text
       FROM documents
-      WHERE length(text) > 0) newline_canon
+      WHERE length(text) > 0) upload_canon
 """
 
 
@@ -3559,10 +3587,17 @@ SELECT doc_id,
                  chr(10))
             ELSE trim(text, chr(10)) END AS text
 FROM (SELECT doc_id,
-             replace(replace(text, chr(13) || chr(10), chr(10)),
-                     chr(13), chr(10)) AS text
+             translate(
+                 replace(replace(text, chr(13) || chr(10), chr(10)),
+                         chr(13), chr(10)),
+                 chr(0) || chr(1) || chr(2) || chr(3) || chr(4) || chr(5) ||
+                       chr(6) || chr(7) || chr(8) || chr(11) || chr(12) || chr(14) ||
+                       chr(15) || chr(16) || chr(17) || chr(18) || chr(19) || chr(20) ||
+                       chr(21) || chr(22) || chr(23) || chr(24) || chr(25) || chr(26) ||
+                       chr(27) || chr(28) || chr(29) || chr(30) || chr(31),
+                 '') AS text
       FROM documents
-      WHERE length(text) > 0) newline_canon
+      WHERE length(text) > 0) upload_canon
 """
 
 
@@ -3606,10 +3641,17 @@ SELECT doc_id,
                  'Notes for ' || CAST(doc_id AS VARCHAR), chr(10))
             ELSE trim(text, chr(10)) END AS text
 FROM (SELECT doc_id,
-             replace(replace(text, chr(13) || chr(10), chr(10)),
-                     chr(13), chr(10)) AS text
+             translate(
+                 replace(replace(text, chr(13) || chr(10), chr(10)),
+                         chr(13), chr(10)),
+                 chr(0) || chr(1) || chr(2) || chr(3) || chr(4) || chr(5) ||
+                       chr(6) || chr(7) || chr(8) || chr(11) || chr(12) || chr(14) ||
+                       chr(15) || chr(16) || chr(17) || chr(18) || chr(19) || chr(20) ||
+                       chr(21) || chr(22) || chr(23) || chr(24) || chr(25) || chr(26) ||
+                       chr(27) || chr(28) || chr(29) || chr(30) || chr(31),
+                 '') AS text
       FROM documents
-      WHERE length(text) > 0) newline_canon
+      WHERE length(text) > 0) upload_canon
 """
 
 
@@ -3663,10 +3705,17 @@ SELECT doc_id,
                                      ' ', chr(10)), chr(10))
             ELSE trim(text, chr(10)) END AS text
 FROM (SELECT doc_id,
-             replace(replace(text, chr(13) || chr(10), chr(10)),
-                     chr(13), chr(10)) AS text
+             translate(
+                 replace(replace(text, chr(13) || chr(10), chr(10)),
+                         chr(13), chr(10)),
+                 chr(0) || chr(1) || chr(2) || chr(3) || chr(4) || chr(5) ||
+                       chr(6) || chr(7) || chr(8) || chr(11) || chr(12) || chr(14) ||
+                       chr(15) || chr(16) || chr(17) || chr(18) || chr(19) || chr(20) ||
+                       chr(21) || chr(22) || chr(23) || chr(24) || chr(25) || chr(26) ||
+                       chr(27) || chr(28) || chr(29) || chr(30) || chr(31),
+                 '') AS text
       FROM documents
-      WHERE length(text) > 0) newline_canon
+      WHERE length(text) > 0) upload_canon
 """
 
 
@@ -3711,10 +3760,17 @@ SELECT doc_id,
        trim(regexp_replace(text, '\n{3,}', chr(10) || chr(10), 'g'),
             chr(10) || ' ') AS text
 FROM (SELECT doc_id,
-             replace(replace(text, chr(13) || chr(10), chr(10)),
-                     chr(13), chr(10)) AS text
+             translate(
+                 replace(replace(text, chr(13) || chr(10), chr(10)),
+                         chr(13), chr(10)),
+                 chr(0) || chr(1) || chr(2) || chr(3) || chr(4) || chr(5) ||
+                       chr(6) || chr(7) || chr(8) || chr(11) || chr(12) || chr(14) ||
+                       chr(15) || chr(16) || chr(17) || chr(18) || chr(19) || chr(20) ||
+                       chr(21) || chr(22) || chr(23) || chr(24) || chr(25) || chr(26) ||
+                       chr(27) || chr(28) || chr(29) || chr(30) || chr(31),
+                 '') AS text
       FROM documents
-      WHERE length(text) > 0) newline_canon
+      WHERE length(text) > 0) upload_canon
 """
 
 
@@ -3759,10 +3815,17 @@ SELECT doc_id,
            x -> x <> ''),
          chr(10)), '') AS text
 FROM (SELECT doc_id,
-             replace(replace(text, chr(13) || chr(10), chr(10)),
-                     chr(13), chr(10)) AS text
+             translate(
+                 replace(replace(text, chr(13) || chr(10), chr(10)),
+                         chr(13), chr(10)),
+                 chr(0) || chr(1) || chr(2) || chr(3) || chr(4) || chr(5) ||
+                       chr(6) || chr(7) || chr(8) || chr(11) || chr(12) || chr(14) ||
+                       chr(15) || chr(16) || chr(17) || chr(18) || chr(19) || chr(20) ||
+                       chr(21) || chr(22) || chr(23) || chr(24) || chr(25) || chr(26) ||
+                       chr(27) || chr(28) || chr(29) || chr(30) || chr(31),
+                 '') AS text
       FROM documents
-      WHERE length(text) > 0) newline_canon
+      WHERE length(text) > 0) upload_canon
 """
 
 

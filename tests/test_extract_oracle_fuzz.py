@@ -50,6 +50,8 @@ SHAPES = [
     "lone\rcarriage returns\rclassic mac",
     "emoji 😀 non-bmp \U0001f680 line",
     "ends with cr\r",
+    "ctrl\x01chars\x00here\x07bell\x1besc",
+    "\x0b\x0conly controls\x1f",
 ]
 
 EXTRACT_QUERIES = [
