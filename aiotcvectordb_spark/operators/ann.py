@@ -166,8 +166,11 @@ def sq8_dequant_score_expr(
     if metric_u == "L2":
         return F.expr(f"sqrt({' + '.join(terms_l2)})")
     qn = sum(float(x) * float(x) for x in query) ** 0.5 or 1.0
+    # greatest-floor: a zero vector dequantizes to zero norm and must
+    # score 0.0, not abort the scan with ANSI DIVIDE_BY_ZERO
     return F.expr(
-        f"({' + '.join(terms_dot)}) / (sqrt({' + '.join(norm_v)}) * {qn!r})"
+        f"({' + '.join(terms_dot)}) / "
+        f"(greatest(sqrt({' + '.join(norm_v)}), cast(1e-12 as double)) * {qn!r})"
     )
 
 
@@ -470,9 +473,11 @@ def hnsw_search(
         lsh_vectors = [[float(x) for x in v] for v in vectors]
     else:
         # unit-normalize both sides for the candidate stage
+        # zero-norm floor: 0/1e-12 = a zero unit vector (hashable),
+        # never an ANSI DIVIDE_BY_ZERO abort
         norm = (
-            f"sqrt(aggregate(transform({vector_col}, v -> cast(v as double) * "
-            "cast(v as double)), cast(0 as double), (a, b) -> a + b))"
+            f"greatest(sqrt(aggregate(transform({vector_col}, v -> cast(v as double) * "
+            "cast(v as double)), cast(0 as double), (a, b) -> a + b)), cast(1e-12 as double))"
         )
         lsh_df = df.withColumn(
             "__lsh_vec",

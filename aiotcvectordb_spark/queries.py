@@ -1730,8 +1730,8 @@ def q_embedding_near_dup_ivf(
         )
     unit = (
         "transform(embedding, x -> cast(x as double) / "
-        "sqrt(aggregate(transform(embedding, v -> cast(v as double) * cast(v as double)), "
-        "cast(0 as double), (a, b) -> a + b)))"
+        "greatest(sqrt(aggregate(transform(embedding, v -> cast(v as double) * cast(v as double)), "
+        "cast(0 as double), (a, b) -> a + b)), cast(1e-12 as double)))"
     )
     # Materialize the unit vector ONCE as a column: inlining the
     # normalization transform into each of the nlist centroid-distance
@@ -3883,8 +3883,8 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "embeddings")
     unit = (
         "transform(embedding, x -> cast(x as double) / "
-        "sqrt(aggregate(transform(embedding, v -> cast(v as double) * cast(v as double)), "
-        "cast(0 as double), (a, b) -> a + b)))"
+        "greatest(sqrt(aggregate(transform(embedding, v -> cast(v as double) * cast(v as double)), "
+        "cast(0 as double), (a, b) -> a + b)), cast(1e-12 as double)))"
     )
     ml_df = df.withColumn("__features", array_to_vector(F.expr(unit)))
     model = KMeans(

@@ -151,3 +151,32 @@ def test_vector_query_matches_oracle_on_nasty_table(spark, nasty_sf, name):
             f"{name}: value hash mismatch; first differing sorted row "
             f"#{diff}:\n  spark : {s_rows[diff]}\n  oracle: {o_rows[diff]}"
         )
+
+
+ROWS_ONLY = [
+    "ann_bq_cosine",
+    "ann_ivf_cosine",
+    "ann_lsh_l2",
+    "ann_pq_cosine",
+    "embedding_near_dup_auto",
+    "embedding_near_dup_ivf",
+    "embedding_pca",
+    "mmr_rerank",
+    "search_by_text",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_vector_query_survives_nasty_table(spark, nasty_sf, name):
+    """No oracle to compare, but the approximate/model operators must
+    not ABORT on zero vectors, 1e18 magnitudes, or duplicates — the
+    failure mode the oracled sweep caught in every cosine path."""
+    sdf = Q.QUERIES[name](spark, nasty_sf).toPandas()
+    assert len(sdf) >= 0
+    for col in sdf.columns:
+        if str(sdf[col].dtype) in ("float64", "float32"):
+            import numpy as np
+
+            assert not np.isnan(sdf[col].to_numpy()).any(), (
+                f"{name}: NaN leaked into {col}"
+            )

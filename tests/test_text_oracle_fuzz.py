@@ -229,3 +229,23 @@ def test_text_query_matches_oracle_on_nasty_corpus(spark, nasty_sf, name):
             f"{name}: value hash mismatch; first differing sorted row "
             f"#{diff}:\n  spark : {s_rows[diff]}\n  oracle: {o_rows[diff]}"
         )
+
+
+ROWS_ONLY = [
+    "audio_adpcm_probe",
+    "audio_mp3_probe",
+    "bpe_token_count",
+    "heavy_hitters",
+    "quality_classifier",
+    "stratified_sample",
+    "substring_dedup_hashed",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_text_query_survives_nasty_corpus(spark, nasty_sf, name):
+    """Rows-only operators (no SQL oracle) must still run to completion
+    on the hostile corpus — empty/CJK/control-ish shapes and duplicate
+    groups must never abort the job."""
+    sdf = Q.QUERIES[name](spark, nasty_sf).toPandas()
+    assert len(sdf) >= 0
