@@ -5332,15 +5332,21 @@ def q_substring_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup-detection aggregate moving ≈ corpus-tokens × ~50-byte
     verbatim grams; here each gram is reduced in the scan projection
     to a 16-byte key pair (xxhash64(gram), xxhash64(gram || 0x01) —
-    two independently-seeded 64-bit lanes), cutting shuffle bytes
-    ~3-6× while the plan stays identical: one hash aggregate, keyed
-    equi-joins, LEFT ANTI keep, ordered reassembly.
+    two 64-bit lanes DECORRELATED by a one-byte input suffix, not by
+    independent hash seeds: both lanes use xxhash64's default seed,
+    so treat the pair as one well-mixed 128-bit key, not two provably
+    independent functions), cutting shuffle bytes ~3-6× while the plan
+    stays identical: one hash aggregate, keyed equi-joins, LEFT ANTI
+    keep, ordered reassembly.
 
-    Collision math: a false dup needs BOTH 64-bit lanes to collide on
-    distinct grams — P ≈ T²/2¹²⁹ pairwise over T corpus grams, i.e.
-    ~6×10⁻¹³ expected false-covered positions at T = 2×10¹³ tokens
-    (a 100 TB corpus); a single 64-bit key would already expect ~10⁷
-    false dups at that scale, hence the pair. Registry entry is
+    Collision math (under the standard assumption that xxhash64 mixes
+    the suffixed inputs like independent uniform draws — heuristic for
+    the suffix construction, not a seed-independence theorem): a false
+    dup needs BOTH 64-bit lanes to collide on distinct grams — P ≈
+    T²/2¹²⁹ pairwise over T corpus grams, i.e. ~6×10⁻¹³ expected
+    false-covered positions at T = 2×10¹³ tokens (a 100 TB corpus); a
+    single 64-bit key would already expect ~10⁷ false dups at that
+    scale, hence the pair. Registry entry is
     rows-only (DuckDB has no xxhash64); bit-equality with the ORACLED
     string-exact query is pinned in
     tests/test_dedup_text_relational.py instead."""

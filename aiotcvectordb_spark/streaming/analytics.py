@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from aiotcvectordb_spark.streaming.epochlog import epoch_ids
+
 _NS_PER_DAY = 86400000000000
 
 _ATTR_OUT_SCHEMA = "user_id long, event_id long, touch_type string, value double"
@@ -135,14 +137,24 @@ def attribution_rollup(attributed: DataFrame, round_digits: int = 6) -> DataFram
 
 
 def _read_pair_log(spark, pairs_dir: str) -> DataFrame:
-    try:
-        return (
-            spark.read.option("basePath", pairs_dir)
-            .parquet(os.path.join(pairs_dir, "epoch=*"))
-            .select("day", "user_id")
-        )
-    except Exception:
+    """All (day, user) pairs committed so far. Empty frame ONLY when no
+    epoch directory exists (checked explicitly via the Hadoop FS
+    listing — a transient read failure re-raises so the micro-batch
+    retries, instead of silently treating every batch pair as
+    never-seen and undercounting nothing/overwriting the curve from a
+    partial history; r8, was a bare-except→empty). Deliberately reads
+    ALL epochs including a replaying epoch's own (the log commits LAST,
+    so a committed epoch implies its results are already on disk and
+    the replay's early-return is the idempotence mechanism)."""
+    epochs = epoch_ids(spark, pairs_dir)
+    if not epochs:
         return spark.createDataFrame([], "day long, user_id long")
+    paths = [f"{pairs_dir}/epoch={e}" for e in epochs]
+    return (
+        spark.read.option("basePath", pairs_dir)
+        .parquet(*paths)
+        .select("day", "user_id")
+    )
 
 
 def stream_wau_sink(pairs_dir: str, results_dir: str, *, window_days: int = 7):

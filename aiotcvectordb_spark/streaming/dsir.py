@@ -41,7 +41,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aiotcvectordb_spark.operators.classifier import hashed_bigram_buckets
-from aiotcvectordb_spark.streaming.substrdedup import _epoch_ids
+from aiotcvectordb_spark.streaming.epochlog import (
+    compact_summed_index,
+    summed_epoch_paths,
+)
 
 _ROUND_DIGITS = 6
 
@@ -68,13 +71,15 @@ def target_bucket_counts(
 
 def _read_raw_index(spark, raw_dir: str, *, before_epoch: int | None = None) -> DataFrame:
     """Standing (bucket, cr) counts summed across committed epochs;
-    same replay discipline as the gram/LM indexes."""
-    epochs = _epoch_ids(spark, raw_dir)
-    if before_epoch is not None:
-        epochs = [e for e in epochs if e < before_epoch]
-    if not epochs:
+    same replay discipline as the LM index. Counts are SUMS, so the
+    read follows the watermark protocol (``epochlog.summed_epoch_paths``)
+    — live epochs already folded into the active compacted generation
+    are skipped, so a compaction that crashed between the generation
+    write and the source deletes cannot double the merged bucket counts
+    (r8 fix)."""
+    paths = summed_epoch_paths(spark, raw_dir, before_epoch=before_epoch)
+    if not paths:
         return spark.createDataFrame([], "bucket bigint, cr bigint")
-    paths = [f"{raw_dir}/epoch={e}" for e in epochs]
     log = spark.read.option("basePath", raw_dir).parquet(*paths)
     return log.groupBy("bucket").agg(F.sum("cr").alias("cr"))
 
@@ -102,14 +107,19 @@ def stream_dsir_sink(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         ).filter(F.length("text") > 0)
         occ = hashed_bigram_buckets(df, n_buckets).persist()
+        raw = None
         try:
             delta = occ.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
             prior = _read_raw_index(spark, raw_dir, before_epoch=epoch_id)
+            # persist the folded standing+batch model: the r_total
+            # collect below materializes it, so the ratios plan reuses
+            # the cached fold instead of re-scanning the epoch log a
+            # second time per micro-batch (r8, advisor)
             raw = (
                 prior.unionByName(delta)
                 .groupBy("bucket")
                 .agg(F.sum("cr").alias("cr"))
-            )
+            ).persist()
             tdf = spark.createDataFrame(
                 [(int(b), int(c)) for b, c in target_counts]
                 or [(-1, 0)],  # empty-target sentinel (never joins)
@@ -141,11 +151,24 @@ def stream_dsir_sink(
                         F.sum(F.col("cnt") * F.col("lr")), _ROUND_DIGITS
                     ).alias("weight")
                 )
-                .withColumn(
-                    "admitted", F.col("weight") >= F.lit(threshold)
-                )
             )
-            scored.write.mode("overwrite").parquet(
+            # every batch doc gets an explicit decision row: featureless
+            # docs (empty text / fewer than two tokens → no bucket
+            # occurrences) surface as (weight NULL, admitted false)
+            # instead of silently vanishing — consumers can distinguish
+            # 'rejected' from 'never scored' (r8, advisor)
+            spine = batch_df.select(F.col(id_col).alias("doc_id")).distinct()
+            out = (
+                spine.join(scored, "doc_id", "left")
+                .withColumn(
+                    "admitted",
+                    F.coalesce(
+                        F.col("weight") >= F.lit(threshold), F.lit(False)
+                    ),
+                )
+                .select("doc_id", "weight", "admitted")
+            )
+            out.write.mode("overwrite").parquet(
                 os.path.join(results_dir, f"epoch={epoch_id}")
             )
             delta.write.mode("overwrite").parquet(
@@ -153,6 +176,8 @@ def stream_dsir_sink(
             )
         finally:
             occ.unpersist()
+            if raw is not None:
+                raw.unpersist()
 
     return apply_batch
 
@@ -167,19 +192,9 @@ def read_dsir_decisions(spark, results_dir: str) -> DataFrame:
 
 def compact_raw_index(spark, raw_dir: str) -> None:
     """Fold the raw-count epoch log into ONE summed generation —
-    identical discipline to ``qualitygate.compact_lm_index`` (negative
-    generation ids, newest live epoch spared, Hadoop FS deletes)."""
-    epochs = _epoch_ids(spark, raw_dir)
-    live = [e for e in epochs if e >= 0]
-    merge = [e for e in epochs if not live or e != max(live)]
-    if len(merge) <= 1:
-        return
-    target = min(epochs) - 1 if epochs[0] < 0 else -1
-    _read_raw_index(
-        spark, raw_dir, before_epoch=max(live) if live else None
-    ).write.mode("overwrite").parquet(f"{raw_dir}/epoch={target}")
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(raw_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    for e in merge:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{raw_dir}/epoch={e}"), True)
+    identical discipline to ``qualitygate.compact_lm_index``: the
+    watermark commit protocol of ``epochlog.compact_summed_index``
+    (negative generation ids, ``_FOLDED_UP_TO`` marker as the commit
+    point, newest live epoch spared, Hadoop FS deletes), crash-safe for
+    non-idempotent summed counts at every point (r8)."""
+    compact_summed_index(spark, raw_dir, _read_raw_index)

@@ -25,9 +25,9 @@ Scale shape: per micro-batch cost is one band-hash pass over the batch
 plus one equi-join against the bucket index on (band, h) — no
 all-pairs work, no state in executor memory (the index lives in
 storage, not in a streaming state store, so it survives restarts and
-can be compacted offline). Reads of the index aggregate per-epoch
-minima with a groupBy-min; compact periodically by rewriting the log
-as a single epoch directory.
+compacts offline through ``compact_bucket_index`` — the gram-index
+epoch discipline, r8). Reads of the index aggregate per-epoch minima
+with a groupBy-min.
 """
 
 from __future__ import annotations
@@ -38,19 +38,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aiotcvectordb_spark.pipelines import minhash_band_hashes
+from aiotcvectordb_spark.streaming.epochlog import delete_epoch, epoch_ids
 
 _INDEX_SCHEMA = "band int, h bigint, min_id long"
 
 
-def _read_bucket_index(spark, index_dir: str) -> DataFrame:
-    """Per-bucket minimum doc id across all epochs written so far;
-    empty frame when no epoch has committed yet."""
-    try:
-        log = spark.read.option("basePath", index_dir).parquet(
-            os.path.join(index_dir, "epoch=*")
-        )
-    except Exception:
+def _read_bucket_index(
+    spark, index_dir: str, *, before_epoch: int | None = None
+) -> DataFrame:
+    """Per-bucket minimum doc id across committed epochs; empty frame
+    ONLY when no epoch directory exists (checked explicitly via the
+    Hadoop FS listing — a transient read failure re-raises so the
+    micro-batch retries, instead of silently deduplicating against an
+    empty index; r8, was a bare-except→empty). ``before_epoch``
+    restricts the read to strictly earlier epochs, so an at-least-once
+    replay of epoch N never sees its own minima as 'prior corpus'
+    (compacted generations use descending NEGATIVE ids and always pass
+    the filter)."""
+    epochs = epoch_ids(spark, index_dir)
+    if before_epoch is not None:
+        epochs = [e for e in epochs if e < before_epoch]
+    if not epochs:
         return spark.createDataFrame([], _INDEX_SCHEMA)
+    paths = [f"{index_dir}/epoch={e}" for e in epochs]
+    log = spark.read.option("basePath", index_dir).parquet(*paths)
     return log.groupBy("band", "h").agg(F.min("min_id").alias("min_id"))
 
 
@@ -80,7 +91,7 @@ def stream_neardup_sink(
             shingle=shingle,
         ).persist()
         try:
-            prior = _read_bucket_index(spark, index_dir)
+            prior = _read_bucket_index(spark, index_dir, before_epoch=epoch_id)
             # claimed by an earlier epoch's bucket minimum...
             hit_prior = (
                 bands.join(prior, ["band", "h"])
@@ -128,16 +139,33 @@ def read_neardup_flags(spark, results_dir: str) -> DataFrame:
 
 
 def compact_bucket_index(spark, index_dir: str) -> None:
-    """Rewrite the epoch log as a single epoch directory holding the
-    global per-bucket minima (run offline between streaming runs; the
-    read path is identical before and after)."""
-    tmp = os.path.join(index_dir, "_compact_tmp")
-    # the write is an action: the merged minima are fully materialized
-    # in tmp before any source epoch directory is removed
-    _read_bucket_index(spark, index_dir).write.mode("overwrite").parquet(tmp)
-    import shutil
+    """Rewrite the epoch log as ONE generation of global per-bucket
+    minima (run offline; the read path is identical before and after).
 
-    for name in os.listdir(index_dir):
-        if name.startswith("epoch="):
-            shutil.rmtree(os.path.join(index_dir, name))
-    os.rename(tmp, os.path.join(index_dir, "epoch=0"))
+    Identical discipline to ``substrdedup.compact_gram_index`` (r8 —
+    replaces an ``os.listdir``/``shutil``/``os.rename`` pass that broke
+    off local disk AND compacted into ``epoch=0``, a directory a fresh
+    stream's batch 0 would overwrite, destroying the index): the merged
+    minima are WRITTEN through Spark to a fresh NEGATIVE generation id
+    (descending -1, -2, ... — never colliding with Structured
+    Streaming's monotonically increasing batch ids, and always passing
+    a replay's ``before_epoch`` filter), then the superseded epoch
+    directories are deleted through the Hadoop FileSystem API. No
+    rename; every crash window is safe because min is idempotent under
+    union — ``old ∪ compacted`` folds to the same per-bucket minima.
+
+    Replay safety: the NEWEST live epoch is never merged — it is the
+    only batch id foreachBatch can replay after a crash, and its
+    ``before_epoch`` read must not find its own minima inside the
+    compacted generation."""
+    epochs = epoch_ids(spark, index_dir)
+    live = [e for e in epochs if e >= 0]
+    merge = [e for e in epochs if not live or e != max(live)]
+    if len(merge) <= 1:
+        return  # nothing to merge
+    target = min(epochs) - 1 if epochs[0] < 0 else -1
+    _read_bucket_index(
+        spark, index_dir, before_epoch=max(live) if live else None
+    ).write.mode("overwrite").parquet(f"{index_dir}/epoch={target}")
+    for e in merge:
+        delete_epoch(spark, index_dir, e)

@@ -33,24 +33,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aiotcvectordb_spark import pipelines
-from aiotcvectordb_spark.streaming.substrdedup import _epoch_ids
+from aiotcvectordb_spark.streaming.epochlog import (
+    compact_summed_index,
+    summed_epoch_paths,
+)
 
 _ROUND_DIGITS = 6
 
 
 def _read_lm_index(spark, lm_dir: str, *, before_epoch: int | None = None) -> DataFrame:
     """Standing (lang, token, tf) counts summed across committed
-    epochs. Same replay discipline as the gram index: ``before_epoch``
-    hides the replaying epoch's own deltas; an empty frame is returned
-    ONLY when no epoch directory exists."""
-    epochs = _epoch_ids(spark, lm_dir)
-    if before_epoch is not None:
-        epochs = [e for e in epochs if e < before_epoch]
-    if not epochs:
+    epochs. ``before_epoch`` hides the replaying epoch's own deltas; an
+    empty frame is returned ONLY when nothing is committed. Counts are
+    SUMS, so this read follows the watermark protocol
+    (``epochlog.summed_epoch_paths``): live epochs already folded into
+    the active compacted generation are skipped — a compaction that
+    crashed between the generation write and the source deletes (r8
+    fix) can no longer double every merged (lang, token) count."""
+    paths = summed_epoch_paths(spark, lm_dir, before_epoch=before_epoch)
+    if not paths:
         return spark.createDataFrame(
             [], "lang string, token string, tf bigint"
         )
-    paths = [f"{lm_dir}/epoch={e}" for e in epochs]
     log = spark.read.option("basePath", lm_dir).parquet(*paths)
     return log.groupBy("lang", "token").agg(F.sum("tf").alias("tf"))
 
@@ -78,6 +82,7 @@ def stream_quality_gate_sink(
             F.col(text_col).alias("text"),
         ).filter(F.length("text") > 0)
         dtf = pipelines.doc_term_freqs(df).persist()
+        lm = None
         try:
             delta = dtf.groupBy("lang", "token").agg(
                 F.sum("dtf").alias("tf")
@@ -88,10 +93,29 @@ def stream_quality_gate_sink(
                 .groupBy("lang", "token")
                 .agg(F.sum("tf").alias("tf"))
             )
+            # the folded standing model feeds BOTH the totals agg and
+            # the scoring join — persist it so the epoch log is scanned
+            # once per micro-batch, not twice (r8, advisor)
+            lm = lm.persist()
             totals = lm.groupBy("lang").agg(F.sum("tf").alias("n"))
             scored = pipelines.lm_bits(dtf, lm, totals, _ROUND_DIGITS)
-            out = scored.withColumn(
-                "admitted", F.col("ppl_bits") <= F.lit(threshold_bits)
+            # every batch doc gets an explicit decision row: docs with
+            # no scorable tokens (empty/whitespace-only text) surface as
+            # (ppl_bits NULL, admitted false) instead of silently
+            # vanishing from the decision log (r8, advisor)
+            spine = batch_df.select(
+                F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+            ).distinct()
+            out = (
+                spine.join(scored.drop("lang"), "doc_id", "left")
+                .withColumn(
+                    "admitted",
+                    F.coalesce(
+                        F.col("ppl_bits") <= F.lit(threshold_bits),
+                        F.lit(False),
+                    ),
+                )
+                .select("doc_id", "lang", "ppl_bits", "admitted")
             )
             out.write.mode("overwrite").parquet(
                 os.path.join(results_dir, f"epoch={epoch_id}")
@@ -101,6 +125,8 @@ def stream_quality_gate_sink(
             )
         finally:
             dtf.unpersist()
+            if lm is not None:
+                lm.unpersist()
 
     return apply_batch
 
@@ -114,25 +140,14 @@ def read_gate_decisions(spark, results_dir: str) -> DataFrame:
 
 
 def compact_lm_index(spark, lm_dir: str) -> None:
-    """Fold the epoch delta log into ONE summed generation. Identical
-    discipline to ``substrdedup.compact_gram_index``: written through
-    Spark to a fresh NEGATIVE epoch id (object-store-safe, no rename;
-    partial ∪ old reads to the same sums), the NEWEST live epoch is
-    never merged (it is the only one foreachBatch can replay, and its
-    deltas must stay invisible to its own replay's ``before_epoch``
-    read), and superseded directories are deleted through the Hadoop
-    FileSystem API."""
-    epochs = _epoch_ids(spark, lm_dir)
-    live = [e for e in epochs if e >= 0]
-    merge = [e for e in epochs if not live or e != max(live)]
-    if len(merge) <= 1:
-        return
-    target = min(epochs) - 1 if epochs[0] < 0 else -1
-    _read_lm_index(
-        spark, lm_dir, before_epoch=max(live) if live else None
-    ).write.mode("overwrite").parquet(f"{lm_dir}/epoch={target}")
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(lm_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    for e in merge:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{lm_dir}/epoch={e}"), True)
+    """Fold the epoch delta log into ONE summed generation via
+    ``epochlog.compact_summed_index``. Unlike the distinct-gram index,
+    ``old ∪ compacted`` is NOT idempotent for sums, so the compaction
+    commits through a ``_FOLDED_UP_TO`` watermark marker: readers
+    ignore an unmarked generation and skip live epochs the active
+    generation already folded, making every crash window read to
+    exactly the committed counts (r8, closes the mid-compaction
+    count-doubling hole). The NEWEST live epoch is never merged — it is
+    the only one foreachBatch can replay, and its deltas must stay
+    invisible to its own replay's ``before_epoch`` read."""
+    compact_summed_index(spark, lm_dir, _read_lm_index)

@@ -44,30 +44,16 @@ from aiotcvectordb_spark.pipelines import (
     lane_cut,
     word_ngrams,
 )
+from aiotcvectordb_spark.streaming.epochlog import delete_epoch, epoch_ids
 
 _DEFAULT_N = 8
 _DEFAULT_CHAR_N = 12  # char-lane gram width, = queries._SUBSTR_CJK_CHAR_N
 
 
-def _epoch_ids(spark, index_dir: str) -> list[int]:
-    """Committed ``epoch=N`` directory ids under ``index_dir``, via the
-    Hadoop FileSystem API — the same code path on local disk, HDFS,
-    and object stores (never ``os.listdir``). Empty list when the
-    index directory does not exist yet."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return []
-    out: list[int] = []
-    for st in fs.listStatus(path):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("epoch="):
-            try:
-                out.append(int(name[6:]))
-            except ValueError:
-                continue
-    return sorted(out)
+# shared with the other standing indexes (r8): the listing/marker
+# primitives live in streaming.epochlog; this alias keeps the
+# historical import path used across the ingest twins and tests
+_epoch_ids = epoch_ids
 
 
 def _read_gram_index(spark, index_dir: str, *, before_epoch: int | None = None) -> DataFrame:
@@ -216,8 +202,5 @@ def compact_gram_index(spark, index_dir: str) -> None:
     _read_gram_index(
         spark, index_dir, before_epoch=max(live) if live else None
     ).write.mode("overwrite").parquet(f"{index_dir}/epoch={target}")
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     for e in merge:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/epoch={e}"), True)
+        delete_epoch(spark, index_dir, e)

@@ -110,3 +110,79 @@ def test_compaction_preserves_index(spark, sf_dir, tmp_path):
         for r in _read_bucket_index(spark, index_dir).collect()
     }
     assert after == before and before
+
+
+def test_compaction_layout_negative_gen_spares_newest_and_replay_view(
+    spark, tmp_path
+):
+    """r8 hardening: the compacted generation is a fresh NEGATIVE epoch
+    id written through the Hadoop FS path (no ``epoch=0`` collision a
+    fresh stream's batch 0 would overwrite — the r7-flagged index
+    destroyer), the newest live epoch is never merged, and a replay's
+    ``before_epoch`` view never contains its own epoch's minima."""
+    from aiotcvectordb_spark.streaming.epochlog import epoch_ids
+    from aiotcvectordb_spark.streaming.neardup import _read_bucket_index
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "completely different content about spark and parquet files",
+        3: "yet another unrelated document describing engines and scale",
+        4: "a fourth unique document about streaming state and epochs",
+    }
+    index_dir = str(tmp_path / "index")
+    results_dir = str(tmp_path / "results")
+    sink = stream_neardup_sink(index_dir, results_dir)
+
+    def batch(*ids):
+        return spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, clean_text string"
+        )
+
+    sink(batch(1), 0)
+    sink(batch(2), 1)
+    sink(batch(3), 2)
+    all_minima = {
+        (r.band, r.h): r.min_id
+        for r in _read_bucket_index(spark, index_dir).collect()
+    }
+    pre_2 = {
+        (r.band, r.h): r.min_id
+        for r in _read_bucket_index(spark, index_dir, before_epoch=2).collect()
+    }
+    compact_bucket_index(spark, index_dir)
+    # epochs 0 and 1 merged into generation -1; live epoch 2 spared
+    assert epoch_ids(spark, index_dir) == [-1, 2]
+    assert {
+        (r.band, r.h): r.min_id
+        for r in _read_bucket_index(spark, index_dir).collect()
+    } == all_minima
+    # an at-least-once replay of epoch 2 sees exactly the pre-epoch-2
+    # index — not its own minima via the compacted generation
+    assert {
+        (r.band, r.h): r.min_id
+        for r in _read_bucket_index(spark, index_dir, before_epoch=2).collect()
+    } == pre_2
+    # a second compaction descends to -2 (never rewrites the directory
+    # it is reading) and stays read-invariant
+    sink(batch(4), 3)
+    full = {
+        (r.band, r.h): r.min_id
+        for r in _read_bucket_index(spark, index_dir).collect()
+    }
+    compact_bucket_index(spark, index_dir)
+    assert epoch_ids(spark, index_dir) == [-2, 3]
+    assert {
+        (r.band, r.h): r.min_id
+        for r in _read_bucket_index(spark, index_dir).collect()
+    } == full
+
+
+def test_read_bucket_index_empty_only_when_no_epochs(spark, tmp_path):
+    """r8: empty-index reads are explicit (Hadoop FS listing), not a
+    bare except — a missing directory yields an empty frame, and the
+    frame has the index schema."""
+    from aiotcvectordb_spark.streaming.neardup import _read_bucket_index
+
+    df = _read_bucket_index(spark, str(tmp_path / "nonexistent"))
+    assert df.count() == 0
+    assert df.columns == ["band", "h", "min_id"]

@@ -200,11 +200,15 @@ def test_hostile_corpus_epoch_does_not_poison_the_gate(spark, tmp_path):
     ]
     lm_dir, results_dir, sink = _run_epochs(spark, tmp_path, _B1, hostile)
     dec = read_gate_decisions(spark, results_dir)
-    # zero-token docs produce no dtf rows and are absent from the
-    # decisions (same as the batch kernels); the rest all scored
-    scored_ids = {r.doc_id for r in dec.filter("epoch = 1").collect()}
-    assert scored_ids == {101, 104, 105, 106, 107}
+    # r8: EVERY batch doc gets an explicit decision row — zero-token
+    # docs (102 newline-only, 103 whitespace-only) surface as
+    # (ppl_bits NULL, admitted false) instead of silently vanishing
+    rows = {r.doc_id: r for r in dec.filter("epoch = 1").collect()}
+    assert set(rows) == {101, 102, 103, 104, 105, 106, 107}
+    for d in (102, 103):
+        assert rows[d].ppl_bits is None and rows[d].admitted is False
     assert {
         (r.doc_id, r.lang): r.ppl_bits
         for r in dec.filter("epoch = 1").collect()
+        if r.ppl_bits is not None
     } == _batch_reference(spark, hostile, _B1)
