@@ -53,7 +53,7 @@ class VectorDBEngine:
 
         self.spark = spark
         self.catalog = Catalog(root)
-        self.store = ParquetStore(root)
+        self.store = ParquetStore(root, spark)
         self.users = UserManager(root)
         # reference stub.py:29: the client takes read_consistency at
         # construction and injects it into every read body. Parquet

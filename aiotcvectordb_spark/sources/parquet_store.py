@@ -1,62 +1,98 @@
-"""Parquet-backed collection storage with atomic rewrite.
+"""Parquet-backed collection storage with atomic versioned commits.
 
 Collections are immutable parquet directories; every write (upsert /
-update / delete / truncate) produces a new versioned directory and
-atomically flips a pointer file — the moral equivalent of a Delta
-transaction log reduced to "latest version wins". Readers always see a
-complete snapshot (reference reads are snapshot-consistent, which is how
-we honor both STRONG and EVENTUAL ``ReadConsistency`` —
+update / delete / truncate) produces a new versioned directory
+``v<N>`` and COMMITS it by creating an append-only marker file
+``_commit_v<N>`` — the moral equivalent of a Delta transaction log
+reduced to "highest committed version wins". Readers always see a
+complete snapshot (reference reads are snapshot-consistent, which is
+how we honor both STRONG and EVENTUAL ``ReadConsistency`` —
 reference: aiotcvectordb/client/stub.py:29).
 
-At cluster scale the same protocol works on any HDFS-compatible FS
-(rename of the pointer file is the only atomicity requirement); swap in
-Delta/Iceberg by replacing this class.
+Object-store-safe by construction (r8 — replaces an ``os.listdir`` /
+``shutil`` / ``os.replace`` pointer-flip that only worked on local
+disk): every filesystem touch goes through the Hadoop FileSystem API,
+so the same code path works on local disk, HDFS, and S3-style stores;
+there is NO rename and NO in-place pointer mutation anywhere. The
+commit point is the creation of a fresh marker object — atomic on HDFS
+(create) and on object stores (single PUT). Crash windows:
+
+- data written, marker not yet created → the version is invisible; a
+  retried write regenerates the same version number and overwrites the
+  orphan directory;
+- GC interrupted → at worst an already-superseded marker or data
+  directory lingers; markers are deleted before their data directory,
+  so a listed version always has complete data (modulo the documented
+  one-back-version grace for in-flight readers).
+
+At 100 TB swap in Delta/Iceberg by replacing this class — the protocol
+here is their commit-log idea with a trivial catalog.
 """
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
+
+_MARKER_PREFIX = "_commit_v"
 
 
 class ParquetStore:
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, spark: SparkSession | None = None) -> None:
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self._spark = spark
+
+    # -- Hadoop FS plumbing -------------------------------------------------
+
+    def _session(self) -> SparkSession:
+        spark = self._spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("ParquetStore needs an active SparkSession")
+        return spark
+
+    def _fs(self):
+        spark = self._session()
+        path_cls = spark._jvm.org.apache.hadoop.fs.Path
+        fs = path_cls(self.root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        return path_cls, fs
+
+    # -- layout ---------------------------------------------------------------
 
     def _coll_dir(self, db: str, coll: str) -> str:
-        return os.path.join(self.root, db, coll)
+        return f"{self.root}/{db}/{coll}"
 
-    def _pointer(self, db: str, coll: str) -> str:
-        return os.path.join(self._coll_dir(db, coll), "_LATEST")
+    def _committed_versions(self, db: str, coll: str) -> list[int]:
+        path_cls, fs = self._fs()
+        cdir = path_cls(self._coll_dir(db, coll))
+        if not fs.exists(cdir):
+            return []
+        out: list[int] = []
+        for st in fs.listStatus(cdir):
+            name = st.getPath().getName()
+            if name.startswith(_MARKER_PREFIX):
+                try:
+                    out.append(int(name[len(_MARKER_PREFIX):]))
+                except ValueError:
+                    continue
+        return sorted(out)
 
     def current_version(self, db: str, coll: str) -> int | None:
-        p = self._pointer(db, coll)
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)["version"]
+        versions = self._committed_versions(db, coll)
+        return versions[-1] if versions else None
 
     def data_path(self, db: str, coll: str) -> str | None:
         v = self.current_version(db, coll)
         if v is None:
             return None
-        return os.path.join(self._coll_dir(db, coll), f"v{v}")
+        return f"{self._coll_dir(db, coll)}/v{v}"
 
     def list_versions(self, db: str, coll: str) -> list[int]:
-        """Snapshot versions still on disk (current + one back-version;
-        older ones are GC'd by write)."""
-        cdir = self._coll_dir(db, coll)
-        if not os.path.isdir(cdir):
-            return []
-        return sorted(
-            int(name[1:])
-            for name in os.listdir(cdir)
-            if name.startswith("v") and name[1:].isdigit()
-        )
+        """Committed snapshot versions still on disk (current + one
+        back-version; older ones are GC'd by write)."""
+        return self._committed_versions(db, coll)
+
+    # -- reads ----------------------------------------------------------------
 
     def read(
         self, spark: SparkSession, db: str, coll: str, *, version: int | None = None
@@ -68,12 +104,14 @@ class ParquetStore:
             if path is None:
                 raise FileNotFoundError(f"collection {db}.{coll} has no data")
         else:
-            if version not in self.list_versions(db, coll):
+            if version not in self._committed_versions(db, coll):
                 raise FileNotFoundError(
                     f"collection {db}.{coll} has no retained version {version}"
                 )
-            path = os.path.join(self._coll_dir(db, coll), f"v{version}")
+            path = f"{self._coll_dir(db, coll)}/v{version}"
         return spark.read.parquet(path)
+
+    # -- writes ---------------------------------------------------------------
 
     def write(
         self,
@@ -84,17 +122,17 @@ class ParquetStore:
         shard: int | None = None,
         partition_by: list[str] | None = None,
     ) -> int:
-        """Write a new version and atomically flip the pointer.
+        """Write a new version directory, then COMMIT it by creating
+        its marker file (the atomic publish point).
 
         ``shard`` maps the reference's collection shard count to an
         output-file count (reference stub.py:216-218); ``partition_by``
         is used by IVF (partition pruning on cluster_id).
         """
         cdir = self._coll_dir(db, coll)
-        os.makedirs(cdir, exist_ok=True)
         cur = self.current_version(db, coll)
         nxt = 0 if cur is None else cur + 1
-        out = os.path.join(cdir, f"v{nxt}")
+        out = f"{cdir}/v{nxt}"
         writer = df
         if shard:
             writer = df.repartition(shard)
@@ -102,19 +140,21 @@ class ParquetStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(out)
-        tmp = self._pointer(db, coll) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": nxt}, f)
-        os.replace(tmp, self._pointer(db, coll))  # atomic flip
+        path_cls, fs = self._fs()
+        fs.createNewFile(path_cls(f"{cdir}/{_MARKER_PREFIX}{nxt}"))
         # Garbage-collect versions older than the previous one (keep one
-        # back-version so in-flight readers finish).
-        for name in os.listdir(cdir):
-            if name.startswith("v") and name[1:].isdigit():
-                v = int(name[1:])
-                if cur is not None and v < cur:
-                    shutil.rmtree(os.path.join(cdir, name), ignore_errors=True)
+        # back-version so in-flight readers finish). Marker first, then
+        # data: a version the listing still returns always has its data.
+        if cur is not None:
+            for v in self._committed_versions(db, coll):
+                if v < cur:
+                    fs.delete(path_cls(f"{cdir}/{_MARKER_PREFIX}{v}"), False)
+                    fs.delete(path_cls(f"{cdir}/v{v}"), True)
         return nxt
 
     def drop(self, db: str, coll: str | None = None) -> None:
-        path = os.path.join(self.root, db) if coll is None else self._coll_dir(db, coll)
-        shutil.rmtree(path, ignore_errors=True)
+        path_cls, fs = self._fs()
+        target = (
+            f"{self.root}/{db}" if coll is None else self._coll_dir(db, coll)
+        )
+        fs.delete(path_cls(target), True)

@@ -340,3 +340,30 @@ def test_profile_collection(engine):
     # column subset selection
     only = engine.profile(db, coll, columns=["page"])
     assert [p["column"] for p in only] == ["page"]
+
+
+def test_store_commit_marker_protocol(spark, tmp_path):
+    """r8: the store is append-only commit markers over the Hadoop FS
+    API — no pointer file, no rename. A data directory WITHOUT its
+    marker (crash before the commit point) is invisible to every read,
+    and a retried write regenerates the same version number."""
+    from aiotcvectordb_spark.sources.parquet_store import ParquetStore
+
+    store = ParquetStore(str(tmp_path / "store"), spark)
+    df = spark.range(5).withColumnRenamed("id", "pk")
+    assert store.write(df, "db", "c") == 0
+    assert store.write(df, "db", "c") == 1
+    assert store.current_version("db", "c") == 1
+    assert store.list_versions("db", "c") == [0, 1]
+
+    # simulate a crashed write: v2 data lands but the marker never does
+    df.write.mode("overwrite").parquet(str(tmp_path / "store/db/c/v2"))
+    assert store.current_version("db", "c") == 1  # invisible
+    assert store.read(spark, "db", "c").count() == 5
+    # the retried write reuses version 2 and commits it
+    assert store.write(df.limit(3), "db", "c") == 2
+    assert store.current_version("db", "c") == 2
+    assert store.read(spark, "db", "c").count() == 3
+    # GC keeps exactly one back-version
+    assert store.list_versions("db", "c") == [1, 2]
+    assert store.read(spark, "db", "c", version=1).count() == 5
