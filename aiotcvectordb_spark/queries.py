@@ -3848,23 +3848,129 @@ def q_ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_search_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op 30: query text embedded engine-side (deterministic hash
-    embedder), then exact kNN. No SQL oracle — the embedder is not
-    SQL-expressible; driver does the rows-only check."""
-    from aiotcvectordb_spark.functions.embedding import embed_udf
+_SBT_QUERY_TEXT = "spark join window aggregation data"
 
-    df = load(spark, sf_dir, "embeddings")
-    vec = embed_udf.python_fn(DIM)("spark join window aggregation")
-    return knn.knn_search(
-        df,
-        [vec],
-        vector_col="embedding",
-        id_col="vec_id",
-        metric="COSINE",
-        limit=10,
-        round_digits=ROUND_DIGITS,
-    ).select("query_idx", "vec_id", "score", "rank", "label")
+
+def _hash_embed_feats(tok_col: str, dim: int):
+    """(bucket, sign) Catalyst expressions of the deterministic hash
+    embedder (functions/embedding._embed_one): bucket = big-endian
+    first-4-md5-bytes mod dim, sign = +1/-1 from bit 0 of md5 byte 4.
+    Pure JVM expressions (md5/conv/substring) — whole-stage codegen,
+    no Python in the loop."""
+    md5 = F.md5(F.col(tok_col))
+    bucket = F.pmod(
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint"), F.lit(dim)
+    )
+    sign = F.when(
+        F.conv(F.substring(md5, 9, 2), 16, 10).cast("int") % 2 == 1,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return bucket, sign
+
+
+def _hash_embed_sparse(df: DataFrame, id_col: str, text_col: str, dim: int):
+    """(dvec, dnorm): per-id signed bucket counts and L2 norms of the
+    hash embedding — the SPARSE form of embed_udf's dense vectors
+    (equality with functions/embedding._embed_one is pinned in
+    tests/test_search_text_fulltext_hybrid.py). One explode + one
+    (id, bucket) aggregate; both shuffles are keyed by the data."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[\W_]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket, sign = _hash_embed_feats("tok", dim)
+    dvec = (
+        toks.select(id_col, bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").alias("dv"))
+    )
+    dnorm = dvec.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("dv") * F.col("dv"))).alias("dn")
+    )
+    return dvec, dnorm
+
+
+def q_search_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 30 (reference collection.py:263-314, search_by_text): the
+    engine embeds the query text server-side and runs kNN against the
+    collection's embedded documents (ai-mode). ORACLED as of r8: the
+    deterministic hash embedder is expressed as Catalyst SQL
+    (md5-bucket folding — the dsir_weights featurizer pattern), so
+    DuckDB independently re-derives BOTH the document vectors and the
+    query vector from raw text and the driver hash check covers the
+    embedder itself, not just the kNN. Cosine over the sparse signed
+    bucket counts equals cosine of embed_udf's dense vectors (same
+    hash, same signs; parity with the pandas-UDF path pinned in
+    pytest). Scale shape: explode → (doc, bucket) aggregate → ≤dim-row
+    broadcast of the query vector → per-doc dot/norm → global top-10
+    via TakeOrderedAndProject (never a full sort)."""
+    docs = load(spark, sf_dir, "documents")
+    dvec, dnorm = _hash_embed_sparse(docs, "doc_id", "text", DIM)
+    qdf = spark.createDataFrame([(0, _SBT_QUERY_TEXT)], "qid int, text string")
+    qvec_df, qnorm_df = _hash_embed_sparse(qdf, "qid", "text", DIM)
+    qn = F.broadcast(qnorm_df.select(F.col("dn").alias("qn")))
+    dot = (
+        dvec.join(F.broadcast(qvec_df.select("bucket", F.col("dv").alias("qv"))), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("dv") * F.col("qv")).alias("dp"))
+    )
+    scored = (
+        dnorm.join(dot, "doc_id", "left")
+        .crossJoin(qn)
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("dp"), F.lit(0.0))
+                / F.greatest(F.col("dn") * F.col("qn"), F.lit(1e-12)),
+                ROUND_DIGITS,
+            ).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def _sbt_embed_cte(src: str, id_col: str) -> str:
+    """DuckDB twin of _hash_embed_sparse over ``src`` (id_col, text)."""
+    return f"""
+  SELECT {id_col},
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {DIM} AS bucket,
+         SUM(CASE WHEN CAST(('0x' || substr(md5(tok), 9, 2)) AS BIGINT) % 2 = 1
+                  THEN 1.0 ELSE -1.0 END) AS dv
+  FROM (SELECT {id_col},
+               unnest(string_split_regex(lower(text), '[\\W_]+')) AS tok
+        FROM {src}) t
+  WHERE tok != ''
+  GROUP BY {id_col}, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {DIM}
+"""
+
+
+ORACLE_SEARCH_BY_TEXT = f"""
+WITH dvec AS ({_sbt_embed_cte("documents", "doc_id")}),
+dnorm AS (SELECT doc_id, sqrt(SUM(dv * dv)) AS dn FROM dvec GROUP BY doc_id),
+qsrc(qid, text) AS (VALUES (0, '{_SBT_QUERY_TEXT}')),
+qvec AS ({_sbt_embed_cte("qsrc", "qid")}),
+qnorm AS (SELECT sqrt(SUM(dv * dv)) AS qn FROM qvec),
+dot AS (
+  SELECT d.doc_id, SUM(d.dv * q.dv) AS dp
+  FROM dvec d JOIN qvec q USING (bucket) GROUP BY d.doc_id
+),
+scored AS (
+  SELECT n.doc_id,
+         round(COALESCE(dot.dp, 0) /
+               GREATEST(n.dn * (SELECT qn FROM qnorm), 1e-12),
+               {ROUND_DIGITS}) AS score
+  FROM dnorm n LEFT JOIN dot USING (doc_id)
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
 
 
 def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7497,59 +7603,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # enforces this ordering plus the post-driver age cap by simulating
     # the driver consuming the front batch; tools/rotate_registry.py
     # regenerates this block. Re-rotation is the round's CLOSING commit.
-    # --- forced for r7: rewritten since last row / no row yet ---
-    "docx_extract": q_docx_extract,  # rewritten r7
-    "rtf_extract": q_rtf_extract,  # rewritten r7
-    "substring_dedup_cjk": q_substring_dedup_cjk,  # new, no driver row yet
-    "dataset_mix_temp": q_dataset_mix_temp,  # new, no driver row yet
-    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,  # new, no driver row yet
-    "xlsx_extract": q_xlsx_extract,  # rewritten r7
-    "dataset_mix": q_dataset_mix,  # rewritten r7
-    "xls_extract": q_xls_extract,  # rewritten r7
-    "pptx_extract": q_pptx_extract,  # rewritten r7
-    "pdf_extract": q_pdf_extract,  # rewritten r7
-    "doc_extract": q_doc_extract,  # rewritten r7
-    "ppt_extract": q_ppt_extract,  # rewritten r7
-    "epub_extract": q_epub_extract,  # rewritten r7
-    "doc_fingerprint": q_doc_fingerprint,  # rewritten r7
-    "text_quality": q_text_quality,  # rewritten r7
-    "perplexity_filter": q_perplexity_filter,  # new, no driver row yet
-    "dsir_weights": q_dsir_weights,  # new, no driver row yet
-    "zscore_outliers": q_zscore_outliers,  # rewritten r7
-    "search_radius": q_search_radius,  # rewritten r7
-    "search_flat_cosine": q_search_flat_cosine,  # rewritten r7
-    "search_udtf_topk": q_search_udtf_topk,  # rewritten r7
-    "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,  # rewritten r7
-    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,  # rewritten r7
-    "knn_join": q_knn_join,  # rewritten r7
-    "search_by_id": q_search_by_id,  # rewritten r7
-    "hybrid_weighted": q_hybrid_weighted,  # rewritten r7
-    "hybrid_rrf": q_hybrid_rrf,  # rewritten r7
-    "embedding_near_dup": q_embedding_near_dup,  # rewritten r7
-    "corr_stats": q_corr_stats,  # rewritten r7
-    "gopher_quality_filter": q_gopher_quality_filter,  # new, no driver row yet
-    # --- r4 rows (age 3) (must be in the next batch) ---
-    "search_flat_l2": q_search_flat_l2,
-    "sessionize": q_sessionize,
-    "multimodal_meta": q_multimodal_meta,
-    "grouping_sets_agg": q_grouping_sets_agg,
-    "pivot_wide": q_pivot_wide,
-    "unpivot_long": q_unpivot_long,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "correlated_subquery": q_correlated_subquery,
-    "clean_text": q_clean_text,
-    "dataset_split": q_dataset_split,
-    "nation_volume_shipping": q_nation_volume_shipping,
-    "national_market_share": q_national_market_share,
-    "order_priority_check": q_order_priority_check,
-    "customer_distribution": q_customer_distribution,
-    "promo_revenue": q_promo_revenue,
-    "returned_item_revenue": q_returned_item_revenue,
-    "local_supplier_volume": q_local_supplier_volume,
-    "forecast_revenue_change": q_forecast_revenue_change,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    # --- r5 rows (age 2) ---
+    # --- forced for r8: rewritten since last row / no row yet ---
+    "search_by_text": q_search_by_text,  # new, no driver row yet
+    # --- r5 rows (age 3) (must be in the next batch) ---
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
     "multimodal_features": q_multimodal_features,
     "unigram_logprob": q_unigram_logprob,
@@ -7595,7 +7651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_filter_limit": q_delete_filter_limit,
     "percentiles": q_percentiles,
     "query_filter_sort_paginate": q_query_filter_sort_paginate,
-    # --- r6 rows (age 1) ---
+    # --- r6 rows (age 2) ---
     "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
@@ -7629,11 +7685,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "curate_corpus": q_curate_corpus,
     "incremental_dedup": q_incremental_dedup,
+    # --- r7 rows (age 1) ---
+    "docx_extract": q_docx_extract,
+    "rtf_extract": q_rtf_extract,
+    "substring_dedup_cjk": q_substring_dedup_cjk,
+    "dataset_mix_temp": q_dataset_mix_temp,
+    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,
+    "xlsx_extract": q_xlsx_extract,
+    "dataset_mix": q_dataset_mix,
+    "xls_extract": q_xls_extract,
+    "pptx_extract": q_pptx_extract,
+    "pdf_extract": q_pdf_extract,
+    "doc_extract": q_doc_extract,
+    "ppt_extract": q_ppt_extract,
+    "epub_extract": q_epub_extract,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_quality": q_text_quality,
+    "perplexity_filter": q_perplexity_filter,
+    "dsir_weights": q_dsir_weights,
+    "zscore_outliers": q_zscore_outliers,
+    "search_radius": q_search_radius,
+    "search_flat_cosine": q_search_flat_cosine,
+    "search_udtf_topk": q_search_udtf_topk,
+    "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,
+    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+    "knn_join": q_knn_join,
+    "search_by_id": q_search_by_id,
+    "hybrid_weighted": q_hybrid_weighted,
+    "hybrid_rrf": q_hybrid_rrf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "corr_stats": q_corr_stats,
+    "gopher_quality_filter": q_gopher_quality_filter,
+    "search_flat_l2": q_search_flat_l2,
+    "sessionize": q_sessionize,
+    "multimodal_meta": q_multimodal_meta,
+    "grouping_sets_agg": q_grouping_sets_agg,
+    "pivot_wide": q_pivot_wide,
+    "unpivot_long": q_unpivot_long,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "correlated_subquery": q_correlated_subquery,
+    "clean_text": q_clean_text,
+    "dataset_split": q_dataset_split,
+    "nation_volume_shipping": q_nation_volume_shipping,
+    "national_market_share": q_national_market_share,
+    "order_priority_check": q_order_priority_check,
+    "customer_distribution": q_customer_distribution,
+    "promo_revenue": q_promo_revenue,
+    "returned_item_revenue": q_returned_item_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "small_quantity_revenue": q_small_quantity_revenue,
     # --- non-oracled entries (rows-only driver check; order free) ---
     "quality_classifier": q_quality_classifier,
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
-    "search_by_text": q_search_by_text,
     "ann_lsh_l2": q_ann_lsh_l2,
     "audio_adpcm_probe": q_audio_adpcm_probe,
     "audio_mp3_probe": q_audio_mp3_probe,
@@ -7793,6 +7899,7 @@ ORACLES: dict[str, str] = {
     "percentile_disc": ORACLE_PERCENTILE_DISC,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
-    # multimodal_features / search_by_text / ann_ivf_cosine / ann_lsh_l2:
+    "search_by_text": ORACLE_SEARCH_BY_TEXT,  # oracled r8 (was rows-only)
+    # multimodal_features / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

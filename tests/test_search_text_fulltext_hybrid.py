@@ -193,3 +193,39 @@ def test_hybrid_param_objects_single_in_single_out(engine):
     )
     assert isinstance(batch[0], list)
     assert [h["id"] for h in batch[0]] == [h["id"] for h in single]
+
+
+def test_sql_hash_embedder_matches_dense_embed_udf(spark):
+    """r8: q_search_by_text's Catalyst-SQL embedder (md5-bucket
+    folding in _hash_embed_sparse) computes EXACTLY the dense hash
+    embedding of functions/embedding._embed_one — same buckets, same
+    signs, same norm — so the DuckDB-oracled query verifies the real
+    embedder semantics. (ASCII texts: the SQL lane has no CJK bigram
+    path; the corpus is pure ASCII.)"""
+    import math
+
+    from aiotcvectordb_spark.functions.embedding import _embed_one
+    from aiotcvectordb_spark.queries import DIM, _hash_embed_sparse
+
+    texts = [
+        (1, "spark dataframe join aggregation shuffle"),
+        (2, "Apple, banana; CHERRY_orchard harvest!"),
+        (3, "repeated repeated repeated token stream"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    dvec, dnorm = _hash_embed_sparse(df, "doc_id", "text", DIM)
+    sparse = {}
+    for r in dvec.collect():
+        sparse.setdefault(r.doc_id, {})[r.bucket] = r.dv
+    norms = {r.doc_id: r.dn for r in dnorm.collect()}
+    for doc_id, text in texts:
+        dense = _embed_one(text, DIM)  # L2-normalized signed counts
+        raw_norm = norms[doc_id]
+        expect = {
+            b: v * raw_norm for b, v in enumerate(dense) if v != 0.0
+        }
+        got = sparse[doc_id]
+        assert set(got) == set(expect)
+        for b in got:
+            assert math.isclose(got[b], expect[b], abs_tol=1e-9)

@@ -125,6 +125,9 @@ REWRITES: dict[str, int] = {
     # age-capped row (small_quantity_revenue, r4) past the cap.
     "ann_pq_fullrescore": 5,
     "corr_stats": 7,  # r7 explicit guarded Pearson (ANSI zero-variance abort)
+    # r8: op 30 promoted from rows-only to oracled — the hash embedder
+    # is now Catalyst SQL (md5-bucket folding) with a DuckDB twin
+    "search_by_text": 8,
 }
 
 
