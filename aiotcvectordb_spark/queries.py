@@ -2013,6 +2013,247 @@ WHERE round(COALESCE(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embe
 """
 
 
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cells, pairwise
+# cosine WITHIN a cell only, keep per duplicate group the example least
+# similar to its centroid. The oracled entry uses DRIVER-FIXED
+# deterministic centroids so cell assignment + prune are pure SQL on both
+# engines; the 100 TB path swaps in trained cells (the
+# embedding_near_dup_ivf machinery: nlist ∝ N, IMI above the flat cap).
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = _NEARDUP_THRESHOLD
+_SEMDEDUP_CENTROIDS = [qvec(10.0 + i) for i in range(_SEMDEDUP_K)]
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication, ORACLED (r8).
+
+    Published semantics, made deterministic: (1) every embedding is
+    assigned to its max-cosine cell (ties → lowest cell id; cosines
+    rounded to ROUND_DIGITS so Spark and DuckDB agree bit-for-bit);
+    (2) within a cell, x is a ``semantic_dup`` iff some same-cell y
+    with cos(x, y) >= tau PRECEDES it in SemDeDup's keep order —
+    centroid-cosine ASC (the paper keeps the example LEAST similar to
+    the centroid), vec_id ASC as the tie-break. Survivors = one
+    representative per semantic group.
+
+    Scale shape: one broadcast of K centroid literals (nested-loop
+    against the scan, argmax via a vec_id-keyed window), then ONE
+    cell-keyed self-equi-join — sum(cell²) pairwise work, never N²;
+    the unrolled fixed-dim cosine stays in whole-stage codegen. At
+    100 TB: centroids come from the bounded-sample spherical-kmeans
+    trainer and nlist grows ∝ N (cells of ~2k rows), exactly the
+    embedding_near_dup_ivf assignment machinery — this entry pins the
+    celled prune SEMANTICS under a driver hash with fixed centroids
+    (an iterative fit is not SQL-expressible)."""
+    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = spark.createDataFrame(
+        list(enumerate(_SEMDEDUP_CENTROIDS)), "cell int, cvec array<double>"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(
+                cosine_score_fixed("embedding", "cvec", DIM), ROUND_DIGITS
+            ).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "cell",
+        F.col("ccos").alias("a_ccos"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "cell",
+        F.col("ccos").alias("b_ccos"),
+    )
+    dominated = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("a_ccos") < F.col("b_ccos"))
+            | (
+                (F.col("a_ccos") == F.col("b_ccos"))
+                & (F.col("a_id") < F.col("b_id"))
+            )
+        )
+        .filter(
+            F.round(cosine_score_fixed("a_emb", "b_emb", DIM), ROUND_DIGITS)
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.select("vec_id", "cell", "ccos")
+        .join(dominated.withColumn("dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "ccos",
+            F.coalesce("dup", F.lit(False)).alias("semantic_dup"),
+        )
+    )
+
+
+def _semdedup_cents_sql() -> str:
+    rows = ", ".join(
+        f"({i}, {_sql_vec(v)})" for i, v in enumerate(_SEMDEDUP_CENTROIDS)
+    )
+    return f"cents(cell, cvec) AS (VALUES {rows})"
+
+
+_SEMDEDUP_PAIR_COS = (
+    "round(COALESCE(list_dot_product(a.emb, b.emb) / "
+    "NULLIF(sqrt(list_dot_product(a.emb, a.emb)) * "
+    "sqrt(list_dot_product(b.emb, b.emb)), 0), 0.0), "
+    f"{ROUND_DIGITS})"
+)
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH {_semdedup_cents_sql()},
+scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cell,
+         round(COALESCE(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+           / NULLIF(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(c.cvec, c.cvec)), 0), 0.0),
+           {ROUND_DIGITS}) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, emb, cell, ccos FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
+),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell
+   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+  WHERE {_SEMDEDUP_PAIR_COS} >= {_SEMDEDUP_TAU}
+)
+SELECT s.vec_id, s.cell, s.ccos,
+       (d.vec_id IS NOT NULL) AS semantic_dup
+FROM assigned s LEFT JOIN dominated d USING (vec_id)
+"""
+
+
+def _semdedup_flags_from_cells(assigned: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell, ccos) → SemDeDup flags, per-cell BLAS.
+
+    Within each cell, members are ordered by the keep rule (ccos ASC,
+    vec_id ASC) and a member is a dup iff ANY earlier member's cosine
+    reaches tau — the strictly-lower-triangular any() of the cell's
+    cosine matrix, computed as chunked matmuls (never a per-pair JVM
+    expression, never an m² temporary beyond m×chunk). Cells are
+    bounded (~_IVF_NEARDUP_CELL_ROWS via nlist ∝ N), so per-cell work
+    is constant as the corpus grows — the same argument as
+    _neardup_pairs_from_cells."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(assigned.dtypes)["vec_id"]
+    out_schema = f"vec_id {id_type}, cell int, ccos double, semantic_dup boolean"
+    tau = _SEMDEDUP_TAU
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ccos", "vec_id"]).reset_index(drop=True)
+        X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+        U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        m = len(pdf)
+        dup = np.zeros(m, dtype=bool)
+        chunk = 1024
+        for a in range(0, m, chunk):
+            b = min(a + chunk, m)
+            S = np.round(U[:b] @ U[a:b].T, ROUND_DIGITS)  # (b, b-a)
+            for t in range(a, b):
+                if t > 0:
+                    dup[t] = bool((S[:t, t - a] >= tau).any())
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"].astype("int32"),
+                "ccos": pdf["ccos"],
+                "semantic_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        lambda _, pdf: prune(pdf), schema=out_schema
+    )
+
+
+def _semantic_dedup_trained(
+    spark: SparkSession, emb: DataFrame, *, nlist: int
+) -> DataFrame:
+    """Trained-cell SemDeDup: driver-side SAMPLED spherical k-means
+    (bounded collect — the PQ training pattern), hard max-cosine
+    assignment as one Arrow matmul per batch, then the shared per-cell
+    BLAS prune."""
+    import numpy as np
+    import pandas as pd
+
+    C = _sampled_spherical_kmeans(emb.select("vec_id", "embedding"), nlist)
+    id_type = dict(emb.dtypes)["vec_id"]
+    emb_type = dict(emb.dtypes)["embedding"]
+    schema = f"vec_id {id_type}, embedding {emb_type}, cell int, ccos double"
+
+    def assign(batches):
+        CT = C.T  # (dim, k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = U @ CT
+            cell = np.argmax(S, axis=1)  # ties → lowest cell id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cell.astype(np.int32),
+                    "ccos": np.round(S[np.arange(len(S)), cell], ROUND_DIGITS),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(assign, schema=schema)
+    return _semdedup_flags_from_cells(assigned)
+
+
+def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, scale-routed (the ``embedding_near_dup_auto``
+    pattern): ONE entry point, two physical plans picked by corpus
+    size so fixed-K cells (whose in-cell join grows N²/K) cannot be
+    invoked on 100 TB by accident.
+
+    - small (n ≤ K·cell_rows): the oracled fixed-centroid plan
+      (``semantic_dedup``) — hash-checkable, bit-deterministic;
+    - large: nlist = n / ~2000 trained cells (bounded-sample spherical
+      k-means), Arrow matmul hard assignment, per-cell BLAS prune —
+      cell size stays CONSTANT as N grows, so total prune work is
+      linear in N. Rows-only by design (an iterative fit has no SQL
+      oracle); the trained path's keep semantics are pinned against
+      the oracled plan in pytest on constructed corpora."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_rows = emb.count()  # parquet-metadata count
+    if n_rows <= _SEMDEDUP_K * _IVF_NEARDUP_CELL_ROWS:
+        return q_semantic_dedup(spark, sf_dir)
+    nlist = max(
+        2, min(n_rows // _IVF_NEARDUP_CELL_ROWS, _IVF_NEARDUP_FLAT_MAX_NLIST)
+    )
+    return _semantic_dedup_trained(spark, emb, nlist=nlist)
+
+
 # --------------------------------------------------------------------------
 # Internal relational primitives (SURVEY §2.7) exercised as queries
 # --------------------------------------------------------------------------
@@ -7605,6 +7846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # regenerates this block. Re-rotation is the round's CLOSING commit.
     # --- forced for r8: rewritten since last row / no row yet ---
     "search_by_text": q_search_by_text,  # new, no driver row yet
+    "semantic_dedup": q_semantic_dedup,  # new, no driver row yet
     # --- r5 rows (age 3) (must be in the next batch) ---
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
     "multimodal_features": q_multimodal_features,
@@ -7737,6 +7979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_revenue_change": q_forecast_revenue_change,
     "small_quantity_revenue": q_small_quantity_revenue,
     # --- non-oracled entries (rows-only driver check; order free) ---
+    "semantic_dedup_auto": q_semantic_dedup_auto,
     "quality_classifier": q_quality_classifier,
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
@@ -7838,6 +8081,7 @@ ORACLES: dict[str, str] = {
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "group_topk": ORACLE_GROUP_TOPK,
     "agg_groupby_stats": ORACLE_AGG_GROUPBY_STATS,
     "simhash_fingerprint": ORACLE_SIMHASH_FINGERPRINT,

@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_candidates",
     "embedding_near_dup",
+    "semantic_dedup",
     "simhash_near_dup",
     "token_count",
     "text_quality",

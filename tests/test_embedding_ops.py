@@ -153,3 +153,75 @@ def test_mmr_rerank_string_primary_keys(spark):
     assert len(out) == 5
     assert all(isinstance(r.id, str) and r.id.startswith("doc-") for r in out)
     assert [r.mmr_rank for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_semantic_dedup_keeps_least_centroid_similar(spark, tmp_path):
+    """SemDeDup semantics on a constructed corpus: scaled copies are a
+    semantic group (cosine exactly 1); the keeper is the member LEAST
+    similar to the cell centroid (the published keep rule), with vec_id
+    as the tie-break; unrelated directions survive untouched."""
+    from aiotcvectordb_spark import queries as Q
+
+    a = np.array(Q.qvec(10.0))          # == centroid 0 direction
+    other = np.array(Q.qvec(13.5))
+    e = 0.9 * a + 0.1 * other           # same group, lower centroid cos
+    rows = [
+        (1, [float(x) for x in a]),
+        (2, [float(x) for x in 2.0 * a]),    # scaled copy: cos == 1
+        (3, [float(x) for x in 0.5 * a]),    # scaled copy: cos == 1
+        (4, [float(x) for x in e]),
+        (5, [float(x) for x in np.array(Q.qvec(14.0))]),  # unrelated
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.vec_id: r
+        for r in Q.QUERIES["semantic_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 5
+    # 1, 2, 3 tie at ccos == 1.0; 4 sits lower -> 4 is the keeper and
+    # dominates the whole group (cos(e, a) >> tau)
+    group_cell = out[1].cell
+    assert all(out[i].cell == group_cell for i in (2, 3, 4))
+    assert out[4].ccos < out[1].ccos
+    assert out[4].semantic_dup is False
+    assert all(out[i].semantic_dup is True for i in (1, 2, 3))
+    # the unrelated direction survives (different cell or below tau)
+    assert out[5].semantic_dup is False
+
+
+def test_semantic_dedup_trained_path_matches_keep_semantics(spark, tmp_path):
+    """The scale path (trained cells + per-cell BLAS prune) enforces
+    the same keep rule as the oracled plan: one keeper per group of
+    scaled copies, keeper = least centroid-similar (ccos ASC, vec_id
+    ASC), flags deterministic across runs."""
+    from aiotcvectordb_spark import queries as Q
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    # 40 groups of 3 scaled copies + 80 singletons
+    for g in range(40):
+        base = rng.normal(size=Q.DIM)
+        for s in (1.0, 2.0, 0.5):
+            rows.append((vid, [float(x) for x in s * base])); vid += 1
+    for _ in range(80):
+        rows.append(
+            (vid, [float(x) for x in rng.normal(size=Q.DIM)])
+        ); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = Q._semantic_dedup_trained(spark, emb, nlist=4)
+    flags = {r.vec_id: r for r in out.collect()}
+    assert len(flags) == len(rows)
+    # every scaled-copy group collapses to exactly one keeper (copies
+    # share a cell: identical directions -> identical argmax)
+    for g in range(40):
+        ids = [3 * g, 3 * g + 1, 3 * g + 2]
+        kept = [i for i in ids if not flags[i].semantic_dup]
+        assert len(kept) == 1
+        assert {flags[i].cell for i in ids} == {flags[ids[0]].cell}
+    # determinism
+    again = {r.vec_id: r.semantic_dup for r in
+             Q._semantic_dedup_trained(spark, emb, nlist=4).collect()}
+    assert again == {v: r.semantic_dup for v, r in flags.items()}

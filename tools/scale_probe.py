@@ -53,6 +53,9 @@ PROBE_QUERIES = [
     # the scale-routed entry point — the oracled embedding_near_dup is
     # exact-only by contract (O(N^2)) and must not be probed at 100x
     "embedding_near_dup_auto",
+    # same routing story for SemDeDup: fixed-K cells are N^2/K, the
+    # auto entry switches to nlist-proportional trained cells at scale
+    "semantic_dedup_auto",
     "token_count",
     "line_dedup",
     "substring_dedup",
