@@ -7771,6 +7771,101 @@ FROM c GROUP BY 1
 """
 
 
+_PACK_BUCKETS = 32
+
+
+def q_pack_sequences_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT greedy sequence packing (r8) — the first-fit-style
+    variant where documents are ATOMS: a training example never slices
+    a document (the published alternative to GPT-style concat-split,
+    which ``pack_sequences`` implements; see 'Efficient Sequence
+    Packing' / T5-style packing). Deterministic greedy, expressed as
+    one window cumsum:
+
+    - docs are SALTED into {_PACK_BUCKETS} buckets by a portable md5
+      hash (the dataset_mix selection trick) — each bucket is an
+      independent packer, so the per-bucket ordering sort is 1/B of
+      the corpus and skew-proof (hash-balanced), and packing
+      parallelizes across buckets by construction;
+    - within a bucket, docs are ordered by a SECOND independent hash
+      (deterministic shuffle — the training-layout order), the
+      exclusive token cumsum is one window, and a doc joins pack
+      ``excl_cumsum div {_PACK_LEN}`` — greedy next-fit where the doc
+      holding the boundary OVERFLOWS its pack (packs exceed the budget
+      by < max_doc_len instead of splitting; the zero-slack splitting
+      variant is ``pack_sequences``). Oversized docs (> budget) become
+      their own pack run, never dropped silently.
+
+    Output is per-pack: (bucket, pack_id, n_docs, n_tokens, overflow).
+    One hash-keyed window shuffle + one aggregate; at 100 TB this is
+    repartition(B) + sortWithinPartitions + a map-side cumsum — the
+    training_shards layout with a token budget on top."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.size(sparse_fn.bm25_tokens_col("text")).alias("ntok")
+        )
+        .filter(F.col("ntok") > 0)
+    )
+    bucket = F.expr(
+        f"pmod({_portable_hash_expr(chr(39) + 'pack#' + chr(39) + ' || cast(doc_id as string)')}, {_PACK_BUCKETS})"
+    ).cast("int")
+    order_h = F.expr(
+        _portable_hash_expr(
+            chr(39) + "packorder#" + chr(39) + " || cast(doc_id as string)"
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        tok.select(
+            "doc_id", "ntok", bucket.alias("bucket"), order_h.alias("ord")
+        )
+        .withColumn("excl", F.coalesce(F.sum("ntok").over(w), F.lit(0)))
+        .select(
+            "bucket",
+            F.expr(f"excl div {_PACK_LEN}").alias("pack_id"),
+            "doc_id",
+            "ntok",
+        )
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.greatest(
+            F.sum("ntok").cast("long") - F.lit(_PACK_LEN), F.lit(0).cast("long")
+        ).alias("overflow"),
+    )
+
+
+ORACLE_PACK_SEQUENCES_NOSPLIT = f"""
+WITH t AS (
+  SELECT doc_id, len({_BM25_TOKS_SQL}) AS ntok FROM documents
+),
+h AS (
+  SELECT doc_id, ntok,
+         CAST(('0x' || substr(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_PACK_BUCKETS} AS INTEGER) AS bucket,
+         ('0x' || substr(md5('packorder#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+  FROM t WHERE ntok > 0
+),
+c AS (
+  SELECT bucket, doc_id, ntok,
+         coalesce(sum(ntok) OVER (PARTITION BY bucket ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM h
+)
+SELECT bucket, CAST(excl // {_PACK_LEN} AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(greatest(sum(ntok) - {_PACK_LEN}, 0) AS BIGINT) AS overflow
+FROM c GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # EWMA smoothing (time-series feature engineering over the event stream)
 # --------------------------------------------------------------------------
@@ -7847,6 +7942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- forced for r8: rewritten since last row / no row yet ---
     "search_by_text": q_search_by_text,  # new, no driver row yet
     "semantic_dedup": q_semantic_dedup,  # new, no driver row yet
+    "pack_sequences_nosplit": q_pack_sequences_nosplit,  # new, no driver row yet
     # --- r5 rows (age 3) (must be in the next batch) ---
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
     "multimodal_features": q_multimodal_features,
@@ -8014,6 +8110,7 @@ ORACLES: dict[str, str] = {
     # proof in the jpeg_probe style)
     "jpeg_progressive_probe": ORACLE_JPEG_PROBE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "pack_sequences_nosplit": ORACLE_PACK_SEQUENCES_NOSPLIT,
     "image_probe": ORACLE_IMAGE_PROBE,
     "sessionize_udtf": ORACLE_SESSIONIZE,
     "search_binary_hamming": ORACLE_SEARCH_BINARY_HAMMING,

@@ -110,6 +110,7 @@ HEADLINE = [
     "ann_pq_fullrescore",
     "jpeg_probe",
     "pack_sequences",
+    "pack_sequences_nosplit",
     "bpe_token_count",
     "fulltext_bm25_cjk",
     "lang_id_cjk",

@@ -100,6 +100,7 @@ PROBE_QUERIES = [
     "jpeg_progressive_probe",
     "multimodal_features",
     "pack_sequences",
+    "pack_sequences_nosplit",
     "bpe_token_count",
     "ann_ivf_fullprobe",
     "ann_pq_fullrescore",
