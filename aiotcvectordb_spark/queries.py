@@ -7203,20 +7203,96 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top_gram_expr(words: str, n: int) -> str:
+    """Spark SQL struct('cnt', 'gram'): the count and value of the most
+    frequent word {n}-gram of the ``words`` array, computed INSIDE one
+    scan projection (no per-doc shuffle): build the gram array, sort
+    it, and fold a run-length scan over it — a strictly-greater update
+    makes the FIRST (lexicographically smallest) gram win ties, which
+    DuckDB reproduces with (count DESC, gram) ordering."""
+    grams = (
+        f"case when size({words}) < {n} then array() "
+        f"else transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {n}))) end"
+    )
+    run = "if(g = s.prev, s.run + 1L, 1L)"
+    return (
+        f"aggregate(array_sort({grams}), "
+        "named_struct('prev', '', 'run', 0L, 'best', 0L, 'bg', ''), "
+        f"(s, g) -> named_struct('prev', g, 'run', {run}, "
+        f"'best', if({run} > s.best, {run}, s.best), "
+        f"'bg', if({run} > s.best, g, s.bg)), "
+        "s -> named_struct('cnt', s.best, 'gram', s.bg))"
+    )
+
+
+def _dup_seg_exprs(seg_col: str, sep: str) -> tuple[str, str]:
+    """(dup_fraction, dup_char_fraction) Spark SQL over the non-empty
+    ``sep``-separated segments (lines / paragraphs) of a document:
+    fraction of segments that are repeats of an earlier one, and the
+    character mass those repeats carry — Gopher's duplicate-line /
+    duplicate-paragraph signals, still map-only."""
+    segs = f"filter(split({seg_col}, '{sep}'), l -> l <> '')"
+    chars = f"aggregate({segs}, 0L, (a, l) -> a + length(l))"
+    dchars = f"aggregate(array_distinct({segs}), 0L, (a, l) -> a + length(l))"
+    frac = (
+        f"(size({segs}) - size(array_distinct({segs}))) * 1.0 "
+        f"/ NULLIF(size({segs}), 0)"
+    )
+    cfrac = f"({chars} - {dchars}) * 1.0 / NULLIF({chars}, 0)"
+    return frac, cfrac
+
+
+# (threshold, name) per top-n-gram rule — Rae et al. 2021 Table A1
+_GOPHER_TOP_NGRAM_RULES = [(2, 0.20), (3, 0.18), (4, 0.16)]
+
+
 def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-rule heuristic filter battery (Rae et al. 2021 §A1.1 /
-    the FineWeb recipe): the published pre-LM-training quality rules
-    evaluated per document in ONE scan projection — word count in
-    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
-    (# and ellipsis) <= 0.1, >= 80% of words containing an alphabetic
-    char, and >= 2 distinct English stop words present. Returns each
-    rule's flag plus the composite pass — the practitioner's first
-    pass over a raw crawl, upstream of the LM/classifier scoring
-    family. Pure JVM expressions fused into the scan (map-only, no
-    shuffle at any scale); DuckDB predicts every flag exactly."""
+    """Gopher-rule heuristic filter battery (Rae et al. 2021 §A1.1 +
+    Table A1 / the FineWeb recipe): the published pre-LM-training
+    quality rules evaluated per document in ONE scan projection —
+    word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (# and ellipsis) <= 0.1, >= 80% of words
+    containing an alphabetic char, >= 2 distinct English stop words,
+    PLUS the full repetition battery (r8): duplicate-line and
+    duplicate-paragraph fractions <= 0.30, their character-mass
+    variants <= 0.20, and top-2/3/4-gram character fractions <=
+    0.20/0.18/0.16 (most-frequent-gram found by an in-projection
+    sorted run-length fold — no per-doc shuffle). Returns each rule's
+    flag plus the composite pass — the practitioner's first pass over
+    a raw crawl, upstream of the LM/classifier scoring family. Pure
+    JVM expressions fused into the scan (map-only, no shuffle at any
+    scale); DuckDB predicts every flag exactly."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     words = "filter(split(text, ' '), w -> w <> '')"
     stop = "array('the','be','to','of','and','that','have','with')"
+    total_chars = f"length(concat_ws(' ', {words}))"
+    line_frac, line_cfrac = _dup_seg_exprs("text", "\\n")
+    para_frac, para_cfrac = _dup_seg_exprs("text", "\\n\\n")
+    rep_flags = [
+        F.coalesce(F.expr(f"{line_frac} <= 0.30"), F.lit(True)).alias(
+            "ok_dup_lines"
+        ),
+        F.coalesce(F.expr(f"{para_frac} <= 0.30"), F.lit(True)).alias(
+            "ok_dup_paras"
+        ),
+        F.coalesce(F.expr(f"{line_cfrac} <= 0.20"), F.lit(True)).alias(
+            "ok_dup_line_chars"
+        ),
+        F.coalesce(F.expr(f"{para_cfrac} <= 0.20"), F.lit(True)).alias(
+            "ok_dup_para_chars"
+        ),
+    ] + [
+        F.coalesce(
+            F.expr(
+                f"(({_top_gram_expr(words, n)}).cnt "
+                f"* length(({_top_gram_expr(words, n)}).gram)) * 1.0 "
+                f"/ NULLIF({total_chars}, 0) <= {thr}"
+            ),
+            F.lit(True),
+        ).alias(f"ok_top_{n}gram")
+        for n, thr in _GOPHER_TOP_NGRAM_RULES
+    ]
     return df.select(
         "doc_id",
         F.expr(f"size({words})").cast("long").alias("n_words"),
@@ -7248,6 +7324,7 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"size(array_intersect(transform({words}, w -> lower(w)), "
             f"{stop})) >= 2"
         ).alias("ok_stop_words"),
+        *rep_flags,
     ).withColumn(
         "pass",
         F.coalesce(
@@ -7255,20 +7332,47 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("ok_mean_word_len")
             & F.col("ok_symbol_ratio")
             & F.col("ok_alpha_words")
-            & F.col("ok_stop_words"),
+            & F.col("ok_stop_words")
+            & F.col("ok_dup_lines")
+            & F.col("ok_dup_paras")
+            & F.col("ok_dup_line_chars")
+            & F.col("ok_dup_para_chars")
+            & F.col("ok_top_2gram")
+            & F.col("ok_top_3gram")
+            & F.col("ok_top_4gram"),
             F.lit(False),
         ),
     )
 
 
-ORACLE_GOPHER_QUALITY_FILTER = """
+def _oracle_top_ngram_ctes(n: int) -> str:
+    """DuckDB CTE pair computing each doc's most frequent word n-gram
+    (count DESC, gram ASC tie-break == the Spark fold's first-max)."""
+    return f"""cnt{n} AS (
+  SELECT doc_id, array_to_string(ws[CAST(i AS BIGINT):CAST(i AS BIGINT) + {n - 1}], ' ') AS g,
+         count(*) AS c
+  FROM w, LATERAL unnest(range(1, len(ws) - {n - 2})) AS t(i)
+  GROUP BY 1, 2
+),
+top{n} AS (
+  SELECT doc_id, c, g FROM cnt{n}
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1
+)"""
+
+
+ORACLE_GOPHER_QUALITY_FILTER = f"""
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS paras
   FROM documents
 ),
+{_oracle_top_ngram_ctes(2)},
+{_oracle_top_ngram_ctes(3)},
+{_oracle_top_ngram_ctes(4)},
 flags AS (
-  SELECT doc_id,
+  SELECT w.doc_id,
          CAST(len(ws) AS BIGINT) AS n_words,
          len(ws) BETWEEN 50 AND 100000 AS ok_word_count,
          COALESCE(list_sum(list_transform(ws, x -> length(x))) * 1.0
@@ -7279,13 +7383,43 @@ flags AS (
            / NULLIF(len(ws), 0) >= 0.8, FALSE) AS ok_alpha_words,
          len(list_intersect(list_transform(ws, x -> lower(x)),
              ['the','be','to','of','and','that','have','with'])) >= 2
-           AS ok_stop_words
+           AS ok_stop_words,
+         COALESCE((len(lines) - len(list_distinct(lines))) * 1.0
+           / NULLIF(len(lines), 0) <= 0.30, TRUE) AS ok_dup_lines,
+         COALESCE((len(paras) - len(list_distinct(paras))) * 1.0
+           / NULLIF(len(paras), 0) <= 0.30, TRUE) AS ok_dup_paras,
+         COALESCE((list_sum(list_transform(lines, x -> length(x)))
+             - list_sum(list_transform(list_distinct(lines), x -> length(x)))) * 1.0
+           / NULLIF(list_sum(list_transform(lines, x -> length(x))), 0) <= 0.20,
+           TRUE) AS ok_dup_line_chars,
+         COALESCE((list_sum(list_transform(paras, x -> length(x)))
+             - list_sum(list_transform(list_distinct(paras), x -> length(x)))) * 1.0
+           / NULLIF(list_sum(list_transform(paras, x -> length(x))), 0) <= 0.20,
+           TRUE) AS ok_dup_para_chars,
+         COALESCE(top2.c * length(top2.g) * 1.0
+           / NULLIF(length(array_to_string(ws, ' ')), 0) <= 0.20, TRUE)
+           AS ok_top_2gram,
+         COALESCE(top3.c * length(top3.g) * 1.0
+           / NULLIF(length(array_to_string(ws, ' ')), 0) <= 0.18, TRUE)
+           AS ok_top_3gram,
+         COALESCE(top4.c * length(top4.g) * 1.0
+           / NULLIF(length(array_to_string(ws, ' ')), 0) <= 0.16, TRUE)
+           AS ok_top_4gram
   FROM w
+  LEFT JOIN top2 ON w.doc_id = top2.doc_id
+  LEFT JOIN top3 ON w.doc_id = top3.doc_id
+  LEFT JOIN top4 ON w.doc_id = top4.doc_id
 )
 SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
        ok_alpha_words, ok_stop_words,
+       ok_dup_lines, ok_dup_paras, ok_dup_line_chars, ok_dup_para_chars,
+       ok_top_2gram, ok_top_3gram, ok_top_4gram,
        COALESCE(ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
-                AND ok_alpha_words AND ok_stop_words, FALSE) AS pass
+                AND ok_alpha_words AND ok_stop_words
+                AND ok_dup_lines AND ok_dup_paras
+                AND ok_dup_line_chars AND ok_dup_para_chars
+                AND ok_top_2gram AND ok_top_3gram AND ok_top_4gram,
+                FALSE) AS pass
 FROM flags
 """
 
@@ -7943,6 +8077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_by_text": q_search_by_text,  # new, no driver row yet
     "semantic_dedup": q_semantic_dedup,  # new, no driver row yet
     "pack_sequences_nosplit": q_pack_sequences_nosplit,  # new, no driver row yet
+    "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r8
     # --- r5 rows (age 3) (must be in the next batch) ---
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
     "multimodal_features": q_multimodal_features,
@@ -8053,7 +8188,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "embedding_near_dup": q_embedding_near_dup,
     "corr_stats": q_corr_stats,
-    "gopher_quality_filter": q_gopher_quality_filter,
     "search_flat_l2": q_search_flat_l2,
     "sessionize": q_sessionize,
     "multimodal_meta": q_multimodal_meta,

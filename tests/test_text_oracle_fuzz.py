@@ -70,6 +70,11 @@ _DOCS = [
     "123 456 789 numeric doc 000",
     "word " * 120 + "long repetitive doc",
     ("repeat me " * 30).strip(),
+    # --- duplicate lines / paragraphs (Gopher repetition battery, r8) -
+    "same line here\nsame line here\nsame line here\nunique closing line",
+    "para one body text\n\npara one body text\n\npara two other text",
+    "mixed\nmixed\nnot mixed\nmixed\n\nmixed\nfinal",
+    "one line only but with with with repeated repeated tokens",
 ]
 
 N_DOCS = 3 * len(_DOCS)

@@ -128,6 +128,9 @@ REWRITES: dict[str, int] = {
     # r8: op 30 promoted from rows-only to oracled — the hash embedder
     # is now Catalyst SQL (md5-bucket folding) with a DuckDB twin
     "search_by_text": 8,
+    # r8: full Gopher repetition battery added (dup-line/paragraph
+    # fractions + char-mass variants + top-2/3/4-gram char fractions)
+    "gopher_quality_filter": 8,
 }
 
 
