@@ -2148,86 +2148,24 @@ FROM assigned s LEFT JOIN dominated d USING (vec_id)
 """
 
 
-def _semdedup_flags_from_cells(assigned: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cell, ccos) → SemDeDup flags, per-cell BLAS.
-
-    Within each cell, members are ordered by the keep rule (ccos ASC,
-    vec_id ASC) and a member is a dup iff ANY earlier member's cosine
-    reaches tau — the strictly-lower-triangular any() of the cell's
-    cosine matrix, computed as chunked matmuls (never a per-pair JVM
-    expression, never an m² temporary beyond m×chunk). Cells are
-    bounded (~_IVF_NEARDUP_CELL_ROWS via nlist ∝ N), so per-cell work
-    is constant as the corpus grows — the same argument as
-    _neardup_pairs_from_cells."""
-    import numpy as np
-    import pandas as pd
-
-    id_type = dict(assigned.dtypes)["vec_id"]
-    out_schema = f"vec_id {id_type}, cell int, ccos double, semantic_dup boolean"
-    tau = _SEMDEDUP_TAU
-
-    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ccos", "vec_id"]).reset_index(drop=True)
-        X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
-        U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        m = len(pdf)
-        dup = np.zeros(m, dtype=bool)
-        chunk = 1024
-        for a in range(0, m, chunk):
-            b = min(a + chunk, m)
-            S = np.round(U[:b] @ U[a:b].T, ROUND_DIGITS)  # (b, b-a)
-            for t in range(a, b):
-                if t > 0:
-                    dup[t] = bool((S[:t, t - a] >= tau).any())
-        return pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"],
-                "cell": pdf["cell"].astype("int32"),
-                "ccos": pdf["ccos"],
-                "semantic_dup": dup,
-            }
-        )
-
-    return assigned.groupBy("cell").applyInPandas(
-        lambda _, pdf: prune(pdf), schema=out_schema
-    )
-
-
 def _semantic_dedup_trained(
     spark: SparkSession, emb: DataFrame, *, nlist: int
 ) -> DataFrame:
     """Trained-cell SemDeDup: driver-side SAMPLED spherical k-means
     (bounded collect — the PQ training pattern), hard max-cosine
-    assignment as one Arrow matmul per batch, then the shared per-cell
-    BLAS prune."""
-    import numpy as np
-    import pandas as pd
+    assignment as one Arrow matmul per batch, then the per-cell BLAS
+    domination prune. Both kernels live in ``operators/semdedup.py``
+    and are SHARED with the streaming ingest twin
+    (streaming/semdedup.py) — batch == stream by construction."""
+    from aiotcvectordb_spark.operators.semdedup import (
+        assign_cells,
+        prune_cells,
+    )
 
     C = _sampled_spherical_kmeans(emb.select("vec_id", "embedding"), nlist)
-    id_type = dict(emb.dtypes)["vec_id"]
-    emb_type = dict(emb.dtypes)["embedding"]
-    schema = f"vec_id {id_type}, embedding {emb_type}, cell int, ccos double"
-
-    def assign(batches):
-        CT = C.T  # (dim, k)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
-            U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            S = U @ CT
-            cell = np.argmax(S, axis=1)  # ties → lowest cell id
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cell": cell.astype(np.int32),
-                    "ccos": np.round(S[np.arange(len(S)), cell], ROUND_DIGITS),
-                }
-            )
-
-    assigned = emb.select("vec_id", "embedding").mapInPandas(assign, schema=schema)
-    return _semdedup_flags_from_cells(assigned)
+    return prune_cells(
+        assign_cells(emb.select("vec_id", "embedding"), C), _SEMDEDUP_TAU
+    )
 
 
 def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7203,6 +7141,85 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2), the line-level
+    companion to the Gopher battery (r8): keep only lines that end in
+    terminal punctuation ('.', '!', '?', '\"') AND have >= 5 words AND
+    do not mention 'javascript'; drop the whole page when it contains
+    'lorem ipsum' or a curly brace, or when the kept text has fewer
+    than 3 sentences (terminal-punctuation count — the published
+    heuristic without a sentence tokenizer; documented simplification).
+    Emits the kept-line stats plus md5 of the cleaned text so the
+    oracle hashes the actual line-filter output, not just counts.
+    ONE map-only scan projection (list ops fused into the scan, no
+    shuffle at any scale); the bad-words list is omitted (license), as
+    is the three-sentence-span dedup (covered by substring_dedup)."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    kept = (
+        "filter(split(text, '\\n'), l -> "
+        "right(trim(l), 1) IN ('.', '!', '?', '\"') "
+        "AND size(filter(split(l, ' '), w -> w <> '')) >= 5 "
+        "AND NOT lower(l) LIKE '%javascript%')"
+    )
+    clean = f"concat_ws('\\n', {kept})"
+    n_sent = f"length({clean}) - length(translate({clean}, '.!?', ''))"
+    return df.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), w -> w <> ''))")
+        .cast("long")
+        .alias("n_words"),
+        F.expr(f"size({kept})").cast("long").alias("kept_lines"),
+        F.expr(n_sent).cast("long").alias("n_sentences"),
+        F.expr(f"length({clean})").cast("long").alias("clean_len"),
+        F.md5(F.expr(clean)).alias("clean_md5"),
+        F.expr(f"{n_sent} >= 3").alias("ok_min_sentences"),
+        F.expr("NOT lower(text) LIKE '%lorem ipsum%'").alias("ok_no_lorem"),
+        F.expr("NOT text LIKE '%{%'").alias("ok_no_brace"),
+    ).withColumn(
+        "pass",
+        F.col("ok_min_sentences")
+        & F.col("ok_no_lorem")
+        & F.col("ok_no_brace")
+        & (F.col("kept_lines") >= 1),
+    )
+
+
+_C4_KEPT_SQL = (
+    "list_filter(string_split(text, chr(10)), l -> "
+    "right(trim(l), 1) IN ('.', '!', '?', '\"') "
+    "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5 "
+    "AND NOT lower(l) LIKE '%javascript%')"
+)
+
+ORACLE_C4_QUALITY_FILTER = f"""
+WITH k AS (
+  SELECT doc_id, text,
+         COALESCE(array_to_string({_C4_KEPT_SQL}, chr(10)), '') AS clean,
+         len({_C4_KEPT_SQL}) AS kept_lines,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_words, kept_lines,
+         CAST(length(clean) - length(translate(clean, '.!?', '')) AS BIGINT)
+           AS n_sentences,
+         CAST(length(clean) AS BIGINT) AS clean_len,
+         md5(clean) AS clean_md5,
+         (length(clean) - length(translate(clean, '.!?', ''))) >= 3
+           AS ok_min_sentences,
+         NOT lower(text) LIKE '%lorem ipsum%' AS ok_no_lorem,
+         NOT text LIKE '%{{%' AS ok_no_brace
+  FROM k
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(kept_lines AS BIGINT) AS kept_lines, n_sentences,
+       clean_len, clean_md5, ok_min_sentences, ok_no_lorem, ok_no_brace,
+       (ok_min_sentences AND ok_no_lorem AND ok_no_brace
+        AND kept_lines >= 1) AS pass
+FROM s
+"""
+
+
 def _top_gram_expr(words: str, n: int) -> str:
     """Spark SQL struct('cnt', 'gram'): the count and value of the most
     frequent word {n}-gram of the ``words`` array, computed INSIDE one
@@ -8078,6 +8095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,  # new, no driver row yet
     "pack_sequences_nosplit": q_pack_sequences_nosplit,  # new, no driver row yet
     "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r8
+    "c4_quality_filter": q_c4_quality_filter,  # new, no driver row yet
     # --- r5 rows (age 3) (must be in the next batch) ---
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
     "multimodal_features": q_multimodal_features,
@@ -8254,6 +8272,7 @@ ORACLES: dict[str, str] = {
     "perplexity_filter": ORACLE_PERPLEXITY_FILTER,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "gopher_quality_filter": ORACLE_GOPHER_QUALITY_FILTER,
+    "c4_quality_filter": ORACLE_C4_QUALITY_FILTER,
     "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "training_shards": ORACLE_TRAINING_SHARDS,
     "ewma_smooth": ORACLE_EWMA_SMOOTH,

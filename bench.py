@@ -88,6 +88,7 @@ HEADLINE = [
     "dsir_weights",
     "quality_classifier",
     "gopher_quality_filter",
+    "c4_quality_filter",
     "training_shards",
     "ewma_smooth",
     "mmr_rerank",

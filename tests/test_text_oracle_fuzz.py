@@ -75,6 +75,16 @@ _DOCS = [
     "para one body text\n\npara one body text\n\npara two other text",
     "mixed\nmixed\nnot mixed\nmixed\n\nmixed\nfinal",
     "one line only but with with with repeated repeated tokens",
+    # --- C4 rule shapes (line filter + page drops, r8) -----------------
+    "This line ends with a period and has enough words.\n"
+    "short line.\n"
+    "this long line mentions javascript libraries and ends properly.\n"
+    'a quoted ending line with exactly seven words here"\n'
+    "no terminal punctuation on this long line at all",
+    "A good first sentence is here. A second one follows! A third? Yes.",
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do.",
+    "a config page with a { brace token inside it somewhere.",
+    "Trailing whitespace before punct line .  \nAnother fine sentence here.",
 ]
 
 N_DOCS = 3 * len(_DOCS)
@@ -86,6 +96,7 @@ QUERY_NAMES = [
     "perplexity_filter",
     "dsir_weights",
     "gopher_quality_filter",
+    "c4_quality_filter",
     "lang_top_terms",
     "bigram_logprob",
     "pii_scrub",

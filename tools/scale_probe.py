@@ -81,6 +81,7 @@ PROBE_QUERIES = [
     "dsir_weights",
     "quality_classifier",
     "gopher_quality_filter",
+    "c4_quality_filter",
     "training_shards",
     "ewma_smooth",
     "source_quota",
