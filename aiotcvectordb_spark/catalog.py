@@ -2,8 +2,8 @@
 
 Replaces the reference's server-side catalog that the client reaches via
 ``/database/*`` and ``/collection/*`` endpoints
-(reference: aiotcvectordb/model/database.py:17-210). A single JSON file
-holds all metadata; data lives in ``ParquetStore``. The catalog is tiny
+(reference: aiotcvectordb/model/database.py:17-210). A versioned JSON state file (metastore.JsonState — object-store-safe,
+highest committed version wins) holds all metadata; data lives in ``ParquetStore``. The catalog is tiny
 (metadata only) so a plain file is fine at any data scale — at 100 TB the
 bottleneck is data, never this.
 
@@ -13,8 +13,6 @@ Database types mirror the reference discriminator ``dbType`` in
 
 from __future__ import annotations
 
-import json
-import os
 import re
 import time
 from dataclasses import asdict, dataclass, field
@@ -88,22 +86,23 @@ class CollectionMeta:
 
 
 class Catalog:
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, spark=None) -> None:
+        # versioned JSON state over the Hadoop FS API (r8): same code
+        # path on local disk, HDFS, and object stores — no os.replace
+        from aiotcvectordb_spark.metastore import JsonState
+
         self.root = root
-        os.makedirs(root, exist_ok=True)
-        self.path = os.path.join(root, "catalog.json")
-        if not os.path.exists(self.path):
-            self._save({"databases": {}})
+        self._state = JsonState(root, "catalog", {"databases": {}}, spark)
+
+    @property
+    def path(self) -> str:
+        return self._state.path
 
     def _load(self) -> dict:
-        with open(self.path) as f:
-            return json.load(f)
+        return self._state.load()
 
     def _save(self, data: dict) -> None:
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(data, f, indent=1)
-        os.replace(tmp, self.path)
+        self._state.save(data)
 
     # -- databases (reference stub.py:61-193) --------------------------------
 

@@ -52,9 +52,9 @@ class VectorDBEngine:
         from aiotcvectordb_spark.params import validate_read_consistency
 
         self.spark = spark
-        self.catalog = Catalog(root)
+        self.catalog = Catalog(root, spark)
         self.store = ParquetStore(root, spark)
-        self.users = UserManager(root)
+        self.users = UserManager(root, spark)
         # reference stub.py:29: the client takes read_consistency at
         # construction and injects it into every read body. Parquet
         # snapshot reads are strongly consistent, so it validates and

@@ -8,7 +8,7 @@ each privilege = {resource: "db.*", actions: ["read", ...]}.
 
 In an embedded engine this is a thin ACL table kept in the catalog
 directory (SURVEY §2.1 op 18) — metadata-scale, never data-scale, so a
-JSON file with atomic replace is the right store. Passwords are stored
+versioned JSON state file (metastore.JsonState, Hadoop FS) is the right store. Passwords are stored
 as salted SHA-256 digests (an embedded engine must never keep
 plaintext); verification is constant-time compare.
 """
@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import hashlib
 import hmac
-import json
-import os
 import secrets
 import time
 from typing import Any
@@ -31,21 +29,22 @@ def _digest(password: str, salt: str) -> str:
 
 
 class UserManager:
-    def __init__(self, root: str) -> None:
-        os.makedirs(root, exist_ok=True)
-        self.path = os.path.join(root, "users.json")
-        if not os.path.exists(self.path):
-            self._save({"users": {}})
+    def __init__(self, root: str, spark=None) -> None:
+        # versioned JSON state over the Hadoop FS API (r8): same code
+        # path on local disk, HDFS, and object stores — no os.replace
+        from aiotcvectordb_spark.metastore import JsonState
+
+        self._state = JsonState(root, "users", {"users": {}}, spark)
+
+    @property
+    def path(self) -> str:
+        return self._state.path
 
     def _load(self) -> dict:
-        with open(self.path) as f:
-            return json.load(f)
+        return self._state.load()
 
     def _save(self, data: dict) -> None:
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(data, f, indent=1)
-        os.replace(tmp, self.path)
+        self._state.save(data)
 
     # -- lifecycle (reference stub.py:923-995) -------------------------------
 

@@ -123,3 +123,23 @@ def test_describe_lists_aliases(engine):
     ]
     engine.delete_alias("db_alias2", "backup")
     assert engine.describe_collection("db_alias2", "c1")["alias"] == ["current"]
+
+
+def test_jsonstate_crash_artifact_falls_back_to_committed(spark, tmp_path):
+    """r8: metadata state files are versioned Hadoop-FS objects — a
+    half-written newest version (crash mid-create) parses as garbage
+    and load() falls back to the newest committed version instead of
+    failing or resetting to the default."""
+    from aiotcvectordb_spark.metastore import JsonState
+
+    st = JsonState(str(tmp_path), "meta", {"v": 0}, spark)
+    assert st.load() == {"v": 0}  # no versions yet -> default
+    st.save({"v": 1})
+    st.save({"v": 2})
+    assert st.load() == {"v": 2}
+    # simulate a crashed half-write at the next version id
+    (tmp_path / "meta.2.json").write_text('{"v": 3, "trunc')
+    assert st.load() == {"v": 2}
+    # the next save supersedes the artifact and GC keeps one back
+    st.save({"v": 4})
+    assert st.load() == {"v": 4}
