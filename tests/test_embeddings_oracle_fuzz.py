@@ -41,6 +41,10 @@ QUERY_NAMES = [
     "embedding_near_dup",
     "ann_ivf_fullprobe",
     "ann_pq_fullrescore",
+    # r8 promotions/additions: the hash-embedder search and SemDeDup
+    # are oracled — run them against the nasty vectors cross-engine
+    "search_by_text",
+    "semantic_dedup",
 ]
 
 
@@ -162,7 +166,7 @@ ROWS_ONLY = [
     "embedding_near_dup_ivf",
     "embedding_pca",
     "mmr_rerank",
-    "search_by_text",
+    "semantic_dedup_auto",
 ]
 
 
