@@ -60,6 +60,7 @@ HEADLINE = [
     "clean_text",
     "dataset_split",
     "curate_corpus",
+    "curate_corpus_v2",
     "nation_volume_shipping",
     "time_gap_fill",
     "window_range_frame",

@@ -69,6 +69,9 @@ PROBE_QUERIES = [
     "sessionize",
     "dataset_split",
     "curate_corpus",
+    # curate_corpus_v2 (oracled) composes the fixed-K semantic_dedup and
+    # fail-fasts above its cap — probe the scale-routed funnel instead
+    "curate_corpus_v2_auto",
     "nation_volume_shipping",
     "national_market_share",
     "order_priority_check",
