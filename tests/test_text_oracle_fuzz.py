@@ -265,3 +265,43 @@ def test_rows_only_text_query_survives_nasty_corpus(spark, nasty_sf, name):
     groups must never abort the job."""
     sdf = Q.QUERIES[name](spark, nasty_sf).toPandas()
     assert len(sdf) >= 0
+
+
+def test_curation_funnel_survives_nasty_corpus(spark, nasty_sf, tmp_path):
+    """The composed r8 funnel (rule gate -> exact dedup -> SemDeDup ->
+    split) must run to completion on the hostile corpus — empty docs,
+    CJK, control chars, duplicate-line shapes — and the scale-routed
+    variant must agree with the oracled plan below the routing knee.
+    (Rows-only here: the funnel's oracle registration is deferred to
+    r9 for rotation-slot reasons; its constituents are oracled.)"""
+    import math
+    import shutil
+
+    from aiotcvectordb_spark import queries as Q
+
+    d = tmp_path / "funnel_sf"
+    d.mkdir()
+    shutil.copyfile(
+        f"{nasty_sf}/documents.parquet", str(d / "documents.parquet")
+    )
+    rows = [
+        (i, [round(math.sin(0.1 * j + 0.01 * i), 6) for j in range(Q.DIM)])
+        for i in range(N_DOCS)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    fixed = {
+        (r.stage_idx, r.stage): r.n_docs
+        for r in Q.QUERIES["curate_corpus_v2"](spark, str(d)).collect()
+    }
+    assert fixed[(0, "raw")] == N_DOCS
+    assert 0 <= fixed[(1, "rule_gate")] <= N_DOCS
+    # the corpus is 3 copies of each doc: exact dedup must bite
+    assert fixed[(2, "exact_keeper")] < fixed[(1, "rule_gate")]
+    auto = {
+        (r.stage_idx, r.stage): r.n_docs
+        for r in Q.QUERIES["curate_corpus_v2_auto"](spark, str(d)).collect()
+    }
+    assert auto == fixed  # below the knee the router picks the oracled plan
