@@ -264,6 +264,45 @@ SHOWCASE = [
         "raw occurrences, one per-doc agg; global top-25% via the same "
         "histogram threshold — no corpus sort",
     ),
+    (
+        "search_by_text",
+        "r8: hash embedder as Catalyst SQL — token explode feeding a "
+        "(doc, bucket) hash aggregate, the <=dim-row query vector "
+        "BROADCAST onto it, per-doc dot/norm, and the global top-10 as "
+        "TakeOrderedAndProject (never a full sort); md5/conv folding "
+        "stays inside whole-stage codegen",
+    ),
+    (
+        "semantic_dedup",
+        "r8 SemDeDup (oracled, fixed centroids): one BroadcastNested"
+        "LoopJoin against the K-row centroid literal table, argmax via "
+        "a vec_id-keyed window, then ONE cell-keyed self-equi-join "
+        "(SortMergeJoin on cell — sum(cell²), never N²) with the "
+        "unrolled fixed-dim cosine in codegen; fail-fast capped, the "
+        "scale router is semantic_dedup_auto",
+    ),
+    (
+        "pack_sequences_nosplit",
+        "r8 doc-atomic greedy packing: salted-bucket hash partitioning "
+        "(one Exchange on bucket), per-bucket window cumsum, one "
+        "aggregate — no global sort, packs parallel across buckets by "
+        "construction",
+    ),
+    (
+        "gopher_quality_filter",
+        "r8 full Gopher battery incl. the repetition rules: every flag "
+        "(dup-line/paragraph fractions, top-2/3/4-gram char fractions "
+        "via the sorted run-length fold) fused into ONE map-only scan "
+        "projection — zero Exchange at any scale",
+    ),
+    (
+        "curate_corpus_v2",
+        "r8 composed funnel: the battery projections, the exact-dedup "
+        "hash window, the SemDeDup join and the split bucket feed ONE "
+        "annotated frame whose per-doc stage-membership array explodes "
+        "into a single groupBy — the funnel costs one pass, not one "
+        "recompute per stage row",
+    ),
 ]
 
 
