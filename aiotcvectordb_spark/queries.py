@@ -2196,6 +2196,115 @@ def _semantic_dedup_trained(
     )
 
 
+def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup of a NEW batch against a STANDING corpus — the
+    SemDeDup member of the incremental family (minhash →
+    ``incremental_dedup``, substrings → ``incremental_substring_dedup``,
+    embeddings → here), and the batch twin of
+    ``streaming/semdedup.py``'s per-epoch semantics: a batch embedding
+    (vec_id >= _INCR_SPLIT) is a ``semantic_dup`` iff ANY standing same-cell
+    member reaches cosine tau (earlier arrivals dominate regardless of
+    centroid cosine — first-arrival-wins), or a batch-mate that precedes
+    it in the keep order (ccos ASC, vec_id ASC) does. Equality with the
+    streaming sink's epoch-1 flags is pinned in
+    tests/test_stream_semdedup.py.
+
+    Plan: the fixed-centroid assignment of ``semantic_dedup`` on both
+    sides, then batch-side rows join standing members on the CELL id
+    only — O(batch × touched-cell membership), no corpus × corpus.
+    Rows-only in r8 (the oracle below is written and parity-ready;
+    registering it must wait for r9 rotation slack — see the deferred
+    curate_corpus_v2 note). Shares ``semantic_dedup``'s fail-fast cap:
+    with K fixed the standing cells grow N/K, so at serving scale the
+    stored member index + trained cells (streaming/semdedup.py,
+    semantic_dedup_auto) replace this oracle-checkable recompute."""
+    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_rows = emb.count()  # parquet-metadata count
+    cap = max(_semdedup_fixed_max_rows(), _SEMDEDUP_FIXED_MAX_ROWS_DEFAULT)
+    if n_rows > cap:
+        raise ValueError(
+            f"incremental_semantic_dedup recomputes fixed-{_SEMDEDUP_K}-cell "
+            f"standing membership (grows N/K per cell), capped at {cap} rows "
+            f"(corpus has {n_rows}); at scale use the streaming member index "
+            f"(streaming/semdedup.py) or semantic_dedup_auto, or raise "
+            f"{_SEMDEDUP_FIXED_MAX_ROWS_ENV} explicitly"
+        )
+    cents = spark.createDataFrame(
+        list(enumerate(_SEMDEDUP_CENTROIDS)), "cell int, cvec array<double>"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(
+                cosine_score_fixed("embedding", "cvec", DIM), ROUND_DIGITS
+            ).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    batch = assigned.filter(F.col("vec_id") >= _INCR_SPLIT)
+    standing = assigned.filter(F.col("vec_id") < _INCR_SPLIT)
+    b = batch.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "cell",
+        F.col("ccos").alias("b_ccos"),
+    )
+    s = standing.select(
+        F.col("embedding").alias("s_emb"), "cell"
+    )
+    pair_bs = F.round(cosine_score_fixed("s_emb", "b_emb", DIM), ROUND_DIGITS)
+    hit_standing = (
+        b.join(s, "cell")
+        .filter(pair_bs >= F.lit(_SEMDEDUP_TAU))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    a = batch.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "cell",
+        F.col("ccos").alias("a_ccos"),
+    )
+    pair_ab = F.round(cosine_score_fixed("a_emb", "b_emb", DIM), ROUND_DIGITS)
+    hit_batch = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("a_ccos") < F.col("b_ccos"))
+            | (
+                (F.col("a_ccos") == F.col("b_ccos"))
+                & (F.col("a_id") < F.col("b_id"))
+            )
+        )
+        .filter(pair_ab >= F.lit(_SEMDEDUP_TAU))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    dominated = hit_standing.union(hit_batch).distinct()
+    return (
+        batch.select("vec_id", "cell", "ccos")
+        .join(dominated.withColumn("dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "ccos",
+            F.coalesce("dup", F.lit(False)).alias("semantic_dup"),
+        )
+    )
+
+
+
+
+
 def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup, scale-routed (the ``embedding_near_dup_auto``
     pattern): ONE entry point, two physical plans picked by corpus
@@ -8254,6 +8363,39 @@ FROM w
 # entries). Oracled queries WITHOUT a round-1 CORRECTNESS row come
 # first, then the round-1-verified ones (fastest first so the most
 # entries fit any time budget), then the rows-only approximate ops.
+# written and parity-ready; REGISTER IN r9 (rotation slack — the r8
+# batch already carries 5 forced entries against 45 age-capped rows)
+ORACLE_INCREMENTAL_SEMANTIC_DEDUP = f"""
+WITH {_semdedup_cents_sql()},
+scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cell,
+         round(COALESCE(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+           / NULLIF(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(c.cvec, c.cvec)), 0), 0.0),
+           {ROUND_DIGITS}) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, emb, cell, ccos FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
+),
+batch AS (SELECT * FROM assigned WHERE vec_id >= {_INCR_SPLIT}),
+standing AS (SELECT * FROM assigned WHERE vec_id < {_INCR_SPLIT}),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM standing a JOIN batch b ON a.cell = b.cell
+  WHERE {_SEMDEDUP_PAIR_COS} >= {_SEMDEDUP_TAU}
+  UNION
+  SELECT DISTINCT b.vec_id
+  FROM batch a JOIN batch b ON a.cell = b.cell
+   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+  WHERE {_SEMDEDUP_PAIR_COS} >= {_SEMDEDUP_TAU}
+)
+SELECT s.vec_id, s.cell, s.ccos,
+       (d.vec_id IS NOT NULL) AS semantic_dup
+FROM batch s LEFT JOIN dominated d USING (vec_id)
+"""
+
 # assembled here (module bottom): it nests ORACLE_GOPHER_QUALITY_FILTER /
 # ORACLE_C4_QUALITY_FILTER / ORACLE_SEMANTIC_DEDUP, which are defined after
 # the curation section the query itself lives in
@@ -8448,6 +8590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus_v2": q_curate_corpus_v2,
     "curate_corpus_v2_auto": q_curate_corpus_v2_auto,
     "semantic_dedup_auto": q_semantic_dedup_auto,
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,  # new r8
     "quality_classifier": q_quality_classifier,
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,

@@ -32,6 +32,7 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "embedding_near_dup",
     "semantic_dedup",
+    "incremental_semantic_dedup",
     "simhash_near_dup",
     "token_count",
     "text_quality",

@@ -123,3 +123,32 @@ def test_member_index_empty_only_when_no_epochs(spark, tmp_path):
     df = _read_member_index(spark, str(tmp_path / "missing"))
     assert df.count() == 0
     assert df.columns == ["cell", "vec_id", "ccos", "embedding"]
+
+
+def test_incremental_batch_query_equals_stream_epoch1(spark, sf_dir, tmp_path):
+    """q_incremental_semantic_dedup IS the streaming sink's epoch-1
+    semantics: standing corpus as epoch 0, the vec_id >= _INCR_SPLIT
+    batch as epoch 1 — the sink's epoch-1 flags must equal the batch
+    query bit-for-bit (same kernels, same keep order, same
+    first-arrival-wins domination)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    split = Q._INCR_SPLIT
+    index_dir, results_dir, sink = _mk_sink(tmp_path)
+    sink(emb.filter(f"vec_id < {split}"), 0)
+    sink(emb.filter(f"vec_id >= {split}"), 1)
+    streamed = {
+        r.vec_id: (r.cell, r.ccos, r.semantic_dup)
+        for r in read_semdedup_flags(spark, results_dir)
+        .filter("epoch = 1")
+        .collect()
+    }
+    batch = {
+        r.vec_id: (r.cell, r.ccos, r.semantic_dup)
+        for r in Q.QUERIES["incremental_semantic_dedup"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+    assert any(v[2] for v in batch.values())  # some dup actually flagged
