@@ -32,7 +32,8 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "embedding_near_dup",
     "semantic_dedup",
-    "incremental_semantic_dedup",
+    # incremental_semantic_dedup joins HEADLINE in r9 together with its
+    # oracle promotion (the close-time bench record predates it)
     "simhash_near_dup",
     "token_count",
     "text_quality",
