@@ -57,16 +57,19 @@ def assign_cells(
             if not len(pdf):
                 continue
             U = _unit_rows(pdf[vec_col])
-            S = U @ CT
+            # round BEFORE argmax so ties are decided on the same
+            # rounded cosines the SQL twin sorts by (ORDER BY ccos
+            # DESC, cell): two centroids within <5e-7 of each other
+            # round to an exact tie and argmax then matches the
+            # lowest-cell rule.
+            S = np.round(U @ CT, _ROUND_DIGITS)
             cell = np.argmax(S, axis=1)  # ties → lowest cell id
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     vec_col: pdf[vec_col],
                     "cell": cell.astype(np.int32),
-                    "ccos": np.round(
-                        S[np.arange(len(S)), cell], _ROUND_DIGITS
-                    ),
+                    "ccos": S[np.arange(len(S)), cell],
                 }
             )
 

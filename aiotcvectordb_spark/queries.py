@@ -2036,7 +2036,9 @@ def _semdedup_fixed_max_rows() -> int:
     )
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_dedup(
+    spark: SparkSession, sf_dir: str, *, _known_rows: int | None = None
+) -> DataFrame:
     """SemDeDup semantic deduplication, ORACLED (r8).
 
     Published semantics, made deterministic: (1) every embedding is
@@ -2067,7 +2069,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aiotcvectordb_spark.functions.vector import cosine_score_fixed
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_rows = emb.count()  # parquet-metadata count
+    # the scale router (semantic_dedup_auto) has already counted the
+    # frame to pick this plan — reuse its count instead of a second
+    # parquet-metadata job (r9, advisor)
+    n_rows = emb.count() if _known_rows is None else _known_rows
     cap = max(_semdedup_fixed_max_rows(), _SEMDEDUP_FIXED_MAX_ROWS_DEFAULT)
     if n_rows > cap:
         raise ValueError(
@@ -2322,7 +2327,7 @@ def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_rows = emb.count()  # parquet-metadata count
     if n_rows <= _SEMDEDUP_K * _IVF_NEARDUP_CELL_ROWS:
-        return q_semantic_dedup(spark, sf_dir)
+        return q_semantic_dedup(spark, sf_dir, _known_rows=n_rows)
     nlist = max(
         2, min(n_rows // _IVF_NEARDUP_CELL_ROWS, _IVF_NEARDUP_FLAT_MAX_NLIST)
     )
@@ -4184,15 +4189,48 @@ def _hash_embed_feats(tok_col: str, dim: int):
     return bucket, sign
 
 
+def _sbt_tokens_sql(col: str) -> str:
+    """Spark SQL token array matching functions/embedding._tokens —
+    the dense hash embedder's tokenizer — including its CJK lane (r9):
+    lower → split on non-(letter|digit) runs (``[^\\p{L}\\p{N}]+``, the
+    Java-property twin of Python's ``[\\W_]+`` under re.UNICODE), then
+    each token's CJK runs become overlapping character bigrams (single
+    CJK char stays itself) while non-CJK spans pass through whole.
+    Pure-ASCII documents take a plain-split fast path gated on a
+    one-regex ASCII test — identical output (ASCII alnum ⊂ \\p{L}\\p{N}),
+    one cheap pass instead of the per-token re-segmentation."""
+    cjk = sparse_fn.CJK_RANGES
+    seg = (
+        f"CASE WHEN s rlike '^[{cjk}]' "
+        "THEN transform(sequence(1, greatest(length(s) - 1, 1)), "
+        "i -> substring(s, i, 2)) ELSE array(s) END"
+    )
+    full = (
+        "flatten(transform("
+        f"filter(split(lower({col}), '[^\\\\p{{L}}\\\\p{{N}}]+'), "
+        "t -> t != ''), "
+        f"t -> flatten(transform("
+        f"regexp_extract_all(t, '[{cjk}]+|[^{cjk}]+', 0), s -> {seg}))))"
+    )
+    fast = f"filter(split(lower({col}), '[\\\\W_]+'), t -> t != '')"
+    return (
+        f"CASE WHEN {col} rlike '[^\\\\x00-\\\\x7F]' THEN {full} "
+        f"ELSE {fast} END"
+    )
+
+
 def _hash_embed_sparse(df: DataFrame, id_col: str, text_col: str, dim: int):
     """(dvec, dnorm): per-id signed bucket counts and L2 norms of the
     hash embedding — the SPARSE form of embed_udf's dense vectors
     (equality with functions/embedding._embed_one is pinned in
-    tests/test_search_text_fulltext_hybrid.py). One explode + one
-    (id, bucket) aggregate; both shuffles are keyed by the data."""
+    tests/test_search_text_fulltext_hybrid.py, ASCII and CJK). One
+    explode + one (id, bucket) aggregate; both shuffles are keyed by
+    the data. r9: tokenizes through _sbt_tokens_sql, which carries the
+    dense embedder's CJK-bigram lane — previously the Java-ASCII
+    ``\\W`` split silently dropped every CJK token."""
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"[\W_]+")).alias("tok"),
+        F.explode(F.expr(_sbt_tokens_sql(text_col))).alias("tok"),
     ).filter(F.col("tok") != "")
     bucket, sign = _hash_embed_feats("tok", dim)
     dvec = (
@@ -4217,9 +4255,15 @@ def q_search_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedder itself, not just the kNN. Cosine over the sparse signed
     bucket counts equals cosine of embed_udf's dense vectors (same
     hash, same signs; parity with the pandas-UDF path pinned in
-    pytest). Scale shape: explode → (doc, bucket) aggregate → ≤dim-row
-    broadcast of the query vector → per-doc dot/norm → global top-10
-    via TakeOrderedAndProject (never a full sort)."""
+    pytest). r9: the SQL tokenizer carries the dense embedder's CJK
+    lane (unicode word split + CJK character bigrams, both twins —
+    _sbt_tokens_sql / _sbt_duck_tokens_sql), so CJK corpora — the
+    reference encoder's home turf — embed identically to
+    functions/embedding._embed_one instead of silently dropping every
+    CJK token to the Java-ASCII \\W split. Scale shape: explode →
+    (doc, bucket) aggregate → ≤dim-row broadcast of the query vector →
+    per-doc dot/norm → global top-10 via TakeOrderedAndProject (never
+    a full sort)."""
     docs = load(spark, sf_dir, "documents")
     dvec, dnorm = _hash_embed_sparse(docs, "doc_id", "text", DIM)
     qdf = spark.createDataFrame([(0, _SBT_QUERY_TEXT)], "qid int, text string")
@@ -4249,15 +4293,43 @@ def q_search_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sbt_duck_tokens_sql(col: str) -> str:
+    """DuckDB (RE2) twin of _sbt_tokens_sql: same unicode word split
+    (``[^\\p{{L}}\\p{{N}}]+`` — RE2 property classes), same CJK-bigram
+    re-segmentation, same ASCII fast path."""
+    cjk = sparse_fn.CJK_RANGES
+    seg = (
+        f"CASE WHEN regexp_matches(s, '^[{cjk}]') "
+        "THEN list_transform(range(1, greatest(length(s), 2)), "
+        "i -> substr(s, i, 2)) ELSE [s] END"
+    )
+    full = (
+        "flatten(list_transform("
+        f"list_filter(regexp_split_to_array(lower({col}), "
+        "'[^\\p{L}\\p{N}]+'), t -> t <> ''), "
+        "t -> flatten(list_transform("
+        f"regexp_extract_all(t, '[{cjk}]+|[^{cjk}]+'), s -> {seg}))))"
+    )
+    fast = (
+        f"list_filter(regexp_split_to_array(lower({col}), '[\\W_]+'), "
+        "t -> t <> '')"
+    )
+    return (
+        f"CASE WHEN regexp_matches({col}, '[^\\x00-\\x7f]') THEN {full} "
+        f"ELSE {fast} END"
+    )
+
+
 def _sbt_embed_cte(src: str, id_col: str) -> str:
-    """DuckDB twin of _hash_embed_sparse over ``src`` (id_col, text)."""
+    """DuckDB twin of _hash_embed_sparse over ``src`` (id_col, text) —
+    CJK-bigram lane included (r9), matching _sbt_tokens_sql."""
     return f"""
   SELECT {id_col},
          CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {DIM} AS bucket,
          SUM(CASE WHEN CAST(('0x' || substr(md5(tok), 9, 2)) AS BIGINT) % 2 = 1
                   THEN 1.0 ELSE -1.0 END) AS dv
   FROM (SELECT {id_col},
-               unnest(string_split_regex(lower(text), '[\\W_]+')) AS tok
+               unnest({_sbt_duck_tokens_sql('text')}) AS tok
         FROM {src}) t
   WHERE tok != ''
   GROUP BY {id_col}, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {DIM}
@@ -7524,21 +7596,26 @@ def _top_gram_expr(words: str, n: int) -> str:
     )
 
 
-def _dup_seg_exprs(seg_col: str, sep: str) -> tuple[str, str]:
-    """(dup_fraction, dup_char_fraction) Spark SQL over the non-empty
-    ``sep``-separated segments (lines / paragraphs) of a document:
-    fraction of segments that are repeats of an earlier one, and the
-    character mass those repeats carry — Gopher's duplicate-line /
-    duplicate-paragraph signals, still map-only."""
-    segs = f"filter(split({seg_col}, '{sep}'), l -> l <> '')"
-    chars = f"aggregate({segs}, 0L, (a, l) -> a + length(l))"
-    dchars = f"aggregate(array_distinct({segs}), 0L, (a, l) -> a + length(l))"
+def _dup_seg_flag_exprs(
+    segs: str, dsegs: str, chars: str, dchars: str, fthr: float, cthr: float
+) -> tuple[str, str]:
+    """(dup_fraction <= fthr, dup_char_fraction <= cthr) Spark SQL over
+    PRE-COMPUTED segment columns: ``segs``/``dsegs`` the non-empty
+    segments and their distinct set, ``chars``/``dchars`` their summed
+    character masses — Gopher's duplicate-line / duplicate-paragraph
+    signals. Taking named columns instead of inlining the split keeps
+    each array and each char-mass fold single-eval per row (r9)."""
     frac = (
-        f"(size({segs}) - size(array_distinct({segs}))) * 1.0 "
-        f"/ NULLIF(size({segs}), 0)"
+        f"(size({segs}) - size({dsegs})) * 1.0 "
+        f"/ NULLIF(size({segs}), 0) <= {fthr}"
     )
-    cfrac = f"({chars} - {dchars}) * 1.0 / NULLIF({chars}, 0)"
+    cfrac = f"({chars} - {dchars}) * 1.0 / NULLIF({chars}, 0) <= {cthr}"
     return frac, cfrac
+
+
+def _seg_chars_expr(segs: str) -> str:
+    """Summed character mass of a pre-computed segment array column."""
+    return f"aggregate({segs}, 0L, (a, l) -> a + length(l))"
 
 
 # (threshold, name) per top-n-gram rule — Rae et al. 2021 Table A1
@@ -7560,66 +7637,105 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag plus the composite pass — the practitioner's first pass over
     a raw crawl, upstream of the LM/classifier scoring family. Pure
     JVM expressions fused into the scan (map-only, no shuffle at any
-    scale); DuckDB predicts every flag exactly."""
+    scale); DuckDB predicts every flag exactly.
+
+    r9: the shared arrays (word list, line/para segments and their
+    distinct sets) and the three top-n-gram fold structs are HOISTED
+    into named columns in staged projections so each is computed ONCE
+    per row — the fold had been inlined twice per rule (``.cnt`` and
+    ``.gram``) and the word split re-evaluated per flag. CollapseProject
+    keeps a non-cheap producer expression referenced more than once in
+    its own projection, so the stages survive optimization; the plan is
+    still one map-only scan projection chain, no shuffle."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     words = "filter(split(text, ' '), w -> w <> '')"
     stop = "array('the','be','to','of','and','that','have','with')"
-    total_chars = f"length(concat_ws(' ', {words}))"
-    line_frac, line_cfrac = _dup_seg_exprs("text", "\\n")
-    para_frac, para_cfrac = _dup_seg_exprs("text", "\\n\\n")
+    staged = (
+        df.select(
+            "doc_id",
+            "text",
+            F.expr(words).alias("_ws"),
+            F.expr("filter(split(text, '\\n'), l -> l <> '')").alias(
+                "_lines"
+            ),
+            F.expr("filter(split(text, '\\n\\n'), l -> l <> '')").alias(
+                "_paras"
+            ),
+        )
+        .select(
+            "doc_id",
+            "text",
+            "_ws",
+            "_lines",
+            "_paras",
+            F.expr("array_distinct(_lines)").alias("_lines_d"),
+            F.expr("array_distinct(_paras)").alias("_paras_d"),
+            *[
+                F.expr(_top_gram_expr("_ws", n)).alias(f"_tg{n}")
+                for n, _ in _GOPHER_TOP_NGRAM_RULES
+            ],
+        )
+        .select(
+            "*",
+            F.expr(_seg_chars_expr("_lines")).alias("_lc"),
+            F.expr(_seg_chars_expr("_lines_d")).alias("_ldc"),
+            F.expr(_seg_chars_expr("_paras")).alias("_pc"),
+            F.expr(_seg_chars_expr("_paras_d")).alias("_pdc"),
+            F.expr("length(concat_ws(' ', _ws))").alias("_wc"),
+        )
+    )
+    line_frac, line_cfrac = _dup_seg_flag_exprs(
+        "_lines", "_lines_d", "_lc", "_ldc", 0.30, 0.20
+    )
+    para_frac, para_cfrac = _dup_seg_flag_exprs(
+        "_paras", "_paras_d", "_pc", "_pdc", 0.30, 0.20
+    )
     rep_flags = [
-        F.coalesce(F.expr(f"{line_frac} <= 0.30"), F.lit(True)).alias(
-            "ok_dup_lines"
-        ),
-        F.coalesce(F.expr(f"{para_frac} <= 0.30"), F.lit(True)).alias(
-            "ok_dup_paras"
-        ),
-        F.coalesce(F.expr(f"{line_cfrac} <= 0.20"), F.lit(True)).alias(
+        F.coalesce(F.expr(line_frac), F.lit(True)).alias("ok_dup_lines"),
+        F.coalesce(F.expr(para_frac), F.lit(True)).alias("ok_dup_paras"),
+        F.coalesce(F.expr(line_cfrac), F.lit(True)).alias(
             "ok_dup_line_chars"
         ),
-        F.coalesce(F.expr(f"{para_cfrac} <= 0.20"), F.lit(True)).alias(
+        F.coalesce(F.expr(para_cfrac), F.lit(True)).alias(
             "ok_dup_para_chars"
         ),
     ] + [
         F.coalesce(
             F.expr(
-                f"(({_top_gram_expr(words, n)}).cnt "
-                f"* length(({_top_gram_expr(words, n)}).gram)) * 1.0 "
-                f"/ NULLIF({total_chars}, 0) <= {thr}"
+                f"(_tg{n}.cnt * length(_tg{n}.gram)) * 1.0 "
+                f"/ NULLIF(_wc, 0) <= {thr}"
             ),
             F.lit(True),
         ).alias(f"ok_top_{n}gram")
         for n, thr in _GOPHER_TOP_NGRAM_RULES
     ]
-    return df.select(
+    return staged.select(
         "doc_id",
-        F.expr(f"size({words})").cast("long").alias("n_words"),
-        F.expr(
-            f"size({words}) BETWEEN 50 AND 100000"
-        ).alias("ok_word_count"),
+        F.expr("size(_ws)").cast("long").alias("n_words"),
+        F.expr("size(_ws) BETWEEN 50 AND 100000").alias("ok_word_count"),
         F.coalesce(
             F.expr(
-                f"aggregate({words}, 0L, (a, w) -> a + length(w)) * 1.0 "
-                f"/ NULLIF(size({words}), 0) BETWEEN 3 AND 10"
+                "aggregate(_ws, 0L, (a, w) -> a + length(w)) * 1.0 "
+                "/ NULLIF(size(_ws), 0) BETWEEN 3 AND 10"
             ),
             F.lit(False),
         ).alias("ok_mean_word_len"),
         F.coalesce(
             F.expr(
                 "(length(text) - length(replace(replace(text, '#', ''), "
-                f"'...', ''))) * 1.0 / NULLIF(size({words}), 0) <= 0.1"
+                "'...', ''))) * 1.0 / NULLIF(size(_ws), 0) <= 0.1"
             ),
             F.lit(False),
         ).alias("ok_symbol_ratio"),
         F.coalesce(
             F.expr(
-                f"size(filter({words}, w -> w rlike '[a-zA-Z]')) * 1.0 "
-                f"/ NULLIF(size({words}), 0) >= 0.8"
+                "size(filter(_ws, w -> w rlike '[a-zA-Z]')) * 1.0 "
+                "/ NULLIF(size(_ws), 0) >= 0.8"
             ),
             F.lit(False),
         ).alias("ok_alpha_words"),
         F.expr(
-            f"size(array_intersect(transform({words}, w -> lower(w)), "
+            "size(array_intersect(transform(_ws, w -> lower(w)), "
             f"{stop})) >= 2"
         ).alias("ok_stop_words"),
         *rep_flags,

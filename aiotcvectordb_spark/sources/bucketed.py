@@ -31,11 +31,16 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a dangling location (from a dropped-metastore session) blocks
-    # managed-table creation; clear it
-    import shutil
+    # managed-table creation; clear it through the Hadoop FileSystem
+    # API so the same code path works on an object-store warehouse
+    # (a local shutil.rmtree would silently no-op there)
+    from ..streaming.epochlog import _fs
 
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path_cls, fs = _fs(spark, wh)
+    loc = path_cls(f"{wh}/{table}")
+    if fs.exists(loc):
+        fs.delete(loc, True)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -196,5 +196,8 @@ def compact_raw_index(spark, raw_dir: str) -> None:
     watermark commit protocol of ``epochlog.compact_summed_index``
     (negative generation ids, ``_FOLDED_UP_TO`` marker as the commit
     point, newest live epoch spared, Hadoop FS deletes), crash-safe for
-    non-idempotent summed counts at every point (r8)."""
+    non-idempotent summed counts at every point (r8). SINGLE COMPACTOR
+    REQUIRED — concurrent compactions GC each other's unmarked
+    in-flight generation; run from the one path that owns the index
+    (crash-then-retry is fine, overlap is not)."""
     compact_summed_index(spark, raw_dir, _read_raw_index)

@@ -148,7 +148,16 @@ def compact_summed_index(spark, index_dir: str, read_fn) -> None:
     leaves sources that readers already skip via the watermark. The
     NEWEST live epoch is never folded — it is the only batch id
     foreachBatch can replay, and its ``before_epoch`` read must not find
-    its own deltas inside a generation."""
+    its own deltas inside a generation.
+
+    SINGLE COMPACTOR REQUIRED: step (1) garbage-collects every unmarked
+    generation, so two compactions running concurrently on the same
+    index would delete each other's in-flight generation before it is
+    marked. Crash-then-retry is safe (the retry IS the next single
+    compactor); concurrent compactors are not. Call this from the one
+    maintenance path that owns the index — in the ingest twins that is
+    the foreachBatch sink itself, which Structured Streaming already
+    serializes per query."""
     epochs = epoch_ids(spark, index_dir)
     if not epochs:
         return

@@ -149,5 +149,8 @@ def compact_lm_index(spark, lm_dir: str) -> None:
     exactly the committed counts (r8, closes the mid-compaction
     count-doubling hole). The NEWEST live epoch is never merged — it is
     the only one foreachBatch can replay, and its deltas must stay
-    invisible to its own replay's ``before_epoch`` read."""
+    invisible to its own replay's ``before_epoch`` read. SINGLE
+    COMPACTOR REQUIRED — concurrent compactions GC each other's
+    unmarked in-flight generation; run from the one path that owns the
+    index (crash-then-retry is fine, overlap is not)."""
     compact_summed_index(spark, lm_dir, _read_lm_index)

@@ -200,8 +200,10 @@ def test_sql_hash_embedder_matches_dense_embed_udf(spark):
     folding in _hash_embed_sparse) computes EXACTLY the dense hash
     embedding of functions/embedding._embed_one — same buckets, same
     signs, same norm — so the DuckDB-oracled query verifies the real
-    embedder semantics. (ASCII texts: the SQL lane has no CJK bigram
-    path; the corpus is pure ASCII.)"""
+    embedder semantics. r9: the SQL lane gained the dense embedder's
+    CJK bigram path (unicode word split + CJK character bigrams), so
+    the pin now covers CJK, mixed CJK/latin, single-CJK-char, and
+    underscore/punctuation shapes too."""
     import math
 
     from aiotcvectordb_spark.functions.embedding import _embed_one
@@ -212,6 +214,11 @@ def test_sql_hash_embedder_matches_dense_embed_udf(spark):
         (2, "Apple, banana; CHERRY_orchard harvest!"),
         (3, "repeated repeated repeated token stream"),
         (4, "x"),
+        (5, "向量数据库 支持 中文 检索"),
+        (6, "mixed 中文retrieval pipeline 数据 flow"),
+        (7, "中"),
+        (8, "한국어 텍스트와 ひらがな カタカナ mixed"),
+        (9, "punct！中文，分词。end"),
     ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     dvec, dnorm = _hash_embed_sparse(df, "doc_id", "text", DIM)

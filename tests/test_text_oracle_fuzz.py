@@ -134,6 +134,10 @@ QUERY_NAMES = [
     # the hybrids their sparse+dense legs (embeddings copied in)
     "lang_id_cjk",
     "fulltext_bm25_cjk",
+    # r9: the hash-embedder search gained its CJK bigram lane — this
+    # corpus (CJK runs, mixed script, emoji, empty-ish docs) is the
+    # cross-engine exercise the ASCII driver corpus can't give it
+    "search_by_text",
     "incremental_dedup",
     "minhash_lsh_candidates",
     "simhash_near_dup",

@@ -125,12 +125,11 @@ REWRITES: dict[str, int] = {
     # age-capped row (small_quantity_revenue, r4) past the cap.
     "ann_pq_fullrescore": 5,
     "corr_stats": 7,  # r7 explicit guarded Pearson (ANSI zero-variance abort)
-    # r8: op 30 promoted from rows-only to oracled — the hash embedder
-    # is now Catalyst SQL (md5-bucket folding) with a DuckDB twin
-    "search_by_text": 8,
-    # r8: full Gopher repetition battery added (dup-line/paragraph
-    # fractions + char-mass variants + top-2/3/4-gram char fractions)
-    "gopher_quality_filter": 8,
+    # r9: CJK bigram lane added to the SQL hash embedder (both twins)
+    "search_by_text": 9,
+    # r9: shared arrays + top-n-gram fold structs hoisted into named
+    # single-eval columns (same flags, ~halved battery cost)
+    "gopher_quality_filter": 9,
 }
 
 
