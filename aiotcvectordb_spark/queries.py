@@ -2217,9 +2217,9 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the fixed-centroid assignment of ``semantic_dedup`` on both
     sides, then batch-side rows join standing members on the CELL id
     only — O(batch × touched-cell membership), no corpus × corpus.
-    Rows-only in r8 (the oracle below is written and parity-ready;
-    registering it must wait for r9 rotation slack — see the deferred
-    curate_corpus_v2 note). Shares ``semantic_dedup``'s fail-fast cap:
+    ORACLED as of r9 (ORACLE_INCREMENTAL_SEMANTIC_DEDUP — written in
+    r8, registration deferred one round for rotation slack).
+    Shares ``semantic_dedup``'s fail-fast cap:
     with K fixed the standing cells grow N/K, so at serving scale the
     stored member index + trained cells (streaming/semdedup.py,
     semantic_dedup_auto) replace this oracle-checkable recompute."""
@@ -6266,6 +6266,26 @@ _BOILER_FOOTERS = [
 _LINE_DEDUP_MIN_COUNT = 5
 
 
+def _boiler_pages(df: DataFrame) -> DataFrame:
+    """(doc_id, page): the synthetic web page for each document —
+    header + text + footer, template keyed on md5(doc_id). Shared by
+    the batch, incremental, and streaming line-dedup entries (and
+    reproduced verbatim in their oracles) so all three clean the SAME
+    page construction."""
+    idx = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 5
+    hdr = F.element_at(F.array([F.lit(s) for s in _BOILER_HEADERS]), idx + 1)
+    ftr = F.element_at(F.array([F.lit(s) for s in _BOILER_FOOTERS]), idx + 1)
+    return df.select(
+        "doc_id", F.concat_ws("\n", hdr, F.col("text"), ftr).alias("page")
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style line-level boilerplate removal — the web-corpus
     cleaning pass that strips headers/footers/nav text repeated across
@@ -6284,18 +6304,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
         F.length("text") > 0
     )
-    idx = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
-        )
-        - 1
-    ) % 5
-    hdr = F.element_at(F.array([F.lit(s) for s in _BOILER_HEADERS]), idx + 1)
-    ftr = F.element_at(F.array([F.lit(s) for s in _BOILER_FOOTERS]), idx + 1)
-    pages = df.select(
-        "doc_id", F.concat_ws("\n", hdr, F.col("text"), ftr).alias("page")
-    )
+    pages = _boiler_pages(df)
     lines = pages.select(
         "doc_id", F.posexplode(F.split("page", "\n")).alias("pos", "line")
     ).withColumn("norm", F.lower(F.trim("line")))
@@ -6348,6 +6357,121 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS kept_lines
 FROM normed WHERE norm NOT IN (SELECT norm FROM boiler)
 GROUP BY doc_id
+"""
+
+
+def q_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup's continuous-ingest twin (r9) — the last dedup family
+    member without one (minhash / substring / semantic all have batch +
+    incremental + streaming forms): clean a NEW batch of pages
+    (doc_id % 10 == 0) against the STANDING corpus's line-count index
+    without rescanning corpus pages per batch.
+
+    A batch line is boilerplate iff its corpus-wide occurrence count —
+    standing index count PLUS this batch's own count (self-inclusive,
+    the ``incremental_substring_dedup`` rule) — reaches
+    ``_LINE_DEDUP_MIN_COUNT``. Since standing + batch = corpus-wide,
+    rows with kept_lines > 0 equal ``line_dedup`` on the full corpus
+    restricted to batch docs (pinned in pytest); unlike the batch
+    query, every batch doc gets an EXPLICIT row — a fully-boilerplate
+    page surfaces as (text='', kept_lines=0) instead of silently
+    vanishing from the decision log (the r8 qualitygate/dsir rule).
+
+    Plan: one (norm → count) aggregate over each side, a count-join on
+    the batch's distinct norms only, LEFT ANTI removal, per-doc ordered
+    reassembly — O(batch + distinct-norm collisions); the standing side
+    is never joined against itself. At serving scale the standing index
+    is the stored SUMMED epoch log of ``streaming/linededup.py``
+    (watermark-compacted, ``epochlog.compact_summed_index``); here it
+    is recomputed from the table so the composition stays
+    oracle-checkable, exactly the incremental_substring_dedup
+    precedent."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    batch_pages = _boiler_pages(df.filter(F.col("doc_id") % 10 == 0))
+    standing_pages = _boiler_pages(df.filter(F.col("doc_id") % 10 != 0))
+    lines_b = batch_pages.select(
+        "doc_id", F.posexplode(F.split("page", "\n")).alias("pos", "line")
+    ).withColumn("norm", F.lower(F.trim("line")))
+    standing_idx = (
+        standing_pages.select(
+            F.explode(F.split("page", "\n")).alias("line")
+        )
+        .select(F.lower(F.trim("line")).alias("norm"))
+        .groupBy("norm")
+        .agg(F.count("*").alias("sc"))
+    )
+    boiler = (
+        lines_b.groupBy("norm")
+        .agg(F.count("*").alias("bc"))
+        .join(standing_idx, "norm", "left")
+        .filter(
+            F.col("bc") + F.coalesce(F.col("sc"), F.lit(0))
+            >= _LINE_DEDUP_MIN_COUNT
+        )
+        .select("norm")
+    )
+    kept = lines_b.join(boiler, "norm", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("kept_lines"),
+    )
+    spine = batch_pages.select("doc_id")
+    return spine.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("kept_lines", F.lit(0).cast("long")).alias("kept_lines"),
+    )
+
+
+ORACLE_INCREMENTAL_LINE_DEDUP = f"""
+WITH paged AS (
+  SELECT doc_id,
+         list_extract({_LD_HDRS},
+           ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5) + 1)
+         || chr(10) || text || chr(10) ||
+         list_extract({_LD_FTRS},
+           ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5) + 1)
+         AS page
+  FROM documents WHERE length(text) > 0
+), b AS (
+  SELECT * FROM paged WHERE doc_id % 10 = 0
+), s AS (
+  SELECT * FROM paged WHERE doc_id % 10 <> 0
+), lines_b AS (
+  SELECT doc_id, unnest(string_split(page, chr(10))) AS line,
+         generate_subscripts(string_split(page, chr(10)), 1) AS pos
+  FROM b
+), normed_b AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines_b
+), sidx AS (
+  SELECT lower(trim(l)) AS norm, count(*) AS sc
+  FROM (SELECT unnest(string_split(page, chr(10))) AS l FROM s)
+  GROUP BY 1
+), boiler AS (
+  SELECT bc.norm
+  FROM (SELECT norm, count(*) AS bc FROM normed_b GROUP BY norm) bc
+  LEFT JOIN sidx USING (norm)
+  WHERE bc.bc + COALESCE(sidx.sc, 0) >= {_LINE_DEDUP_MIN_COUNT}
+), agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS text,
+         CAST(count(*) AS BIGINT) AS kept_lines
+  FROM normed_b WHERE norm NOT IN (SELECT norm FROM boiler)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.text, '') AS text,
+       COALESCE(a.kept_lines, 0) AS kept_lines
+FROM (SELECT DISTINCT doc_id FROM b) d LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -8479,8 +8603,7 @@ FROM w
 # entries). Oracled queries WITHOUT a round-1 CORRECTNESS row come
 # first, then the round-1-verified ones (fastest first so the most
 # entries fit any time budget), then the rows-only approximate ops.
-# written and parity-ready; REGISTER IN r9 (rotation slack — the r8
-# batch already carries 5 forced entries against 45 age-capped rows)
+# registered in ORACLES as of r9 (deferred from r8 for rotation slack)
 ORACLE_INCREMENTAL_SEMANTIC_DEDUP = f"""
 WITH {_semdedup_cents_sql()},
 scored AS (
@@ -8566,59 +8689,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # enforces this ordering plus the post-driver age cap by simulating
     # the driver consuming the front batch; tools/rotate_registry.py
     # regenerates this block. Re-rotation is the round's CLOSING commit.
-    # --- forced for r8: rewritten since last row / no row yet ---
-    "search_by_text": q_search_by_text,  # new, no driver row yet
-    "semantic_dedup": q_semantic_dedup,  # new, no driver row yet
-    "pack_sequences_nosplit": q_pack_sequences_nosplit,  # new, no driver row yet
-    "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r8
-    "c4_quality_filter": q_c4_quality_filter,  # new, no driver row yet
-    # --- r5 rows (age 3) (must be in the next batch) ---
-    "ann_pq_fullrescore": q_ann_pq_fullrescore,
-    "multimodal_features": q_multimodal_features,
-    "unigram_logprob": q_unigram_logprob,
-    "lang_top_terms": q_lang_top_terms,
-    "bigram_logprob": q_bigram_logprob,
-    "large_volume_customers": q_large_volume_customers,
-    "time_gap_fill": q_time_gap_fill,
-    "window_range_frame": q_window_range_frame,
-    "percentile_disc": q_percentile_disc,
-    "funnel_steps": q_funnel_steps,
-    "retention_cohorts": q_retention_cohorts,
-    "image_probe": q_image_probe,
-    "sessionize_udtf": q_sessionize_udtf,
-    "search_binary_hamming": q_search_binary_hamming,
-    "pii_scrub": q_pii_scrub,
-    "training_shards": q_training_shards,
-    "ewma_smooth": q_ewma_smooth,
-    "source_quota": q_source_quota,
-    "profile_table": q_profile_table,
-    "group_topk_salted": q_group_topk_salted,
-    "label_centroids": q_label_centroids,
-    "attribution_last_touch": q_attribution_last_touch,
-    "embedding_outliers": q_embedding_outliers,
-    "rolling_active_users": q_rolling_active_users,
-    "equidepth_histogram": q_equidepth_histogram,
-    "audio_probe": q_audio_probe,
-    "video_frames": q_video_frames,
-    "update_conditional": q_update_conditional,
-    "query_projection": q_query_projection,
-    "token_count": q_token_count,
-    "cube_agg": q_cube_agg,
-    "price_histogram": q_price_histogram,
-    "query_by_ids": q_query_by_ids,
-    "ttl_filter": q_ttl_filter,
-    "json_extract": q_json_extract,
-    "group_topk": q_group_topk,
-    "agg_groupby_stats": q_agg_groupby_stats,
-    "window_running": q_window_running,
-    "window_funcs": q_window_funcs,
-    "scalar_funcs": q_scalar_funcs,
-    "set_ops": q_set_ops,
-    "count_filter": q_count_filter,
-    "delete_filter_limit": q_delete_filter_limit,
-    "percentiles": q_percentiles,
-    "query_filter_sort_paginate": q_query_filter_sort_paginate,
-    # --- r6 rows (age 2) ---
+    # --- forced for r9: rewritten since last row / no row yet ---
+    "search_by_text": q_search_by_text,  # rewritten r9
+    "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r9
+    "curate_corpus_v2": q_curate_corpus_v2,  # new, no driver row yet
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,  # new, no driver row yet
+    "incremental_line_dedup": q_incremental_line_dedup,  # new, no driver row yet
+    # --- r6 rows (age 3) (must be in the next batch) ---
     "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
@@ -8652,7 +8729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "curate_corpus": q_curate_corpus,
     "incremental_dedup": q_incremental_dedup,
-    # --- r7 rows (age 1) ---
+    # --- r7 rows (age 2) ---
     "docx_extract": q_docx_extract,
     "rtf_extract": q_rtf_extract,
     "substring_dedup_cjk": q_substring_dedup_cjk,
@@ -8702,11 +8779,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue_change": q_forecast_revenue_change,
     "small_quantity_revenue": q_small_quantity_revenue,
+    # --- r8 rows (age 1) ---
+    "semantic_dedup": q_semantic_dedup,
+    "pack_sequences_nosplit": q_pack_sequences_nosplit,
+    "c4_quality_filter": q_c4_quality_filter,
+    "ann_pq_fullrescore": q_ann_pq_fullrescore,
+    "multimodal_features": q_multimodal_features,
+    "unigram_logprob": q_unigram_logprob,
+    "lang_top_terms": q_lang_top_terms,
+    "bigram_logprob": q_bigram_logprob,
+    "large_volume_customers": q_large_volume_customers,
+    "time_gap_fill": q_time_gap_fill,
+    "window_range_frame": q_window_range_frame,
+    "percentile_disc": q_percentile_disc,
+    "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
+    "image_probe": q_image_probe,
+    "sessionize_udtf": q_sessionize_udtf,
+    "search_binary_hamming": q_search_binary_hamming,
+    "pii_scrub": q_pii_scrub,
+    "training_shards": q_training_shards,
+    "ewma_smooth": q_ewma_smooth,
+    "source_quota": q_source_quota,
+    "profile_table": q_profile_table,
+    "group_topk_salted": q_group_topk_salted,
+    "label_centroids": q_label_centroids,
+    "attribution_last_touch": q_attribution_last_touch,
+    "embedding_outliers": q_embedding_outliers,
+    "rolling_active_users": q_rolling_active_users,
+    "equidepth_histogram": q_equidepth_histogram,
+    "audio_probe": q_audio_probe,
+    "video_frames": q_video_frames,
+    "update_conditional": q_update_conditional,
+    "query_projection": q_query_projection,
+    "token_count": q_token_count,
+    "cube_agg": q_cube_agg,
+    "price_histogram": q_price_histogram,
+    "query_by_ids": q_query_by_ids,
+    "ttl_filter": q_ttl_filter,
+    "json_extract": q_json_extract,
+    "group_topk": q_group_topk,
+    "agg_groupby_stats": q_agg_groupby_stats,
+    "window_running": q_window_running,
+    "window_funcs": q_window_funcs,
+    "scalar_funcs": q_scalar_funcs,
+    "set_ops": q_set_ops,
+    "count_filter": q_count_filter,
+    "delete_filter_limit": q_delete_filter_limit,
+    "percentiles": q_percentiles,
+    "query_filter_sort_paginate": q_query_filter_sort_paginate,
     # --- non-oracled entries (rows-only driver check; order free) ---
-    "curate_corpus_v2": q_curate_corpus_v2,
     "curate_corpus_v2_auto": q_curate_corpus_v2_auto,
     "semantic_dedup_auto": q_semantic_dedup_auto,
-    "incremental_semantic_dedup": q_incremental_semantic_dedup,  # new r8
     "quality_classifier": q_quality_classifier,
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
@@ -8842,6 +8966,7 @@ ORACLES: dict[str, str] = {
     "correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
     "clean_text": ORACLE_CLEAN_TEXT,
     "line_dedup": ORACLE_LINE_DEDUP,
+    "incremental_line_dedup": ORACLE_INCREMENTAL_LINE_DEDUP,  # new r9
     "substring_dedup_cjk": ORACLE_SUBSTRING_DEDUP_CJK,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "incremental_substring_dedup": ORACLE_INCREMENTAL_SUBSTRING_DEDUP,
@@ -8853,13 +8978,11 @@ ORACLES: dict[str, str] = {
     # embedding_near_dup_ivf: intentionally no oracle (iterative KMeans;
     # recall vs the exact operator asserted in pytest)
     "curate_corpus": ORACLE_CURATE_CORPUS,
-    # curate_corpus_v2: ORACLE_CURATE_CORPUS_V2 is written and parity-
-    # verified (tools/parity_check.py: MATCH rows=7), but registering it
-    # in r8 would demand 51 front-batch slots (6 forced + the 45 r5-age
-    # rows) against the driver's 50 — one age-capped row would go stale.
-    # Its constituents (gopher_quality_filter, c4_quality_filter,
-    # semantic_dedup) are ALL independently oracled this round; promote
-    # the composition in r9 when the rotation has slack.
+    # r9: the two r8-deferred registrations land (the r8 batch had no
+    # slot slack against the 45 age-capped rows; this round's front
+    # batch carries them as forced entries)
+    "curate_corpus_v2": ORACLE_CURATE_CORPUS_V2,
+    "incremental_semantic_dedup": ORACLE_INCREMENTAL_SEMANTIC_DEDUP,
     "nation_volume_shipping": ORACLE_NATION_VOLUME_SHIPPING,
     "national_market_share": ORACLE_NATIONAL_MARKET_SHARE,
     "order_priority_check": ORACLE_ORDER_PRIORITY_CHECK,

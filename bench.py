@@ -32,8 +32,7 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "embedding_near_dup",
     "semantic_dedup",
-    # incremental_semantic_dedup joins HEADLINE in r9 together with its
-    # oracle promotion (the close-time bench record predates it)
+    "incremental_semantic_dedup",  # r9: oracled + headlined
     "simhash_near_dup",
     "token_count",
     "text_quality",
@@ -132,6 +131,7 @@ HEADLINE = [
     "epub_extract",
     "gif_frames",
     "line_dedup",
+    "incremental_line_dedup",  # r9: the 5th ingest twin's batch form
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",

@@ -58,6 +58,8 @@ PROBE_QUERIES = [
     "semantic_dedup_auto",
     "token_count",
     "line_dedup",
+    "incremental_line_dedup",
+    "incremental_semantic_dedup",
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",
@@ -70,7 +72,10 @@ PROBE_QUERIES = [
     "dataset_split",
     "curate_corpus",
     # curate_corpus_v2 (oracled) composes the fixed-K semantic_dedup and
-    # fail-fasts above its cap — probe the scale-routed funnel instead
+    # fail-fasts above its cap (100k embedding rows — probe it at 100x
+    # where it still fits); the scale-routed funnel carries the
+    # unbounded story
+    "curate_corpus_v2",
     "curate_corpus_v2_auto",
     "nation_volume_shipping",
     "national_market_share",
