@@ -6992,8 +6992,14 @@ def q_ann_bq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen Hamming popcount (32x less vector I/O than float32 — at
     100 TB the scan, not the math, is the bottleneck), oversampled 5x,
     then exact cosine rescore of the survivors so the top-k is
-    float-accurate. Rows-only (sketch ranking has no SQL oracle);
-    recall@10 vs exact FLAT asserted in tests/test_bq.py."""
+    float-accurate. ORACLED as of r9: unlike the TRAINED quantizers
+    (PQ/IVF codebooks from iterative fits), every BQ stage is closed-
+    form — sign-bit packing, integral Hamming popcount with (distance
+    ASC, vec_id ASC) candidate order, 5x oversample, guarded-cosine
+    rescore — so DuckDB reproduces the whole plan bit-for-bit
+    (bit_count/xor on the same byte construction) and the driver hash
+    covers the quantized-index family's one SQL-expressible member.
+    Recall@10 vs exact FLAT additionally asserted in tests/test_bq.py."""
     from aiotcvectordb_spark.functions.vector import metric_score_fixed
 
     emb = load(spark, sf_dir, "embeddings")
@@ -7032,6 +7038,42 @@ def q_ann_bq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rank <= 10")
         .select("query_idx", "vec_id", "score", "rank")
     )
+
+
+ORACLE_ANN_BQ_COSINE = f"""
+WITH bqueries(query_idx, qb) AS (VALUES {", ".join(
+    f"({i}, [{', '.join(str(int(b)) for b in v)}]::INT[])"
+    for i, v in enumerate(
+        [_binarize_py(qvec(1.0)), _binarize_py(qvec(-1.0))]
+    )
+)}),
+{_sql_queries_cte([qvec(1.0), qvec(-1.0)])},
+ham AS (
+  SELECT q.query_idx, e.vec_id,
+         {" + ".join(
+             f"bit_count(xor({_bin_byte_sql(j)}, q.qb[{j + 1}]))"
+             for j in range(_N_BIN_BYTES)
+         )} AS hd
+  FROM embeddings e CROSS JOIN bqueries q
+),
+cand AS (
+  SELECT query_idx, vec_id FROM ham
+  QUALIFY row_number() OVER (PARTITION BY query_idx
+          ORDER BY hd ASC, vec_id) <= 50
+),
+rescored AS (
+  SELECT q.query_idx, e.vec_id, round({_COS_SQL}, {ROUND_DIGITS}) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN queries q ON q.query_idx = c.query_idx
+)
+SELECT query_idx, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY score DESC, vec_id) AS INT) AS rank
+FROM rescored
+QUALIFY rank <= 10
+ORDER BY query_idx, rank
+"""
 
 
 # --------------------------------------------------------------------------
@@ -8695,6 +8737,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus_v2": q_curate_corpus_v2,  # new, no driver row yet
     "incremental_semantic_dedup": q_incremental_semantic_dedup,  # new, no driver row yet
     "incremental_line_dedup": q_incremental_line_dedup,  # new, no driver row yet
+    "ann_bq_cosine": q_ann_bq_cosine,  # new, no driver row yet
     # --- r6 rows (age 3) (must be in the next batch) ---
     "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,
@@ -8840,7 +8883,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_sketches": q_approx_sketches,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_pq_cosine": q_ann_pq_cosine,
-    "ann_bq_cosine": q_ann_bq_cosine,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "embedding_near_dup_auto": q_embedding_near_dup_auto,
     "mmr_rerank": q_mmr_rerank,
@@ -8869,6 +8911,10 @@ ORACLES: dict[str, str] = {
     "image_probe": ORACLE_IMAGE_PROBE,
     "sessionize_udtf": ORACLE_SESSIONIZE,
     "search_binary_hamming": ORACLE_SEARCH_BINARY_HAMMING,
+    # r9: BQ promoted — the one quantized index whose every stage is
+    # closed-form (sign bits, integral Hamming, exact rescore), so the
+    # full oversample-and-rescore plan is DuckDB-expressible
+    "ann_bq_cosine": ORACLE_ANN_BQ_COSINE,
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,

@@ -45,6 +45,10 @@ QUERY_NAMES = [
     # are oracled — run them against the nasty vectors cross-engine
     "search_by_text",
     "semantic_dedup",
+    # r9 promotion: BQ's sign-pack → Hamming → exact-rescore plan is
+    # fully closed-form; zero/huge/tiny vectors exercise the sign
+    # boundary (x > 0) and the guarded cosine in both engines
+    "ann_bq_cosine",
 ]
 
 
