@@ -206,9 +206,30 @@ def main() -> None:
             dt = time.time() - t0
             if dt < timings.get(name, float("inf")):
                 timings[name] = dt
+    # Materialization-honesty column (r9): count() lets Catalyst prune
+    # unreferenced columns and whole map-only projections (the r8
+    # scale_probe finding), so projection-shaped rows understate true
+    # cost. Two extra interleaved passes under a forced noop WRITE
+    # (every column materialized, nothing collected) dual-report the
+    # real cost; the count column stays the driver/baseline gate for
+    # continuity — both sides of that gate are count-based.
+    timings_noop: dict[str, float] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = Q.QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            if dt < timings_noop.get(name, float("inf")):
+                timings_noop[name] = dt
     for name in HEADLINE:
         timings[name] = round(timings[name], 3)
-        print(f"# {name}: {timings[name]}s rows={rows[name]}", file=sys.stderr)
+        timings_noop[name] = round(timings_noop[name], 3)
+        print(
+            f"# {name}: {timings[name]}s rows={rows[name]} "
+            f"noop={timings_noop[name]}s",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -217,6 +238,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(HEADLINE),
         "queries": timings,
+        "queries_noop": timings_noop,
         "rows": rows,
         "sf": sf_val,
     }

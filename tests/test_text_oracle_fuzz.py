@@ -121,6 +121,13 @@ QUERY_NAMES = [
     "chunk_expand",
     "benchmark_decontaminate",
     "pack_sequences",
+    # r9: the rest of the r8 family + the r9 additions sweep the
+    # hostile corpus too — doc-atomic packing (overflow docs), the
+    # incremental line cleaner (duplicate-line groups, empty-ish
+    # docs), and the composed funnel (gate flags over every shape)
+    "pack_sequences_nosplit",
+    "incremental_line_dedup",
+    "curate_corpus_v2",
     "curate_corpus",
     "dataset_mix",
     "dataset_mix_temp",

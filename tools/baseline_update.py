@@ -50,17 +50,36 @@ def _head() -> str:
 def bench_table(detail: dict) -> str:
     qs = detail["queries"]
     rows = detail.get("rows", {})
+    noop = detail.get("queries_noop", {})
     lines = [
         BENCH_BEGIN,
         f"Standing bench (`python bench.py`, sf{detail['sf']}, "
         f"{detail['n_queries']} headline queries, interleaved best-of-3): "
         f"**total {detail['value']} s** (source commit {_head()}).",
         "",
-        "| query | sec | rows |",
-        "|---|---|---|",
+        "The `sec` column (count-based execution) is the standing gate —",
+        "method-consistent with every prior round on both sides of the",
+        "2x comparison. The `noop sec` column (r9, interleaved best-of-2",
+        "under a forced noop WRITE) is the materialization-honesty",
+        "number: count() lets Catalyst prune unreferenced columns and",
+        "whole map-only projections, so projection-shaped queries cost",
+        "more than their count figure — a noop/count ratio near 2x on a",
+        "map-only row means the count figure skipped roughly the string-",
+        "building half of the projection, not that the query regressed.",
+        "",
+        "| query | sec | noop sec | n/c | rows |",
+        "|---|---|---|---|---|",
     ]
     for name in sorted(qs, key=lambda n: -qs[n]):
-        lines.append(f"| {name} | {qs[name]:.3f} | {rows.get(name, '')} |")
+        n_s = noop.get(name)
+        ratio = (
+            f"{n_s / qs[name]:.2f}" if n_s and qs[name] > 0 else ""
+        )
+        n_cell = f"{n_s:.3f}" if n_s is not None else ""
+        lines.append(
+            f"| {name} | {qs[name]:.3f} | {n_cell} | {ratio} | "
+            f"{rows.get(name, '')} |"
+        )
     lines.append(BENCH_END)
     return "\n".join(lines)
 
