@@ -5575,6 +5575,96 @@ GROUP BY s.doc_id
 """
 
 
+_DECONTAM_FRACTION_CUT = 0.7
+
+
+def q_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark decontamination (r9) — the published
+    overlap-FRACTION rule (PaLM, Chowdhery et al. 2022, Appendix:
+    a training example is contaminated when >= 70% of its 8-gram
+    shingles are seen in the eval suite), complementing
+    ``benchmark_decontaminate``'s any-collision count (the GPT-3
+    Appendix-C shape). Same deterministic held-out slice
+    (doc_id % 5 == 0) as the benchmark; every train doc with enough
+    tokens to shingle gets an EXPLICIT decision row: distinct-shingle
+    total, shared count, overlap fraction, contaminated flag.
+
+    Scale shape: identical bounded equi-join as the collision rule —
+    shingle-explode, ONE join against the distinct benchmark shingle
+    set, two per-doc distinct aggregates; no pairwise doc comparison,
+    so the corpus side scales linearly against a fixed benchmark
+    suite."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toked = df.select(
+        "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
+    ).filter(F.expr("size(__toks) >= 8"))
+    sh = (
+        "transform(sequence(1, size(__toks) - 7), "
+        "i -> concat_ws(' ', slice(__toks, i, 8)))"
+    )
+    shingled = toked.select(
+        "doc_id", F.explode(F.expr(sh)).alias("shingle")
+    )
+    bench = (
+        shingled.filter(F.col("doc_id") % 5 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    train = shingled.filter(F.col("doc_id") % 5 != 0)
+    totals = train.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shingles")
+    )
+    shared = (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+    frac = F.round(
+        F.col("n_shared") * F.lit(1.0) / F.col("n_shingles"), ROUND_DIGITS
+    )
+    return (
+        totals.join(shared, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            frac.alias("overlap_fraction"),
+            (frac >= F.lit(_DECONTAM_FRACTION_CUT)).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE_FRACTION = f"""
+WITH toks AS (
+  SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents
+  WHERE len({_BM25_TOKS_SQL}) >= 8
+),
+shingled AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+                        i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 5 = 0),
+totals AS (
+  SELECT doc_id, count(DISTINCT shingle) AS n_shingles
+  FROM shingled WHERE doc_id % 5 <> 0 GROUP BY doc_id
+),
+shared AS (
+  SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
+  FROM shingled s JOIN bench b USING (shingle)
+  WHERE s.doc_id % 5 <> 0 GROUP BY s.doc_id
+)
+SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       round(COALESCE(sh.n_shared, 0) * 1.0 / t.n_shingles, {ROUND_DIGITS})
+         AS overlap_fraction,
+       round(COALESCE(sh.n_shared, 0) * 1.0 / t.n_shingles, {ROUND_DIGITS})
+         >= {_DECONTAM_FRACTION_CUT} AS contaminated
+FROM totals t LEFT JOIN shared sh USING (doc_id)
+"""
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization for a training corpus: strip control chars,
     collapse whitespace runs, trim, lowercase — all JVM regexp
@@ -8737,6 +8827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus_v2": q_curate_corpus_v2,  # new, no driver row yet
     "incremental_semantic_dedup": q_incremental_semantic_dedup,  # new, no driver row yet
     "incremental_line_dedup": q_incremental_line_dedup,  # new, no driver row yet
+    "decontaminate_fraction": q_decontaminate_fraction,  # new, no driver row yet
     "ann_bq_cosine": q_ann_bq_cosine,  # new, no driver row yet
     # --- r6 rows (age 3) (must be in the next batch) ---
     "gif_frames": q_gif_frames,
@@ -8917,6 +9008,7 @@ ORACLES: dict[str, str] = {
     "ann_bq_cosine": ORACLE_ANN_BQ_COSINE,
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
+    "decontaminate_fraction": ORACLE_DECONTAMINATE_FRACTION,  # new r9
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "perplexity_filter": ORACLE_PERPLEXITY_FILTER,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,

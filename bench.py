@@ -132,6 +132,7 @@ HEADLINE = [
     "gif_frames",
     "line_dedup",
     "incremental_line_dedup",  # r9: the 5th ingest twin's batch form
+    "decontaminate_fraction",  # r9: PaLM graded decontamination rule
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",
@@ -212,22 +213,41 @@ def main() -> None:
     # cost. Two extra interleaved passes under a forced noop WRITE
     # (every column materialized, nothing collected) dual-report the
     # real cost; the count column stays the driver/baseline gate for
-    # continuity — both sides of that gate are count-based.
+    # continuity — both sides of that gate are count-based. The noop
+    # sweep is wall-clock-budgeted: the official count-based record
+    # must never be lost to a driver timeout because the honesty
+    # column ran long on a slow hypervisor epoch (queries the budget
+    # cuts off simply have an empty noop cell in the standing table).
     timings_noop: dict[str, float] = {}
+    noop_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_NOOP_BUDGET_S", "420")
+    )
+    t_noop0 = time.time()
     for _pass in range(2):
         for name in HEADLINE:
+            if time.time() - t_noop0 > noop_budget:
+                print(
+                    f"# noop sweep stopped at budget {noop_budget}s "
+                    f"(pass {_pass}, {len(timings_noop)} queries timed)",
+                    file=sys.stderr,
+                )
+                break
             fn = Q.QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             if dt < timings_noop.get(name, float("inf")):
                 timings_noop[name] = dt
+        else:
+            continue
+        break
     for name in HEADLINE:
         timings[name] = round(timings[name], 3)
-        timings_noop[name] = round(timings_noop[name], 3)
+        if name in timings_noop:
+            timings_noop[name] = round(timings_noop[name], 3)
         print(
             f"# {name}: {timings[name]}s rows={rows[name]} "
-            f"noop={timings_noop[name]}s",
+            f"noop={timings_noop.get(name, 'n/a')}s",
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)

@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "simhash_fingerprint",
     "chunk_expand",
     "benchmark_decontaminate",
+    "decontaminate_fraction",
     "pack_sequences",
     # r9: the rest of the r8 family + the r9 additions sweep the
     # hostile corpus too — doc-atomic packing (overflow docs), the

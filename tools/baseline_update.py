@@ -97,9 +97,11 @@ def scale_table(probes: list[dict]) -> str:
     ]
     for probe in sorted(probes, key=lambda p: p["k"]):
         k = probe["k"]
+        base = probe.get("base", "0.1")
+        k_cell = f"{k}" if base == "0.1" else f"{k} (base sf{base})"
         for name, r in sorted(probe["queries"].items()):
             lines.append(
-                f"| {name} | {k} | {r['t1']:.2f} | {r['tk']:.2f} | {r['ratio']} |"
+                f"| {name} | {k_cell} | {r['t1']:.2f} | {r['tk']:.2f} | {r['ratio']} |"
             )
     lines.append(SCALE_END)
     return "\n".join(lines)

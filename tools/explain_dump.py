@@ -290,10 +290,12 @@ SHOWCASE = [
     ),
     (
         "gopher_quality_filter",
-        "r8 full Gopher battery incl. the repetition rules: every flag "
-        "(dup-line/paragraph fractions, top-2/3/4-gram char fractions "
-        "via the sorted run-length fold) fused into ONE map-only scan "
-        "projection — zero Exchange at any scale",
+        "r8 full Gopher battery incl. the repetition rules, r9 hoisted: "
+        "the word/line/para arrays, their distinct sets, char masses "
+        "and the three top-n-gram run-length fold structs are staged "
+        "named columns computed ONCE per row (the fold had been inlined "
+        "twice per rule), flags derived from them — still ONE map-only "
+        "scan projection chain, zero Exchange at any scale",
     ),
     (
         "curate_corpus_v2",
@@ -302,6 +304,32 @@ SHOWCASE = [
         "annotated frame whose per-doc stage-membership array explodes "
         "into a single groupBy — the funnel costs one pass, not one "
         "recompute per stage row",
+    ),
+    (
+        "incremental_line_dedup",
+        "r9 batch-vs-standing line cleaning: one (norm) hash aggregate "
+        "per side, the count-join runs on the BATCH's distinct norms "
+        "only (standing never self-joined), LEFT ANTI removal, ordered "
+        "per-doc reassembly, explicit-decision left join from the "
+        "batch spine — O(batch + collisions); the standing side is the "
+        "streaming summed epoch index at serving scale",
+    ),
+    (
+        "incremental_semantic_dedup",
+        "r9 (oracled): fixed-centroid assignment on both sides, then "
+        "batch rows join standing members on the CELL id only — "
+        "O(batch x touched-cell membership), no corpus x corpus; "
+        "first-arrival-wins standing domination plus keep-order "
+        "batch-mates, the exact per-epoch semantics of "
+        "streaming/semdedup.py",
+    ),
+    (
+        "ann_bq_cosine",
+        "r9 (oracled): sign-bit pack in the scan projection, integral "
+        "Hamming popcount candidates via TakeOrdered per query (5x "
+        "oversample), broadcast candidate set back onto the embedding "
+        "scan for the exact-cosine rescore window — 32x less vector "
+        "I/O in the ranking pass, float-accurate top-k",
     ),
 ]
 

@@ -210,7 +210,11 @@ def main() -> None:
     unknown = set(names) - set(Q.QUERIES)
     if unknown:
         raise SystemExit(f"unknown probe queries: {sorted(unknown)}")
-    out_dir = f"/tmp/scale_probe_x{k}"
+    base = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # keyed by base too: a 100x-of-sf0.01 probe (used for fail-fast-
+    # capped fixed-K entries that a 100x-of-sf0.1 corpus would refuse)
+    # must not reuse tables replicated from a different base
+    out_dir = f"/tmp/scale_probe_x{k}_sf{base}"
     spark = get_spark("scale_probe")
     build_scaled(spark, sf_dir, out_dir, k)
     # warm
@@ -226,7 +230,7 @@ def main() -> None:
             "ratio": round(tk / t1, 2) if t1 > 0 else None,
         }
         print(f"# {name}: 1x={t1:.2f}s {k}x={tk:.2f}s ratio={tk/t1:.2f}", file=sys.stderr)
-    print(json.dumps({"k": k, "queries": results}))
+    print(json.dumps({"k": k, "base": base, "queries": results}))
     spark.stop()
 
 
