@@ -108,6 +108,14 @@ def mmr_rerank(
         norms[norms == 0.0] = 1.0
         unit = mat / norms[:, None]
         sim = unit @ unit.T  # fetch_k x fetch_k — bounded, per-group
+        if rd is not None:
+            # round BEFORE the greedy loop so near-tie selections are
+            # decided on the same rounded cosines the SQL oracle uses
+            # (the semdedup.assign_cells rule): an unrounded argmax and
+            # a rounded one can pick different candidates when two
+            # objectives differ below 10^-rd, which would cascade
+            # through every later step of the greedy selection
+            sim = np.round(sim, rd)
         n = len(ids)
         chosen: list[int] = []
         mmr_scores: list[float] = []
@@ -138,7 +146,15 @@ def mmr_rerank(
         )
         if rd is not None:
             res["relevance"] = res["relevance"].round(rd)
-            res["mmr_score"] = res["mmr_score"].round(rd)
+            # half-AWAY-from-zero, not numpy's half-to-even: the
+            # objective is 0.5 * (values already rounded to rd), so it
+            # lands EXACTLY on the .5 rounding boundary for ~half of
+            # all rows — banker's rounding here would systematically
+            # disagree with SQL round() (Spark and DuckDB both round
+            # halves away from zero)
+            f = 10.0**rd
+            a = res["mmr_score"].to_numpy(dtype=np.float64)
+            res["mmr_score"] = np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
         return res
 
     return cand.groupBy(QUERY_IDX).applyInPandas(_mmr, schema=out_schema)

@@ -6876,9 +6876,15 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-10 over an exact top-40 candidate fetch
     (operators/embeddings.mmr_rerank): greedy per-query selection runs
     in one applyInPandas group over <= fetch_k rows, so the iterative
-    part is bounded and query-parallel. Rows-only (greedy sequential
-    selection has no SQL oracle); determinism + diversity asserted in
-    tests/test_embedding_ops.py."""
+    part is bounded and query-parallel. ORACLED as of r9 — the greedy
+    loop IS SQL-expressible once the selection state is explicit: a
+    DuckDB recursive CTE carries (selected set, per-candidate running
+    max-similarity) and each recursion step re-derives the argmax of
+    ``lam*rel - (1-lam)*max_sim`` over rounded cosines with the same
+    first-max (ascending-id within equal relevance) tie rule the
+    numpy kernel applies, so the driver hash covers all ten greedy
+    steps of both queries end to end. Determinism + diversity
+    additionally asserted in tests/test_embedding_ops.py."""
     from aiotcvectordb_spark.operators import embeddings as emb_ops
 
     df = load(spark, sf_dir, "embeddings")
@@ -6893,6 +6899,80 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda_mult=0.5,
         round_digits=ROUND_DIGITS,
     )
+
+
+# The MMR oracle replays the greedy selection as a recursive CTE. State
+# per (query, step): the selected candidate indexes and the running
+# per-candidate max-similarity vector; the candidate pool (ids,
+# relevances in (rel DESC, id ASC) order) and the flattened n x n
+# rounded pairwise-cosine matrix are precomputed list columns. Every
+# arithmetic step mirrors the numpy kernel on ALREADY-ROUNDED inputs
+# (rel and sim rounded to ROUND_DIGITS in both engines; lam = 0.5
+# halving is exact), so the argmax decisions are bit-identical and
+# first-max tie-breaking (list_position vs np.argmax) agrees.
+ORACLE_MMR_RERANK = f"""
+WITH RECURSIVE {_sql_queries_cte([qvec(1.0), qvec(-1.0)])},
+scored AS (
+  SELECT q.query_idx, e.vec_id, round({_COS_SQL}, {ROUND_DIGITS}) AS rel,
+         CAST(e.embedding AS DOUBLE[]) AS vec,
+         row_number() OVER (PARTITION BY q.query_idx
+             ORDER BY round({_COS_SQL}, {ROUND_DIGITS}) DESC, e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN queries q
+  QUALIFY rn <= 40
+),
+pool AS (
+  SELECT query_idx, count(*) AS n,
+         list(vec_id ORDER BY rn) AS ids,
+         list(rel ORDER BY rn) AS rels
+  FROM scored GROUP BY query_idx
+),
+sims AS (
+  SELECT a.query_idx,
+         list(round(COALESCE(
+             list_dot_product(a.vec, b.vec) /
+             NULLIF(sqrt(list_dot_product(a.vec, a.vec)) *
+                    sqrt(list_dot_product(b.vec, b.vec)), 0), 0.0),
+             {ROUND_DIGITS})
+           ORDER BY a.rn, b.rn) AS simflat
+  FROM scored a JOIN scored b USING (query_idx)
+  GROUP BY a.query_idx
+),
+mmr AS (
+  SELECT p.query_idx, 0 AS step, CAST(NULL AS BIGINT) AS best,
+         CAST(NULL AS DOUBLE) AS best_obj,
+         CAST([] AS BIGINT[]) AS sel,
+         list_transform(range(1, p.n + 1),
+                        i -> CAST('-infinity' AS DOUBLE)) AS msim
+  FROM pool p
+  UNION ALL
+  SELECT query_idx, step + 1, CAST(bi AS BIGINT), objs[bi],
+         list_append(sel, CAST(bi AS BIGINT)),
+         list_transform(range(1, n + 1),
+                        i -> greatest(msim[i], simflat[(bi - 1) * n + i]))
+  FROM (
+    SELECT y.*, list_position(y.objs, list_aggregate(y.objs, 'max')) AS bi
+    FROM (
+      SELECT m.query_idx, m.step, m.sel, m.msim, p.n, p.rels, s.simflat,
+             list_transform(range(1, p.n + 1), i ->
+                 CASE WHEN list_contains(m.sel, i) THEN NULL
+                      WHEN m.step = 0 THEN 0.5 * p.rels[i]
+                      ELSE 0.5 * p.rels[i] - 0.5 * m.msim[i] END) AS objs
+      FROM mmr m
+      JOIN pool p USING (query_idx)
+      JOIN sims s USING (query_idx)
+      WHERE m.step < least(10, p.n)
+    ) y
+  ) z
+)
+SELECT m.query_idx,
+       p.ids[m.best] AS vec_id,
+       p.rels[m.best] AS relevance,
+       round(m.best_obj, {ROUND_DIGITS}) AS mmr_score,
+       CAST(m.step AS INT) AS mmr_rank
+FROM mmr m JOIN pool p USING (query_idx)
+WHERE m.step >= 1
+ORDER BY query_idx, mmr_rank
+"""
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7153,6 +7233,136 @@ cand AS (
 ),
 rescored AS (
   SELECT q.query_idx, e.vec_id, round({_COS_SQL}, {ROUND_DIGITS}) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN queries q ON q.query_idx = c.query_idx
+)
+SELECT query_idx, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY score DESC, vec_id) AS INT) AS rank
+FROM rescored
+QUALIFY rank <= 10
+ORDER BY query_idx, rank
+"""
+
+
+def q_ann_sq8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN — the int8 member of the quantized index
+    family (reference index type IVF_SQ8, stub.py; BQ = sign bits, PQ =
+    trained codebooks): per-dimension [min, max] over the collection
+    define a uniform 256-level grid, candidates are ranked by the
+    dequantized-grid approximate cosine (a pure Catalyst expression —
+    whole-stage codegen, no Python, 4x less vector I/O than float32
+    when the store serves codes), oversampled 5x, then exact-rescored
+    so the top-k is float-accurate. ORACLED (r9): like BQ and unlike
+    the TRAINED quantizers, every SQ8 stage is closed-form — the grid
+    is two order-free min/max aggregates, quantize/dequantize is
+    ``lo + round((x-lo)*255/span)*span/255`` with the span<=0 guard,
+    and both engines rank on the score rounded to ROUND_DIGITS
+    with ascending-id ties — so DuckDB reproduces the whole
+    oversample-and-rescore plan. Grid training (the one non-query
+    stage) is a single 1-row 2x64-aggregate collect, the same bounded
+    shape operators/ann.py:_build_sq8_state uses. Recall@10 vs exact
+    FLAT additionally asserted in tests/test_bq.py."""
+    from aiotcvectordb_spark.functions.vector import metric_score_fixed
+    from aiotcvectordb_spark.operators.ann import sq8_dequant_score_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    aggs = []
+    for i in range(DIM):
+        x = F.expr(f"cast(embedding[{i}] as double)")
+        aggs += [F.min(x).alias(f"lo{i}"), F.max(x).alias(f"hi{i}")]
+    row = emb.agg(*aggs).first()  # bounded: ONE row of 2 x dim doubles
+    lo = [float(row[f"lo{i}"]) for i in range(DIM)]
+    hi = [float(row[f"hi{i}"]) for i in range(DIM)]
+    qs = [qvec(1.0), qvec(-1.0)]
+    per_q = []
+    for qi, v in enumerate(qs):
+        # per-query TakeOrdered over a map-only scan (the same shape as
+        # operators/ann.ivf_sq8_search, minus the cell prune): the
+        # approximate scorer fuses into the scan projection
+        approx = F.round(
+            sq8_dequant_score_expr("embedding", v, lo, hi, "COSINE"),
+            ROUND_DIGITS,
+        )
+        per_q.append(
+            emb.select(
+                F.lit(qi).alias("query_idx"), "vec_id", approx.alias("__a")
+            )
+            .orderBy(F.col("__a").desc(), F.col("vec_id").asc())
+            .limit(50)
+            .select("query_idx", "vec_id")
+        )
+    cand = per_q[0]
+    for nxt in per_q[1:]:
+        cand = cand.unionByName(nxt)
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qs)], "query_idx int, __qv array<double>"
+    )
+    joined = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qdf), "query_idx")
+        .withColumn(
+            "score",
+            F.round(
+                metric_score_fixed("COSINE", "embedding", "__qv", DIM),
+                ROUND_DIGITS,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 10")
+        .select("query_idx", "vec_id", "score", "rank")
+    )
+
+
+def _sq8_queries_cte() -> str:
+    """queries(query_idx, qv, qn) VALUES rows with the SAME
+    python-computed query norm the Spark expression inlines
+    (sq8_dequant_score_expr's ``qn = sum(q²)**0.5 or 1.0``)."""
+    rows = []
+    for i, v in enumerate([qvec(1.0), qvec(-1.0)]):
+        qn = sum(float(x) * float(x) for x in v) ** 0.5 or 1.0
+        rows.append(f"({i}, {_sql_vec(v)}, {qn!r})")
+    return f"queries(query_idx, qv, qn) AS (VALUES {', '.join(rows)})"
+
+
+ORACLE_ANN_SQ8_COSINE = f"""
+WITH {_sq8_queries_cte()},
+flat AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM flat GROUP BY dim),
+deq AS (
+  SELECT f.vec_id, f.dim,
+         CASE WHEN s.hi - s.lo <= 0 THEN s.lo
+              ELSE s.lo + round((f.v - s.lo) * 255.0 / (s.hi - s.lo))
+                   * (s.hi - s.lo) / 255.0
+         END AS dv
+  FROM flat f JOIN stats s USING (dim)
+),
+approx AS (
+  SELECT q.query_idx, d.vec_id,
+         round(sum(d.dv * q.qv[d.dim]) /
+               (greatest(sqrt(sum(d.dv * d.dv)), 1e-12) * q.qn),
+               {ROUND_DIGITS}) AS a
+  FROM deq d CROSS JOIN queries q
+  GROUP BY q.query_idx, q.qn, d.vec_id
+),
+cand AS (
+  SELECT query_idx, vec_id FROM approx
+  QUALIFY row_number() OVER (PARTITION BY query_idx
+          ORDER BY a DESC, vec_id) <= 50
+),
+rescored AS (
+  SELECT c.query_idx, e.vec_id, round({_COS_SQL}, {ROUND_DIGITS}) AS score
   FROM cand c
   JOIN embeddings e ON e.vec_id = c.vec_id
   JOIN queries q ON q.query_idx = c.query_idx
@@ -8829,6 +9039,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_line_dedup": q_incremental_line_dedup,  # new, no driver row yet
     "decontaminate_fraction": q_decontaminate_fraction,  # new, no driver row yet
     "ann_bq_cosine": q_ann_bq_cosine,  # new, no driver row yet
+    "ann_sq8_cosine": q_ann_sq8_cosine,  # new, no driver row yet
+    "mmr_rerank": q_mmr_rerank,  # new, no driver row yet
     # --- r6 rows (age 3) (must be in the next batch) ---
     "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,
@@ -8976,7 +9188,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_cosine": q_ann_pq_cosine,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "embedding_near_dup_auto": q_embedding_near_dup_auto,
-    "mmr_rerank": q_mmr_rerank,
     "embedding_pca": q_embedding_pca,
     "bpe_token_count": q_bpe_token_count,
     "substring_dedup_hashed": q_substring_dedup_hashed,
@@ -9006,6 +9217,15 @@ ORACLES: dict[str, str] = {
     # closed-form (sign bits, integral Hamming, exact rescore), so the
     # full oversample-and-rescore plan is DuckDB-expressible
     "ann_bq_cosine": ORACLE_ANN_BQ_COSINE,
+    # r9: SQ8 promoted next to BQ — min/max grid, quantize/dequantize,
+    # rounded approximate rank, 5x oversample, exact rescore are all
+    # closed-form, so the int8 quantizer joins the sign-bit one under
+    # the driver hash (PQ/IVF stay recall-tested: iteratively trained)
+    "ann_sq8_cosine": ORACLE_ANN_SQ8_COSINE,
+    # r9: MMR promoted — the greedy diversified rerank replayed as a
+    # DuckDB recursive CTE over explicit (selected-set, running
+    # max-sim) state; all ten greedy steps per query under the hash
+    "mmr_rerank": ORACLE_MMR_RERANK,
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "decontaminate_fraction": ORACLE_DECONTAMINATE_FRACTION,  # new r9

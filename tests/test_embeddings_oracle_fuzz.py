@@ -49,6 +49,12 @@ QUERY_NAMES = [
     # fully closed-form; zero/huge/tiny vectors exercise the sign
     # boundary (x > 0) and the guarded cosine in both engines
     "ann_bq_cosine",
+    # r9 promotion: SQ8's min/max grid — zero vectors hit the
+    # dequantized-norm greatest() guard, constant dims hit span<=0
+    "ann_sq8_cosine",
+    # r9 promotion: the greedy MMR loop replayed as a recursive CTE —
+    # duplicates/zero vectors force max-sim ties through every step
+    "mmr_rerank",
 ]
 
 

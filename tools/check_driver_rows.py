@@ -130,6 +130,9 @@ REWRITES: dict[str, int] = {
     # r9: shared arrays + top-n-gram fold structs hoisted into named
     # single-eval columns (same flags, ~halved battery cost)
     "gopher_quality_filter": 9,
+    # r9 promotion: sim matrix + output rounding changed for the
+    # recursive-CTE oracle (round-before-argmax, half-away mmr_score)
+    "mmr_rerank": 9,
 }
 
 
