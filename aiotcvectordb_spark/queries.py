@@ -5665,6 +5665,89 @@ FROM totals t LEFT JOIN shared sh USING (doc_id)
 """
 
 
+# gram width shared by the substring-dedup family and the novelty
+# profile below (defined here because ORACLE_GRAM_NOVELTY interpolates
+# it at module level, ahead of the substring-dedup section)
+_SUBSTR_DEDUP_N = 8
+
+
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY profile (r9) — the curation metric
+    that measures how much of each document is first-seen content in
+    corpus order: for every doc, the fraction of its DISTINCT word
+    8-grams whose first owner (min doc_id across the corpus) is the
+    doc itself. A recrawl or boilerplate-heavy slice shows novelty
+    collapsing toward 0 long before exact/near dedup fires; data teams
+    plot this against crawl date to decide where a snapshot stops
+    paying for itself. Shares the ``_word_ngrams`` kernel with the
+    substring-dedup family.
+
+    Scale shape: dedupe (doc_id, gram), ONE gram-keyed min aggregate
+    (map-side partial), one keyed equi-join back, one doc-keyed count
+    — the same shuffle-volume class as ``substring_dedup``; at 100 TB
+    the verbatim gram keys would swap for the xxhash64 pair exactly as
+    in ``substring_dedup_hashed``. Every document gets an explicit
+    decision row (docs shorter than 8 words report n_grams = 0 and a
+    NULL novelty, not silence)."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    grams = (
+        _word_ngrams(df, _SUBSTR_DEDUP_N).select("doc_id", "gram").distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    spine = (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+    return spine.withColumn(
+        "novelty",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_novel") / F.col("n_grams"), ROUND_DIGITS),
+        ),
+    )
+
+
+ORACLE_GRAM_NOVELTY = f"""
+WITH toks_arr AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM toks_arr,
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN first f USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN p.n_grams > 0
+            THEN round(p.n_novel * 1.0 / p.n_grams, {ROUND_DIGITS}) END AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization for a training corpus: strip control chars,
     collapse whitespace runs, trim, lowercase — all JVM regexp
@@ -5814,9 +5897,6 @@ ORACLE_DATASET_MIX = _mix_oracle_sql(_MIX_WEIGHTS)
 ORACLE_DATASET_MIX_TEMP = _mix_oracle_sql(
     _temp_weights(_MIX_WEIGHTS, _MIX_TEMPERATURE)
 )
-
-
-_SUBSTR_DEDUP_N = 8
 
 
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9032,6 +9112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the driver consuming the front batch; tools/rotate_registry.py
     # regenerates this block. Re-rotation is the round's CLOSING commit.
     # --- forced for r9: rewritten since last row / no row yet ---
+    "gram_novelty": q_gram_novelty,  # new, no driver row yet
     "search_by_text": q_search_by_text,  # rewritten r9
     "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r9
     "curate_corpus_v2": q_curate_corpus_v2,  # new, no driver row yet
@@ -9226,6 +9307,9 @@ ORACLES: dict[str, str] = {
     # DuckDB recursive CTE over explicit (selected-set, running
     # max-sim) state; all ten greedy steps per query under the hash
     "mmr_rerank": ORACLE_MMR_RERANK,
+    # r9: per-doc first-seen gram fraction — the corpus-order novelty
+    # profile next to the dedup family (same gram kernel)
+    "gram_novelty": ORACLE_GRAM_NOVELTY,
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "decontaminate_fraction": ORACLE_DECONTAMINATE_FRACTION,  # new r9

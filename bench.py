@@ -133,6 +133,8 @@ HEADLINE = [
     "line_dedup",
     "incremental_line_dedup",  # r9: the 5th ingest twin's batch form
     "decontaminate_fraction",  # r9: PaLM graded decontamination rule
+    "ann_sq8_cosine",  # r9: int8 grid quantizer, oracled
+    "gram_novelty",  # r9: corpus-order first-seen gram profile
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",

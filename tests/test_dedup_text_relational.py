@@ -409,3 +409,28 @@ def test_substring_dedup_hashed_equals_string_exact(spark, sf_dir):
     }
     assert hashed == exact
     assert len(hashed) > 0
+
+
+def test_gram_novelty_semantics(spark, tmp_path):
+    """First copy of a duplicated passage is fully novel; later copies
+    are fully redundant; short docs get an explicit NULL-novelty row."""
+    from aiotcvectordb_spark import queries as Q
+
+    body = " ".join(f"w{i}" for i in range(12))  # 12 words -> 5 grams
+    rows = [
+        (0, body),          # first owner of every gram
+        (1, body),          # exact recrawl: novelty 0
+        (2, " ".join(f"u{i}" for i in range(12))),  # disjoint: novelty 1
+        (3, "too short"),   # < 8 words: no grams
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r.doc_id: r
+        for r in Q.q_gram_novelty(spark, str(tmp_path)).collect()
+    }
+    assert out[0].novelty == 1.0 and out[0].n_grams == 5
+    assert out[1].novelty == 0.0 and out[1].n_novel == 0
+    assert out[2].novelty == 1.0
+    assert out[3].n_grams == 0 and out[3].novelty is None

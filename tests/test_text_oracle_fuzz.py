@@ -129,6 +129,9 @@ QUERY_NAMES = [
     "pack_sequences_nosplit",
     "incremental_line_dedup",
     "curate_corpus_v2",
+    # r9: first-seen gram novelty — duplicate groups must show novelty
+    # 1.0 on the first copy and 0.0 on later ones; short docs NULL
+    "gram_novelty",
     "curate_corpus",
     "dataset_mix",
     "dataset_mix_temp",
