@@ -5748,6 +5748,102 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_incremental_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``gram_novelty``'s continuous-crawl twin (r9): score ONLY the
+    newest slice (doc_id >= floor(max_id * 9 / 10) — the latest ~10% of
+    corpus order) against the STANDING corpus's distinct-gram index,
+    without rescoring old documents per crawl. A batch gram is novel
+    iff it is absent from the standing index AND this doc is its first
+    owner WITHIN the batch — which, because every standing id precedes
+    every batch id, is exactly the full-corpus first-owner rule, so
+    batch rows equal ``gram_novelty`` on the whole corpus restricted to
+    the slice (pinned in pytest) while touching O(batch + collisions)
+    instead of O(corpus).
+
+    At serving scale the standing side is the stored distinct-gram
+    epoch index the streaming substring-dedup sink already maintains
+    (`streaming/substrdedup.py`); here it is recomputed from the table
+    so the composition stays oracle-checkable (the
+    incremental_substring_dedup precedent). Every batch doc gets an
+    explicit decision row."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    mx = df.agg(F.max("doc_id")).first()[0]  # bounded: ONE scalar
+    cutoff = int(mx) * 9 // 10
+    batch = df.filter(F.col("doc_id") >= cutoff)
+    standing = df.filter(F.col("doc_id") < cutoff)
+    bg = (
+        _word_ngrams(batch, _SUBSTR_DEDUP_N).select("doc_id", "gram").distinct()
+    )
+    sidx = _word_ngrams(standing, _SUBSTR_DEDUP_N).select("gram").distinct()
+    first_b = bg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        bg.join(first_b, "gram")
+        .join(sidx.withColumn("seen", F.lit(True)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("seen").isNull()
+                    & (F.col("first_doc") == F.col("doc_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    spine = (
+        batch.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+    return spine.withColumn(
+        "novelty",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_novel") / F.col("n_grams"), ROUND_DIGITS),
+        ),
+    )
+
+
+ORACLE_INCREMENTAL_GRAM_NOVELTY = f"""
+WITH cut AS (SELECT max(doc_id) * 9 // 10 AS c FROM documents),
+toks_arr AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM toks_arr,
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+),
+bg AS (SELECT g.* FROM grams g, cut WHERE g.doc_id >= cut.c),
+sidx AS (SELECT DISTINCT gram FROM grams g, cut WHERE g.doc_id < cut.c),
+first_b AS (SELECT gram, min(doc_id) AS first_doc FROM bg GROUP BY gram),
+per_doc AS (
+  SELECT b.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN s.gram IS NULL AND f.first_doc = b.doc_id
+                  THEN 1 ELSE 0 END) AS n_novel
+  FROM bg b
+  JOIN first_b f USING (gram)
+  LEFT JOIN sidx s USING (gram)
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN p.n_grams > 0
+            THEN round(p.n_novel * 1.0 / p.n_grams, {ROUND_DIGITS}) END AS novelty
+FROM documents d
+CROSS JOIN cut
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+WHERE d.doc_id >= cut.c
+"""
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization for a training corpus: strip control chars,
     collapse whitespace runs, trim, lowercase — all JVM regexp
@@ -9113,6 +9209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # regenerates this block. Re-rotation is the round's CLOSING commit.
     # --- forced for r9: rewritten since last row / no row yet ---
     "gram_novelty": q_gram_novelty,  # new, no driver row yet
+    "incremental_gram_novelty": q_incremental_gram_novelty,  # new, no driver row yet
     "search_by_text": q_search_by_text,  # rewritten r9
     "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r9
     "curate_corpus_v2": q_curate_corpus_v2,  # new, no driver row yet
@@ -9310,6 +9407,7 @@ ORACLES: dict[str, str] = {
     # r9: per-doc first-seen gram fraction — the corpus-order novelty
     # profile next to the dedup family (same gram kernel)
     "gram_novelty": ORACLE_GRAM_NOVELTY,
+    "incremental_gram_novelty": ORACLE_INCREMENTAL_GRAM_NOVELTY,
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "decontaminate_fraction": ORACLE_DECONTAMINATE_FRACTION,  # new r9

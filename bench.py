@@ -135,6 +135,7 @@ HEADLINE = [
     "decontaminate_fraction",  # r9: PaLM graded decontamination rule
     "ann_sq8_cosine",  # r9: int8 grid quantizer, oracled
     "gram_novelty",  # r9: corpus-order first-seen gram profile
+    "incremental_gram_novelty",  # r9: newest-slice novelty vs standing index
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",

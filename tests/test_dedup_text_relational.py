@@ -434,3 +434,21 @@ def test_gram_novelty_semantics(spark, tmp_path):
     assert out[1].novelty == 0.0 and out[1].n_novel == 0
     assert out[2].novelty == 1.0
     assert out[3].n_grams == 0 and out[3].novelty is None
+
+
+def test_incremental_gram_novelty_equals_batch_restriction(spark, sf_dir):
+    """Because every standing id precedes every batch id, the
+    incremental first-owner rule IS the full-corpus rule on the slice:
+    the incremental frame must equal gram_novelty restricted to it."""
+    from aiotcvectordb_spark import queries as Q
+
+    inc = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in Q.q_incremental_gram_novelty(spark, sf_dir).collect()
+    }
+    full = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in Q.q_gram_novelty(spark, sf_dir).collect()
+        if r.doc_id in inc
+    }
+    assert inc == full and len(inc) > 0

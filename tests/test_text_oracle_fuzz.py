@@ -132,6 +132,7 @@ QUERY_NAMES = [
     # r9: first-seen gram novelty — duplicate groups must show novelty
     # 1.0 on the first copy and 0.0 on later ones; short docs NULL
     "gram_novelty",
+    "incremental_gram_novelty",
     "curate_corpus",
     "dataset_mix",
     "dataset_mix_temp",

@@ -94,6 +94,12 @@ PROBE_QUERIES = [
     "ewma_smooth",
     "source_quota",
     "mmr_rerank",
+    # r9 additions: the novelty profile (substring_dedup's shuffle
+    # class) and the int8-grid ANN (map-only scan + TakeOrdered)
+    "gram_novelty",
+    "incremental_gram_novelty",
+    "ann_sq8_cosine",
+    "decontaminate_fraction",
     "bigram_logprob",
     "incremental_dedup",
     "profile_table",
