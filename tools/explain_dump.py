@@ -331,6 +331,29 @@ SHOWCASE = [
         "scan for the exact-cosine rescore window — 32x less vector "
         "I/O in the ranking pass, float-accurate top-k",
     ),
+    (
+        "ann_sq8_cosine",
+        "r9 (oracled): the int8-grid approximate cosine is ONE codegen "
+        "expression fused into the embedding scan projection (no "
+        "Python, no shuffle), TakeOrdered per query for the 5x "
+        "oversample, broadcast candidates back for the exact rescore "
+        "— same plan family as BQ with a 256-level sketch",
+    ),
+    (
+        "gram_novelty",
+        "r9: shared word-ngram kernel in the scan, ONE gram-keyed min "
+        "aggregate with map-side partials, keyed equi-join back, "
+        "doc-keyed count — substring_dedup's shuffle class, no "
+        "all-pairs anywhere; the left join onto the doc spine emits "
+        "explicit decision rows",
+    ),
+    (
+        "mmr_rerank",
+        "r9 (oracled): exact top-40 fetch per query (TakeOrdered), then "
+        "the greedy selection runs in ONE applyInPandas group of <=40 "
+        "rows per query — the iterative stage is bounded and "
+        "query-parallel, never corpus-sized",
+    ),
 ]
 
 
