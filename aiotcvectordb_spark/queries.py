@@ -5760,10 +5760,11 @@ def q_incremental_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the slice (pinned in pytest) while touching O(batch + collisions)
     instead of O(corpus).
 
-    At serving scale the standing side is the stored distinct-gram
-    epoch index the streaming substring-dedup sink already maintains
-    (`streaming/substrdedup.py`); here it is recomputed from the table
-    so the composition stays oracle-checkable (the
+    At serving scale the standing side is the stored seen-gram epoch
+    index maintained by the streaming ingest twin
+    (`streaming/novelty.py`, whose epoch-1 rows are pinned equal to
+    this query); here it is recomputed from the table so the
+    composition stays oracle-checkable (the
     incremental_substring_dedup precedent). Every batch doc gets an
     explicit decision row."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
