@@ -7030,6 +7030,42 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
+_STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+
+
+def q_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic stratified sampling (r9) — the 100 TB form of
+    ``stratified_sample``: membership is ``pmod(md5-hash(doc_id),
+    10000) < rate_lang * 10000`` instead of an engine RNG, so the
+    sample is REPRODUCIBLE across engines, runs, cluster sizes, and
+    partitionings (re-running a curation pipeline must not silently
+    reshuffle which documents trained). Pure map-side filter in the
+    scan projection — no shuffle, no state; the per-stratum rate
+    error is O(1/sqrt(stratum)) exactly like seeded Bernoulli. ORACLED
+    on full membership (doc ids, not just counts) via the shared
+    portable-hash twins (pipelines._PORTABLE_HASH / _CURATE_H60);
+    unknown languages default to keep (rate 1.0) so new corpus slices
+    fail open into the sample rather than silently vanishing."""
+    from aiotcvectordb_spark import pipelines as P
+
+    df = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"pmod({P._PORTABLE_HASH.format(s='cast(doc_id as string)')}, 10000)"
+    )
+    thr = F.lit(10000)
+    for lang, rate in _STRAT_RATES.items():
+        thr = F.when(F.col("lang") == lang, int(rate * 10000)).otherwise(thr)
+    return df.filter(bucket < thr).select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE_HASH = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_CURATE_H60.format(s="CAST(doc_id AS VARCHAR)")} % 10000 <
+      CASE {" ".join(f"WHEN lang = '{l}' THEN {int(r * 10000)}" for l, r in _STRAT_RATES.items())}
+           ELSE 10000 END
+"""
+
+
 # avg() is avoided on purpose: DuckDB's avg(DECIMAL) returns DOUBLE with
 # engine-specific accumulation; exact decimal sum / int count keeps the
 # threshold bit-identical across engines.
@@ -9211,6 +9247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- forced for r9: rewritten since last row / no row yet ---
     "gram_novelty": q_gram_novelty,  # new, no driver row yet
     "incremental_gram_novelty": q_incremental_gram_novelty,  # new, no driver row yet
+    "stratified_sample_hash": q_stratified_sample_hash,  # new, no driver row yet
     "search_by_text": q_search_by_text,  # rewritten r9
     "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r9
     "curate_corpus_v2": q_curate_corpus_v2,  # new, no driver row yet
@@ -9409,6 +9446,9 @@ ORACLES: dict[str, str] = {
     # profile next to the dedup family (same gram kernel)
     "gram_novelty": ORACLE_GRAM_NOVELTY,
     "incremental_gram_novelty": ORACLE_INCREMENTAL_GRAM_NOVELTY,
+    # r9: the deterministic (portable-hash) stratified sampler — full
+    # membership under the hash, next to the seeded rows-only one
+    "stratified_sample_hash": ORACLE_STRATIFIED_SAMPLE_HASH,
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "decontaminate_fraction": ORACLE_DECONTAMINATE_FRACTION,  # new r9

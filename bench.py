@@ -136,6 +136,7 @@ HEADLINE = [
     "ann_sq8_cosine",  # r9: int8 grid quantizer, oracled
     "gram_novelty",  # r9: corpus-order first-seen gram profile
     "incremental_gram_novelty",  # r9: newest-slice novelty vs standing index
+    "stratified_sample_hash",  # r9: reproducible map-side sampler
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",

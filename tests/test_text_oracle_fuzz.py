@@ -133,6 +133,7 @@ QUERY_NAMES = [
     # 1.0 on the first copy and 0.0 on later ones; short docs NULL
     "gram_novelty",
     "incremental_gram_novelty",
+    "stratified_sample_hash",
     "curate_corpus",
     "dataset_mix",
     "dataset_mix_temp",
