@@ -99,6 +99,7 @@ PROBE_QUERIES = [
     "gram_novelty",
     "incremental_gram_novelty",
     "ann_sq8_cosine",
+    "stratified_sample_hash",
     "decontaminate_fraction",
     "bigram_logprob",
     "incremental_dedup",
