@@ -443,3 +443,31 @@ def test_write_path_broadcast_guard(spark, sf_dir, monkeypatch):
     merged_hinted = upsert_dataframes(df, batch, "doc_id")
     analyzed_h = merged_hinted._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in analyzed_h
+
+
+def test_round9_ops_shuffle_budgets(spark, sf_dir):
+    """Lock the r9 additions to their designed shuffle budgets — every
+    exchange here is KEYED (gram / doc_id / query_idx), never all-pairs:
+    the novelty pair's exchanges are the scan-widen repartition, the
+    (doc_id, gram) distinct, the gram-keyed min aggregate, the gram
+    equi-join alignment, the doc-keyed count, and the spine left join
+    (the incremental twin adds the standing-index side); the int8-grid
+    ANN is a map-only scan + per-query TakeOrdered with one tiny
+    query_idx exchange for the rescore window; the hash sampler is a
+    pure scan filter (ZERO shuffles at any scale); MMR is the kNN fetch
+    plus one bounded <=fetch_k-per-query applyInPandas group."""
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.plans import audit
+
+    budgets = {
+        "gram_novelty": 6,
+        "incremental_gram_novelty": 8,
+        "ann_sq8_cosine": 1,
+        "stratified_sample_hash": 0,
+        "mmr_rerank": 2,
+    }
+    for name, budget in budgets.items():
+        df = Q.QUERIES[name](spark, sf_dir)
+        got = audit.count_shuffles(df)
+        assert got <= budget, (name, got, budget)
+        audit.assert_no_cartesian(df)
