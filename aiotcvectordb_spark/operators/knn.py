@@ -141,6 +141,84 @@ def knn_search(
     return ranked
 
 
+def grouped_knn_search(
+    df: DataFrame,
+    vectors: Sequence[Sequence[float]],
+    *,
+    vector_col: str = "vector",
+    id_col: str = "id",
+    group_col: str = "label",
+    metric: str = "COSINE",
+    groups: int = 5,
+    filter: str | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Grouped (diversify-by-field) batch kNN — the ``group_by`` search
+    modern vector stores expose next to plain top-k: for each query,
+    rank GROUPS by their best-matching vector and return that one
+    representative per group, so results span ``groups`` distinct
+    ``group_col`` values instead of k near-duplicates of one document.
+
+    Returns ``(query_idx, <group_col>, <id>, score, group_rank)``.
+    Deterministic ties: within a group (score best-first, id ASC);
+    across groups (best score best-first, group ASC).
+
+    Scale shape: the per-group representative is ONE lexicographic
+    struct-min AGGREGATE — every scan task pre-reduces to at most
+    Q x distinct-groups rows map-side before the keyed shuffle — never
+    a corpus-wide row_number window; the group ranking window then
+    sees only <= distinct-groups rows per query."""
+    if not vectors:
+        raise ValueError("vectors must be non-empty")
+    dim = len(vectors[0])
+    for v in vectors:
+        if len(v) != dim:
+            raise ValueError("all query vectors must share one dimension")
+    if groups < 1:
+        raise ValueError("groups must be >= 1")
+    if filter:
+        df = df.filter(filter)
+    df = ensure_min_partitions(df)
+    q = _queries_df(df.sparkSession, vectors)
+    score = metric_score_fixed(metric, vector_col, "__query_vec", dim)
+    if round_digits is not None:
+        # round BEFORE the aggregate so representative/group ties are
+        # decided on the same rounded scores the SQL oracle sorts by
+        score = F.round(score, round_digits)
+    scored = df.crossJoin(F.broadcast(q)).select(
+        QUERY_IDX,
+        F.col(group_col).alias("__grp"),
+        F.col(id_col).alias("__id"),
+        score.alias(SCORE),
+    )
+    # lexicographic struct-min == (score best-first, id ASC) argmin:
+    # negate the score for higher-is-better metrics so min() ranks it
+    skey = (-F.col(SCORE)) if score_is_better_desc(metric) else F.col(SCORE)
+    best = scored.groupBy(QUERY_IDX, "__grp").agg(
+        F.min(
+            F.struct(
+                skey.alias("k"),
+                F.col("__id").alias("i"),
+                F.col(SCORE).alias("s"),
+            )
+        ).alias("b")
+    )
+    w = Window.partitionBy(QUERY_IDX).orderBy(
+        F.col("b.k").asc(), F.col("__grp").asc()
+    )
+    return (
+        best.withColumn("group_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("group_rank") <= groups)
+        .select(
+            QUERY_IDX,
+            F.col("__grp").alias(group_col),
+            F.col("b.i").alias(id_col),
+            F.col("b.s").alias(SCORE),
+            "group_rank",
+        )
+    )
+
+
 def _local_topk_candidates(
     df: DataFrame,
     vectors: Sequence[Sequence[float]],

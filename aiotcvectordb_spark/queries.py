@@ -190,6 +190,49 @@ ORACLE_SEARCH_FLAT_COSINE = _knn_oracle(
 )
 
 
+def q_search_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped (diversify-by-field) vector search (r9,
+    operators/knn.grouped_knn_search): for each query, the top-5
+    LABELS ranked by their best-matching vector, one representative
+    per label — the group_by search mode that keeps a result page
+    from being k near-duplicates of one document. The per-group
+    representative is a lexicographic struct-min aggregate (map-side
+    partials reduce each scan task to <= Q x labels rows before the
+    keyed shuffle — never a corpus-wide window); the group ranking
+    window then sees <= labels rows per query."""
+    df = load(spark, sf_dir, "embeddings")
+    return knn.grouped_knn_search(
+        df,
+        FLAGSHIP_VECTORS,
+        vector_col="embedding",
+        id_col="vec_id",
+        group_col="label",
+        metric="COSINE",
+        groups=5,
+        round_digits=ROUND_DIGITS,
+    )
+
+
+ORACLE_SEARCH_GROUPED = f"""
+WITH {_sql_queries_cte(FLAGSHIP_VECTORS)},
+scored AS (
+  SELECT q.query_idx, e.label, e.vec_id, round({_COS_SQL}, {ROUND_DIGITS}) AS s
+  FROM embeddings e CROSS JOIN queries q
+),
+rep AS (
+  SELECT query_idx, label, vec_id, s
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_idx, label
+          ORDER BY s DESC, vec_id) = 1
+)
+SELECT query_idx, label, vec_id, s AS score,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY s DESC, label) AS INT) AS group_rank
+FROM rep
+QUALIFY group_rank <= 5
+"""
+
+
 _N_BIN_BYTES = DIM // 8
 
 
@@ -9248,6 +9291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gram_novelty": q_gram_novelty,  # new, no driver row yet
     "incremental_gram_novelty": q_incremental_gram_novelty,  # new, no driver row yet
     "stratified_sample_hash": q_stratified_sample_hash,  # new, no driver row yet
+    "search_grouped": q_search_grouped,  # new, no driver row yet
     "search_by_text": q_search_by_text,  # rewritten r9
     "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r9
     "curate_corpus_v2": q_curate_corpus_v2,  # new, no driver row yet
@@ -9449,6 +9493,8 @@ ORACLES: dict[str, str] = {
     # r9: the deterministic (portable-hash) stratified sampler — full
     # membership under the hash, next to the seeded rows-only one
     "stratified_sample_hash": ORACLE_STRATIFIED_SAMPLE_HASH,
+    # r9: grouped (diversify-by-label) search — struct-min per group
+    "search_grouped": ORACLE_SEARCH_GROUPED,
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "decontaminate_fraction": ORACLE_DECONTAMINATE_FRACTION,  # new r9

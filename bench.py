@@ -137,6 +137,7 @@ HEADLINE = [
     "gram_novelty",  # r9: corpus-order first-seen gram profile
     "incremental_gram_novelty",  # r9: newest-slice novelty vs standing index
     "stratified_sample_hash",  # r9: reproducible map-side sampler
+    "search_grouped",  # r9: diversify-by-label group_by search
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",

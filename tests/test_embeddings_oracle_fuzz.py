@@ -55,6 +55,9 @@ QUERY_NAMES = [
     # r9 promotion: the greedy MMR loop replayed as a recursive CTE —
     # duplicates/zero vectors force max-sim ties through every step
     "mmr_rerank",
+    # r9: grouped search — duplicate scores force the struct-min's
+    # (score, id) tie rule; zero vectors the guarded cosine
+    "search_grouped",
 ]
 
 

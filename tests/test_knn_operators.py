@@ -325,3 +325,60 @@ def test_engine_hnsw_ef_honored(engine, spark, sf_dir):
     assert r_big > r_small
     # scores on the approximate path are true metric scores
     assert all(-1.0 <= h["score"] <= 1.0 for h in big)
+
+
+def test_grouped_search_semantics(spark, sf_dir):
+    """Each group's representative is the exact per-label argmax (the
+    filtered flat search's rank-1 row); group ranks follow best scores;
+    result spans distinct labels."""
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.operators import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn.grouped_knn_search(
+        emb,
+        [Q.qvec(1.0)],
+        vector_col="embedding",
+        id_col="vec_id",
+        group_col="label",
+        metric="COSINE",
+        groups=5,
+        round_digits=6,
+    ).collect()
+    assert len(out) == 5
+    assert len({r.label for r in out}) == 5
+    scores = [r.score for r in sorted(out, key=lambda r: r.group_rank)]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        flat = knn.knn_search(
+            emb,
+            [Q.qvec(1.0)],
+            vector_col="embedding",
+            id_col="vec_id",
+            metric="COSINE",
+            limit=1,
+            filter=f"label = {r.label}",
+            round_digits=6,
+        ).collect()[0]
+        assert (flat.vec_id, flat.score) == (r.vec_id, r.score), r.label
+
+
+def test_grouped_search_l2_direction(spark, sf_dir):
+    """Distance metrics rank ascending: the representative is the
+    closest vector and group_rank 1 holds the smallest distance."""
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.operators import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn.grouped_knn_search(
+        emb,
+        [Q.qvec(1.0)],
+        vector_col="embedding",
+        id_col="vec_id",
+        group_col="label",
+        metric="L2",
+        groups=3,
+        round_digits=6,
+    ).collect()
+    scores = [r.score for r in sorted(out, key=lambda r: r.group_rank)]
+    assert scores == sorted(scores)

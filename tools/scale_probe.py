@@ -100,6 +100,7 @@ PROBE_QUERIES = [
     "incremental_gram_novelty",
     "ann_sq8_cosine",
     "stratified_sample_hash",
+    "search_grouped",
     "decontaminate_fraction",
     "bigram_logprob",
     "incremental_dedup",
