@@ -788,6 +788,65 @@ SELECT doc_id, round(s, {ROUND_DIGITS}) AS score,
 FROM scored QUALIFY rank <= 10 ORDER BY rank
 """
 
+
+_PHRASE_QUERY = "value table part"
+
+
+def q_fulltext_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-PHRASE full-text search (r9) — the adjacency-match mode
+    BM25's bag-of-terms scoring cannot express: a document matches iff
+    the query's tokens appear CONSECUTIVELY in its (CJK-aware) token
+    stream, ranked by occurrence count. The counter is ONE map-only
+    higher-order expression over the shared ``bm25_tokens_col``
+    tokenizer array — a sliding slice-equality fold fused into the
+    scan projection, so an ad-hoc phrase costs exactly one corpus
+    scan with zero shuffle before the 10-row top-k. (With a persisted
+    POSITIONAL postings index the same semantics become an m-way
+    (doc, pos + i) equi-join — the serving-scale form; the scan form
+    is the right plan when the phrase is ad hoc and the corpus is
+    fresh.) Deterministic (phrase_count DESC, doc_id ASC) ranking."""
+    toks = sparse_fn._TOKENS_FOR_QUERY(_PHRASE_QUERY)
+    m = len(toks)
+    arr = "array(" + ", ".join(f"'{t}'" for t in toks) + ")"
+    cnt = (
+        f"cast(aggregate(sequence(1, greatest(size(__ts) - {m} + 1, 1)), 0, "
+        f"(acc, i) -> acc + if(slice(__ts, i, {m}) = {arr}, 1, 0)) as int)"
+    )
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    hits = (
+        df.withColumn("__ts", sparse_fn.bm25_tokens_col("text"))
+        .select("doc_id", F.expr(cnt).alias("phrase_count"))
+        .filter("phrase_count > 0")
+        .orderBy(F.col("phrase_count").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("phrase_count").desc(), F.col("doc_id").asc())
+    return hits.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _phrase_oracle() -> str:
+    toks = sparse_fn._TOKENS_FOR_QUERY(_PHRASE_QUERY)
+    m = len(toks)
+    lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in toks) + "]"
+    return f"""
+WITH toks AS (SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents),
+hits AS (
+  SELECT doc_id,
+         CAST(length(list_filter(range(1, greatest(len(ts) - {m} + 1, 1) + 1),
+              i -> ts[i:i+{m - 1}] = {lit})) AS INTEGER) AS phrase_count
+  FROM toks
+)
+SELECT doc_id, phrase_count,
+       CAST(row_number() OVER (ORDER BY phrase_count DESC, doc_id) AS INT) AS rank
+FROM hits
+WHERE phrase_count > 0
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
+ORACLE_FULLTEXT_PHRASE = _phrase_oracle()
+
 # Chinese-language fixture corpus for the CJK full-text path. The
 # reference's flagship text test searches Chinese ("苹果" must rank the
 # apple doc first — tests/test_documents/test_documents_search_text.py:
@@ -9292,6 +9351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_gram_novelty": q_incremental_gram_novelty,  # new, no driver row yet
     "stratified_sample_hash": q_stratified_sample_hash,  # new, no driver row yet
     "search_grouped": q_search_grouped,  # new, no driver row yet
+    "fulltext_phrase": q_fulltext_phrase,  # new, no driver row yet
     "search_by_text": q_search_by_text,  # rewritten r9
     "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r9
     "curate_corpus_v2": q_curate_corpus_v2,  # new, no driver row yet
@@ -9495,6 +9555,8 @@ ORACLES: dict[str, str] = {
     "stratified_sample_hash": ORACLE_STRATIFIED_SAMPLE_HASH,
     # r9: grouped (diversify-by-label) search — struct-min per group
     "search_grouped": ORACLE_SEARCH_GROUPED,
+    # r9: exact-phrase adjacency search, map-only token-window fold
+    "fulltext_phrase": ORACLE_FULLTEXT_PHRASE,
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "decontaminate_fraction": ORACLE_DECONTAMINATE_FRACTION,  # new r9

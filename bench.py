@@ -138,6 +138,7 @@ HEADLINE = [
     "incremental_gram_novelty",  # r9: newest-slice novelty vs standing index
     "stratified_sample_hash",  # r9: reproducible map-side sampler
     "search_grouped",  # r9: diversify-by-label group_by search
+    "fulltext_phrase",  # r9: exact-phrase adjacency match
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",

@@ -236,3 +236,47 @@ def test_sql_hash_embedder_matches_dense_embed_udf(spark):
         assert set(got) == set(expect)
         for b in got:
             assert math.isclose(got[b], expect[b], abs_tol=1e-9)
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark, tmp_path):
+    """Sliding-window semantics: overlapping matches each count; docs
+    shorter than the phrase and bag-of-words-only docs never match."""
+    from pyspark.sql import functions as F
+
+    from aiotcvectordb_spark import queries as Q
+
+    rows = [
+        (0, "value table part value table part tail"),   # 2 hits
+        (1, "value value table part table"),             # 1 hit
+        (2, "part table value"),                          # bag match only
+        (3, "value table"),                               # shorter than m
+        (4, "VALUE, table; PART!"),                       # normalization
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.phrase_count, r.rank)
+        for r in Q.q_fulltext_phrase(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (2, 1), 1: (1, 2), 4: (1, 3)}
+
+
+def test_phrase_search_overlap_self_repeat(spark, tmp_path):
+    """'a a a a' contains 'a a' three times — the fold must count every
+    overlapping window, matching the oracle's list_filter."""
+    from aiotcvectordb_spark import queries as Q
+
+    old = Q._PHRASE_QUERY
+    Q._PHRASE_QUERY = "a a"
+    try:
+        spark.createDataFrame(
+            [(0, "a a a a")], "doc_id long, text string"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        got = {
+            r.doc_id: r.phrase_count
+            for r in Q.q_fulltext_phrase(spark, str(tmp_path)).collect()
+        }
+        assert got == {0: 3}
+    finally:
+        Q._PHRASE_QUERY = old

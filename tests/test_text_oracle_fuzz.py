@@ -134,6 +134,9 @@ QUERY_NAMES = [
     "gram_novelty",
     "incremental_gram_novelty",
     "stratified_sample_hash",
+    # r9: sliding-window phrase fold vs DuckDB list_filter — CJK
+    # bigram lanes and sub-phrase-length docs exercise both guards
+    "fulltext_phrase",
     "curate_corpus",
     "dataset_mix",
     "dataset_mix_temp",

@@ -101,6 +101,7 @@ PROBE_QUERIES = [
     "ann_sq8_cosine",
     "stratified_sample_hash",
     "search_grouped",
+    "fulltext_phrase",
     "decontaminate_fraction",
     "bigram_logprob",
     "incremental_dedup",
