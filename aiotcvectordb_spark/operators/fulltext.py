@@ -96,3 +96,69 @@ def fulltext_search_df(
     return out.select(
         id_col, "score", "rank", *(output_fields or [])
     )
+
+
+def build_positional_postings(
+    df: DataFrame, *, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """(token, <id>, pos): one row per token OCCURRENCE with its
+    0-based position in the CJK-aware token stream — the positional
+    index phrase queries join against. One posexplode in the scan
+    projection; persist this bucketed by token at serving scale
+    (the same persist-once story as the BM25 postings)."""
+    from aiotcvectordb_spark.functions.sparse import bm25_tokens_col
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(bm25_tokens_col(text_col)).alias("pos", "token"),
+    ).select("token", id_col, "pos")
+
+
+def phrase_search_postings(
+    df: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "id",
+    text_col: str = "text",
+    limit: int = 10,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-phrase search over a POSITIONAL postings index — the
+    serving-scale twin of the scan-side sliding-window fold
+    (queries.q_fulltext_phrase, whose output this is pinned equal to
+    in tests/test_search_text_fulltext_hybrid.py): filter the index to
+    the phrase's m tokens (broadcast semi-join — at scale, partition
+    pruning on a token-bucketed table), then an (m-1)-way
+    (<id>, pos + i) equi-join chains adjacent occurrences; every join
+    is keyed, no token's full postings list ever crosses a cartesian.
+    Returns (<id>, phrase_count, rank), ranked
+    (phrase_count DESC, <id> ASC) — identical tie rule to the scan
+    form."""
+    from aiotcvectordb_spark.functions.sparse import _TOKENS_FOR_QUERY
+
+    toks = _TOKENS_FOR_QUERY(phrase)
+    if not toks:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, phrase_count int, rank int"
+        )
+    if postings is None:
+        postings = build_positional_postings(
+            df, id_col=id_col, text_col=text_col
+        )
+    chain = (
+        postings.filter(F.col("token") == toks[0])
+        .select(id_col, F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = postings.filter(F.col("token") == t).select(
+            id_col, (F.col("pos") - i).alias("p0")
+        )
+        chain = chain.join(nxt, [id_col, "p0"])
+    hits = (
+        chain.groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("phrase_count"))
+        .orderBy(F.col("phrase_count").desc(), F.col(id_col).asc())
+        .limit(limit)
+    )
+    w = Window.orderBy(F.col("phrase_count").desc(), F.col(id_col).asc())
+    return hits.withColumn("rank", F.row_number().over(w).cast("int"))

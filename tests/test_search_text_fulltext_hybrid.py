@@ -280,3 +280,44 @@ def test_phrase_search_overlap_self_repeat(spark, tmp_path):
         assert got == {0: 3}
     finally:
         Q._PHRASE_QUERY = old
+
+
+def test_phrase_postings_path_equals_scan_fold(spark):
+    """The positional-postings m-way join (the serving-scale form) must
+    return EXACTLY the scan-side sliding-window fold's frame on the
+    real corpus — one semantics, two physical plans. Pinned at sf0.01
+    (the driver's correctness scale; the sf0.001 slice has no phrase
+    hits, which would vacuously pass)."""
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.operators import fulltext
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    via_postings = {
+        (r.doc_id, r.phrase_count, r.rank)
+        for r in fulltext.phrase_search_postings(
+            docs, Q._PHRASE_QUERY, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    via_scan = {
+        (r.doc_id, r.phrase_count, r.rank)
+        for r in Q.q_fulltext_phrase(spark, sf_dir).collect()
+    }
+    assert via_postings == via_scan and len(via_scan) > 0
+
+
+def test_phrase_postings_overlap_and_duplicate_token(spark):
+    """A phrase with a REPEATED token ('a a') must chain positions
+    correctly: 'a a a a' has three overlapping hits; 'b a b a' none."""
+    from aiotcvectordb_spark.operators import fulltext
+
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "b a b a")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.phrase_count
+        for r in fulltext.phrase_search_postings(
+            df, "a a", id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert got == {0: 3}
