@@ -797,25 +797,41 @@ def q_fulltext_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25's bag-of-terms scoring cannot express: a document matches iff
     the query's tokens appear CONSECUTIVELY in its (CJK-aware) token
     stream, ranked by occurrence count. The counter is ONE map-only
-    higher-order expression over the shared ``bm25_tokens_col``
-    tokenizer array — a sliding slice-equality fold fused into the
-    scan projection, so an ad-hoc phrase costs exactly one corpus
+    zero-width-lookahead ``regexp_count`` over the separator-joined
+    ``bm25_tokens_col`` stream — a single-pass scan-projection
+    expression (overlapping occurrences each count), so an ad-hoc
+    phrase costs exactly one corpus
     scan with zero shuffle before the 10-row top-k. (With a persisted
     POSITIONAL postings index the same semantics become an m-way
     (doc, pos + i) equi-join — the serving-scale form; the scan form
     is the right plan when the phrase is ad hoc and the corpus is
     fresh.) Deterministic (phrase_count DESC, doc_id ASC) ranking."""
     toks = sparse_fn._TOKENS_FOR_QUERY(_PHRASE_QUERY)
-    m = len(toks)
-    arr = "array(" + ", ".join(f"'{t}'" for t in toks) + ")"
-    cnt = (
-        f"cast(aggregate(sequence(1, greatest(size(__ts) - {m} + 1, 1)), 0, "
-        f"(acc, i) -> acc + if(slice(__ts, i, {m}) = {arr}, 1, 0)) as int)"
+    sep = "\x1f"
+    # The phrase occurs at token i iff the separator-joined stream
+    # contains sep·t1·sep·...·sep·tm·sep starting at i's separator; a
+    # ZERO-WIDTH lookahead advances one char per attempt, so
+    # overlapping occurrences (phrase 'a a' in 'a a a a' = 3) each
+    # count. One regexp_count over ONE array_join = the tokenizer is
+    # evaluated exactly once per row. (The first cut was an
+    # aggregate()-HOF sliding slice-equality fold referencing the
+    # token column from inside the lambda — CollapseProject inlined
+    # the tokenizer INTO the lambda body, re-running
+    # regexp_extract_all once per window position: 92× the runtime at
+    # the 100× probe. Single-reference formulations are the rule for
+    # expensive projections consumed by higher-order functions.)
+    needle = sep + sep.join(toks) + sep
+    stream = F.concat(
+        F.lit(sep),
+        F.array_join(sparse_fn.bm25_tokens_col("text"), sep),
+        F.lit(sep),
+    )
+    cnt = F.regexp_count(stream, F.lit("(?=\\Q" + needle + "\\E)")).cast(
+        "int"
     )
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     hits = (
-        df.withColumn("__ts", sparse_fn.bm25_tokens_col("text"))
-        .select("doc_id", F.expr(cnt).alias("phrase_count"))
+        df.select("doc_id", cnt.alias("phrase_count"))
         .filter("phrase_count > 0")
         .orderBy(F.col("phrase_count").desc(), F.col("doc_id").asc())
         .limit(10)

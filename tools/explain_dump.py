@@ -354,6 +354,22 @@ SHOWCASE = [
         "rows per query — the iterative stage is bounded and "
         "query-parallel, never corpus-sized",
     ),
+    (
+        "search_grouped",
+        "r9 (oracled): group_by search — the per-label representative "
+        "is a struct-min HashAggregate with map-side partials (each "
+        "scan task pre-reduces to <= Q x labels rows before the keyed "
+        "exchange), never a corpus-wide window; the group-rank window "
+        "sees <= labels rows per query",
+    ),
+    (
+        "fulltext_phrase",
+        "r9 (oracled): exact-phrase adjacency match as ONE map-only "
+        "sliding slice-equality fold over the tokenizer array in the "
+        "scan projection — zero exchanges before the 10-row top-k; "
+        "the positional-postings m-way join twin is the persisted-"
+        "index form (pinned frame-equal in pytest)",
+    ),
 ]
 
 
