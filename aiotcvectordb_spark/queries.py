@@ -792,6 +792,33 @@ FROM scored QUALIFY rank <= 10 ORDER BY rank
 _PHRASE_QUERY = "value table part"
 
 
+def _phrase_count_col(toks: list[str], text_col: str = "text"):
+    """Occurrences of the token phrase in ``text_col``'s CJK-aware
+    token stream, as ONE scan-projection expression: the phrase occurs
+    at token i iff the separator-joined stream contains
+    sep·t1·sep·...·sep·tm·sep starting at i's separator, and a
+    ZERO-WIDTH lookahead advances one char per attempt so OVERLAPPING
+    occurrences ('a a' in 'a a a a' = 3) each count. One regexp_count
+    over ONE array_join = the tokenizer is evaluated exactly once per
+    row. (The first cut was an aggregate()-HOF sliding slice-equality
+    fold referencing the token column from inside the lambda —
+    CollapseProject inlined the tokenizer INTO the lambda body,
+    re-running regexp_extract_all once per window position: 92× the
+    runtime at the 100× probe. Single-reference formulations are the
+    rule for expensive projections consumed by higher-order
+    functions.)"""
+    sep = "\x1f"
+    needle = sep + sep.join(toks) + sep
+    stream = F.concat(
+        F.lit(sep),
+        F.array_join(sparse_fn.bm25_tokens_col(text_col), sep),
+        F.lit(sep),
+    )
+    return F.regexp_count(stream, F.lit("(?=\\Q" + needle + "\\E)")).cast(
+        "int"
+    )
+
+
 def q_fulltext_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-PHRASE full-text search (r9) — the adjacency-match mode
     BM25's bag-of-terms scoring cannot express: a document matches iff
@@ -806,29 +833,7 @@ def q_fulltext_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, pos + i) equi-join — the serving-scale form; the scan form
     is the right plan when the phrase is ad hoc and the corpus is
     fresh.) Deterministic (phrase_count DESC, doc_id ASC) ranking."""
-    toks = sparse_fn._TOKENS_FOR_QUERY(_PHRASE_QUERY)
-    sep = "\x1f"
-    # The phrase occurs at token i iff the separator-joined stream
-    # contains sep·t1·sep·...·sep·tm·sep starting at i's separator; a
-    # ZERO-WIDTH lookahead advances one char per attempt, so
-    # overlapping occurrences (phrase 'a a' in 'a a a a' = 3) each
-    # count. One regexp_count over ONE array_join = the tokenizer is
-    # evaluated exactly once per row. (The first cut was an
-    # aggregate()-HOF sliding slice-equality fold referencing the
-    # token column from inside the lambda — CollapseProject inlined
-    # the tokenizer INTO the lambda body, re-running
-    # regexp_extract_all once per window position: 92× the runtime at
-    # the 100× probe. Single-reference formulations are the rule for
-    # expensive projections consumed by higher-order functions.)
-    needle = sep + sep.join(toks) + sep
-    stream = F.concat(
-        F.lit(sep),
-        F.array_join(sparse_fn.bm25_tokens_col("text"), sep),
-        F.lit(sep),
-    )
-    cnt = F.regexp_count(stream, F.lit("(?=\\Q" + needle + "\\E)")).cast(
-        "int"
-    )
+    cnt = _phrase_count_col(sparse_fn._TOKENS_FOR_QUERY(_PHRASE_QUERY))
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     hits = (
         df.select("doc_id", cnt.alias("phrase_count"))
@@ -914,6 +919,59 @@ FROM scored QUALIFY rank <= 5 ORDER BY rank
 
 
 ORACLE_FULLTEXT_BM25_CJK = _cjk_oracle()
+
+_CJK_PHRASE = "大苹果"
+
+
+def q_fulltext_phrase_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search on the Chinese corpus (r9): the phrase
+    tokenizes to overlapping character BIGRAMS (大苹果 → [大苹, 苹果]),
+    and bigram ADJACENCY in the document's token stream is exactly
+    character-substring containment within one CJK segment — so the
+    same separator-joined lookahead counter that serves latin phrases
+    serves Chinese with zero special-casing (the fulltext_bm25_cjk
+    precedent: one tokenizer, every lane). Inline VALUES corpus, so
+    the DuckDB twin sees byte-identical data."""
+    toks = sparse_fn._TOKENS_FOR_QUERY(_CJK_PHRASE)
+    df = spark.createDataFrame(CJK_CORPUS, ["doc_id", "text"]).repartition(4)
+    hits = (
+        df.select("doc_id", _phrase_count_col(toks).alias("phrase_count"))
+        .filter("phrase_count > 0")
+        .orderBy(F.col("phrase_count").desc(), F.col("doc_id").asc())
+        .limit(5)
+    )
+    w = Window.orderBy(F.col("phrase_count").desc(), F.col("doc_id").asc())
+    return hits.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _cjk_phrase_oracle() -> str:
+    toks = sparse_fn._TOKENS_FOR_QUERY(_CJK_PHRASE)
+    m = len(toks)
+    lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in toks) + "]"
+    corpus_vals = ",\n  ".join(
+        "('" + i + "', '" + t.replace("'", "''") + "')" for i, t in CJK_CORPUS
+    )
+    return f"""
+WITH corpus(doc_id, text) AS (VALUES
+  {corpus_vals}
+),
+toks AS (SELECT doc_id, {_duck_bm25_toks_sql("text")} AS ts FROM corpus),
+hits AS (
+  SELECT doc_id,
+         CAST(length(list_filter(range(1, greatest(len(ts) - {m} + 1, 1) + 1),
+              i -> ts[i:i+{m - 1}] = {lit})) AS INTEGER) AS phrase_count
+  FROM toks
+)
+SELECT doc_id, phrase_count,
+       CAST(row_number() OVER (ORDER BY phrase_count DESC, doc_id) AS INT) AS rank
+FROM hits
+WHERE phrase_count > 0
+QUALIFY rank <= 5
+ORDER BY rank
+"""
+
+
+ORACLE_FULLTEXT_PHRASE_CJK = _cjk_phrase_oracle()
 
 _HYBRID_VEC = [qvec(3.5)]
 
@@ -9368,6 +9426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_hash": q_stratified_sample_hash,  # new, no driver row yet
     "search_grouped": q_search_grouped,  # new, no driver row yet
     "fulltext_phrase": q_fulltext_phrase,  # new, no driver row yet
+    "fulltext_phrase_cjk": q_fulltext_phrase_cjk,  # new, no driver row yet
     "search_by_text": q_search_by_text,  # rewritten r9
     "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r9
     "curate_corpus_v2": q_curate_corpus_v2,  # new, no driver row yet
@@ -9573,6 +9632,7 @@ ORACLES: dict[str, str] = {
     "search_grouped": ORACLE_SEARCH_GROUPED,
     # r9: exact-phrase adjacency search, map-only token-window fold
     "fulltext_phrase": ORACLE_FULLTEXT_PHRASE,
+    "fulltext_phrase_cjk": ORACLE_FULLTEXT_PHRASE_CJK,
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "decontaminate_fraction": ORACLE_DECONTAMINATE_FRACTION,  # new r9

@@ -139,6 +139,7 @@ HEADLINE = [
     "stratified_sample_hash",  # r9: reproducible map-side sampler
     "search_grouped",  # r9: diversify-by-label group_by search
     "fulltext_phrase",  # r9: exact-phrase adjacency match
+    "fulltext_phrase_cjk",  # r9: phrase over the CJK bigram stream
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",

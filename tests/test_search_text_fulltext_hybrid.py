@@ -321,3 +321,16 @@ def test_phrase_postings_overlap_and_duplicate_token(spark):
         ).collect()
     }
     assert got == {0: 3}
+
+
+def test_cjk_phrase_hits_the_right_document(spark):
+    """大苹果 ([大苹, 苹果] as bigrams) occurs only in c_apple
+    (一个大苹果); c_mixed's 苹果、香蕉 must NOT match — the punctuation
+    splits the segment so 大苹 never forms."""
+    from aiotcvectordb_spark import queries as Q
+
+    got = {
+        r.doc_id: (r.phrase_count, r.rank)
+        for r in Q.q_fulltext_phrase_cjk(spark, "unused").collect()
+    }
+    assert got == {"c_apple": (1, 1)}
