@@ -334,3 +334,48 @@ def test_cjk_phrase_hits_the_right_document(spark):
         for r in Q.q_fulltext_phrase_cjk(spark, "unused").collect()
     }
     assert got == {"c_apple": (1, 1)}
+
+
+def test_phrase_counter_matches_python_reference_property(spark, tmp_path):
+    """Property: for random token streams, the lookahead regexp counter
+    equals a straight Python sliding-window count (overlaps included)
+    on every doc — 60 corpora shapes incl. self-overlapping runs."""
+    import random
+
+    from aiotcvectordb_spark import queries as Q
+
+    rng = random.Random(9)
+    vocab = ["a", "b", "ab", "value", "x1"]
+    phrase_toks = ["a", "b", "a"]
+    rows = []
+    for doc_id in range(60):
+        n = rng.randrange(0, 12)
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    def ref_count(text):
+        ts = [t for t in text.lower().split() if t]
+        m = len(phrase_toks)
+        return sum(
+            1
+            for i in range(max(len(ts) - m + 1, 0))
+            if ts[i : i + m] == phrase_toks
+        )
+
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    old = Q._PHRASE_QUERY
+    Q._PHRASE_QUERY = " ".join(phrase_toks)
+    try:
+        got = {
+            r.doc_id: r.phrase_count
+            for r in Q.q_fulltext_phrase(spark, str(tmp_path)).collect()
+        }
+    finally:
+        Q._PHRASE_QUERY = old
+    want = {d: ref_count(t) for d, t in rows if ref_count(t) > 0}
+    # top-10 cap: compare on the capped id set
+    want_capped = dict(
+        sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    )
+    assert got == want_capped
