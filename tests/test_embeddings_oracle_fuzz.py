@@ -197,3 +197,51 @@ def test_rows_only_vector_query_survives_nasty_table(spark, nasty_sf, name):
             assert not np.isnan(sdf[col].to_numpy()).any(), (
                 f"{name}: NaN leaked into {col}"
             )
+
+
+@pytest.fixture(scope="module")
+def constdim_sf(tmp_path_factory):
+    """A corpus where dims 0-31 are CONSTANT across every vector (dim 0
+    = 0.0, dims 1-31 = 7.25) and dims 32-63 vary — pins SQ8's span<=0
+    branch (constant dims dequantize to lo exactly, in both engines)
+    on a table where HALF the grid is degenerate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("constdim_emb_sf")
+    vecs = []
+    for i in range(64):
+        v = [0.0] + [7.25] * 31 + [
+            round(math.sin(0.1 * j + 0.05 * i), 6) for j in range(32)
+        ]
+        vecs.append(v)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 5 for i in range(len(vecs))], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_sq8_constant_dims_cross_engine(spark, constdim_sf):
+    """ann_sq8_cosine must hash-match DuckDB when half the grid has
+    span = 0 — the span<=0 guard must fire identically in the Spark
+    literal expression and the SQL CASE."""
+    import duckdb
+
+    sdf = Q.QUERIES["ann_sq8_cosine"](spark, constdim_sf).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{constdim_sf}/embeddings.parquet'"
+    )
+    odf = con.sql(Q.ORACLES["ann_sq8_cosine"]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf) > 0
+    assert _norm_hash(sdf) == _norm_hash(odf)
