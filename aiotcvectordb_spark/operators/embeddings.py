@@ -114,8 +114,13 @@ def mmr_rerank(
             # (the semdedup.assign_cells rule): an unrounded argmax and
             # a rounded one can pick different candidates when two
             # objectives differ below 10^-rd, which would cascade
-            # through every later step of the greedy selection
-            sim = np.round(sim, rd)
+            # through every later step of the greedy selection.
+            # Half-AWAY-from-zero like mmr_score below (not numpy's
+            # half-to-even): a raw cosine landing exactly on a rounding
+            # boundary must tie-break the same way SQL round() does, or
+            # the boundary flips a selection and cascades
+            f = 10.0**rd
+            sim = np.sign(sim) * np.floor(np.abs(sim) * f + 0.5) / f
         n = len(ids)
         chosen: list[int] = []
         mmr_scores: list[float] = []

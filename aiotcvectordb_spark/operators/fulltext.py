@@ -138,9 +138,19 @@ def phrase_search_postings(
 
     toks = _TOKENS_FOR_QUERY(phrase)
     if not toks:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, phrase_count int, rank int"
+        # the id keeps its source type (string primary keys per the
+        # reference data model) so the empty frame's schema matches the
+        # non-empty path — the embeddings.mmr_rerank rule
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(id_col, df.schema[id_col].dataType),
+                T.StructField("phrase_count", T.IntegerType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
         )
+        return df.sparkSession.createDataFrame([], schema)
     if postings is None:
         postings = build_positional_postings(
             df, id_col=id_col, text_col=text_col

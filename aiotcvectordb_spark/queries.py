@@ -926,12 +926,18 @@ _CJK_PHRASE = "大苹果"
 def q_fulltext_phrase_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase search on the Chinese corpus (r9): the phrase
     tokenizes to overlapping character BIGRAMS (大苹果 → [大苹, 苹果]),
-    and bigram ADJACENCY in the document's token stream is exactly
-    character-substring containment within one CJK segment — so the
-    same separator-joined lookahead counter that serves latin phrases
-    serves Chinese with zero special-casing (the fulltext_bm25_cjk
-    precedent: one tokenizer, every lane). Inline VALUES corpus, so
-    the DuckDB twin sees byte-identical data."""
+    and bigram ADJACENCY in the document's token stream approximates
+    character-substring containment — so the same separator-joined
+    lookahead counter that serves latin phrases serves Chinese with
+    zero special-casing (the fulltext_bm25_cjk precedent: one
+    tokenizer, every lane). Known edge (r10, advisor): the token
+    stream carries no segment-boundary sentinel, so a phrase's bigrams
+    can chain across two ADJACENT CJK segments — '大苹, 苹果' yields
+    [大苹, 苹果] and matches 大苹果 though the substring never appears
+    in one segment; both engines share the behavior (parity holds) and
+    tests/test_search_text_fulltext_hybrid.py pins the edge
+    explicitly. Inline VALUES corpus, so the DuckDB twin sees
+    byte-identical data."""
     toks = sparse_fn._TOKENS_FOR_QUERY(_CJK_PHRASE)
     df = spark.createDataFrame(CJK_CORPUS, ["doc_id", "text"]).repartition(4)
     hits = (

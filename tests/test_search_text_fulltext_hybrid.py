@@ -336,6 +336,48 @@ def test_cjk_phrase_hits_the_right_document(spark):
     assert got == {"c_apple": (1, 1)}
 
 
+def test_cjk_phrase_cross_segment_chain_edge(spark):
+    """Known edge, pinned (r10, advisor): the token stream carries no
+    segment-boundary sentinel, so a phrase's bigrams can chain across
+    two ADJACENT CJK segments — '大苹, 苹果' tokenizes to [大苹, 苹果]
+    and counts one 大苹果 hit although the substring never appears
+    inside a single segment. Both engines share the tokenizer (parity
+    holds); this test documents the semantics so a future
+    sentinel-token fix must consciously update it."""
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.functions import sparse as sparse_fn
+
+    toks = sparse_fn._TOKENS_FOR_QUERY("大苹果")
+    df = spark.createDataFrame(
+        [("x_edge", "大苹, 苹果"), ("x_clean", "苹果, 大苹果")],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: r.phrase_count
+        for r in df.select(
+            "doc_id", Q._phrase_count_col(toks).alias("phrase_count")
+        ).collect()
+    }
+    # x_edge: spurious cross-segment chain; x_clean: one real hit
+    assert got == {"x_edge": 1, "x_clean": 1}
+
+
+def test_phrase_postings_empty_phrase_keeps_string_id_schema(spark):
+    """The empty-token early return must derive the id column's type
+    from the input frame (string primary keys per the reference data
+    model), not hardcode long — r10 advisor fix."""
+    from aiotcvectordb_spark.operators import fulltext
+
+    df = spark.createDataFrame(
+        [("d1", "some text")], "doc_id string, text string"
+    )
+    out = fulltext.phrase_search_postings(
+        df, "！？", id_col="doc_id", text_col="text"
+    )
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert out.count() == 0
+
+
 def test_phrase_counter_matches_python_reference_property(spark, tmp_path):
     """Property: for random token streams, the lookahead regexp counter
     equals a straight Python sliding-window count (overlaps included)

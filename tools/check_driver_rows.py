@@ -131,7 +131,12 @@ REWRITES: dict[str, int] = {
     # single-eval columns (same flags, ~halved battery cost)
     "gopher_quality_filter": 9,
     # r9 promotion: sim matrix + output rounding changed for the
-    # recursive-CTE oracle (round-before-argmax, half-away mmr_score)
+    # recursive-CTE oracle (round-before-argmax, half-away mmr_score).
+    # NOT re-bumped for the r10 advisor fix (sim matrix np.round ->
+    # half-away-from-zero): the change only fires when a raw cosine
+    # lands exactly on a 1e-6 rounding boundary, absent from the
+    # corpus — sf0.01 oracle hash verified identical post-change
+    # (tools/parity_check.py), the ann_pq_fullrescore precedent.
     "mmr_rerank": 9,
 }
 
