@@ -7772,6 +7772,150 @@ ORDER BY query_idx, rank
 
 
 # --------------------------------------------------------------------------
+# IVF with driver-fixed centroids — the oracled cell-prune plan
+# --------------------------------------------------------------------------
+
+_IVF_FIXED_NLIST = 8
+_IVF_FIXED_NPROBE = 3
+_IVF_FIXED_CENTROIDS = [qvec(30.0 + i) for i in range(_IVF_FIXED_NLIST)]
+
+
+def q_ann_ivf_cosine_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partial-probe ANN with FIXED centroids, ORACLED (r10) — the
+    promotion the trained ``ann_ivf_cosine`` entry could never get: a
+    KMeans fit is iterative and not SQL-expressible, but with
+    driver-fixed centroid literals (the ``semantic_dedup`` precedent)
+    every IVF stage is closed-form, so DuckDB reproduces the WHOLE
+    assign → probe-select → cell-prune → exact-rescore plan and the
+    driver hash covers the cell prune itself — including rows that a
+    partial probe (nprobe=3 of nlist=8) legitimately drops. Reference
+    semantics: index type IVF with the nprobe search knob
+    (reference stub.py:609-612, ``nprobe in [1, nlist]``).
+
+    Determinism rules shared with the semdedup/sq8 family: cell
+    assignment is argmax COSINE rounded to ROUND_DIGITS with
+    lowest-cell ties; the per-query probe set is the top-nprobe cells
+    by rounded query-centroid cosine (cell-asc ties) — computed by the
+    ENGINE on both sides (a 16-row broadcast frame in Spark, a VALUES
+    CTE in DuckDB), never in driver Python, so there is no third
+    float implementation to diverge.
+
+    Scale shape: the assignment (one broadcast nested-loop of K
+    centroid literals against the scan + a vec_id-keyed window) is the
+    index BUILD — at serving scale it is computed once by
+    rebuild_index and stored cell-partitioned (operators/ann.py); the
+    query-time work is only the probe-set join (broadcast, Q x nprobe
+    rows) and the exact rescore inside probed cells (~nprobe/nlist of
+    the corpus), ranked by the same bounded per-query window every
+    exact-search entry uses. Trained-centroid IVF stays recall-tested
+    (tests/test_ann.py); this entry pins the machinery."""
+    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = spark.createDataFrame(
+        list(enumerate(_IVF_FIXED_CENTROIDS)), "cell int, cvec array<double>"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(
+                cosine_score_fixed("embedding", "cvec", DIM), ROUND_DIGITS
+            ).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter("rn = 1")
+        .select("vec_id", "embedding", "cell")
+    )
+    qdf = spark.createDataFrame(
+        list(enumerate(FLAGSHIP_VECTORS)), "query_idx int, qv array<double>"
+    )
+    w_probe = Window.partitionBy("query_idx").orderBy(
+        F.col("qcos").desc(), F.col("cell").asc()
+    )
+    qcells = (
+        qdf.crossJoin(F.broadcast(cents))
+        .select(
+            "query_idx",
+            "qv",
+            "cell",
+            F.round(
+                cosine_score_fixed("qv", "cvec", DIM), ROUND_DIGITS
+            ).alias("qcos"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_FIXED_NPROBE)
+        .select("query_idx", "qv", "cell")
+    )
+    rescored = assigned.join(F.broadcast(qcells), "cell").withColumn(
+        "score",
+        F.round(cosine_score_fixed("embedding", "qv", DIM), ROUND_DIGITS),
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 10")
+        .select("query_idx", "vec_id", "cell", "score", "rank")
+    )
+
+
+def _ivf_fixed_cents_sql() -> str:
+    rows = ", ".join(
+        f"({i}, {_sql_vec(v)})" for i, v in enumerate(_IVF_FIXED_CENTROIDS)
+    )
+    return f"cents(cell, cvec) AS (VALUES {rows})"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"round(COALESCE(list_dot_product({a}, {b}) / "
+        f"NULLIF(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})), 0), 0.0), {ROUND_DIGITS})"
+    )
+
+
+ORACLE_ANN_IVF_COSINE_FIXED = f"""
+WITH {_ivf_fixed_cents_sql()},
+{_sql_queries_cte(FLAGSHIP_VECTORS)},
+scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cell,
+         {_duck_cos("CAST(e.embedding AS DOUBLE[])", "c.cvec")} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, emb, cell FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
+),
+qcells AS (
+  SELECT query_idx, qv, cell FROM (
+    SELECT q.query_idx, q.qv, c.cell,
+           {_duck_cos("q.qv", "c.cvec")} AS qcos
+    FROM queries q CROSS JOIN cents c
+  ) QUALIFY row_number() OVER (PARTITION BY query_idx
+            ORDER BY qcos DESC, cell) <= {_IVF_FIXED_NPROBE}
+),
+rescored AS (
+  SELECT qc.query_idx, a.vec_id, a.cell,
+         {_duck_cos("a.emb", "qc.qv")} AS score
+  FROM assigned a JOIN qcells qc USING (cell)
+)
+SELECT query_idx, vec_id, cell, score,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY score DESC, vec_id) AS INT) AS rank
+FROM rescored
+QUALIFY rank <= 10
+ORDER BY query_idx, rank
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-label embedding centroids (cluster summary statistics)
 # --------------------------------------------------------------------------
 
@@ -9442,6 +9586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bq_cosine": q_ann_bq_cosine,  # new, no driver row yet
     "ann_sq8_cosine": q_ann_sq8_cosine,  # new, no driver row yet
     "mmr_rerank": q_mmr_rerank,  # new, no driver row yet
+    "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,  # new r10, no driver row yet
     # --- r6 rows (age 3) (must be in the next batch) ---
     "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,
@@ -9623,6 +9768,7 @@ ORACLES: dict[str, str] = {
     # closed-form, so the int8 quantizer joins the sign-bit one under
     # the driver hash (PQ/IVF stay recall-tested: iteratively trained)
     "ann_sq8_cosine": ORACLE_ANN_SQ8_COSINE,
+    "ann_ivf_cosine_fixed": ORACLE_ANN_IVF_COSINE_FIXED,  # new r10
     # r9: MMR promoted — the greedy diversified rerank replayed as a
     # DuckDB recursive CTE over explicit (selected-set, running
     # max-sim) state; all ten greedy steps per query under the hash

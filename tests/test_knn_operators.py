@@ -382,3 +382,44 @@ def test_grouped_search_l2_direction(spark, sf_dir):
     ).collect()
     scores = [r.score for r in sorted(out, key=lambda r: r.group_rank)]
     assert scores == sorted(scores)
+
+
+def test_ivf_fixed_scores_are_exact_cosines_within_probed_cells(spark, sf_dir):
+    """q_ann_ivf_cosine_fixed (r10, oracled): every returned hit's score
+    must equal the EXACT flat cosine (the rescore stage is exact — only
+    the candidate set is approximate), each query returns exactly 10
+    ranked rows, and every hit's cell lies in that query's top-nprobe
+    probe set."""
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+    from pyspark.sql import functions as F
+
+    out = Q.q_ann_ivf_cosine_fixed(spark, sf_dir).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_idx, []).append(r)
+    assert set(per_q) == {0, 1}
+    for qi, rows in per_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, 11)
+        )
+        assert len({r.cell for r in rows}) <= Q._IVF_FIXED_NPROBE
+    # exact-rescore check: recompute flat cosine for the hit ids
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for qi, v in enumerate(Q.FLAGSHIP_VECTORS):
+        ids = [r.vec_id for r in per_q[qi]]
+        qdf = spark.createDataFrame([(v,)], "qv array<double>")
+        exact = {
+            r.vec_id: r.s
+            for r in emb.filter(F.col("vec_id").isin(ids))
+            .crossJoin(F.broadcast(qdf))
+            .select(
+                "vec_id",
+                F.round(
+                    cosine_score_fixed("embedding", "qv", Q.DIM), 6
+                ).alias("s"),
+            )
+            .collect()
+        }
+        for r in per_q[qi]:
+            assert exact[r.vec_id] == r.score, (qi, r.vec_id)
