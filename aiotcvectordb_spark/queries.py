@@ -5852,6 +5852,12 @@ FROM totals t LEFT JOIN shared sh USING (doc_id)
 # it at module level, ahead of the substring-dedup section)
 _SUBSTR_DEDUP_N = 8
 
+# DuckDB twin of pipelines._PORTABLE_HASH (Spark: conv(substring(
+# md5(s), 1, 15), 16, 10) — 60 bits of md5 as a BIGINT). Defined here,
+# ahead of its first module-level f-string use (the hashed-portable
+# substring-dedup oracle); shared with the curate/sampling oracles.
+_CURATE_H60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
 
 def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram NOVELTY profile (r9) — the curation metric
@@ -6331,6 +6337,102 @@ def q_substring_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.count("*").alias("kept_tokens"),
     )
+
+
+def q_substring_dedup_hashed_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed substring-dedup lane's ORACLED witness (r10): the
+    IDENTICAL Lee-et-al plan as ``substring_dedup_hashed`` — gram keys
+    reduced in the scan projection to a hash pair, ONE hash aggregate
+    for corpus-wide duplicates, keyed equi-join back, bounded coverage
+    explode, LEFT ANTI keep, ordered reassembly — but keyed on the
+    PORTABLE md5-derived 60-bit hash (pipelines._PORTABLE_HASH, the
+    twin ``stratified_sample_hash`` proved cross-engine) with the same
+    one-byte-suffix second lane (H(gram), H(gram || 0x01)), so DuckDB
+    reproduces the hashed plan END-TO-END and the driver hash vouches
+    for the reduced-key machinery itself — the aggregate-on-hash,
+    join-on-hash dataflow that the xxhash64 production lane runs at
+    100 TB (its keys being engine-native is the ONLY difference;
+    bit-equality of the two hashed lanes and the string-exact lane is
+    pinned in tests/test_dedup_text_relational.py). Collision math is
+    the production lane's with 2x60 bits: a false dup needs both
+    lanes to collide — P ≈ T²/2¹²¹ pairwise."""
+    from aiotcvectordb_spark import pipelines as P
+
+    n = _SUBSTR_DEDUP_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    grams = _word_ngrams(df, n).select(
+        "doc_id",
+        "i",
+        F.expr(P._PORTABLE_HASH.format(s="gram")).alias("h1"),
+        F.expr(P._PORTABLE_HASH.format(s="concat(gram, chr(1))")).alias("h2"),
+    )
+    dup = (
+        grams.groupBy("h1", "h2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h1", "h2")
+    )
+    covered = (
+        grams.join(dup, ["h1", "h2"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+
+
+ORACLE_SUBSTRING_DEDUP_HASHED_PORTABLE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0
+), toks_arr AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs
+), grams0 AS (
+  SELECT doc_id, i,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM toks_arr,
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), grams AS (
+  SELECT doc_id, i,
+         {_CURATE_H60.format(s="gram")} AS h1,
+         {_CURATE_H60.format(s="gram || chr(1)")} AS h2
+  FROM grams0
+), dup AS (
+  SELECT h1, h2 FROM grams GROUP BY h1, h2 HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM grams g JOIN dup USING (h1, h2),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM docs
+)
+SELECT t.doc_id,
+       string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS kept_tokens
+FROM tokens t
+WHERE NOT EXISTS (
+  SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+)
+GROUP BY t.doc_id
+"""
 
 
 # 62 CJK codepoints standing in for [a-zA-Z0-9] when the fixture
@@ -6995,7 +7097,6 @@ _CURATE_CLEAN_SQL = (
     r" '\s{2,}', ' ', 'g')))"
 )
 _CURATE_TOKS_SQL = _duck_bm25_toks_sql("clean_text")
-_CURATE_H60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
 
 ORACLE_CURATE_CORPUS = f"""
 WITH clean AS (
@@ -9587,6 +9688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq8_cosine": q_ann_sq8_cosine,  # new, no driver row yet
     "mmr_rerank": q_mmr_rerank,  # new, no driver row yet
     "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,  # new r10, no driver row yet
+    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # new r10
     # --- r6 rows (age 3) (must be in the next batch) ---
     "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,
@@ -9769,6 +9871,7 @@ ORACLES: dict[str, str] = {
     # the driver hash (PQ/IVF stay recall-tested: iteratively trained)
     "ann_sq8_cosine": ORACLE_ANN_SQ8_COSINE,
     "ann_ivf_cosine_fixed": ORACLE_ANN_IVF_COSINE_FIXED,  # new r10
+    "substring_dedup_hashed_portable": ORACLE_SUBSTRING_DEDUP_HASHED_PORTABLE,  # new r10
     # r9: MMR promoted — the greedy diversified rerank replayed as a
     # DuckDB recursive CTE over explicit (selected-set, running
     # max-sim) state; all ten greedy steps per query under the hash

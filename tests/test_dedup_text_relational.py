@@ -411,6 +411,32 @@ def test_substring_dedup_hashed_equals_string_exact(spark, sf_dir):
     assert len(hashed) > 0
 
 
+def test_substring_dedup_hashed_portable_equals_both_lanes(spark, sf_dir):
+    """The ORACLED portable-md5 hashed lane (r10) must be bit-equal to
+    the xxhash64 production lane AND the string-exact query on the
+    fixture corpus — three key representations, one Lee-et-al plan.
+    The portable lane's green driver row then vouches for the
+    reduced-key dataflow the production lane runs."""
+    from aiotcvectordb_spark import queries as Q
+
+    exact = {
+        r.doc_id: (r.clean_text, r.kept_tokens)
+        for r in Q.QUERIES["substring_dedup"](spark, sf_dir).collect()
+    }
+    portable = {
+        r.doc_id: (r.clean_text, r.kept_tokens)
+        for r in Q.QUERIES["substring_dedup_hashed_portable"](
+            spark, sf_dir
+        ).collect()
+    }
+    xx = {
+        r.doc_id: (r.clean_text, r.kept_tokens)
+        for r in Q.QUERIES["substring_dedup_hashed"](spark, sf_dir).collect()
+    }
+    assert portable == exact == xx
+    assert len(portable) > 0
+
+
 def test_gram_novelty_semantics(spark, tmp_path):
     """First copy of a duplicated passage is fully novel; later copies
     are fully redundant; short docs get an explicit NULL-novelty row."""
