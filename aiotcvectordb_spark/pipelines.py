@@ -101,6 +101,29 @@ def word_ngrams(df: DataFrame, n: int, *, id_col: str = "doc_id",
     )
 
 
+def token_shingles(df: DataFrame, n: int, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): space-joined ``n``-token shingles over the
+    CJK-aware BM25 token stream — the decontamination family's gram
+    kernel (GPT-3 Appendix C / PaLM overlap rules both shingle this
+    way). Docs with fewer than ``n`` tokens produce no rows (callers
+    that need a decision row for them left-join a spine). Shared by
+    the batch ``decontaminate_fraction`` / ``incremental_*`` queries
+    and the streaming ingest twin (streaming/decontam.py) — one
+    implementation, so batch and stream agree by construction. All
+    JVM expressions (tokens materialized ONCE per row; lambda bodies
+    re-evaluate their subtree per element)."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        sparse_fn.bm25_tokens_col(text_col).alias("__toks"),
+    ).filter(F.expr(f"size(__toks) >= {n}"))
+    sh = (
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+    )
+    return toked.select("doc_id", F.explode(F.expr(sh)).alias("shingle"))
+
+
 CJK_ROUTE_THRESHOLD = 0.3
 
 

@@ -5847,6 +5847,125 @@ FROM totals t LEFT JOIN shared sh USING (doc_id)
 """
 
 
+def q_incremental_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``decontaminate_fraction``'s continuous-crawl twin (r10) — score
+    ONLY the newest slice (train docs with doc_id >= floor(max_id *
+    9/10), the incremental_gram_novelty slice rule) against the FULL
+    eval-suite shingle set (doc_id % 5 == 0 over the whole corpus —
+    the benchmark is global and fixed, not sliced), without rescoring
+    old train docs per crawl. Because the contamination rule is
+    strictly per-doc-vs-benchmark (no train-train interaction), batch
+    rows equal the full batch query restricted to the slice (pinned
+    in pytest) while touching O(eval suite + batch): the scan filter
+    keeps ONLY bench-or-batch docs before tokenization, so arriving
+    crawls never re-shingle the standing train corpus.
+
+    Every batch train doc gets an EXPLICIT decision row — a sub-8-token
+    doc surfaces as (n_shingles=0, overlap_fraction NULL,
+    contaminated false) instead of vanishing (the r8
+    qualitygate/novelty decision-log rule; the full batch query emits
+    shingled docs only, so the restriction equality is over its
+    support). At serving scale the eval-suite side is the stored
+    membership shingle index maintained by the streaming ingest twin
+    (streaming/decontam.py, whose epoch-1 rows are pinned equal to
+    this query); here it is recomputed from the table so the
+    composition stays oracle-checkable (the incremental_gram_novelty
+    precedent)."""
+    from aiotcvectordb_spark.pipelines import token_shingles
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    mx = df.agg(F.max("doc_id")).first()[0]  # bounded: ONE scalar
+    cutoff = int(mx) * 9 // 10
+    is_bench = F.col("doc_id") % 5 == 0
+    # incremental scan shape: shingle ONLY the eval suite + the batch
+    relevant = df.filter(is_bench | (F.col("doc_id") >= cutoff))
+    shingled = token_shingles(relevant, _SUBSTR_DEDUP_N)
+    bench = shingled.filter(F.col("doc_id") % 5 == 0).select("shingle").distinct()
+    bt = shingled.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") >= cutoff)
+    )
+    totals = bt.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shingles")
+    )
+    shared = (
+        bt.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+    spine = df.filter(
+        (F.col("doc_id") >= cutoff) & (F.col("doc_id") % 5 != 0)
+    ).select("doc_id")
+    base = (
+        spine.join(totals, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.round(F.col("n_shared") / F.col("n_shingles"), ROUND_DIGITS),
+    )
+    return base.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        frac.alias("overlap_fraction"),
+        F.coalesce(frac >= F.lit(_DECONTAM_FRACTION_CUT), F.lit(False)).alias(
+            "contaminated"
+        ),
+    )
+
+
+ORACLE_INCREMENTAL_DECONTAMINATE_FRACTION = f"""
+WITH cut AS (SELECT max(doc_id) * 9 // 10 AS c FROM documents),
+relevant AS (
+  SELECT d.doc_id, d.text FROM documents d, cut
+  WHERE d.doc_id % 5 = 0 OR d.doc_id >= cut.c
+),
+toks AS (
+  SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM relevant
+  WHERE len({_BM25_TOKS_SQL}) >= 8
+),
+shingled AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+                        i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 5 = 0),
+bt AS (
+  SELECT s.* FROM shingled s, cut
+  WHERE s.doc_id % 5 <> 0 AND s.doc_id >= cut.c
+),
+totals AS (
+  SELECT doc_id, count(DISTINCT shingle) AS n_shingles FROM bt GROUP BY doc_id
+),
+shared AS (
+  SELECT b.doc_id, count(DISTINCT b.shingle) AS n_shared
+  FROM bt b JOIN bench USING (shingle) GROUP BY b.doc_id
+),
+spine AS (
+  SELECT d.doc_id FROM documents d, cut
+  WHERE d.doc_id >= cut.c AND d.doc_id % 5 <> 0
+)
+SELECT sp.doc_id,
+       CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN t.n_shingles > 0
+            THEN round(COALESCE(sh.n_shared, 0) * 1.0 / t.n_shingles,
+                       {ROUND_DIGITS}) END AS overlap_fraction,
+       COALESCE(CASE WHEN t.n_shingles > 0
+            THEN round(COALESCE(sh.n_shared, 0) * 1.0 / t.n_shingles,
+                       {ROUND_DIGITS}) END >= {_DECONTAM_FRACTION_CUT},
+            FALSE) AS contaminated
+FROM spine sp
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN shared sh USING (doc_id)
+"""
+
+
 # gram width shared by the substring-dedup family and the novelty
 # profile below (defined here because ORACLE_GRAM_NOVELTY interpolates
 # it at module level, ahead of the substring-dedup section)
@@ -9689,6 +9808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,  # new, no driver row yet
     "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,  # new r10, no driver row yet
     "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # new r10
+    "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,  # new r10
     # --- r6 rows (age 3) (must be in the next batch) ---
     "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,
@@ -9891,6 +10011,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "benchmark_decontaminate": ORACLE_BENCHMARK_DECONTAMINATE,
     "decontaminate_fraction": ORACLE_DECONTAMINATE_FRACTION,  # new r9
+    "incremental_decontaminate_fraction": ORACLE_INCREMENTAL_DECONTAMINATE_FRACTION,  # new r10
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "perplexity_filter": ORACLE_PERPLEXITY_FILTER,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
