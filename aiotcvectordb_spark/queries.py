@@ -2218,6 +2218,34 @@ def _semdedup_fixed_max_rows() -> int:
     )
 
 
+# AQE partition pin for the in-cell self-join (r10, promoting the r9
+# BASELINE.md finding from prose to code): AQE's advisory coalescing
+# sizes a post-shuffle stage by its input shuffle BYTES, and the
+# in-cell self-join's input is tiny while its OUTPUT is quadratic per
+# cell — at the 50k-row probe AQE collapsed the stage to ~7 tasks.
+# Above this row threshold both join sides get an explicit
+# repartition(K, cell). What actually protects the stage is the
+# shuffle ORIGIN, not the count: under a sort-merge join,
+# EnsureRequirements rewrites the user count to
+# spark.sql.shuffle.partitions (measured: 8 -> 32 on local[32]), but
+# the REPARTITION_BY_NUM origin survives and such exchanges are
+# EXEMPT from AQE coalescing — the stage keeps the full conf-level
+# task count instead of the ~7 byte-sized tasks. Pinned in
+# tests/test_plan_audit.py.
+_SEMDEDUP_PIN_MIN_ROWS_ENV = "SPARK_GRAFT_SEMDEDUP_PIN_MIN_ROWS"
+_SEMDEDUP_PIN_MIN_ROWS_DEFAULT = 20_000
+
+
+def _semdedup_pin_min_rows() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            _SEMDEDUP_PIN_MIN_ROWS_ENV, _SEMDEDUP_PIN_MIN_ROWS_DEFAULT
+        )
+    )
+
+
 def q_semantic_dedup(
     spark: SparkSession, sf_dir: str, *, _known_rows: int | None = None
 ) -> DataFrame:
@@ -2295,6 +2323,12 @@ def q_semantic_dedup(
         "cell",
         F.col("ccos").alias("b_ccos"),
     )
+    if n_rows > _semdedup_pin_min_rows():
+        # quadratic-output self-join: pin one task per cell so AQE's
+        # byte-based coalescing cannot collapse the stage (see
+        # _SEMDEDUP_PIN_MIN_ROWS_DEFAULT comment)
+        a = a.repartition(_SEMDEDUP_K, "cell")
+        b = b.repartition(_SEMDEDUP_K, "cell")
     dominated = (
         a.join(b, "cell")
         .filter(

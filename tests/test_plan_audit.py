@@ -471,3 +471,47 @@ def test_round9_ops_shuffle_budgets(spark, sf_dir):
         got = audit.count_shuffles(df)
         assert got <= budget, (name, got, budget)
         audit.assert_no_cartesian(df)
+
+
+def test_semdedup_in_cell_join_partition_pin(spark, sf_dir, monkeypatch):
+    """r10 (judge): the fixed-K SemDeDup in-cell self-join's output is
+    quadratic per cell while its INPUT shuffle bytes are tiny, so AQE's
+    byte-based advisory coalescing collapsed it to ~7 tasks at the
+    50k-row probe. Above the row threshold both join sides carry a
+    REPARTITION_BY_NUM exchange on the cell key — the origin AQE may
+    NOT coalesce (EnsureRequirements may rewrite the partition count
+    to spark.sql.shuffle.partitions under SMJ; the origin is the
+    guarantee). Below the threshold the plan is unchanged."""
+    import re
+
+    monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP_PIN_MIN_ROWS", "1")
+    pinned = audit.executed_plan(Q.QUERIES["semantic_dedup"](spark, sf_dir))
+    cells = re.findall(
+        r"Exchange hashpartitioning\(cell#\d+, \d+\), REPARTITION_BY_NUM",
+        pinned,
+    )
+    assert len(cells) == 2, pinned.count("REPARTITION_BY_NUM")
+    monkeypatch.delenv("SPARK_GRAFT_SEMDEDUP_PIN_MIN_ROWS")
+    default = audit.executed_plan(Q.QUERIES["semantic_dedup"](spark, sf_dir))
+    assert "REPARTITION_BY_NUM" not in default
+
+
+def test_round10_ops_shuffle_budgets(spark, sf_dir):
+    """Lock the r10 additions to their designed shuffle budgets — every
+    exchange is KEYED, never all-pairs: the fixed-centroid IVF carries
+    the vec_id-keyed assignment window, the broadcast probe join (no
+    data exchange), and the per-query rank window; the portable-hash
+    substring lane is the production lane's budget (hash aggregate,
+    hash equi-join, coverage distinct, anti-join, reassembly); the
+    incremental decontamination is shingle/doc-keyed aggregates plus
+    the spine joins over ONLY bench-or-batch docs."""
+    budgets = {
+        "ann_ivf_cosine_fixed": 3,
+        "substring_dedup_hashed_portable": 6,
+        "incremental_decontaminate_fraction": 9,
+    }
+    for name, budget in budgets.items():
+        df = Q.QUERIES[name](spark, sf_dir)
+        got = audit.count_shuffles(df)
+        assert got <= budget, (name, got, budget)
+        audit.assert_no_cartesian(df)
