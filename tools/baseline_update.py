@@ -47,6 +47,86 @@ def _head() -> str:
         return "unknown"
 
 
+# Every standing row whose noop/count ratio exceeds this carries a
+# one-line mechanism note (r10, judge): the ratios are count-pruning
+# artifacts — Catalyst elides work count() doesn't reference — and the
+# table must say WHICH mechanism per row, or regeneration fails.
+RATIO_NOTE_THRESHOLD = 2.5
+
+# query -> mechanism note. Vocabulary: join-elim (count() drops a
+# row-preserving left join and its whole input branch), window-prune
+# (a row-preserving window column is unreferenced under count, the
+# Window node is removed), projection-prune / agg-prune (unreferenced
+# projection / aggregate expressions are pruned, count keeps keys
+# only). Absolute scale is noted where both columns are sub-second.
+RATIO_NOTES: dict[str, str] = {
+    "gram_novelty": (
+        "join-elim: count() drops the row-preserving spine left join "
+        "and with it the ENTIRE gram pipeline; noop pays the real work"
+    ),
+    "incremental_gram_novelty": (
+        "join-elim: spine left join dropped under count(); noop pays "
+        "the batch-vs-standing-index gram work"
+    ),
+    "incremental_line_dedup": (
+        "join-elim: spine left join + line-hash collision scoring "
+        "pruned under count()"
+    ),
+    "incremental_dedup": (
+        "join-elim: the decision-column left joins prune under "
+        "count(); noop pays the batch-vs-index minhash work"
+    ),
+    "semantic_dedup": (
+        "join-elim: the dominated-set left join prunes under count() "
+        "- the count column times little beyond cell assignment"
+    ),
+    "incremental_semantic_dedup": (
+        "join-elim: dominated-set left join pruned under count(), "
+        "same as semantic_dedup"
+    ),
+    "ewma_smooth": (
+        "window-prune: the row-preserving EWMA fold column is "
+        "unreferenced under count(); sub-0.6 s absolute"
+    ),
+    "window_range_frame": (
+        "window-prune: the range-frame aggregate column is "
+        "unreferenced under count(); sub-0.35 s absolute"
+    ),
+    "asof_join": (
+        "window-prune: the carry-forward last() payload is "
+        "unreferenced under count(); the union+filter spine still runs"
+    ),
+    "doc_repetition": (
+        "projection-prune: count() skips the n-gram string building "
+        "of the repetition ratios"
+    ),
+    "text_quality": (
+        "projection-prune: the quality-ratio columns are skipped "
+        "under count(); sub-0.6 s absolute"
+    ),
+    "token_count": (
+        "projection-prune: the token split is skipped under count(); "
+        "sub-0.2 s absolute"
+    ),
+    "gopher_quality_filter": (
+        "projection-prune: count() keeps only the rule flags' inputs; "
+        "noop builds every staged single-eval column"
+    ),
+    "pricing_summary": (
+        "agg-prune: count() drops the seven sum/avg expressions and "
+        "keeps the two group keys (TPC-H Q1 shape)"
+    ),
+    "percentile_disc": (
+        "agg-prune: count() drops the three percentile sorts, keeping "
+        "group keys; sub-0.4 s absolute"
+    ),
+    "bigram_logprob": (
+        "agg-prune/join-elim: the logprob sum over the vocab join "
+        "prunes under count(); noop pays the c1/c2-pruned join"
+    ),
+}
+
+
 def bench_table(detail: dict) -> str:
     qs = detail["queries"]
     rows = detail.get("rows", {})
@@ -66,19 +146,34 @@ def bench_table(detail: dict) -> str:
         "more than their count figure — a noop/count ratio near 2x on a",
         "map-only row means the count figure skipped roughly the string-",
         "building half of the projection, not that the query regressed.",
+        f"Every row with n/c > {RATIO_NOTE_THRESHOLD} carries its",
+        "count-pruning mechanism in the note column (r10; regeneration",
+        "fails if one is missing).",
         "",
-        "| query | sec | noop sec | n/c | rows |",
-        "|---|---|---|---|---|",
+        "| query | sec | noop sec | n/c | rows | note |",
+        "|---|---|---|---|---|---|",
     ]
+    missing = []
     for name in sorted(qs, key=lambda n: -qs[n]):
         n_s = noop.get(name)
+        flagged = bool(n_s) and qs[name] > 0 and (
+            n_s / qs[name] > RATIO_NOTE_THRESHOLD
+        )
         ratio = (
             f"{n_s / qs[name]:.2f}" if n_s and qs[name] > 0 else ""
         )
         n_cell = f"{n_s:.3f}" if n_s is not None else ""
+        note = RATIO_NOTES.get(name, "") if flagged else ""
+        if flagged and not note:
+            missing.append(f"{name} (n/c {ratio})")
         lines.append(
             f"| {name} | {qs[name]:.3f} | {n_cell} | {ratio} | "
-            f"{rows.get(name, '')} |"
+            f"{rows.get(name, '')} | {note} |"
+        )
+    if missing:
+        raise SystemExit(
+            f"rows above the {RATIO_NOTE_THRESHOLD}x noop/count "
+            f"threshold lack a RATIO_NOTES mechanism entry: {missing}"
         )
     lines.append(BENCH_END)
     return "\n".join(lines)
