@@ -3699,6 +3699,109 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(df, merges).select("doc_id", "n_tokens")
 
 
+# FROZEN merge table (r10): the output of bpe_train(num_merges=48,
+# batch_merges=16) on the sf0.01 documents corpus — the exact artifact
+# save_merges/load_merges (operators/bpe.py:236-253) persists, inlined
+# as driver-fixed literals so the APPLY lane is closed-form on both
+# engines (the semantic_dedup fixed-centroid precedent; training stays
+# rows-only). Rank = list position.
+_BPE_FROZEN_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'), ('n', '</w>'), ('o', 'w'), ('s', 't'), ('l', 'u'),
+    ('p', 'a'), ('c', 'h'), ('f', 'i'), ('e', '</w>'), ('o', 'r'),
+    ('m', 'er'), ('a', 't'), ('i', 'n'), ('s', 'h'), ('c', 'u'),
+    ('fi', 'l'), ('ow', '</w>'), ('pa', 'r'), ('i', 'n</w>'),
+    ('j', 'o'), ('a', 'sh'), ('at', 'ch'), ('s', 'c'), ('cu', 'st'),
+    ('lu', 'm'), ('fil', 't'), ('l', 'l'), ('g', 'e</w>'),
+    ('d', 'er'), ('v', 'e'), ('u', 'p'), ('a', '</w>'),
+    ('jo', 'in</w>'), ('h', 'ash'), ('r', 'ow</w>'), ('b', 'atch'),
+    ('c', 'o'), ('lum', 'n</w>'), ('filt', 'er'), ('s', 'm'),
+    ('mer', 'ge</w>'), ('or', 'der'), ('in', 'e</w>'), ('d', 'at'),
+    ('g', 'g'), ('e', 'y'), ('par', 'k'), ('t', '</w>'),
+]
+
+
+def q_bpe_token_count_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with a FROZEN merge table (r10) — the apply
+    lane of ``bpe_token_count``, oracle-able end-to-end: the trained
+    merge list is inlined as driver-fixed literals (the persisted
+    save_merges artifact, provenance in _BPE_FROZEN_MERGES), and the
+    greedy merge loop — at each step merge the LEFTMOST occurrence of
+    the LOWEST-rank adjacent pair, repeat until no learned pair
+    remains — is replayed in DuckDB as a recursive CTE over the
+    distinct-word table (the mmr_rerank precedent for iterative
+    state). One-occurrence-at-a-time with (rank, leftmost) selection
+    is provably equal to classic merge-all-occurrences BPE: merging
+    pair p only creates pairs containing p's OUTPUT symbol, and any
+    learned pair containing it necessarily has a higher rank than p (its merge
+    postdates p's at train time), so p stays minimal until exhausted.
+
+    Scale shape: tokenization is shuffle-free mapInPandas with a
+    per-batch distinct-word cache (operators/bpe.py:181); per-doc
+    token counts are exact. The oracle folds per-WORD token counts
+    over the (doc, word, count) table so the recursive work is
+    O(distinct words x merges), not O(corpus)."""
+    from aiotcvectordb_spark.operators import bpe
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    return bpe.bpe_encode(df, _BPE_FROZEN_MERGES).select(
+        "doc_id", "n_tokens"
+    )
+
+
+def _bpe_frozen_oracle() -> str:
+    items = ", ".join(
+        f"'{a}' || chr(31) || '{b}'" for a, b in _BPE_FROZEN_MERGES
+    )
+    pair = "syms[i] || chr(31) || syms[i+1]"
+    return f"""
+WITH RECURSIVE
+ml AS (SELECT [{items}] AS m),
+words0 AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{sparse_fn.BPE_PRETOKEN_RE}')) AS word
+  FROM documents
+),
+wc AS (SELECT doc_id, word, count(*) AS k FROM words0 GROUP BY doc_id, word),
+dw AS (SELECT DISTINCT word FROM words0),
+steps(word, syms, n) AS (
+  SELECT word, list_append(string_split(word, ''), '</w>'), 0 FROM dw
+  UNION ALL
+  SELECT word,
+         syms[1:CAST(key % 1000000 AS INT)-1]
+           || [syms[CAST(key % 1000000 AS INT)] || syms[CAST(key % 1000000 AS INT)+1]]
+           || syms[CAST(key % 1000000 AS INT)+2:],
+         n + 1
+  FROM (
+    SELECT word, syms, n,
+           CAST(list_aggregate(list_transform(range(1, len(syms)),
+                i -> CASE WHEN list_position(m, {pair}) = 0
+                          THEN 1000000000000
+                          ELSE list_position(m, {pair}) * 1000000 + i END),
+                'min') AS BIGINT) AS key
+    FROM steps, ml
+  )
+  WHERE key < 1000000000000
+),
+final AS (
+  SELECT word, len(syms) AS t FROM steps
+  QUALIFY row_number() OVER (PARTITION BY word ORDER BY n DESC) = 1
+)
+SELECT d.doc_id, CAST(COALESCE(sum(w.k * f.t), 0) AS INT) AS n_tokens
+FROM documents d
+LEFT JOIN wc w ON w.doc_id = d.doc_id
+LEFT JOIN final f ON f.word = w.word
+GROUP BY d.doc_id
+"""
+
+
+# Prepared for the r11 promotion (this round's 50-slot driver batch is
+# fully booked by the 47 aged rows + 3 r10 promotions): registered
+# rows-only now, and the oracle is ALREADY pinned against the Spark
+# output in tests/test_bpe.py::test_bpe_frozen_oracle_parity, so the
+# ORACLES registration is a zero-risk one-liner next round.
+ORACLE_BPE_TOKEN_COUNT_FROZEN = _bpe_frozen_oracle()
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable sketch aggregates — the 100 TB profiling path where
     exact distinct/percentile would shuffle every value: per-event-type
@@ -9992,6 +10095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_auto": q_embedding_near_dup_auto,
     "embedding_pca": q_embedding_pca,
     "bpe_token_count": q_bpe_token_count,
+    "bpe_token_count_frozen": q_bpe_token_count_frozen,  # rows-only r10; oracle staged for r11
     "substring_dedup_hashed": q_substring_dedup_hashed,
 }
 

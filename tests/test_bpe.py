@@ -143,3 +143,61 @@ def test_bpe_learns_cjk_merges(spark):
     for i, text in docs:
         stream = "".join(bpe_pretokens(text))
         assert "".join(t.replace("</w>", "") for t in enc[i]) == stream
+
+
+def test_bpe_frozen_oracle_parity(spark, sf_dir):
+    """The staged r11 promotion, pinned NOW: the frozen-merge apply
+    lane's DuckDB recursive-CTE oracle must reproduce the Spark
+    tokenization's per-doc token counts exactly — registering
+    bpe_token_count_frozen in ORACLES next round is then risk-free."""
+    import duckdb
+
+    from aiotcvectordb_spark import queries as Q
+
+    got = {
+        r.doc_id: r.n_tokens
+        for r in Q.QUERIES["bpe_token_count_frozen"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = dict(con.sql(Q.ORACLE_BPE_TOKEN_COUNT_FROZEN).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_bpe_frozen_equals_live_encode_semantics(spark):
+    """bpe_encode with the frozen table applies the same greedy rule as
+    with any merge list — spot-check a constructed doc whose words
+    exercise rank ties, chained merges, and unknown symbols."""
+    from aiotcvectordb_spark import queries as Q
+
+    df = spark.createDataFrame(
+        [(1, "order merge batch zzz"), (2, ""), (3, "filter filter")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_tokens, r.tokens)
+        for r in bpe.bpe_encode(df, Q._BPE_FROZEN_MERGES).collect()
+    }
+    # python reference: encode_word semantics (leftmost lowest-rank)
+    ranks = {m: i for i, m in enumerate(Q._BPE_FROZEN_MERGES)}
+
+    def ref(word):
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                break
+            i = best[1]
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    for doc_id, text in [(1, "order merge batch zzz"), (3, "filter filter")]:
+        want = [t for w in text.split() for t in ref(w)]
+        assert rows[doc_id] == (len(want), want), doc_id
+    assert rows[2] == (0, [])

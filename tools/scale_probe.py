@@ -103,6 +103,13 @@ PROBE_QUERIES = [
     "search_grouped",
     "fulltext_phrase",
     "decontaminate_fraction",
+    # r10 additions: fixed-centroid IVF (assignment + broadcast probe
+    # join + rank window), the portable-hash substring lane (the
+    # production lane's shuffle class), and the incremental
+    # decontamination (bench-or-batch scan only)
+    "ann_ivf_cosine_fixed",
+    "substring_dedup_hashed_portable",
+    "incremental_decontaminate_fraction",
     "bigram_logprob",
     "incremental_dedup",
     "profile_table",
