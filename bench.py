@@ -140,6 +140,10 @@ HEADLINE = [
     "search_grouped",  # r9: diversify-by-label group_by search
     "fulltext_phrase",  # r9: exact-phrase adjacency match
     "fulltext_phrase_cjk",  # r9: phrase over the CJK bigram stream
+    "ann_ivf_cosine_fixed",  # r10: oracled IVF cell-prune plan
+    "substring_dedup_hashed_portable",  # r10: oracled hashed lane (md5 twin)
+    "incremental_decontaminate_fraction",  # r10: 7th twin's batch form
+    "bpe_token_count_frozen",  # r10: frozen-merge apply lane (oracle staged)
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_dedup_cjk",

@@ -370,6 +370,33 @@ SHOWCASE = [
         "the positional-postings m-way join twin is the persisted-"
         "index form (pinned frame-equal in pytest)",
     ),
+    (
+        "ann_ivf_cosine_fixed",
+        "r10 (oracled): the IVF cell-prune plan end-to-end — broadcast "
+        "nested-loop of K centroid literals against the scan + "
+        "vec_id-keyed assignment window (the index BUILD; stored "
+        "cell-partitioned at serving scale), tiny broadcast probe-set "
+        "join (Q x nprobe rows, engine-computed on both sides), exact "
+        "rescore only inside probed cells, per-query rank window",
+    ),
+    (
+        "substring_dedup_hashed_portable",
+        "r10 (oracled): the hashed Lee-et-al lane with the portable "
+        "md5 key pair — gram reduced to two 60-bit BIGINTs in the "
+        "scan projection, ONE hash aggregate with map-side partials, "
+        "keyed equi-join back, bounded xN coverage explode, LEFT "
+        "ANTI keep, ordered reassembly; identical dataflow to the "
+        "xxhash64 production lane, now driver-hash-checked",
+    ),
+    (
+        "incremental_decontaminate_fraction",
+        "r10 (oracled): bench-or-batch filter BEFORE tokenization (the "
+        "scan never shingles the standing train corpus), shared "
+        "shingle kernel, ONE shingle equi-join against the distinct "
+        "eval-suite set, two doc-keyed distinct aggregates, spine "
+        "left joins for explicit decision rows — O(eval suite + "
+        "batch) at any corpus scale",
+    ),
 ]
 
 
