@@ -2483,6 +2483,12 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = standing.select(
         F.col("embedding").alias("s_emb"), "cell"
     )
+    if n_rows > _semdedup_pin_min_rows():
+        # same AQE coalescing hazard as semantic_dedup's self-join:
+        # both cell-keyed joins' outputs grow batch x cell-members
+        # while their input bytes stay small — pin the shuffle origin
+        b = b.repartition(_SEMDEDUP_K, "cell")
+        s = s.repartition(_SEMDEDUP_K, "cell")
     pair_bs = F.round(cosine_score_fixed("s_emb", "b_emb", DIM), ROUND_DIGITS)
     hit_standing = (
         b.join(s, "cell")
@@ -2496,6 +2502,8 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.col("ccos").alias("a_ccos"),
     )
+    if n_rows > _semdedup_pin_min_rows():
+        a = a.repartition(_SEMDEDUP_K, "cell")
     pair_ab = F.round(cosine_score_fixed("a_emb", "b_emb", DIM), ROUND_DIGITS)
     hit_batch = (
         a.join(b, "cell")

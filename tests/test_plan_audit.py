@@ -491,6 +491,13 @@ def test_semdedup_in_cell_join_partition_pin(spark, sf_dir, monkeypatch):
         pinned,
     )
     assert len(cells) == 2, pinned.count("REPARTITION_BY_NUM")
+    incr = audit.executed_plan(
+        Q.QUERIES["incremental_semantic_dedup"](spark, sf_dir)
+    )
+    assert len(re.findall(
+        r"Exchange hashpartitioning\(cell#\d+, \d+\), REPARTITION_BY_NUM",
+        incr,
+    )) >= 3  # b, s, a sides (b may additionally appear as ReusedExchange)
     monkeypatch.delenv("SPARK_GRAFT_SEMDEDUP_PIN_MIN_ROWS")
     default = audit.executed_plan(Q.QUERIES["semantic_dedup"](spark, sf_dir))
     assert "REPARTITION_BY_NUM" not in default
