@@ -65,6 +65,12 @@ DRIVER_BATCH = 50
 # changed (update on every rewrite; additions are covered by the
 # "no driver row" rule and need no entry here)
 REWRITES: dict[str, int] = {
+    # semantic_dedup / incremental_semantic_dedup NOT bumped for the
+    # r10 AQE partition pin: the guard fires only above 20k rows
+    # (never at the driver's sf0.01), repartition cannot change any
+    # row, and both sf0.01 oracle hashes were re-verified identical
+    # post-change (tools/parity_check.py) — the ann_pq_fullrescore
+    # precedent. mmr_rerank likewise (see its entry below).
     "minhash_signatures": 4,  # r4 CJK tokenizer
     "minhash_lsh_candidates": 4,  # r4 CJK tokenizer
     "dedup_components": 4,  # r4 pre-contraction + frozen-star pruning
