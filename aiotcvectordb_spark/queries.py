@@ -9935,62 +9935,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # enforces this ordering plus the post-driver age cap by simulating
     # the driver consuming the front batch; tools/rotate_registry.py
     # regenerates this block. Re-rotation is the round's CLOSING commit.
-    # --- forced for r9: rewritten since last row / no row yet ---
-    "gram_novelty": q_gram_novelty,  # new, no driver row yet
-    "incremental_gram_novelty": q_incremental_gram_novelty,  # new, no driver row yet
-    "stratified_sample_hash": q_stratified_sample_hash,  # new, no driver row yet
-    "search_grouped": q_search_grouped,  # new, no driver row yet
-    "fulltext_phrase": q_fulltext_phrase,  # new, no driver row yet
-    "fulltext_phrase_cjk": q_fulltext_phrase_cjk,  # new, no driver row yet
-    "search_by_text": q_search_by_text,  # rewritten r9
-    "gopher_quality_filter": q_gopher_quality_filter,  # rewritten r9
-    "curate_corpus_v2": q_curate_corpus_v2,  # new, no driver row yet
-    "incremental_semantic_dedup": q_incremental_semantic_dedup,  # new, no driver row yet
-    "incremental_line_dedup": q_incremental_line_dedup,  # new, no driver row yet
-    "decontaminate_fraction": q_decontaminate_fraction,  # new, no driver row yet
-    "ann_bq_cosine": q_ann_bq_cosine,  # new, no driver row yet
-    "ann_sq8_cosine": q_ann_sq8_cosine,  # new, no driver row yet
-    "mmr_rerank": q_mmr_rerank,  # new, no driver row yet
-    "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,  # new r10, no driver row yet
-    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # new r10
-    "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,  # new r10
-    # --- r6 rows (age 3) (must be in the next batch) ---
-    "gif_frames": q_gif_frames,
-    "line_dedup": q_line_dedup,
-    "substring_dedup": q_substring_dedup,
-    "incremental_substring_dedup": q_incremental_substring_dedup,
-    "semi_anti_join": q_semi_anti_join,
-    "rollup_agg": q_rollup_agg,
-    "lang_id": q_lang_id,
-    "interval_join": q_interval_join,
-    "join_pruned_dims": q_join_pruned_dims,
-    "event_window_agg": q_event_window_agg,
-    "sliding_window_agg": q_sliding_window_agg,
-    "dedup_exact": q_dedup_exact,
-    "upsert_merge": q_upsert_merge,
-    "search_flat_ip": q_search_flat_ip,
-    "asof_join": q_asof_join,
-    "fulltext_bm25_cjk": q_fulltext_bm25_cjk,
-    "fulltext_bm25": q_fulltext_bm25,
-    "sparse_encode": q_sparse_encode,
-    "jpeg_probe": q_jpeg_probe,
-    "jpeg_progressive_probe": q_jpeg_progressive_probe,
-    "lang_id_cjk": q_lang_id_cjk,
-    "doc_repetition": q_doc_repetition,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "dedup_components": q_dedup_components,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash_fingerprint": q_simhash_fingerprint,
-    "simhash_near_dup": q_simhash_near_dup,
-    "chunk_expand": q_chunk_expand,
-    "benchmark_decontaminate": q_benchmark_decontaminate,
-    "pack_sequences": q_pack_sequences,
-    "curate_corpus": q_curate_corpus,
-    "incremental_dedup": q_incremental_dedup,
-    # --- r7 rows (age 2) ---
-    "docx_extract": q_docx_extract,
-    "rtf_extract": q_rtf_extract,
+    # --- forced for r10: rewritten since last row / no row yet ---
+    "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,  # new, no driver row yet
+    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # new, no driver row yet
+    "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,  # new, no driver row yet
+    # --- r7 rows (age 3) (must be in the next batch) ---
     "substring_dedup_cjk": q_substring_dedup_cjk,
     "dataset_mix_temp": q_dataset_mix_temp,
     "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,
@@ -10038,7 +9987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue_change": q_forecast_revenue_change,
     "small_quantity_revenue": q_small_quantity_revenue,
-    # --- r8 rows (age 1) ---
+    # --- r8 rows (age 2) ---
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences_nosplit": q_pack_sequences_nosplit,
     "c4_quality_filter": q_c4_quality_filter,
@@ -10087,6 +10036,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_filter_limit": q_delete_filter_limit,
     "percentiles": q_percentiles,
     "query_filter_sort_paginate": q_query_filter_sort_paginate,
+    # --- r9 rows (age 1) ---
+    "gram_novelty": q_gram_novelty,
+    "incremental_gram_novelty": q_incremental_gram_novelty,
+    "stratified_sample_hash": q_stratified_sample_hash,
+    "search_grouped": q_search_grouped,
+    "fulltext_phrase": q_fulltext_phrase,
+    "fulltext_phrase_cjk": q_fulltext_phrase_cjk,
+    "search_by_text": q_search_by_text,
+    "gopher_quality_filter": q_gopher_quality_filter,
+    "curate_corpus_v2": q_curate_corpus_v2,
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,
+    "incremental_line_dedup": q_incremental_line_dedup,
+    "decontaminate_fraction": q_decontaminate_fraction,
+    "ann_bq_cosine": q_ann_bq_cosine,
+    "ann_sq8_cosine": q_ann_sq8_cosine,
+    "mmr_rerank": q_mmr_rerank,
+    "gif_frames": q_gif_frames,
+    "line_dedup": q_line_dedup,
+    "substring_dedup": q_substring_dedup,
+    "incremental_substring_dedup": q_incremental_substring_dedup,
+    "semi_anti_join": q_semi_anti_join,
+    "rollup_agg": q_rollup_agg,
+    "lang_id": q_lang_id,
+    "interval_join": q_interval_join,
+    "join_pruned_dims": q_join_pruned_dims,
+    "event_window_agg": q_event_window_agg,
+    "sliding_window_agg": q_sliding_window_agg,
+    "dedup_exact": q_dedup_exact,
+    "upsert_merge": q_upsert_merge,
+    "search_flat_ip": q_search_flat_ip,
+    "asof_join": q_asof_join,
+    "fulltext_bm25_cjk": q_fulltext_bm25_cjk,
+    "fulltext_bm25": q_fulltext_bm25,
+    "sparse_encode": q_sparse_encode,
+    "jpeg_probe": q_jpeg_probe,
+    "jpeg_progressive_probe": q_jpeg_progressive_probe,
+    "lang_id_cjk": q_lang_id_cjk,
+    "doc_repetition": q_doc_repetition,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "dedup_components": q_dedup_components,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_near_dup": q_simhash_near_dup,
+    "chunk_expand": q_chunk_expand,
+    "benchmark_decontaminate": q_benchmark_decontaminate,
+    "pack_sequences": q_pack_sequences,
+    "curate_corpus": q_curate_corpus,
+    "incremental_dedup": q_incremental_dedup,
+    "docx_extract": q_docx_extract,
+    "rtf_extract": q_rtf_extract,
     # --- non-oracled entries (rows-only driver check; order free) ---
     "curate_corpus_v2_auto": q_curate_corpus_v2_auto,
     "semantic_dedup_auto": q_semantic_dedup_auto,
@@ -10103,7 +10103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_auto": q_embedding_near_dup_auto,
     "embedding_pca": q_embedding_pca,
     "bpe_token_count": q_bpe_token_count,
-    "bpe_token_count_frozen": q_bpe_token_count_frozen,  # rows-only r10; oracle staged for r11
+    "bpe_token_count_frozen": q_bpe_token_count_frozen,
     "substring_dedup_hashed": q_substring_dedup_hashed,
 }
 
