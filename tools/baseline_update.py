@@ -124,6 +124,14 @@ RATIO_NOTES: dict[str, str] = {
         "agg-prune/join-elim: the logprob sum over the vocab join "
         "prunes under count(); noop pays the c1/c2-pruned join"
     ),
+    "incremental_decontaminate_fraction": (
+        "join-elim: count() of the spine drops both decision-column "
+        "left joins and the shingle pipeline behind them"
+    ),
+    "approx_sketches": (
+        "agg-prune: count() drops the HLL/percentile sketch "
+        "expressions, keeping group keys; sub-0.7 s absolute"
+    ),
 }
 
 
