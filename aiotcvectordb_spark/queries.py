@@ -7613,6 +7613,238 @@ WHERE {_CURATE_H60.format(s="CAST(doc_id AS VARCHAR)")} % 10000 <
 """
 
 
+_WEIGHTED_SAMPLE_K = 200
+
+
+def q_weighted_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic WEIGHTED sampling without replacement (r10,
+    staged for r11 promotion) — Efraimidis & Spirakis 2006 ('Weighted
+    random sampling with a reservoir'): drawing k items with
+    probability proportional to weight w equals taking the top-k by
+    key u^(1/w) with u ~ Uniform(0,1); here u derives from the
+    portable md5 hash of the doc id, so the sample is REPRODUCIBLE
+    across engines, runs, and partitionings — the weighted companion
+    of ``stratified_sample_hash`` (rates per stratum there, weights
+    per item here). Weight = n_chars: longer documents sampled
+    proportionally more often, the standard proportional-to-size
+    curation draw. Both engines rank on the LOG key ln(u)/w (the
+    library form — monotone in u^(1/w), numerically spread where the
+    power key saturates toward 1) rounded to ROUND_DIGITS, doc_id
+    ascending on ties.
+
+    Scale shape: one map-only scan projection computes the key; top-k
+    is a per-partition TakeOrdered merge (orderBy+limit), never a
+    global sort; the rank window sees k rows."""
+    df = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = "((pmod(" + _portable_hash_expr(
+        "cast(doc_id as string)"
+    ) + ", 1000000) + 0.5) / 1000000.0)"
+    key = F.round(
+        F.expr(f"ln({u}) / cast(n_chars as double)"), ROUND_DIGITS
+    )
+    top = (
+        df.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            key.alias("key"),
+        )
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(_WEIGHTED_SAMPLE_K)
+    )
+    w = Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+ORACLE_WEIGHTED_SAMPLE_HASH = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars AS weight,
+         round(ln(({_CURATE_H60.format(s="CAST(doc_id AS VARCHAR)")} % 1000000 + 0.5)
+                  / 1000000.0) / CAST(n_chars AS DOUBLE), {ROUND_DIGITS}) AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, weight, key,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank
+FROM keyed
+QUALIFY rank <= {_WEIGHTED_SAMPLE_K}
+ORDER BY rank
+"""
+
+
+_WINNOW_K = 8  # char k-gram width (Schleimer et al.'s k: noise threshold)
+_WINNOW_W = 4  # window width (guarantee threshold t = w + k - 1)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (r10, staged for r11
+    promotion) — Schleimer, Wilkerson & Aiken 2003 ('Winnowing: Local
+    Algorithms for Document Fingerprinting', the MOSS algorithm): hash
+    every char k-gram, slide a w-hash window, and in each window
+    select the minimal hash (RIGHTMOST position on ties); the distinct
+    selections are the fingerprint, guaranteeing any shared substring
+    of length >= w + k - 1 contributes a shared fingerprint while
+    storing only ~2/(w+1) of the grams. The local-fingerprint
+    complement of the whole-doc ``doc_fingerprint`` and the cut-based
+    ``substring_dedup``: copy DETECTION with bounded storage.
+
+    Everything is integer math on the portable 60-bit hash (no float
+    anywhere): the window pick is ONE BIGINT min over a w-row frame of
+    the encoded key h * 10^9 + (10^9 - 1 - pos) — h is 31 bits so the
+    encoding tops out at ~2.1e18 < 2^63, and docs up to 1e9 chars fit
+    the pos field — whose minimum is
+    exactly (min hash, max pos) — the rightmost-min rule as a plain
+    min. Output is the per-doc fingerprint summary (count + sum + min
+    + max of selected hashes over n_grams) so the driver row stays
+    doc-sized; the full (doc_id, pos, h) selection set is what a
+    plagiarism index would store, pinned against a Python reference
+    implementation in tests/test_winnow.py.
+
+    Scale shape: grams in the scan projection, ONE doc-keyed window
+    (partitions with the data), map-side-combinable final aggregate —
+    no self-join, no all-pairs."""
+    sel = _winnow_selection(spark, sf_dir)
+    return sel.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_selected"),
+        F.sum("h").alias("fp_sum"),
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+    )
+
+
+def _winnow_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct winnowing picks (doc_id, pos, h) — the stored
+    fingerprint index; shared by the summary query and tests."""
+    from aiotcvectordb_spark import pipelines
+
+    k, w = _WINNOW_K, _WINNOW_W
+    df = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= k + w - 1
+    )
+    grams = pipelines.char_ngrams(df, k)  # (doc_id, i, gram), 0-based i
+    hashed = grams.select(
+        "doc_id",
+        F.col("i").alias("pos"),
+        F.expr(
+            f"pmod({_portable_hash_expr('gram')}, 2147483648)"
+        ).alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    n_win = Window.partitionBy("doc_id")
+    picks = (
+        hashed.withColumn(
+            "pick",
+            F.min(
+                F.col("h") * F.lit(1000000000).cast("long")
+                + (F.lit(999999999) - F.col("pos"))
+            ).over(win),
+        )
+        .withColumn("n_grams", F.count("*").over(n_win))
+        # full windows only: starts 0 .. n_grams - w
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select(
+            "doc_id",
+            (F.lit(999999999) - F.col("pick") % 1000000000).cast("int").alias("pos"),
+            F.expr("pick div 1000000000").cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    return picks
+
+
+ORACLE_WINNOW_FINGERPRINT = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_CURATE_H60.format(s=f"substr(text, i, {_WINNOW_K})")} % 2147483648 AS h
+  FROM docs,
+       LATERAL unnest(generate_series(1, length(text) - {_WINNOW_K - 1})) AS t(i)
+),
+winmin AS (
+  SELECT doc_id, pos,
+         min(h * 1000000000 + (999999999 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS pick,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+),
+picks AS (
+  SELECT DISTINCT doc_id,
+         CAST(999999999 - pick % 1000000000 AS INT) AS pos,
+         pick // 1000000000 AS h
+  FROM winmin WHERE pos <= n_grams - {_WINNOW_W}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(h) AS BIGINT) AS fp_sum,
+       CAST(min(h) AS BIGINT) AS fp_min,
+       CAST(max(h) AS BIGINT) AS fp_max
+FROM picks GROUP BY doc_id
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (r10,
+    staged for r11 promotion) — the information-density member of the
+    quality battery: H = -sum((c/T) * ln(c/T)) over the doc's token
+    counts, in NATS. Near-zero entropy flags degenerate repetition
+    (one token dominating — spam, boilerplate, keyword stuffing) that
+    length/ratio rules miss; entropy near ln(n_distinct) means a flat
+    distribution. Complements ``doc_repetition`` (verbatim n-gram
+    repeats) and the LM scores (corpus-level likelihood) with a
+    document-local distributional measure.
+
+    Plan: tokens in the scan projection, one (doc, token) count
+    aggregate, one doc-keyed entropy fold with map-side partials —
+    keyed shuffles only. The float sum is order-insensitive at
+    ROUND_DIGITS (the unigram_logprob precedent)."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toks = df.select(
+        "doc_id", F.explode(sparse_fn.bm25_tokens_col("text")).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("__clogc"),
+    )
+    # H = ln(T) - (1/T) * sum(c ln c): one pass, no second join
+    ent = F.round(
+        F.log("n_tokens") - F.col("__clogc") / F.col("n_tokens"),
+        ROUND_DIGITS,
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        ent.alias("entropy"),
+    )
+
+
+ORACLE_TOKEN_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_BM25_TOKS_SQL}) AS tok FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         sum(c * ln(c)) AS clogc
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(ln(n_tokens) - clogc / n_tokens, {ROUND_DIGITS}) AS entropy
+FROM per_doc
+"""
+
+
 # avg() is avoided on purpose: DuckDB's avg(DECIMAL) returns DOUBLE with
 # engine-specific accumulation; exact decimal sum / int count keeps the
 # threshold bit-identical across engines.
@@ -10105,6 +10337,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_count": q_bpe_token_count,
     "bpe_token_count_frozen": q_bpe_token_count_frozen,
     "substring_dedup_hashed": q_substring_dedup_hashed,
+    # r10 staged promotions (oracles written + pytest-pinned vs DuckDB
+    # in tests/test_staged_oracles.py; ORACLES registration deferred to
+    # r11 — this round's 50-slot batch is booked, and registering the
+    # staged set next round crosses 151 oracled entries, lifting the
+    # rotation cap to ceil(Q/50) = 4):
+    "weighted_sample_hash": q_weighted_sample_hash,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "token_entropy": q_token_entropy,
 }
 
 ORACLES: dict[str, str] = {

@@ -1,0 +1,153 @@
+"""r10 staged promotions: the three queries registered rows-only this
+round (weighted_sample_hash, winnow_fingerprint, token_entropy) already
+have their DuckDB oracles written and pinned bit-equal here, so the r11
+ORACLES registration is a zero-risk one-liner (the bpe_token_count_frozen
+pattern, tests/test_bpe.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from aiotcvectordb_spark import queries as Q
+
+STAGED = {
+    "weighted_sample_hash": "ORACLE_WEIGHTED_SAMPLE_HASH",
+    "winnow_fingerprint": "ORACLE_WINNOW_FINGERPRINT",
+    "token_entropy": "ORACLE_TOKEN_ENTROPY",
+}
+
+
+def _oracle_df(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con.sql(sql).df()
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_parity(spark, sf_dir, name):
+    sdf = Q.QUERIES[name](spark, sf_dir).toPandas()
+    odf = _oracle_df(sf_dir, getattr(Q, STAGED[name]))
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf) > 0
+    cols = sorted(sdf.columns)
+
+    def norm(df):
+        d = df[cols].copy()
+        for c in cols:
+            if str(d[c].dtype).startswith("float"):
+                d[c] = d[c].astype("float64").round(9)
+        return sorted(
+            tuple(str(v) for v in row)
+            for row in d.itertuples(index=False, name=None)
+        )
+
+    assert norm(sdf) == norm(odf)
+
+
+def test_staged_entries_not_oracled_yet():
+    """The staging contract: present in QUERIES, absent from ORACLES
+    (this round's driver batch is booked), oracle constant importable."""
+    for name, oracle_attr in STAGED.items():
+        assert name in Q.QUERIES
+        assert name not in Q.ORACLES
+        assert getattr(Q, oracle_attr).strip()
+
+
+def test_winnow_matches_python_reference(spark, tmp_path):
+    """The window-min encoding must implement Schleimer et al.'s
+    rightmost-min rule exactly — checked against a direct Python
+    winnowing over constructed docs (repeats force hash ties inside a
+    window, exercising the rightmost tie-break)."""
+    texts = [
+        (1, "abcabcabcabcabcabc"),  # period-3 repeats: constant tie storms
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "aaaaaaaaaaaaaaa"),  # all grams identical
+        (4, "xy"),  # shorter than k + w - 1: filtered out entirely
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {}
+    for r in Q._winnow_selection(spark, str(tmp_path)).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.h))
+
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2147483648
+
+    k, w = Q._WINNOW_K, Q._WINNOW_W
+    want = {}
+    for doc_id, text in texts:
+        if len(text) < k + w - 1:
+            continue
+        hs = [h60(text[i : i + k]) for i in range(len(text) - k + 1)]
+        sel = set()
+        for s in range(len(hs) - w + 1):
+            window = hs[s : s + w]
+            m = min(window)
+            # rightmost minimal position
+            pos = s + max(i for i, v in enumerate(window) if v == m)
+            sel.add((pos, hs[pos]))
+        want[doc_id] = sel
+    assert got == want
+    assert 4 not in got
+
+
+def test_winnow_guarantee_shared_substring(spark, tmp_path):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= w + k - 1 share at least one selected fingerprint hash."""
+    shared = "zqxwvutsrqponmlk"  # len 16 >= k + w - 1 = 11
+    df = spark.createDataFrame(
+        [(1, "aaa " + shared + " bbb"), (2, "ccc ddd " + shared + " eee")],
+        "doc_id long, text string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    by_doc = {}
+    for r in Q._winnow_selection(spark, str(tmp_path)).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.h)
+    assert by_doc[1] & by_doc[2]
+
+
+def test_weighted_sample_proportional_to_size(spark, sf_dir):
+    """E-S keys rank long docs ahead on average: the sample's mean
+    weight must exceed the corpus mean weight (proportional-to-size),
+    and the frame is exactly k ranked rows with negative log keys."""
+    out = Q.QUERIES["weighted_sample_hash"](spark, sf_dir).collect()
+    assert len(out) == Q._WEIGHTED_SAMPLE_K
+    assert [r.rank for r in out] == sorted(r.rank for r in out)
+    assert all(r.key <= 0 for r in out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "n_chars > 0"
+    )
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.weight for r in out) / len(out)
+    assert sample_mean > corpus_mean
+
+
+def test_token_entropy_limits(spark, tmp_path):
+    """Degenerate repetition scores ~0; a doc of T distinct tokens
+    scores ln(T); entropy never exceeds ln(n_distinct)."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),
+            (2, "one two three four"),
+            (3, "a a b b c c"),
+        ],
+        "doc_id long, text string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy)
+        for r in Q.QUERIES["token_entropy"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (5, 1, 0.0)
+    assert got[2] == (4, 4, round(math.log(4), 6))
+    assert got[3] == (6, 3, round(math.log(3), 6))
+    for n, d, e in got.values():
+        assert e <= round(math.log(d), 6) + 1e-9
