@@ -138,49 +138,61 @@ RATIO_NOTES: dict[str, str] = {
 def bench_table(detail: dict) -> str:
     qs = detail["queries"]
     rows = detail.get("rows", {})
-    noop = detail.get("queries_noop", {})
+    # r10 re-baseline: "queries" is the noop-write GATE; the count
+    # column is the diagnostic. Pre-r10 detail files carried the
+    # opposite layout ("queries" = count, "queries_noop" = noop) —
+    # refuse them rather than silently publishing a mixed-method table.
+    if "queries_noop" in detail:
+        raise SystemExit(
+            "pre-r10 BENCH_DETAIL layout (count-based gate); re-run "
+            "bench.py — the standing table's gate is noop-based from "
+            "r10 on"
+        )
+    count = detail.get("queries_count", {})
     lines = [
         BENCH_BEGIN,
         f"Standing bench (`python bench.py`, sf{detail['sf']}, "
-        f"{detail['n_queries']} headline queries, interleaved best-of-3): "
-        f"**total {detail['value']} s** (source commit {_head()}).",
+        f"{detail['n_queries']} headline queries, interleaved best-of-3 "
+        f"forced-noop-WRITE): **total {detail['value']} s** "
+        f"(source commit {_head()}).",
         "",
-        "The `sec` column (count-based execution) is the standing gate —",
-        "method-consistent with every prior round on both sides of the",
-        "2x comparison. The `noop sec` column (r9, interleaved best-of-2",
-        "under a forced noop WRITE) is the materialization-honesty",
-        "number: count() lets Catalyst prune unreferenced columns and",
-        "whole map-only projections, so projection-shaped queries cost",
-        "more than their count figure — a noop/count ratio near 2x on a",
-        "map-only row means the count figure skipped roughly the string-",
-        "building half of the projection, not that the query regressed.",
-        f"Every row with n/c > {RATIO_NOTE_THRESHOLD} carries its",
+        "**r10 RE-BASELINE — method jump, read before comparing rounds:**",
+        "the `sec` gate column is now the forced noop WRITE (every output",
+        "column materialized, nothing collected), retiring the r9 caveat",
+        "that count() lets Catalyst prune unreferenced columns, whole",
+        "map-only projections, and row-preserving left joins. Totals from",
+        "rounds <= r9 (BENCH_r01..r09, 112.004 s standing at r9) are",
+        "count-based and NOT comparable to this gate; the driver's 2x",
+        "comparison stays method-consistent because bench.py and this",
+        "table switched in the same commit. The `count sec` column keeps",
+        "the old method as the pruning diagnostic: a gate/count ratio",
+        "near 2x on a map-only row means count() skipped roughly the",
+        "string-building half of the projection.",
+        f"Every row with g/c > {RATIO_NOTE_THRESHOLD} carries its",
         "count-pruning mechanism in the note column (r10; regeneration",
         "fails if one is missing).",
         "",
-        "| query | sec | noop sec | n/c | rows | note |",
+        "| query | sec | count sec | g/c | rows | note |",
         "|---|---|---|---|---|---|",
     ]
     missing = []
     for name in sorted(qs, key=lambda n: -qs[n]):
-        n_s = noop.get(name)
-        flagged = bool(n_s) and qs[name] > 0 and (
-            n_s / qs[name] > RATIO_NOTE_THRESHOLD
+        c_s = count.get(name)
+        flagged = bool(c_s) and c_s > 0 and (
+            qs[name] / c_s > RATIO_NOTE_THRESHOLD
         )
-        ratio = (
-            f"{n_s / qs[name]:.2f}" if n_s and qs[name] > 0 else ""
-        )
-        n_cell = f"{n_s:.3f}" if n_s is not None else ""
+        ratio = f"{qs[name] / c_s:.2f}" if c_s else ""
+        c_cell = f"{c_s:.3f}" if c_s is not None else ""
         note = RATIO_NOTES.get(name, "") if flagged else ""
         if flagged and not note:
-            missing.append(f"{name} (n/c {ratio})")
+            missing.append(f"{name} (g/c {ratio})")
         lines.append(
-            f"| {name} | {qs[name]:.3f} | {n_cell} | {ratio} | "
+            f"| {name} | {qs[name]:.3f} | {c_cell} | {ratio} | "
             f"{rows.get(name, '')} | {note} |"
         )
     if missing:
         raise SystemExit(
-            f"rows above the {RATIO_NOTE_THRESHOLD}x noop/count "
+            f"rows above the {RATIO_NOTE_THRESHOLD}x gate/count "
             f"threshold lack a RATIO_NOTES mechanism entry: {missing}"
         )
     lines.append(BENCH_END)
