@@ -132,6 +132,10 @@ RATIO_NOTES: dict[str, str] = {
         "agg-prune: count() drops the HLL/percentile sketch "
         "expressions, keeping group keys; sub-0.7 s absolute"
     ),
+    "pivot_wide": (
+        "agg-prune: count() drops the pivoted per-bucket aggregate "
+        "columns, keeping group keys; sub-0.5 s absolute"
+    ),
 }
 
 
