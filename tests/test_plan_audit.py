@@ -516,6 +516,16 @@ def test_round10_ops_shuffle_budgets(spark, sf_dir):
         "ann_ivf_cosine_fixed": 3,
         "substring_dedup_hashed_portable": 6,
         "incremental_decontaminate_fraction": 9,
+        # staged r11 promotions: the weighted sampler is a pure
+        # map-only key projection + TakeOrdered (ZERO shuffles; the
+        # rank window sees only the k merged rows); winnowing is ONE
+        # doc-keyed window whose partitioning the final per-doc
+        # aggregate reuses; entropy is the widen repartition + two
+        # keyed aggregates ((doc, tok) then doc), both with map-side
+        # partials.
+        "weighted_sample_hash": 0,
+        "winnow_fingerprint": 1,
+        "token_entropy": 3,
     }
     for name, budget in budgets.items():
         df = Q.QUERIES[name](spark, sf_dir)
