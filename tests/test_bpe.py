@@ -201,3 +201,17 @@ def test_bpe_frozen_equals_live_encode_semantics(spark):
         want = [t for w in text.split() for t in ref(w)]
         assert rows[doc_id] == (len(want), want), doc_id
     assert rows[2] == (0, [])
+
+
+def test_bpe_frozen_oracle_parity_at_driver_scale(spark):
+    """Same pin at sf0.01 — the driver's correctness scale — so the
+    r11 ORACLES registration cannot be surprised by a bigger distinct-
+    word table (the staged-oracles rule)."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 testdata not present")
+    test_bpe_frozen_oracle_parity(spark, sf_dir)

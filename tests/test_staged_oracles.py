@@ -48,6 +48,17 @@ def test_staged_oracle_parity(spark, sf_dir, name):
     assert norm(sdf) == norm(odf)
 
 
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_parity_at_driver_scale(spark, name):
+    """Same pin at sf0.01 — the scale the driver's correctness gate
+    actually runs at — so the r11 promotion cannot be surprised by a
+    scale-dependent divergence (rounding boundaries, empty groups)."""
+    sf_dir = "/root/testdata/sf0.01"
+    if not __import__("os").path.isdir(sf_dir):
+        pytest.skip("sf0.01 testdata not present")
+    test_staged_oracle_parity(spark, sf_dir, name)
+
+
 def test_staged_entries_not_oracled_yet():
     """The staging contract: present in QUERIES, absent from ORACLES
     (this round's driver batch is booked), oracle constant importable."""
