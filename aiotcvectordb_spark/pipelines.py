@@ -101,6 +101,15 @@ def word_ngrams(df: DataFrame, n: int, *, id_col: str = "doc_id",
     )
 
 
+# Canonical decontamination-family constants (r10 review: the batch
+# queries, the incremental query, and the streaming sink must share ONE
+# definition or the pinned batch==stream equalities can silently
+# diverge when a knob is tuned): GPT-3-style 8-token shingles, PaLM's
+# >= 70% overlap-fraction contamination rule.
+DECONTAM_SHINGLE_N = 8
+DECONTAM_FRACTION_CUT = 0.7
+
+
 def token_shingles(df: DataFrame, n: int, *, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(doc_id, shingle): space-joined ``n``-token shingles over the

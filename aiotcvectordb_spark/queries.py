@@ -2246,6 +2246,37 @@ def _semdedup_pin_min_rows() -> int:
     )
 
 
+def _assign_fixed_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell, ccos): assign every embedding to its
+    argmax ROUNDED-cosine cell (lowest cell id on ties) — THE
+    deterministic fixed-centroid assignment rule, extracted r10
+    (review) so the round-before-argmax and tie-break rules cannot
+    drift apart across their call sites: ``semantic_dedup``,
+    ``incremental_semantic_dedup``, and the oracled IVF plan
+    ``ann_ivf_cosine_fixed`` all share this one implementation (each
+    DuckDB twin mirrors it with the identical QUALIFY row_number
+    clause)."""
+    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(
+                cosine_score_fixed("embedding", "cvec", DIM), ROUND_DIGITS
+            ).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+
+
 def q_semantic_dedup(
     spark: SparkSession, sf_dir: str, *, _known_rows: int | None = None
 ) -> DataFrame:
@@ -2294,23 +2325,7 @@ def q_semantic_dedup(
     cents = spark.createDataFrame(
         list(enumerate(_SEMDEDUP_CENTROIDS)), "cell int, cvec array<double>"
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cell").asc()
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cell",
-            F.round(
-                cosine_score_fixed("embedding", "cvec", DIM), ROUND_DIGITS
-            ).alias("ccos"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .drop("rn")
-    )
+    assigned = _assign_fixed_cells(emb, cents)
     a = assigned.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
@@ -2455,23 +2470,7 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = spark.createDataFrame(
         list(enumerate(_SEMDEDUP_CENTROIDS)), "cell int, cvec array<double>"
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cell").asc()
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cell",
-            F.round(
-                cosine_score_fixed("embedding", "cvec", DIM), ROUND_DIGITS
-            ).alias("ccos"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .drop("rn")
-    )
+    assigned = _assign_fixed_cells(emb, cents)
     batch = assigned.filter(F.col("vec_id") >= _INCR_SPLIT)
     standing = assigned.filter(F.col("vec_id") < _INCR_SPLIT)
     b = batch.select(
@@ -5861,19 +5860,15 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the shingle hash (no pairwise doc comparison), distinct
     doc ids out — the same bounded-join pattern as MinHash-LSH, so it
     scales to a 100 TB corpus against a fixed benchmark suite."""
+    from aiotcvectordb_spark.pipelines import (
+        DECONTAM_SHINGLE_N,
+        token_shingles,
+    )
+
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    # tokens materialized once per row (lambda bodies re-evaluate their
-    # subtree per element — see q_minhash_signatures)
-    toked = df.select(
-        "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
-    ).filter(F.expr("size(__toks) >= 8"))
-    sh = (
-        "transform(sequence(1, size(__toks) - 7), "
-        "i -> concat_ws(' ', slice(__toks, i, 8)))"
-    )
-    shingled = toked.select(
-        "doc_id", F.explode(F.expr(sh)).alias("shingle")
-    )
+    # shared shingle kernel (r10): one implementation across the batch
+    # queries, the incremental query, and the streaming sink
+    shingled = token_shingles(df, DECONTAM_SHINGLE_N)
     bench = shingled.filter(F.col("doc_id") % 5 == 0).select("shingle").distinct()
     train = shingled.filter(F.col("doc_id") % 5 != 0)
     contaminated = (
@@ -5902,7 +5897,11 @@ GROUP BY s.doc_id
 """
 
 
-_DECONTAM_FRACTION_CUT = 0.7
+# canonical value lives in pipelines (shared with streaming/decontam.py
+# so batch, incremental, and streaming twins cannot silently diverge)
+from aiotcvectordb_spark.pipelines import (  # noqa: E402
+    DECONTAM_FRACTION_CUT as _DECONTAM_FRACTION_CUT,
+)
 
 
 def q_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5921,17 +5920,15 @@ def q_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, two per-doc distinct aggregates; no pairwise doc comparison,
     so the corpus side scales linearly against a fixed benchmark
     suite."""
+    from aiotcvectordb_spark.pipelines import (
+        DECONTAM_SHINGLE_N,
+        token_shingles,
+    )
+
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    toked = df.select(
-        "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
-    ).filter(F.expr("size(__toks) >= 8"))
-    sh = (
-        "transform(sequence(1, size(__toks) - 7), "
-        "i -> concat_ws(' ', slice(__toks, i, 8)))"
-    )
-    shingled = toked.select(
-        "doc_id", F.explode(F.expr(sh)).alias("shingle")
-    )
+    # shared shingle kernel (r10): one implementation across the batch
+    # queries, the incremental query, and the streaming sink
+    shingled = token_shingles(df, DECONTAM_SHINGLE_N)
     bench = (
         shingled.filter(F.col("doc_id") % 5 == 0)
         .select("shingle")
@@ -6016,7 +6013,10 @@ def q_incremental_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> Da
     this query); here it is recomputed from the table so the
     composition stays oracle-checkable (the incremental_gram_novelty
     precedent)."""
-    from aiotcvectordb_spark.pipelines import token_shingles
+    from aiotcvectordb_spark.pipelines import (
+        DECONTAM_SHINGLE_N,
+        token_shingles,
+    )
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     mx = df.agg(F.max("doc_id")).first()[0]  # bounded: ONE scalar
@@ -6024,7 +6024,7 @@ def q_incremental_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> Da
     is_bench = F.col("doc_id") % 5 == 0
     # incremental scan shape: shingle ONLY the eval suite + the batch
     relevant = df.filter(is_bench | (F.col("doc_id") >= cutoff))
-    shingled = token_shingles(relevant, _SUBSTR_DEDUP_N)
+    shingled = token_shingles(relevant, DECONTAM_SHINGLE_N)
     bench = shingled.filter(F.col("doc_id") % 5 == 0).select("shingle").distinct()
     bt = shingled.filter(
         (F.col("doc_id") % 5 != 0) & (F.col("doc_id") >= cutoff)
@@ -7697,7 +7697,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     + max of selected hashes over n_grams) so the driver row stays
     doc-sized; the full (doc_id, pos, h) selection set is what a
     plagiarism index would store, pinned against a Python reference
-    implementation in tests/test_winnow.py.
+    implementation in tests/test_staged_oracles.py.
 
     Scale shape: grams in the scan projection, ONE doc-keyed window
     (partitions with the data), map-side-combinable final aggregate —
@@ -8412,22 +8412,8 @@ def q_ann_ivf_cosine_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = spark.createDataFrame(
         list(enumerate(_IVF_FIXED_CENTROIDS)), "cell int, cvec array<double>"
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cell").asc()
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cell",
-            F.round(
-                cosine_score_fixed("embedding", "cvec", DIM), ROUND_DIGITS
-            ).alias("ccos"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter("rn = 1")
-        .select("vec_id", "embedding", "cell")
+    assigned = _assign_fixed_cells(emb, cents).select(
+        "vec_id", "embedding", "cell"
     )
     qdf = spark.createDataFrame(
         list(enumerate(FLAGSHIP_VECTORS)), "query_idx int, qv array<double>"

@@ -46,11 +46,18 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aiotcvectordb_spark.pipelines import (
+    DECONTAM_FRACTION_CUT,
+    DECONTAM_SHINGLE_N,
+)
 from aiotcvectordb_spark.streaming.epochlog import delete_epoch, epoch_ids
 
 _ROUND_DIGITS = 6
-_DEFAULT_N = 8
-_DEFAULT_CUT = 0.7  # = queries._DECONTAM_FRACTION_CUT (PaLM rule)
+# shingle width and contamination cut are IMPORTED from pipelines (r10
+# review), not re-declared: the pinned epoch-1 == batch-query equality
+# must survive any future knob tuning by construction
+_DEFAULT_N = DECONTAM_SHINGLE_N
+_DEFAULT_CUT = DECONTAM_FRACTION_CUT
 
 
 def _default_bench_pred() -> Column:
@@ -59,13 +66,18 @@ def _default_bench_pred() -> Column:
 
 
 def _read_shingle_index(
-    spark, index_dir: str, *, before_epoch: int | None = None
+    spark, index_dir: str, *, before_epoch: int | None = None,
+    dedup: bool = True
 ) -> DataFrame:
     """Distinct eval-suite shingles across committed epochs
     (membership-only — union is idempotent). Empty frame ONLY when no
     epoch directory exists; ``before_epoch`` hides the replaying
     epoch's own deltas so a replay grades against exactly the state
-    the original attempt saw."""
+    the original attempt saw. ``dedup=False`` returns the raw log for
+    callers that fold their own distinct on top (the sink unions the
+    batch's bench shingles first and distincts ONCE — stacking a
+    second full-shuffle distinct on the largest frame in the hot
+    per-batch path would be pure waste)."""
     epochs = epoch_ids(spark, index_dir)
     if before_epoch is not None:
         epochs = [e for e in epochs if e < before_epoch]
@@ -73,7 +85,8 @@ def _read_shingle_index(
         return spark.createDataFrame([], "shingle string")
     paths = [f"{index_dir}/epoch={e}" for e in epochs]
     log = spark.read.option("basePath", index_dir).parquet(*paths)
-    return log.select("shingle").distinct()
+    sh = log.select("shingle")
+    return sh.distinct() if dedup else sh
 
 
 def stream_decontaminate_sink(
@@ -90,27 +103,35 @@ def stream_decontaminate_sink(
     train document's eval-suite shingle overlap. Decision rows land
     under ``results_dir/epoch=N`` as (doc_id, n_shingles, n_shared,
     overlap_fraction, contaminated); the batch's bench shingles
-    accumulate under ``index_dir/epoch=N``."""
+    accumulate under ``index_dir/epoch=N``. ``bench_pred`` may
+    reference ANY column of the incoming batch frame (e.g.
+    ``F.col("source") == "benchmark"``) — routing happens on the full
+    frame before the shingle projection narrows it."""
     from aiotcvectordb_spark.pipelines import token_shingles
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        docs = batch_df.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-        )
+        # route on the FULL batch frame (r10 review): bench_pred may
+        # reference any batch column (e.g. source == 'bench'), so it
+        # must be applied BEFORE the shingle projection narrows the
+        # frame to (doc_id, shingle)
         pred = _default_bench_pred() if bench_pred is None else bench_pred
-        shingled = token_shingles(docs, n).persist()
+        routed = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            pred.alias("__bench"),
+        )
+        bench_docs = routed.filter("__bench").select("doc_id", "text")
+        train_docs = routed.filter("NOT __bench").select("doc_id", "text")
+        bench_sh = token_shingles(bench_docs, n).select("shingle").distinct()
+        train_sh = token_shingles(train_docs, n).persist()
         try:
-            bench_sh = (
-                shingled.filter(pred).select("shingle").distinct()
-            )
             standing = _read_shingle_index(
-                spark, index_dir, before_epoch=epoch_id
+                spark, index_dir, before_epoch=epoch_id, dedup=False
             )
             # the eval suite is global: batch bench docs count for the
-            # batch's own train docs too
+            # batch's own train docs too; ONE distinct over the union
             ref = standing.unionByName(bench_sh).distinct()
-            train_sh = shingled.filter(~pred)
             totals = train_sh.groupBy("doc_id").agg(
                 F.countDistinct("shingle").alias("n_shingles")
             )
@@ -119,7 +140,7 @@ def stream_decontaminate_sink(
                 .groupBy("doc_id")
                 .agg(F.countDistinct("shingle").alias("n_shared"))
             )
-            spine = docs.filter(~pred).select("doc_id")
+            spine = train_docs.select("doc_id")
             base = (
                 spine.join(totals, "doc_id", "left")
                 .join(shared, "doc_id", "left")
@@ -155,7 +176,7 @@ def stream_decontaminate_sink(
                 os.path.join(index_dir, f"epoch={epoch_id}")
             )
         finally:
-            shingled.unpersist()
+            train_sh.unpersist()
 
     return apply_batch
 

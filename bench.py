@@ -234,10 +234,12 @@ def main() -> None:
     # the standing table's gate/count ratio still exposes WHICH
     # queries count() flatters — every ratio > 2.5 carries a mechanism
     # note in BASELINE.md). Pass 0 also records result row counts.
-    # The sweep is wall-clock-budgeted AFTER the first pass: the
-    # official noop record is already complete by now, and a slow
-    # hypervisor epoch must not push the whole run past the driver
-    # timeout (queries the budget cuts off keep their pass-0 sample).
+    # The whole sweep is wall-clock-budgeted FROM ITS FIRST QUERY
+    # (r10 review): the official noop record is already complete by
+    # now, and on a slow hypervisor epoch even one unbudgeted count
+    # pass could push the run past the driver timeout and lose it —
+    # queries the budget cuts off simply have empty count/rows cells
+    # in the standing table.
     timings_count: dict[str, float] = {}
     rows: dict[str, int] = {}
     count_budget = float(
@@ -246,7 +248,7 @@ def main() -> None:
     t_count0 = time.time()
     for _pass in range(2):
         for name in HEADLINE:
-            if _pass > 0 and time.time() - t_count0 > count_budget:
+            if time.time() - t_count0 > count_budget:
                 print(
                     f"# count sweep stopped at budget {count_budget}s "
                     f"(pass {_pass})",

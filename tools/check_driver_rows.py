@@ -71,6 +71,12 @@ REWRITES: dict[str, int] = {
     # row, and both sf0.01 oracle hashes were re-verified identical
     # post-change (tools/parity_check.py) — the ann_pq_fullrescore
     # precedent. mmr_rerank likewise (see its entry below).
+    # Also NOT bumped (r10 review refactors, identical expressions →
+    # identical plans; all 8 affected sf0.01 hashes re-verified MATCH):
+    # semantic_dedup / incremental_semantic_dedup / ann_ivf_cosine_fixed
+    # now share the extracted _assign_fixed_cells kernel, and
+    # benchmark_decontaminate / decontaminate_fraction /
+    # incremental_decontaminate_fraction share pipelines.token_shingles.
     "minhash_signatures": 4,  # r4 CJK tokenizer
     "minhash_lsh_candidates": 4,  # r4 CJK tokenizer
     "dedup_components": 4,  # r4 pre-contraction + frozen-star pruning
