@@ -162,3 +162,70 @@ def test_token_entropy_limits(spark, tmp_path):
     assert got[3] == (6, 3, round(math.log(3), 6))
     for n, d, e in got.values():
         assert e <= round(math.log(d), 6) + 1e-9
+
+
+def test_winnow_property_matches_python_reference(spark, tmp_path):
+    """Property test (the r9 phrase-counter precedent): on randomized
+    small-alphabet texts — chosen so k-gram hash ties inside a window
+    are COMMON — the Spark selection set equals a direct Python
+    winnowing for every doc. Deterministic example set via hypothesis'
+    reproducible default seed."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from aiotcvectordb_spark import queries as Q
+
+    k, w = Q._WINNOW_K, Q._WINNOW_W
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2147483648
+
+    def ref(text):
+        if len(text) < k + w - 1:
+            return None
+        hs = [h60(text[i : i + k]) for i in range(len(text) - k + 1)]
+        sel = set()
+        for s_ in range(len(hs) - w + 1):
+            window = hs[s_ : s_ + w]
+            m = min(window)
+            pos = s_ + max(i for i, v in enumerate(window) if v == m)
+            sel.add((pos, hs[pos]))
+        return sel
+
+    corpus_acc = []
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=40),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def collect(texts):
+        corpus_acc.append(texts)
+
+    collect()
+    # flatten all generated example docs into ONE Spark job (per-example
+    # Spark roundtrips would be 100x slower than the property is worth)
+    docs = [
+        (i, t)
+        for i, t in enumerate(
+            t for texts in corpus_acc for t in texts
+        )
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {}
+    for r in Q._winnow_selection(spark, str(tmp_path)).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.h))
+    checked = 0
+    for doc_id, text in docs:
+        want = ref(text)
+        if want is None:
+            assert doc_id not in got, (doc_id, text)
+        else:
+            assert got.get(doc_id, set()) == want, (doc_id, text)
+            checked += 1
+    assert checked > 0
