@@ -10516,6 +10516,16 @@ ORACLES: dict[str, str] = {
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "search_by_text": ORACLE_SEARCH_BY_TEXT,  # oracled r8 (was rows-only)
+    # r11: the four r10-staged promotions land. Their oracles were
+    # written in r10 and pytest-pinned bit-equal to the Spark side at
+    # BOTH sf0.001 and sf0.01 (tests/test_staged_oracles.py,
+    # tests/test_bpe.py), so registration is the planned zero-risk
+    # one-liner; crossing 152 oracled lifts the rotation cap to
+    # ceil(152/50) = 4.
+    "bpe_token_count_frozen": ORACLE_BPE_TOKEN_COUNT_FROZEN,
+    "weighted_sample_hash": ORACLE_WEIGHTED_SAMPLE_HASH,
+    "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
+    "token_entropy": ORACLE_TOKEN_ENTROPY,
     # multimodal_features / ann_ivf_cosine / ann_lsh_l2:
     # intentionally no oracle (rows-only checks)
 }

@@ -146,10 +146,10 @@ def test_bpe_learns_cjk_merges(spark):
 
 
 def test_bpe_frozen_oracle_parity(spark, sf_dir):
-    """The staged r11 promotion, pinned NOW: the frozen-merge apply
-    lane's DuckDB recursive-CTE oracle must reproduce the Spark
-    tokenization's per-doc token counts exactly — registering
-    bpe_token_count_frozen in ORACLES next round is then risk-free."""
+    """Pinned in r10, registered in ORACLES in r11: the frozen-merge
+    apply lane's DuckDB recursive-CTE oracle must reproduce the Spark
+    tokenization's per-doc token counts exactly — this local pin stays
+    as the pytest witness next to the driver's hash row."""
     import duckdb
 
     from aiotcvectordb_spark import queries as Q

@@ -1,8 +1,9 @@
-"""r10 staged promotions: the three queries registered rows-only this
-round (weighted_sample_hash, winnow_fingerprint, token_entropy) already
-have their DuckDB oracles written and pinned bit-equal here, so the r11
-ORACLES registration is a zero-risk one-liner (the bpe_token_count_frozen
-pattern, tests/test_bpe.py)."""
+"""r10 staged promotions, registered in ORACLES in r11: the three
+queries entered r10 rows-only with their DuckDB oracles written and
+pinned bit-equal here, making the r11 registration a zero-risk
+one-liner (the bpe_token_count_frozen pattern, tests/test_bpe.py).
+These parity pins stay as the local (pytest) witness next to the
+driver's hash rows."""
 
 from __future__ import annotations
 
@@ -59,13 +60,14 @@ def test_staged_oracle_parity_at_driver_scale(spark, name):
     test_staged_oracle_parity(spark, sf_dir, name)
 
 
-def test_staged_entries_not_oracled_yet():
-    """The staging contract: present in QUERIES, absent from ORACLES
-    (this round's driver batch is booked), oracle constant importable."""
+def test_staged_entries_registered_r11():
+    """The promotion contract: present in QUERIES, registered in
+    ORACLES with exactly the pytest-pinned oracle text (so the driver
+    hashes the same SQL these parity tests verified)."""
     for name, oracle_attr in STAGED.items():
         assert name in Q.QUERIES
-        assert name not in Q.ORACLES
-        assert getattr(Q, oracle_attr).strip()
+        assert Q.ORACLES.get(name) == getattr(Q, oracle_attr)
+    assert Q.ORACLES.get("bpe_token_count_frozen") == Q.ORACLE_BPE_TOKEN_COUNT_FROZEN
 
 
 def test_winnow_matches_python_reference(spark, tmp_path):
