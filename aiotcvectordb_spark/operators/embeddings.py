@@ -118,7 +118,15 @@ def mmr_rerank(
             # Half-AWAY-from-zero like mmr_score below (not numpy's
             # half-to-even): a raw cosine landing exactly on a rounding
             # boundary must tie-break the same way SQL round() does, or
-            # the boundary flips a selection and cascades
+            # the boundary flips a selection and cascades.
+            # ULP caveat (r10 advisor): the boundary test happens in
+            # floating point, so a double whose *f product sits within
+            # one ULP of .5 can still round differently from a
+            # BigDecimal HALF_UP over the exact binary value. The
+            # sf0.01 parity pin is the contract; if a future corpus
+            # trips it, fall back to per-element decimal.Decimal
+            # quantize(ROUND_HALF_UP) for values within 1 ULP of a
+            # boundary.
             f = 10.0**rd
             sim = np.sign(sim) * np.floor(np.abs(sim) * f + 0.5) / f
         n = len(ids)

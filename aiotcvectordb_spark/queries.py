@@ -5879,14 +5879,23 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated
 
 
+# canonical shingle width lives in pipelines (shared with
+# streaming/decontam.py); interpolated into all three decontaminate
+# oracles below so tuning it can never silently desync query from
+# oracle (DuckDB 1-indexed inclusive slice: width n = ts[i:i+(n-1)],
+# last start = len - (n-2) with range()'s exclusive end)
+from aiotcvectordb_spark.pipelines import (  # noqa: E402
+    DECONTAM_SHINGLE_N as _DECONTAM_N,
+)
+
 ORACLE_BENCHMARK_DECONTAMINATE = f"""
 WITH toks AS (
   SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents
-  WHERE len({_BM25_TOKS_SQL}) >= 8
+  WHERE len({_BM25_TOKS_SQL}) >= {_DECONTAM_N}
 ),
 shingled AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
-                        i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - {_DECONTAM_N - 2}),
+                        i -> array_to_string(ts[i:i+{_DECONTAM_N - 1}], ' '))) AS shingle
   FROM toks
 ),
 bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 5 = 0)
@@ -5962,11 +5971,11 @@ def q_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DECONTAMINATE_FRACTION = f"""
 WITH toks AS (
   SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents
-  WHERE len({_BM25_TOKS_SQL}) >= 8
+  WHERE len({_BM25_TOKS_SQL}) >= {_DECONTAM_N}
 ),
 shingled AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
-                        i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - {_DECONTAM_N - 2}),
+                        i -> array_to_string(ts[i:i+{_DECONTAM_N - 1}], ' '))) AS shingle
   FROM toks
 ),
 bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 5 = 0),
@@ -6020,6 +6029,14 @@ def q_incremental_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> Da
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     mx = df.agg(F.max("doc_id")).first()[0]  # bounded: ONE scalar
+    if mx is None:
+        # empty documents table: match the oracle's empty frame instead
+        # of raising int(None) (r10 advisor: engine-asymmetric failure)
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_shingles long, n_shared long, "
+            "overlap_fraction double, contaminated boolean",
+        )
     cutoff = int(mx) * 9 // 10
     is_bench = F.col("doc_id") % 5 == 0
     # incremental scan shape: shingle ONLY the eval suite + the batch
@@ -6072,11 +6089,11 @@ relevant AS (
 ),
 toks AS (
   SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM relevant
-  WHERE len({_BM25_TOKS_SQL}) >= 8
+  WHERE len({_BM25_TOKS_SQL}) >= {_DECONTAM_N}
 ),
 shingled AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
-                        i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - {_DECONTAM_N - 2}),
+                        i -> array_to_string(ts[i:i+{_DECONTAM_N - 1}], ' '))) AS shingle
   FROM toks
 ),
 bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 5 = 0),
@@ -6221,6 +6238,12 @@ def q_incremental_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit decision row."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     mx = df.agg(F.max("doc_id")).first()[0]  # bounded: ONE scalar
+    if mx is None:
+        # empty documents table: match the oracle's empty frame instead
+        # of raising int(None) (r10 advisor: engine-asymmetric failure)
+        return spark.createDataFrame(
+            [], "doc_id long, n_grams long, n_novel long, novelty double"
+        )
     cutoff = int(mx) * 9 // 10
     batch = df.filter(F.col("doc_id") >= cutoff)
     standing = df.filter(F.col("doc_id") < cutoff)
@@ -10153,59 +10176,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # enforces this ordering plus the post-driver age cap by simulating
     # the driver consuming the front batch; tools/rotate_registry.py
     # regenerates this block. Re-rotation is the round's CLOSING commit.
-    # --- forced for r10: rewritten since last row / no row yet ---
-    "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,  # new, no driver row yet
-    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # new, no driver row yet
-    "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,  # new, no driver row yet
-    # --- r7 rows (age 3) (must be in the next batch) ---
-    "substring_dedup_cjk": q_substring_dedup_cjk,
-    "dataset_mix_temp": q_dataset_mix_temp,
-    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,
-    "xlsx_extract": q_xlsx_extract,
-    "dataset_mix": q_dataset_mix,
-    "xls_extract": q_xls_extract,
-    "pptx_extract": q_pptx_extract,
-    "pdf_extract": q_pdf_extract,
-    "doc_extract": q_doc_extract,
-    "ppt_extract": q_ppt_extract,
-    "epub_extract": q_epub_extract,
-    "doc_fingerprint": q_doc_fingerprint,
-    "text_quality": q_text_quality,
-    "perplexity_filter": q_perplexity_filter,
-    "dsir_weights": q_dsir_weights,
-    "zscore_outliers": q_zscore_outliers,
-    "search_radius": q_search_radius,
-    "search_flat_cosine": q_search_flat_cosine,
-    "search_udtf_topk": q_search_udtf_topk,
-    "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,
-    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
-    "knn_join": q_knn_join,
-    "search_by_id": q_search_by_id,
-    "hybrid_weighted": q_hybrid_weighted,
-    "hybrid_rrf": q_hybrid_rrf,
-    "embedding_near_dup": q_embedding_near_dup,
-    "corr_stats": q_corr_stats,
-    "search_flat_l2": q_search_flat_l2,
-    "sessionize": q_sessionize,
-    "multimodal_meta": q_multimodal_meta,
-    "grouping_sets_agg": q_grouping_sets_agg,
-    "pivot_wide": q_pivot_wide,
-    "unpivot_long": q_unpivot_long,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "correlated_subquery": q_correlated_subquery,
-    "clean_text": q_clean_text,
-    "dataset_split": q_dataset_split,
-    "nation_volume_shipping": q_nation_volume_shipping,
-    "national_market_share": q_national_market_share,
-    "order_priority_check": q_order_priority_check,
-    "customer_distribution": q_customer_distribution,
-    "promo_revenue": q_promo_revenue,
-    "returned_item_revenue": q_returned_item_revenue,
-    "local_supplier_volume": q_local_supplier_volume,
-    "forecast_revenue_change": q_forecast_revenue_change,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    # --- r8 rows (age 2) ---
+    # --- forced for r11: rewritten since last row / no row yet ---
+    "bpe_token_count_frozen": q_bpe_token_count_frozen,  # new, no driver row yet
+    "weighted_sample_hash": q_weighted_sample_hash,  # new, no driver row yet
+    "winnow_fingerprint": q_winnow_fingerprint,  # new, no driver row yet
+    "token_entropy": q_token_entropy,  # new, no driver row yet
+    # --- r8 rows (age 3) (must be in the next batch) ---
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences_nosplit": q_pack_sequences_nosplit,
     "c4_quality_filter": q_c4_quality_filter,
@@ -10254,7 +10230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_filter_limit": q_delete_filter_limit,
     "percentiles": q_percentiles,
     "query_filter_sort_paginate": q_query_filter_sort_paginate,
-    # --- r9 rows (age 1) ---
+    # --- r9 rows (age 2) ---
     "gram_novelty": q_gram_novelty,
     "incremental_gram_novelty": q_incremental_gram_novelty,
     "stratified_sample_hash": q_stratified_sample_hash,
@@ -10305,6 +10281,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "docx_extract": q_docx_extract,
     "rtf_extract": q_rtf_extract,
+    # --- r10 rows (age 1) ---
+    "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,
+    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,
+    "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,
+    "substring_dedup_cjk": q_substring_dedup_cjk,
+    "dataset_mix_temp": q_dataset_mix_temp,
+    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,
+    "xlsx_extract": q_xlsx_extract,
+    "dataset_mix": q_dataset_mix,
+    "xls_extract": q_xls_extract,
+    "pptx_extract": q_pptx_extract,
+    "pdf_extract": q_pdf_extract,
+    "doc_extract": q_doc_extract,
+    "ppt_extract": q_ppt_extract,
+    "epub_extract": q_epub_extract,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_quality": q_text_quality,
+    "perplexity_filter": q_perplexity_filter,
+    "dsir_weights": q_dsir_weights,
+    "zscore_outliers": q_zscore_outliers,
+    "search_radius": q_search_radius,
+    "search_flat_cosine": q_search_flat_cosine,
+    "search_udtf_topk": q_search_udtf_topk,
+    "search_flat_cosine_local_topk": q_search_flat_cosine_local_topk,
+    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+    "knn_join": q_knn_join,
+    "search_by_id": q_search_by_id,
+    "hybrid_weighted": q_hybrid_weighted,
+    "hybrid_rrf": q_hybrid_rrf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "corr_stats": q_corr_stats,
+    "search_flat_l2": q_search_flat_l2,
+    "sessionize": q_sessionize,
+    "multimodal_meta": q_multimodal_meta,
+    "grouping_sets_agg": q_grouping_sets_agg,
+    "pivot_wide": q_pivot_wide,
+    "unpivot_long": q_unpivot_long,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "correlated_subquery": q_correlated_subquery,
+    "clean_text": q_clean_text,
+    "dataset_split": q_dataset_split,
+    "nation_volume_shipping": q_nation_volume_shipping,
+    "national_market_share": q_national_market_share,
+    "order_priority_check": q_order_priority_check,
+    "customer_distribution": q_customer_distribution,
+    "promo_revenue": q_promo_revenue,
+    "returned_item_revenue": q_returned_item_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "small_quantity_revenue": q_small_quantity_revenue,
     # --- non-oracled entries (rows-only driver check; order free) ---
     "curate_corpus_v2_auto": q_curate_corpus_v2_auto,
     "semantic_dedup_auto": q_semantic_dedup_auto,
@@ -10321,16 +10348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_auto": q_embedding_near_dup_auto,
     "embedding_pca": q_embedding_pca,
     "bpe_token_count": q_bpe_token_count,
-    "bpe_token_count_frozen": q_bpe_token_count_frozen,
     "substring_dedup_hashed": q_substring_dedup_hashed,
-    # r10 staged promotions (oracles written + pytest-pinned vs DuckDB
-    # in tests/test_staged_oracles.py; ORACLES registration deferred to
-    # r11 — this round's 50-slot batch is booked, and registering the
-    # staged set next round crosses 151 oracled entries, lifting the
-    # rotation cap to ceil(Q/50) = 4):
-    "weighted_sample_hash": q_weighted_sample_hash,
-    "winnow_fingerprint": q_winnow_fingerprint,
-    "token_entropy": q_token_entropy,
 }
 
 ORACLES: dict[str, str] = {

@@ -116,6 +116,12 @@ def stream_decontaminate_sink(
         # must be applied BEFORE the shingle projection narrows the
         # frame to (doc_id, shingle)
         pred = _default_bench_pred() if bench_pred is None else bench_pred
+        # NULL-safe routing (r10 advisor): a NULL predicate (null doc_id
+        # under the default, or a custom pred over a nullable column)
+        # would be dropped by BOTH filters below, silently violating
+        # the "every train doc gets an explicit decision row" contract.
+        # NULL routes to the train side so the doc still gets a row.
+        pred = F.coalesce(pred, F.lit(False))
         routed = batch_df.select(
             F.col(id_col).alias("doc_id"),
             F.col(text_col).alias("text"),
@@ -141,9 +147,21 @@ def stream_decontaminate_sink(
                 .agg(F.countDistinct("shingle").alias("n_shared"))
             )
             spine = train_docs.select("doc_id")
+
+            # null-safe grading joins (<=>): a NULL-id train doc (routed
+            # here by the coalesced predicate) must still pick up its
+            # aggregated counts — groupBy keeps NULL as a group but a
+            # plain equi-join key would drop it, mis-grading the doc as
+            # (0, 0). <=> is still an equi-key, so this stays a hash
+            # join, not a cartesian.
+            def _nullsafe_left(left: DataFrame, right: DataFrame) -> DataFrame:
+                r = right.withColumnRenamed("doc_id", "__rid")
+                return left.join(
+                    r, left["doc_id"].eqNullSafe(r["__rid"]), "left"
+                ).drop("__rid")
+
             base = (
-                spine.join(totals, "doc_id", "left")
-                .join(shared, "doc_id", "left")
+                _nullsafe_left(_nullsafe_left(spine, totals), shared)
                 .select(
                     "doc_id",
                     F.coalesce("n_shingles", F.lit(0))

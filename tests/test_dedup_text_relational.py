@@ -478,3 +478,24 @@ def test_incremental_gram_novelty_equals_batch_restriction(spark, sf_dir):
         if r.doc_id in inc
     }
     assert inc == full and len(inc) > 0
+
+
+def test_incremental_queries_empty_table_returns_empty_frame(spark, tmp_path):
+    """An empty documents table must yield an EMPTY frame with the
+    output schema — matching the DuckDB oracles — not raise int(None)
+    on the max-id scalar (r10 advisor: engine-asymmetric failure)."""
+    from aiotcvectordb_spark import queries as Q
+
+    spark.createDataFrame([], "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    frac = Q.q_incremental_decontaminate_fraction(spark, str(tmp_path))
+    assert frac.count() == 0
+    assert [f.name for f in frac.schema.fields] == [
+        "doc_id", "n_shingles", "n_shared", "overlap_fraction", "contaminated",
+    ]
+    nov = Q.q_incremental_gram_novelty(spark, str(tmp_path))
+    assert nov.count() == 0
+    assert [f.name for f in nov.schema.fields] == [
+        "doc_id", "n_grams", "n_novel", "novelty",
+    ]

@@ -116,6 +116,36 @@ def test_short_train_doc_gets_explicit_null_row(spark, tmp_path):
     assert got == {7: (0, 0, None, False)}
 
 
+def test_null_predicate_doc_routes_to_train_side(spark, tmp_path):
+    """A row whose bench predicate evaluates to NULL (null doc_id under
+    the default doc_id % 5 == 0) must route to the TRAIN side and get
+    an explicit decision row — not be silently dropped by both filters
+    (r10 advisor)."""
+    text = _body("n")
+    rows = [(5, text), (None, text)]  # 5 is bench; NULL id → NULL pred
+    index_dir, results_dir, sink = _mk_sink(tmp_path)
+    sink(spark.createDataFrame(rows, "doc_id long, text string"), 0)
+    got = _result_map(read_decontam_results(spark, results_dir).drop("epoch"))
+    # the NULL-id doc is graded as a train doc against the bench doc
+    assert got == {None: (5, 5, 1.0, True)}
+
+
+def test_null_custom_predicate_routes_to_train_side(spark, tmp_path):
+    """Same NULL-safety for a custom bench_pred over a nullable column."""
+    rows = [(1, _body("c"), "benchmark"), (2, _body("x"), None)]
+    index_dir = str(tmp_path / "idx_custom")
+    results_dir = str(tmp_path / "res_custom")
+    sink = stream_decontaminate_sink(
+        index_dir, results_dir, bench_pred=F.col("source") == "benchmark"
+    )
+    sink(
+        spark.createDataFrame(rows, "doc_id long, text string, source string"),
+        0,
+    )
+    got = _result_map(read_decontam_results(spark, results_dir).drop("epoch"))
+    assert 2 in got and got[2][3] is False  # explicit row, not dropped
+
+
 def test_replay_is_idempotent(spark, tmp_path):
     """Re-running an epoch (foreachBatch at-least-once) must reproduce
     the identical decision rows and index state: before_epoch hides the
