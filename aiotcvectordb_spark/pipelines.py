@@ -183,8 +183,30 @@ def char_units(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def gram_hash_pair(mode: str, gram_expr: str = "gram") -> list:
+    """The reduced-shuffle gram key pair for ``lane_cut``: two 64-bit
+    (or 60-bit portable) hash lanes decorrelated by a one-byte input
+    suffix — H(gram), H(gram || 0x01) — treated as one well-mixed
+    ~128-bit key (collision math in q_substring_dedup_hashed's
+    docstring). ``mode`` is "xxhash64" (engine-native production keys)
+    or "portable" (the md5-60-bit _PORTABLE_HASH DuckDB reproduces, for
+    oracled twins)."""
+    if mode == "xxhash64":
+        return [
+            F.expr(f"xxhash64({gram_expr})"),
+            F.expr(f"xxhash64(concat({gram_expr}, chr(1)))"),
+        ]
+    if mode == "portable":
+        return [
+            F.expr(_PORTABLE_HASH.format(s=gram_expr)),
+            F.expr(_PORTABLE_HASH.format(s=f"concat({gram_expr}, chr(1))")),
+        ]
+    raise ValueError(f"unknown gram_keys mode: {mode!r}")
+
+
 def lane_cut(df: DataFrame, grams: DataFrame, prior_grams: DataFrame,
-             n: int, joiner: str) -> tuple[DataFrame, DataFrame]:
+             n: int, joiner: str,
+             gram_keys: str | None = None) -> tuple[DataFrame, DataFrame]:
     """One lane of the Lee-et-al substring-removal pass against a
     standing gram index: positions covered by a prior-index gram or a
     gram repeated within ``df`` itself are cut; survivors reassemble
@@ -194,18 +216,39 @@ def lane_cut(df: DataFrame, grams: DataFrame, prior_grams: DataFrame,
     batch, incremental, and stream agree by construction. ``df``
     carries (doc_id, text); ``grams`` (doc_id, i, gram) from
     ``word_ngrams`` (joiner " ") or ``char_ngrams`` (joiner "").
+
+    ``gram_keys`` (r11): None keys the dup aggregate and coverage join
+    on the verbatim gram string; "xxhash64"/"portable" reduce each
+    gram to a ``gram_hash_pair`` IN THE SCAN PROJECTION, cutting
+    shuffle bytes ~2-6x (a 12-char CJK gram is ~36 UTF-8 bytes, a
+    word 8-gram ~50; the pair is 16) while the plan stays identical.
+    Both the batch grams and the prior index are hashed HERE, so
+    callers and the stored incremental/streaming index format (verbatim
+    gram strings, hash-scheme-agnostic) are unchanged.
+
     Returns (out, lane_grams): the per-doc cleaned frame
     (doc_id, clean_text, kept_tokens) and the batch's distinct grams
     for index maintenance."""
+    if gram_keys is None:
+        keyed = grams
+        prior = prior_grams
+        keys = ["gram"]
+    else:
+        pair = gram_hash_pair(gram_keys)
+        keyed = grams.select(
+            "doc_id", "i", pair[0].alias("h1"), pair[1].alias("h2")
+        )
+        prior = prior_grams.select(pair[0].alias("h1"), pair[1].alias("h2"))
+        keys = ["h1", "h2"]
     batch_dup = (
-        grams.groupBy("gram")
+        keyed.groupBy(*keys)
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
-        .select("gram")
+        .select(*keys)
     )
-    hot = prior_grams.union(batch_dup).distinct()
+    hot = prior.union(batch_dup).distinct()
     covered = (
-        grams.join(hot, "gram")
+        keyed.join(hot, keys)
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),

@@ -6772,11 +6772,22 @@ def q_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     char_docs = routed.filter(is_cjk).select("doc_id", "text")
 
     empty = spark.createDataFrame([], "gram string")
+    # r11: BOTH lanes key the dup aggregate and coverage join on the
+    # xxhash64 pair (the substring_dedup_hashed production keys) — the
+    # char lane was the #2 standing cost and the worst dedup-family
+    # 100x probe because a 12-char CJK gram shuffles ~36 UTF-8 bytes
+    # per position as a string key; the pair is 16. Values are
+    # unchanged (collision math in q_substring_dedup_hashed), so the
+    # string-gram oracle below still hashes identically; the reduced-
+    # key dataflow itself is driver-witnessed by the portable twin
+    # substring_dedup_cjk_hashed.
     out_w, _ = pipelines.lane_cut(
-        word_docs, _word_ngrams(word_docs, n_w), empty, n_w, " "
+        word_docs, _word_ngrams(word_docs, n_w), empty, n_w, " ",
+        gram_keys="xxhash64",
     )
     out_c, _ = pipelines.lane_cut(
-        char_docs, pipelines.char_ngrams(char_docs, n_c), empty, n_c, ""
+        char_docs, pipelines.char_ngrams(char_docs, n_c), empty, n_c, "",
+        gram_keys="xxhash64",
     )
     return (
         out_w.withColumn("lane", F.lit("word"))
@@ -6788,6 +6799,140 @@ def q_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kept_tokens").cast("long").alias("kept_units"),
         )
     )
+
+
+def q_substring_dedup_cjk_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed CJK-routed lane's ORACLED witness (r11, the
+    ``substring_dedup_hashed_portable`` pattern): the IDENTICAL
+    lang-routed Lee-et-al plan as ``substring_dedup_cjk`` — CJK-share
+    router, per-lane gram kernels, hash-pair-keyed dup aggregate,
+    keyed coverage join, LEFT ANTI keep, ordered reassembly — keyed on
+    the PORTABLE md5-60-bit pair (pipelines.gram_hash_pair
+    "portable") so DuckDB reproduces the reduced-key dataflow
+    END-TO-END and the driver hash vouches for the machinery the
+    xxhash64 production lane runs at 100 TB. Bit-equality of the two
+    hashed lanes and the string-keyed plan is pinned in
+    tests/test_dedup_text_relational.py."""
+    from aiotcvectordb_spark import pipelines
+
+    n_w, n_c = _SUBSTR_DEDUP_N, _SUBSTR_CJK_CHAR_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
+    corpus = df.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            cjkified,
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    routed = corpus.withColumn("__r", pipelines.cjk_ratio_col("text"))
+    is_cjk = F.col("__r") >= pipelines.CJK_ROUTE_THRESHOLD
+    word_docs = routed.filter(~is_cjk).select("doc_id", "text")
+    char_docs = routed.filter(is_cjk).select("doc_id", "text")
+
+    empty = spark.createDataFrame([], "gram string")
+    out_w, _ = pipelines.lane_cut(
+        word_docs, _word_ngrams(word_docs, n_w), empty, n_w, " ",
+        gram_keys="portable",
+    )
+    out_c, _ = pipelines.lane_cut(
+        char_docs, pipelines.char_ngrams(char_docs, n_c), empty, n_c, "",
+        gram_keys="portable",
+    )
+    return (
+        out_w.withColumn("lane", F.lit("word"))
+        .unionByName(out_c.withColumn("lane", F.lit("char")))
+        .select(
+            "doc_id",
+            "lane",
+            "clean_text",
+            F.col("kept_tokens").cast("long").alias("kept_units"),
+        )
+    )
+
+
+ORACLE_SUBSTRING_DEDUP_CJK_HASHED = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7')
+              THEN translate(text, '{_CJK_SRC} ', '{_CJK_DST}')
+              ELSE text END AS text
+  FROM documents WHERE length(text) > 0
+), routed AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_replace(text, '[^぀-ヿ㐀-䶿一-鿿가-힯]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS r
+  FROM corpus
+), word_docs AS (
+  SELECT doc_id, text FROM routed WHERE r < 0.3
+), char_docs AS (
+  SELECT doc_id, text FROM routed WHERE r >= 0.3
+), wgrams0 AS (
+  SELECT doc_id, i,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM word_docs),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), wgrams AS (
+  SELECT doc_id, i,
+         {_CURATE_H60.format(s="gram")} AS h1,
+         {_CURATE_H60.format(s="gram || chr(1)")} AS h2
+  FROM wgrams0
+), wdup AS (
+  SELECT h1, h2 FROM wgrams GROUP BY h1, h2 HAVING count(*) >= 2
+), wcov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM wgrams g JOIN wdup USING (h1, h2),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), wtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS unit,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM word_docs
+), wkept AS (
+  SELECT t.doc_id, 'word' AS lane,
+         string_agg(t.unit, ' ' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM wtok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wcov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+), cgrams0 AS (
+  SELECT doc_id, i, substr(text, i, {_SUBSTR_CJK_CHAR_N}) AS gram
+  FROM char_docs,
+       LATERAL unnest(generate_series(1, length(text) - {_SUBSTR_CJK_CHAR_N - 1})) AS t(i)
+), cgrams AS (
+  SELECT doc_id, i,
+         {_CURATE_H60.format(s="gram")} AS h1,
+         {_CURATE_H60.format(s="gram || chr(1)")} AS h2
+  FROM cgrams0
+), cdup AS (
+  SELECT h1, h2 FROM cgrams GROUP BY h1, h2 HAVING count(*) >= 2
+), ccov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM cgrams g JOIN cdup USING (h1, h2),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_CJK_CHAR_N - 1})) AS c(pos)
+), ctok AS (
+  SELECT doc_id, j AS pos, substr(text, j, 1) AS unit
+  FROM char_docs, LATERAL unnest(generate_series(1, length(text))) AS t(j)
+), ckept AS (
+  SELECT t.doc_id, 'char' AS lane,
+         string_agg(t.unit, '' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM ctok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ccov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+)
+SELECT * FROM wkept UNION ALL SELECT * FROM ckept
+"""
 
 
 def q_incremental_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6833,8 +6978,13 @@ def q_incremental_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataF
         batch_docs = routed.filter(cond & is_batch).select("doc_id", "text")
         standing = routed.filter(cond & ~is_batch).select("doc_id", "text")
         prior = kernel(standing, n).select("gram").distinct()
+        # r11: xxhash64-pair keys like the batch query — lane_cut hashes
+        # the prior index internally, so the stored verbatim-gram index
+        # format is unchanged (values identical modulo ~2^-128 collisions;
+        # the string-gram oracle below still hashes identically)
         out, _ = pipelines.lane_cut(
-            batch_docs, kernel(batch_docs, n), prior, n, joiner
+            batch_docs, kernel(batch_docs, n), prior, n, joiner,
+            gram_keys="xxhash64",
         )
         outs.append(out.withColumn("lane", F.lit(name)))
     return outs[0].unionByName(outs[1]).select(
@@ -10181,6 +10331,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_hash": q_weighted_sample_hash,  # new, no driver row yet
     "winnow_fingerprint": q_winnow_fingerprint,  # new, no driver row yet
     "token_entropy": q_token_entropy,  # new, no driver row yet
+    "substring_dedup_cjk": q_substring_dedup_cjk,  # rewritten r11
+    "substring_dedup_cjk_hashed": q_substring_dedup_cjk_hashed,  # new, no driver row yet
+    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,  # rewritten r11
     # --- r8 rows (age 3) (must be in the next batch) ---
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences_nosplit": q_pack_sequences_nosplit,
@@ -10285,9 +10438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,
     "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,
     "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,
-    "substring_dedup_cjk": q_substring_dedup_cjk,
     "dataset_mix_temp": q_dataset_mix_temp,
-    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,
     "xlsx_extract": q_xlsx_extract,
     "dataset_mix": q_dataset_mix,
     "xls_extract": q_xls_extract,
@@ -10499,6 +10650,10 @@ ORACLES: dict[str, str] = {
     "line_dedup": ORACLE_LINE_DEDUP,
     "incremental_line_dedup": ORACLE_INCREMENTAL_LINE_DEDUP,  # new r9
     "substring_dedup_cjk": ORACLE_SUBSTRING_DEDUP_CJK,
+    # r11: the hashed CJK lane's portable-keyed witness — DuckDB runs
+    # the reduced-key dataflow end-to-end (hash-pair dup aggregate,
+    # keyed coverage join) that the xxhash64 production lane ships
+    "substring_dedup_cjk_hashed": ORACLE_SUBSTRING_DEDUP_CJK_HASHED,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "incremental_substring_dedup": ORACLE_INCREMENTAL_SUBSTRING_DEDUP,
     "dataset_mix": ORACLE_DATASET_MIX,

@@ -136,8 +136,13 @@ def stream_substring_dedup_sink(
                 prior_lane = prior.filter(
                     F.col("lane") == lane_name
                 ).select("gram")
+                # r11: xxhash64-pair keys like the batch/incremental
+                # queries — lane_cut hashes the prior index internally,
+                # so the stored verbatim-gram epoch log format (and its
+                # compaction) is hash-scheme-agnostic
                 out, lane_grams = lane_cut(
-                    lane_df, grams, prior_lane, lane_n, joiner
+                    lane_df, grams, prior_lane, lane_n, joiner,
+                    gram_keys="xxhash64",
                 )
                 outs.append(out.withColumn("lane", F.lit(lane_name)))
                 indexed.append(

@@ -437,6 +437,59 @@ def test_substring_dedup_hashed_portable_equals_both_lanes(spark, sf_dir):
     assert len(portable) > 0
 
 
+def test_substring_dedup_cjk_hashed_equals_string_plan(spark, sf_dir):
+    """The CJK-routed lane's three key representations (r11) — the
+    xxhash64 production keys the registry query now ships, the ORACLED
+    portable-md5 twin, and the string-keyed plan — must be bit-equal
+    on the fixture corpus in BOTH lanes (word and char)."""
+    from aiotcvectordb_spark import pipelines, queries as Q
+
+    def run_string_keyed():
+        # the pre-r11 string-gram plan, reproduced via lane_cut default
+        n_w, n_c = Q._SUBSTR_DEDUP_N, Q._SUBSTR_CJK_CHAR_N
+        df = Q.ensure_min_partitions(
+            Q.load(spark, sf_dir, "documents")
+        ).filter(F.length("text") > 0)
+        cjkified = F.translate(F.col("text"), Q._CJK_SRC + " ", Q._CJK_DST)
+        corpus = df.select(
+            "doc_id",
+            F.when(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 1
+                ).isin(*"01234567"),
+                cjkified,
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        routed = corpus.withColumn("__r", pipelines.cjk_ratio_col("text"))
+        is_cjk = F.col("__r") >= pipelines.CJK_ROUTE_THRESHOLD
+        word_docs = routed.filter(~is_cjk).select("doc_id", "text")
+        char_docs = routed.filter(is_cjk).select("doc_id", "text")
+        empty = spark.createDataFrame([], "gram string")
+        out_w, _ = pipelines.lane_cut(
+            word_docs, Q._word_ngrams(word_docs, n_w), empty, n_w, " "
+        )
+        out_c, _ = pipelines.lane_cut(
+            char_docs, pipelines.char_ngrams(char_docs, n_c), empty, n_c, ""
+        )
+        return out_w.withColumn("lane", F.lit("word")).unionByName(
+            out_c.withColumn("lane", F.lit("char"))
+        )
+
+    def as_map(df):
+        return {
+            r.doc_id: (r.lane, r.clean_text) for r in df.collect()
+        }
+
+    string_keyed = as_map(run_string_keyed())
+    xx = as_map(Q.QUERIES["substring_dedup_cjk"](spark, sf_dir))
+    portable = as_map(Q.QUERIES["substring_dedup_cjk_hashed"](spark, sf_dir))
+    assert xx == string_keyed == portable
+    assert len(xx) > 0
+    assert {lane for lane, _ in xx.values()} == {"word", "char"}
+
+
 def test_gram_novelty_semantics(spark, tmp_path):
     """First copy of a duplicated passage is fully novel; later copies
     are fully redundant; short docs get an explicit NULL-novelty row."""

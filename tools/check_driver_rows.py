@@ -150,6 +150,11 @@ REWRITES: dict[str, int] = {
     # corpus — sf0.01 oracle hash verified identical post-change
     # (tools/parity_check.py), the ann_pq_fullrescore precedent.
     "mmr_rerank": 9,
+    # r11: both CJK substring-dedup lanes switched the dup aggregate +
+    # coverage join to xxhash64-pair keys (lane_cut gram_keys) — values
+    # identical by collision math, but the plan materially changed
+    "substring_dedup_cjk": 11,
+    "incremental_substring_dedup_cjk": 11,
 }
 
 
