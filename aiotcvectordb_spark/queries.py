@@ -9767,6 +9767,90 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(spark, docs, model, round_digits=ROUND_DIGITS)
 
 
+def q_quality_classifier_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``quality_classifier``'s frozen-weights ORACLED witness (r11,
+    the bpe_token_count_frozen pattern): one deterministic training
+    run's logistic weights are pinned as literals
+    (``operators/classifier_frozen.py``), and the document-scoring
+    pass — JVM-built hashed-bigram buckets, ONE broadcast join of the
+    256-row (bucket, weight) table, per-doc l1-normalized dot,
+    map-side sigmoid — runs through the IDENTICAL production kernel
+    (``operators/classifier.score_quality``), now closed-form in
+    DuckDB under the driver hash. The trained lane stays rows-only
+    (training itself has no SQL oracle); this row vouches for the
+    scoring dataflow the trained lane ships at 100 TB: broadcast-join
+    shapes, no collect, cost linear in corpus tokens."""
+    import numpy as np
+
+    from aiotcvectordb_spark.operators.classifier import (
+        QualityModel,
+        score_quality,
+    )
+    from aiotcvectordb_spark.operators.classifier_frozen import (
+        FROZEN_INTERCEPT,
+        FROZEN_N_BUCKETS,
+        FROZEN_WEIGHTS,
+    )
+
+    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    model = QualityModel(
+        np.array(FROZEN_WEIGHTS, dtype=np.float64),
+        FROZEN_INTERCEPT,
+        FROZEN_N_BUCKETS,
+    )
+    return score_quality(spark, docs, model, round_digits=ROUND_DIGITS)
+
+
+def _classifier_frozen_oracle() -> str:
+    from aiotcvectordb_spark.operators.classifier_frozen import (
+        FROZEN_INTERCEPT,
+        FROZEN_N_BUCKETS,
+        FROZEN_WEIGHTS,
+    )
+
+    # scientific notation parses directly as DOUBLE in DuckDB (a plain
+    # decimal literal would go through DECIMAL), and 17 significant
+    # digits round-trip IEEE doubles exactly
+    values = ",\n  ".join(
+        f"({i}, {w:.17e})" for i, w in enumerate(FROZEN_WEIGHTS)
+    )
+    return f"""
+WITH weights(bucket, w) AS (VALUES
+  {values}
+),
+toks AS (
+  SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i+1])) AS bigram
+  FROM toks WHERE len(ts) >= 2
+),
+occ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(bigram), 1, 15))::BIGINT % {FROZEN_N_BUCKETS}
+           AS bucket,
+         count(*) AS cnt
+  FROM bg GROUP BY 1, 2
+),
+scored AS (
+  SELECT o.doc_id,
+         sum(o.cnt * COALESCE(w.w, 0.0)) / sum(o.cnt) AS z
+  FROM occ o LEFT JOIN weights w USING (bucket)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(COALESCE(s.z, 0.0)
+                                + {FROZEN_INTERCEPT:.17e}))),
+             {ROUND_DIGITS}) AS quality
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+ORACLE_QUALITY_CLASSIFIER_FROZEN = _classifier_frozen_oracle()
+
+
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filtering: score every document by its
     cross-entropy (bits/token) under a PER-LANGUAGE unigram LM derived
@@ -10487,6 +10571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus_v2_auto": q_curate_corpus_v2_auto,
     "semantic_dedup_auto": q_semantic_dedup_auto,
     "quality_classifier": q_quality_classifier,
+    "quality_classifier_frozen": q_quality_classifier_frozen,
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
     "ann_lsh_l2": q_ann_lsh_l2,
@@ -10689,6 +10774,10 @@ ORACLES: dict[str, str] = {
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "search_by_text": ORACLE_SEARCH_BY_TEXT,  # oracled r8 (was rows-only)
+    # r11: frozen-weights classifier scoring — the last big rows-only
+    # curation operator's dataflow gains a hash witness (the trained
+    # lane stays rows-only: training has no SQL oracle)
+    "quality_classifier_frozen": ORACLE_QUALITY_CLASSIFIER_FROZEN,
     # r11: the four r10-staged promotions land. Their oracles were
     # written in r10 and pytest-pinned bit-equal to the Spark side at
     # BOTH sf0.001 and sf0.01 (tests/test_staged_oracles.py,

@@ -94,3 +94,51 @@ def test_featurizer_buckets_are_in_range(spark):
         F.min("bucket"), F.max("bucket"), F.sum("cnt")
     ).collect()[0]
     assert stats[0] >= 0 and stats[1] < 64 and stats[2] > 0
+
+
+def test_frozen_weights_reproduce_training(spark):
+    """The classifier_frozen literals must be EXACTLY one deterministic
+    training run (sf0.01 fixture, source == 'src0', n_buckets=256,
+    train_sample=2048, seed 42) — re-deriving them bit-for-bit proves
+    the frozen lane is the trained lane with the randomness pinned,
+    not a hand-tuned divergence (the BPE frozen-merge-table rule)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    if not os.path.isdir("/root/testdata/sf0.01"):
+        pytest.skip("sf0.01 testdata not present")
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+    from aiotcvectordb_spark.operators.classifier_frozen import (
+        FROZEN_INTERCEPT,
+        FROZEN_N_BUCKETS,
+        FROZEN_WEIGHTS,
+    )
+
+    docs = Q.load(spark, "/root/testdata/sf0.01", "documents")
+    model = train_quality_classifier(
+        docs,
+        target_pred=F.col("source") == "src0",
+        n_buckets=FROZEN_N_BUCKETS,
+        train_sample=2048,
+    )
+    assert model.intercept == FROZEN_INTERCEPT
+    assert np.array_equal(
+        model.weights, np.array(FROZEN_WEIGHTS, dtype=np.float64)
+    )
+
+
+def test_frozen_scoring_bounds_and_spine(spark, sf_dir):
+    """Every document gets exactly one explicit score row in (0, 1) —
+    featureless (sub-2-token) docs score sigmoid(intercept)."""
+    from aiotcvectordb_spark import queries as Q
+
+    out = Q.QUERIES["quality_classifier_frozen"](spark, sf_dir)
+    n_docs = Q.load(spark, sf_dir, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(0.0 < r.quality < 1.0 for r in rows)
