@@ -8162,6 +8162,49 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pca_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_pca``'s frozen-basis ORACLED witness (r11, the
+    classifier/BPE frozen pattern): one fitted 64x8 principal-component
+    basis is pinned as literals (``operators/pca_frozen.py``,
+    sign-canonicalized), and the PROJECTION pass — eight
+    zip_with/aggregate dot products in the scan projection, whole-stage
+    codegen, shuffle-free and linear in rows — is closed-form in DuckDB
+    (list_dot_product against the same literal arrays) under the
+    driver hash. The trained lane stays rows-only (MLlib's covariance
+    tree-aggregate float order is partitioning-dependent); this row
+    vouches for the map-only matmul dataflow any trained basis ships."""
+    from aiotcvectordb_spark.functions import vector as vector_fn
+    from aiotcvectordb_spark.operators.pca_frozen import FROZEN_PCA_BASIS
+
+    df = load(spark, sf_dir, "embeddings")
+    projections = [
+        F.round(
+            vector_fn.dot_score(
+                "embedding",
+                "array(" + ", ".join(f"{v:.17e}" for v in comp) + ")",
+            ),
+            ROUND_DIGITS,
+        ).alias(f"pc{j + 1}")
+        for j, comp in enumerate(FROZEN_PCA_BASIS)
+    ]
+    return df.select("vec_id", *projections)
+
+
+def _pca_fixed_oracle() -> str:
+    from aiotcvectordb_spark.operators.pca_frozen import FROZEN_PCA_BASIS
+
+    cols = ",\n       ".join(
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(f"{v:.17e}" for v in comp)
+        + f"]), {ROUND_DIGITS}) AS pc{j + 1}"
+        for j, comp in enumerate(FROZEN_PCA_BASIS)
+    )
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
+ORACLE_EMBEDDING_PCA_FIXED = _pca_fixed_oracle()
+
+
 def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec round trip, oracle-checked end to end: each
     document's bytes become an int16 waveform encoded as an actual
@@ -10583,6 +10626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "embedding_near_dup_auto": q_embedding_near_dup_auto,
     "embedding_pca": q_embedding_pca,
+    "embedding_pca_fixed": q_embedding_pca_fixed,
     "bpe_token_count": q_bpe_token_count,
     "substring_dedup_hashed": q_substring_dedup_hashed,
 }
@@ -10778,6 +10822,9 @@ ORACLES: dict[str, str] = {
     # curation operator's dataflow gains a hash witness (the trained
     # lane stays rows-only: training has no SQL oracle)
     "quality_classifier_frozen": ORACLE_QUALITY_CLASSIFIER_FROZEN,
+    # r11: frozen-basis PCA projection — the map-only matmul dataflow
+    # under the driver hash (the trained-basis lane stays rows-only)
+    "embedding_pca_fixed": ORACLE_EMBEDDING_PCA_FIXED,
     # r11: the four r10-staged promotions land. Their oracles were
     # written in r10 and pytest-pinned bit-equal to the Spark side at
     # BOTH sf0.001 and sf0.01 (tests/test_staged_oracles.py,

@@ -225,3 +225,41 @@ def test_semantic_dedup_trained_path_matches_keep_semantics(spark, tmp_path):
     again = {r.vec_id: r.semantic_dup for r in
              Q._semantic_dedup_trained(spark, emb, nlist=4).collect()}
     assert again == {v: r.semantic_dup for v, r in flags.items()}
+
+
+def test_frozen_pca_basis_orthonormal_and_projection_exact(spark, sf_dir):
+    """The pinned basis must be orthonormal (it IS a principal-
+    component basis, sign-canonicalized), and the Spark-side projection
+    must equal a numpy matmul against the same literals at full double
+    precision (before the shared ROUND_DIGITS rounding)."""
+    import numpy as np
+
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.operators.pca_frozen import (
+        FROZEN_PCA_BASIS,
+        FROZEN_PCA_DIM,
+        FROZEN_PCA_K,
+    )
+
+    B = np.array(FROZEN_PCA_BASIS, dtype=np.float64)  # (k, d)
+    assert B.shape == (FROZEN_PCA_K, FROZEN_PCA_DIM)
+    gram = B @ B.T
+    assert np.allclose(gram, np.eye(FROZEN_PCA_K), atol=1e-12)
+    # sign canon: largest-|loading| entry of each component is positive
+    for row in B:
+        assert row[np.argmax(np.abs(row))] > 0
+
+    out = {
+        r.vec_id: [r[f"pc{j + 1}"] for j in range(FROZEN_PCA_K)]
+        for r in Q.QUERIES["embedding_pca_fixed"](spark, sf_dir).collect()
+    }
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in Q.load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    assert set(out) == set(emb) and len(out) > 0
+    for vid, v in list(emb.items())[:50]:
+        want = np.round(B @ v, 6)
+        assert np.array_equal(np.array(out[vid]), want), vid
