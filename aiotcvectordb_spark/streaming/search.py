@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame
 
 from aiotcvectordb_spark.operators.knn import knn_join
 
+# Fail-fast ceiling on queries per micro-batch when index-probe pruning
+# collects their vectors on the driver (engine._BROADCAST_KEYS_MAX
+# rationale, sized down for 64-float vectors: 64k x ~512 B ≈ 32 MB).
+_QUERY_BATCH_MAX = 65_536
+
 
 def answer_query_batch(
     queries: DataFrame,
@@ -130,6 +135,20 @@ def engine_stream_search_sink(
         if ivf and "cluster_id" in snapshot.columns:
             from aiotcvectordb_spark.operators.ann import probe_cells
 
+            # size-guard the driver collect (the engine.delete_rows
+            # broadcast-guard pattern): a trigger's worth of requests is
+            # small BY CONTRACT, but a misconfigured source (one giant
+            # file per trigger) must fail fast with a fix, not OOM the
+            # driver materializing an unbounded vector list
+            n_queries = batch_df.count()
+            if n_queries > _QUERY_BATCH_MAX:
+                raise ValueError(
+                    f"query micro-batch has {n_queries} rows "
+                    f"(> {_QUERY_BATCH_MAX}): index-probe pruning collects "
+                    "the batch's query vectors on the driver. Shrink the "
+                    "trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) "
+                    "or pass use_index=False for a full-scan answer."
+                )
             vecs = [r[0] for r in batch_df.select(query_vec).collect()]
             cells = probe_cells(ivf["centroids"], vecs, nprobe)
             snapshot = snapshot.filter(F.col("cluster_id").isin(cells))

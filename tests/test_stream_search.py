@@ -152,7 +152,7 @@ def test_engine_stream_search_with_ivf_pruning(spark, engine, tmp_path):
             IndexField(name="id", kind="primary_key", field_type="string"),
             IndexField(name="vector", kind="vector", field_type="vector",
                        dimension=4, metric_type="COSINE",
-                       params={"nlist": 4}),
+                       index_type="IVF_FLAT", params={"nlist": 4}),
         ],
     )
     rng = random.Random(7)
@@ -162,6 +162,12 @@ def test_engine_stream_search_with_ivf_pruning(spark, engine, tmp_path):
     ]
     engine.upsert(db, coll, docs)
     engine.rebuild_index(db, coll)
+    # the index must actually exist or the pruning branch silently
+    # no-ops into a full scan and this test checks nothing (r11 fix:
+    # without index_type="IVF_FLAT" rebuild_index skips build_ivf)
+    meta = engine.catalog.get_collection(db, coll)
+    assert meta.ann_state.get("ivf")
+    assert "cluster_id" in engine.read(db, coll).columns
 
     src = tmp_path / "q"
     src.mkdir()
@@ -180,3 +186,49 @@ def test_engine_stream_search_with_ivf_pruning(spark, engine, tmp_path):
     for r in hits:
         assert r.query_id == r.id  # identical vector -> own cell probed
         assert abs(r.score - 1.0) < 1e-6
+
+
+def test_engine_stream_search_query_batch_guard(spark, engine, tmp_path, monkeypatch):
+    """Index-probe pruning collects the batch's query vectors on the
+    driver, so an over-cap micro-batch must FAIL FAST with the
+    remediation message (shrink the trigger / use_index=False), not
+    materialize unbounded vectors (r10 advisor; the engine
+    broadcast-guard pattern)."""
+    import pytest
+
+    from aiotcvectordb_spark.catalog import IndexField
+    from aiotcvectordb_spark.streaming import search as S
+
+    db, coll = "gdb", "gcoll"
+    engine.create_database(db)
+    engine.create_collection(
+        db, coll,
+        indexes=[
+            IndexField(name="id", kind="primary_key", field_type="string"),
+            IndexField(name="vector", kind="vector", field_type="vector",
+                       dimension=4, metric_type="COSINE",
+                       index_type="IVF_FLAT", params={"nlist": 2}),
+        ],
+    )
+    docs = [
+        {"id": f"d{i}", "vector": [float(i), 1.0, 0.0, 0.0]} for i in range(8)
+    ]
+    engine.upsert(db, coll, docs)
+    engine.rebuild_index(db, coll)
+
+    monkeypatch.setattr(S, "_QUERY_BATCH_MAX", 2)
+    sink = S.engine_stream_search_sink(
+        engine, db, coll, str(tmp_path / "hits"), k=1, nprobe=1
+    )
+    schema = "query_id string, query_vec array<double>"
+    over_cap = spark.createDataFrame(
+        [(f"q{i}", [1.0, 0.0, 0.0, 0.0]) for i in range(3)], schema
+    )
+    with pytest.raises(ValueError, match="use_index=False"):
+        sink(over_cap, 0)
+    # at or under the cap still answers
+    under_cap = spark.createDataFrame(
+        [(f"q{i}", [1.0, 0.0, 0.0, 0.0]) for i in range(2)], schema
+    )
+    sink(under_cap, 0)
+    assert spark.read.parquet(str(tmp_path / "hits")).count() == 2
