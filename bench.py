@@ -222,6 +222,13 @@ def main() -> None:
     # query). Spreading a query's trials across the whole run
     # decorrelates them from any single noise epoch; min across passes
     # is the steady-state cost.
+    # Per-query drift band (r11, prescribed by the r10 verdict): the
+    # interleave's min is the gate, its max the same-session drift
+    # ceiling — the r10 drift triplet showed identical code moving
+    # ±25% with hypervisor epochs, so a single future run is only a
+    # STRUCTURAL regression when it lands outside the recorded band
+    # (tools/bench_regress.py consumes it).
+    band_max: dict[str, float] = {}
     for _pass in range(3):
         for name in HEADLINE:
             fn = Q.QUERIES[name]
@@ -230,6 +237,8 @@ def main() -> None:
             dt = time.time() - t0
             if dt < timings.get(name, float("inf")):
                 timings[name] = dt
+            if dt > band_max.get(name, 0.0):
+                band_max[name] = dt
     # Count-pruning diagnostic column (the r9 gate's method, kept so
     # the standing table's gate/count ratio still exposes WHICH
     # queries count() flatters — every ratio > 2.5 carries a mechanism
@@ -282,6 +291,10 @@ def main() -> None:
         "gate": "noop-write best-of-3 (r10 re-baseline; <= r9 was count-based)",
         "n_queries": len(HEADLINE),
         "queries": timings,
+        "queries_band": {
+            name: [timings[name], round(band_max[name], 3)]
+            for name in HEADLINE
+        },
         "queries_count": timings_count,
         "rows": rows,
         "sf": sf_val,

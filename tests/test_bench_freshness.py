@@ -110,3 +110,30 @@ def test_explain_dump_not_stale():
         "EXPLAIN.md predates the last functional commit — regenerate with "
         f"python tools/explain_dump.py > EXPLAIN.md after [{_last_commit_sha(PERF_CODE)}]"
     )
+
+
+def test_standing_table_carries_drift_band():
+    """r11: the regenerated standing table must carry the per-query
+    drift band column (min–max of the same interleave) so single-run
+    regressions are judged against the recorded same-session drift,
+    not a point estimate. Binds once BENCH_DETAIL.json is band-bearing
+    (i.e. written by the r11+ bench.py)."""
+    import json
+
+    detail_path = os.path.join(ROOT, "BENCH_DETAIL.json")
+    if not os.path.exists(detail_path):
+        pytest.skip("no BENCH_DETAIL.json")
+    detail = json.load(open(detail_path))
+    if "queries_band" not in detail:
+        pytest.skip("pre-r11 BENCH_DETAIL (no band recorded yet)")
+    band = detail["queries_band"]
+    assert set(band) == set(detail["queries"])
+    for name, (lo, hi) in band.items():
+        assert lo == detail["queries"][name]  # min IS the gate value
+        assert hi >= lo
+    table = open(os.path.join(ROOT, "BASELINE.md")).read()
+    assert "| query | sec | band |" in table, (
+        "BENCH_DETAIL.json carries queries_band but BASELINE.md's "
+        "standing table lacks the band column — re-run "
+        "tools/baseline_update.py"
+    )

@@ -153,6 +153,7 @@ def bench_table(detail: dict) -> str:
             "r10 on"
         )
     count = detail.get("queries_count", {})
+    band = detail.get("queries_band", {})
     lines = [
         BENCH_BEGIN,
         f"Standing bench (`python bench.py`, sf{detail['sf']}, "
@@ -175,9 +176,15 @@ def bench_table(detail: dict) -> str:
         f"Every row with g/c > {RATIO_NOTE_THRESHOLD} carries its",
         "count-pruning mechanism in the note column (r10; regeneration",
         "fails if one is missing).",
+        "The `band` column (r11) is the same interleave's per-query",
+        "min–max: same-code runs drift ±25% with hypervisor epochs (r10",
+        "triplet), so judge a future single run as a STRUCTURAL",
+        "regression only when it lands above the band",
+        "(tools/bench_regress.py applies this automatically when the",
+        "old side carries `queries_band`).",
         "",
-        "| query | sec | count sec | g/c | rows | note |",
-        "|---|---|---|---|---|---|",
+        "| query | sec | band | count sec | g/c | rows | note |",
+        "|---|---|---|---|---|---|---|",
     ]
     missing = []
     for name in sorted(qs, key=lambda n: -qs[n]):
@@ -190,8 +197,10 @@ def bench_table(detail: dict) -> str:
         note = RATIO_NOTES.get(name, "") if flagged else ""
         if flagged and not note:
             missing.append(f"{name} (g/c {ratio})")
+        b = band.get(name)
+        b_cell = f"{b[0]:.3f}–{b[1]:.3f}" if b else ""
         lines.append(
-            f"| {name} | {qs[name]:.3f} | {c_cell} | {ratio} | "
+            f"| {name} | {qs[name]:.3f} | {b_cell} | {c_cell} | {ratio} | "
             f"{rows.get(name, '')} | {note} |"
         )
     if missing:

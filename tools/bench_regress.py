@@ -17,6 +17,14 @@ added/removed but never fail the gate (coverage growth is expected).
 Small absolute times are noise on a warm local JVM, so a query must
 regress by BOTH the ratio threshold and ``--min-delta`` seconds
 (default 0.25s) to fail.
+
+Drift band (r11): pass BENCH_DETAIL.json as OLD to get band-aware
+judging — its ``queries_band`` records each query's [min, max] across
+the same interleaved best-of-3 run, and a slowdown landing at or under
+band-max x threshold is reported under ``in_band`` (hypervisor drift)
+instead of failing the gate. Same-code totals drift ±25% between
+hypervisor epochs (BASELINE.md r10 triplet); only out-of-band moves
+are structural.
 """
 
 from __future__ import annotations
@@ -51,13 +59,27 @@ def _load(path: str) -> dict:
 
 def compare(old: dict, new: dict, threshold: float, min_delta: float) -> dict:
     oq, nq = old["queries"], new["queries"]
+    # r11 drift band: when the old side carries ``queries_band`` (the
+    # interleave's per-query [min, max], written by bench.py to
+    # BENCH_DETAIL.json), a slowdown that still lands AT OR UNDER the
+    # recorded same-session max is hypervisor drift, not a structural
+    # regression — the r10 drift triplet measured ±25% on identical
+    # code. The ratio gate then binds relative to the band ceiling.
+    band = old.get("queries_band", {})
     shared = sorted(set(oq) & set(nq))
     regressed = []
     improved = []
+    in_band = []
     for name in shared:
         o, n = float(oq[name]), float(nq[name])
         ratio = n / o if o > 0 else float("inf")
         if ratio >= threshold and (n - o) >= min_delta:
+            b = band.get(name)
+            if b and n <= float(b[1]) * threshold:
+                in_band.append({"query": name, "old_s": o, "new_s": n,
+                                "band_max_s": float(b[1]),
+                                "ratio": round(ratio, 2)})
+                continue
             regressed.append({"query": name, "old_s": o, "new_s": n,
                               "ratio": round(ratio, 2)})
         elif o >= threshold * n and (o - n) >= min_delta:
@@ -70,6 +92,7 @@ def compare(old: dict, new: dict, threshold: float, min_delta: float) -> dict:
         "added": sorted(set(nq) - set(oq)),
         "removed": sorted(set(oq) - set(nq)),
         "regressed": sorted(regressed, key=lambda r: -r["ratio"]),
+        "in_band": sorted(in_band, key=lambda r: -r["ratio"]),
         "improved": sorted(improved, key=lambda r: r["ratio"]),
     }
 
