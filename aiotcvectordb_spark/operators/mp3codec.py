@@ -1093,6 +1093,46 @@ def with_mp3_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
 
 
+def mp3_meta(df, *, id_col: str = "doc_id", payload_col: str = "payload"):
+    """HEADER-ONLY container metadata (r11): ``probe_mp3`` per payload —
+    frame-sync walk over the 4-byte headers, NO requantization / IMDCT /
+    synthesis. The metadata route for consumers that need layer /
+    frames / bitrate / duration but not PCM: the header walk touches a
+    few bytes per frame, so at 100 TB this is I/O-bound scan work while
+    ``mp3_features``' full decode is CPU-linear in audio samples — point
+    duration/layer-routing queries HERE, pay ``mp3_features`` only when
+    a consumer reads the waveform. Malformed payloads get NULL rows
+    (flag, don't fail the batch — the mp3_features contract)."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, layer int, n_frames int, sample_rate int, "
+        "bitrate_kbps int, duration_ms long"
+    )
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    info = probe_mp3(bytes(payload))
+                    rows.append(
+                        (i, info["layer"], info["n_frames"],
+                         info["sample_rate"], info["bitrate_kbps"],
+                         info["duration_ms"])
+                    )
+                except (ValueError, IndexError):
+                    rows.append((i, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "layer", "n_frames", "sample_rate",
+                         "bitrate_kbps", "duration_ms"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)
+
+
 def mp3_features(df, *, id_col: str = "doc_id", payload_col: str = "payload"):
     """Probe + decode each MP3 payload: container stats from
     ``probe_mp3`` and RMS of the actually-decoded PCM. Non-decodable

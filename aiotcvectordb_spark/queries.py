@@ -3946,6 +3946,73 @@ def q_audio_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``audio_mp3_probe``'s METADATA route (r11, verdict item: route
+    metadata-only consumers to the header-probe path): the same real
+    mixed Layer I/III streams, but features come from ``mp3_meta`` —
+    a frame-sync header walk, NO requantization/IMDCT/synthesis — so
+    the cost is encode + a few bytes per frame instead of CPU-linear
+    decode. ORACLED: the container's header fields must equal the
+    spec-derived constants of the encoder's fixed geometry (2304
+    samples @ 44100 Hz -> two 1152-sample Layer III frames at 128 kbps
+    on even ids, six 384-sample Layer I frames at 448 kbps on odd ids,
+    both floor(2304/44.1) = 52 ms), an end-to-end encode->header-parse
+    witness under the driver hash."""
+    from aiotcvectordb_spark.operators import mp3codec as M3
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    mp3 = M3.with_mp3_payload(df, mix_layer1=True)
+    return M3.mp3_meta(mp3)
+
+
+ORACLE_AUDIO_MP3_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS layer,
+       CASE WHEN doc_id % 2 = 1 THEN 6 ELSE 2 END AS n_frames,
+       44100 AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN 448 ELSE 128 END AS bitrate_kbps,
+       CAST(52 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jpeg_progressive_probe``'s METADATA route (r11): the same real
+    SOF2 progressive streams, but features come from
+    ``multimodal.probe_media`` — a marker-segment walk reading SOF
+    dimensions, NO Huffman decode / dequant / IDCT. ORACLED: the
+    parsed dimensions must equal the encoder's block geometry (4
+    blocks = 32 px wide, one 8-px block row per 4 UTF-8 text bytes,
+    empty text -> one block), an encode->header-parse witness that
+    costs header bytes per image instead of entropy-decode CPU. At
+    100 TB, dimension/orientation audits run HERE; only pixel
+    consumers pay ``jpeg_features``."""
+    from aiotcvectordb_spark.operators import multimodal
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    media = multimodal.with_jpeg_payload(df, progressive=True)
+    return multimodal.probe_media(media).select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "bit_depth",
+        "channels",
+    )
+
+
+ORACLE_JPEG_META = """
+SELECT doc_id,
+       'jpeg' AS format,
+       32 AS width,
+       CAST(8 * ceil(greatest(octet_length(encode(text)), 1) / 4.0)
+            AS INTEGER) AS height,
+       8 AS bit_depth,
+       1 AS channels
+FROM documents
+"""
+
+
 _PDF_LINES_PER_PAGE = 20
 
 
@@ -10461,6 +10528,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup_cjk": q_substring_dedup_cjk,  # rewritten r11
     "substring_dedup_cjk_hashed": q_substring_dedup_cjk_hashed,  # new, no driver row yet
     "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,  # rewritten r11
+    "quality_classifier_frozen": q_quality_classifier_frozen,  # new, no driver row yet
+    "audio_mp3_meta": q_audio_mp3_meta,  # new, no driver row yet
+    "jpeg_meta": q_jpeg_meta,  # new, no driver row yet
+    "embedding_pca_fixed": q_embedding_pca_fixed,  # new, no driver row yet
     # --- r8 rows (age 3) (must be in the next batch) ---
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences_nosplit": q_pack_sequences_nosplit,
@@ -10614,7 +10685,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus_v2_auto": q_curate_corpus_v2_auto,
     "semantic_dedup_auto": q_semantic_dedup_auto,
     "quality_classifier": q_quality_classifier,
-    "quality_classifier_frozen": q_quality_classifier_frozen,
     "stratified_sample": q_stratified_sample,
     "heavy_hitters": q_heavy_hitters,
     "ann_lsh_l2": q_ann_lsh_l2,
@@ -10626,7 +10696,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "embedding_near_dup_auto": q_embedding_near_dup_auto,
     "embedding_pca": q_embedding_pca,
-    "embedding_pca_fixed": q_embedding_pca_fixed,
     "bpe_token_count": q_bpe_token_count,
     "substring_dedup_hashed": q_substring_dedup_hashed,
 }
@@ -10646,6 +10715,10 @@ ORACLES: dict[str, str] = {
     # progressive decoder shares the oracle verbatim (an exact-limit
     # proof in the jpeg_probe style)
     "jpeg_progressive_probe": ORACLE_JPEG_PROBE,
+    # r11 metadata routes: header-parse-only twins of the codec
+    # heavies — encode->header-walk witnesses under the driver hash
+    "audio_mp3_meta": ORACLE_AUDIO_MP3_META,
+    "jpeg_meta": ORACLE_JPEG_META,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pack_sequences_nosplit": ORACLE_PACK_SEQUENCES_NOSPLIT,
     "image_probe": ORACLE_IMAGE_PROBE,

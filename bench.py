@@ -153,6 +153,12 @@ HEADLINE = [
     "incremental_substring_dedup_cjk",
     "incremental_substring_dedup",
     "dataset_mix",
+    # r11 additions: the four new oracled rows
+    "substring_dedup_cjk_hashed",  # r11: oracled hashed CJK lane (md5 twin)
+    "quality_classifier_frozen",  # r11: frozen-weights scoring pass
+    "embedding_pca_fixed",  # r11: frozen-basis projection matmul
+    "audio_mp3_meta",  # r11: header-walk metadata route (vs full decode)
+    "jpeg_meta",  # r11: SOF header route (vs entropy decode)
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

@@ -410,3 +410,29 @@ def test_id3v1_fallback():
         "title": "Old Title", "artist": "Old Artist", "album": "Old Album",
     }
     assert mp3_tags(_mk_frame()) == {"title": None, "artist": None, "album": None}
+
+
+def test_mp3_meta_matches_full_probe_and_flags_malformed(spark):
+    """The header-only metadata route must agree with the full
+    decode's container fields on real mixed Layer I/III streams, and
+    flag (not fail) malformed payloads with a NULL row."""
+    from aiotcvectordb_spark.operators import mp3codec as M3
+
+    docs = spark.createDataFrame(
+        [(i, f"meta doc {i} " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    mp3 = M3.with_mp3_payload(docs, mix_layer1=True)
+    meta = {r.doc_id: r for r in M3.mp3_meta(mp3).collect()}
+    full = {r.doc_id: r for r in M3.mp3_features(mp3).collect()}
+    assert set(meta) == set(full) == set(range(6))
+    for i in range(6):
+        assert meta[i].layer == (1 if i % 2 else 3)
+        for f in ("n_frames", "sample_rate", "bitrate_kbps", "duration_ms"):
+            assert getattr(meta[i], f) == getattr(full[i], f), (i, f)
+
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"not an mpeg stream"))], "doc_id long, payload binary"
+    )
+    (row,) = M3.mp3_meta(bad).collect()
+    assert row.doc_id == 99 and row.layer is None and row.n_frames is None

@@ -394,3 +394,20 @@ def test_resize_and_features_decode_bmp_and_gif(spark):
              multimodal.decode_features(df, mode="real").collect()}
     assert feats[1].features is not None and feats[2].features is not None
     assert feats[3].features is None
+
+
+def test_probe_media_reads_progressive_sof2_dimensions(spark):
+    """The jpeg_meta route parses dimensions from REAL SOF2 progressive
+    streams (our encoder's output), matching the encoder's block
+    geometry without any entropy decode."""
+    from aiotcvectordb_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 5), (2, "y" * 130), (3, "")], "doc_id long, text string"
+    )
+    media = multimodal.with_jpeg_payload(docs, progressive=True)
+    got = {r.doc_id: r for r in multimodal.probe_media(media).collect()}
+    # 4 blocks (32 px) wide; one 8-px block row per 4 text bytes
+    assert (got[1].format, got[1].width, got[1].height) == ("jpeg", 32, 16)
+    assert (got[2].width, got[2].height) == (32, 8 * -(-130 // 4))
+    assert (got[3].width, got[3].height) == (32, 8)  # empty -> one block

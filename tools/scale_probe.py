@@ -110,6 +110,16 @@ PROBE_QUERIES = [
     "ann_ivf_cosine_fixed",
     "substring_dedup_hashed_portable",
     "incremental_decontaminate_fraction",
+    # r11 additions: the hashed CJK lane (reduced-key shuffle class),
+    # the frozen scoring/projection twins, the codec heavies' full
+    # decode vs header-walk metadata routes
+    "substring_dedup_cjk",
+    "substring_dedup_cjk_hashed",
+    "quality_classifier_frozen",
+    "embedding_pca_fixed",
+    "audio_mp3_probe",
+    "audio_mp3_meta",
+    "jpeg_meta",
     "bigram_logprob",
     "incremental_dedup",
     "profile_table",
