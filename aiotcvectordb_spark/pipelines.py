@@ -197,9 +197,19 @@ def gram_hash_pair(mode: str, gram_expr: str = "gram") -> list:
             F.expr(f"xxhash64(concat({gram_expr}, chr(1)))"),
         ]
     if mode == "portable":
+        # ONE md5 per gram, split into two 60-bit lanes (hex digits
+        # 1-15 and 16-30) — the digest's 128 bits are already well
+        # mixed, so the split pair carries the same ~2^120 collision
+        # resistance as two suffix-decorrelated hashes at HALF the
+        # per-gram hash cost (the two-md5 variant measured ~2.5x
+        # slower at 1x on the char-gram lane, where every character
+        # position hashes a ~36-byte string)
         return [
             F.expr(_PORTABLE_HASH.format(s=gram_expr)),
-            F.expr(_PORTABLE_HASH.format(s=f"concat({gram_expr}, chr(1))")),
+            F.expr(
+                f"cast(conv(substring(md5({gram_expr}), 16, 15), 16, 10) "
+                "as bigint)"
+            ),
         ]
     raise ValueError(f"unknown gram_keys mode: {mode!r}")
 

@@ -6949,7 +6949,7 @@ WITH corpus AS (
 ), wgrams AS (
   SELECT doc_id, i,
          {_CURATE_H60.format(s="gram")} AS h1,
-         {_CURATE_H60.format(s="gram || chr(1)")} AS h2
+         ('0x' || substr(md5(gram), 16, 15))::BIGINT AS h2
   FROM wgrams0
 ), wdup AS (
   SELECT h1, h2 FROM wgrams GROUP BY h1, h2 HAVING count(*) >= 2
@@ -6977,7 +6977,7 @@ WITH corpus AS (
 ), cgrams AS (
   SELECT doc_id, i,
          {_CURATE_H60.format(s="gram")} AS h1,
-         {_CURATE_H60.format(s="gram || chr(1)")} AS h2
+         ('0x' || substr(md5(gram), 16, 15))::BIGINT AS h2
   FROM cgrams0
 ), cdup AS (
   SELECT h1, h2 FROM cgrams GROUP BY h1, h2 HAVING count(*) >= 2

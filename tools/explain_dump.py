@@ -397,6 +397,29 @@ SHOWCASE = [
         "left joins for explicit decision rows — O(eval suite + "
         "batch) at any corpus scale",
     ),
+    (
+        "substring_dedup_cjk_hashed",
+        "r11 (oracled): the lang-routed Lee-et-al pass with hash-PAIR "
+        "gram keys built in the scan projection — the dup aggregate "
+        "and coverage join shuffle two 8-byte lanes instead of ~36-"
+        "byte CJK gram strings (~2.3x fewer key bytes; the xxhash64 "
+        "production lanes share this exact plan shape), LEFT ANTI "
+        "keep, ordered reassembly, no pairwise doc comparison",
+    ),
+    (
+        "embedding_pca_fixed",
+        "r11 (oracled): frozen-basis PCA projection — eight zip_with/"
+        "aggregate dot products fused into the scan projection, ZERO "
+        "exchanges, whole-stage codegen end to end; the map-only "
+        "matmul shape any trained basis ships at 100 TB",
+    ),
+    (
+        "quality_classifier_frozen",
+        "r11 (oracled): classifier scoring — JVM-built hashed-bigram "
+        "buckets in the scan stage, ONE broadcast of the 256-row "
+        "(bucket, weight) table, per-doc aggregate, map-side sigmoid; "
+        "the only exchanges are the two doc-keyed aggregates",
+    ),
 ]
 
 
