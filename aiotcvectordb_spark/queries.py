@@ -6700,27 +6700,30 @@ def q_substring_dedup_hashed_portable(spark: SparkSession, sf_dir: str) -> DataF
     for corpus-wide duplicates, keyed equi-join back, bounded coverage
     explode, LEFT ANTI keep, ordered reassembly — but keyed on the
     PORTABLE md5-derived 60-bit hash (pipelines._PORTABLE_HASH, the
-    twin ``stratified_sample_hash`` proved cross-engine) with the same
-    one-byte-suffix second lane (H(gram), H(gram || 0x01)), so DuckDB
-    reproduces the hashed plan END-TO-END and the driver hash vouches
-    for the reduced-key machinery itself — the aggregate-on-hash,
-    join-on-hash dataflow that the xxhash64 production lane runs at
-    100 TB (its keys being engine-native is the ONLY difference;
-    bit-equality of the two hashed lanes and the string-exact lane is
-    pinned in tests/test_dedup_text_relational.py). Collision math is
-    the production lane's with 2x60 bits: a false dup needs both
-    lanes to collide — P ≈ T²/2¹²¹ pairwise."""
+    twin ``stratified_sample_hash`` proved cross-engine) as a
+    SPLIT-DIGEST pair — hex digits 1-15 and 16-30 of ONE md5 per gram
+    (r11; the r10 two-md5 suffix pair hashed every gram twice for the
+    same 2x60-bit key space) — so DuckDB reproduces the hashed plan
+    END-TO-END and the driver hash vouches for the reduced-key
+    machinery itself — the aggregate-on-hash, join-on-hash dataflow
+    that the xxhash64 production lane runs at 100 TB (its keys being
+    engine-native is the ONLY difference; bit-equality of the two
+    hashed lanes and the string-exact lane is pinned in
+    tests/test_dedup_text_relational.py). Collision math: a false dup
+    needs both 60-bit digest halves to collide on distinct grams —
+    P ≈ T²/2¹²¹ pairwise, the digest's 128 bits being well mixed."""
     from aiotcvectordb_spark import pipelines as P
 
     n = _SUBSTR_DEDUP_N
     df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
         F.length("text") > 0
     )
+    pair = P.gram_hash_pair("portable")
     grams = _word_ngrams(df, n).select(
         "doc_id",
         "i",
-        F.expr(P._PORTABLE_HASH.format(s="gram")).alias("h1"),
-        F.expr(P._PORTABLE_HASH.format(s="concat(gram, chr(1))")).alias("h2"),
+        pair[0].alias("h1"),
+        pair[1].alias("h2"),
     )
     dup = (
         grams.groupBy("h1", "h2")
@@ -6765,7 +6768,7 @@ WITH docs AS (
 ), grams AS (
   SELECT doc_id, i,
          {_CURATE_H60.format(s="gram")} AS h1,
-         {_CURATE_H60.format(s="gram || chr(1)")} AS h2
+         ('0x' || substr(md5(gram), 16, 15))::BIGINT AS h2
   FROM grams0
 ), dup AS (
   SELECT h1, h2 FROM grams GROUP BY h1, h2 HAVING count(*) >= 2
@@ -10532,6 +10535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_mp3_meta": q_audio_mp3_meta,  # new, no driver row yet
     "jpeg_meta": q_jpeg_meta,  # new, no driver row yet
     "embedding_pca_fixed": q_embedding_pca_fixed,  # new, no driver row yet
+    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # rewritten r11
     # --- r8 rows (age 3) (must be in the next batch) ---
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences_nosplit": q_pack_sequences_nosplit,
@@ -10634,7 +10638,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rtf_extract": q_rtf_extract,
     # --- r10 rows (age 1) ---
     "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,
-    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,
     "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,
     "dataset_mix_temp": q_dataset_mix_temp,
     "xlsx_extract": q_xlsx_extract,

@@ -155,6 +155,9 @@ REWRITES: dict[str, int] = {
     # identical by collision math, but the plan materially changed
     "substring_dedup_cjk": 11,
     "incremental_substring_dedup_cjk": 11,
+    # r11: the portable word-lane twin moved from a two-md5 suffix
+    # pair to the single-md5 split-digest pair (impl + oracle together)
+    "substring_dedup_hashed_portable": 11,
 }
 
 
