@@ -128,6 +128,11 @@ RATIO_NOTES: dict[str, str] = {
         "join-elim: count() of the spine drops both decision-column "
         "left joins and the shingle pipeline behind them"
     ),
+    "quality_classifier_frozen": (
+        "join-elim: count() drops the row-preserving spine left join "
+        "and with it the whole scoring pipeline (bigram buckets, "
+        "broadcast weight join, per-doc aggregate, sigmoid)"
+    ),
     "approx_sketches": (
         "agg-prune: count() drops the HLL/percentile sketch "
         "expressions, keeping group keys; sub-0.7 s absolute"
