@@ -532,3 +532,27 @@ def test_round10_ops_shuffle_budgets(spark, sf_dir):
         got = audit.count_shuffles(df)
         assert got <= budget, (name, got, budget)
         audit.assert_no_cartesian(df)
+
+
+def test_round11_ops_shuffle_budgets(spark, sf_dir):
+    """Lock the r11 additions to their designed shuffle budgets. The
+    frozen PCA projection is pure scan-stage matmul (ZERO exchanges);
+    the metadata routes carry only the ensure_min_partitions widen (the
+    codec mapInPandas stages are shuffle-free); the frozen classifier
+    is two doc-keyed aggregates plus the spine join (the weight side is
+    an explicit broadcast — no data exchange); the hashed CJK lanes run
+    the word lane's Lee-et-al budget twice (one per routed lane), every
+    exchange keyed on the hash pair or (doc, pos) — never all-pairs."""
+    budgets = {
+        "embedding_pca_fixed": 0,
+        "audio_mp3_meta": 1,
+        "jpeg_meta": 1,
+        "quality_classifier_frozen": 5,
+        "substring_dedup_cjk_hashed": 16,
+        "substring_dedup_cjk": 16,
+    }
+    for name, budget in budgets.items():
+        df = Q.QUERIES[name](spark, sf_dir)
+        got = audit.count_shuffles(df)
+        assert got <= budget, (name, got, budget)
+        audit.assert_no_cartesian(df)
