@@ -8789,6 +8789,239 @@ ORDER BY query_idx, rank
 # --------------------------------------------------------------------------
 
 
+_PQ_FIXED_OVERSAMPLE = 50
+
+
+def q_ann_pq_cosine_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ partial-path ANN with FROZEN codebooks, ORACLED (r11) — the
+    ``ann_ivf_cosine_fixed`` promotion applied to product quantization,
+    closing the last quantized-index family whose PARTIAL path had no
+    hash witness (BQ r9, SQ8 r9, IVF r10; PQ's full-rescore exact-limit
+    proof ``ann_pq_fullrescore`` shares the flat oracle, but the
+    approximate rank itself was only recall-tested). With the trained
+    codebooks pinned as literals (``operators/pq_frozen.py``: m=4
+    subspaces x 16 codes x 16 dims — Jegou et al. 2011 geometry) every
+    PQ stage is closed-form, so DuckDB reproduces the WHOLE
+    unit-normalize → nearest-code ENCODE → per-query ADC LUT →
+    approximate rank → bounded oversample (50) → exact-rescore plan,
+    and the driver hash covers rows the ADC rank legitimately drops.
+
+    Determinism rules (the fixed-IVF family's): every squared-L2 is
+    the left-associated unrolled difference chain in Spark and
+    list_dot_product over the zipped difference in DuckDB — proven
+    bit-identical accumulation orders (functions/vector.py
+    ``_dot_expr_unrolled`` note) — rounded to ROUND_DIGITS before any
+    comparison; code assignment ties break lowest-code (a rounded
+    struct array_min in Spark, (d2, code) row_number in DuckDB); ADC
+    is the left-assoc sum of the four rounded LUT entries; ranks tie
+    vec_id-asc. LUTs are computed by the ENGINE on both sides from the
+    same literals — no third float implementation.
+
+    Scale shape: ENCODE is the index build (map-only scan projection,
+    stored as m bytes/vector at serving scale — operators/pq.py); the
+    query-time work is the broadcast of Q x (4x16) LUTs, a map-side
+    ADC sum over code bytes, the bounded per-query rank window
+    (local_topk at real scale), and an exact rescore of only the
+    oversample survivors. Trained-codebook PQ stays recall-tested
+    (tests/test_pq.py); this entry pins the machinery."""
+    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+    from aiotcvectordb_spark.operators.pq_frozen import (
+        FROZEN_PQ_CODEBOOKS,
+        FROZEN_PQ_DSUB,
+        FROZEN_PQ_M,
+    )
+
+    def _normalized(df, vcol: str):
+        df = df.withColumn(
+            "__ed", F.expr(f"transform({vcol}, x -> cast(x as double))")
+        )
+        df = df.withColumn(
+            "__nrm",
+            F.expr(
+                "sqrt(aggregate(zip_with(__ed, __ed, (x, y) -> x * y), "
+                "0D, (a, v) -> a + v))"
+            ),
+        )
+        return df.withColumn(
+            "__ne",
+            F.expr(
+                "transform(__ed, x -> x / (CASE WHEN __nrm = 0.0D "
+                "THEN 1.0D ELSE __nrm END))"
+            ),
+        )
+
+    def _d2_expr(j: int, cent: list[float]) -> str:
+        # HOF fold, not an unrolled chain: the zip_with/aggregate left
+        # fold accumulates in the same order as the unrolled chain and
+        # DuckDB's list_dot_product (the _dot_expr_unrolled note), but
+        # keeps the expression tree ~2x smaller — the 64 per-code
+        # distances made plan analysis + codegen the dominant cost
+        # (measured 7-8 s warm unrolled vs ~3.6 s HOF; identical
+        # values verified at sf0.01)
+        lits = ", ".join(f"{v:.17e}" for v in cent)
+        return (
+            f"round(aggregate(zip_with(slice(__ne, "
+            f"{j * FROZEN_PQ_DSUB + 1}, {FROZEN_PQ_DSUB}), array({lits}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v), "
+            f"{ROUND_DIGITS})"
+        )
+
+    emb = _normalized(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "embedding",
+    )
+    for j, book in enumerate(FROZEN_PQ_CODEBOOKS):
+        structs = ", ".join(
+            f"struct({_d2_expr(j, cent)} AS d2, "
+            f"{c} AS code)"
+            for c, cent in enumerate(book)
+        )
+        emb = emb.withColumn(f"__c{j}", F.expr(f"array_min(array({structs})).code"))
+    codes = emb.select(
+        "vec_id", "embedding",
+        *[F.col(f"__c{j}") for j in range(FROZEN_PQ_M)],
+    )
+
+    qdf = _normalized(
+        spark.createDataFrame(
+            list(enumerate(FLAGSHIP_VECTORS)), "query_idx int, qv array<double>"
+        ),
+        "qv",
+    )
+    luts = ", ".join(
+        "array("
+        + ", ".join(
+            _d2_expr(j, cent) for cent in book
+        )
+        + ")"
+        for j, book in enumerate(FROZEN_PQ_CODEBOOKS)
+    )
+    qdf = qdf.select(
+        "query_idx", "qv", F.expr(f"array({luts})").alias("__lut")
+    )
+
+    adc_sum = " + ".join(f"__lut[{j}][__c{j}]" for j in range(FROZEN_PQ_M))
+    w_adc = Window.partitionBy("query_idx").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(qdf))
+        .withColumn("adc", F.round(F.expr(adc_sum), ROUND_DIGITS))
+        .withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= _PQ_FIXED_OVERSAMPLE)
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn(
+            "score",
+            F.round(cosine_score_fixed("embedding", "qv", DIM), ROUND_DIGITS),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 10")
+        .select("query_idx", "vec_id", "adc", "score", "rank")
+    )
+
+
+def _pq_fixed_oracle() -> str:
+    from aiotcvectordb_spark.operators.pq_frozen import (
+        FROZEN_PQ_CODEBOOKS,
+        FROZEN_PQ_DSUB,
+        FROZEN_PQ_M,
+    )
+
+    cb_rows = ", ".join(
+        f"({j}, {c}, {_sql_vec(cent)})"
+        for j, book in enumerate(FROZEN_PQ_CODEBOOKS)
+        for c, cent in enumerate(book)
+    )
+    diff = (
+        "list_transform(list_zip(list_slice({ne}, c.sub * {d} + 1, "
+        "c.sub * {d} + {d}), c.cvec), p -> p[1] - p[2])"
+    )
+    d2 = (
+        f"round(list_dot_product({diff}, {diff}), {{r}})".replace(
+            "{d}", str(FROZEN_PQ_DSUB)
+        )
+    )
+    code_cols = ", ".join(
+        f"max(CASE WHEN sub = {j} THEN code END) AS c{j}"
+        for j in range(FROZEN_PQ_M)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut l{j} ON l{j}.query_idx = q.query_idx AND l{j}.sub = {j} "
+        f"AND l{j}.code = cs.c{j}"
+        for j in range(FROZEN_PQ_M)
+    )
+    adc_sum = " + ".join(f"l{j}.l" for j in range(FROZEN_PQ_M))
+    norm = (
+        "list_transform({v}, x -> x / (CASE WHEN "
+        "sqrt(list_dot_product({v}, {v})) = 0 THEN 1 ELSE "
+        "sqrt(list_dot_product({v}, {v})) END))"
+    )
+    return f"""
+WITH cb(sub, code, cvec) AS (VALUES {cb_rows}),
+{_sql_queries_cte(FLAGSHIP_VECTORS)},
+nemb AS (
+  SELECT vec_id,
+         {norm.format(v="CAST(embedding AS DOUBLE[])")} AS ne
+  FROM embeddings
+),
+enc0 AS (
+  SELECT n.vec_id, c.sub, c.code,
+         {d2.format(ne="n.ne", r=ROUND_DIGITS)} AS d2
+  FROM nemb n CROSS JOIN cb c
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM enc0
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, {code_cols} FROM enc GROUP BY vec_id
+),
+nq AS (
+  SELECT query_idx, qv, {norm.format(v="qv")} AS nq FROM queries
+),
+lut AS (
+  SELECT q.query_idx, c.sub, c.code,
+         {d2.format(ne="q.nq", r=ROUND_DIGITS)} AS l
+  FROM nq q CROSS JOIN cb c
+),
+adc AS (
+  SELECT q.query_idx, cs.vec_id, round({adc_sum}, {ROUND_DIGITS}) AS adc
+  FROM codes cs CROSS JOIN (SELECT query_idx FROM queries) q
+  {lut_joins}
+),
+cand AS (
+  SELECT query_idx, vec_id, adc FROM (
+    SELECT adc.*, row_number() OVER (PARTITION BY query_idx
+                                     ORDER BY adc ASC, vec_id ASC) AS arn
+    FROM adc
+  ) WHERE arn <= {_PQ_FIXED_OVERSAMPLE}
+),
+rescored AS (
+  SELECT c.query_idx, c.vec_id, c.adc,
+         round({_COS_SQL}, {ROUND_DIGITS}) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN queries q ON q.query_idx = c.query_idx
+)
+SELECT query_idx, vec_id, adc, score, CAST(rank AS INT) AS rank FROM (
+  SELECT r.*, row_number() OVER (PARTITION BY query_idx
+                                 ORDER BY score DESC, vec_id ASC) AS rank
+  FROM rescored r
+) WHERE rank <= 10
+"""
+
+
+ORACLE_ANN_PQ_COSINE_FIXED = _pq_fixed_oracle()
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, as (label, dim, c) rows. The
     scale-safe plan is posexplode + groupBy(label, dim): the shuffle
@@ -10536,6 +10769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_meta": q_jpeg_meta,  # new, no driver row yet
     "embedding_pca_fixed": q_embedding_pca_fixed,  # new, no driver row yet
     "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # rewritten r11
+    "ann_pq_cosine_fixed": q_ann_pq_cosine_fixed,  # new, no driver row yet
     # --- r8 rows (age 3) (must be in the next batch) ---
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences_nosplit": q_pack_sequences_nosplit,
@@ -10901,6 +11135,9 @@ ORACLES: dict[str, str] = {
     # r11: frozen-basis PCA projection — the map-only matmul dataflow
     # under the driver hash (the trained-basis lane stays rows-only)
     "embedding_pca_fixed": ORACLE_EMBEDDING_PCA_FIXED,
+    # r11: frozen-codebook PQ — the last quantized family's partial
+    # path (encode -> ADC -> oversample -> rescore) under the hash
+    "ann_pq_cosine_fixed": ORACLE_ANN_PQ_COSINE_FIXED,
     # r11: the four r10-staged promotions land. Their oracles were
     # written in r10 and pytest-pinned bit-equal to the Spark side at
     # BOTH sf0.001 and sf0.01 (tests/test_staged_oracles.py,

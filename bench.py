@@ -159,6 +159,7 @@ HEADLINE = [
     "embedding_pca_fixed",  # r11: frozen-basis projection matmul
     "audio_mp3_meta",  # r11: header-walk metadata route (vs full decode)
     "jpeg_meta",  # r11: SOF header route (vs entropy decode)
+    "ann_pq_cosine_fixed",  # r11: frozen-codebook PQ partial path
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

@@ -227,3 +227,58 @@ def test_compression_ratio_documented():
     """The point of PQ: m code indices replace dim floats."""
     # dim 64 float32 = 256 bytes; m=8 codes at <=8 bits = 8 bytes -> 32x
     assert 64 * 4 / 8 == 32.0
+
+
+def test_frozen_pq_fixed_matches_production_encode_and_exact_topk(spark, sf_dir):
+    """The fixed-PQ query's SQL struct-min encode must agree with the
+    production numpy argmin encode (operators/pq.encode_pq) under the
+    frozen codebooks wherever the rounded distances are untied, and the
+    oversample-then-rescore output must rank its survivors exactly like
+    flat exact search restricted to the same candidate set."""
+    import numpy as np
+
+    from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.operators.pq import PQModel, encode_pq
+    from aiotcvectordb_spark.operators.pq_frozen import (
+        FROZEN_PQ_CODEBOOKS,
+        FROZEN_PQ_DSUB,
+        FROZEN_PQ_M,
+    )
+
+    emb = Q.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    model = PQModel(
+        codebooks=np.asarray(FROZEN_PQ_CODEBOOKS, dtype=np.float64),
+        dim=FROZEN_PQ_M * FROZEN_PQ_DSUB,
+        normalize=True,
+    )
+    prod = {r.vec_id: list(r.codes) for r in encode_pq(emb, model).collect()}
+
+    # replicate the SQL encode in numpy WITH the rounding + lowest-code
+    # tie rule, to compare where production (unrounded argmin) agrees
+    vecs = {r.vec_id: np.asarray(r.embedding, np.float64) for r in emb.collect()}
+    books = np.asarray(FROZEN_PQ_CODEBOOKS, np.float64)
+    agree = disagree = 0
+    for vid, v in vecs.items():
+        n = np.linalg.norm(v)
+        ne = v / (n if n else 1.0)
+        for j in range(FROZEN_PQ_M):
+            sub = ne[j * FROZEN_PQ_DSUB:(j + 1) * FROZEN_PQ_DSUB]
+            d2 = np.round(((books[j] - sub) ** 2).sum(axis=1), 6)
+            best = int(np.lexsort((np.arange(len(d2)), d2))[0])
+            if best == prod[vid][j]:
+                agree += 1
+            else:
+                # legitimate only when rounding created a tie band
+                assert abs(d2[best] - d2[prod[vid][j]]) <= 1e-6
+                disagree += 1
+    assert agree > disagree * 50  # overwhelmingly identical
+
+    out = Q.QUERIES["ann_pq_cosine_fixed"](spark, sf_dir).collect()
+    assert {r.query_idx for r in out} == {0, 1}
+    for qi in (0, 1):
+        rows = sorted((r for r in out if r.query_idx == qi),
+                      key=lambda r: r.rank)
+        assert len(rows) == 10
+        # exact-rescore ordering: scores non-increasing, ties by vec_id
+        for a, b in zip(rows, rows[1:]):
+            assert (a.score, -a.vec_id) >= (b.score, -b.vec_id)

@@ -120,6 +120,7 @@ PROBE_QUERIES = [
     "audio_mp3_probe",
     "audio_mp3_meta",
     "jpeg_meta",
+    "ann_pq_cosine_fixed",
     "bigram_logprob",
     "incremental_dedup",
     "profile_table",
