@@ -4883,6 +4883,123 @@ def q_ann_lsh_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_idx", "vec_id", "score", "rank")
 
 
+def q_ann_lsh_l2_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-prune ANN with FROZEN projection planes, ORACLED
+    (r11) — completes the index-family witness set: every quantized /
+    hashed index's candidate-selection machinery now has a driver-hash
+    row (BQ/SQ8 r9, IVF r10, PQ r11, LSH here; the MLlib
+    ``ann_lsh_l2`` lane stays recall-tested, its planes are engine
+    RNG). Datar-et-al bucketed random projections: bucket_t(v) =
+    floor(round(v · p_t, ROUND_DIGITS) / L) over four fixed tables
+    (``operators/lsh_frozen.py``), OR-amplified as a UNION of four
+    bucket equi-joins (keyed broadcast joins, never a nested-loop),
+    candidate dedup, exact-L2 rescore of the bucket union, top-10.
+    Rounding BEFORE floor pins bucket boundaries cross-engine; the
+    hash covers rows every table legitimately drops (L=0.5 prunes
+    ~half the fixture corpus per query; recall vs exact pinned in
+    tests/test_ann.py).
+
+    Scale shape: bucket ids are scan-projection folds (the index
+    build — stored bucket-partitioned at serving scale); query-time
+    work is Q x T one-row broadcast joins, a (query, vec) distinct,
+    and the exact rescore of only the bucket-union candidates."""
+    from aiotcvectordb_spark.functions.vector import l2_score
+    from aiotcvectordb_spark.operators.lsh_frozen import (
+        FROZEN_LSH_BUCKET_LEN,
+        FROZEN_LSH_PLANES,
+        FROZEN_LSH_TABLES,
+    )
+
+    def _bucket_expr(vcol: str, plane: list[float]) -> str:
+        lits = ", ".join(f"{v:.17e}" for v in plane)
+        return (
+            f"cast(floor(round(aggregate(zip_with(transform({vcol}, "
+            f"x -> cast(x as double)), array({lits}), (x, y) -> x * y), "
+            f"0D, (a, v) -> a + v), {ROUND_DIGITS}) / "
+            f"{FROZEN_LSH_BUCKET_LEN!r}D) as long)"
+        )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for t, plane in enumerate(FROZEN_LSH_PLANES):
+        emb = emb.withColumn(f"__b{t}", F.expr(_bucket_expr("embedding", plane)))
+    qdf = spark.createDataFrame(
+        list(enumerate(FLAGSHIP_VECTORS)), "query_idx int, qv array<double>"
+    )
+    for t, plane in enumerate(FROZEN_LSH_PLANES):
+        qdf = qdf.withColumn(f"__qb{t}", F.expr(_bucket_expr("qv", plane)))
+
+    cand = None
+    for t in range(FROZEN_LSH_TABLES):
+        side = qdf.select(
+            "query_idx", "qv", F.col(f"__qb{t}").alias(f"__b{t}")
+        )
+        hit = emb.join(F.broadcast(side), f"__b{t}").select(
+            "query_idx", "qv", "vec_id", "embedding"
+        )
+        cand = hit if cand is None else cand.unionByName(hit)
+    cand = cand.dropDuplicates(["query_idx", "vec_id"])
+
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("score").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn(
+            "score", F.round(l2_score("embedding", "qv"), ROUND_DIGITS)
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 10")
+        .select("query_idx", "vec_id", "score", "rank")
+    )
+
+
+def _lsh_fixed_oracle() -> str:
+    from aiotcvectordb_spark.operators.lsh_frozen import (
+        FROZEN_LSH_BUCKET_LEN,
+        FROZEN_LSH_PLANES,
+        FROZEN_LSH_TABLES,
+    )
+
+    plane_rows = ", ".join(
+        f"({t}, {_sql_vec(p)})" for t, p in enumerate(FROZEN_LSH_PLANES)
+    )
+    bucket = (
+        "CAST(floor(round(list_dot_product({v}, p.pvec), "
+        f"{ROUND_DIGITS}) / {FROZEN_LSH_BUCKET_LEN!r}) AS BIGINT)"
+    )
+    return f"""
+WITH planes(tbl, pvec) AS (VALUES {plane_rows}),
+{_sql_queries_cte(FLAGSHIP_VECTORS)},
+eb AS (
+  SELECT e.vec_id, p.tbl,
+         {bucket.format(v="CAST(e.embedding AS DOUBLE[])")} AS b
+  FROM embeddings e CROSS JOIN planes p
+),
+qb AS (
+  SELECT q.query_idx, p.tbl, {bucket.format(v="q.qv")} AS b
+  FROM queries q CROSS JOIN planes p
+),
+cand AS (
+  SELECT DISTINCT qb.query_idx, eb.vec_id
+  FROM eb JOIN qb ON eb.tbl = qb.tbl AND eb.b = qb.b
+),
+rescored AS (
+  SELECT c.query_idx, c.vec_id,
+         round({_L2_SQL}, {ROUND_DIGITS}) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN queries q ON q.query_idx = c.query_idx
+)
+SELECT query_idx, vec_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT r.*, row_number() OVER (PARTITION BY query_idx
+                                 ORDER BY score ASC, vec_id ASC) AS rank
+  FROM rescored r
+) WHERE rank <= 10
+"""
+
+
+ORACLE_ANN_LSH_L2_FIXED = _lsh_fixed_oracle()
+
+
 # --------------------------------------------------------------------------
 # §2.7 relational breadth: grouping sets / pivot / unpivot / TPC-H shapes
 # --------------------------------------------------------------------------
@@ -10770,6 +10887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_fixed": q_embedding_pca_fixed,  # new, no driver row yet
     "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # rewritten r11
     "ann_pq_cosine_fixed": q_ann_pq_cosine_fixed,  # new, no driver row yet
+    "ann_lsh_l2_fixed": q_ann_lsh_l2_fixed,  # new, no driver row yet
     # --- r8 rows (age 3) (must be in the next batch) ---
     "semantic_dedup": q_semantic_dedup,
     "pack_sequences_nosplit": q_pack_sequences_nosplit,
@@ -11138,6 +11256,9 @@ ORACLES: dict[str, str] = {
     # r11: frozen-codebook PQ — the last quantized family's partial
     # path (encode -> ADC -> oversample -> rescore) under the hash
     "ann_pq_cosine_fixed": ORACLE_ANN_PQ_COSINE_FIXED,
+    # r11: frozen-plane LSH — the bucket-prune OR-amplification under
+    # the hash; completes the per-index-family witness set
+    "ann_lsh_l2_fixed": ORACLE_ANN_LSH_L2_FIXED,
     # r11: the four r10-staged promotions land. Their oracles were
     # written in r10 and pytest-pinned bit-equal to the Spark side at
     # BOTH sf0.001 and sf0.01 (tests/test_staged_oracles.py,

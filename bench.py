@@ -160,6 +160,7 @@ HEADLINE = [
     "audio_mp3_meta",  # r11: header-walk metadata route (vs full decode)
     "jpeg_meta",  # r11: SOF header route (vs entropy decode)
     "ann_pq_cosine_fixed",  # r11: frozen-codebook PQ partial path
+    "ann_lsh_l2_fixed",  # r11: frozen-plane LSH bucket prune
 ]
 
 # Inline subset for the driver-visible JSON line (kept small so the

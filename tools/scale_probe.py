@@ -121,6 +121,7 @@ PROBE_QUERIES = [
     "audio_mp3_meta",
     "jpeg_meta",
     "ann_pq_cosine_fixed",
+    "ann_lsh_l2_fixed",
     "bigram_logprob",
     "incremental_dedup",
     "profile_table",
