@@ -550,6 +550,12 @@ def test_round11_ops_shuffle_budgets(spark, sf_dir):
         "quality_classifier_frozen": 5,
         "substring_dedup_cjk_hashed": 16,
         "substring_dedup_cjk": 16,
+        # the ANN twins: PQ's only exchange feeds the per-query ADC
+        # rank window (encode + LUTs live in the scan projection /
+        # broadcast); LSH adds the candidate-dedup exchange on top of
+        # the rescore rank — the four bucket joins are all broadcast
+        "ann_pq_cosine_fixed": 1,
+        "ann_lsh_l2_fixed": 2,
     }
     for name, budget in budgets.items():
         df = Q.QUERIES[name](spark, sf_dir)
