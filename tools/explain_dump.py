@@ -420,6 +420,21 @@ SHOWCASE = [
         "(bucket, weight) table, per-doc aggregate, map-side sigmoid; "
         "the only exchanges are the two doc-keyed aggregates",
     ),
+    (
+        "ann_pq_cosine_fixed",
+        "r11 (oracled): frozen-codebook PQ — normalize + nearest-code "
+        "encode as zip_with/aggregate folds in the scan projection, "
+        "broadcast of the Q x (4x16) ADC LUTs, ONE exchange feeding "
+        "the per-query ADC rank window, exact rescore of only the "
+        "oversample-50 survivors",
+    ),
+    (
+        "ann_lsh_l2_fixed",
+        "r11 (oracled): frozen-plane LSH — bucket ids are scan-"
+        "projection folds; OR-amplification is a UNION of four KEYED "
+        "broadcast joins (no nested-loop anywhere), then the candidate "
+        "dedup and rescore rank are the only exchanges",
+    ),
 ]
 
 
