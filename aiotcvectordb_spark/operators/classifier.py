@@ -161,7 +161,17 @@ def score_quality(
     scored = (
         occ.join(F.broadcast(wdf), "bucket", "left")
         .withColumn("w", F.coalesce("w", F.lit(0.0)))
-        # the same per-doc l1 normalization used in training
+        # the same per-doc l1 normalization used in training.
+        # ULP caveat (r12 advisor, the mmr_rerank precedent): the
+        # grouped float SUMs accumulate in partition order in Spark
+        # and arbitrary order in DuckDB, so unlike the left-assoc-fold
+        # twins a doc whose z sits within 1 ULP of a 1e-6 rounding
+        # boundary could hash-differently cross-engine. Accepted: the
+        # fixture corpus has no boundary-adjacent z (driver-hash green
+        # r11), and per-doc bucket counts are small integers scaled by
+        # frozen weights — re-association error is ~1e-16 vs the 1e-6
+        # grid. If it ever flips, fold array_sort'ed (bucket, cnt*w)
+        # structs deterministically on both sides.
         .groupBy("doc_id")
         .agg(
             (F.sum(F.col("cnt") * F.col("w")) / F.sum("cnt")).alias("__z")

@@ -1122,7 +1122,12 @@ def mp3_meta(df, *, id_col: str = "doc_id", payload_col: str = "payload"):
                          info["sample_rate"], info["bitrate_kbps"],
                          info["duration_ms"])
                     )
-                except (ValueError, IndexError):
+                except Exception:
+                    # flag-don't-fail must survive ANY malformed
+                    # payload, not just the exceptions the happy-path
+                    # parser anticipates (r12 advisor): struct.error /
+                    # KeyError from table lookups are as malformed as
+                    # a ValueError — a NULL row, never a dead batch
                     rows.append((i, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -1158,9 +1163,10 @@ def mp3_features(df, *, id_col: str = "doc_id", payload_col: str = "payload"):
                         (i, info["n_frames"], info["sample_rate"],
                          info["bitrate_kbps"], info["duration_ms"], rms)
                     )
-                except (ValueError, IndexError):
+                except Exception:
                     # IndexError: a truncated frame runs the bit reader
-                    # off the payload — still malformed, still
+                    # off the payload; struct.error / KeyError: garbage
+                    # bytes driving table lookups — all malformed, all
                     # flag-don't-fail (the audio_features contract)
                     rows.append((i, None, None, None, None, None))
             yield pd.DataFrame(

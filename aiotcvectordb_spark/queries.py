@@ -4895,8 +4895,9 @@ def q_ann_lsh_l2_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-joins (keyed broadcast joins, never a nested-loop),
     candidate dedup, exact-L2 rescore of the bucket union, top-10.
     Rounding BEFORE floor pins bucket boundaries cross-engine; the
-    hash covers rows every table legitimately drops (L=0.5 prunes
-    ~half the fixture corpus per query; recall vs exact pinned in
+    hash covers rows every table legitimately drops (L=3.0 — the
+    ``FROZEN_LSH_BUCKET_LEN`` in ``lsh_frozen.py`` — prunes ~25-50%
+    of the fixture corpus per query; recall vs exact pinned in
     tests/test_ann.py).
 
     Scale shape: bucket ids are scan-projection folds (the index

@@ -140,11 +140,14 @@ def engine_stream_search_sink(
             # small BY CONTRACT, but a misconfigured source (one giant
             # file per trigger) must fail fast with a fix, not OOM the
             # driver materializing an unbounded vector list
-            n_queries = batch_df.count()
-            if n_queries > _QUERY_BATCH_MAX:
+            # LIMIT-bounded probe (r12 advisor): a bare count() is a
+            # full extra job re-reading the micro-batch source every
+            # trigger; limit(MAX+1).count() short-circuits the scan as
+            # soon as the cap is provably exceeded (or not)
+            if batch_df.limit(_QUERY_BATCH_MAX + 1).count() > _QUERY_BATCH_MAX:
                 raise ValueError(
-                    f"query micro-batch has {n_queries} rows "
-                    f"(> {_QUERY_BATCH_MAX}): index-probe pruning collects "
+                    f"query micro-batch exceeds {_QUERY_BATCH_MAX} rows"
+                    ": index-probe pruning collects "
                     "the batch's query vectors on the driver. Shrink the "
                     "trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) "
                     "or pass use_index=False for a full-scan answer."
