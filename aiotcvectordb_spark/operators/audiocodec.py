@@ -226,6 +226,69 @@ def _decode_adpcm_data(data: bytes, block_align: int, n_samples: int | None) -> 
     return arr
 
 
+def probe_wav_header(payload: bytes) -> dict:
+    """HEADER-ONLY container probe (r12): walk the RIFF chunks and read
+    the fmt / fact / data chunk FIELDS — never the sample or nibble
+    payload — so the cost is a few dozen bytes per file regardless of
+    audio length. The WAV twin of ``mp3codec.probe_mp3`` /
+    ``imagecodec.probe_image``: duration / geometry audits at 100 TB
+    run here; only waveform consumers pay ``decode_wav``.
+
+    Returns format_tag, channels, sample_rate, block_align,
+    samples_per_block (ADPCM wSamplesPerBlock; PCM16 samples per
+    2-byte frame-block), n_samples (ADPCM: the fact chunk's count;
+    PCM: data bytes / 2 / channels), n_blocks (ceil(data bytes /
+    block_align)) and duration_ms. Malformed containers raise
+    ValueError (uniform codec contract)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = channels = rate = block_align = spb = None
+    data_len = fact_samples = None
+    try:
+        while pos + 8 <= n:
+            cid = payload[pos:pos + 4]
+            clen = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            if cid == b"fmt ":
+                body = payload[pos + 8:pos + 8 + clen]
+                fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+                block_align = struct.unpack_from("<H", body, 12)[0]
+                if fmt == 0x0011 and clen >= 20:
+                    spb = struct.unpack_from("<H", body, 18)[0]
+                elif fmt == 1:
+                    spb = 1
+            elif cid == b"fact" and clen >= 4:
+                fact_samples = struct.unpack_from(
+                    "<I", payload, pos + 8
+                )[0]
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)
+    except struct.error as e:
+        raise ValueError(f"malformed WAV header: {e!r}") from e
+    if fmt is None or rate is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt == 0x0011:
+        if fact_samples is None:
+            raise ValueError("ADPCM WAV without a fact chunk")
+        n_samples = int(fact_samples)
+    else:
+        n_samples = data_len // 2 // max(channels or 1, 1)
+    n_blocks = (
+        -(-data_len // block_align) if block_align else 0
+    )
+    return {
+        "format_tag": int(fmt),
+        "channels": int(channels),
+        "sample_rate": int(rate),
+        "block_align": int(block_align),
+        "samples_per_block": int(spb) if spb is not None else None,
+        "n_samples": n_samples,
+        "n_blocks": int(n_blocks),
+        "duration_ms": (n_samples * 1000) // rate,
+    }
+
+
 def probe_wav(payload: bytes) -> dict:
     """Header-only probe: (sample_rate, n_samples, duration_ms) without
     materializing the sample array."""

@@ -1064,13 +1064,20 @@ def decode_mpeg_audio(data: bytes) -> tuple[np.ndarray, int]:
 
 def with_mp3_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
                      n_samples: int = 2304, bitrate_kbps: int = 128,
-                     mix_layer1: bool = False):
+                     mix_layer1: bool = False, vary_geometry: bool = False):
     """Attach a REAL MPEG audio ``payload``: the deterministic
     text-derived waveform (``audiocodec.text_to_samples``) encoded by
     ``encode_mp3``. With ``mix_layer1`` odd ids get a Layer I stream
     instead (448 kbps fixed allocation) so the layer-dispatching decode
     path runs distributed, not just in unit tests. The MP3 twin of
-    ``with_wav_payload``."""
+    ``with_wav_payload``.
+
+    ``vary_geometry`` (r12) rotates the waveform length PER DOCUMENT —
+    ``1152 * (1 + id % 5)`` samples on the Layer III lane, ``384 *
+    (2 + id % 9)`` on the Layer I lane — so frame counts and durations
+    differ row to row and a metadata oracle must RECOMPUTE them from
+    doc_id arithmetic instead of selecting fixture-wide constants
+    (known-answer → recomputed-geometry witness upgrade)."""
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, payload binary"
 
@@ -1082,7 +1089,14 @@ def with_mp3_payload(df, *, id_col: str = "doc_id", text_col: str = "text",
         for pdf in batches:
             payloads = []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                s = audiocodec.text_to_samples(text or "", n_samples)
+                n = n_samples
+                if vary_geometry:
+                    n = (
+                        384 * (2 + int(i) % 9)
+                        if mix_layer1 and int(i) % 2 == 1
+                        else 1152 * (1 + int(i) % 5)
+                    )
+                s = audiocodec.text_to_samples(text or "", n)
                 pcm = s.astype(np.float64) / 32768.0
                 if mix_layer1 and int(i) % 2 == 1:
                     payloads.append(encode_mp1(pcm, 44100, 448))

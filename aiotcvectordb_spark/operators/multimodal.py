@@ -131,6 +131,48 @@ def with_wav_payload(
     return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
 
 
+def wav_meta(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """HEADER-ONLY WAV container metadata (r12): one
+    ``audiocodec.probe_wav_header`` chunk-walk per payload — fmt /
+    fact / data FIELDS only, never the nibble stream — the audio twin
+    of ``mp3_meta`` / ``probe_media``. For IMA-ADPCM payloads every
+    returned field is closed-form from the encoder's block geometry,
+    so the route is oracle-checkable end to end (encode →
+    header-parse). Malformed payloads get NULL rows (flag, don't fail
+    the batch)."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, format_tag int, sample_rate int, "
+        "block_align int, samples_per_block int, n_samples long, "
+        "n_blocks int, duration_ms long"
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from aiotcvectordb_spark.operators import audiocodec
+
+        cols = ["format_tag", "sample_rate", "block_align",
+                "samples_per_block", "n_samples", "n_blocks",
+                "duration_ms"]
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    h = audiocodec.probe_wav_header(bytes(payload))
+                    rows.append((i, *[h[c] for c in cols]))
+                except Exception:
+                    rows.append((i, *([None] * len(cols))))
+            yield pd.DataFrame(rows, columns=[id_col, *cols])
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=schema)
+
+
 def audio_features(
     df: DataFrame,
     *,
@@ -564,6 +606,7 @@ def with_jpeg_payload(
     id_col: str = "doc_id",
     text_col: str = "text",
     progressive: bool = False,
+    vary_width: bool = False,
 ) -> DataFrame:
     """Attach a REAL baseline-JPEG ``payload``: each UTF-8 byte of the
     text becomes one CONSTANT 8x8 block with pixel value
@@ -578,10 +621,15 @@ def with_jpeg_payload(
     these images (a constant block's FDCT is DC-only at 8·v', and the
     DC step 16 divides 8·2k), so decode is pixel-identical to the
     source values and the decode round trip is SQL-oracle-checkable —
-    through the REAL entropy coder and REAL IDCT, not a fake."""
+    through the REAL entropy coder and REAL IDCT, not a fake.
+
+    ``vary_width`` (r12) rotates the block-grid width PER DOCUMENT to
+    ``2 + doc_id % 7`` blocks, so SOF dimensions differ row to row and
+    a metadata oracle must RECOMPUTE width/height from doc_id + text
+    arithmetic instead of selecting fixture-wide constants."""
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, payload binary"
-    wide = _JPEG_BLOCKS_WIDE
+    fixed_wide = _JPEG_BLOCKS_WIDE
 
     def encode(batches: Iterator) -> Iterator:
         import numpy as np
@@ -597,6 +645,7 @@ def with_jpeg_payload(
         for pdf in batches:
             ids, payloads = [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
+                wide = 2 + int(i) % 7 if vary_width else fixed_wide
                 raw = (text or "").encode("utf-8") or b"\x40"  # empty -> byte 64
                 vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
                 vals = 2 * (vals % 128)

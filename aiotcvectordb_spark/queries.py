@@ -3948,30 +3948,40 @@ def q_audio_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``audio_mp3_probe``'s METADATA route (r11, verdict item: route
-    metadata-only consumers to the header-probe path): the same real
-    mixed Layer I/III streams, but features come from ``mp3_meta`` —
-    a frame-sync header walk, NO requantization/IMDCT/synthesis — so
-    the cost is encode + a few bytes per frame instead of CPU-linear
-    decode. ORACLED: the container's header fields must equal the
-    spec-derived constants of the encoder's fixed geometry (2304
-    samples @ 44100 Hz -> two 1152-sample Layer III frames at 128 kbps
-    on even ids, six 384-sample Layer I frames at 448 kbps on odd ids,
-    both floor(2304/44.1) = 52 ms), an end-to-end encode->header-parse
-    witness under the driver hash."""
+    metadata-only consumers to the header-probe path): real mixed
+    Layer I/III streams, features from ``mp3_meta`` — a frame-sync
+    header walk, NO requantization/IMDCT/synthesis — so the cost is
+    encode + a few bytes per frame instead of CPU-linear decode.
+
+    r12 witness upgrade (verdict item: known-answer → recomputed
+    geometry): ``vary_geometry`` rotates the waveform length per
+    document — ``1152 * (1 + id % 5)`` samples on the Layer III lane,
+    ``384 * (2 + id % 9)`` on Layer I — so the DuckDB oracle must
+    RECOMPUTE n_frames and duration from doc_id arithmetic per row
+    (duration = round(n_frames * spf * 1000 / 44100); no value lands
+    on a .5 tie because 49 ∤ n and 147 ∤ n for these frame counts).
+    An end-to-end encode->header-parse witness under the driver hash,
+    now with per-row geometry."""
     from aiotcvectordb_spark.operators import mp3codec as M3
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    mp3 = M3.with_mp3_payload(df, mix_layer1=True)
+    mp3 = M3.with_mp3_payload(df, mix_layer1=True, vary_geometry=True)
     return M3.mp3_meta(mp3)
 
 
 ORACLE_AUDIO_MP3_META = """
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS layer,
-       CASE WHEN doc_id % 2 = 1 THEN 6 ELSE 2 END AS n_frames,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INTEGER)
+         AS layer,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 2 + doc_id % 9
+                 ELSE 1 + doc_id % 5 END AS INTEGER) AS n_frames,
        44100 AS sample_rate,
-       CASE WHEN doc_id % 2 = 1 THEN 448 ELSE 128 END AS bitrate_kbps,
-       CAST(52 AS BIGINT) AS duration_ms
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 448 ELSE 128 END AS INTEGER)
+         AS bitrate_kbps,
+       CAST(round((CASE WHEN doc_id % 2 = 1
+                        THEN 384 * (2 + doc_id % 9)
+                        ELSE 1152 * (1 + doc_id % 5) END)
+                  * 1000.0 / 44100) AS BIGINT) AS duration_ms
 FROM documents
 """
 
@@ -3981,16 +3991,19 @@ def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SOF2 progressive streams, but features come from
     ``multimodal.probe_media`` — a marker-segment walk reading SOF
     dimensions, NO Huffman decode / dequant / IDCT. ORACLED: the
-    parsed dimensions must equal the encoder's block geometry (4
-    blocks = 32 px wide, one 8-px block row per 4 UTF-8 text bytes,
-    empty text -> one block), an encode->header-parse witness that
-    costs header bytes per image instead of entropy-decode CPU. At
-    100 TB, dimension/orientation audits run HERE; only pixel
-    consumers pay ``jpeg_features``."""
+    parsed dimensions must equal the encoder's block geometry —
+    r12 witness upgrade (known-answer → recomputed geometry):
+    ``vary_width`` rotates the grid to ``2 + doc_id % 7`` blocks per
+    document, so the oracle RECOMPUTES width and height from doc_id +
+    text arithmetic per row instead of selecting a fixture-wide
+    constant. An encode->header-parse witness that costs header bytes
+    per image instead of entropy-decode CPU. At 100 TB,
+    dimension/orientation audits run HERE; only pixel consumers pay
+    ``jpeg_features``."""
     from aiotcvectordb_spark.operators import multimodal
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    media = multimodal.with_jpeg_payload(df, progressive=True)
+    media = multimodal.with_jpeg_payload(df, progressive=True, vary_width=True)
     return multimodal.probe_media(media).select(
         "doc_id",
         "format",
@@ -4004,12 +4017,54 @@ def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JPEG_META = """
 SELECT doc_id,
        'jpeg' AS format,
-       32 AS width,
-       CAST(8 * ceil(greatest(octet_length(encode(text)), 1) / 4.0)
-            AS INTEGER) AS height,
+       CAST((2 + doc_id % 7) * 8 AS INTEGER) AS width,
+       CAST(8 * ceil(greatest(octet_length(encode(text)), 1)
+                     / CAST(2 + doc_id % 7 AS DOUBLE)) AS INTEGER)
+         AS height,
        8 AS bit_depth,
        1 AS channels
 FROM documents
+"""
+
+
+def q_audio_adpcm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``audio_adpcm_probe``'s METADATA route (r12, verdict item #3 —
+    the last codec lane without a driver witness): the same real
+    IMA-ADPCM RIFF/WAVE payloads, features from ``wav_meta`` — a
+    chunk-walk over the fmt / fact / data chunk FIELDS
+    (``audiocodec.probe_wav_header``), never the nibble stream — so
+    duration/geometry audits cost ~50 header bytes per file while
+    ``audio_adpcm_probe`` pays the full predictor state machine.
+
+    ORACLED with RECOMPUTED geometry: every field is closed-form from
+    the encoder's block structure (block_align 256 → 505 samples per
+    mono block; one sample per UTF-8 byte, empty text → 1 sample;
+    fact n_samples; n_blocks = ceil(n/505); duration = n*1000 // 8000)
+    so DuckDB derives all of them per row from the text itself — an
+    encode→header-parse witness for the ADPCM container under the
+    driver hash."""
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    wav = MM.with_wav_payload(df, n_samples=None, codec="adpcm")
+    return MM.wav_meta(wav)
+
+
+ORACLE_AUDIO_ADPCM_META = """
+WITH n AS (
+  SELECT doc_id,
+         greatest(octet_length(encode(text)), 1) AS ns
+  FROM documents
+)
+SELECT doc_id,
+       17 AS format_tag,
+       8000 AS sample_rate,
+       256 AS block_align,
+       505 AS samples_per_block,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(ceil(ns / 505.0) AS INTEGER) AS n_blocks,
+       CAST(ns * 1000 // 8000 AS BIGINT) AS duration_ms
+FROM n
 """
 
 
@@ -10874,58 +10929,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # enforces this ordering plus the post-driver age cap by simulating
     # the driver consuming the front batch; tools/rotate_registry.py
     # regenerates this block. Re-rotation is the round's CLOSING commit.
-    # --- forced for r11: rewritten since last row / no row yet ---
-    "bpe_token_count_frozen": q_bpe_token_count_frozen,  # new, no driver row yet
-    "weighted_sample_hash": q_weighted_sample_hash,  # new, no driver row yet
-    "winnow_fingerprint": q_winnow_fingerprint,  # new, no driver row yet
-    "token_entropy": q_token_entropy,  # new, no driver row yet
-    "substring_dedup_cjk": q_substring_dedup_cjk,  # rewritten r11
-    "substring_dedup_cjk_hashed": q_substring_dedup_cjk_hashed,  # new, no driver row yet
-    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,  # rewritten r11
-    "quality_classifier_frozen": q_quality_classifier_frozen,  # new, no driver row yet
-    "audio_mp3_meta": q_audio_mp3_meta,  # new, no driver row yet
-    "jpeg_meta": q_jpeg_meta,  # new, no driver row yet
-    "embedding_pca_fixed": q_embedding_pca_fixed,  # new, no driver row yet
-    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # rewritten r11
-    "ann_pq_cosine_fixed": q_ann_pq_cosine_fixed,  # new, no driver row yet
-    "ann_lsh_l2_fixed": q_ann_lsh_l2_fixed,  # new, no driver row yet
-    # --- r8 rows (age 3) (must be in the next batch) ---
-    "semantic_dedup": q_semantic_dedup,
-    "pack_sequences_nosplit": q_pack_sequences_nosplit,
-    "c4_quality_filter": q_c4_quality_filter,
-    "ann_pq_fullrescore": q_ann_pq_fullrescore,
-    "multimodal_features": q_multimodal_features,
-    "unigram_logprob": q_unigram_logprob,
-    "lang_top_terms": q_lang_top_terms,
-    "bigram_logprob": q_bigram_logprob,
-    "large_volume_customers": q_large_volume_customers,
-    "time_gap_fill": q_time_gap_fill,
-    "window_range_frame": q_window_range_frame,
-    "percentile_disc": q_percentile_disc,
-    "funnel_steps": q_funnel_steps,
-    "retention_cohorts": q_retention_cohorts,
-    "image_probe": q_image_probe,
-    "sessionize_udtf": q_sessionize_udtf,
-    "search_binary_hamming": q_search_binary_hamming,
-    "pii_scrub": q_pii_scrub,
-    "training_shards": q_training_shards,
-    "ewma_smooth": q_ewma_smooth,
-    "source_quota": q_source_quota,
-    "profile_table": q_profile_table,
-    "group_topk_salted": q_group_topk_salted,
-    "label_centroids": q_label_centroids,
-    "attribution_last_touch": q_attribution_last_touch,
-    "embedding_outliers": q_embedding_outliers,
-    "rolling_active_users": q_rolling_active_users,
-    "equidepth_histogram": q_equidepth_histogram,
-    "audio_probe": q_audio_probe,
-    "video_frames": q_video_frames,
-    "update_conditional": q_update_conditional,
-    "query_projection": q_query_projection,
-    "token_count": q_token_count,
-    "cube_agg": q_cube_agg,
-    "price_histogram": q_price_histogram,
-    "query_by_ids": q_query_by_ids,
+    # --- forced for r12: rewritten since last row / no row yet ---
+    "audio_mp3_meta": q_audio_mp3_meta,  # rewritten r12
+    "jpeg_meta": q_jpeg_meta,  # rewritten r12
+    "audio_adpcm_meta": q_audio_adpcm_meta,  # new, no driver row yet
+    # --- r8 rows (age 4) (must be in the next batch) ---
     "ttl_filter": q_ttl_filter,
     "json_extract": q_json_extract,
     "group_topk": q_group_topk,
@@ -10938,7 +10946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_filter_limit": q_delete_filter_limit,
     "percentiles": q_percentiles,
     "query_filter_sort_paginate": q_query_filter_sort_paginate,
-    # --- r9 rows (age 2) ---
+    # --- r9 rows (age 3) (must be in the next batch) ---
     "gram_novelty": q_gram_novelty,
     "incremental_gram_novelty": q_incremental_gram_novelty,
     "stratified_sample_hash": q_stratified_sample_hash,
@@ -10989,7 +10997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "docx_extract": q_docx_extract,
     "rtf_extract": q_rtf_extract,
-    # --- r10 rows (age 1) ---
+    # --- r10 rows (age 2) ---
     "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,
     "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,
     "dataset_mix_temp": q_dataset_mix_temp,
@@ -11037,6 +11045,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue_change": q_forecast_revenue_change,
     "small_quantity_revenue": q_small_quantity_revenue,
+    # --- r11 rows (age 1) ---
+    "bpe_token_count_frozen": q_bpe_token_count_frozen,
+    "weighted_sample_hash": q_weighted_sample_hash,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "token_entropy": q_token_entropy,
+    "substring_dedup_cjk": q_substring_dedup_cjk,
+    "substring_dedup_cjk_hashed": q_substring_dedup_cjk_hashed,
+    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,
+    "quality_classifier_frozen": q_quality_classifier_frozen,
+    "embedding_pca_fixed": q_embedding_pca_fixed,
+    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,
+    "ann_pq_cosine_fixed": q_ann_pq_cosine_fixed,
+    "ann_lsh_l2_fixed": q_ann_lsh_l2_fixed,
+    "semantic_dedup": q_semantic_dedup,
+    "pack_sequences_nosplit": q_pack_sequences_nosplit,
+    "c4_quality_filter": q_c4_quality_filter,
+    "ann_pq_fullrescore": q_ann_pq_fullrescore,
+    "multimodal_features": q_multimodal_features,
+    "unigram_logprob": q_unigram_logprob,
+    "lang_top_terms": q_lang_top_terms,
+    "bigram_logprob": q_bigram_logprob,
+    "large_volume_customers": q_large_volume_customers,
+    "time_gap_fill": q_time_gap_fill,
+    "window_range_frame": q_window_range_frame,
+    "percentile_disc": q_percentile_disc,
+    "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
+    "image_probe": q_image_probe,
+    "sessionize_udtf": q_sessionize_udtf,
+    "search_binary_hamming": q_search_binary_hamming,
+    "pii_scrub": q_pii_scrub,
+    "training_shards": q_training_shards,
+    "ewma_smooth": q_ewma_smooth,
+    "source_quota": q_source_quota,
+    "profile_table": q_profile_table,
+    "group_topk_salted": q_group_topk_salted,
+    "label_centroids": q_label_centroids,
+    "attribution_last_touch": q_attribution_last_touch,
+    "embedding_outliers": q_embedding_outliers,
+    "rolling_active_users": q_rolling_active_users,
+    "equidepth_histogram": q_equidepth_histogram,
+    "audio_probe": q_audio_probe,
+    "video_frames": q_video_frames,
+    "update_conditional": q_update_conditional,
+    "query_projection": q_query_projection,
+    "token_count": q_token_count,
+    "cube_agg": q_cube_agg,
+    "price_histogram": q_price_histogram,
+    "query_by_ids": q_query_by_ids,
     # --- non-oracled entries (rows-only driver check; order free) ---
     "curate_corpus_v2_auto": q_curate_corpus_v2_auto,
     "semantic_dedup_auto": q_semantic_dedup_auto,
@@ -11075,6 +11132,7 @@ ORACLES: dict[str, str] = {
     # heavies — encode->header-walk witnesses under the driver hash
     "audio_mp3_meta": ORACLE_AUDIO_MP3_META,
     "jpeg_meta": ORACLE_JPEG_META,
+    "audio_adpcm_meta": ORACLE_AUDIO_ADPCM_META,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pack_sequences_nosplit": ORACLE_PACK_SEQUENCES_NOSPLIT,
     "image_probe": ORACLE_IMAGE_PROBE,

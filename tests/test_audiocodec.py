@@ -173,3 +173,59 @@ def test_adpcm_wav_features_flow():
     assert f_adp["n_samples"] == x.size
     assert abs(f_adp["rms"] - f_pcm["rms"]) < 0.02
     assert abs(f_adp["zcr"] - f_pcm["zcr"]) < 0.02
+
+
+def test_probe_wav_header_adpcm_geometry():
+    """Header-only probe fields must be closed-form from the encoder's
+    block geometry — for several sample counts spanning the one-block /
+    multi-block / exact-multiple boundaries — and must never touch the
+    nibble stream (a corrupted data payload still probes fine)."""
+    import numpy as np
+    from aiotcvectordb_spark.operators import audiocodec as A
+
+    for n in (1, 504, 505, 506, 1010, 2048):
+        x = (5000 * np.sin(np.arange(n) / 9.0)).astype("<i2")
+        h = A.probe_wav_header(A.encode_wav_adpcm(x, 8000))
+        assert h["format_tag"] == 0x0011
+        assert h["sample_rate"] == 8000
+        assert h["block_align"] == 256
+        assert h["samples_per_block"] == 505
+        assert h["n_samples"] == n
+        assert h["n_blocks"] == -(-n // 505)
+        assert h["duration_ms"] == n * 1000 // 8000
+    # nibble corruption is invisible to the header walk
+    good = bytearray(A.encode_wav_adpcm(x, 8000))
+    good[-10:] = b"\xff" * 10
+    assert A.probe_wav_header(bytes(good))["n_samples"] == 2048
+    # PCM16 path derives n_samples from the data chunk length
+    h = A.probe_wav_header(A.encode_wav(x[:100], 8000))
+    assert h["format_tag"] == 1 and h["n_samples"] == 100
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        A.probe_wav_header(b"RIFFxxxxNOPE")
+
+
+def test_wav_meta_spark_flow_flags_malformed(spark):
+    """wav_meta over real ADPCM payloads: fields equal the closed-form
+    geometry; a non-WAV payload flags a NULL row, never a dead batch."""
+    from pyspark.sql import functions as F
+
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, "adpcm meta 中文 " * (i + 1)) for i in range(4)] + [(4, "")],
+        "doc_id long, text string",
+    )
+    wav = MM.with_wav_payload(docs, n_samples=None, codec="adpcm")
+    meta = {r.doc_id: r for r in MM.wav_meta(wav).collect()}
+    for i in range(5):
+        nb = max(len(("adpcm meta 中文 " * (i + 1)).encode()), 1) if i < 4 else 1
+        assert meta[i].format_tag == 0x0011
+        assert meta[i].n_samples == nb
+        assert meta[i].n_blocks == -(-nb // 505)
+        assert meta[i].duration_ms == nb * 1000 // 8000
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"not a riff file"))], "doc_id long, payload binary"
+    )
+    (row,) = MM.wav_meta(bad).collect()
+    assert row.doc_id == 99 and row.format_tag is None and row.n_samples is None

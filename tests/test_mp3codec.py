@@ -436,3 +436,28 @@ def test_mp3_meta_matches_full_probe_and_flags_malformed(spark):
     )
     (row,) = M3.mp3_meta(bad).collect()
     assert row.doc_id == 99 and row.layer is None and row.n_frames is None
+
+
+def test_vary_geometry_rotates_frame_counts(spark):
+    """vary_geometry must give each doc its own frame count —
+    1 + id % 5 Layer III frames on even ids, 2 + id % 9 Layer I frames
+    on odd — so metadata oracles recompute geometry instead of
+    selecting fixture-wide constants (r12 witness upgrade)."""
+    from aiotcvectordb_spark.operators import mp3codec as M3
+
+    docs = spark.createDataFrame(
+        [(i, f"geom {i} " * (i + 2)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    mp3 = M3.with_mp3_payload(docs, mix_layer1=True, vary_geometry=True)
+    meta = {r.doc_id: r for r in M3.mp3_meta(mp3).collect()}
+    for i in range(10):
+        if i % 2:
+            assert meta[i].layer == 1
+            assert meta[i].n_frames == 2 + i % 9
+            exp = round(384 * (2 + i % 9) * 1000.0 / 44100)
+        else:
+            assert meta[i].layer == 3
+            assert meta[i].n_frames == 1 + i % 5
+            exp = round(1152 * (1 + i % 5) * 1000.0 / 44100)
+        assert meta[i].duration_ms == exp, i

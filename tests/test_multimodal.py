@@ -411,3 +411,23 @@ def test_probe_media_reads_progressive_sof2_dimensions(spark):
     assert (got[1].format, got[1].width, got[1].height) == ("jpeg", 32, 16)
     assert (got[2].width, got[2].height) == (32, 8 * -(-130 // 4))
     assert (got[3].width, got[3].height) == (32, 8)  # empty -> one block
+
+
+def test_jpeg_vary_width_rotates_sof_dimensions(spark):
+    """vary_width must give each doc its own block-grid width
+    (2 + id % 7 blocks) with height following from the byte count, so
+    the jpeg_meta oracle recomputes SOF dimensions per row (r12)."""
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, "px 宽 " * (i + 1)) for i in range(8)] + [(8, "")],
+        "doc_id long, text string",
+    )
+    media = MM.with_jpeg_payload(docs, progressive=True, vary_width=True)
+    meta = {r.doc_id: r for r in MM.probe_media(media).collect()}
+    for i in range(9):
+        wide = 2 + i % 7
+        nb = max(len(("px 宽 " * (i + 1)).encode()), 1) if i < 8 else 1
+        assert meta[i].format == "jpeg"
+        assert meta[i].width == wide * 8, i
+        assert meta[i].height == 8 * (-(-nb // wide)), i

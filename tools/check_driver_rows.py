@@ -158,6 +158,12 @@ REWRITES: dict[str, int] = {
     # r11: the portable word-lane twin moved from a two-md5 suffix
     # pair to the single-md5 split-digest pair (impl + oracle together)
     "substring_dedup_hashed_portable": 11,
+    # r12: known-answer → recomputed-geometry witness upgrade — both
+    # fixtures now rotate per-doc geometry (mp3 waveform length,
+    # jpeg block-grid width) and the oracles derive the fields from
+    # doc_id/text arithmetic instead of constants
+    "audio_mp3_meta": 12,
+    "jpeg_meta": 12,
 }
 
 
