@@ -459,8 +459,10 @@ def frame_sample(
                     if raw[:6] not in (b"GIF87a", b"GIF89a"):
                         raise NotImplementedError(
                             "real frame sampling implements the GIF "
-                            "container (gifcodec); other entropy-coded "
-                            "video needs codecs not present in this "
+                            "container (gifcodec); MJPEG AVI has its own "
+                            "lane (avicodec.mjpeg_frames, r12); remaining "
+                            "INTER-FRAME video codecs (H.264/VP9/...) "
+                            "need decoders not present in this "
                             "environment — use extract_frames for MPNG "
                             "or mode='fake'"
                         )
@@ -600,6 +602,34 @@ def probe_media(
 _JPEG_BLOCKS_WIDE = 4  # jpeg probe images are 4 blocks (32 px) wide
 
 
+def text_block_image_bytes(raw: bytes, wide: int):
+    """The shared bytes→grayscale block-grid fixture: each byte becomes
+    one CONSTANT 8x8 block of value ``2 * (byte % 128)`` (blocks laid
+    out ``wide`` across, value-128 pad blocks, empty input → one
+    value-64 block). Even level-shift offsets make the Annex-K
+    quantizer exact for these images, so every codec built on them
+    (JPEG, MJPEG frames) decodes pixel-identically and the geometry is
+    closed-form from the byte count — the property all the image/video
+    oracles lean on."""
+    import numpy as np
+
+    raw = raw or b"\x40"  # empty -> byte 64
+    vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    vals = 2 * (vals % 128)
+    nb = len(vals)
+    rows = -(-nb // wide)
+    grid = np.full(rows * wide, 128, dtype=np.uint8)
+    grid[:nb] = vals
+    return np.repeat(
+        np.repeat(grid.reshape(rows, wide), 8, axis=0), 8, axis=1
+    )
+
+
+def text_block_image(text: str, wide: int):
+    """``text_block_image_bytes`` over a string's UTF-8 bytes."""
+    return text_block_image_bytes((text or "").encode("utf-8"), wide)
+
+
 def with_jpeg_payload(
     df: DataFrame,
     *,
@@ -646,16 +676,7 @@ def with_jpeg_payload(
             ids, payloads = [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 wide = 2 + int(i) % 7 if vary_width else fixed_wide
-                raw = (text or "").encode("utf-8") or b"\x40"  # empty -> byte 64
-                vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
-                vals = 2 * (vals % 128)
-                nb = len(vals)
-                rows = -(-nb // wide)
-                grid = np.full(rows * wide, 128, dtype=np.uint8)
-                grid[:nb] = vals
-                img = np.repeat(
-                    np.repeat(grid.reshape(rows, wide), 8, axis=0), 8, axis=1
-                )
+                img = text_block_image(text, wide)
                 ids.append(i)
                 payloads.append(enc(img))
             yield pd.DataFrame({id_col: ids, "payload": payloads})

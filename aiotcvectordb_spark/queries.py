@@ -8570,6 +8570,114 @@ WHERE j % {_MPNG_STRIDE} = 0
 """
 
 
+def q_video_mjpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata, oracled (r12, verdict item #4 —
+    shrink the entropy-coded-video wall to inter-frame codecs): each
+    document becomes a genuine MJPEG AVI — ``1 + id % 6`` real
+    baseline-JPEG frames (the repo's own ITU-T T.81 encoder) at a
+    per-doc ``2 + id % 5``-block width, boxed in a spec-shaped RIFF
+    AVI (hdrl avih/strh/strf, movi 00dc chunks, idx1) by
+    ``operators/avicodec.build_avi_mjpeg`` — then a second
+    shuffle-free mapInPandas stage walks the container AND probes
+    every frame's JPEG SOF marker (``parse_avi_mjpeg``): counted vs
+    declared frame counts, bitstream-read dimensions, avih-clock
+    duration. No pixel decode — the video member of the
+    metadata-route family (mp3_meta / jpeg_meta / wav_meta). Every
+    field is recomputed per row by DuckDB from doc_id + byte-count
+    arithmetic. Reference ground: op 45 multimodal generalization
+    (reference collection_view.py:425-435)."""
+    from aiotcvectordb_spark.operators import avicodec
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    avi = avicodec.with_mjpeg_payload(df)
+    return avicodec.mjpeg_meta(avi)
+
+
+ORACLE_VIDEO_MJPEG_META = """
+WITH n AS (
+  SELECT doc_id, greatest(octet_length(encode(text)), 1) AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 + doc_id % 6 AS INTEGER) AS n_frames,
+       CAST(1 + doc_id % 6 AS INTEGER) AS total_frames,
+       CAST(1 + doc_id % 6 AS INTEGER) AS frames_probed,
+       CAST((2 + doc_id % 5) * 8 AS INTEGER) AS width,
+       CAST(8 * ceil(nb / CAST(2 + doc_id % 5 AS DOUBLE)) AS INTEGER)
+         AS height,
+       CAST((1 + doc_id % 6) * 100 AS BIGINT) AS duration_ms
+FROM n
+"""
+
+
+def q_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-DECODE MJPEG frame walk, oracled with ZERO float risk
+    (r12): every '00dc' chunk of the real AVI payload is decoded by
+    the repo's JPEG decoder (Huffman + dequant + IDCT) and emits the
+    INTEGER pixel sum. The fixture's constant blocks make the Annex-K
+    quantizer exact, and rolling the byte sequence per frame preserves
+    the byte MULTISET, so every frame's px_sum is closed-form:
+    ``64 * (sum(2*(b%128)) + 128 * pad_bytes)`` — DuckDB recomputes it
+    from the text's UTF-8 bytes and the driver hash covers the whole
+    entropy-decode + IDCT pipeline across frames. One doc → N frame
+    rows; payloads never leave their producing partition."""
+    from aiotcvectordb_spark.operators import avicodec
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    avi = avicodec.with_mjpeg_payload(df)
+    return avicodec.mjpeg_frames(avi).select(
+        "doc_id", "frame_idx", "f_width", "f_height", "px_sum"
+    )
+
+
+# UTF-8 byte expansion CTE (the ORACLE_AUDIO_PROBE pattern) so the
+# byte-multiset pixel sum is exact for any unicode text; empty text is
+# the encoder's single value-64 byte via the LEFT JOIN fallback.
+ORACLE_VIDEO_MJPEG_FRAMES = """
+WITH ch AS (
+  SELECT doc_id, ascii(c) AS cp
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+    FROM documents WHERE length(text) > 0
+  )
+),
+b AS (
+  SELECT doc_id, unnest(
+    CASE WHEN cp < 128 THEN [cp]
+         WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+         WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+                               128 + cp % 64]
+         ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+               128 + (cp // 64) % 64, 128 + cp % 64] END) AS byte
+  FROM ch
+),
+agg AS (
+  SELECT doc_id, count(*) AS nb, sum(2 * (byte % 128)) AS sb
+  FROM b GROUP BY doc_id
+),
+geo AS (
+  SELECT d.doc_id,
+         2 + d.doc_id % 5 AS wide,
+         1 + d.doc_id % 6 AS nf,
+         coalesce(agg.nb, 1) AS nb,
+         coalesce(agg.sb, 128) AS sb
+  FROM documents d LEFT JOIN agg USING (doc_id)
+),
+g2 AS (
+  SELECT doc_id, wide, nf, nb, sb,
+         CAST(ceil(nb / CAST(wide AS DOUBLE)) AS BIGINT) AS nrows
+  FROM geo
+)
+SELECT doc_id,
+       CAST(j AS INTEGER) AS frame_idx,
+       CAST(wide * 8 AS INTEGER) AS f_width,
+       CAST(nrows * 8 AS INTEGER) AS f_height,
+       CAST(64 * (sb + 128 * (nrows * wide - nb)) AS BIGINT) AS px_sum
+FROM (SELECT *, unnest(range(6)) AS j FROM g2)
+WHERE j < nf
+"""
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF codec round trip, oracle-checked (r6): each
     document's UTF-8 bytes become indexed 16x16 frames (one per 256
@@ -10933,6 +11041,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_mp3_meta": q_audio_mp3_meta,  # rewritten r12
     "jpeg_meta": q_jpeg_meta,  # rewritten r12
     "audio_adpcm_meta": q_audio_adpcm_meta,  # new, no driver row yet
+    "video_mjpeg_meta": q_video_mjpeg_meta,  # new, no driver row yet
+    "video_mjpeg_frames": q_video_mjpeg_frames,  # new, no driver row yet
     # --- r8 rows (age 4) (must be in the next batch) ---
     "ttl_filter": q_ttl_filter,
     "json_extract": q_json_extract,
@@ -11133,6 +11243,8 @@ ORACLES: dict[str, str] = {
     "audio_mp3_meta": ORACLE_AUDIO_MP3_META,
     "jpeg_meta": ORACLE_JPEG_META,
     "audio_adpcm_meta": ORACLE_AUDIO_ADPCM_META,
+    "video_mjpeg_meta": ORACLE_VIDEO_MJPEG_META,
+    "video_mjpeg_frames": ORACLE_VIDEO_MJPEG_FRAMES,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pack_sequences_nosplit": ORACLE_PACK_SEQUENCES_NOSPLIT,
     "image_probe": ORACLE_IMAGE_PROBE,
