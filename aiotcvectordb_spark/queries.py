@@ -27,6 +27,7 @@ from aiotcvectordb_spark.engine import (
 from aiotcvectordb_spark.operators import fulltext, hybrid, knn
 from aiotcvectordb_spark.functions import sparse as sparse_fn
 from aiotcvectordb_spark.partitioning import ensure_min_partitions
+from aiotcvectordb_spark.payloadstore import payload_table
 
 ROUND_DIGITS = 6
 DIM = 64
@@ -3580,8 +3581,12 @@ def q_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real encode→probe round trip against SQL."""
     from aiotcvectordb_spark.operators import multimodal
 
-    df = load(spark, sf_dir, "documents")
-    media = multimodal.with_png_payload(df, text_col="text")
+    media = payload_table(
+        spark, sf_dir, "png", 1,
+        lambda: multimodal.with_png_payload(
+            load(spark, sf_dir, "documents"), text_col="text"
+        ),
+    )
     return multimodal.probe_media(media).select(
         "doc_id", "format", "width", "height", "bit_depth", "channels"
     )
@@ -3614,8 +3619,13 @@ def q_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace."""
     from aiotcvectordb_spark.operators import multimodal as MM
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    jp = MM.with_jpeg_payload(df, text_col="text")
+    jp = payload_table(
+        spark, sf_dir, "jpeg_base", 1,
+        lambda: MM.with_jpeg_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            text_col="text",
+        ),
+    )
     return MM.jpeg_features(jp).select(
         "doc_id",
         "f_width",
@@ -3634,8 +3644,13 @@ def q_jpeg_progressive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the progressive decoder end to end."""
     from aiotcvectordb_spark.operators import multimodal as MM
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    jp = MM.with_jpeg_payload(df, text_col="text", progressive=True)
+    jp = payload_table(
+        spark, sf_dir, "jpeg_prog", 1,
+        lambda: MM.with_jpeg_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            text_col="text", progressive=True,
+        ),
+    )
     return MM.jpeg_features(jp).select(
         "doc_id",
         "f_width",
@@ -3856,8 +3871,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # no 32-way widening: each Python worker pays pandas/numpy import on
     # spawn, which dominates tiny inputs; real corpora arrive multi-split.
-    df = load(spark, sf_dir, "documents")
-    media = multimodal.with_png_payload(df, text_col="text", width=_MMF_WIDTH)
+    media = payload_table(
+        spark, sf_dir, f"png_w{_MMF_WIDTH}", 1,
+        lambda: multimodal.with_png_payload(
+            load(spark, sf_dir, "documents"),
+            text_col="text", width=_MMF_WIDTH,
+        ),
+        min_partitions=False,
+    )
     feats = multimodal.decode_features(media, id_col="doc_id", mode="real")
     return feats.select(
         "doc_id", F.posexplode("features").alias("bucket", "ratio")
@@ -3936,8 +3957,13 @@ def q_audio_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     are NOT reproduced."""
     from aiotcvectordb_spark.operators import mp3codec as M3
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    mp3 = M3.with_mp3_payload(df, mix_layer1=True)
+    mp3 = payload_table(
+        spark, sf_dir, "mp3_mixed", 1,
+        lambda: M3.with_mp3_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            mix_layer1=True,
+        ),
+    )
     return M3.mp3_features(mp3).select(
         "doc_id",
         "n_frames",
@@ -3964,8 +3990,13 @@ def q_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     now with per-row geometry."""
     from aiotcvectordb_spark.operators import mp3codec as M3
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    mp3 = M3.with_mp3_payload(df, mix_layer1=True, vary_geometry=True)
+    mp3 = payload_table(
+        spark, sf_dir, "mp3_mixed_varied", 1,
+        lambda: M3.with_mp3_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            mix_layer1=True, vary_geometry=True,
+        ),
+    )
     return M3.mp3_meta(mp3)
 
 
@@ -4002,8 +4033,13 @@ def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``jpeg_features``."""
     from aiotcvectordb_spark.operators import multimodal
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    media = multimodal.with_jpeg_payload(df, progressive=True, vary_width=True)
+    media = payload_table(
+        spark, sf_dir, "jpeg_prog_varied", 1,
+        lambda: multimodal.with_jpeg_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            progressive=True, vary_width=True,
+        ),
+    )
     return multimodal.probe_media(media).select(
         "doc_id",
         "format",
@@ -4045,8 +4081,13 @@ def q_audio_adpcm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash."""
     from aiotcvectordb_spark.operators import multimodal as MM
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    wav = MM.with_wav_payload(df, n_samples=None, codec="adpcm")
+    wav = payload_table(
+        spark, sf_dir, "wav_adpcm", 1,
+        lambda: MM.with_wav_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            n_samples=None, codec="adpcm",
+        ),
+    )
     return MM.wav_meta(wav)
 
 
@@ -4090,11 +4131,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just unit-tested."""
     from aiotcvectordb_spark.operators import pdfcodec
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
-        F.length("text") > 0
-    )
-    pdfs = pdfcodec.with_pdf_payload(
-        df, lines_per_page=_PDF_LINES_PER_PAGE, mix_modes=True
+    pdfs = payload_table(
+        spark, sf_dir, "pdf", 1,
+        lambda: pdfcodec.with_pdf_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+                F.length("text") > 0
+            ),
+            lines_per_page=_PDF_LINES_PER_PAGE, mix_modes=True,
+        ),
     )
     return pdfcodec.extract_text_df(
         pdfs, prime_kdf=pdfcodec.v5_policy_kdf_pairs()
@@ -4137,10 +4181,14 @@ def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejected."""
     from aiotcvectordb_spark.operators import cfbdoc
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
-        F.length("text") > 0
+    docs = payload_table(
+        spark, sf_dir, "doc", 1,
+        lambda: cfbdoc.with_doc_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+                F.length("text") > 0
+            )
+        ),
     )
-    docs = cfbdoc.with_doc_payload(df)
     return cfbdoc.extract_text_df(docs).select("doc_id", "text")
 
 
@@ -4190,7 +4238,12 @@ def q_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             return {"stale_text": f"superseded edit of {i}\nstale bullet"}
         return {}
 
-    decks = olebin.with_office_payload(df, olebin.build_ppt, variant_fn=variant)
+    decks = payload_table(
+        spark, sf_dir, "ppt", 1,
+        lambda: olebin.with_office_payload(
+            df, olebin.build_ppt, variant_fn=variant
+        ),
+    )
     return olebin.extract_office_text_df(decks, olebin.parse_ppt).select(
         "doc_id", "text"
     )
@@ -4250,7 +4303,12 @@ def q_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             kw["formula_cells"] = True
         return kw
 
-    books = olebin.with_office_payload(df, olebin.build_xls, variant_fn=variant)
+    books = payload_table(
+        spark, sf_dir, "xls", 1,
+        lambda: olebin.with_office_payload(
+            df, olebin.build_xls, variant_fn=variant
+        ),
+    )
     return olebin.extract_office_text_df(books, olebin.parse_xls).select(
         "doc_id", "text"
     )
@@ -4328,8 +4386,11 @@ def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = "\n".join(tabify_line(ln) for ln in t.split("\n"))
         return officeparse.build_docx(t, **kw)
 
-    docs = olebin.with_office_payload(
-        df, builder, alternate=False, variant_fn=variant
+    docs = payload_table(
+        spark, sf_dir, "docx", 1,
+        lambda: olebin.with_office_payload(
+            df, builder, alternate=False, variant_fn=variant
+        ),
     )
     return olebin.extract_office_text_df(docs, officeparse.parse_docx).select(
         "doc_id", "text"
@@ -4394,8 +4455,11 @@ def q_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             return {"notes": f"Notes for {i}"}
         return {}
 
-    decks = olebin.with_office_payload(
-        df, officeparse.build_pptx, alternate=False, variant_fn=variant
+    decks = payload_table(
+        spark, sf_dir, "pptx", 1,
+        lambda: olebin.with_office_payload(
+            df, officeparse.build_pptx, alternate=False, variant_fn=variant
+        ),
     )
     return olebin.extract_office_text_df(decks, officeparse.parse_pptx).select(
         "doc_id", "text"
@@ -4458,8 +4522,11 @@ def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return officeparse.build_xlsx(t, **kw)
 
-    books = olebin.with_office_payload(
-        df, builder, alternate=False, variant_fn=variant
+    books = payload_table(
+        spark, sf_dir, "xlsx", 1,
+        lambda: olebin.with_office_payload(
+            df, builder, alternate=False, variant_fn=variant
+        ),
     )
     return olebin.extract_office_text_df(books, officeparse.parse_xlsx).select(
         "doc_id", "text"
@@ -4518,7 +4585,10 @@ def q_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def parser(b):
         return rtfepub.parse_rtf(bytes(b).decode("utf-8", "replace"))
 
-    docs = olebin.with_office_payload(df, builder, alternate=False)
+    docs = payload_table(
+        spark, sf_dir, "rtf", 1,
+        lambda: olebin.with_office_payload(df, builder, alternate=False),
+    )
     return olebin.extract_office_text_df(docs, parser).select(
         "doc_id", "text"
     )
@@ -4568,7 +4638,10 @@ def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return rtfepub.build_epub("\n".join(ln for ln in lines if ln))
 
-    docs = olebin.with_office_payload(df, builder, alternate=False)
+    docs = payload_table(
+        spark, sf_dir, "epub", 1,
+        lambda: olebin.with_office_payload(df, builder, alternate=False),
+    )
     return olebin.extract_office_text_df(docs, rtfepub.parse_epub).select(
         "doc_id", "text"
     )
@@ -8461,8 +8534,13 @@ def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for any unicode (and empty) text."""
     from aiotcvectordb_spark.operators import multimodal as MM
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    wav = MM.with_wav_payload(df, n_samples=None)
+    wav = payload_table(
+        spark, sf_dir, "wav_pcm", 1,
+        lambda: MM.with_wav_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            n_samples=None,
+        ),
+    )
     return MM.audio_features(wav).select(
         "doc_id",
         "n_samples",
@@ -8487,8 +8565,13 @@ def q_audio_adpcm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     malformed-stream ValueError contract — tests/test_audiocodec.py)."""
     from aiotcvectordb_spark.operators import multimodal as MM
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    wav = MM.with_wav_payload(df, n_samples=None, codec="adpcm")
+    wav = payload_table(
+        spark, sf_dir, "wav_adpcm", 1,
+        lambda: MM.with_wav_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            n_samples=None, codec="adpcm",
+        ),
+    )
     return MM.audio_features(wav).select(
         "doc_id",
         "n_samples",
@@ -8545,9 +8628,12 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     NotImplementedError."""
     from aiotcvectordb_spark.operators import multimodal as MM
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    mpng = MM.with_mpng_payload(
-        df, n_frames=_MPNG_FRAMES, width=_MPNG_WIDTH
+    mpng = payload_table(
+        spark, sf_dir, "mpng", 1,
+        lambda: MM.with_mpng_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            n_frames=_MPNG_FRAMES, width=_MPNG_WIDTH,
+        ),
     )
     return MM.extract_frames(mpng, stride=_MPNG_STRIDE)
 
@@ -8588,8 +8674,12 @@ def q_video_mjpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference collection_view.py:425-435)."""
     from aiotcvectordb_spark.operators import avicodec
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    avi = avicodec.with_mjpeg_payload(df)
+    avi = payload_table(
+        spark, sf_dir, "mjpeg", 1,
+        lambda: avicodec.with_mjpeg_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents"))
+        ),
+    )
     return avicodec.mjpeg_meta(avi)
 
 
@@ -8623,8 +8713,12 @@ def q_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; payloads never leave their producing partition."""
     from aiotcvectordb_spark.operators import avicodec
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    avi = avicodec.with_mjpeg_payload(df)
+    avi = payload_table(
+        spark, sf_dir, "mjpeg", 1,
+        lambda: avicodec.with_mjpeg_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents"))
+        ),
+    )
     return avicodec.mjpeg_frames(avi).select(
         "doc_id", "frame_idx", "f_width", "f_height", "px_sum"
     )
@@ -8691,10 +8785,14 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     is now driver-hash-checked."""
     from aiotcvectordb_spark.operators import gifcodec
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
-        F.length("text") > 0
+    gifs = payload_table(
+        spark, sf_dir, "gif", 1,
+        lambda: gifcodec.with_gif_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+                F.length("text") > 0
+            )
+        ),
     )
-    gifs = gifcodec.with_gif_payload(df)
     return gifcodec.gif_frames(gifs).select(
         "doc_id", "frame_no", "f_width", "f_height"
     )
@@ -11043,6 +11141,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_adpcm_meta": q_audio_adpcm_meta,  # new, no driver row yet
     "video_mjpeg_meta": q_video_mjpeg_meta,  # new, no driver row yet
     "video_mjpeg_frames": q_video_mjpeg_frames,  # new, no driver row yet
+    "gif_frames": q_gif_frames,  # rewritten r12
+    "jpeg_probe": q_jpeg_probe,  # rewritten r12
+    "jpeg_progressive_probe": q_jpeg_progressive_probe,  # rewritten r12
+    "docx_extract": q_docx_extract,  # rewritten r12
+    "rtf_extract": q_rtf_extract,  # rewritten r12
+    "xlsx_extract": q_xlsx_extract,  # rewritten r12
+    "xls_extract": q_xls_extract,  # rewritten r12
+    "pptx_extract": q_pptx_extract,  # rewritten r12
+    "pdf_extract": q_pdf_extract,  # rewritten r12
+    "doc_extract": q_doc_extract,  # rewritten r12
+    "ppt_extract": q_ppt_extract,  # rewritten r12
+    "epub_extract": q_epub_extract,  # rewritten r12
+    "multimodal_features": q_multimodal_features,  # rewritten r12
+    "image_probe": q_image_probe,  # rewritten r12
+    "audio_probe": q_audio_probe,  # rewritten r12
+    "video_frames": q_video_frames,  # rewritten r12
     # --- r8 rows (age 4) (must be in the next batch) ---
     "ttl_filter": q_ttl_filter,
     "json_extract": q_json_extract,
@@ -11072,7 +11186,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bq_cosine": q_ann_bq_cosine,
     "ann_sq8_cosine": q_ann_sq8_cosine,
     "mmr_rerank": q_mmr_rerank,
-    "gif_frames": q_gif_frames,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
     "incremental_substring_dedup": q_incremental_substring_dedup,
@@ -11090,8 +11203,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fulltext_bm25_cjk": q_fulltext_bm25_cjk,
     "fulltext_bm25": q_fulltext_bm25,
     "sparse_encode": q_sparse_encode,
-    "jpeg_probe": q_jpeg_probe,
-    "jpeg_progressive_probe": q_jpeg_progressive_probe,
     "lang_id_cjk": q_lang_id_cjk,
     "doc_repetition": q_doc_repetition,
     "minhash_signatures": q_minhash_signatures,
@@ -11105,20 +11216,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "curate_corpus": q_curate_corpus,
     "incremental_dedup": q_incremental_dedup,
-    "docx_extract": q_docx_extract,
-    "rtf_extract": q_rtf_extract,
     # --- r10 rows (age 2) ---
     "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,
     "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,
     "dataset_mix_temp": q_dataset_mix_temp,
-    "xlsx_extract": q_xlsx_extract,
     "dataset_mix": q_dataset_mix,
-    "xls_extract": q_xls_extract,
-    "pptx_extract": q_pptx_extract,
-    "pdf_extract": q_pdf_extract,
-    "doc_extract": q_doc_extract,
-    "ppt_extract": q_ppt_extract,
-    "epub_extract": q_epub_extract,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
     "perplexity_filter": q_perplexity_filter,
@@ -11172,7 +11274,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences_nosplit": q_pack_sequences_nosplit,
     "c4_quality_filter": q_c4_quality_filter,
     "ann_pq_fullrescore": q_ann_pq_fullrescore,
-    "multimodal_features": q_multimodal_features,
     "unigram_logprob": q_unigram_logprob,
     "lang_top_terms": q_lang_top_terms,
     "bigram_logprob": q_bigram_logprob,
@@ -11182,7 +11283,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_disc": q_percentile_disc,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
-    "image_probe": q_image_probe,
     "sessionize_udtf": q_sessionize_udtf,
     "search_binary_hamming": q_search_binary_hamming,
     "pii_scrub": q_pii_scrub,
@@ -11196,8 +11296,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "rolling_active_users": q_rolling_active_users,
     "equidepth_histogram": q_equidepth_histogram,
-    "audio_probe": q_audio_probe,
-    "video_frames": q_video_frames,
     "update_conditional": q_update_conditional,
     "query_projection": q_query_projection,
     "token_count": q_token_count,

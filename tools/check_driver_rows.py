@@ -164,6 +164,27 @@ REWRITES: dict[str, int] = {
     # doc_id/text arithmetic instead of constants
     "audio_mp3_meta": 12,
     "jpeg_meta": 12,
+    # r12: codec queries rerouted through the payload store
+    # (payloadstore.payload_table) — identical payload bytes and
+    # values, but the plan materially changed from inline
+    # mapInPandas-encode to a parquet scan of the materialized table
+    # (the substring_dedup_cjk r11 plan-change precedent)
+    "image_probe": 12,
+    "jpeg_probe": 12,
+    "jpeg_progressive_probe": 12,
+    "multimodal_features": 12,
+    "audio_probe": 12,
+    "video_frames": 12,
+    "gif_frames": 12,
+    "pdf_extract": 12,
+    "doc_extract": 12,
+    "ppt_extract": 12,
+    "xls_extract": 12,
+    "docx_extract": 12,
+    "pptx_extract": 12,
+    "xlsx_extract": 12,
+    "rtf_extract": 12,
+    "epub_extract": 12,
 }
 
 
