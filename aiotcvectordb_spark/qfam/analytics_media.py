@@ -1,0 +1,2802 @@
+"""Embedding-space extras, audio/video codec lanes, quality filters, LM scoring, packing/shards/EWMA.
+
+Split out of queries.py in r12 (mechanical, order-preserving); see queries.py for the registry."""
+
+from aiotcvectordb_spark.qfam.core import *  # noqa: F401,F403
+from aiotcvectordb_spark.qfam.vector import FLAGSHIP_VECTORS, _N_BIN_BYTES, _bin_byte_sql, _binarize_py, _binarize_spark_expr  # noqa: F401
+from aiotcvectordb_spark.qfam.textdedup import ORACLE_MINHASH_SIGNATURES, _N_MINHASH, _assign_fixed_cells, _portable_hash_expr, q_minhash_signatures  # noqa: F401
+
+# --------------------------------------------------------------------------
+# Embedding-space extras: MMR diversified rerank, PCA reduction
+# --------------------------------------------------------------------------
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-10 over an exact top-40 candidate fetch
+    (operators/embeddings.mmr_rerank): greedy per-query selection runs
+    in one applyInPandas group over <= fetch_k rows, so the iterative
+    part is bounded and query-parallel. ORACLED as of r9 — the greedy
+    loop IS SQL-expressible once the selection state is explicit: a
+    DuckDB recursive CTE carries (selected set, per-candidate running
+    max-similarity) and each recursion step re-derives the argmax of
+    ``lam*rel - (1-lam)*max_sim`` over rounded cosines with the same
+    first-max (ascending-id within equal relevance) tie rule the
+    numpy kernel applies, so the driver hash covers all ten greedy
+    steps of both queries end to end. Determinism + diversity
+    additionally asserted in tests/test_embedding_ops.py."""
+    from aiotcvectordb_spark.operators import embeddings as emb_ops
+
+    df = load(spark, sf_dir, "embeddings")
+    return emb_ops.mmr_rerank(
+        df,
+        [qvec(1.0), qvec(-1.0)],
+        vector_col="embedding",
+        id_col="vec_id",
+        metric="COSINE",
+        fetch_k=40,
+        limit=10,
+        lambda_mult=0.5,
+        round_digits=ROUND_DIGITS,
+    )
+
+
+# The MMR oracle replays the greedy selection as a recursive CTE. State
+# per (query, step): the selected candidate indexes and the running
+# per-candidate max-similarity vector; the candidate pool (ids,
+# relevances in (rel DESC, id ASC) order) and the flattened n x n
+# rounded pairwise-cosine matrix are precomputed list columns. Every
+# arithmetic step mirrors the numpy kernel on ALREADY-ROUNDED inputs
+# (rel and sim rounded to ROUND_DIGITS in both engines; lam = 0.5
+# halving is exact), so the argmax decisions are bit-identical and
+# first-max tie-breaking (list_position vs np.argmax) agrees.
+ORACLE_MMR_RERANK = f"""
+WITH RECURSIVE {_sql_queries_cte([qvec(1.0), qvec(-1.0)])},
+scored AS (
+  SELECT q.query_idx, e.vec_id, round({_COS_SQL}, {ROUND_DIGITS}) AS rel,
+         CAST(e.embedding AS DOUBLE[]) AS vec,
+         row_number() OVER (PARTITION BY q.query_idx
+             ORDER BY round({_COS_SQL}, {ROUND_DIGITS}) DESC, e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN queries q
+  QUALIFY rn <= 40
+),
+pool AS (
+  SELECT query_idx, count(*) AS n,
+         list(vec_id ORDER BY rn) AS ids,
+         list(rel ORDER BY rn) AS rels
+  FROM scored GROUP BY query_idx
+),
+sims AS (
+  SELECT a.query_idx,
+         list(round(COALESCE(
+             list_dot_product(a.vec, b.vec) /
+             NULLIF(sqrt(list_dot_product(a.vec, a.vec)) *
+                    sqrt(list_dot_product(b.vec, b.vec)), 0), 0.0),
+             {ROUND_DIGITS})
+           ORDER BY a.rn, b.rn) AS simflat
+  FROM scored a JOIN scored b USING (query_idx)
+  GROUP BY a.query_idx
+),
+mmr AS (
+  SELECT p.query_idx, 0 AS step, CAST(NULL AS BIGINT) AS best,
+         CAST(NULL AS DOUBLE) AS best_obj,
+         CAST([] AS BIGINT[]) AS sel,
+         list_transform(range(1, p.n + 1),
+                        i -> CAST('-infinity' AS DOUBLE)) AS msim
+  FROM pool p
+  UNION ALL
+  SELECT query_idx, step + 1, CAST(bi AS BIGINT), objs[bi],
+         list_append(sel, CAST(bi AS BIGINT)),
+         list_transform(range(1, n + 1),
+                        i -> greatest(msim[i], simflat[(bi - 1) * n + i]))
+  FROM (
+    SELECT y.*, list_position(y.objs, list_aggregate(y.objs, 'max')) AS bi
+    FROM (
+      SELECT m.query_idx, m.step, m.sel, m.msim, p.n, p.rels, s.simflat,
+             list_transform(range(1, p.n + 1), i ->
+                 CASE WHEN list_contains(m.sel, i) THEN NULL
+                      WHEN m.step = 0 THEN 0.5 * p.rels[i]
+                      ELSE 0.5 * p.rels[i] - 0.5 * m.msim[i] END) AS objs
+      FROM mmr m
+      JOIN pool p USING (query_idx)
+      JOIN sims s USING (query_idx)
+      WHERE m.step < least(10, p.n)
+    ) y
+  ) z
+)
+SELECT m.query_idx,
+       p.ids[m.best] AS vec_id,
+       p.rels[m.best] AS relevance,
+       round(m.best_obj, {ROUND_DIGITS}) AS mmr_score,
+       CAST(m.step AS INT) AS mmr_rank
+FROM mmr m JOIN pool p USING (query_idx)
+WHERE m.step >= 1
+ORDER BY query_idx, mmr_rank
+"""
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA reduction 64d -> 8d of the embeddings table via MLlib's
+    distributed covariance path (one d x d tree-aggregate + map-only
+    projection). Returns the sign-invariant projection norm per vector
+    (principal axes are defined only up to sign, so norms are the
+    stable scalar). Rows-only; variance/reconstruction properties in
+    tests/test_embedding_ops.py."""
+    from aiotcvectordb_spark.operators import embeddings as emb_ops
+
+    df = load(spark, sf_dir, "embeddings")
+    reduced, _ = emb_ops.pca_fit_transform(
+        df, vector_col="embedding", id_col="vec_id", k=8
+    )
+    return reduced.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate("reduced", F.lit(0.0), lambda a, x: a + x * x)),
+            ROUND_DIGITS,
+        ).alias("reduced_norm"),
+    )
+
+
+def q_embedding_pca_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_pca``'s frozen-basis ORACLED witness (r11, the
+    classifier/BPE frozen pattern): one fitted 64x8 principal-component
+    basis is pinned as literals (``operators/pca_frozen.py``,
+    sign-canonicalized), and the PROJECTION pass — eight
+    zip_with/aggregate dot products in the scan projection, whole-stage
+    codegen, shuffle-free and linear in rows — is closed-form in DuckDB
+    (list_dot_product against the same literal arrays) under the
+    driver hash. The trained lane stays rows-only (MLlib's covariance
+    tree-aggregate float order is partitioning-dependent); this row
+    vouches for the map-only matmul dataflow any trained basis ships."""
+    from aiotcvectordb_spark.functions import vector as vector_fn
+    from aiotcvectordb_spark.operators.pca_frozen import FROZEN_PCA_BASIS
+
+    df = load(spark, sf_dir, "embeddings")
+    projections = [
+        F.round(
+            vector_fn.dot_score(
+                "embedding",
+                "array(" + ", ".join(f"{v:.17e}" for v in comp) + ")",
+            ),
+            ROUND_DIGITS,
+        ).alias(f"pc{j + 1}")
+        for j, comp in enumerate(FROZEN_PCA_BASIS)
+    ]
+    return df.select("vec_id", *projections)
+
+
+def _pca_fixed_oracle() -> str:
+    from aiotcvectordb_spark.operators.pca_frozen import FROZEN_PCA_BASIS
+
+    cols = ",\n       ".join(
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(f"{v:.17e}" for v in comp)
+        + f"]), {ROUND_DIGITS}) AS pc{j + 1}"
+        for j, comp in enumerate(FROZEN_PCA_BASIS)
+    )
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
+ORACLE_EMBEDDING_PCA_FIXED = _pca_fixed_oracle()
+
+
+def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round trip, oracle-checked end to end: each
+    document's bytes become an int16 waveform encoded as an actual
+    RIFF/WAVE PCM16 file (operators/audiocodec.encode_wav — stdlib
+    ``wave`` cross-validates it in tests), then a second mapInPandas
+    stage DECODES the payload and computes n_samples / duration / RMS
+    on the real samples. Both stages are Arrow-batched and
+    shuffle-free (payloads stay on their producing partition); the
+    waveform is a pure function of the text's UTF-8 BYTES, and the SQL
+    oracle expands code points to those same bytes, so parity is exact
+    for any unicode (and empty) text."""
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    wav = payload_table(
+        spark, sf_dir, "wav_pcm", 1,
+        lambda: MM.with_wav_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            n_samples=None,
+        ),
+    )
+    return MM.audio_features(wav).select(
+        "doc_id",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", ROUND_DIGITS).alias("rms"),
+    )
+
+
+# Byte-exact oracle: the waveform is one sample per UTF-8 BYTE (not per
+# character), so the SQL expands each code point to its UTF-8 byte
+# sequence before aggregating — parity holds for any unicode text, not
+# just the all-ASCII fixture. Empty text gets the codec's single zero
+# sample via the LEFT JOIN fallback.
+def q_audio_adpcm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio round trip: the text-derived waveform is
+    IMA-ADPCM-encoded (4:1 lossy, operators/audiocodec.encode_wav_adpcm)
+    and a second shuffle-free mapInPandas stage decodes the nibble
+    stream and computes features on the reconstructed samples.
+    Rows-only by nature: the ADPCM predictor state machine is not
+    SQL-expressible, so the driver checks rows/schema while pytest pins
+    the codec (bit-exact decoder≡encoder-reconstruction, >20 dB SNR,
+    malformed-stream ValueError contract — tests/test_audiocodec.py)."""
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    wav = payload_table(
+        spark, sf_dir, "wav_adpcm", 1,
+        lambda: MM.with_wav_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            n_samples=None, codec="adpcm",
+        ),
+    )
+    return MM.audio_features(wav).select(
+        "doc_id",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", ROUND_DIGITS).alias("rms"),
+    )
+
+
+ORACLE_AUDIO_PROBE = """
+WITH ch AS (
+  SELECT doc_id, ascii(c) AS cp
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+    FROM documents WHERE length(text) > 0
+  )
+),
+b AS (
+  SELECT doc_id, unnest(
+    CASE WHEN cp < 128 THEN [cp]
+         WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+         WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+                               128 + cp % 64]
+         ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+               128 + (cp // 64) % 64, 128 + cp % 64] END) AS byte
+  FROM ch
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         sum(((byte - 128) / 128.0) * ((byte - 128) / 128.0)) AS ss
+  FROM b GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n, 1) AS BIGINT) AS n_samples,
+       CAST(coalesce(agg.n, 1) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       round(sqrt(coalesce(agg.ss, 0) / coalesce(agg.n, 1)), 6) AS rms
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+_MPNG_FRAMES = 4
+_MPNG_WIDTH = 8
+_MPNG_STRIDE = 2
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame extraction, oracle-checked end to end: each
+    document becomes an MPNG container (4 length-prefixed PNG frames,
+    frame j encoding the [j::4] byte-stride slice of the text —
+    operators/multimodal.with_mpng_payload), then a second mapInPandas
+    stage parses the container, samples every 2nd frame, and decodes
+    each frame's REAL PNG header for its dimensions. Both stages
+    shuffle-free; frame sizes are a pure function of the text length,
+    so SQL recomputes them. Entropy-coded video stays honestly behind
+    NotImplementedError."""
+    from aiotcvectordb_spark.operators import multimodal as MM
+
+    mpng = payload_table(
+        spark, sf_dir, "mpng", 1,
+        lambda: MM.with_mpng_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            n_frames=_MPNG_FRAMES, width=_MPNG_WIDTH,
+        ),
+    )
+    return MM.extract_frames(mpng, stride=_MPNG_STRIDE)
+
+
+# L is the UTF-8 BYTE length (octet_length of the encoded text) — the
+# Spark side strides over text.encode("utf-8"), so a character count
+# would silently diverge on any non-ASCII document.
+ORACLE_VIDEO_FRAMES = f"""
+WITH frames AS (
+  SELECT doc_id, octet_length(encode(text)) AS L, unnest(range({_MPNG_FRAMES})) AS j
+  FROM documents
+)
+SELECT doc_id,
+       CAST(j AS INTEGER) AS frame_idx,
+       {_MPNG_WIDTH} AS f_width,
+       CAST(CASE WHEN L > j THEN ((L - j - 1) // {_MPNG_FRAMES} + 1 + {_MPNG_WIDTH - 1}) // {_MPNG_WIDTH}
+                 ELSE 1 END AS INTEGER) AS f_height
+FROM frames
+WHERE j % {_MPNG_STRIDE} = 0
+"""
+
+
+def q_video_mjpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata, oracled (r12, verdict item #4 —
+    shrink the entropy-coded-video wall to inter-frame codecs): each
+    document becomes a genuine MJPEG AVI — ``1 + id % 6`` real
+    baseline-JPEG frames (the repo's own ITU-T T.81 encoder) at a
+    per-doc ``2 + id % 5``-block width, boxed in a spec-shaped RIFF
+    AVI (hdrl avih/strh/strf, movi 00dc chunks, idx1) by
+    ``operators/avicodec.build_avi_mjpeg`` — then a second
+    shuffle-free mapInPandas stage walks the container AND probes
+    every frame's JPEG SOF marker (``parse_avi_mjpeg``): counted vs
+    declared frame counts, bitstream-read dimensions, avih-clock
+    duration. No pixel decode — the video member of the
+    metadata-route family (mp3_meta / jpeg_meta / wav_meta). Every
+    field is recomputed per row by DuckDB from doc_id + byte-count
+    arithmetic. Reference ground: op 45 multimodal generalization
+    (reference collection_view.py:425-435)."""
+    from aiotcvectordb_spark.operators import avicodec
+
+    avi = payload_table(
+        spark, sf_dir, "mjpeg", 1,
+        lambda: avicodec.with_mjpeg_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents"))
+        ),
+    )
+    return avicodec.mjpeg_meta(avi)
+
+
+ORACLE_VIDEO_MJPEG_META = """
+WITH n AS (
+  SELECT doc_id, greatest(octet_length(encode(text)), 1) AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 + doc_id % 6 AS INTEGER) AS n_frames,
+       CAST(1 + doc_id % 6 AS INTEGER) AS total_frames,
+       CAST(1 + doc_id % 6 AS INTEGER) AS frames_probed,
+       CAST((2 + doc_id % 5) * 8 AS INTEGER) AS width,
+       CAST(8 * ceil(nb / CAST(2 + doc_id % 5 AS DOUBLE)) AS INTEGER)
+         AS height,
+       CAST((1 + doc_id % 6) * 100 AS BIGINT) AS duration_ms
+FROM n
+"""
+
+
+def q_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-DECODE MJPEG frame walk, oracled with ZERO float risk
+    (r12): every '00dc' chunk of the real AVI payload is decoded by
+    the repo's JPEG decoder (Huffman + dequant + IDCT) and emits the
+    INTEGER pixel sum. The fixture's constant blocks make the Annex-K
+    quantizer exact, and rolling the byte sequence per frame preserves
+    the byte MULTISET, so every frame's px_sum is closed-form:
+    ``64 * (sum(2*(b%128)) + 128 * pad_bytes)`` — DuckDB recomputes it
+    from the text's UTF-8 bytes and the driver hash covers the whole
+    entropy-decode + IDCT pipeline across frames. One doc → N frame
+    rows; payloads never leave their producing partition."""
+    from aiotcvectordb_spark.operators import avicodec
+
+    avi = payload_table(
+        spark, sf_dir, "mjpeg", 1,
+        lambda: avicodec.with_mjpeg_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents"))
+        ),
+    )
+    return avicodec.mjpeg_frames(avi).select(
+        "doc_id", "frame_idx", "f_width", "f_height", "px_sum"
+    )
+
+
+# UTF-8 byte expansion CTE (the ORACLE_AUDIO_PROBE pattern) so the
+# byte-multiset pixel sum is exact for any unicode text; empty text is
+# the encoder's single value-64 byte via the LEFT JOIN fallback.
+ORACLE_VIDEO_MJPEG_FRAMES = """
+WITH ch AS (
+  SELECT doc_id, ascii(c) AS cp
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+    FROM documents WHERE length(text) > 0
+  )
+),
+b AS (
+  SELECT doc_id, unnest(
+    CASE WHEN cp < 128 THEN [cp]
+         WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+         WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+                               128 + cp % 64]
+         ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+               128 + (cp // 64) % 64, 128 + cp % 64] END) AS byte
+  FROM ch
+),
+agg AS (
+  SELECT doc_id, count(*) AS nb, sum(2 * (byte % 128)) AS sb
+  FROM b GROUP BY doc_id
+),
+geo AS (
+  SELECT d.doc_id,
+         2 + d.doc_id % 5 AS wide,
+         1 + d.doc_id % 6 AS nf,
+         coalesce(agg.nb, 1) AS nb,
+         coalesce(agg.sb, 128) AS sb
+  FROM documents d LEFT JOIN agg USING (doc_id)
+),
+g2 AS (
+  SELECT doc_id, wide, nf, nb, sb,
+         CAST(ceil(nb / CAST(wide AS DOUBLE)) AS BIGINT) AS nrows
+  FROM geo
+)
+SELECT doc_id,
+       CAST(j AS INTEGER) AS frame_idx,
+       CAST(wide * 8 AS INTEGER) AS f_width,
+       CAST(nrows * 8 AS INTEGER) AS f_height,
+       CAST(64 * (sb + 128 * (nrows * wide - nb)) AS BIGINT) AS px_sum
+FROM (SELECT *, unnest(range(6)) AS j FROM g2)
+WHERE j < nf
+"""
+
+
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF codec round trip, oracle-checked (r6): each
+    document's UTF-8 bytes become indexed 16x16 frames (one per 256
+    bytes, capped at 6; first frame interlaced) written by
+    ``operators/gifcodec.build_gif`` — genuine LSB-first LZW, palette,
+    GIF89a block structure — then a second shuffle-free mapInPandas
+    stage runs the full decoder (LZW, deinterlace, compositing) and
+    emits per-frame geometry. Frame count and dimensions are pure
+    functions of the byte length, so DuckDB predicts every row: the
+    entropy-coded video path that was a NotImplementedError until r6
+    is now driver-hash-checked."""
+    from aiotcvectordb_spark.operators import gifcodec
+
+    gifs = payload_table(
+        spark, sf_dir, "gif", 1,
+        lambda: gifcodec.with_gif_payload(
+            ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+                F.length("text") > 0
+            )
+        ),
+    )
+    return gifcodec.gif_frames(gifs).select(
+        "doc_id", "frame_no", "f_width", "f_height"
+    )
+
+
+ORACLE_GIF_FRAMES = """
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) AS L, unnest(range(6)) AS j
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(j AS INTEGER) AS frame_no,
+       16 AS f_width,
+       16 AS f_height
+FROM f
+WHERE j < least(CAST(ceil(L / 256.0) AS BIGINT), 6)
+"""
+
+
+def q_ann_bq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN — the 1-bit member of the quantized
+    index family (IVF_PQ = 8x codes + ADC, IVF_SQ8 = scalar int8, BQ =
+    sign bits): vectors sign-packed to dim/8 bytes, ranked by the
+    codegen Hamming popcount (32x less vector I/O than float32 — at
+    100 TB the scan, not the math, is the bottleneck), oversampled 5x,
+    then exact cosine rescore of the survivors so the top-k is
+    float-accurate. ORACLED as of r9: unlike the TRAINED quantizers
+    (PQ/IVF codebooks from iterative fits), every BQ stage is closed-
+    form — sign-bit packing, integral Hamming popcount with (distance
+    ASC, vec_id ASC) candidate order, 5x oversample, guarded-cosine
+    rescore — so DuckDB reproduces the whole plan bit-for-bit
+    (bit_count/xor on the same byte construction) and the driver hash
+    covers the quantized-index family's one SQL-expressible member.
+    Recall@10 vs exact FLAT additionally asserted in tests/test_bq.py."""
+    from aiotcvectordb_spark.functions.vector import metric_score_fixed
+
+    emb = load(spark, sf_dir, "embeddings")
+    bin_df = emb.select(
+        "vec_id", F.expr(_binarize_spark_expr("embedding")).alias("bvec")
+    )
+    qs = [qvec(1.0), qvec(-1.0)]
+    cand = knn.knn_search(
+        bin_df,
+        [_binarize_py(v) for v in qs],
+        vector_col="bvec",
+        id_col="vec_id",
+        metric="HAMMING",
+        limit=50,
+    ).select("query_idx", "vec_id")
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qs)], "query_idx int, __qv array<double>"
+    )
+    joined = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qdf), "query_idx")
+        .withColumn(
+            "score",
+            F.round(
+                metric_score_fixed("COSINE", "embedding", "__qv", DIM),
+                ROUND_DIGITS,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 10")
+        .select("query_idx", "vec_id", "score", "rank")
+    )
+
+
+ORACLE_ANN_BQ_COSINE = f"""
+WITH bqueries(query_idx, qb) AS (VALUES {", ".join(
+    f"({i}, [{', '.join(str(int(b)) for b in v)}]::INT[])"
+    for i, v in enumerate(
+        [_binarize_py(qvec(1.0)), _binarize_py(qvec(-1.0))]
+    )
+)}),
+{_sql_queries_cte([qvec(1.0), qvec(-1.0)])},
+ham AS (
+  SELECT q.query_idx, e.vec_id,
+         {" + ".join(
+             f"bit_count(xor({_bin_byte_sql(j)}, q.qb[{j + 1}]))"
+             for j in range(_N_BIN_BYTES)
+         )} AS hd
+  FROM embeddings e CROSS JOIN bqueries q
+),
+cand AS (
+  SELECT query_idx, vec_id FROM ham
+  QUALIFY row_number() OVER (PARTITION BY query_idx
+          ORDER BY hd ASC, vec_id) <= 50
+),
+rescored AS (
+  SELECT q.query_idx, e.vec_id, round({_COS_SQL}, {ROUND_DIGITS}) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN queries q ON q.query_idx = c.query_idx
+)
+SELECT query_idx, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY score DESC, vec_id) AS INT) AS rank
+FROM rescored
+QUALIFY rank <= 10
+ORDER BY query_idx, rank
+"""
+
+
+def q_ann_sq8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN — the int8 member of the quantized index
+    family (reference index type IVF_SQ8, stub.py; BQ = sign bits, PQ =
+    trained codebooks): per-dimension [min, max] over the collection
+    define a uniform 256-level grid, candidates are ranked by the
+    dequantized-grid approximate cosine (a pure Catalyst expression —
+    whole-stage codegen, no Python, 4x less vector I/O than float32
+    when the store serves codes), oversampled 5x, then exact-rescored
+    so the top-k is float-accurate. ORACLED (r9): like BQ and unlike
+    the TRAINED quantizers, every SQ8 stage is closed-form — the grid
+    is two order-free min/max aggregates, quantize/dequantize is
+    ``lo + round((x-lo)*255/span)*span/255`` with the span<=0 guard,
+    and both engines rank on the score rounded to ROUND_DIGITS
+    with ascending-id ties — so DuckDB reproduces the whole
+    oversample-and-rescore plan. Grid training (the one non-query
+    stage) is a single 1-row 2x64-aggregate collect, the same bounded
+    shape operators/ann.py:_build_sq8_state uses. Recall@10 vs exact
+    FLAT additionally asserted in tests/test_bq.py."""
+    from aiotcvectordb_spark.functions.vector import metric_score_fixed
+    from aiotcvectordb_spark.operators.ann import sq8_dequant_score_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    aggs = []
+    for i in range(DIM):
+        x = F.expr(f"cast(embedding[{i}] as double)")
+        aggs += [F.min(x).alias(f"lo{i}"), F.max(x).alias(f"hi{i}")]
+    row = emb.agg(*aggs).first()  # bounded: ONE row of 2 x dim doubles
+    lo = [float(row[f"lo{i}"]) for i in range(DIM)]
+    hi = [float(row[f"hi{i}"]) for i in range(DIM)]
+    qs = [qvec(1.0), qvec(-1.0)]
+    per_q = []
+    for qi, v in enumerate(qs):
+        # per-query TakeOrdered over a map-only scan (the same shape as
+        # operators/ann.ivf_sq8_search, minus the cell prune): the
+        # approximate scorer fuses into the scan projection
+        approx = F.round(
+            sq8_dequant_score_expr("embedding", v, lo, hi, "COSINE"),
+            ROUND_DIGITS,
+        )
+        per_q.append(
+            emb.select(
+                F.lit(qi).alias("query_idx"), "vec_id", approx.alias("__a")
+            )
+            .orderBy(F.col("__a").desc(), F.col("vec_id").asc())
+            .limit(50)
+            .select("query_idx", "vec_id")
+        )
+    cand = per_q[0]
+    for nxt in per_q[1:]:
+        cand = cand.unionByName(nxt)
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qs)], "query_idx int, __qv array<double>"
+    )
+    joined = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qdf), "query_idx")
+        .withColumn(
+            "score",
+            F.round(
+                metric_score_fixed("COSINE", "embedding", "__qv", DIM),
+                ROUND_DIGITS,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 10")
+        .select("query_idx", "vec_id", "score", "rank")
+    )
+
+
+def _sq8_queries_cte() -> str:
+    """queries(query_idx, qv, qn) VALUES rows with the SAME
+    python-computed query norm the Spark expression inlines
+    (sq8_dequant_score_expr's ``qn = sum(q²)**0.5 or 1.0``)."""
+    rows = []
+    for i, v in enumerate([qvec(1.0), qvec(-1.0)]):
+        qn = sum(float(x) * float(x) for x in v) ** 0.5 or 1.0
+        rows.append(f"({i}, {_sql_vec(v)}, {qn!r})")
+    return f"queries(query_idx, qv, qn) AS (VALUES {', '.join(rows)})"
+
+
+ORACLE_ANN_SQ8_COSINE = f"""
+WITH {_sq8_queries_cte()},
+flat AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM flat GROUP BY dim),
+deq AS (
+  SELECT f.vec_id, f.dim,
+         CASE WHEN s.hi - s.lo <= 0 THEN s.lo
+              ELSE s.lo + round((f.v - s.lo) * 255.0 / (s.hi - s.lo))
+                   * (s.hi - s.lo) / 255.0
+         END AS dv
+  FROM flat f JOIN stats s USING (dim)
+),
+approx AS (
+  SELECT q.query_idx, d.vec_id,
+         round(sum(d.dv * q.qv[d.dim]) /
+               (greatest(sqrt(sum(d.dv * d.dv)), 1e-12) * q.qn),
+               {ROUND_DIGITS}) AS a
+  FROM deq d CROSS JOIN queries q
+  GROUP BY q.query_idx, q.qn, d.vec_id
+),
+cand AS (
+  SELECT query_idx, vec_id FROM approx
+  QUALIFY row_number() OVER (PARTITION BY query_idx
+          ORDER BY a DESC, vec_id) <= 50
+),
+rescored AS (
+  SELECT c.query_idx, e.vec_id, round({_COS_SQL}, {ROUND_DIGITS}) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN queries q ON q.query_idx = c.query_idx
+)
+SELECT query_idx, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY score DESC, vec_id) AS INT) AS rank
+FROM rescored
+QUALIFY rank <= 10
+ORDER BY query_idx, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF with driver-fixed centroids — the oracled cell-prune plan
+# --------------------------------------------------------------------------
+
+_IVF_FIXED_NLIST = 8
+_IVF_FIXED_NPROBE = 3
+_IVF_FIXED_CENTROIDS = [qvec(30.0 + i) for i in range(_IVF_FIXED_NLIST)]
+
+
+def q_ann_ivf_cosine_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partial-probe ANN with FIXED centroids, ORACLED (r10) — the
+    promotion the trained ``ann_ivf_cosine`` entry could never get: a
+    KMeans fit is iterative and not SQL-expressible, but with
+    driver-fixed centroid literals (the ``semantic_dedup`` precedent)
+    every IVF stage is closed-form, so DuckDB reproduces the WHOLE
+    assign → probe-select → cell-prune → exact-rescore plan and the
+    driver hash covers the cell prune itself — including rows that a
+    partial probe (nprobe=3 of nlist=8) legitimately drops. Reference
+    semantics: index type IVF with the nprobe search knob
+    (reference stub.py:609-612, ``nprobe in [1, nlist]``).
+
+    Determinism rules shared with the semdedup/sq8 family: cell
+    assignment is argmax COSINE rounded to ROUND_DIGITS with
+    lowest-cell ties; the per-query probe set is the top-nprobe cells
+    by rounded query-centroid cosine (cell-asc ties) — computed by the
+    ENGINE on both sides (a 16-row broadcast frame in Spark, a VALUES
+    CTE in DuckDB), never in driver Python, so there is no third
+    float implementation to diverge.
+
+    Scale shape: the assignment (one broadcast nested-loop of K
+    centroid literals against the scan + a vec_id-keyed window) is the
+    index BUILD — at serving scale it is computed once by
+    rebuild_index and stored cell-partitioned (operators/ann.py); the
+    query-time work is only the probe-set join (broadcast, Q x nprobe
+    rows) and the exact rescore inside probed cells (~nprobe/nlist of
+    the corpus), ranked by the same bounded per-query window every
+    exact-search entry uses. Trained-centroid IVF stays recall-tested
+    (tests/test_ann.py); this entry pins the machinery."""
+    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = spark.createDataFrame(
+        list(enumerate(_IVF_FIXED_CENTROIDS)), "cell int, cvec array<double>"
+    )
+    assigned = _assign_fixed_cells(emb, cents).select(
+        "vec_id", "embedding", "cell"
+    )
+    qdf = spark.createDataFrame(
+        list(enumerate(FLAGSHIP_VECTORS)), "query_idx int, qv array<double>"
+    )
+    w_probe = Window.partitionBy("query_idx").orderBy(
+        F.col("qcos").desc(), F.col("cell").asc()
+    )
+    qcells = (
+        qdf.crossJoin(F.broadcast(cents))
+        .select(
+            "query_idx",
+            "qv",
+            "cell",
+            F.round(
+                cosine_score_fixed("qv", "cvec", DIM), ROUND_DIGITS
+            ).alias("qcos"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_FIXED_NPROBE)
+        .select("query_idx", "qv", "cell")
+    )
+    rescored = assigned.join(F.broadcast(qcells), "cell").withColumn(
+        "score",
+        F.round(cosine_score_fixed("embedding", "qv", DIM), ROUND_DIGITS),
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 10")
+        .select("query_idx", "vec_id", "cell", "score", "rank")
+    )
+
+
+def _ivf_fixed_cents_sql() -> str:
+    rows = ", ".join(
+        f"({i}, {_sql_vec(v)})" for i, v in enumerate(_IVF_FIXED_CENTROIDS)
+    )
+    return f"cents(cell, cvec) AS (VALUES {rows})"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"round(COALESCE(list_dot_product({a}, {b}) / "
+        f"NULLIF(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})), 0), 0.0), {ROUND_DIGITS})"
+    )
+
+
+ORACLE_ANN_IVF_COSINE_FIXED = f"""
+WITH {_ivf_fixed_cents_sql()},
+{_sql_queries_cte(FLAGSHIP_VECTORS)},
+scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cell,
+         {_duck_cos("CAST(e.embedding AS DOUBLE[])", "c.cvec")} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, emb, cell FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
+),
+qcells AS (
+  SELECT query_idx, qv, cell FROM (
+    SELECT q.query_idx, q.qv, c.cell,
+           {_duck_cos("q.qv", "c.cvec")} AS qcos
+    FROM queries q CROSS JOIN cents c
+  ) QUALIFY row_number() OVER (PARTITION BY query_idx
+            ORDER BY qcos DESC, cell) <= {_IVF_FIXED_NPROBE}
+),
+rescored AS (
+  SELECT qc.query_idx, a.vec_id, a.cell,
+         {_duck_cos("a.emb", "qc.qv")} AS score
+  FROM assigned a JOIN qcells qc USING (cell)
+)
+SELECT query_idx, vec_id, cell, score,
+       CAST(row_number() OVER (PARTITION BY query_idx
+            ORDER BY score DESC, vec_id) AS INT) AS rank
+FROM rescored
+QUALIFY rank <= 10
+ORDER BY query_idx, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids (cluster summary statistics)
+# --------------------------------------------------------------------------
+
+
+_PQ_FIXED_OVERSAMPLE = 50
+
+
+def q_ann_pq_cosine_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ partial-path ANN with FROZEN codebooks, ORACLED (r11) — the
+    ``ann_ivf_cosine_fixed`` promotion applied to product quantization,
+    closing the last quantized-index family whose PARTIAL path had no
+    hash witness (BQ r9, SQ8 r9, IVF r10; PQ's full-rescore exact-limit
+    proof ``ann_pq_fullrescore`` shares the flat oracle, but the
+    approximate rank itself was only recall-tested). With the trained
+    codebooks pinned as literals (``operators/pq_frozen.py``: m=4
+    subspaces x 16 codes x 16 dims — Jegou et al. 2011 geometry) every
+    PQ stage is closed-form, so DuckDB reproduces the WHOLE
+    unit-normalize → nearest-code ENCODE → per-query ADC LUT →
+    approximate rank → bounded oversample (50) → exact-rescore plan,
+    and the driver hash covers rows the ADC rank legitimately drops.
+
+    Determinism rules (the fixed-IVF family's): every squared-L2 is
+    the left-associated unrolled difference chain in Spark and
+    list_dot_product over the zipped difference in DuckDB — proven
+    bit-identical accumulation orders (functions/vector.py
+    ``_dot_expr_unrolled`` note) — rounded to ROUND_DIGITS before any
+    comparison; code assignment ties break lowest-code (a rounded
+    struct array_min in Spark, (d2, code) row_number in DuckDB); ADC
+    is the left-assoc sum of the four rounded LUT entries; ranks tie
+    vec_id-asc. LUTs are computed by the ENGINE on both sides from the
+    same literals — no third float implementation.
+
+    Scale shape: ENCODE is the index build (map-only scan projection,
+    stored as m bytes/vector at serving scale — operators/pq.py); the
+    query-time work is the broadcast of Q x (4x16) LUTs, a map-side
+    ADC sum over code bytes, the bounded per-query rank window
+    (local_topk at real scale), and an exact rescore of only the
+    oversample survivors. Trained-codebook PQ stays recall-tested
+    (tests/test_pq.py); this entry pins the machinery."""
+    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+    from aiotcvectordb_spark.operators.pq_frozen import (
+        FROZEN_PQ_CODEBOOKS,
+        FROZEN_PQ_DSUB,
+        FROZEN_PQ_M,
+    )
+
+    def _normalized(df, vcol: str):
+        df = df.withColumn(
+            "__ed", F.expr(f"transform({vcol}, x -> cast(x as double))")
+        )
+        df = df.withColumn(
+            "__nrm",
+            F.expr(
+                "sqrt(aggregate(zip_with(__ed, __ed, (x, y) -> x * y), "
+                "0D, (a, v) -> a + v))"
+            ),
+        )
+        return df.withColumn(
+            "__ne",
+            F.expr(
+                "transform(__ed, x -> x / (CASE WHEN __nrm = 0.0D "
+                "THEN 1.0D ELSE __nrm END))"
+            ),
+        )
+
+    def _d2_expr(j: int, cent: list[float]) -> str:
+        # HOF fold, not an unrolled chain: the zip_with/aggregate left
+        # fold accumulates in the same order as the unrolled chain and
+        # DuckDB's list_dot_product (the _dot_expr_unrolled note), but
+        # keeps the expression tree ~2x smaller — the 64 per-code
+        # distances made plan analysis + codegen the dominant cost
+        # (measured 7-8 s warm unrolled vs ~3.6 s HOF; identical
+        # values verified at sf0.01)
+        lits = ", ".join(f"{v:.17e}" for v in cent)
+        return (
+            f"round(aggregate(zip_with(slice(__ne, "
+            f"{j * FROZEN_PQ_DSUB + 1}, {FROZEN_PQ_DSUB}), array({lits}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v), "
+            f"{ROUND_DIGITS})"
+        )
+
+    emb = _normalized(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "embedding",
+    )
+    for j, book in enumerate(FROZEN_PQ_CODEBOOKS):
+        structs = ", ".join(
+            f"struct({_d2_expr(j, cent)} AS d2, "
+            f"{c} AS code)"
+            for c, cent in enumerate(book)
+        )
+        emb = emb.withColumn(f"__c{j}", F.expr(f"array_min(array({structs})).code"))
+    codes = emb.select(
+        "vec_id", "embedding",
+        *[F.col(f"__c{j}") for j in range(FROZEN_PQ_M)],
+    )
+
+    qdf = _normalized(
+        spark.createDataFrame(
+            list(enumerate(FLAGSHIP_VECTORS)), "query_idx int, qv array<double>"
+        ),
+        "qv",
+    )
+    luts = ", ".join(
+        "array("
+        + ", ".join(
+            _d2_expr(j, cent) for cent in book
+        )
+        + ")"
+        for j, book in enumerate(FROZEN_PQ_CODEBOOKS)
+    )
+    qdf = qdf.select(
+        "query_idx", "qv", F.expr(f"array({luts})").alias("__lut")
+    )
+
+    adc_sum = " + ".join(f"__lut[{j}][__c{j}]" for j in range(FROZEN_PQ_M))
+    w_adc = Window.partitionBy("query_idx").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(qdf))
+        .withColumn("adc", F.round(F.expr(adc_sum), ROUND_DIGITS))
+        .withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= _PQ_FIXED_OVERSAMPLE)
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn(
+            "score",
+            F.round(cosine_score_fixed("embedding", "qv", DIM), ROUND_DIGITS),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 10")
+        .select("query_idx", "vec_id", "adc", "score", "rank")
+    )
+
+
+def _pq_fixed_oracle() -> str:
+    from aiotcvectordb_spark.operators.pq_frozen import (
+        FROZEN_PQ_CODEBOOKS,
+        FROZEN_PQ_DSUB,
+        FROZEN_PQ_M,
+    )
+
+    cb_rows = ", ".join(
+        f"({j}, {c}, {_sql_vec(cent)})"
+        for j, book in enumerate(FROZEN_PQ_CODEBOOKS)
+        for c, cent in enumerate(book)
+    )
+    diff = (
+        "list_transform(list_zip(list_slice({ne}, c.sub * {d} + 1, "
+        "c.sub * {d} + {d}), c.cvec), p -> p[1] - p[2])"
+    )
+    d2 = (
+        f"round(list_dot_product({diff}, {diff}), {{r}})".replace(
+            "{d}", str(FROZEN_PQ_DSUB)
+        )
+    )
+    code_cols = ", ".join(
+        f"max(CASE WHEN sub = {j} THEN code END) AS c{j}"
+        for j in range(FROZEN_PQ_M)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut l{j} ON l{j}.query_idx = q.query_idx AND l{j}.sub = {j} "
+        f"AND l{j}.code = cs.c{j}"
+        for j in range(FROZEN_PQ_M)
+    )
+    adc_sum = " + ".join(f"l{j}.l" for j in range(FROZEN_PQ_M))
+    norm = (
+        "list_transform({v}, x -> x / (CASE WHEN "
+        "sqrt(list_dot_product({v}, {v})) = 0 THEN 1 ELSE "
+        "sqrt(list_dot_product({v}, {v})) END))"
+    )
+    return f"""
+WITH cb(sub, code, cvec) AS (VALUES {cb_rows}),
+{_sql_queries_cte(FLAGSHIP_VECTORS)},
+nemb AS (
+  SELECT vec_id,
+         {norm.format(v="CAST(embedding AS DOUBLE[])")} AS ne
+  FROM embeddings
+),
+enc0 AS (
+  SELECT n.vec_id, c.sub, c.code,
+         {d2.format(ne="n.ne", r=ROUND_DIGITS)} AS d2
+  FROM nemb n CROSS JOIN cb c
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM enc0
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, {code_cols} FROM enc GROUP BY vec_id
+),
+nq AS (
+  SELECT query_idx, qv, {norm.format(v="qv")} AS nq FROM queries
+),
+lut AS (
+  SELECT q.query_idx, c.sub, c.code,
+         {d2.format(ne="q.nq", r=ROUND_DIGITS)} AS l
+  FROM nq q CROSS JOIN cb c
+),
+adc AS (
+  SELECT q.query_idx, cs.vec_id, round({adc_sum}, {ROUND_DIGITS}) AS adc
+  FROM codes cs CROSS JOIN (SELECT query_idx FROM queries) q
+  {lut_joins}
+),
+cand AS (
+  SELECT query_idx, vec_id, adc FROM (
+    SELECT adc.*, row_number() OVER (PARTITION BY query_idx
+                                     ORDER BY adc ASC, vec_id ASC) AS arn
+    FROM adc
+  ) WHERE arn <= {_PQ_FIXED_OVERSAMPLE}
+),
+rescored AS (
+  SELECT c.query_idx, c.vec_id, c.adc,
+         round({_COS_SQL}, {ROUND_DIGITS}) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN queries q ON q.query_idx = c.query_idx
+)
+SELECT query_idx, vec_id, adc, score, CAST(rank AS INT) AS rank FROM (
+  SELECT r.*, row_number() OVER (PARTITION BY query_idx
+                                 ORDER BY score DESC, vec_id ASC) AS rank
+  FROM rescored r
+) WHERE rank <= 10
+"""
+
+
+ORACLE_ANN_PQ_COSINE_FIXED = _pq_fixed_oracle()
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, as (label, dim, c) rows. The
+    scale-safe plan is posexplode + groupBy(label, dim): the shuffle
+    carries narrow (label, dim, v) rows WITH map-side partial
+    aggregation (each map task pre-reduces to labels x 64 rows), unlike
+    a collect_list-and-fold shape whose per-group state is O(group
+    size). dim is 1-based to match SQL's generate_subscripts."""
+    emb = ensure_min_partitions(load(spark, sf_dir, "embeddings"))
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"))
+        .groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(F.round(F.sum("v") / F.count("*"), ROUND_DIGITS).alias("c"))
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH flat AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS BIGINT) AS dim, round(sum(v) / count(*), 6) AS c
+FROM flat GROUP BY label, dim
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier mining: the 5 vectors FARTHEST from
+    their own label's centroid — the data-cleaning pass that surfaces
+    mislabeled or junk rows before training. Centroids come from the
+    same narrow posexplode aggregate as `label_centroids` (rounded to 6
+    so both engines rank from identical inputs), re-packed to arrays
+    and broadcast onto the scan; the distance fold fuses into the
+    projection and the per-label top-5 is one bounded window."""
+    emb = ensure_min_partitions(load(spark, sf_dir, "embeddings"))
+    cent = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+        )
+        .groupBy("label", "dim0")
+        .agg(F.round(F.sum("v") / F.count("*"), ROUND_DIGITS).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim0, c))), x -> x.c)"
+            ).alias("centroid")
+        )
+    )
+    dist = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(cast(embedding as array<double>), centroid, "
+                "(x, c) -> (x - c) * (x - c)), cast(0.0 as double), (a, b) -> a + b)"
+            )
+        ),
+        ROUND_DIGITS,
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist").desc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .withColumn("dist", dist)
+        .withColumn("out_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("out_rank") <= 5)
+        .select("label", "vec_id", "dist", "out_rank")
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = """
+WITH flat AS (
+  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim, round(sum(v) / count(*), 6) AS c
+  FROM flat GROUP BY label, dim
+),
+dists AS (
+  SELECT f.vec_id, f.label,
+         round(sqrt(sum((f.v - c.c) * (f.v - c.c))), 6) AS dist
+  FROM flat f JOIN cent c ON f.label = c.label AND f.dim = c.dim
+  GROUP BY f.vec_id, f.label
+)
+SELECT label, vec_id, dist,
+       CAST(row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS INTEGER) AS out_rank
+FROM dists QUALIFY out_rank <= 5
+"""
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per day (the WAU curve).
+    The scale-safe shape for ROLLING DISTINCT: dedupe to (day, user)
+    first, EXPLODE each pair into the 7 window-end days it supports,
+    then one count-distinct aggregate — linear in events, one shuffle,
+    no range join and no per-day window state. Only days with events
+    appear (the gap-fill op handles empty days)."""
+    ev = load(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.expr("ts div 86400000000000").alias("day"), "user_id"
+        ).distinct()
+    )
+    return (
+        du.select(
+            F.explode(
+                F.expr("sequence(day, day + 6)")
+            ).alias("win_day"),
+            "user_id",
+        )
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .join(
+            du.select(F.col("day").alias("win_day")).distinct(), "win_day"
+        )
+    )
+
+
+ORACLE_ROLLING_ACTIVE_USERS = """
+WITH du AS (
+  SELECT DISTINCT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day, user_id
+  FROM events
+),
+expanded AS (
+  SELECT du.day + k AS win_day, du.user_id
+  FROM du CROSS JOIN (SELECT unnest(range(7)) AS k)
+)
+SELECT e.win_day, count(DISTINCT e.user_id) AS wau
+FROM expanded e
+WHERE e.win_day IN (SELECT day FROM du)
+GROUP BY e.win_day
+"""
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (event analytics: which touch type preceded
+# each conversion)
+# --------------------------------------------------------------------------
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: for every purchase, the most
+    recent preceding click/view by the same user (carry-forward
+    last_value IGNORE NULLS window — the same one-shuffle shape as the
+    as-of join, no range join), then conversions + value per touch
+    type ('none' = purchase with no prior touch)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), ROUND_DIGITS).alias("total_value"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION_LAST_TOUCH = """
+WITH t AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+  FROM events
+)
+SELECT coalesce(touch, 'none') AS touch_type,
+       count(*) AS n_purchases,
+       round(sum(value), 6) AS total_value
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (quantile-binned — the histogram an optimizer's
+# column statistics actually use, vs the fixed-width price_histogram)
+# --------------------------------------------------------------------------
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of order totals. Exact decile edges
+    (percentile_disc semantics: the value at ascending rank ⌈p·n⌉,
+    an actually-occurring value, so cross-engine exact with no
+    interpolation float drift) from ONE distributed sort instead of
+    nine sort-based percentile_disc aggregates (the r02 shape — each
+    kept its own full copy of the column in the aggregation buffer):
+
+    1. range-partition + sort-within-partitions on the value (the one
+       ordered pass; Spark's sampling range partitioner keeps the
+       partitions balanced),
+    2. per-partition counts → exclusive prefix offsets (≤P rows of
+       METADATA collected driver-side — same class as collecting
+       KMeans cluster centers, not a data collect),
+    3. each partition emits only the ranks it owns (mapInPandas with a
+       running in-partition counter; output is exactly 9 rows),
+    4. bin assignment fuses the 9-edge literal array into the scan
+       projection; the final aggregate shuffles 10 rows.
+
+    Every stage is linear; nothing driver-side ever exceeds P+9 rows."""
+    import math
+
+    orders = load(spark, sf_dir, "orders")
+    prices = orders.select("o_totalprice")
+    n_parts = 32
+    parts = (
+        prices.repartitionByRange(n_parts, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        pc = {
+            r["pid"]: r["cnt"]
+            for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        n = sum(pc.values())
+        offmap = {}
+        acc = 0
+        for pid in sorted(pc):
+            offmap[pid] = acc
+            acc += pc[pid]
+        # percentile_disc(p) = value at 1-indexed ascending rank ⌈p·n⌉
+        targets = sorted(
+            (max(1, math.ceil(p / 10 * n)), p) for p in range(1, 10)
+        )
+
+        def pick(batches):
+            import pandas as pd
+
+            seen = 0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                pid = int(pdf["pid"].iloc[0])
+                start = offmap[pid] + seen  # global rank of row 0 is start+1
+                seen += len(pdf)
+                hits = [
+                    (p, float(pdf["o_totalprice"].iloc[rank - start - 1]))
+                    for rank, p in targets
+                    if start < rank <= start + len(pdf)
+                ]
+                if hits:
+                    yield pd.DataFrame(hits, columns=["p", "edge"])
+
+        edges = [
+            r["edge"]
+            for r in parts.mapInPandas(pick, schema="p int, edge double")
+            .orderBy("p")
+            .collect()
+        ]
+    finally:
+        parts.unpersist()
+    edge_arr = F.array(*[F.lit(float(e)) for e in edges])
+    return (
+        orders.select(
+            F.size(F.filter(edge_arr, lambda e: F.col("o_totalprice") > e))
+            .cast("int")
+            .alias("bin"),
+            "o_totalprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), ROUND_DIGITS).alias("lo"),
+            F.round(F.max("o_totalprice"), ROUND_DIGITS).alias("hi"),
+        )
+    )
+
+
+ORACLE_EQUIDEPTH_HISTOGRAM = f"""
+WITH e AS (
+  SELECT [{", ".join(f"quantile_disc(o_totalprice, {p / 10})" for p in range(1, 10))}] AS edges
+  FROM orders
+)
+SELECT CAST(len(list_filter(e.edges, x -> o.o_totalprice > x)) AS INTEGER) AS bin,
+       count(*) AS n_orders,
+       round(min(o.o_totalprice), 6) AS lo,
+       round(max(o.o_totalprice), 6) AS hi
+FROM orders o CROSS JOIN e
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-language top terms (corpus vocabulary report)
+# --------------------------------------------------------------------------
+
+
+def q_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language: token counts partially aggregate
+    map-side before the (lang, token) shuffle, then a two-phase salted
+    top-k (partitioning.salted_group_topk) takes the per-lang top-10.
+
+    r5: the plain ``Window.partitionBy(lang)`` sorted each language's
+    ENTIRE vocabulary in one task — the per-language candidate pool
+    grows with the corpus (10x ratio 2.17), exactly the hot-key shape
+    the salted form exists for. Phase 1 ranks within (lang, salt) and
+    keeps 10 per slice, so the final window sees ≤ salt×10 rows per
+    language regardless of vocab size — identical output (any global
+    top-10 row is top-10 of its slice)."""
+    from aiotcvectordb_spark import partitioning
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    counts = (
+        df.select("lang", F.explode(sparse_fn.bm25_tokens_col("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = partitioning.salted_group_topk(
+        counts,
+        ["lang"],
+        [F.desc("n"), F.asc("token")],
+        10,
+        rank_col="term_rank",
+    )
+    return ranked.withColumn("term_rank", F.col("term_rank").cast("int"))
+
+
+ORACLE_LANG_TOP_TERMS = f"""
+WITH tok AS (
+  SELECT lang, unnest({_BM25_TOKS_SQL}) AS token FROM documents
+),
+counts AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT lang, token, n,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INTEGER) AS term_rank
+FROM counts
+QUALIFY term_rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# One-pass table profiling (the data-quality audit every ingest runs:
+# per-column null rate, exact distinct count, value range)
+# --------------------------------------------------------------------------
+
+_PROFILE_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PROFILE_STR_COLS = ["l_returnflag", "l_linestatus"]
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``lineitem`` in ONE scan: every per-column
+    statistic (rows, nulls, exact distinct, min/max — value for
+    numerics, length for strings) is computed as one wide aggregate
+    row, then unpivoted JVM-side to the long (col_name, ...) form. The
+    oracle re-states it as a UNION ALL of per-column scans — same
+    numbers, N scans; the one-pass shape is the point at 100 TB.
+    count_distinct here is EXACT (it is the oracle-checkable choice);
+    the approximate profile at scale is `approx_sketches`' HLL path."""
+    df = load(spark, sf_dir, "lineitem")
+    aggs: list = []
+    for c in _PROFILE_NUM_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__mx"),
+        ]
+    for c in _PROFILE_STR_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.length(c)).cast("double").alias(f"{c}__mn"),
+            F.max(F.length(c)).cast("double").alias(f"{c}__mx"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS
+    )
+    n_cols = len(_PROFILE_NUM_COLS) + len(_PROFILE_STR_COLS)
+    return wide.select(
+        F.expr(
+            f"stack({n_cols}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_v, max_v)"
+        )
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_v",
+        "max_v",
+    )
+
+
+def _profile_oracle_leg(c: str, numeric: bool) -> str:
+    mn = f"CAST(min({c}) AS DOUBLE)" if numeric else f"CAST(min(length({c})) AS DOUBLE)"
+    mx = f"CAST(max({c}) AS DOUBLE)" if numeric else f"CAST(max(length({c})) AS DOUBLE)"
+    return (
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+        f"count(*) - count({c}) AS n_null, "
+        f"count(DISTINCT {c}) AS n_distinct, {mn} AS min_v, {mx} AS max_v "
+        f"FROM lineitem"
+    )
+
+
+ORACLE_PROFILE_TABLE = " UNION ALL ".join(
+    [_profile_oracle_leg(c, True) for c in _PROFILE_NUM_COLS]
+    + [_profile_oracle_leg(c, False) for c in _PROFILE_STR_COLS]
+)
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dedup: new batch vs standing corpus (the
+# continuous-ingest shape — never corpus x corpus)
+# --------------------------------------------------------------------------
+
+# (_INCR_SPLIT moved to qfam.core — shared with textdedup)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup of a NEW batch against a STANDING corpus — the shape
+    continuous ingest actually needs: per new document, how many corpus
+    documents share any MinHash band bucket, and a keep flag. The plan
+    joins new-side band keys against corpus-side band keys on
+    (band, hash) — one equi-join shuffle, and no corpus x corpus pair
+    is ever formed, so cost is O(batch x collisions), not O(corpus^2).
+    At serving scale the corpus side is the stored LSH bucket index
+    maintained by streaming/neardup.py instead of a recompute; this
+    batch-analytic version recomputes both sides from the table so the
+    whole composition stays oracle-checkable."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("h"))
+                    for j in range(_N_MINHASH)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.h")
+    new_b = bands.filter(F.col("doc_id") >= _INCR_SPLIT)
+    corp_b = bands.filter(F.col("doc_id") < _INCR_SPLIT).select(
+        F.col("doc_id").alias("corpus_id"), "band", "h"
+    )
+    cand = (
+        new_b.join(corp_b, ["band", "h"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    counts = cand.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_corpus_dups")
+    )
+    base = sig.filter(F.col("doc_id") >= _INCR_SPLIT).select("doc_id")
+    return base.join(counts, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_corpus_dups", F.lit(0)).cast("long").alias("n_corpus_dups"),
+        F.col("n_corpus_dups").isNull().alias("keep"),
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH sigs AS MATERIALIZED ({ORACLE_MINHASH_SIGNATURES}),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, mh{j} AS h FROM sigs" for j in range(_N_MINHASH))}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id
+  FROM bands n JOIN bands c ON n.band = c.band AND n.h = c.h
+  WHERE n.doc_id >= {_INCR_SPLIT} AND c.doc_id < {_INCR_SPLIT}
+),
+counts AS (
+  SELECT doc_id, count(*) AS n_corpus_dups FROM cand GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(c.n_corpus_dups, 0) AS n_corpus_dups,
+       c.doc_id IS NULL AS keep
+FROM sigs s LEFT JOIN counts c USING (doc_id)
+WHERE s.doc_id >= {_INCR_SPLIT}
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-source quota capping (domain-mix control: cap how many documents
+# any one source may contribute, keeping its best by a deterministic
+# quality key — the standard guard against over-represented domains)
+# --------------------------------------------------------------------------
+
+_SOURCE_QUOTA = 40
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most _SOURCE_QUOTA documents per source, best-first by
+    (n_chars desc, doc_id) — integer keys so the rank is deterministic
+    across engines. One shuffle on source; at skewed real scale the
+    same shape runs via the salted two-phase top-k
+    (partitioning.salted_group_topk) proven equal in tests."""
+    df = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        df.select("doc_id", "source", "n_chars")
+        .withColumn("q_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("q_rank") <= _SOURCE_QUOTA)
+    )
+
+
+ORACLE_SOURCE_QUOTA = f"""
+SELECT doc_id, source, n_chars,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS INTEGER) AS q_rank
+FROM documents
+QUALIFY q_rank <= {_SOURCE_QUOTA}
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram LM quality score (CCNet-style corpus-level language-model
+# filtering: docs whose tokens are improbable under the corpus unigram
+# distribution are low-quality / noise)
+# --------------------------------------------------------------------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the CCNet-style LM quality signal, built from
+    the corpus itself (no external model).
+
+    Scale shape: one explode -> (doc_id, token) aggregated FIRST to
+    per-doc term frequencies (shrinks the join input from total-token
+    rows to distinct (doc, token) pairs), then a single equi-join on
+    token against the corpus vocabulary (AQE picks broadcast when the
+    vocab is small; shuffle join at real scale), then one per-doc
+    aggregation. Three shuffles total, all key-partitioned, nothing
+    collected.
+    """
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toks = sparse_fn.bm25_tokens_sql("text")  # CJK-aware (r4)
+    tok = df.select("doc_id", F.explode(F.expr(toks)).alias("token"))
+    # per-doc term frequency (shrinks the token->vocab join); persisted
+    # because it feeds both the vocabulary derivation and the per-doc
+    # join — the explode runs once (ContextCleaner unpersists on GC)
+    dtf = (
+        tok.groupBy("doc_id", "token").agg(F.count("*").alias("dtf")).persist()
+    )
+    # corpus vocabulary with counts, plus the corpus token total
+    tf_full = dtf.groupBy("token").agg(F.sum("dtf").alias("tf"))
+    total = tf_full.agg(F.sum("tf").alias("n"))
+    # Hapax pruning — exact, not approximate (the bigram_logprob trick,
+    # r5): a corpus-count-1 token joins to tf=1, which is precisely the
+    # coalesce miss default, so dropping hapaxes from the JOIN TABLE
+    # changes nothing in the output while cutting the build side by the
+    # hapax share (~40-50% of web-corpus vocab — the vocab table's
+    # growth term at scale; 10x ratio was 2.06).
+    tf = tf_full.where(F.col("tf") >= 2)
+    return (
+        dtf.join(tf, "token", "left")
+        .withColumn("tf", F.coalesce("tf", F.lit(1)))
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dtf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("dtf") * F.log2(F.col("tf") / F.col("n")))
+                / F.sum("dtf"),
+                ROUND_DIGITS,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2), the line-level
+    companion to the Gopher battery (r8): keep only lines that end in
+    terminal punctuation ('.', '!', '?', '\"') AND have >= 5 words AND
+    do not mention 'javascript'; drop the whole page when it contains
+    'lorem ipsum' or a curly brace, or when the kept text has fewer
+    than 3 sentences (terminal-punctuation count — the published
+    heuristic without a sentence tokenizer; documented simplification).
+    Emits the kept-line stats plus md5 of the cleaned text so the
+    oracle hashes the actual line-filter output, not just counts.
+    ONE map-only scan projection (list ops fused into the scan, no
+    shuffle at any scale); the bad-words list is omitted (license), as
+    is the three-sentence-span dedup (covered by substring_dedup)."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    kept = (
+        "filter(split(text, '\\n'), l -> "
+        "right(trim(l), 1) IN ('.', '!', '?', '\"') "
+        "AND size(filter(split(l, ' '), w -> w <> '')) >= 5 "
+        "AND NOT lower(l) LIKE '%javascript%')"
+    )
+    clean = f"concat_ws('\\n', {kept})"
+    n_sent = f"length({clean}) - length(translate({clean}, '.!?', ''))"
+    return df.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), w -> w <> ''))")
+        .cast("long")
+        .alias("n_words"),
+        F.expr(f"size({kept})").cast("long").alias("kept_lines"),
+        F.expr(n_sent).cast("long").alias("n_sentences"),
+        F.expr(f"length({clean})").cast("long").alias("clean_len"),
+        F.md5(F.expr(clean)).alias("clean_md5"),
+        F.expr(f"{n_sent} >= 3").alias("ok_min_sentences"),
+        F.expr("NOT lower(text) LIKE '%lorem ipsum%'").alias("ok_no_lorem"),
+        F.expr("NOT text LIKE '%{%'").alias("ok_no_brace"),
+    ).withColumn(
+        "pass",
+        F.col("ok_min_sentences")
+        & F.col("ok_no_lorem")
+        & F.col("ok_no_brace")
+        & (F.col("kept_lines") >= 1),
+    )
+
+
+_C4_KEPT_SQL = (
+    "list_filter(string_split(text, chr(10)), l -> "
+    "right(trim(l), 1) IN ('.', '!', '?', '\"') "
+    "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5 "
+    "AND NOT lower(l) LIKE '%javascript%')"
+)
+
+ORACLE_C4_QUALITY_FILTER = f"""
+WITH k AS (
+  SELECT doc_id, text,
+         COALESCE(array_to_string({_C4_KEPT_SQL}, chr(10)), '') AS clean,
+         len({_C4_KEPT_SQL}) AS kept_lines,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_words, kept_lines,
+         CAST(length(clean) - length(translate(clean, '.!?', '')) AS BIGINT)
+           AS n_sentences,
+         CAST(length(clean) AS BIGINT) AS clean_len,
+         md5(clean) AS clean_md5,
+         (length(clean) - length(translate(clean, '.!?', ''))) >= 3
+           AS ok_min_sentences,
+         NOT lower(text) LIKE '%lorem ipsum%' AS ok_no_lorem,
+         NOT text LIKE '%{{%' AS ok_no_brace
+  FROM k
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(kept_lines AS BIGINT) AS kept_lines, n_sentences,
+       clean_len, clean_md5, ok_min_sentences, ok_no_lorem, ok_no_brace,
+       (ok_min_sentences AND ok_no_lorem AND ok_no_brace
+        AND kept_lines >= 1) AS pass
+FROM s
+"""
+
+
+def _top_gram_expr(words: str, n: int) -> str:
+    """Spark SQL struct('cnt', 'gram'): the count and value of the most
+    frequent word {n}-gram of the ``words`` array, computed INSIDE one
+    scan projection (no per-doc shuffle): build the gram array, sort
+    it, and fold a run-length scan over it — a strictly-greater update
+    makes the FIRST (lexicographically smallest) gram win ties, which
+    DuckDB reproduces with (count DESC, gram) ordering."""
+    grams = (
+        f"case when size({words}) < {n} then array() "
+        f"else transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {n}))) end"
+    )
+    run = "if(g = s.prev, s.run + 1L, 1L)"
+    return (
+        f"aggregate(array_sort({grams}), "
+        "named_struct('prev', '', 'run', 0L, 'best', 0L, 'bg', ''), "
+        f"(s, g) -> named_struct('prev', g, 'run', {run}, "
+        f"'best', if({run} > s.best, {run}, s.best), "
+        f"'bg', if({run} > s.best, g, s.bg)), "
+        "s -> named_struct('cnt', s.best, 'gram', s.bg))"
+    )
+
+
+def _dup_seg_flag_exprs(
+    segs: str, dsegs: str, chars: str, dchars: str, fthr: float, cthr: float
+) -> tuple[str, str]:
+    """(dup_fraction <= fthr, dup_char_fraction <= cthr) Spark SQL over
+    PRE-COMPUTED segment columns: ``segs``/``dsegs`` the non-empty
+    segments and their distinct set, ``chars``/``dchars`` their summed
+    character masses — Gopher's duplicate-line / duplicate-paragraph
+    signals. Taking named columns instead of inlining the split keeps
+    each array and each char-mass fold single-eval per row (r9)."""
+    frac = (
+        f"(size({segs}) - size({dsegs})) * 1.0 "
+        f"/ NULLIF(size({segs}), 0) <= {fthr}"
+    )
+    cfrac = f"({chars} - {dchars}) * 1.0 / NULLIF({chars}, 0) <= {cthr}"
+    return frac, cfrac
+
+
+def _seg_chars_expr(segs: str) -> str:
+    """Summed character mass of a pre-computed segment array column."""
+    return f"aggregate({segs}, 0L, (a, l) -> a + length(l))"
+
+
+# (threshold, name) per top-n-gram rule — Rae et al. 2021 Table A1
+_GOPHER_TOP_NGRAM_RULES = [(2, 0.20), (3, 0.18), (4, 0.16)]
+
+
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule heuristic filter battery (Rae et al. 2021 §A1.1 +
+    Table A1 / the FineWeb recipe): the published pre-LM-training
+    quality rules evaluated per document in ONE scan projection —
+    word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (# and ellipsis) <= 0.1, >= 80% of words
+    containing an alphabetic char, >= 2 distinct English stop words,
+    PLUS the full repetition battery (r8): duplicate-line and
+    duplicate-paragraph fractions <= 0.30, their character-mass
+    variants <= 0.20, and top-2/3/4-gram character fractions <=
+    0.20/0.18/0.16 (most-frequent-gram found by an in-projection
+    sorted run-length fold — no per-doc shuffle). Returns each rule's
+    flag plus the composite pass — the practitioner's first pass over
+    a raw crawl, upstream of the LM/classifier scoring family. Pure
+    JVM expressions fused into the scan (map-only, no shuffle at any
+    scale); DuckDB predicts every flag exactly.
+
+    r9: the shared arrays (word list, line/para segments and their
+    distinct sets) and the three top-n-gram fold structs are HOISTED
+    into named columns in staged projections so each is computed ONCE
+    per row — the fold had been inlined twice per rule (``.cnt`` and
+    ``.gram``) and the word split re-evaluated per flag. CollapseProject
+    keeps a non-cheap producer expression referenced more than once in
+    its own projection, so the stages survive optimization; the plan is
+    still one map-only scan projection chain, no shuffle."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    words = "filter(split(text, ' '), w -> w <> '')"
+    stop = "array('the','be','to','of','and','that','have','with')"
+    staged = (
+        df.select(
+            "doc_id",
+            "text",
+            F.expr(words).alias("_ws"),
+            F.expr("filter(split(text, '\\n'), l -> l <> '')").alias(
+                "_lines"
+            ),
+            F.expr("filter(split(text, '\\n\\n'), l -> l <> '')").alias(
+                "_paras"
+            ),
+        )
+        .select(
+            "doc_id",
+            "text",
+            "_ws",
+            "_lines",
+            "_paras",
+            F.expr("array_distinct(_lines)").alias("_lines_d"),
+            F.expr("array_distinct(_paras)").alias("_paras_d"),
+            *[
+                F.expr(_top_gram_expr("_ws", n)).alias(f"_tg{n}")
+                for n, _ in _GOPHER_TOP_NGRAM_RULES
+            ],
+        )
+        .select(
+            "*",
+            F.expr(_seg_chars_expr("_lines")).alias("_lc"),
+            F.expr(_seg_chars_expr("_lines_d")).alias("_ldc"),
+            F.expr(_seg_chars_expr("_paras")).alias("_pc"),
+            F.expr(_seg_chars_expr("_paras_d")).alias("_pdc"),
+            F.expr("length(concat_ws(' ', _ws))").alias("_wc"),
+        )
+    )
+    line_frac, line_cfrac = _dup_seg_flag_exprs(
+        "_lines", "_lines_d", "_lc", "_ldc", 0.30, 0.20
+    )
+    para_frac, para_cfrac = _dup_seg_flag_exprs(
+        "_paras", "_paras_d", "_pc", "_pdc", 0.30, 0.20
+    )
+    rep_flags = [
+        F.coalesce(F.expr(line_frac), F.lit(True)).alias("ok_dup_lines"),
+        F.coalesce(F.expr(para_frac), F.lit(True)).alias("ok_dup_paras"),
+        F.coalesce(F.expr(line_cfrac), F.lit(True)).alias(
+            "ok_dup_line_chars"
+        ),
+        F.coalesce(F.expr(para_cfrac), F.lit(True)).alias(
+            "ok_dup_para_chars"
+        ),
+    ] + [
+        F.coalesce(
+            F.expr(
+                f"(_tg{n}.cnt * length(_tg{n}.gram)) * 1.0 "
+                f"/ NULLIF(_wc, 0) <= {thr}"
+            ),
+            F.lit(True),
+        ).alias(f"ok_top_{n}gram")
+        for n, thr in _GOPHER_TOP_NGRAM_RULES
+    ]
+    return staged.select(
+        "doc_id",
+        F.expr("size(_ws)").cast("long").alias("n_words"),
+        F.expr("size(_ws) BETWEEN 50 AND 100000").alias("ok_word_count"),
+        F.coalesce(
+            F.expr(
+                "aggregate(_ws, 0L, (a, w) -> a + length(w)) * 1.0 "
+                "/ NULLIF(size(_ws), 0) BETWEEN 3 AND 10"
+            ),
+            F.lit(False),
+        ).alias("ok_mean_word_len"),
+        F.coalesce(
+            F.expr(
+                "(length(text) - length(replace(replace(text, '#', ''), "
+                "'...', ''))) * 1.0 / NULLIF(size(_ws), 0) <= 0.1"
+            ),
+            F.lit(False),
+        ).alias("ok_symbol_ratio"),
+        F.coalesce(
+            F.expr(
+                "size(filter(_ws, w -> w rlike '[a-zA-Z]')) * 1.0 "
+                "/ NULLIF(size(_ws), 0) >= 0.8"
+            ),
+            F.lit(False),
+        ).alias("ok_alpha_words"),
+        F.expr(
+            "size(array_intersect(transform(_ws, w -> lower(w)), "
+            f"{stop})) >= 2"
+        ).alias("ok_stop_words"),
+        *rep_flags,
+    ).withColumn(
+        "pass",
+        F.coalesce(
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_alpha_words")
+            & F.col("ok_stop_words")
+            & F.col("ok_dup_lines")
+            & F.col("ok_dup_paras")
+            & F.col("ok_dup_line_chars")
+            & F.col("ok_dup_para_chars")
+            & F.col("ok_top_2gram")
+            & F.col("ok_top_3gram")
+            & F.col("ok_top_4gram"),
+            F.lit(False),
+        ),
+    )
+
+
+def _oracle_top_ngram_ctes(n: int) -> str:
+    """DuckDB CTE pair computing each doc's most frequent word n-gram
+    (count DESC, gram ASC tie-break == the Spark fold's first-max)."""
+    return f"""cnt{n} AS (
+  SELECT doc_id, array_to_string(ws[CAST(i AS BIGINT):CAST(i AS BIGINT) + {n - 1}], ' ') AS g,
+         count(*) AS c
+  FROM w, LATERAL unnest(range(1, len(ws) - {n - 2})) AS t(i)
+  GROUP BY 1, 2
+),
+top{n} AS (
+  SELECT doc_id, c, g FROM cnt{n}
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1
+)"""
+
+
+ORACLE_GOPHER_QUALITY_FILTER = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS paras
+  FROM documents
+),
+{_oracle_top_ngram_ctes(2)},
+{_oracle_top_ngram_ctes(3)},
+{_oracle_top_ngram_ctes(4)},
+flags AS (
+  SELECT w.doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         len(ws) BETWEEN 50 AND 100000 AS ok_word_count,
+         COALESCE(list_sum(list_transform(ws, x -> length(x))) * 1.0
+           / NULLIF(len(ws), 0) BETWEEN 3 AND 10, FALSE) AS ok_mean_word_len,
+         COALESCE((length(text) - length(replace(replace(text, '#', ''), '...', '')))
+           * 1.0 / NULLIF(len(ws), 0) <= 0.1, FALSE) AS ok_symbol_ratio,
+         COALESCE(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+           / NULLIF(len(ws), 0) >= 0.8, FALSE) AS ok_alpha_words,
+         len(list_intersect(list_transform(ws, x -> lower(x)),
+             ['the','be','to','of','and','that','have','with'])) >= 2
+           AS ok_stop_words,
+         COALESCE((len(lines) - len(list_distinct(lines))) * 1.0
+           / NULLIF(len(lines), 0) <= 0.30, TRUE) AS ok_dup_lines,
+         COALESCE((len(paras) - len(list_distinct(paras))) * 1.0
+           / NULLIF(len(paras), 0) <= 0.30, TRUE) AS ok_dup_paras,
+         COALESCE((list_sum(list_transform(lines, x -> length(x)))
+             - list_sum(list_transform(list_distinct(lines), x -> length(x)))) * 1.0
+           / NULLIF(list_sum(list_transform(lines, x -> length(x))), 0) <= 0.20,
+           TRUE) AS ok_dup_line_chars,
+         COALESCE((list_sum(list_transform(paras, x -> length(x)))
+             - list_sum(list_transform(list_distinct(paras), x -> length(x)))) * 1.0
+           / NULLIF(list_sum(list_transform(paras, x -> length(x))), 0) <= 0.20,
+           TRUE) AS ok_dup_para_chars,
+         COALESCE(top2.c * length(top2.g) * 1.0
+           / NULLIF(length(array_to_string(ws, ' ')), 0) <= 0.20, TRUE)
+           AS ok_top_2gram,
+         COALESCE(top3.c * length(top3.g) * 1.0
+           / NULLIF(length(array_to_string(ws, ' ')), 0) <= 0.18, TRUE)
+           AS ok_top_3gram,
+         COALESCE(top4.c * length(top4.g) * 1.0
+           / NULLIF(length(array_to_string(ws, ' ')), 0) <= 0.16, TRUE)
+           AS ok_top_4gram
+  FROM w
+  LEFT JOIN top2 ON w.doc_id = top2.doc_id
+  LEFT JOIN top3 ON w.doc_id = top3.doc_id
+  LEFT JOIN top4 ON w.doc_id = top4.doc_id
+)
+SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+       ok_alpha_words, ok_stop_words,
+       ok_dup_lines, ok_dup_paras, ok_dup_line_chars, ok_dup_para_chars,
+       ok_top_2gram, ok_top_3gram, ok_top_4gram,
+       COALESCE(ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+                AND ok_alpha_words AND ok_stop_words
+                AND ok_dup_lines AND ok_dup_paras
+                AND ok_dup_line_chars AND ok_dup_para_chars
+                AND ok_top_2gram AND ok_top_3gram AND ok_top_4gram,
+                FALSE) AS pass
+FROM flags
+"""
+
+
+_DSIR_BUCKETS = 8192
+_DSIR_KEEP = 0.25
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by its log importance weight between a TARGET
+    distribution (here the curated ``source = 'src0'`` slice — the
+    paper's formal-text proxy) and the RAW pool, under hashed-bigram
+    bag-of-ngrams models, then keep the top 25% of raw docs.
+
+    Features: token bigrams hashed into {_DSIR_BUCKETS} buckets with
+    the portable 60-bit md5 hash (the minhash family's idiom, exact on
+    both engines). Per-bucket add-one-smoothed probabilities for
+    target and raw give a {_DSIR_BUCKETS}-row log-ratio table —
+    broadcast onto the raw docs' (doc_id, bucket) occurrences, one
+    per-doc sum, no corpus sort: the global 25% cut reuses the
+    perplexity_filter histogram-threshold shape (cumulative window
+    over per-rounded-weight counts, row_number only over the boundary
+    tie-group). At 100 TB: two map-side-combinable aggregates over
+    bucket ids (domain {_DSIR_BUCKETS}), one broadcast join, one
+    per-doc agg — every shuffle keyed and bounded."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toked = df.select(
+        "doc_id",
+        "source",
+        sparse_fn.bm25_tokens_col("text").alias("__toks"),
+    ).filter(F.expr("size(__toks) >= 2"))
+    bigrams = (
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat_ws(' ', slice(__toks, i, 2)))"
+    )
+    occ = toked.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(bigrams)).alias("bg"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"pmod({_portable_hash_expr('bg')}, {_DSIR_BUCKETS})"
+        ).alias("bucket"),
+    )
+    is_target = F.col("source") == "src0"
+    counts = occ.groupBy("bucket").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_target, 0).otherwise(1)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log2((F.col("ct") + 1) / (F.col("tt") + _DSIR_BUCKETS))
+            - F.log2((F.col("cr") + 1) / (F.col("tr") + _DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    scored = (
+        occ.filter(~is_target)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lr"), ROUND_DIGITS).alias("weight"))
+    ).persist()
+    # global top-25% by weight desc via the histogram threshold (no
+    # corpus sort — same shape as perplexity_filter's per-lang cut)
+    hist = scored.groupBy("weight").agg(F.count("*").alias("cnt"))
+    quota = scored.agg(
+        F.ceil(_DSIR_KEEP * F.count("*")).cast("long").alias("quota")
+    )
+    cum_w = (
+        Window.orderBy(F.col("weight").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        hist.withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("above", F.col("cum") - F.col("cnt"))
+        .crossJoin(F.broadcast(quota))
+        .where(F.col("above") < F.col("quota"))
+        .withColumn(
+            "keep_cnt",
+            F.least(F.col("cnt"), F.col("quota") - F.col("above")),
+        )
+        .select("weight", "cnt", "keep_cnt")
+    )
+    kept = scored.join(F.broadcast(hist), "weight")
+    full = kept.where(F.col("keep_cnt") == F.col("cnt"))
+    tie_w = Window.partitionBy("weight").orderBy("doc_id")
+    boundary = (
+        kept.where(F.col("keep_cnt") < F.col("cnt"))
+        .withColumn("rn", F.row_number().over(tie_w))
+        .where(F.col("rn") <= F.col("keep_cnt"))
+        .drop("rn")
+    )
+    return full.unionByName(boundary).select("doc_id", "weight")
+
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH toked AS (
+  SELECT doc_id, source, {_BM25_TOKS_SQL} AS ts FROM documents
+  WHERE len({_BM25_TOKS_SQL}) >= 2
+),
+occ AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(bg), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(ts)),
+                                 i -> array_to_string(ts[i:i+1], ' '))) AS bg
+    FROM toked
+  )
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS cr
+  FROM occ GROUP BY bucket
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+ratios AS (
+  SELECT bucket,
+         log2((ct + 1) * 1.0 / (tt + {_DSIR_BUCKETS}))
+         - log2((cr + 1) * 1.0 / (tr + {_DSIR_BUCKETS})) AS lr
+  FROM counts, tot
+),
+scored AS (
+  SELECT o.doc_id, round(sum(r.lr), {ROUND_DIGITS}) AS weight
+  FROM occ o JOIN ratios r USING (bucket)
+  WHERE o.source <> 'src0'
+  GROUP BY o.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY weight DESC, doc_id) AS rn,
+         count(*) OVER () AS n_docs
+  FROM scored
+)
+SELECT doc_id, weight FROM ranked WHERE rn <= ceil({_DSIR_KEEP} * n_docs)
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (the GPT-3/LLaMA-pipeline method):
+    logistic regression on curated-slice-vs-raw labels over hashed
+    bigram features, fit driver-side on a bounded deterministic sample
+    (``operators/classifier.py`` — the PQ-codebook pattern), then
+    every document scored DISTRIBUTED: one broadcast join of the
+    (bucket, weight) table onto JVM-built hashed occurrences, one
+    per-doc agg, map-side sigmoid. Rows-only by the model-op policy
+    (training has no SQL oracle); separation/determinism properties
+    pinned in tests/test_classifier.py. Completes the curation-scoring
+    triad with ``perplexity_filter`` (LM threshold) and
+    ``dsir_weights`` (importance ratio)."""
+    from aiotcvectordb_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    model = train_quality_classifier(
+        docs,
+        target_pred=F.col("source") == "src0",
+        train_sample=2048,
+    )
+    return score_quality(spark, docs, model, round_digits=ROUND_DIGITS)
+
+
+def q_quality_classifier_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``quality_classifier``'s frozen-weights ORACLED witness (r11,
+    the bpe_token_count_frozen pattern): one deterministic training
+    run's logistic weights are pinned as literals
+    (``operators/classifier_frozen.py``), and the document-scoring
+    pass — JVM-built hashed-bigram buckets, ONE broadcast join of the
+    256-row (bucket, weight) table, per-doc l1-normalized dot,
+    map-side sigmoid — runs through the IDENTICAL production kernel
+    (``operators/classifier.score_quality``), now closed-form in
+    DuckDB under the driver hash. The trained lane stays rows-only
+    (training itself has no SQL oracle); this row vouches for the
+    scoring dataflow the trained lane ships at 100 TB: broadcast-join
+    shapes, no collect, cost linear in corpus tokens."""
+    import numpy as np
+
+    from aiotcvectordb_spark.operators.classifier import (
+        QualityModel,
+        score_quality,
+    )
+    from aiotcvectordb_spark.operators.classifier_frozen import (
+        FROZEN_INTERCEPT,
+        FROZEN_N_BUCKETS,
+        FROZEN_WEIGHTS,
+    )
+
+    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    model = QualityModel(
+        np.array(FROZEN_WEIGHTS, dtype=np.float64),
+        FROZEN_INTERCEPT,
+        FROZEN_N_BUCKETS,
+    )
+    return score_quality(spark, docs, model, round_digits=ROUND_DIGITS)
+
+
+def _classifier_frozen_oracle() -> str:
+    from aiotcvectordb_spark.operators.classifier_frozen import (
+        FROZEN_INTERCEPT,
+        FROZEN_N_BUCKETS,
+        FROZEN_WEIGHTS,
+    )
+
+    # scientific notation parses directly as DOUBLE in DuckDB (a plain
+    # decimal literal would go through DECIMAL), and 17 significant
+    # digits round-trip IEEE doubles exactly
+    values = ",\n  ".join(
+        f"({i}, {w:.17e})" for i, w in enumerate(FROZEN_WEIGHTS)
+    )
+    return f"""
+WITH weights(bucket, w) AS (VALUES
+  {values}
+),
+toks AS (
+  SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i+1])) AS bigram
+  FROM toks WHERE len(ts) >= 2
+),
+occ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(bigram), 1, 15))::BIGINT % {FROZEN_N_BUCKETS}
+           AS bucket,
+         count(*) AS cnt
+  FROM bg GROUP BY 1, 2
+),
+scored AS (
+  SELECT o.doc_id,
+         sum(o.cnt * COALESCE(w.w, 0.0)) / sum(o.cnt) AS z
+  FROM occ o LEFT JOIN weights w USING (bucket)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(COALESCE(s.z, 0.0)
+                                + {FROZEN_INTERCEPT:.17e}))),
+             {ROUND_DIGITS}) AS quality
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+ORACLE_QUALITY_CLASSIFIER_FROZEN = _classifier_frozen_oracle()
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering: score every document by its
+    cross-entropy (bits/token) under a PER-LANGUAGE unigram LM derived
+    from the corpus itself, then keep the best 70% of each language —
+    the standard pretraining quality gate (CCNet buckets by LM
+    perplexity per language; reference's AI surface feeds exactly such
+    filtered corpora).
+
+    Scale shape: the LM is the unigram_logprob machinery keyed by
+    (lang, token) — per-doc term frequencies first, hapax-pruned join
+    table, three key-partitioned shuffles. The 70% cut does NOT sort
+    the corpus: scores are rounded, so a per-(lang, bits) histogram
+    (tiny — bounded by distinct rounded scores) yields each language's
+    threshold via a cumulative window over the HISTOGRAM, and only the
+    boundary tie-group needs a row_number, partitioned by (lang, bits).
+    At 100 TB that is two map-side-combinable aggregates plus joins;
+    the only windows run over histogram-sized or tie-group-sized data.
+    """
+    from aiotcvectordb_spark import pipelines
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    # shared kernels (pipelines.doc_term_freqs / lm_bits): the
+    # streaming quality-gate sink scores with the SAME code, so batch
+    # and ingest agree by construction
+    dtf = pipelines.doc_term_freqs(df).persist()
+    lm = dtf.groupBy("lang", "token").agg(F.sum("dtf").alias("tf"))
+    totals = lm.groupBy("lang").agg(F.sum("tf").alias("n"))
+    scored = pipelines.lm_bits(dtf, lm, totals, ROUND_DIGITS).persist()
+    # per-(lang, bits) histogram -> cumulative coverage -> threshold
+    hist = scored.groupBy("lang", "ppl_bits").agg(
+        F.count("*").alias("cnt")
+    )
+    quota = scored.groupBy("lang").agg(
+        F.ceil(0.7 * F.count("*")).cast("long").alias("quota")
+    )
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy("ppl_bits")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        hist.withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("below", F.col("cum") - F.col("cnt"))
+        .join(F.broadcast(quota), "lang")
+        .where(F.col("below") < F.col("quota"))
+        .withColumn(
+            "keep_cnt",
+            F.least(F.col("cnt"), F.col("quota") - F.col("below")),
+        )
+        .select("lang", "ppl_bits", "cnt", "keep_cnt")
+    )
+    kept = scored.join(
+        F.broadcast(hist), ["lang", "ppl_bits"]
+    )
+    full = kept.where(F.col("keep_cnt") == F.col("cnt"))
+    tie_w = Window.partitionBy("lang", "ppl_bits").orderBy("doc_id")
+    boundary = (
+        kept.where(F.col("keep_cnt") < F.col("cnt"))
+        .withColumn("rn", F.row_number().over(tie_w))
+        .where(F.col("rn") <= F.col("keep_cnt"))
+        .drop("rn")
+    )
+    return full.unionByName(boundary).select("doc_id", "lang", "ppl_bits")
+
+
+ORACLE_PERPLEXITY_FILTER = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_BM25_TOKS_SQL}) AS token FROM documents
+),
+dtf AS (
+  SELECT doc_id, lang, token, count(*) AS dtf FROM tok GROUP BY ALL
+),
+lm AS (
+  SELECT lang, token, sum(dtf) AS tf FROM dtf GROUP BY ALL
+),
+tot AS (
+  SELECT lang, sum(tf) AS n FROM lm GROUP BY lang
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         round(-sum(d.dtf * log2(COALESCE(l.tf, 1) * 1.0 / t.n))
+               / sum(d.dtf), {ROUND_DIGITS}) AS ppl_bits
+  FROM dtf d
+  LEFT JOIN (SELECT * FROM lm WHERE tf >= 2) l
+         ON d.lang = l.lang AND d.token = l.token
+  JOIN tot t ON d.lang = t.lang
+  GROUP BY d.doc_id, d.lang
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ppl_bits, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_docs
+  FROM scored
+)
+SELECT doc_id, lang, ppl_bits FROM ranked WHERE rn <= ceil(0.7 * n_docs)
+"""
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score (KenLM-lite, order 2): per-document mean
+    log2 of the corpus-derived conditional probability
+    p(w2|w1) = c(w1 w2) / c(w1 ·). Same scale shape as the unigram
+    variant — per-doc bigram frequencies first, then equi-joins against
+    the (bounded, corpus-derived) bigram and prefix tables, then one
+    per-doc aggregation. Ranks fluent repeated phrasing above random
+    token soup in a way unigram statistics can't."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    # tokens materialized once per row (lambda bodies re-evaluate their
+    # subtree per element — see q_minhash_signatures)
+    toked = df.select(
+        "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
+    ).filter(F.expr("size(__toks) >= 2"))
+    # Spark arrays are 0-indexed: pairs (t[i], t[i+1]) for i in [0, n-2]
+    pairs = (
+        "transform(sequence(0, size(__toks) - 2), "
+        "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))"
+    )
+    flat = toked.select("doc_id", F.explode(F.expr(pairs)).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    # dbf feeds the per-doc join AND derives both corpus tables; persist
+    # so the explode+aggregate pipeline (the expensive stage at scale)
+    # runs once, not three times. Spark's ContextCleaner unpersists the
+    # blocks when the handle is garbage-collected.
+    dbf = flat.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("dbf")).persist()
+    c2_full = dbf.groupBy("w1", "w2").agg(F.sum("dbf").alias("c2"))
+    c1 = c2_full.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # Singleton pruning — exact, not approximate: a corpus-count-1
+    # bigram joins to c2=1, which is precisely what coalesce supplies on
+    # a miss, so dropping singletons from the JOIN TABLE changes nothing
+    # in the output while roughly halving the build side (singletons
+    # dominate distinct bigrams in web corpora; this is the bigram
+    # table's growth term at scale — 10x ratio was 1.97).
+    c2 = c2_full.where(F.col("c2") >= 2)
+    # Same exact pruning for the PREFIX table (r5): c1(w1) = 1 forces
+    # the lone bigram to c2 = 1, and coalesce supplies 1/1 on the
+    # double miss — log2(1) = 0, identical contribution, smaller build
+    # side (hapax prefixes ≈ hapax unigrams ≈ 40-50% of vocab).
+    c1p = c1.where(F.col("c1") >= 2)
+    return (
+        dbf.join(c2, ["w1", "w2"], "left")
+        .withColumn("c2", F.coalesce("c2", F.lit(1)))
+        .join(c1p, "w1", "left")
+        .withColumn("c1", F.coalesce("c1", F.lit(1)))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dbf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("dbf") * F.log2(F.col("c2") / F.col("c1")))
+                / F.sum("dbf"),
+                ROUND_DIGITS,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = rf"""
+WITH tok AS (
+  SELECT doc_id, {_BM25_TOKS_SQL} AS t
+  FROM documents
+),
+flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> {{'w1': t[i], 'w2': t[i+1]}})) AS b
+  FROM tok WHERE len(t) >= 2
+),
+dbf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS dbf FROM flat GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, sum(dbf) AS c2 FROM dbf GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1)
+SELECT d.doc_id, CAST(sum(d.dbf) AS BIGINT) AS n_bigrams,
+       round(sum(d.dbf * log2(c2.c2 / c1.c1)) / sum(d.dbf), 6) AS avg_logprob
+FROM dbf d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY d.doc_id
+"""
+
+
+ORACLE_UNIGRAM_LOGPROB = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_BM25_TOKS_SQL}) AS token
+  FROM documents
+),
+dtf AS (SELECT doc_id, token, count(*) AS dtf FROM tok GROUP BY 1, 2),
+tf AS (SELECT token, sum(dtf) AS tf FROM dtf GROUP BY token),
+tot AS (SELECT sum(tf) AS n FROM tf)
+SELECT d.doc_id,
+       CAST(sum(d.dtf) AS BIGINT) AS n_tokens,
+       round(sum(d.dtf * log2(f.tf / tot.n)) / sum(d.dtf), 6) AS avg_logprob
+FROM dtf d JOIN tf f USING (token) CROSS JOIN tot
+GROUP BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-shard assignment (the writer layout step of a
+# training pipeline: N fixed output shards, stable under re-ingestion)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a (shard, position): shard by salted
+    portable hash of the id, position by a SECOND independent hash —
+    i.e. a deterministic global shuffle. Hash-derived placement is the
+    only layout stable under repartitioning and re-ingestion (no RNG,
+    no input-order dependence), and within-shard hash order is the
+    standard 'shuffled once, read sequentially' training layout.
+    One shuffle (rank within shard); at real scale this is exactly a
+    repartition(N) + sortWithinPartitions write."""
+    df = load(spark, sf_dir, "documents")
+    shard = F.expr(
+        f"pmod({_portable_hash_expr(chr(39) + 'shard#' + chr(39) + ' || cast(doc_id as string)')}, {_N_SHARDS})"
+    ).cast("int")
+    order_h = F.expr(
+        _portable_hash_expr(chr(39) + "order#" + chr(39) + " || cast(doc_id as string)")
+    )
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    return (
+        df.select("doc_id", shard.alias("shard"), order_h.alias("ord"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+ORACLE_TRAINING_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_N_SHARDS} AS INTEGER) AS shard,
+         ('0x' || substr(md5('order#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS INTEGER) AS pos
+FROM h
+"""
+
+
+_PACK_LEN = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the training-data step that concatenates the
+    token stream in doc order and splits it into fixed-budget packs
+    (each doc's pack = where its first token lands). The global
+    exclusive token cumsum is computed SCALE-SAFELY in two phases:
+    range-partition by doc_id, per-partition running sums (a window
+    keyed by the partition id — large partitions, 32 keys), plus a
+    32-row partition-offset table joined back by broadcast. No global
+    single-partition window, no collect; two shuffles of a 2-column
+    table total. Oracle: the same cumsum as one SQL window."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(sparse_fn.bm25_tokens_col("text")).alias("ntok")
+    )
+    parts = (
+        tok.repartitionByRange(32, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # per-partition totals -> exclusive offsets (32-row window: metadata)
+    psums = parts.groupBy("pid").agg(F.sum("ntok").alias("psum"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.select(
+        "pid", F.coalesce(F.sum("psum").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        parts.withColumn(
+            "local_cum", F.coalesce(F.sum("ntok").over(w_local), F.lit(0))
+        )
+        .join(F.broadcast(offs), "pid")
+        .withColumn("cum", F.col("local_cum") + F.col("off"))
+    )
+    return (
+        cum.select(
+            F.expr(f"cum div {_PACK_LEN}").alias("pack_id"),
+            "doc_id",
+            "ntok",
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, len({_BM25_TOKS_SQL}) AS ntok FROM documents
+),
+c AS (
+  SELECT doc_id, ntok,
+         coalesce(sum(ntok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT CAST(cum // {_PACK_LEN} AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+_PACK_BUCKETS = 32
+
+
+def q_pack_sequences_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT greedy sequence packing (r8) — the first-fit-style
+    variant where documents are ATOMS: a training example never slices
+    a document (the published alternative to GPT-style concat-split,
+    which ``pack_sequences`` implements; see 'Efficient Sequence
+    Packing' / T5-style packing). Deterministic greedy, expressed as
+    one window cumsum:
+
+    - docs are SALTED into {_PACK_BUCKETS} buckets by a portable md5
+      hash (the dataset_mix selection trick) — each bucket is an
+      independent packer, so the per-bucket ordering sort is 1/B of
+      the corpus and skew-proof (hash-balanced), and packing
+      parallelizes across buckets by construction;
+    - within a bucket, docs are ordered by a SECOND independent hash
+      (deterministic shuffle — the training-layout order), the
+      exclusive token cumsum is one window, and a doc joins pack
+      ``excl_cumsum div {_PACK_LEN}`` — greedy next-fit where the doc
+      holding the boundary OVERFLOWS its pack (packs exceed the budget
+      by < max_doc_len instead of splitting; the zero-slack splitting
+      variant is ``pack_sequences``). Oversized docs (> budget) become
+      their own pack run, never dropped silently.
+
+    Output is per-pack: (bucket, pack_id, n_docs, n_tokens, overflow).
+    One hash-keyed window shuffle + one aggregate; at 100 TB this is
+    repartition(B) + sortWithinPartitions + a map-side cumsum — the
+    training_shards layout with a token budget on top."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.size(sparse_fn.bm25_tokens_col("text")).alias("ntok")
+        )
+        .filter(F.col("ntok") > 0)
+    )
+    bucket = F.expr(
+        f"pmod({_portable_hash_expr(chr(39) + 'pack#' + chr(39) + ' || cast(doc_id as string)')}, {_PACK_BUCKETS})"
+    ).cast("int")
+    order_h = F.expr(
+        _portable_hash_expr(
+            chr(39) + "packorder#" + chr(39) + " || cast(doc_id as string)"
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        tok.select(
+            "doc_id", "ntok", bucket.alias("bucket"), order_h.alias("ord")
+        )
+        .withColumn("excl", F.coalesce(F.sum("ntok").over(w), F.lit(0)))
+        .select(
+            "bucket",
+            F.expr(f"excl div {_PACK_LEN}").alias("pack_id"),
+            "doc_id",
+            "ntok",
+        )
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.greatest(
+            F.sum("ntok").cast("long") - F.lit(_PACK_LEN), F.lit(0).cast("long")
+        ).alias("overflow"),
+    )
+
+
+ORACLE_PACK_SEQUENCES_NOSPLIT = f"""
+WITH t AS (
+  SELECT doc_id, len({_BM25_TOKS_SQL}) AS ntok FROM documents
+),
+h AS (
+  SELECT doc_id, ntok,
+         CAST(('0x' || substr(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_PACK_BUCKETS} AS INTEGER) AS bucket,
+         ('0x' || substr(md5('packorder#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+  FROM t WHERE ntok > 0
+),
+c AS (
+  SELECT bucket, doc_id, ntok,
+         coalesce(sum(ntok) OVER (PARTITION BY bucket ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM h
+)
+SELECT bucket, CAST(excl // {_PACK_LEN} AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(greatest(sum(ntok) - {_PACK_LEN}, 0) AS BIGINT) AS overflow
+FROM c GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing (time-series feature engineering over the event stream)
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 8  # bounded frame: the alpha=0.3 tail beyond 8 steps is <6% mass
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    over a bounded 8-row frame (finite-window EWMA — the standard
+    streaming-friendly formulation; the truncated tail carries <6% of
+    the mass at alpha=0.3). One shuffle on user_id; the windowed
+    collect_list frame holds <= 8 values per row, so executor memory is
+    O(frame), not O(user history)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    a, b = _EWMA_ALPHA, 1.0 - _EWMA_ALPHA
+    # numerator: sum_i a*b^(n-1-i) * x_i (frame order); denominator is the
+    # geometric closed form 1 - b^n — both sides compute the identical
+    # IEEE expression, so round-6 parity is safe.
+    num = (
+        f"aggregate(zip_with(vals, sequence(0, size(vals) - 1), "
+        f"(v, i) -> v * {a!r} * power({b!r}, cast(size(vals) - 1 - i as double))), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    den = f"(1.0 - power({b!r}, cast(size(vals) as double)))"
+    return (
+        ev.withColumn("vals", F.collect_list("value").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.expr(f"{num} / {den}"), ROUND_DIGITS).alias("ewma"),
+        )
+    )
+
+
+ORACLE_EWMA_SMOOTH = f"""
+WITH w AS (
+  SELECT event_id, user_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT event_id, user_id,
+       round(list_sum(list_transform(range(len(vals)),
+                 i -> vals[i + 1] * {_EWMA_ALPHA!r} * power({1.0 - _EWMA_ALPHA!r}, len(vals) - 1 - i)))
+             / (1.0 - power({1.0 - _EWMA_ALPHA!r}, len(vals))), 6) AS ewma
+FROM w
+"""
+
+
+
+
+# auto-generated by tools/split_queries.py: star-import
+# re-export surface (underscore helpers included — tests
+# and the registry address them as queries.<name>)
+__all__ = [
+    "q_mmr_rerank",
+    "ORACLE_MMR_RERANK",
+    "q_embedding_pca",
+    "q_embedding_pca_fixed",
+    "_pca_fixed_oracle",
+    "ORACLE_EMBEDDING_PCA_FIXED",
+    "q_audio_probe",
+    "q_audio_adpcm_probe",
+    "ORACLE_AUDIO_PROBE",
+    "_MPNG_FRAMES",
+    "_MPNG_WIDTH",
+    "_MPNG_STRIDE",
+    "q_video_frames",
+    "ORACLE_VIDEO_FRAMES",
+    "q_video_mjpeg_meta",
+    "ORACLE_VIDEO_MJPEG_META",
+    "q_video_mjpeg_frames",
+    "ORACLE_VIDEO_MJPEG_FRAMES",
+    "q_gif_frames",
+    "ORACLE_GIF_FRAMES",
+    "q_ann_bq_cosine",
+    "ORACLE_ANN_BQ_COSINE",
+    "q_ann_sq8_cosine",
+    "_sq8_queries_cte",
+    "ORACLE_ANN_SQ8_COSINE",
+    "_IVF_FIXED_NLIST",
+    "_IVF_FIXED_NPROBE",
+    "_IVF_FIXED_CENTROIDS",
+    "q_ann_ivf_cosine_fixed",
+    "_ivf_fixed_cents_sql",
+    "_duck_cos",
+    "ORACLE_ANN_IVF_COSINE_FIXED",
+    "_PQ_FIXED_OVERSAMPLE",
+    "q_ann_pq_cosine_fixed",
+    "_pq_fixed_oracle",
+    "ORACLE_ANN_PQ_COSINE_FIXED",
+    "q_label_centroids",
+    "ORACLE_LABEL_CENTROIDS",
+    "q_embedding_outliers",
+    "ORACLE_EMBEDDING_OUTLIERS",
+    "q_rolling_active_users",
+    "ORACLE_ROLLING_ACTIVE_USERS",
+    "q_attribution_last_touch",
+    "ORACLE_ATTRIBUTION_LAST_TOUCH",
+    "q_equidepth_histogram",
+    "ORACLE_EQUIDEPTH_HISTOGRAM",
+    "q_lang_top_terms",
+    "ORACLE_LANG_TOP_TERMS",
+    "_PROFILE_NUM_COLS",
+    "_PROFILE_STR_COLS",
+    "q_profile_table",
+    "_profile_oracle_leg",
+    "ORACLE_PROFILE_TABLE",
+    "q_incremental_dedup",
+    "ORACLE_INCREMENTAL_DEDUP",
+    "_SOURCE_QUOTA",
+    "q_source_quota",
+    "ORACLE_SOURCE_QUOTA",
+    "q_unigram_logprob",
+    "q_c4_quality_filter",
+    "_C4_KEPT_SQL",
+    "ORACLE_C4_QUALITY_FILTER",
+    "_top_gram_expr",
+    "_dup_seg_flag_exprs",
+    "_seg_chars_expr",
+    "_GOPHER_TOP_NGRAM_RULES",
+    "q_gopher_quality_filter",
+    "_oracle_top_ngram_ctes",
+    "ORACLE_GOPHER_QUALITY_FILTER",
+    "_DSIR_BUCKETS",
+    "_DSIR_KEEP",
+    "q_dsir_weights",
+    "ORACLE_DSIR_WEIGHTS",
+    "q_quality_classifier",
+    "q_quality_classifier_frozen",
+    "_classifier_frozen_oracle",
+    "ORACLE_QUALITY_CLASSIFIER_FROZEN",
+    "q_perplexity_filter",
+    "ORACLE_PERPLEXITY_FILTER",
+    "q_bigram_logprob",
+    "ORACLE_BIGRAM_LOGPROB",
+    "ORACLE_UNIGRAM_LOGPROB",
+    "_N_SHARDS",
+    "q_training_shards",
+    "ORACLE_TRAINING_SHARDS",
+    "_PACK_LEN",
+    "q_pack_sequences",
+    "ORACLE_PACK_SEQUENCES",
+    "_PACK_BUCKETS",
+    "q_pack_sequences_nosplit",
+    "ORACLE_PACK_SEQUENCES_NOSPLIT",
+    "_EWMA_ALPHA",
+    "_EWMA_SPAN",
+    "q_ewma_smooth",
+    "ORACLE_EWMA_SMOOTH",
+]

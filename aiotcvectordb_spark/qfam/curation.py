@@ -1,0 +1,2339 @@
+"""North-star training-data curation: clean/split/sample, decontamination, novelty, substring dedup, mixing.
+
+Split out of queries.py in r12 (mechanical, order-preserving); see queries.py for the registry."""
+
+from aiotcvectordb_spark.qfam.core import *  # noqa: F401,F403
+from aiotcvectordb_spark.qfam.textdedup import _oracle_mh_windows, _portable_hash_expr, q_semantic_dedup, q_semantic_dedup_auto  # noqa: F401
+
+# --------------------------------------------------------------------------
+# North-star: training-data preparation (clean / split / sample)
+# --------------------------------------------------------------------------
+
+
+# PII patterns shared by the Spark query and the DuckDB oracle — kept
+# to the regex subset where Java regex and RE2 agree (no lookaround,
+# no \b ambiguity across engines).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+_PII_PHONE = "[+][0-9][0-9() -]{7,}[0-9]"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — a mandatory pass before LLM training data ships:
+    emails, IPv4 addresses, and international-format phone numbers are
+    replaced with typed placeholder tags, with per-kind match counts for
+    the compliance audit trail. Pure JVM regexp (three chained
+    regexp_replace + three regexp_count) fused into the scan projection:
+    no UDF, no shuffle, scales as a map-only pass over any corpus."""
+    df = load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+FROM documents
+"""
+
+
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — drop training docs that overlap the
+    eval set (the step every serious pretraining pipeline runs so the
+    model isn't graded on memorized data). The 'benchmark' here is the
+    deterministic held-out slice doc_id % 5 == 0; contamination = any
+    shared 8-token shingle. Shape: shingle-explode both sides, ONE
+    equi-join on the shingle hash (no pairwise doc comparison), distinct
+    doc ids out — the same bounded-join pattern as MinHash-LSH, so it
+    scales to a 100 TB corpus against a fixed benchmark suite."""
+    from aiotcvectordb_spark.pipelines import (
+        DECONTAM_SHINGLE_N,
+        token_shingles,
+    )
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    # shared shingle kernel (r10): one implementation across the batch
+    # queries, the incremental query, and the streaming sink
+    shingled = token_shingles(df, DECONTAM_SHINGLE_N)
+    bench = shingled.filter(F.col("doc_id") % 5 == 0).select("shingle").distinct()
+    train = shingled.filter(F.col("doc_id") % 5 != 0)
+    contaminated = (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )
+    return contaminated
+
+
+# canonical shingle width lives in pipelines (shared with
+# streaming/decontam.py); interpolated into all three decontaminate
+# oracles below so tuning it can never silently desync query from
+# oracle (DuckDB 1-indexed inclusive slice: width n = ts[i:i+(n-1)],
+# last start = len - (n-2) with range()'s exclusive end)
+from aiotcvectordb_spark.pipelines import (  # noqa: E402
+    DECONTAM_SHINGLE_N as _DECONTAM_N,
+)
+
+ORACLE_BENCHMARK_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents
+  WHERE len({_BM25_TOKS_SQL}) >= {_DECONTAM_N}
+),
+shingled AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - {_DECONTAM_N - 2}),
+                        i -> array_to_string(ts[i:i+{_DECONTAM_N - 1}], ' '))) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 5 = 0)
+SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared_shingles
+FROM shingled s JOIN bench b USING (shingle)
+WHERE s.doc_id % 5 <> 0
+GROUP BY s.doc_id
+"""
+
+
+# canonical value lives in pipelines (shared with streaming/decontam.py
+# so batch, incremental, and streaming twins cannot silently diverge)
+from aiotcvectordb_spark.pipelines import (  # noqa: E402
+    DECONTAM_FRACTION_CUT as _DECONTAM_FRACTION_CUT,
+)
+
+
+def q_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark decontamination (r9) — the published
+    overlap-FRACTION rule (PaLM, Chowdhery et al. 2022, Appendix:
+    a training example is contaminated when >= 70% of its 8-gram
+    shingles are seen in the eval suite), complementing
+    ``benchmark_decontaminate``'s any-collision count (the GPT-3
+    Appendix-C shape). Same deterministic held-out slice
+    (doc_id % 5 == 0) as the benchmark; every train doc with enough
+    tokens to shingle gets an EXPLICIT decision row: distinct-shingle
+    total, shared count, overlap fraction, contaminated flag.
+
+    Scale shape: identical bounded equi-join as the collision rule —
+    shingle-explode, ONE join against the distinct benchmark shingle
+    set, two per-doc distinct aggregates; no pairwise doc comparison,
+    so the corpus side scales linearly against a fixed benchmark
+    suite."""
+    from aiotcvectordb_spark.pipelines import (
+        DECONTAM_SHINGLE_N,
+        token_shingles,
+    )
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    # shared shingle kernel (r10): one implementation across the batch
+    # queries, the incremental query, and the streaming sink
+    shingled = token_shingles(df, DECONTAM_SHINGLE_N)
+    bench = (
+        shingled.filter(F.col("doc_id") % 5 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    train = shingled.filter(F.col("doc_id") % 5 != 0)
+    totals = train.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shingles")
+    )
+    shared = (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+    frac = F.round(
+        F.col("n_shared") * F.lit(1.0) / F.col("n_shingles"), ROUND_DIGITS
+    )
+    return (
+        totals.join(shared, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            frac.alias("overlap_fraction"),
+            (frac >= F.lit(_DECONTAM_FRACTION_CUT)).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE_FRACTION = f"""
+WITH toks AS (
+  SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM documents
+  WHERE len({_BM25_TOKS_SQL}) >= {_DECONTAM_N}
+),
+shingled AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - {_DECONTAM_N - 2}),
+                        i -> array_to_string(ts[i:i+{_DECONTAM_N - 1}], ' '))) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 5 = 0),
+totals AS (
+  SELECT doc_id, count(DISTINCT shingle) AS n_shingles
+  FROM shingled WHERE doc_id % 5 <> 0 GROUP BY doc_id
+),
+shared AS (
+  SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
+  FROM shingled s JOIN bench b USING (shingle)
+  WHERE s.doc_id % 5 <> 0 GROUP BY s.doc_id
+)
+SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       round(COALESCE(sh.n_shared, 0) * 1.0 / t.n_shingles, {ROUND_DIGITS})
+         AS overlap_fraction,
+       round(COALESCE(sh.n_shared, 0) * 1.0 / t.n_shingles, {ROUND_DIGITS})
+         >= {_DECONTAM_FRACTION_CUT} AS contaminated
+FROM totals t LEFT JOIN shared sh USING (doc_id)
+"""
+
+
+def q_incremental_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``decontaminate_fraction``'s continuous-crawl twin (r10) — score
+    ONLY the newest slice (train docs with doc_id >= floor(max_id *
+    9/10), the incremental_gram_novelty slice rule) against the FULL
+    eval-suite shingle set (doc_id % 5 == 0 over the whole corpus —
+    the benchmark is global and fixed, not sliced), without rescoring
+    old train docs per crawl. Because the contamination rule is
+    strictly per-doc-vs-benchmark (no train-train interaction), batch
+    rows equal the full batch query restricted to the slice (pinned
+    in pytest) while touching O(eval suite + batch): the scan filter
+    keeps ONLY bench-or-batch docs before tokenization, so arriving
+    crawls never re-shingle the standing train corpus.
+
+    Every batch train doc gets an EXPLICIT decision row — a sub-8-token
+    doc surfaces as (n_shingles=0, overlap_fraction NULL,
+    contaminated false) instead of vanishing (the r8
+    qualitygate/novelty decision-log rule; the full batch query emits
+    shingled docs only, so the restriction equality is over its
+    support). At serving scale the eval-suite side is the stored
+    membership shingle index maintained by the streaming ingest twin
+    (streaming/decontam.py, whose epoch-1 rows are pinned equal to
+    this query); here it is recomputed from the table so the
+    composition stays oracle-checkable (the incremental_gram_novelty
+    precedent)."""
+    from aiotcvectordb_spark.pipelines import (
+        DECONTAM_SHINGLE_N,
+        token_shingles,
+    )
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    mx = df.agg(F.max("doc_id")).first()[0]  # bounded: ONE scalar
+    if mx is None:
+        # empty documents table: match the oracle's empty frame instead
+        # of raising int(None) (r10 advisor: engine-asymmetric failure)
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_shingles long, n_shared long, "
+            "overlap_fraction double, contaminated boolean",
+        )
+    cutoff = int(mx) * 9 // 10
+    is_bench = F.col("doc_id") % 5 == 0
+    # incremental scan shape: shingle ONLY the eval suite + the batch
+    relevant = df.filter(is_bench | (F.col("doc_id") >= cutoff))
+    shingled = token_shingles(relevant, DECONTAM_SHINGLE_N)
+    bench = shingled.filter(F.col("doc_id") % 5 == 0).select("shingle").distinct()
+    bt = shingled.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") >= cutoff)
+    )
+    totals = bt.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shingles")
+    )
+    shared = (
+        bt.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+    spine = df.filter(
+        (F.col("doc_id") >= cutoff) & (F.col("doc_id") % 5 != 0)
+    ).select("doc_id")
+    base = (
+        spine.join(totals, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.round(F.col("n_shared") / F.col("n_shingles"), ROUND_DIGITS),
+    )
+    return base.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        frac.alias("overlap_fraction"),
+        F.coalesce(frac >= F.lit(_DECONTAM_FRACTION_CUT), F.lit(False)).alias(
+            "contaminated"
+        ),
+    )
+
+
+ORACLE_INCREMENTAL_DECONTAMINATE_FRACTION = f"""
+WITH cut AS (SELECT max(doc_id) * 9 // 10 AS c FROM documents),
+relevant AS (
+  SELECT d.doc_id, d.text FROM documents d, cut
+  WHERE d.doc_id % 5 = 0 OR d.doc_id >= cut.c
+),
+toks AS (
+  SELECT doc_id, {_BM25_TOKS_SQL} AS ts FROM relevant
+  WHERE len({_BM25_TOKS_SQL}) >= {_DECONTAM_N}
+),
+shingled AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - {_DECONTAM_N - 2}),
+                        i -> array_to_string(ts[i:i+{_DECONTAM_N - 1}], ' '))) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 5 = 0),
+bt AS (
+  SELECT s.* FROM shingled s, cut
+  WHERE s.doc_id % 5 <> 0 AND s.doc_id >= cut.c
+),
+totals AS (
+  SELECT doc_id, count(DISTINCT shingle) AS n_shingles FROM bt GROUP BY doc_id
+),
+shared AS (
+  SELECT b.doc_id, count(DISTINCT b.shingle) AS n_shared
+  FROM bt b JOIN bench USING (shingle) GROUP BY b.doc_id
+),
+spine AS (
+  SELECT d.doc_id FROM documents d, cut
+  WHERE d.doc_id >= cut.c AND d.doc_id % 5 <> 0
+)
+SELECT sp.doc_id,
+       CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN t.n_shingles > 0
+            THEN round(COALESCE(sh.n_shared, 0) * 1.0 / t.n_shingles,
+                       {ROUND_DIGITS}) END AS overlap_fraction,
+       COALESCE(CASE WHEN t.n_shingles > 0
+            THEN round(COALESCE(sh.n_shared, 0) * 1.0 / t.n_shingles,
+                       {ROUND_DIGITS}) END >= {_DECONTAM_FRACTION_CUT},
+            FALSE) AS contaminated
+FROM spine sp
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN shared sh USING (doc_id)
+"""
+
+
+# gram width shared by the substring-dedup family and the novelty
+# profile below (defined here because ORACLE_GRAM_NOVELTY interpolates
+# it at module level, ahead of the substring-dedup section)
+_SUBSTR_DEDUP_N = 8
+
+# DuckDB twin of pipelines._PORTABLE_HASH (Spark: conv(substring(
+# md5(s), 1, 15), 16, 10) — 60 bits of md5 as a BIGINT). Defined here,
+# ahead of its first module-level f-string use (the hashed-portable
+# substring-dedup oracle); shared with the curate/sampling oracles.
+_CURATE_H60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY profile (r9) — the curation metric
+    that measures how much of each document is first-seen content in
+    corpus order: for every doc, the fraction of its DISTINCT word
+    8-grams whose first owner (min doc_id across the corpus) is the
+    doc itself. A recrawl or boilerplate-heavy slice shows novelty
+    collapsing toward 0 long before exact/near dedup fires; data teams
+    plot this against crawl date to decide where a snapshot stops
+    paying for itself. Shares the ``_word_ngrams`` kernel with the
+    substring-dedup family.
+
+    Scale shape: dedupe (doc_id, gram), ONE gram-keyed min aggregate
+    (map-side partial), one keyed equi-join back, one doc-keyed count
+    — the same shuffle-volume class as ``substring_dedup``; at 100 TB
+    the verbatim gram keys would swap for the xxhash64 pair exactly as
+    in ``substring_dedup_hashed``. Every document gets an explicit
+    decision row (docs shorter than 8 words report n_grams = 0 and a
+    NULL novelty, not silence)."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    grams = (
+        _word_ngrams(df, _SUBSTR_DEDUP_N).select("doc_id", "gram").distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    spine = (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+    return spine.withColumn(
+        "novelty",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_novel") / F.col("n_grams"), ROUND_DIGITS),
+        ),
+    )
+
+
+ORACLE_GRAM_NOVELTY = f"""
+WITH toks_arr AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM toks_arr,
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN first f USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN p.n_grams > 0
+            THEN round(p.n_novel * 1.0 / p.n_grams, {ROUND_DIGITS}) END AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_incremental_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``gram_novelty``'s continuous-crawl twin (r9): score ONLY the
+    newest slice (doc_id >= floor(max_id * 9 / 10) — the latest ~10% of
+    corpus order) against the STANDING corpus's distinct-gram index,
+    without rescoring old documents per crawl. A batch gram is novel
+    iff it is absent from the standing index AND this doc is its first
+    owner WITHIN the batch — which, because every standing id precedes
+    every batch id, is exactly the full-corpus first-owner rule, so
+    batch rows equal ``gram_novelty`` on the whole corpus restricted to
+    the slice (pinned in pytest) while touching O(batch + collisions)
+    instead of O(corpus).
+
+    At serving scale the standing side is the stored seen-gram epoch
+    index maintained by the streaming ingest twin
+    (`streaming/novelty.py`, whose epoch-1 rows are pinned equal to
+    this query); here it is recomputed from the table so the
+    composition stays oracle-checkable (the
+    incremental_substring_dedup precedent). Every batch doc gets an
+    explicit decision row."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    mx = df.agg(F.max("doc_id")).first()[0]  # bounded: ONE scalar
+    if mx is None:
+        # empty documents table: match the oracle's empty frame instead
+        # of raising int(None) (r10 advisor: engine-asymmetric failure)
+        return spark.createDataFrame(
+            [], "doc_id long, n_grams long, n_novel long, novelty double"
+        )
+    cutoff = int(mx) * 9 // 10
+    batch = df.filter(F.col("doc_id") >= cutoff)
+    standing = df.filter(F.col("doc_id") < cutoff)
+    bg = (
+        _word_ngrams(batch, _SUBSTR_DEDUP_N).select("doc_id", "gram").distinct()
+    )
+    sidx = _word_ngrams(standing, _SUBSTR_DEDUP_N).select("gram").distinct()
+    first_b = bg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        bg.join(first_b, "gram")
+        .join(sidx.withColumn("seen", F.lit(True)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("seen").isNull()
+                    & (F.col("first_doc") == F.col("doc_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    spine = (
+        batch.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+    return spine.withColumn(
+        "novelty",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_novel") / F.col("n_grams"), ROUND_DIGITS),
+        ),
+    )
+
+
+ORACLE_INCREMENTAL_GRAM_NOVELTY = f"""
+WITH cut AS (SELECT max(doc_id) * 9 // 10 AS c FROM documents),
+toks_arr AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM toks_arr,
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+),
+bg AS (SELECT g.* FROM grams g, cut WHERE g.doc_id >= cut.c),
+sidx AS (SELECT DISTINCT gram FROM grams g, cut WHERE g.doc_id < cut.c),
+first_b AS (SELECT gram, min(doc_id) AS first_doc FROM bg GROUP BY gram),
+per_doc AS (
+  SELECT b.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN s.gram IS NULL AND f.first_doc = b.doc_id
+                  THEN 1 ELSE 0 END) AS n_novel
+  FROM bg b
+  JOIN first_b f USING (gram)
+  LEFT JOIN sidx s USING (gram)
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN p.n_grams > 0
+            THEN round(p.n_novel * 1.0 / p.n_grams, {ROUND_DIGITS}) END AS novelty
+FROM documents d
+CROSS JOIN cut
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+WHERE d.doc_id >= cut.c
+"""
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for a training corpus: strip control chars,
+    collapse whitespace runs, trim, lowercase — all JVM regexp
+    expressions inside one projection (no UDF), so it fuses into the
+    scan's codegen stage at any scale."""
+    df = load(spark, sf_dir, "documents")
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[\\x00-\\x1F\\x7F]", " "),
+                "\\s{2,}",
+                " ",
+            )
+        )
+    )
+    return df.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("clean_len"),
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "zh": 0.15, "es": 0.15, "fr": 0.15}
+_MIX_BUDGET_FRAC = 0.3  # token budget as a fraction of corpus tokens
+_MIX_SALTS = 16
+
+
+def _mix_select(spark: SparkSession, sf_dir: str,
+                weights: dict[str, float]) -> DataFrame:
+    """Shared salted token-budget selection body of ``dataset_mix``
+    and ``dataset_mix_temp`` — identical plan, parameterized only by
+    the per-language weight map."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    toks = df.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(_portable_hash_expr("cast(doc_id as string)")).alias("h"),
+    )
+    totals = toks.groupBy().agg(F.sum("n_tokens").alias("total"))
+    wmap = F.create_map(
+        *[
+            x
+            for lang, wt in sorted(weights.items())
+            for x in (F.lit(lang), F.lit(wt))
+        ]
+    )
+    salted = (
+        toks.crossJoin(F.broadcast(totals))
+        .withColumn("salt", F.col("h") % _MIX_SALTS)
+        .withColumn(
+            "quota",
+            wmap[F.col("lang")]
+            * F.col("total")
+            * F.lit(_MIX_BUDGET_FRAC)
+            / F.lit(_MIX_SALTS),
+        )
+    )
+    win = (
+        Window.partitionBy("lang", "salt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = salted.withColumn("run", F.sum("n_tokens").over(win)).filter(
+        (F.col("run") - F.col("n_tokens")) < F.col("quota")
+    )
+    return sel.select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted dataset mixing — the 'data mixture' step of a
+    training run: given per-language target weights and a total token
+    budget (30% of the corpus here), pick documents per language until
+    that language's token quota fills, deterministically. Scale shape:
+    pass 1 is ONE tiny global aggregate (total tokens) broadcast back
+    onto the scan; selection is hash-ordered greedy *within
+    (lang, salt) buckets*, each owning quota/S tokens — the salted
+    two-phase trick (cf. group_topk_salted) that keeps every window
+    sort bounded to 1/S of a language, so a 90%-English corpus never
+    funnels into one partition. Selection is a pure function of
+    (doc_id, lang, n_tokens): stable under repartition and re-ingest,
+    like dataset_split."""
+    return _mix_select(spark, sf_dir, _MIX_WEIGHTS)
+
+
+_MIX_TEMPERATURE = 2.0
+
+
+def _temp_weights(weights: dict[str, float], T: float) -> dict[str, float]:
+    """Temperature-scaled mixture weights w ∝ w^(1/T), renormalized —
+    the standard pretraining mixture control (T>1 UPweights
+    low-resource languages toward uniform; T=1 is the base mixture).
+    Computed driver-side to full double precision; the Spark literals
+    and the oracle's VALUES rows carry the identical repr() floats, so
+    the greedy quota comparison is bit-equal on both engines."""
+    raised = {k: v ** (1.0 / T) for k, v in weights.items()}
+    z = sum(raised.values())
+    return {k: v / z for k, v in raised.items()}
+
+
+def q_dataset_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dataset_mix`` with the TEMPERATURE knob (r7): weights are
+    w^(1/T) renormalized (T=2 here — the up-sample-the-tail setting
+    every multilingual pretraining recipe uses, cf. mT5/XLM-R), then
+    the identical salted two-phase greedy selection runs. Same plan,
+    same scale shape — one tiny broadcast aggregate, (lang, salt)
+    bounded window sorts, deterministic under repartition."""
+    return _mix_select(
+        spark, sf_dir, _temp_weights(_MIX_WEIGHTS, _MIX_TEMPERATURE)
+    )
+
+
+def _mix_oracle_sql(weights: dict[str, float]) -> str:
+    w_sql = ",".join(
+        f"('{k}',{v!r})" for k, v in sorted(weights.items())
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents WHERE length(text) > 0
+), t AS (
+  SELECT sum(n_tokens) AS total FROM toks
+), w(lang, wt) AS (
+  VALUES {w_sql}
+), s AS (
+  SELECT toks.*, h % {_MIX_SALTS} AS salt,
+         CAST(wt AS DOUBLE) * total * {_MIX_BUDGET_FRAC} / {_MIX_SALTS} AS quota
+  FROM toks JOIN w USING (lang) CROSS JOIN t
+), r AS (
+  SELECT *, sum(n_tokens) OVER (
+      PARTITION BY lang, salt ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM s
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM r WHERE run - n_tokens < quota
+"""
+
+
+ORACLE_DATASET_MIX = _mix_oracle_sql(_MIX_WEIGHTS)
+ORACLE_DATASET_MIX_TEMP = _mix_oracle_sql(
+    _temp_weights(_MIX_WEIGHTS, _MIX_TEMPERATURE)
+)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring removal (the Lee et al. 2022
+    'Deduplicating Training Data' pass, word-granular): every token
+    position covered by an N-gram that occurs more than once
+    corpus-wide is cut, and the survivors reassemble in order. Unlike
+    MinHash/SimHash (whole-doc near-dup) or line_dedup (exact repeated
+    lines), this removes the *overlapping spans themselves* — copied
+    passages inside otherwise-unique documents. Pipeline: tokens with
+    positions; N-grams via a JVM transform over the token array (one
+    slice+concat per position, no UDF); one groupBy(gram) with
+    map-side partials to find duplicated grams; an inner equi-join
+    back (output is just the duplicated occurrences — linear in the
+    dup fraction); each hit explodes to its N covered positions
+    (bounded xN); a LEFT ANTI join on (doc_id, pos) keeps the
+    uncovered tokens; ordered reassembly per doc. Every stage is a
+    bounded shuffle on a key that partitions with the data — no
+    pairwise doc comparison anywhere, the shape that survives 100 TB."""
+    n = _SUBSTR_DEDUP_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    grams = _word_ngrams(df, n)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0
+), toks_arr AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs
+), grams AS (
+  SELECT doc_id, i,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM toks_arr,
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM grams g JOIN dup USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM docs
+)
+SELECT t.doc_id,
+       string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS kept_tokens
+FROM tokens t
+WHERE NOT EXISTS (
+  SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+)
+GROUP BY t.doc_id
+"""
+
+
+def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
+    """Shared gram kernel — see pipelines.word_ngrams."""
+    from aiotcvectordb_spark.pipelines import word_ngrams
+
+    return word_ngrams(df, n)
+
+
+def q_substring_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``substring_dedup`` with HASHED gram keys (r7) — the 100 TB
+    shuffle-byte variant. The string query's one real scale cost is
+    the dup-detection aggregate moving ≈ corpus-tokens × ~50-byte
+    verbatim grams; here each gram is reduced in the scan projection
+    to a 16-byte key pair (xxhash64(gram), xxhash64(gram || 0x01) —
+    two 64-bit lanes DECORRELATED by a one-byte input suffix, not by
+    independent hash seeds: both lanes use xxhash64's default seed,
+    so treat the pair as one well-mixed 128-bit key, not two provably
+    independent functions), cutting shuffle bytes ~3-6× while the plan
+    stays identical: one hash aggregate, keyed equi-joins, LEFT ANTI
+    keep, ordered reassembly.
+
+    Collision math (under the standard assumption that xxhash64 mixes
+    the suffixed inputs like independent uniform draws — heuristic for
+    the suffix construction, not a seed-independence theorem): a false
+    dup needs BOTH 64-bit lanes to collide on distinct grams — P ≈
+    T²/2¹²⁹ pairwise over T corpus grams, i.e. ~6×10⁻¹³ expected
+    false-covered positions at T = 2×10¹³ tokens (a 100 TB corpus); a
+    single 64-bit key would already expect ~10⁷ false dups at that
+    scale, hence the pair. Registry entry is
+    rows-only (DuckDB has no xxhash64); bit-equality with the ORACLED
+    string-exact query is pinned in
+    tests/test_dedup_text_relational.py instead."""
+    n = _SUBSTR_DEDUP_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    grams = _word_ngrams(df, n).select(
+        "doc_id",
+        "i",
+        F.xxhash64("gram").alias("h1"),
+        F.xxhash64(F.concat(F.col("gram"), F.lit("\x01"))).alias("h2"),
+    )
+    dup = (
+        grams.groupBy("h1", "h2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h1", "h2")
+    )
+    covered = (
+        grams.join(dup, ["h1", "h2"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+
+
+def q_substring_dedup_hashed_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed substring-dedup lane's ORACLED witness (r10): the
+    IDENTICAL Lee-et-al plan as ``substring_dedup_hashed`` — gram keys
+    reduced in the scan projection to a hash pair, ONE hash aggregate
+    for corpus-wide duplicates, keyed equi-join back, bounded coverage
+    explode, LEFT ANTI keep, ordered reassembly — but keyed on the
+    PORTABLE md5-derived 60-bit hash (pipelines._PORTABLE_HASH, the
+    twin ``stratified_sample_hash`` proved cross-engine) as a
+    SPLIT-DIGEST pair — hex digits 1-15 and 16-30 of ONE md5 per gram
+    (r11; the r10 two-md5 suffix pair hashed every gram twice for the
+    same 2x60-bit key space) — so DuckDB reproduces the hashed plan
+    END-TO-END and the driver hash vouches for the reduced-key
+    machinery itself — the aggregate-on-hash, join-on-hash dataflow
+    that the xxhash64 production lane runs at 100 TB (its keys being
+    engine-native is the ONLY difference; bit-equality of the two
+    hashed lanes and the string-exact lane is pinned in
+    tests/test_dedup_text_relational.py). Collision math: a false dup
+    needs both 60-bit digest halves to collide on distinct grams —
+    P ≈ T²/2¹²¹ pairwise, the digest's 128 bits being well mixed."""
+    from aiotcvectordb_spark import pipelines as P
+
+    n = _SUBSTR_DEDUP_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    pair = P.gram_hash_pair("portable")
+    grams = _word_ngrams(df, n).select(
+        "doc_id",
+        "i",
+        pair[0].alias("h1"),
+        pair[1].alias("h2"),
+    )
+    dup = (
+        grams.groupBy("h1", "h2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h1", "h2")
+    )
+    covered = (
+        grams.join(dup, ["h1", "h2"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+
+
+ORACLE_SUBSTRING_DEDUP_HASHED_PORTABLE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0
+), toks_arr AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs
+), grams0 AS (
+  SELECT doc_id, i,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM toks_arr,
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), grams AS (
+  SELECT doc_id, i,
+         {_CURATE_H60.format(s="gram")} AS h1,
+         ('0x' || substr(md5(gram), 16, 15))::BIGINT AS h2
+  FROM grams0
+), dup AS (
+  SELECT h1, h2 FROM grams GROUP BY h1, h2 HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM grams g JOIN dup USING (h1, h2),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM docs
+)
+SELECT t.doc_id,
+       string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS kept_tokens
+FROM tokens t
+WHERE NOT EXISTS (
+  SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+)
+GROUP BY t.doc_id
+"""
+
+
+# 62 CJK codepoints standing in for [a-zA-Z0-9] when the fixture
+# corpus is CJK-ified (the test corpus is pure-ASCII, so the CJK lane
+# needs a constructed whitespace-free share — built identically in
+# Spark and the DuckDB oracle via translate()).
+_CJK_SRC = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+_CJK_DST = "".join(chr(0x4E00 + k) for k in range(len(_CJK_SRC)))
+_SUBSTR_CJK_CHAR_N = 12
+
+
+def q_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANG-ROUTED exact repeated-substring removal (r7) — closes the
+    multilingual gap where space-tokenized substring dedup silently
+    no-ops on CJK/whitespace-free documents (a CJK doc is ONE word
+    token, so no 8-gram ever fires). Documents whose CJK character
+    fraction exceeds ``pipelines.CJK_ROUTE_THRESHOLD`` route to a
+    CHARACTER-n-gram lane (``pipelines.char_ngrams``, N=12 chars, the
+    same reasoning that made BM25 char-bigram in functions/sparse.py);
+    the rest keep the word lane. Each lane runs the identical Lee et
+    al. pass — one gram aggregate for corpus-wide duplicates, bounded
+    coverage explode, LEFT ANTI keep join, ordered reassembly — so the
+    cost model is unchanged: keyed shuffles that partition with the
+    data, no pairwise doc comparison, at any corpus scale. Because
+    the test corpus is pure ASCII, docs with md5(doc_id) starting 0-7
+    are deterministically CJK-ified (translate to U+4E00.. + space
+    removal, mirrored in the oracle), so BOTH lanes and the router
+    itself are driver-hash-checked."""
+    from aiotcvectordb_spark import pipelines
+
+    n_w, n_c = _SUBSTR_DEDUP_N, _SUBSTR_CJK_CHAR_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
+    corpus = df.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            cjkified,
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    routed = corpus.withColumn("__r", pipelines.cjk_ratio_col("text"))
+    is_cjk = F.col("__r") >= pipelines.CJK_ROUTE_THRESHOLD
+    word_docs = routed.filter(~is_cjk).select("doc_id", "text")
+    char_docs = routed.filter(is_cjk).select("doc_id", "text")
+
+    empty = spark.createDataFrame([], "gram string")
+    # r11: BOTH lanes key the dup aggregate and coverage join on the
+    # xxhash64 pair (the substring_dedup_hashed production keys) — the
+    # char lane was the #2 standing cost and the worst dedup-family
+    # 100x probe because a 12-char CJK gram shuffles ~36 UTF-8 bytes
+    # per position as a string key; the pair is 16. Values are
+    # unchanged (collision math in q_substring_dedup_hashed), so the
+    # string-gram oracle below still hashes identically; the reduced-
+    # key dataflow itself is driver-witnessed by the portable twin
+    # substring_dedup_cjk_hashed.
+    out_w, _ = pipelines.lane_cut(
+        word_docs, _word_ngrams(word_docs, n_w), empty, n_w, " ",
+        gram_keys="xxhash64",
+    )
+    out_c, _ = pipelines.lane_cut(
+        char_docs, pipelines.char_ngrams(char_docs, n_c), empty, n_c, "",
+        gram_keys="xxhash64",
+    )
+    return (
+        out_w.withColumn("lane", F.lit("word"))
+        .unionByName(out_c.withColumn("lane", F.lit("char")))
+        .select(
+            "doc_id",
+            "lane",
+            "clean_text",
+            F.col("kept_tokens").cast("long").alias("kept_units"),
+        )
+    )
+
+
+def q_substring_dedup_cjk_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed CJK-routed lane's ORACLED witness (r11, the
+    ``substring_dedup_hashed_portable`` pattern): the IDENTICAL
+    lang-routed Lee-et-al plan as ``substring_dedup_cjk`` — CJK-share
+    router, per-lane gram kernels, hash-pair-keyed dup aggregate,
+    keyed coverage join, LEFT ANTI keep, ordered reassembly — keyed on
+    the PORTABLE md5-60-bit pair (pipelines.gram_hash_pair
+    "portable") so DuckDB reproduces the reduced-key dataflow
+    END-TO-END and the driver hash vouches for the machinery the
+    xxhash64 production lane runs at 100 TB. Bit-equality of the two
+    hashed lanes and the string-keyed plan is pinned in
+    tests/test_dedup_text_relational.py."""
+    from aiotcvectordb_spark import pipelines
+
+    n_w, n_c = _SUBSTR_DEDUP_N, _SUBSTR_CJK_CHAR_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
+    corpus = df.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            cjkified,
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    routed = corpus.withColumn("__r", pipelines.cjk_ratio_col("text"))
+    is_cjk = F.col("__r") >= pipelines.CJK_ROUTE_THRESHOLD
+    word_docs = routed.filter(~is_cjk).select("doc_id", "text")
+    char_docs = routed.filter(is_cjk).select("doc_id", "text")
+
+    empty = spark.createDataFrame([], "gram string")
+    out_w, _ = pipelines.lane_cut(
+        word_docs, _word_ngrams(word_docs, n_w), empty, n_w, " ",
+        gram_keys="portable",
+    )
+    out_c, _ = pipelines.lane_cut(
+        char_docs, pipelines.char_ngrams(char_docs, n_c), empty, n_c, "",
+        gram_keys="portable",
+    )
+    return (
+        out_w.withColumn("lane", F.lit("word"))
+        .unionByName(out_c.withColumn("lane", F.lit("char")))
+        .select(
+            "doc_id",
+            "lane",
+            "clean_text",
+            F.col("kept_tokens").cast("long").alias("kept_units"),
+        )
+    )
+
+
+ORACLE_SUBSTRING_DEDUP_CJK_HASHED = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7')
+              THEN translate(text, '{_CJK_SRC} ', '{_CJK_DST}')
+              ELSE text END AS text
+  FROM documents WHERE length(text) > 0
+), routed AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_replace(text, '[^぀-ヿ㐀-䶿一-鿿가-힯]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS r
+  FROM corpus
+), word_docs AS (
+  SELECT doc_id, text FROM routed WHERE r < 0.3
+), char_docs AS (
+  SELECT doc_id, text FROM routed WHERE r >= 0.3
+), wgrams0 AS (
+  SELECT doc_id, i,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM word_docs),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), wgrams AS (
+  SELECT doc_id, i,
+         {_CURATE_H60.format(s="gram")} AS h1,
+         ('0x' || substr(md5(gram), 16, 15))::BIGINT AS h2
+  FROM wgrams0
+), wdup AS (
+  SELECT h1, h2 FROM wgrams GROUP BY h1, h2 HAVING count(*) >= 2
+), wcov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM wgrams g JOIN wdup USING (h1, h2),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), wtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS unit,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM word_docs
+), wkept AS (
+  SELECT t.doc_id, 'word' AS lane,
+         string_agg(t.unit, ' ' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM wtok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wcov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+), cgrams0 AS (
+  SELECT doc_id, i, substr(text, i, {_SUBSTR_CJK_CHAR_N}) AS gram
+  FROM char_docs,
+       LATERAL unnest(generate_series(1, length(text) - {_SUBSTR_CJK_CHAR_N - 1})) AS t(i)
+), cgrams AS (
+  SELECT doc_id, i,
+         {_CURATE_H60.format(s="gram")} AS h1,
+         ('0x' || substr(md5(gram), 16, 15))::BIGINT AS h2
+  FROM cgrams0
+), cdup AS (
+  SELECT h1, h2 FROM cgrams GROUP BY h1, h2 HAVING count(*) >= 2
+), ccov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM cgrams g JOIN cdup USING (h1, h2),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_CJK_CHAR_N - 1})) AS c(pos)
+), ctok AS (
+  SELECT doc_id, j AS pos, substr(text, j, 1) AS unit
+  FROM char_docs, LATERAL unnest(generate_series(1, length(text))) AS t(j)
+), ckept AS (
+  SELECT t.doc_id, 'char' AS lane,
+         string_agg(t.unit, '' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM ctok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ccov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+)
+SELECT * FROM wkept UNION ALL SELECT * FROM ckept
+"""
+
+
+def q_incremental_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lang-routed pass's continuous-ingest twin (r7) — composes
+    ``incremental_substring_dedup``'s batch-vs-standing-index shape
+    with ``substring_dedup_cjk``'s lane routing: a NEW batch
+    (doc_id % 10 == 0 of the constructed mixed-script corpus) is
+    cleaned against the standing corpus's PER-LANE distinct-gram
+    indexes (word grams check the word index, char grams the char
+    index — lanes can never cross-fire) plus within-batch repeats.
+    Cost stays O(batch + index collisions); the corpus is never
+    self-joined. All three compositions — routing, incremental index,
+    streaming ingest — now run the same ``pipelines.lane_cut`` kernel,
+    and this query puts the routing×incremental interaction under the
+    DuckDB driver oracle (the streaming twin proves it only
+    Spark-vs-Spark)."""
+    from aiotcvectordb_spark import pipelines
+
+    n_w, n_c = _SUBSTR_DEDUP_N, _SUBSTR_CJK_CHAR_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
+    corpus = df.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            cjkified,
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    routed = corpus.withColumn("__r", pipelines.cjk_ratio_col("text"))
+    is_cjk = F.col("__r") >= pipelines.CJK_ROUTE_THRESHOLD
+    is_batch = F.col("doc_id") % 10 == 0
+    outs = []
+    for name, cond, n, joiner, kernel in (
+        ("word", ~is_cjk, n_w, " ", _word_ngrams),
+        ("char", is_cjk, n_c, "", pipelines.char_ngrams),
+    ):
+        batch_docs = routed.filter(cond & is_batch).select("doc_id", "text")
+        standing = routed.filter(cond & ~is_batch).select("doc_id", "text")
+        prior = kernel(standing, n).select("gram").distinct()
+        # r11: xxhash64-pair keys like the batch query — lane_cut hashes
+        # the prior index internally, so the stored verbatim-gram index
+        # format is unchanged (values identical modulo ~2^-128 collisions;
+        # the string-gram oracle below still hashes identically)
+        out, _ = pipelines.lane_cut(
+            batch_docs, kernel(batch_docs, n), prior, n, joiner,
+            gram_keys="xxhash64",
+        )
+        outs.append(out.withColumn("lane", F.lit(name)))
+    return outs[0].unionByName(outs[1]).select(
+        "doc_id",
+        "lane",
+        "clean_text",
+        F.col("kept_tokens").cast("long").alias("kept_units"),
+    )
+
+
+ORACLE_INCREMENTAL_SUBSTRING_DEDUP_CJK = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7')
+              THEN translate(text, '{_CJK_SRC} ', '{_CJK_DST}')
+              ELSE text END AS text
+  FROM documents WHERE length(text) > 0
+), routed AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_replace(text, '[^぀-ヿ㐀-䶿一-鿿가-힯]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS r
+  FROM corpus
+), wb AS (
+  SELECT doc_id, text FROM routed WHERE r < 0.3 AND doc_id % 10 = 0
+), ws AS (
+  SELECT doc_id, text FROM routed WHERE r < 0.3 AND doc_id % 10 <> 0
+), cb AS (
+  SELECT doc_id, text FROM routed WHERE r >= 0.3 AND doc_id % 10 = 0
+), cs AS (
+  SELECT doc_id, text FROM routed WHERE r >= 0.3 AND doc_id % 10 <> 0
+), wbg AS (
+  SELECT doc_id, i,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM wb),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), windex AS (
+  SELECT DISTINCT array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ws),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), whot AS (
+  SELECT gram FROM windex
+  UNION
+  SELECT gram FROM wbg GROUP BY gram HAVING count(*) >= 2
+), wcov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM wbg g JOIN whot USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), wtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS unit,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM wb
+), wkept AS (
+  SELECT t.doc_id, 'word' AS lane,
+         string_agg(t.unit, ' ' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM wtok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wcov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+), cbg AS (
+  SELECT doc_id, i, substr(text, i, {_SUBSTR_CJK_CHAR_N}) AS gram
+  FROM cb,
+       LATERAL unnest(generate_series(1, length(text) - {_SUBSTR_CJK_CHAR_N - 1})) AS t(i)
+), cindex AS (
+  SELECT DISTINCT substr(text, i, {_SUBSTR_CJK_CHAR_N}) AS gram
+  FROM cs,
+       LATERAL unnest(generate_series(1, length(text) - {_SUBSTR_CJK_CHAR_N - 1})) AS t(i)
+), chot AS (
+  SELECT gram FROM cindex
+  UNION
+  SELECT gram FROM cbg GROUP BY gram HAVING count(*) >= 2
+), ccov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM cbg g JOIN chot USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_CJK_CHAR_N - 1})) AS c(pos)
+), ctok AS (
+  SELECT doc_id, j AS pos, substr(text, j, 1) AS unit
+  FROM cb, LATERAL unnest(generate_series(1, length(text))) AS t(j)
+), ckept AS (
+  SELECT t.doc_id, 'char' AS lane,
+         string_agg(t.unit, '' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM ctok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ccov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+)
+SELECT * FROM wkept UNION ALL SELECT * FROM ckept
+"""
+
+
+ORACLE_SUBSTRING_DEDUP_CJK = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7')
+              THEN translate(text, '{_CJK_SRC} ', '{_CJK_DST}')
+              ELSE text END AS text
+  FROM documents WHERE length(text) > 0
+), routed AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_replace(text, '[^぀-ヿ㐀-䶿一-鿿가-힯]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS r
+  FROM corpus
+), word_docs AS (
+  SELECT doc_id, text FROM routed WHERE r < 0.3
+), char_docs AS (
+  SELECT doc_id, text FROM routed WHERE r >= 0.3
+), wgrams AS (
+  SELECT doc_id, i,
+         array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM word_docs),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), wdup AS (
+  SELECT gram FROM wgrams GROUP BY gram HAVING count(*) >= 2
+), wcov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM wgrams g JOIN wdup USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), wtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS unit,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM word_docs
+), wkept AS (
+  SELECT t.doc_id, 'word' AS lane,
+         string_agg(t.unit, ' ' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM wtok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wcov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+), cgrams AS (
+  SELECT doc_id, i, substr(text, i, {_SUBSTR_CJK_CHAR_N}) AS gram
+  FROM char_docs,
+       LATERAL unnest(generate_series(1, length(text) - {_SUBSTR_CJK_CHAR_N - 1})) AS t(i)
+), cdup AS (
+  SELECT gram FROM cgrams GROUP BY gram HAVING count(*) >= 2
+), ccov AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM cgrams g JOIN cdup USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_CJK_CHAR_N - 1})) AS c(pos)
+), ctok AS (
+  SELECT doc_id, j AS pos, substr(text, j, 1) AS unit
+  FROM char_docs, LATERAL unnest(generate_series(1, length(text))) AS t(j)
+), ckept AS (
+  SELECT t.doc_id, 'char' AS lane,
+         string_agg(t.unit, '' ORDER BY t.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_units
+  FROM ctok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ccov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+)
+SELECT * FROM wkept UNION ALL SELECT * FROM ckept
+"""
+
+
+def q_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring_dedup's continuous-ingest twin: clean a NEW batch
+    (doc_id % 10 == 0) against a STANDING corpus (the rest) without
+    ever rescanning corpus text pairwise. Batch positions are covered
+    when their N-gram exists anywhere in the standing corpus's
+    distinct-gram INDEX (at serving scale that index is a stored
+    artifact maintained on ingest, exactly like streaming/neardup.py's
+    LSH buckets — here it is recomputed from the table so the whole
+    composition stays oracle-checkable) OR repeats within the batch
+    itself. Cost is O(batch + index-collisions): one distinct over
+    corpus grams, one batch gram count, one equi-join — the corpus is
+    never joined against itself."""
+    n = _SUBSTR_DEDUP_N
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    batch = df.filter(F.col("doc_id") % 10 == 0)
+    corpus = df.filter(F.col("doc_id") % 10 != 0)
+    bg = _word_ngrams(batch, n)
+    corpus_index = _word_ngrams(corpus, n).select("gram").distinct()
+    batch_dup = (
+        bg.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    hot = corpus_index.union(batch_dup).distinct()
+    covered = (
+        bg.join(hot, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = batch.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+
+
+ORACLE_INCREMENTAL_SUBSTRING_DEDUP = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0
+), batch AS (
+  SELECT * FROM docs WHERE doc_id % 10 = 0
+), corpus AS (
+  SELECT * FROM docs WHERE doc_id % 10 <> 0
+), bg AS (
+  SELECT doc_id, i, array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), corpus_index AS (
+  SELECT DISTINCT array_to_string(w[i:i+{_SUBSTR_DEDUP_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       LATERAL unnest(generate_series(1, greatest(len(w) - {_SUBSTR_DEDUP_N - 1}, 0))) AS t(i)
+), hot AS (
+  SELECT gram FROM corpus_index
+  UNION
+  SELECT gram FROM bg GROUP BY gram HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT g.doc_id, c.pos
+  FROM bg g JOIN hot USING (gram),
+       LATERAL unnest(generate_series(g.i, g.i + {_SUBSTR_DEDUP_N - 1})) AS c(pos)
+), tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM batch
+)
+SELECT t.doc_id,
+       string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS kept_tokens
+FROM tokens t
+WHERE NOT EXISTS (
+  SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+)
+GROUP BY t.doc_id
+"""
+
+
+_BOILER_HEADERS = [
+    "Subscribe to our newsletter",
+    "Follow us on social media",
+    "Cookie policy: we use cookies",
+    "Sign in to continue reading",
+    "Advertisement",
+]
+_BOILER_FOOTERS = [
+    "Copyright 2024 Example Corp",
+    "All rights reserved",
+    "Terms of service apply",
+    "Back to top",
+    "Contact us at example dot com",
+]
+_LINE_DEDUP_MIN_COUNT = 5
+
+
+def _boiler_pages(df: DataFrame) -> DataFrame:
+    """(doc_id, page): the synthetic web page for each document —
+    header + text + footer, template keyed on md5(doc_id). Shared by
+    the batch, incremental, and streaming line-dedup entries (and
+    reproduced verbatim in their oracles) so all three clean the SAME
+    page construction."""
+    idx = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 5
+    hdr = F.element_at(F.array([F.lit(s) for s in _BOILER_HEADERS]), idx + 1)
+    ftr = F.element_at(F.array([F.lit(s) for s in _BOILER_FOOTERS]), idx + 1)
+    return df.select(
+        "doc_id", F.concat_ws("\n", hdr, F.col("text"), ftr).alias("page")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal — the web-corpus
+    cleaning pass that strips headers/footers/nav text repeated across
+    pages while keeping each page's unique content. Pages are built
+    from the documents table (header + text + footer, template keyed
+    on md5(doc_id) — the same construction in the oracle), then:
+    posexplode to (doc, pos, line) rows, one groupBy(norm) with
+    map-side partial counts to find lines occurring >=
+    _LINE_DEDUP_MIN_COUNT times corpus-wide, a LEFT ANTI equi-join
+    against that (distinct-key, so no row amplification and no skew
+    blowup on hot boilerplate lines), and ordered per-doc reassembly
+    via array_sort(collect_list(struct(pos,line))) — two bounded
+    shuffles total, linear in corpus size; the boilerplate side is
+    count-thresholded so it stays tiny relative to the corpus at any
+    scale."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    pages = _boiler_pages(df)
+    lines = pages.select(
+        "doc_id", F.posexplode(F.split("page", "\n")).alias("pos", "line")
+    ).withColumn("norm", F.lower(F.trim("line")))
+    boiler = (
+        lines.groupBy("norm")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _LINE_DEDUP_MIN_COUNT)
+        .select("norm")
+    )
+    kept = lines.join(boiler, "norm", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("kept_lines"),
+    )
+
+
+_LD_HDRS = "[" + ",".join(f"'{s}'" for s in _BOILER_HEADERS) + "]"
+_LD_FTRS = "[" + ",".join(f"'{s}'" for s in _BOILER_FOOTERS) + "]"
+
+ORACLE_LINE_DEDUP = f"""
+WITH paged AS (
+  SELECT doc_id,
+         list_extract({_LD_HDRS},
+           ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5) + 1)
+         || chr(10) || text || chr(10) ||
+         list_extract({_LD_FTRS},
+           ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5) + 1)
+         AS page
+  FROM documents WHERE length(text) > 0
+), lines AS (
+  SELECT doc_id, unnest(string_split(page, chr(10))) AS line,
+         generate_subscripts(string_split(page, chr(10)), 1) AS pos
+  FROM paged
+), normed AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines
+), boiler AS (
+  SELECT norm FROM normed GROUP BY norm
+  HAVING count(*) >= {_LINE_DEDUP_MIN_COUNT}
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS text,
+       CAST(count(*) AS BIGINT) AS kept_lines
+FROM normed WHERE norm NOT IN (SELECT norm FROM boiler)
+GROUP BY doc_id
+"""
+
+
+def q_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup's continuous-ingest twin (r9) — the last dedup family
+    member without one (minhash / substring / semantic all have batch +
+    incremental + streaming forms): clean a NEW batch of pages
+    (doc_id % 10 == 0) against the STANDING corpus's line-count index
+    without rescanning corpus pages per batch.
+
+    A batch line is boilerplate iff its corpus-wide occurrence count —
+    standing index count PLUS this batch's own count (self-inclusive,
+    the ``incremental_substring_dedup`` rule) — reaches
+    ``_LINE_DEDUP_MIN_COUNT``. Since standing + batch = corpus-wide,
+    rows with kept_lines > 0 equal ``line_dedup`` on the full corpus
+    restricted to batch docs (pinned in pytest); unlike the batch
+    query, every batch doc gets an EXPLICIT row — a fully-boilerplate
+    page surfaces as (text='', kept_lines=0) instead of silently
+    vanishing from the decision log (the r8 qualitygate/dsir rule).
+
+    Plan: one (norm → count) aggregate over each side, a count-join on
+    the batch's distinct norms only, LEFT ANTI removal, per-doc ordered
+    reassembly — O(batch + distinct-norm collisions); the standing side
+    is never joined against itself. At serving scale the standing index
+    is the stored SUMMED epoch log of ``streaming/linededup.py``
+    (watermark-compacted, ``epochlog.compact_summed_index``); here it
+    is recomputed from the table so the composition stays
+    oracle-checkable, exactly the incremental_substring_dedup
+    precedent."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    batch_pages = _boiler_pages(df.filter(F.col("doc_id") % 10 == 0))
+    standing_pages = _boiler_pages(df.filter(F.col("doc_id") % 10 != 0))
+    lines_b = batch_pages.select(
+        "doc_id", F.posexplode(F.split("page", "\n")).alias("pos", "line")
+    ).withColumn("norm", F.lower(F.trim("line")))
+    standing_idx = (
+        standing_pages.select(
+            F.explode(F.split("page", "\n")).alias("line")
+        )
+        .select(F.lower(F.trim("line")).alias("norm"))
+        .groupBy("norm")
+        .agg(F.count("*").alias("sc"))
+    )
+    boiler = (
+        lines_b.groupBy("norm")
+        .agg(F.count("*").alias("bc"))
+        .join(standing_idx, "norm", "left")
+        .filter(
+            F.col("bc") + F.coalesce(F.col("sc"), F.lit(0))
+            >= _LINE_DEDUP_MIN_COUNT
+        )
+        .select("norm")
+    )
+    kept = lines_b.join(boiler, "norm", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("kept_lines"),
+    )
+    spine = batch_pages.select("doc_id")
+    return spine.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("kept_lines", F.lit(0).cast("long")).alias("kept_lines"),
+    )
+
+
+ORACLE_INCREMENTAL_LINE_DEDUP = f"""
+WITH paged AS (
+  SELECT doc_id,
+         list_extract({_LD_HDRS},
+           ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5) + 1)
+         || chr(10) || text || chr(10) ||
+         list_extract({_LD_FTRS},
+           ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5) + 1)
+         AS page
+  FROM documents WHERE length(text) > 0
+), b AS (
+  SELECT * FROM paged WHERE doc_id % 10 = 0
+), s AS (
+  SELECT * FROM paged WHERE doc_id % 10 <> 0
+), lines_b AS (
+  SELECT doc_id, unnest(string_split(page, chr(10))) AS line,
+         generate_subscripts(string_split(page, chr(10)), 1) AS pos
+  FROM b
+), normed_b AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines_b
+), sidx AS (
+  SELECT lower(trim(l)) AS norm, count(*) AS sc
+  FROM (SELECT unnest(string_split(page, chr(10))) AS l FROM s)
+  GROUP BY 1
+), boiler AS (
+  SELECT bc.norm
+  FROM (SELECT norm, count(*) AS bc FROM normed_b GROUP BY norm) bc
+  LEFT JOIN sidx USING (norm)
+  WHERE bc.bc + COALESCE(sidx.sc, 0) >= {_LINE_DEDUP_MIN_COUNT}
+), agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS text,
+         CAST(count(*) AS BIGINT) AS kept_lines
+  FROM normed_b WHERE norm NOT IN (SELECT norm FROM boiler)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.text, '') AS text,
+       COALESCE(a.kept_lines, 0) AS kept_lines
+FROM (SELECT DISTINCT doc_id FROM b) d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+ORACLE_CLEAN_TEXT = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+           '\s{2,}', ' ', 'g'))) AS clean_text,
+       length(lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+           '\s{2,}', ' ', 'g')))) AS clean_len
+FROM documents
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by portable hash of the
+    document id (90/5/5). Hash-of-key splitting is the only scheme
+    that stays stable under re-partitioning, re-ingestion, and
+    engine changes — no RNG, no ordering dependence. Returns the
+    per-language split counts (the audit a pipeline runs before
+    training)."""
+    df = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"pmod({_portable_hash_expr('cast(doc_id as string)')}, 100)"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        df.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b
+GROUP BY 1, 2
+"""
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (pipelines.curate: clean →
+    quality gate → exact dedup → MinHash near-dedup → hash split) as an
+    audit aggregate: docs per (split, keep). Every stage is
+    deterministic (md5-based hashes, no RNG), so the WHOLE composition
+    is oracle-checked end-to-end, not just the stages."""
+    from aiotcvectordb_spark import pipelines as P
+
+    # widen the single-row-group scan BEFORE the embarrassingly-parallel
+    # shingle+minhash stage — without this the whole clean/hash chain
+    # runs on one core (measured 6.7s -> ~2s at sf0.1 on local[32])
+    cur = P.curate(ensure_min_partitions(load(spark, sf_dir, "documents")))
+    return cur.groupBy("split", "keep").agg(F.count("*").alias("n_docs"))
+
+
+_CURATE_CLEAN_SQL = (
+    r"lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),"
+    r" '\s{2,}', ' ', 'g')))"
+)
+_CURATE_TOKS_SQL = _duck_bm25_toks_sql("clean_text")
+
+ORACLE_CURATE_CORPUS = f"""
+WITH clean AS (
+  SELECT doc_id, {_CURATE_CLEAN_SQL} AS clean_text FROM documents
+),
+qual AS (
+  SELECT doc_id, clean_text,
+         len({_CURATE_TOKS_SQL}) AS n_tokens,
+         (length(clean_text) - length(regexp_replace(clean_text, '{_WORDCHAR_CLASS}', '', 'g')))
+           / greatest(length(clean_text), 1) AS alnum_ratio
+  FROM clean
+),
+flags AS (
+  SELECT doc_id, clean_text, n_tokens,
+         (n_tokens >= 3 AND alnum_ratio >= 0.6) AS quality_ok,
+         doc_id = min(doc_id) OVER (PARTITION BY {_CURATE_H60.format(s="clean_text")})
+           AS exact_keeper
+  FROM qual
+),
+shingled AS (
+  SELECT doc_id,
+         list_transform(range(1, len({_CURATE_TOKS_SQL}) - 1),
+                        i -> array_to_string({_CURATE_TOKS_SQL}[i:i+2], ' ')) AS sh
+  FROM clean
+  WHERE len({_CURATE_TOKS_SQL}) >= 3
+),
+cdig AS (
+  SELECT doc_id,
+         list_transform(sh, s -> md5(s)) AS d1,
+         list_transform(sh, s -> md5('#' || s)) AS d2
+  FROM shingled
+),
+sigs AS (
+  SELECT doc_id, {_oracle_mh_windows()}
+  FROM cdig
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, mh{j} AS h FROM sigs" for j in range(4))}
+),
+bucketed AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY band, h) AS bmin,
+         count(*) OVER (PARTITION BY band, h) AS bsize
+  FROM bands
+),
+dominated AS (
+  SELECT DISTINCT doc_id FROM bucketed
+  WHERE bsize BETWEEN 2 AND 64 AND doc_id > bmin
+),
+final AS (
+  SELECT f.doc_id,
+         CASE WHEN {_CURATE_H60.format(s="CAST(f.doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+              WHEN {_CURATE_H60.format(s="CAST(f.doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         (f.quality_ok AND f.exact_keeper AND d.doc_id IS NULL) AS keep
+  FROM flags f LEFT JOIN dominated d USING (doc_id)
+)
+SELECT split, keep, count(*) AS n_docs FROM final GROUP BY split, keep
+"""
+
+
+# the corpus-calibrated rule gate of curate_corpus_v2: every Gopher
+# flag except word-count/stop-words (the synthetic corpus is ~30-word
+# synthetic prose — those two rules reject ALL of it, which would make
+# the composition vacuous; production recalibrates thresholds per
+# corpus) plus C4's page-level drops.
+_V2_GATE_FLAGS = [
+    "ok_mean_word_len", "ok_symbol_ratio", "ok_alpha_words",
+    "ok_dup_lines", "ok_dup_paras", "ok_dup_line_chars",
+    "ok_dup_para_chars", "ok_top_2gram", "ok_top_3gram", "ok_top_4gram",
+    "ok_no_lorem", "ok_no_brace",
+]
+
+
+def q_curate_corpus_v2(
+    spark: SparkSession, sf_dir: str, sem_flags: DataFrame | None = None
+) -> DataFrame:
+    """The r8-composed curation funnel — the round's new operators
+    chained end-to-end and audited as stage survival counts:
+
+    raw → RULE GATE (Gopher battery incl. the full repetition rules +
+    C4 page drops, corpus-calibrated flag set `_V2_GATE_FLAGS`) →
+    EXACT DEDUP (min-id per clean-text hash among gate survivors) →
+    SEMANTIC DEDUP (SemDeDup keepers, corpus-wide cell model joined on
+    the aligned embedding ids) → hash SPLIT of the final survivors.
+
+    Built by COMPOSING the oracled registry queries themselves
+    (q_gopher_quality_filter / q_c4_quality_filter / q_semantic_dedup)
+    plus the shared pipeline stages — and the oracle nests those
+    queries' own SQL, so the whole composition is hash-checked with
+    zero re-implementation. Output is the funnel (stage_idx, stage,
+    n_docs): 4 stage rows + one row per final split.
+
+    Scale shape: ONE annotated per-doc frame (gate flag, exact-keeper
+    window among gate survivors, semantic flag join, split bucket),
+    then each doc EXPLODES into the stages it survives and one
+    groupBy(stage) counts everything — the whole funnel is a single
+    pass over the battery compute, not one recompute per stage row
+    (the naive union-of-aggregates shape re-ran the Gopher battery
+    once per funnel row)."""
+    from aiotcvectordb_spark import pipelines as P
+    # call-time import: the quality filters live in the later
+    # analytics_media family module (r12 split; the original single
+    # file resolved this forward reference the same lazy way)
+    from aiotcvectordb_spark.qfam.analytics_media import (
+        q_c4_quality_filter,
+        q_gopher_quality_filter,
+    )
+
+    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    gop = q_gopher_quality_filter(spark, sf_dir)
+    c4 = q_c4_quality_filter(spark, sf_dir).select(
+        "doc_id", "ok_no_lorem", "ok_no_brace"
+    )
+    gate_cond = F.lit(True)
+    for fl in _V2_GATE_FLAGS:
+        gate_cond = gate_cond & F.col(fl)
+    flagged = gop.join(c4, "doc_id").select(
+        "doc_id", gate_cond.alias("gate")
+    )
+    clean = P.clean_stage(docs).select("doc_id", "clean_text")
+    h = F.expr(P._PORTABLE_HASH.format(s="clean_text"))
+    # exact keeper AMONG GATE SURVIVORS: min gate-surviving doc_id per
+    # clean-text hash (one keyed window — non-survivors are NULL in
+    # the min, so they never claim a group)
+    w_h = Window.partitionBy(h)
+    sem = (sem_flags if sem_flags is not None
+           else q_semantic_dedup(spark, sf_dir))
+    ann = (
+        clean.join(flagged, "doc_id")
+        .join(
+            sem.select(F.col("vec_id").alias("doc_id"), "semantic_dup"),
+            "doc_id",
+            "left",  # a doc with no embedding row can't be a keeper
+        )
+        .withColumn(
+            "exact_k",
+            F.col("gate")
+            & (
+                F.min(F.when(F.col("gate"), F.col("doc_id"))).over(w_h)
+                == F.col("doc_id")
+            ),
+        )
+        .withColumn(
+            "final",
+            F.col("exact_k")
+            & F.coalesce(~F.col("semantic_dup"), F.lit(False)),
+        )
+    )
+    split_bucket = F.expr(
+        f"pmod({P._PORTABLE_HASH.format(s='cast(doc_id as string)')}, 100)"
+    )
+    split = (
+        F.when(split_bucket < 90, F.lit("train"))
+        .when(split_bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    memb = F.filter(
+        F.array(
+            F.struct(
+                F.lit(0).alias("stage_idx"),
+                F.lit("raw").alias("stage"),
+                F.lit(True).alias("m"),
+            ),
+            F.struct(
+                F.lit(1).alias("stage_idx"),
+                F.lit("rule_gate").alias("stage"),
+                F.col("gate").alias("m"),
+            ),
+            F.struct(
+                F.lit(2).alias("stage_idx"),
+                F.lit("exact_keeper").alias("stage"),
+                F.col("exact_k").alias("m"),
+            ),
+            F.struct(
+                F.lit(3).alias("stage_idx"),
+                F.lit("semantic_keeper").alias("stage"),
+                F.col("final").alias("m"),
+            ),
+            F.struct(
+                F.lit(4).alias("stage_idx"),
+                F.concat(F.lit("final_"), split).alias("stage"),
+                F.col("final").alias("m"),
+            ),
+        ),
+        lambda s: s["m"],
+    )
+    return (
+        ann.select(F.explode(memb).alias("s"))
+        .groupBy(
+            F.col("s.stage_idx").alias("stage_idx"),
+            F.col("s.stage").alias("stage"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_curate_corpus_v2_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same composed funnel with the SCALE-ROUTED semantic stage
+    (``semantic_dedup_auto``): below the knee it runs the oracled
+    fixed-centroid plan (identical output to ``curate_corpus_v2``);
+    above it, trained nlist ∝ N cells keep the semantic prune linear,
+    so the funnel survives 100 TB. Rows-only by design — which
+    semantic plan runs is scale-dependent, so this entry cannot carry
+    a value-hash oracle (the embedding_near_dup_auto precedent); the
+    oracled ``curate_corpus_v2`` fail-fasts above the fixed-K cap
+    instead of silently switching plans."""
+    return q_curate_corpus_v2(
+        spark, sf_dir, sem_flags=q_semantic_dedup_auto(spark, sf_dir)
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language (`sampleBy` — per-stratum
+    Bernoulli with one seed): the rebalancing step of corpus curation.
+    Engine-specific RNG, so no SQL oracle; the pytest property asserts
+    per-stratum rates and determinism under the fixed seed."""
+    df = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    sampled = df.sampleBy("lang", fractions=fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+_STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+
+
+def q_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic stratified sampling (r9) — the 100 TB form of
+    ``stratified_sample``: membership is ``pmod(md5-hash(doc_id),
+    10000) < rate_lang * 10000`` instead of an engine RNG, so the
+    sample is REPRODUCIBLE across engines, runs, cluster sizes, and
+    partitionings (re-running a curation pipeline must not silently
+    reshuffle which documents trained). Pure map-side filter in the
+    scan projection — no shuffle, no state; the per-stratum rate
+    error is O(1/sqrt(stratum)) exactly like seeded Bernoulli. ORACLED
+    on full membership (doc ids, not just counts) via the shared
+    portable-hash twins (pipelines._PORTABLE_HASH / _CURATE_H60);
+    unknown languages default to keep (rate 1.0) so new corpus slices
+    fail open into the sample rather than silently vanishing."""
+    from aiotcvectordb_spark import pipelines as P
+
+    df = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"pmod({P._PORTABLE_HASH.format(s='cast(doc_id as string)')}, 10000)"
+    )
+    thr = F.lit(10000)
+    for lang, rate in _STRAT_RATES.items():
+        thr = F.when(F.col("lang") == lang, int(rate * 10000)).otherwise(thr)
+    return df.filter(bucket < thr).select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE_HASH = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_CURATE_H60.format(s="CAST(doc_id AS VARCHAR)")} % 10000 <
+      CASE {" ".join(f"WHEN lang = '{l}' THEN {int(r * 10000)}" for l, r in _STRAT_RATES.items())}
+           ELSE 10000 END
+"""
+
+
+_WEIGHTED_SAMPLE_K = 200
+
+
+def q_weighted_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic WEIGHTED sampling without replacement (r10,
+    staged for r11 promotion) — Efraimidis & Spirakis 2006 ('Weighted
+    random sampling with a reservoir'): drawing k items with
+    probability proportional to weight w equals taking the top-k by
+    key u^(1/w) with u ~ Uniform(0,1); here u derives from the
+    portable md5 hash of the doc id, so the sample is REPRODUCIBLE
+    across engines, runs, and partitionings — the weighted companion
+    of ``stratified_sample_hash`` (rates per stratum there, weights
+    per item here). Weight = n_chars: longer documents sampled
+    proportionally more often, the standard proportional-to-size
+    curation draw. Both engines rank on the LOG key ln(u)/w (the
+    library form — monotone in u^(1/w), numerically spread where the
+    power key saturates toward 1) rounded to ROUND_DIGITS, doc_id
+    ascending on ties.
+
+    Scale shape: one map-only scan projection computes the key; top-k
+    is a per-partition TakeOrdered merge (orderBy+limit), never a
+    global sort; the rank window sees k rows."""
+    df = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = "((pmod(" + _portable_hash_expr(
+        "cast(doc_id as string)"
+    ) + ", 1000000) + 0.5) / 1000000.0)"
+    key = F.round(
+        F.expr(f"ln({u}) / cast(n_chars as double)"), ROUND_DIGITS
+    )
+    top = (
+        df.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            key.alias("key"),
+        )
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(_WEIGHTED_SAMPLE_K)
+    )
+    w = Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+ORACLE_WEIGHTED_SAMPLE_HASH = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars AS weight,
+         round(ln(({_CURATE_H60.format(s="CAST(doc_id AS VARCHAR)")} % 1000000 + 0.5)
+                  / 1000000.0) / CAST(n_chars AS DOUBLE), {ROUND_DIGITS}) AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, weight, key,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank
+FROM keyed
+QUALIFY rank <= {_WEIGHTED_SAMPLE_K}
+ORDER BY rank
+"""
+
+
+_WINNOW_K = 8  # char k-gram width (Schleimer et al.'s k: noise threshold)
+_WINNOW_W = 4  # window width (guarantee threshold t = w + k - 1)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (r10, staged for r11
+    promotion) — Schleimer, Wilkerson & Aiken 2003 ('Winnowing: Local
+    Algorithms for Document Fingerprinting', the MOSS algorithm): hash
+    every char k-gram, slide a w-hash window, and in each window
+    select the minimal hash (RIGHTMOST position on ties); the distinct
+    selections are the fingerprint, guaranteeing any shared substring
+    of length >= w + k - 1 contributes a shared fingerprint while
+    storing only ~2/(w+1) of the grams. The local-fingerprint
+    complement of the whole-doc ``doc_fingerprint`` and the cut-based
+    ``substring_dedup``: copy DETECTION with bounded storage.
+
+    Everything is integer math on the portable 60-bit hash (no float
+    anywhere): the window pick is ONE BIGINT min over a w-row frame of
+    the encoded key h * 10^9 + (10^9 - 1 - pos) — h is 31 bits so the
+    encoding tops out at ~2.1e18 < 2^63, and docs up to 1e9 chars fit
+    the pos field — whose minimum is
+    exactly (min hash, max pos) — the rightmost-min rule as a plain
+    min. Output is the per-doc fingerprint summary (count + sum + min
+    + max of selected hashes over n_grams) so the driver row stays
+    doc-sized; the full (doc_id, pos, h) selection set is what a
+    plagiarism index would store, pinned against a Python reference
+    implementation in tests/test_staged_oracles.py.
+
+    Scale shape: grams in the scan projection, ONE doc-keyed window
+    (partitions with the data), map-side-combinable final aggregate —
+    no self-join, no all-pairs."""
+    sel = _winnow_selection(spark, sf_dir)
+    return sel.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_selected"),
+        F.sum("h").alias("fp_sum"),
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+    )
+
+
+def _winnow_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct winnowing picks (doc_id, pos, h) — the stored
+    fingerprint index; shared by the summary query and tests."""
+    from aiotcvectordb_spark import pipelines
+
+    k, w = _WINNOW_K, _WINNOW_W
+    df = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= k + w - 1
+    )
+    grams = pipelines.char_ngrams(df, k)  # (doc_id, i, gram), 0-based i
+    hashed = grams.select(
+        "doc_id",
+        F.col("i").alias("pos"),
+        F.expr(
+            f"pmod({_portable_hash_expr('gram')}, 2147483648)"
+        ).alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    n_win = Window.partitionBy("doc_id")
+    picks = (
+        hashed.withColumn(
+            "pick",
+            F.min(
+                F.col("h") * F.lit(1000000000).cast("long")
+                + (F.lit(999999999) - F.col("pos"))
+            ).over(win),
+        )
+        .withColumn("n_grams", F.count("*").over(n_win))
+        # full windows only: starts 0 .. n_grams - w
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select(
+            "doc_id",
+            (F.lit(999999999) - F.col("pick") % 1000000000).cast("int").alias("pos"),
+            F.expr("pick div 1000000000").cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    return picks
+
+
+ORACLE_WINNOW_FINGERPRINT = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_CURATE_H60.format(s=f"substr(text, i, {_WINNOW_K})")} % 2147483648 AS h
+  FROM docs,
+       LATERAL unnest(generate_series(1, length(text) - {_WINNOW_K - 1})) AS t(i)
+),
+winmin AS (
+  SELECT doc_id, pos,
+         min(h * 1000000000 + (999999999 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS pick,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+),
+picks AS (
+  SELECT DISTINCT doc_id,
+         CAST(999999999 - pick % 1000000000 AS INT) AS pos,
+         pick // 1000000000 AS h
+  FROM winmin WHERE pos <= n_grams - {_WINNOW_W}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(h) AS BIGINT) AS fp_sum,
+       CAST(min(h) AS BIGINT) AS fp_min,
+       CAST(max(h) AS BIGINT) AS fp_max
+FROM picks GROUP BY doc_id
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (r10,
+    staged for r11 promotion) — the information-density member of the
+    quality battery: H = -sum((c/T) * ln(c/T)) over the doc's token
+    counts, in NATS. Near-zero entropy flags degenerate repetition
+    (one token dominating — spam, boilerplate, keyword stuffing) that
+    length/ratio rules miss; entropy near ln(n_distinct) means a flat
+    distribution. Complements ``doc_repetition`` (verbatim n-gram
+    repeats) and the LM scores (corpus-level likelihood) with a
+    document-local distributional measure.
+
+    Plan: tokens in the scan projection, one (doc, token) count
+    aggregate, one doc-keyed entropy fold with map-side partials —
+    keyed shuffles only. The float sum is order-insensitive at
+    ROUND_DIGITS (the unigram_logprob precedent)."""
+    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    toks = df.select(
+        "doc_id", F.explode(sparse_fn.bm25_tokens_col("text")).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("__clogc"),
+    )
+    # H = ln(T) - (1/T) * sum(c ln c): one pass, no second join
+    ent = F.round(
+        F.log("n_tokens") - F.col("__clogc") / F.col("n_tokens"),
+        ROUND_DIGITS,
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        ent.alias("entropy"),
+    )
+
+
+ORACLE_TOKEN_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_BM25_TOKS_SQL}) AS tok FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         sum(c * ln(c)) AS clogc
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(ln(n_tokens) - clogc / n_tokens, {ROUND_DIGITS}) AS entropy
+FROM per_doc
+"""
+
+
+# avg() is avoided on purpose: DuckDB's avg(DECIMAL) returns DOUBLE with
+# engine-specific accumulation; exact decimal sum / int count keeps the
+# threshold bit-identical across engines.
+ORACLE_CORRELATED_SUBQUERY = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders o
+WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) >
+      (SELECT 1.5 * (CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*))
+       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+
+
+# auto-generated by tools/split_queries.py: star-import
+# re-export surface (underscore helpers included — tests
+# and the registry address them as queries.<name>)
+__all__ = [
+    "_PII_EMAIL",
+    "_PII_IPV4",
+    "_PII_PHONE",
+    "q_pii_scrub",
+    "ORACLE_PII_SCRUB",
+    "q_benchmark_decontaminate",
+    "ORACLE_BENCHMARK_DECONTAMINATE",
+    "q_decontaminate_fraction",
+    "ORACLE_DECONTAMINATE_FRACTION",
+    "q_incremental_decontaminate_fraction",
+    "ORACLE_INCREMENTAL_DECONTAMINATE_FRACTION",
+    "_SUBSTR_DEDUP_N",
+    "_CURATE_H60",
+    "q_gram_novelty",
+    "ORACLE_GRAM_NOVELTY",
+    "q_incremental_gram_novelty",
+    "ORACLE_INCREMENTAL_GRAM_NOVELTY",
+    "q_clean_text",
+    "_MIX_WEIGHTS",
+    "_MIX_BUDGET_FRAC",
+    "_MIX_SALTS",
+    "_mix_select",
+    "q_dataset_mix",
+    "_MIX_TEMPERATURE",
+    "_temp_weights",
+    "q_dataset_mix_temp",
+    "_mix_oracle_sql",
+    "ORACLE_DATASET_MIX",
+    "ORACLE_DATASET_MIX_TEMP",
+    "q_substring_dedup",
+    "ORACLE_SUBSTRING_DEDUP",
+    "_word_ngrams",
+    "q_substring_dedup_hashed",
+    "q_substring_dedup_hashed_portable",
+    "ORACLE_SUBSTRING_DEDUP_HASHED_PORTABLE",
+    "_CJK_SRC",
+    "_CJK_DST",
+    "_SUBSTR_CJK_CHAR_N",
+    "q_substring_dedup_cjk",
+    "q_substring_dedup_cjk_hashed",
+    "ORACLE_SUBSTRING_DEDUP_CJK_HASHED",
+    "q_incremental_substring_dedup_cjk",
+    "ORACLE_INCREMENTAL_SUBSTRING_DEDUP_CJK",
+    "ORACLE_SUBSTRING_DEDUP_CJK",
+    "q_incremental_substring_dedup",
+    "ORACLE_INCREMENTAL_SUBSTRING_DEDUP",
+    "_BOILER_HEADERS",
+    "_BOILER_FOOTERS",
+    "_LINE_DEDUP_MIN_COUNT",
+    "_boiler_pages",
+    "q_line_dedup",
+    "_LD_HDRS",
+    "_LD_FTRS",
+    "ORACLE_LINE_DEDUP",
+    "q_incremental_line_dedup",
+    "ORACLE_INCREMENTAL_LINE_DEDUP",
+    "ORACLE_CLEAN_TEXT",
+    "q_dataset_split",
+    "ORACLE_DATASET_SPLIT",
+    "q_curate_corpus",
+    "_CURATE_CLEAN_SQL",
+    "_CURATE_TOKS_SQL",
+    "ORACLE_CURATE_CORPUS",
+    "_V2_GATE_FLAGS",
+    "q_curate_corpus_v2",
+    "q_curate_corpus_v2_auto",
+    "q_stratified_sample",
+    "_STRAT_RATES",
+    "q_stratified_sample_hash",
+    "ORACLE_STRATIFIED_SAMPLE_HASH",
+    "_WEIGHTED_SAMPLE_K",
+    "q_weighted_sample_hash",
+    "ORACLE_WEIGHTED_SAMPLE_HASH",
+    "_WINNOW_K",
+    "_WINNOW_W",
+    "q_winnow_fingerprint",
+    "_winnow_selection",
+    "ORACLE_WINNOW_FINGERPRINT",
+    "q_token_entropy",
+    "ORACLE_TOKEN_ENTROPY",
+    "ORACLE_CORRELATED_SUBQUERY",
+]
