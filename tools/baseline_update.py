@@ -88,6 +88,18 @@ RATIO_NOTES: dict[str, str] = {
         "window-prune: the row-preserving EWMA fold column is "
         "unreferenced under count(); sub-0.6 s absolute"
     ),
+    # r12: first standing rows for the newly-headlined queries
+    "lang_id": (
+        "projection-prune: the per-language stopword-hit filter "
+        "columns and the argmax CASE are unreferenced under count(); "
+        "noop pays the tokenize+match battery; sub-1 s absolute"
+    ),
+    "pii_scrub": (
+        "projection-prune: the three chained regexp_replace passes and "
+        "regexp_count audit columns are map-only projections count() "
+        "never evaluates; noop pays the regex battery; sub-1.5 s "
+        "absolute"
+    ),
     "window_range_frame": (
         "window-prune: the range-frame aggregate column is "
         "unreferenced under count(); sub-0.35 s absolute"
