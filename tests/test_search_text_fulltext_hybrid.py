@@ -265,10 +265,13 @@ def test_phrase_search_counts_overlapping_occurrences(spark, tmp_path):
 def test_phrase_search_overlap_self_repeat(spark, tmp_path):
     """'a a a a' contains 'a a' three times — the fold must count every
     overlapping window, matching the oracle's list_filter."""
+    # patch the OWNING module (qfam.vector) — q_fulltext_phrase reads
+    # its own module global, not the queries re-export (r12 split)
     from aiotcvectordb_spark import queries as Q
+    from aiotcvectordb_spark.qfam import vector as QV
 
-    old = Q._PHRASE_QUERY
-    Q._PHRASE_QUERY = "a a"
+    old = QV._PHRASE_QUERY
+    QV._PHRASE_QUERY = "a a"
     try:
         spark.createDataFrame(
             [(0, "a a a a")], "doc_id long, text string"
@@ -279,7 +282,7 @@ def test_phrase_search_overlap_self_repeat(spark, tmp_path):
         }
         assert got == {0: 3}
     finally:
-        Q._PHRASE_QUERY = old
+        QV._PHRASE_QUERY = old
 
 
 def test_phrase_postings_path_equals_scan_fold(spark):
@@ -406,15 +409,17 @@ def test_phrase_counter_matches_python_reference_property(spark, tmp_path):
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
         f"{tmp_path}/documents.parquet"
     )
-    old = Q._PHRASE_QUERY
-    Q._PHRASE_QUERY = " ".join(phrase_toks)
+    from aiotcvectordb_spark.qfam import vector as QV
+
+    old = QV._PHRASE_QUERY
+    QV._PHRASE_QUERY = " ".join(phrase_toks)
     try:
         got = {
             r.doc_id: r.phrase_count
             for r in Q.q_fulltext_phrase(spark, str(tmp_path)).collect()
         }
     finally:
-        Q._PHRASE_QUERY = old
+        QV._PHRASE_QUERY = old
     want = {d: ref_count(t) for d, t in rows if ref_count(t) > 0}
     # top-10 cap: compare on the capped id set
     want_capped = dict(
