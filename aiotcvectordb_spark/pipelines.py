@@ -257,32 +257,84 @@ def lane_cut(df: DataFrame, grams: DataFrame, prior_grams: DataFrame,
         .select(*keys)
     )
     hot = prior.union(batch_dup).distinct()
-    covered = (
-        keyed.join(hot, keys)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
-        )
-        .distinct()
+    covered_starts = keyed.join(hot, keys).select("doc_id", "i")
+    out = cut_and_reassemble(df, covered_starts, n, joiner)
+    return out, grams.select("gram").distinct()
+
+
+def cut_and_reassemble(df: DataFrame, covered_starts: DataFrame,
+                       n: int, joiner: str) -> DataFrame:
+    """(doc_id, clean_text, kept_tokens): cut every unit position
+    covered by a duplicated/indexed gram START in ``covered_starts``
+    (doc_id, i — the 0-based gram starts that matched the hot set) and
+    reassemble the survivors in order. The SHARED final stage of every
+    substring-dedup variant (word/char/hashed/incremental/streaming).
+
+    r12 OPTIMIZATION (guide §2.3/§2.4 — shuffle fewer rows, remove
+    shuffles): the r7–r11 shape exploded each covered start to its n
+    positions and DISTINCT'ed them (one keyed exchange over ~n×matched
+    rows), posexploded EVERY unit of EVERY doc, LEFT-ANTI-joined on
+    (doc_id, pos) (exchange over all corpus units), then regrouped all
+    survivors through a collect_list aggregate (a third unit-granular
+    exchange + per-doc sort). But which positions are cut is a PER-DOC
+    decision, so the whole tail folds into array expressions: ONE
+    doc-keyed aggregate over the matched gram starts (rows ∝ the dup
+    fraction, not the corpus), ONE doc-keyed join back to the text,
+    and dedup/cut/reassembly as flatten/array_except/transform in the
+    scan stage. Shuffled unit rows drop from O(corpus tokens) to
+    O(matched grams + docs). Output is identical: array_except
+    preserves the ascending position order the collect_list sort
+    produced, and docs whose every unit is covered vanish on both
+    shapes (empty group before, size==0 filter now). Per-doc memory is
+    O(doc length) arrays — the bound the collect_list reassembly
+    already carried."""
+    cov = covered_starts.groupBy("doc_id").agg(
+        F.collect_list("i").alias("__starts")
     )
     if joiner == " ":
-        units = df.select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "unit")
-        )
+        units = F.split("text", " ")
     else:
-        units = char_units(df)
-    kept = units.join(covered, ["doc_id", "pos"], "left_anti")
-    out = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
-                lambda s: s["unit"],
-            ),
-            joiner,
-        ).alias("clean_text"),
-        F.count("*").alias("kept_tokens"),
+        # 0-based char positions, same units as char_units(); guarded to
+        # length >= 1 because Spark's sequence(1, 0) counts DOWN, not
+        # empty (an empty doc must yield no row, as char_units' filter
+        # guaranteed — the size(__kept) > 0 filter below drops it)
+        units = F.expr(
+            "CASE WHEN length(text) >= 1 THEN "
+            "transform(sequence(1, length(text)), j -> substring(text, j, 1)) "
+            "ELSE cast(array() as array<string>) END"
+        )
+    step = (
+        df.select("doc_id", "text")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            units.alias("__units"),
+            F.coalesce(
+                F.flatten(
+                    F.transform(
+                        "__starts",
+                        lambda s: F.sequence(s, s + F.lit(n - 1)),
+                    )
+                ),
+                F.expr("cast(array() as array<int>)"),
+            ).alias("__cut"),
+        )
+        .select(
+            "doc_id",
+            "__units",
+            F.array_except(
+                F.sequence(F.lit(0), F.size("__units") - F.lit(1)),
+                F.col("__cut"),
+            ).alias("__kept"),
+        )
     )
-    return out, grams.select("gram").distinct()
+    return step.filter(F.size("__kept") > 0).select(
+        "doc_id",
+        F.array_join(
+            F.expr("transform(__kept, p -> __units[p])"), joiner
+        ).alias("clean_text"),
+        F.size("__kept").cast("long").alias("kept_tokens"),
+    )
 
 
 def doc_term_freqs(docs: DataFrame, *, id_col: str = "doc_id",

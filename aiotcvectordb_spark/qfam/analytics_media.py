@@ -729,14 +729,21 @@ def q_ann_ivf_cosine_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus), ranked by the same bounded per-query window every
     exact-search entry uses. Trained-centroid IVF stays recall-tested
     (tests/test_ann.py); this entry pins the machinery."""
-    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+    from aiotcvectordb_spark.functions.vector import (
+        cosine_score_fixed,
+        dot_score_fixed,
+    )
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = spark.createDataFrame(
         list(enumerate(_IVF_FIXED_CENTROIDS)), "cell int, cvec array<double>"
     )
-    assigned = _assign_fixed_cells(emb, cents).select(
-        "vec_id", "embedding", "cell"
+    # r12: literal-projection assignment (no K x N crossJoin + window
+    # exchange — see _assign_fixed_cells) and the rescore reuses the
+    # assignment's per-row norm + a per-query norm computed once in the
+    # broadcast frame (one unrolled dot per candidate, not three)
+    assigned = _assign_fixed_cells(emb, _IVF_FIXED_CENTROIDS).select(
+        "vec_id", "embedding", "cell", "nrm"
     )
     qdf = spark.createDataFrame(
         list(enumerate(FLAGSHIP_VECTORS)), "query_idx int, qv array<double>"
@@ -753,14 +760,22 @@ def q_ann_ivf_cosine_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 cosine_score_fixed("qv", "cvec", DIM), ROUND_DIGITS
             ).alias("qcos"),
+            F.sqrt(dot_score_fixed("qv", "qv", DIM)).alias("qnrm"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= _IVF_FIXED_NPROBE)
-        .select("query_idx", "qv", "cell")
+        .select("query_idx", "qv", "cell", "qnrm")
     )
     rescored = assigned.join(F.broadcast(qcells), "cell").withColumn(
         "score",
-        F.round(cosine_score_fixed("embedding", "qv", DIM), ROUND_DIGITS),
+        F.round(
+            F.coalesce(
+                dot_score_fixed("embedding", "qv", DIM)
+                / F.nullif(F.col("nrm") * F.col("qnrm"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+            ROUND_DIGITS,
+        ),
     )
     w = Window.partitionBy("query_idx").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()

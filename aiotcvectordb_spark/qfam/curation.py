@@ -706,28 +706,14 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("gram")
     )
-    covered = (
-        grams.join(dup, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
-        )
-        .distinct()
-    )
-    tokens = df.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("kept_tokens"),
-    )
+    # r12: covered-position explode + token anti-join + collect_list
+    # reassembly folded into the shared per-doc array kernel (see
+    # pipelines.cut_and_reassemble) — shuffled rows drop from
+    # O(corpus tokens) to O(matched grams + docs)
+    from aiotcvectordb_spark.pipelines import cut_and_reassemble
+
+    covered_starts = grams.join(dup, "gram").select("doc_id", "i")
+    return cut_and_reassemble(df, covered_starts, n, " ")
 
 
 ORACLE_SUBSTRING_DEDUP = f"""
@@ -809,28 +795,11 @@ def q_substring_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("h1", "h2")
     )
-    covered = (
-        grams.join(dup, ["h1", "h2"])
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
-        )
-        .distinct()
-    )
-    tokens = df.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("kept_tokens"),
-    )
+    # r12: per-doc array reassembly kernel (pipelines.cut_and_reassemble)
+    from aiotcvectordb_spark.pipelines import cut_and_reassemble
+
+    covered_starts = grams.join(dup, ["h1", "h2"]).select("doc_id", "i")
+    return cut_and_reassemble(df, covered_starts, n, " ")
 
 
 def q_substring_dedup_hashed_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,28 +840,11 @@ def q_substring_dedup_hashed_portable(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("c") >= 2)
         .select("h1", "h2")
     )
-    covered = (
-        grams.join(dup, ["h1", "h2"])
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
-        )
-        .distinct()
-    )
-    tokens = df.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("kept_tokens"),
-    )
+    # r12: per-doc array reassembly kernel (pipelines.cut_and_reassemble)
+    from aiotcvectordb_spark.pipelines import cut_and_reassemble
+
+    covered_starts = grams.join(dup, ["h1", "h2"]).select("doc_id", "i")
+    return cut_and_reassemble(df, covered_starts, n, " ")
 
 
 ORACLE_SUBSTRING_DEDUP_HASHED_PORTABLE = f"""
@@ -1384,28 +1336,11 @@ def q_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("gram")
     )
     hot = corpus_index.union(batch_dup).distinct()
-    covered = (
-        bg.join(hot, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
-        )
-        .distinct()
-    )
-    tokens = batch.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("kept_tokens"),
-    )
+    # r12: per-doc array reassembly kernel (pipelines.cut_and_reassemble)
+    from aiotcvectordb_spark.pipelines import cut_and_reassemble
+
+    covered_starts = bg.join(hot, "gram").select("doc_id", "i")
+    return cut_and_reassemble(batch, covered_starts, n, " ")
 
 
 ORACLE_INCREMENTAL_SUBSTRING_DEDUP = f"""

@@ -1180,29 +1180,61 @@ def _semdedup_pin_min_rows() -> int:
     )
 
 
-def _assign_fixed_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cell, ccos): assign every embedding to its
-    argmax ROUNDED-cosine cell (lowest cell id on ties) — THE
+def _assign_fixed_cells(emb: DataFrame, cent_list: list) -> DataFrame:
+    """(vec_id, embedding, cell, ccos, nrm): assign every embedding to
+    its argmax ROUNDED-cosine cell (lowest cell id on ties) — THE
     deterministic fixed-centroid assignment rule, extracted r10
     (review) so the round-before-argmax and tie-break rules cannot
     drift apart across their call sites: ``semantic_dedup``,
     ``incremental_semantic_dedup``, and the oracled IVF plan
     ``ann_ivf_cosine_fixed`` all share this one implementation (each
     DuckDB twin mirrors it with the identical QUALIFY row_number
-    clause)."""
-    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+    clause).
 
+    r12 OPTIMIZATION (guide §1.2 per-task work): the embedding's norm
+    is computed ONCE per row BEFORE the K-way broadcast crossJoin and
+    each centroid's norm once driver-side (both sqrt(left-assoc
+    Σv²) — bit-identical to the inline recompute, Python and the JVM
+    both doing IEEE-754 double ops with a correctly-rounded sqrt), so
+    each (row, cell) pair evaluates ONE unrolled dot instead of three.
+    The norm is RETURNED as ``nrm`` so pair-scoring callers reuse it
+    too. (A fully map-only literal-argmax projection was tried first
+    and REJECTED: 8 unrolled 64-dim cosines in one projection exceed
+    Janino's 64 KB method limit — ColumnarToRow input pins codegen
+    locals, Spark cannot split the method, and the whole stage falls
+    back to the interpreter, measured 4× slower than this shape.)"""
+    import math
+
+    from aiotcvectordb_spark.functions.vector import dot_score_fixed
+
+    rows = []
+    for cell, cvec in enumerate(cent_list):
+        acc = 0.0
+        for v in cvec:
+            acc += float(v) * float(v)
+        rows.append((cell, [float(v) for v in cvec], math.sqrt(acc)))
+    cents = emb.sparkSession.createDataFrame(
+        rows, "cell int, cvec array<double>, cnrm double"
+    )
+    nrm = F.sqrt(dot_score_fixed("embedding", "embedding", DIM))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cell").asc()
     )
     return (
-        emb.crossJoin(F.broadcast(cents))
+        emb.select("vec_id", "embedding", nrm.alias("nrm"))
+        .crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             "embedding",
+            "nrm",
             "cell",
             F.round(
-                cosine_score_fixed("embedding", "cvec", DIM), ROUND_DIGITS
+                F.coalesce(
+                    dot_score_fixed("embedding", "cvec", DIM)
+                    / F.nullif(F.col("nrm") * F.col("cnrm"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                ROUND_DIGITS,
             ).alias("ccos"),
         )
         .withColumn("rn", F.row_number().over(w))
@@ -1241,7 +1273,7 @@ def q_semantic_dedup(
     the quadratic plan is unreachable at scale from every entry point,
     and the driver hash always vouches for the plan that actually
     ran."""
-    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+    from aiotcvectordb_spark.functions.vector import dot_score_fixed
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # the scale router (semantic_dedup_auto) has already counted the
@@ -1256,21 +1288,20 @@ def q_semantic_dedup(
             f"{n_rows}); use semantic_dedup_auto (scale-routed) or raise "
             f"{_SEMDEDUP_FIXED_MAX_ROWS_ENV} explicitly"
         )
-    cents = spark.createDataFrame(
-        list(enumerate(_SEMDEDUP_CENTROIDS)), "cell int, cvec array<double>"
-    )
-    assigned = _assign_fixed_cells(emb, cents)
+    assigned = _assign_fixed_cells(emb, _SEMDEDUP_CENTROIDS)
     a = assigned.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
         "cell",
         F.col("ccos").alias("a_ccos"),
+        F.col("nrm").alias("a_nrm"),
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
         "cell",
         F.col("ccos").alias("b_ccos"),
+        F.col("nrm").alias("b_nrm"),
     )
     if n_rows > _semdedup_pin_min_rows():
         # quadratic-output self-join: pin one task per cell so AQE's
@@ -1278,6 +1309,20 @@ def q_semantic_dedup(
         # _SEMDEDUP_PIN_MIN_ROWS_DEFAULT comment)
         a = a.repartition(_SEMDEDUP_K, "cell")
         b = b.repartition(_SEMDEDUP_K, "cell")
+    # r12 (guide §1.2 per-task work): the in-cell pair cosine reuses the
+    # per-row norms computed once in the assignment projection — one
+    # unrolled dot per pair instead of three (the pair stage is the
+    # query's dominant cost, sum(cell²) pairs). Bit-identical: same
+    # dot, and nrm_a * nrm_b multiplies the identical sqrt values the
+    # inline expression recomputed per pair.
+    pair_cos = F.round(
+        F.coalesce(
+            dot_score_fixed("a_emb", "b_emb", DIM)
+            / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        ROUND_DIGITS,
+    )
     dominated = (
         a.join(b, "cell")
         .filter(
@@ -1287,10 +1332,7 @@ def q_semantic_dedup(
                 & (F.col("a_id") < F.col("b_id"))
             )
         )
-        .filter(
-            F.round(cosine_score_fixed("a_emb", "b_emb", DIM), ROUND_DIGITS)
-            >= F.lit(_SEMDEDUP_TAU)
-        )
+        .filter(pair_cos >= F.lit(_SEMDEDUP_TAU))
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
     )
@@ -1388,7 +1430,7 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with K fixed the standing cells grow N/K, so at serving scale the
     stored member index + trained cells (streaming/semdedup.py,
     semantic_dedup_auto) replace this oracle-checkable recompute."""
-    from aiotcvectordb_spark.functions.vector import cosine_score_fixed
+    from aiotcvectordb_spark.functions.vector import dot_score_fixed
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_rows = emb.count()  # parquet-metadata count
@@ -1401,10 +1443,7 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(streaming/semdedup.py) or semantic_dedup_auto, or raise "
             f"{_SEMDEDUP_FIXED_MAX_ROWS_ENV} explicitly"
         )
-    cents = spark.createDataFrame(
-        list(enumerate(_SEMDEDUP_CENTROIDS)), "cell int, cvec array<double>"
-    )
-    assigned = _assign_fixed_cells(emb, cents)
+    assigned = _assign_fixed_cells(emb, _SEMDEDUP_CENTROIDS)
     batch = assigned.filter(F.col("vec_id") >= _INCR_SPLIT)
     standing = assigned.filter(F.col("vec_id") < _INCR_SPLIT)
     b = batch.select(
@@ -1412,9 +1451,11 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("b_emb"),
         "cell",
         F.col("ccos").alias("b_ccos"),
+        F.col("nrm").alias("b_nrm"),
     )
     s = standing.select(
-        F.col("embedding").alias("s_emb"), "cell"
+        F.col("embedding").alias("s_emb"), "cell",
+        F.col("nrm").alias("s_nrm"),
     )
     if n_rows > _semdedup_pin_min_rows():
         # same AQE coalescing hazard as semantic_dedup's self-join:
@@ -1422,7 +1463,19 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # while their input bytes stay small — pin the shuffle origin
         b = b.repartition(_SEMDEDUP_K, "cell")
         s = s.repartition(_SEMDEDUP_K, "cell")
-    pair_bs = F.round(cosine_score_fixed("s_emb", "b_emb", DIM), ROUND_DIGITS)
+    # r12: pair cosines reuse the assignment's per-row norms (one
+    # unrolled dot per pair, not three — see semantic_dedup)
+    def _pair(x_emb: str, y_emb: str, x_nrm: str, y_nrm: str):
+        return F.round(
+            F.coalesce(
+                dot_score_fixed(x_emb, y_emb, DIM)
+                / F.nullif(F.col(x_nrm) * F.col(y_nrm), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+            ROUND_DIGITS,
+        )
+
+    pair_bs = _pair("s_emb", "b_emb", "s_nrm", "b_nrm")
     hit_standing = (
         b.join(s, "cell")
         .filter(pair_bs >= F.lit(_SEMDEDUP_TAU))
@@ -1434,10 +1487,11 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("a_emb"),
         "cell",
         F.col("ccos").alias("a_ccos"),
+        F.col("nrm").alias("a_nrm"),
     )
     if n_rows > _semdedup_pin_min_rows():
         a = a.repartition(_SEMDEDUP_K, "cell")
-    pair_ab = F.round(cosine_score_fixed("a_emb", "b_emb", DIM), ROUND_DIGITS)
+    pair_ab = _pair("a_emb", "b_emb", "a_nrm", "b_nrm")
     hit_batch = (
         a.join(b, "cell")
         .filter(

@@ -141,6 +141,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_probe": q_image_probe,  # rewritten r12
     "audio_probe": q_audio_probe,  # rewritten r12
     "video_frames": q_video_frames,  # rewritten r12
+    "curate_corpus_v2": q_curate_corpus_v2,  # rewritten r12
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,  # rewritten r12
+    "substring_dedup": q_substring_dedup,  # rewritten r12
+    "incremental_substring_dedup": q_incremental_substring_dedup,  # rewritten r12
+    "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,  # rewritten r12
+    "substring_dedup_cjk": q_substring_dedup_cjk,  # rewritten r12
+    "substring_dedup_cjk_hashed": q_substring_dedup_cjk_hashed,  # rewritten r12
+    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,  # rewritten r12
+    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # rewritten r12
+    "semantic_dedup": q_semantic_dedup,  # rewritten r12
     # --- r8 rows (age 4) (must be in the next batch) ---
     "ttl_filter": q_ttl_filter,
     "json_extract": q_json_extract,
@@ -163,16 +173,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fulltext_phrase_cjk": q_fulltext_phrase_cjk,
     "search_by_text": q_search_by_text,
     "gopher_quality_filter": q_gopher_quality_filter,
-    "curate_corpus_v2": q_curate_corpus_v2,
-    "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "incremental_line_dedup": q_incremental_line_dedup,
     "decontaminate_fraction": q_decontaminate_fraction,
     "ann_bq_cosine": q_ann_bq_cosine,
     "ann_sq8_cosine": q_ann_sq8_cosine,
     "mmr_rerank": q_mmr_rerank,
     "line_dedup": q_line_dedup,
-    "substring_dedup": q_substring_dedup,
-    "incremental_substring_dedup": q_incremental_substring_dedup,
     "semi_anti_join": q_semi_anti_join,
     "rollup_agg": q_rollup_agg,
     "lang_id": q_lang_id,
@@ -201,7 +207,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "incremental_dedup": q_incremental_dedup,
     # --- r10 rows (age 2) ---
-    "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,
     "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,
     "dataset_mix_temp": q_dataset_mix_temp,
     "dataset_mix": q_dataset_mix,
@@ -246,15 +251,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_hash": q_weighted_sample_hash,
     "winnow_fingerprint": q_winnow_fingerprint,
     "token_entropy": q_token_entropy,
-    "substring_dedup_cjk": q_substring_dedup_cjk,
-    "substring_dedup_cjk_hashed": q_substring_dedup_cjk_hashed,
-    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,
     "quality_classifier_frozen": q_quality_classifier_frozen,
     "embedding_pca_fixed": q_embedding_pca_fixed,
-    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,
     "ann_pq_cosine_fixed": q_ann_pq_cosine_fixed,
     "ann_lsh_l2_fixed": q_ann_lsh_l2_fixed,
-    "semantic_dedup": q_semantic_dedup,
     "pack_sequences_nosplit": q_pack_sequences_nosplit,
     "c4_quality_filter": q_c4_quality_filter,
     "ann_pq_fullrescore": q_ann_pq_fullrescore,

@@ -150,14 +150,25 @@ REWRITES: dict[str, int] = {
     # corpus — sf0.01 oracle hash verified identical post-change
     # (tools/parity_check.py), the ann_pq_fullrescore precedent.
     "mmr_rerank": 9,
-    # r11: both CJK substring-dedup lanes switched the dup aggregate +
-    # coverage join to xxhash64-pair keys (lane_cut gram_keys) — values
-    # identical by collision math, but the plan materially changed
-    "substring_dedup_cjk": 11,
-    "incremental_substring_dedup_cjk": 11,
-    # r11: the portable word-lane twin moved from a two-md5 suffix
-    # pair to the single-md5 split-digest pair (impl + oracle together)
-    "substring_dedup_hashed_portable": 11,
+    # r12 OPTIMIZATION: the whole substring-dedup family's coverage
+    # tail was rewritten (pipelines.cut_and_reassemble) — covered-
+    # position explode + token anti-join + collect_list reassembly
+    # folded into per-doc array ops; values identical (parity MATCH at
+    # sf0.01 on all 7 lanes), but the plan materially changed
+    "substring_dedup": 12,
+    "substring_dedup_cjk": 12,
+    "incremental_substring_dedup": 12,
+    "incremental_substring_dedup_cjk": 12,
+    "substring_dedup_hashed_portable": 12,
+    "substring_dedup_cjk_hashed": 12,
+    # r12 OPTIMIZATION: the semdedup/IVF fixed-cell family precomputes
+    # row/centroid norms once (pair scoring = one unrolled dot, not
+    # three) — bit-identical scores (parity MATCH), plan materially
+    # changed (norm column through the assignment + joins)
+    "semantic_dedup": 12,
+    "incremental_semantic_dedup": 12,
+    "ann_ivf_cosine_fixed": 12,
+    "curate_corpus_v2": 12,  # embeds semantic_dedup's rewritten plan
     # r12: known-answer → recomputed-geometry witness upgrade — both
     # fixtures now rotate per-doc geometry (mp3 waveform length,
     # jpeg block-grid width) and the oracles derive the fields from
