@@ -214,7 +214,7 @@ def gram_hash_pair(mode: str, gram_expr: str = "gram") -> list:
     raise ValueError(f"unknown gram_keys mode: {mode!r}")
 
 
-def lane_cut(df: DataFrame, grams: DataFrame, prior_grams: DataFrame,
+def lane_cut(df: DataFrame, grams: DataFrame, prior_grams: DataFrame | None,
              n: int, joiner: str,
              gram_keys: str | None = None) -> tuple[DataFrame, DataFrame]:
     """One lane of the Lee-et-al substring-removal pass against a
@@ -241,14 +241,18 @@ def lane_cut(df: DataFrame, grams: DataFrame, prior_grams: DataFrame,
     for index maintenance."""
     if gram_keys is None:
         keyed = grams
-        prior = prior_grams
+        prior = None if prior_grams is None else prior_grams
         keys = ["gram"]
     else:
         pair = gram_hash_pair(gram_keys)
         keyed = grams.select(
             "doc_id", "i", pair[0].alias("h1"), pair[1].alias("h2")
         )
-        prior = prior_grams.select(pair[0].alias("h1"), pair[1].alias("h2"))
+        prior = (
+            None
+            if prior_grams is None
+            else prior_grams.select(pair[0].alias("h1"), pair[1].alias("h2"))
+        )
         keys = ["h1", "h2"]
     batch_dup = (
         keyed.groupBy(*keys)
@@ -256,7 +260,10 @@ def lane_cut(df: DataFrame, grams: DataFrame, prior_grams: DataFrame,
         .filter(F.col("c") >= 2)
         .select(*keys)
     )
-    hot = prior.union(batch_dup).distinct()
+    # r12: prior_grams=None (the batch queries' no-standing-index case)
+    # skips the union + DISTINCT re-aggregate — batch_dup is already
+    # distinct by construction (grouping keys)
+    hot = batch_dup if prior is None else prior.union(batch_dup).distinct()
     covered_starts = keyed.join(hot, keys).select("doc_id", "i")
     out = cut_and_reassemble(df, covered_starts, n, joiner)
     return out, grams.select("gram").distinct()
@@ -294,15 +301,13 @@ def cut_and_reassemble(df: DataFrame, covered_starts: DataFrame,
     if joiner == " ":
         units = F.split("text", " ")
     else:
-        # 0-based char positions, same units as char_units(); guarded to
-        # length >= 1 because Spark's sequence(1, 0) counts DOWN, not
-        # empty (an empty doc must yield no row, as char_units' filter
-        # guaranteed — the size(__kept) > 0 filter below drops it)
-        units = F.expr(
-            "CASE WHEN length(text) >= 1 THEN "
-            "transform(sequence(1, length(text)), j -> substring(text, j, 1)) "
-            "ELSE cast(array() as array<string>) END"
-        )
+        # one row per character: split on the empty pattern is a single
+        # linear pass (['a','中','c']; '' → [], so an empty doc yields
+        # no row exactly as char_units' length guard guaranteed) — the
+        # per-position substring(text, j, 1) alternative walks the
+        # UTF-8 bytes from the start on every call, O(len²) per doc on
+        # multi-byte scripts
+        units = F.split("text", "")
     step = (
         df.select("doc_id", "text")
         .join(cov, "doc_id", "left")

@@ -893,6 +893,68 @@ _CJK_DST = "".join(chr(0x4E00 + k) for k in range(len(_CJK_SRC)))
 _SUBSTR_CJK_CHAR_N = 12
 
 
+def _cjk_routed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, __r): the constructed mixed-script corpus with its
+    CJK-share routing ratio — the shared front end of the three
+    lang-routed substring-dedup queries.
+
+    r12 OPTIMIZATION (guide §2.5/§7.2 — input skew + read the plan):
+    the lane predicates (``__r >= τ`` / ``< τ``) used to be pushed by
+    Catalyst below the ensure_min_partitions round-robin exchange,
+    where the testdata scan is ONE partition — so every lane subtree
+    (6 per query: dup aggregate, coverage join, reassembly × 2 lanes)
+    re-evaluated the md5 route + translate + CJK-class regex over the
+    whole corpus SERIALLY. The extra nondeterministic column (a
+    never-read rand()) makes the routing projection non-pushable-
+    through (PushDownPredicates requires every project expression to
+    be deterministic), pinning the route evaluation ABOVE the widen
+    exchange: parallel, and the reused exchange feeds every subtree.
+    Row set is unchanged — the dummy column is never read, and the
+    route itself is the same expression both engines compute."""
+    from aiotcvectordb_spark import pipelines
+
+    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
+    corpus = df.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            cjkified,
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    routed = corpus.select(
+        "doc_id",
+        "text",
+        pipelines.cjk_ratio_col("text").alias("__r"),
+    )
+    # The pushdown block lives in the callers' lane filters
+    # (_lane_filter below), so the route+ratio projection is evaluated
+    # ABOVE the widen exchange — in parallel — instead of serially on
+    # the one-partition scan. (A doc_id-keyed exchange above this
+    # projection, meant to let the ~6 consumer subtrees share one
+    # ReusedExchange, was tried and REJECTED: measured 1.5-2.4x slower
+    # at sf0.1 — the extra corpus shuffle + AQE stage barriers cost
+    # more than the parallel route recomputes they saved.)
+    return routed
+
+
+def _lane_filter(cond):
+    """Wrap a lane predicate so Catalyst cannot push it below the shared
+    routing exchange: one non-splittable nondeterministic expression
+    (the rand() arm is always true, so rows are unchanged). A bare
+    deterministic predicate would be substituted through the routing
+    projection and evaluated per subtree below the exchange — serially,
+    on the one-partition testdata scan (guide §7.2: watch where filters
+    land)."""
+    return F.when(F.rand(seed=0) >= -1.0, cond).otherwise(F.lit(False))
+
+
 def q_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LANG-ROUTED exact repeated-substring removal (r7) — closes the
     multilingual gap where space-tokenized substring dedup silently
@@ -913,27 +975,11 @@ def q_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aiotcvectordb_spark import pipelines
 
     n_w, n_c = _SUBSTR_DEDUP_N, _SUBSTR_CJK_CHAR_N
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
-        F.length("text") > 0
-    )
-    cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
-    corpus = df.select(
-        "doc_id",
-        F.when(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
-                *"01234567"
-            ),
-            cjkified,
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    routed = corpus.withColumn("__r", pipelines.cjk_ratio_col("text"))
+    routed = _cjk_routed_corpus(spark, sf_dir)
     is_cjk = F.col("__r") >= pipelines.CJK_ROUTE_THRESHOLD
-    word_docs = routed.filter(~is_cjk).select("doc_id", "text")
-    char_docs = routed.filter(is_cjk).select("doc_id", "text")
+    word_docs = routed.filter(_lane_filter(~is_cjk)).select("doc_id", "text")
+    char_docs = routed.filter(_lane_filter(is_cjk)).select("doc_id", "text")
 
-    empty = spark.createDataFrame([], "gram string")
     # r11: BOTH lanes key the dup aggregate and coverage join on the
     # xxhash64 pair (the substring_dedup_hashed production keys) — the
     # char lane was the #2 standing cost and the worst dedup-family
@@ -944,11 +990,11 @@ def q_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key dataflow itself is driver-witnessed by the portable twin
     # substring_dedup_cjk_hashed.
     out_w, _ = pipelines.lane_cut(
-        word_docs, _word_ngrams(word_docs, n_w), empty, n_w, " ",
+        word_docs, _word_ngrams(word_docs, n_w), None, n_w, " ",
         gram_keys="xxhash64",
     )
     out_c, _ = pipelines.lane_cut(
-        char_docs, pipelines.char_ngrams(char_docs, n_c), empty, n_c, "",
+        char_docs, pipelines.char_ngrams(char_docs, n_c), None, n_c, "",
         gram_keys="xxhash64",
     )
     return (
@@ -978,33 +1024,17 @@ def q_substring_dedup_cjk_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aiotcvectordb_spark import pipelines
 
     n_w, n_c = _SUBSTR_DEDUP_N, _SUBSTR_CJK_CHAR_N
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
-        F.length("text") > 0
-    )
-    cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
-    corpus = df.select(
-        "doc_id",
-        F.when(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
-                *"01234567"
-            ),
-            cjkified,
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    routed = corpus.withColumn("__r", pipelines.cjk_ratio_col("text"))
+    routed = _cjk_routed_corpus(spark, sf_dir)
     is_cjk = F.col("__r") >= pipelines.CJK_ROUTE_THRESHOLD
-    word_docs = routed.filter(~is_cjk).select("doc_id", "text")
-    char_docs = routed.filter(is_cjk).select("doc_id", "text")
+    word_docs = routed.filter(_lane_filter(~is_cjk)).select("doc_id", "text")
+    char_docs = routed.filter(_lane_filter(is_cjk)).select("doc_id", "text")
 
-    empty = spark.createDataFrame([], "gram string")
     out_w, _ = pipelines.lane_cut(
-        word_docs, _word_ngrams(word_docs, n_w), empty, n_w, " ",
+        word_docs, _word_ngrams(word_docs, n_w), None, n_w, " ",
         gram_keys="portable",
     )
     out_c, _ = pipelines.lane_cut(
-        char_docs, pipelines.char_ngrams(char_docs, n_c), empty, n_c, "",
+        char_docs, pipelines.char_ngrams(char_docs, n_c), None, n_c, "",
         gram_keys="portable",
     )
     return (
@@ -1114,22 +1144,7 @@ def q_incremental_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataF
     from aiotcvectordb_spark import pipelines
 
     n_w, n_c = _SUBSTR_DEDUP_N, _SUBSTR_CJK_CHAR_N
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
-        F.length("text") > 0
-    )
-    cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
-    corpus = df.select(
-        "doc_id",
-        F.when(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
-                *"01234567"
-            ),
-            cjkified,
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    routed = corpus.withColumn("__r", pipelines.cjk_ratio_col("text"))
+    routed = _cjk_routed_corpus(spark, sf_dir)
     is_cjk = F.col("__r") >= pipelines.CJK_ROUTE_THRESHOLD
     is_batch = F.col("doc_id") % 10 == 0
     outs = []
@@ -1137,8 +1152,12 @@ def q_incremental_substring_dedup_cjk(spark: SparkSession, sf_dir: str) -> DataF
         ("word", ~is_cjk, n_w, " ", _word_ngrams),
         ("char", is_cjk, n_c, "", pipelines.char_ngrams),
     ):
-        batch_docs = routed.filter(cond & is_batch).select("doc_id", "text")
-        standing = routed.filter(cond & ~is_batch).select("doc_id", "text")
+        batch_docs = routed.filter(
+            _lane_filter(cond & is_batch)
+        ).select("doc_id", "text")
+        standing = routed.filter(
+            _lane_filter(cond & ~is_batch)
+        ).select("doc_id", "text")
         prior = kernel(standing, n).select("gram").distinct()
         # r11: xxhash64-pair keys like the batch query — lane_cut hashes
         # the prior index internally, so the stored verbatim-gram index
