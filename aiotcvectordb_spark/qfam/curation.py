@@ -2043,60 +2043,87 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plagiarism index would store, pinned against a Python reference
     implementation in tests/test_staged_oracles.py.
 
-    Scale shape: grams in the scan projection, ONE doc-keyed window
-    (partitions with the data), map-side-combinable final aggregate —
-    no self-join, no all-pairs."""
-    sel = _winnow_selection(spark, sf_dir)
-    return sel.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_selected"),
-        F.sum("h").alias("fp_sum"),
-        F.min("h").alias("fp_min"),
-        F.max("h").alias("fp_max"),
+    Scale shape (r12 OPTIMIZATION, guide §2.4 — remove shuffles
+    outright): winnowing is a PER-DOC decision, so the r10 shape's
+    char-gram explode + doc-keyed window (which also ran the md5 gram
+    hashing serially below the exchange on the one-partition testdata
+    scan) + pick DISTINCT + final regroup — three gram-granular
+    shuffles — fold into array expressions in the scan stage: hash
+    array, encoded sliding min, array_distinct, integer summary. The
+    only exchange left is the parallelism widen; per-doc memory is
+    O(doc length) arrays (a multi-GB document would want the windowed
+    shape back — corpus docs are pages, not archives)."""
+    picked = _winnow_picked(spark, sf_dir)
+    return picked.select(
+        "doc_id",
+        F.expr("cast(size(__hv) as bigint)").alias("n_selected"),
+        F.expr("aggregate(__hv, 0L, (a, x) -> a + x)").alias("fp_sum"),
+        F.expr("array_min(__hv)").alias("fp_min"),
+        F.expr("array_max(__hv)").alias("fp_max"),
+    )
+
+
+def _winnow_picked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, __dp, __hv): per-doc DISTINCT winnowing picks as arrays
+    — __dp the encoded (h, pos) keys, __hv the decoded hashes — built
+    map-only: k-gram hash array in the scan projection, the w-wide
+    sliding minimum as array_min over slices (O(n*w) integer
+    ops per doc), dedup via array_distinct. Chained through aliased
+    single-eval columns so each stage's array materializes once."""
+    k, w = _WINNOW_K, _WINNOW_W
+    df = ensure_min_partitions(
+        load(spark, sf_dir, "documents").filter(
+            F.length("text") >= k + w - 1
+        )
+    )
+    gram_h = _portable_hash_expr(f"substring(text, i, {k})")
+    hs = (
+        f"transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> pmod({gram_h}, 2147483648))"
+    )
+    d1 = df.select("doc_id", F.expr(hs).alias("__hs"))
+    d2 = d1.select(
+        "doc_id",
+        F.expr(
+            "transform(__hs, (x, idx) -> "
+            "x * 1000000000L + (999999999 - idx))"
+        ).alias("__encs"),
+    )
+    # greatest(.., 0): identical on every row the length filter keeps
+    # (size >= w there), but never hands slice() a 0 start if Catalyst
+    # relocates a consumer's inferred filter (size(__dp) > 0 from an
+    # explode) BELOW the length filter, where short docs still flow
+    d3 = d2.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform("
+            f"sequence(0, greatest(size(__encs) - {w}, 0)), "
+            f"p -> array_min(slice(__encs, p + 1, {w}))))"
+        ).alias("__dp"),
+    )
+    return d3.select(
+        "doc_id",
+        "__dp",
+        F.expr("transform(__dp, x -> x div 1000000000)").alias("__hv"),
     )
 
 
 def _winnow_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct winnowing picks (doc_id, pos, h) — the stored
-    fingerprint index; shared by the summary query and tests."""
-    from aiotcvectordb_spark import pipelines
-
-    k, w = _WINNOW_K, _WINNOW_W
-    df = load(spark, sf_dir, "documents").filter(
-        F.length("text") >= k + w - 1
-    )
-    grams = pipelines.char_ngrams(df, k)  # (doc_id, i, gram), 0-based i
-    hashed = grams.select(
-        "doc_id",
-        F.col("i").alias("pos"),
-        F.expr(
-            f"pmod({_portable_hash_expr('gram')}, 2147483648)"
-        ).alias("h"),
-    )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, w - 1)
-    )
-    n_win = Window.partitionBy("doc_id")
-    picks = (
-        hashed.withColumn(
-            "pick",
-            F.min(
-                F.col("h") * F.lit(1000000000).cast("long")
-                + (F.lit(999999999) - F.col("pos"))
-            ).over(win),
-        )
-        .withColumn("n_grams", F.count("*").over(n_win))
-        # full windows only: starts 0 .. n_grams - w
-        .filter(F.col("pos") <= F.col("n_grams") - w)
+    fingerprint index; shared by the summary query and tests (pinned
+    against a Python reference in tests/test_staged_oracles.py).
+    Explodes the per-doc pick arrays of ``_winnow_picked``."""
+    return (
+        _winnow_picked(spark, sf_dir)
+        .select("doc_id", F.explode("__dp").alias("pick"))
         .select(
             "doc_id",
-            (F.lit(999999999) - F.col("pick") % 1000000000).cast("int").alias("pos"),
+            (F.lit(999999999) - F.col("pick") % 1000000000)
+            .cast("int")
+            .alias("pos"),
             F.expr("pick div 1000000000").cast("long").alias("h"),
         )
-        .distinct()
     )
-    return picks
 
 
 ORACLE_WINNOW_FINGERPRINT = f"""
