@@ -473,8 +473,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(sparse_fn.bm25_tokens_col("text")).alias("ts"),
     )
-    e = toks.select("doc_id", F.explode("ts").alias("token"))
-    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # r12 (guide §7.2): explode_outer + NULL filter instead of explode —
+    # a plain explode makes Catalyst infer `size(ts) > 0`, substituting
+    # the whole tokenizer into a Filter that lands below the widen
+    # exchange and re-tokenizes the corpus serially (once per join
+    # branch); the outer generate infers nothing and the row set is
+    # identical (the NULL row an empty/missing ts produces is dropped).
+    e = toks.select("doc_id", F.explode_outer("ts").alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    # r12: |distinct tokens| IS size(ts) — map-only, replacing the
+    # explode + groupBy(doc_id) count branch (the n semantics are
+    # unchanged; a 0-token doc can reach no pair, so its extra n=0 row
+    # joins to nothing)
+    sizes = toks.select("doc_id", F.size("ts").alias("n"))
     a = e.select(F.col("doc_id").alias("doc_a"), "token")
     b = e.select(F.col("doc_id").alias("doc_b"), "token")
     common = (
