@@ -125,12 +125,36 @@ def token_shingles(df: DataFrame, n: int, *, id_col: str = "doc_id",
     toked = df.select(
         F.col(id_col).alias("doc_id"),
         sparse_fn.bm25_tokens_col(text_col).alias("__toks"),
-    ).filter(F.expr(f"size(__toks) >= {n}"))
-    sh = (
-        f"transform(sequence(1, size(__toks) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(__toks, i, {n})))"
     )
-    return toked.select("doc_id", F.explode(F.expr(sh)).alias("shingle"))
+    # r12 (guide §7.2): the size guard lives INSIDE the row expression
+    # and the generate is OUTER — the former explicit size(__toks) >= n
+    # filter (and the inferred one a plain explode adds) substituted the
+    # whole tokenizer into a Filter below the widen exchange, where the
+    # one-partition scan evaluated it serially once per consumer
+    # subtree. Row set unchanged: short docs yield an empty shingle
+    # array -> one NULL row from the outer generate -> dropped.
+    sh = (
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return toked.select(
+        "doc_id", F.explode_outer(F.expr(sh)).alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+
+
+def nopush_filter(cond):
+    """Wrap a row predicate so Catalyst cannot push it below the widen
+    exchange: one non-splittable nondeterministic expression (the
+    rand() arm is always true, so the kept row set is exactly
+    ``cond``). A bare deterministic predicate over a projected column
+    is substituted through the projection and lands on the
+    one-partition testdata scan, re-evaluating the (expensive)
+    projection expression serially (guide §7.2: watch where filters
+    land). Trade-off: nondeterminism also blocks exchange reuse above
+    the filter — use only where the guarded expression dominates."""
+    return F.when(F.rand(seed=0) >= -1.0, cond).otherwise(F.lit(False))
 
 
 CJK_ROUTE_THRESHOLD = 0.3
@@ -349,11 +373,14 @@ def doc_term_freqs(docs: DataFrame, *, id_col: str = "doc_id",
     the CJK-aware BM25 token stream — the input shape of the unigram
     LM family. Aggregating to (doc, token) pairs FIRST shrinks every
     downstream vocab join from total-token rows to distinct pairs."""
+    # outer generate + NULL filter: a plain explode makes Catalyst infer
+    # size(tokens) > 0, re-tokenizing serially below the widen exchange
+    # (see token_shingles)
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
-        F.explode(sparse_fn.bm25_tokens_col(text_col)).alias("token"),
-    )
+        F.explode_outer(sparse_fn.bm25_tokens_col(text_col)).alias("token"),
+    ).filter(F.col("token").isNotNull())
     return tok.groupBy("doc_id", "lang", "token").agg(
         F.count("*").alias("dtf")
     )

@@ -1391,7 +1391,8 @@ def q_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     counts = (
-        df.select("lang", F.explode(sparse_fn.bm25_tokens_col("text")).alias("token"))
+        df.select("lang", F.explode_outer(sparse_fn.bm25_tokens_col("text")).alias("token"))
+        .filter(F.col("token").isNotNull())  # r12: outer generate + NULL filter — no inferred size-filter re-tokenizing serially below the exchange (see pipelines.token_shingles)
         .groupBy("lang", "token")
         .agg(F.count("*").alias("n"))
     )
@@ -1620,7 +1621,9 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     toks = sparse_fn.bm25_tokens_sql("text")  # CJK-aware (r4)
-    tok = df.select("doc_id", F.explode(F.expr(toks)).alias("token"))
+    tok = df.select(
+        "doc_id", F.explode_outer(F.expr(toks)).alias("token")
+    ).filter(F.col("token").isNotNull())  # r12: outer generate + NULL filter — no inferred size-filter re-tokenizing serially below the exchange (see pipelines.token_shingles)
     # per-doc term frequency (shrinks the token->vocab join); persisted
     # because it feeds both the vocabulary derivation and the per-doc
     # join — the explode runs once (ContextCleaner unpersists on GC)
@@ -2025,16 +2028,21 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         sparse_fn.bm25_tokens_col("text").alias("__toks"),
-    ).filter(F.expr("size(__toks) >= 2"))
+    )
+    # r12: size guard inside the row expression + outer generate — the
+    # explicit size filter re-tokenized serially below the widen
+    # exchange (see pipelines.token_shingles); row set unchanged
     bigrams = (
+        "CASE WHEN size(__toks) >= 2 THEN "
         "transform(sequence(1, size(__toks) - 1), "
-        "i -> concat_ws(' ', slice(__toks, i, 2)))"
+        "i -> concat_ws(' ', slice(__toks, i, 2))) "
+        "ELSE cast(array() as array<string>) END"
     )
     occ = toked.select(
         "doc_id",
         "source",
-        F.explode(F.expr(bigrams)).alias("bg"),
-    ).select(
+        F.explode_outer(F.expr(bigrams)).alias("bg"),
+    ).filter(F.col("bg").isNotNull()).select(
         "doc_id",
         "source",
         F.expr(
@@ -2361,14 +2369,21 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree per element — see q_minhash_signatures)
     toked = df.select(
         "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
-    ).filter(F.expr("size(__toks) >= 2"))
-    # Spark arrays are 0-indexed: pairs (t[i], t[i+1]) for i in [0, n-2]
-    pairs = (
-        "transform(sequence(0, size(__toks) - 2), "
-        "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))"
     )
-    flat = toked.select("doc_id", F.explode(F.expr(pairs)).alias("b")).select(
-        "doc_id", "b.w1", "b.w2"
+    # Spark arrays are 0-indexed: pairs (t[i], t[i+1]) for i in [0, n-2].
+    # r12: size guard inside the row expression + outer generate — the
+    # explicit size filter re-tokenized serially below the widen
+    # exchange (see pipelines.token_shingles); row set unchanged
+    pairs = (
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(0, size(__toks) - 2), "
+        "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2)) "
+        "ELSE array() END"
+    )
+    flat = (
+        toked.select("doc_id", F.explode_outer(F.expr(pairs)).alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", "b.w1", "b.w2")
     )
     # dbf feeds the per-doc join AND derives both corpus tables; persist
     # so the explode+aggregate pipeline (the expensive stage at scale)

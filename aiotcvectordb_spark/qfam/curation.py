@@ -2176,8 +2176,9 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND_DIGITS (the unigram_logprob precedent)."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
     toks = df.select(
-        "doc_id", F.explode(sparse_fn.bm25_tokens_col("text")).alias("tok")
-    )
+        "doc_id",
+        F.explode_outer(sparse_fn.bm25_tokens_col("text")).alias("tok"),
+    ).filter(F.col("tok").isNotNull())  # r12: outer generate + NULL filter — no inferred size-filter re-tokenizing serially below the exchange (see pipelines.token_shingles)
     counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     per_doc = counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),

@@ -1056,7 +1056,7 @@ def _hash_embed_sparse(df: DataFrame, id_col: str, text_col: str, dim: int):
     ``\\W`` split silently dropped every CJK token."""
     toks = df.select(
         F.col(id_col),
-        F.explode(F.expr(_sbt_tokens_sql(text_col))).alias("tok"),
+        F.explode_outer(F.expr(_sbt_tokens_sql(text_col))).alias("tok"),
     ).filter(F.col("tok") != "")
     bucket, sign = _hash_embed_feats("tok", dim)
     dvec = (

@@ -304,9 +304,11 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole subtree per element, so an inline tokenizer inside the
     # shingle lambda re-tokenizes the doc once per shingle — O(n^2),
     # catastrophic with the (bigger) CJK-aware expression.
+    from aiotcvectordb_spark.pipelines import nopush_filter
+
     toked = df.select(
         "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
-    ).filter(F.expr("size(__toks) >= 3"))
+    ).filter(nopush_filter(F.expr("size(__toks) >= 3")))  # r12: see nopush_filter
     shingles = (
         "transform(sequence(1, size(__toks) - 2), "
         "i -> concat_ws(' ', slice(__toks, i, 3)))"
@@ -1670,7 +1672,10 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs, so hashing distinct terms (not occurrences) cuts the md5
     # string work and the conditional sum input by that factor.
     terms = (
-        df.select("doc_id", F.explode(sparse_fn.bm25_tokens_col("text")).alias("token"))
+        df.select(
+            "doc_id",
+            F.explode_outer(sparse_fn.bm25_tokens_col("text")).alias("token"),
+        ).filter(F.col("token").isNotNull())  # r12: outer generate + NULL filter — no inferred size-filter re-tokenizing serially below the exchange (see pipelines.token_shingles)
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.expr(_portable_hash_expr("token")))
@@ -1930,15 +1935,21 @@ def q_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree per element — see q_minhash_signatures)
     toked = df.select(
         "doc_id", sparse_fn.bm25_tokens_col("text").alias("__toks")
-    ).filter(F.expr("size(__toks) > 0"))
+    )
+    # r12: size guard inside the row expression + outer generate — the
+    # explicit size filter re-tokenized serially below the widen
+    # exchange (see pipelines.token_shingles); row set unchanged
     n_chunks = f"cast(ceil(size(__toks) / {_CHUNK_TOKENS}.0) as int)"
     chunk_arr = (
+        f"CASE WHEN size(__toks) > 0 THEN "
         f"transform(sequence(0, {n_chunks} - 1), "
-        f"i -> concat_ws(' ', slice(__toks, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS})))"
+        f"i -> concat_ws(' ', slice(__toks, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}))) "
+        f"ELSE cast(array() as array<string>) END"
     )
     chunks = toked.select(
-        "doc_id", F.posexplode(F.expr(chunk_arr)).alias("chunk_pos", "chunk_text")
-    )
+        "doc_id",
+        F.posexplode_outer(F.expr(chunk_arr)).alias("chunk_pos", "chunk_text"),
+    ).filter(F.col("chunk_text").isNotNull())
     hits = chunks.filter(
         F.array_contains(F.split("chunk_text", " "), _CHUNK_HIT_TOKEN)
     ).select(F.col("doc_id").alias("h_doc"), F.col("chunk_pos").alias("h_pos"))

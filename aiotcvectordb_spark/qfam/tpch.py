@@ -384,7 +384,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest asserts every reported count equals the exact count and the
     cutoff dominates the exact 20th count."""
     df = ensure_min_partitions(load(spark, sf_dir, "documents"))
-    toks = df.select(F.explode(sparse_fn.bm25_tokens_col("text")).alias("token"))
+    toks = df.select(
+        F.explode_outer(sparse_fn.bm25_tokens_col("text")).alias("token")
+    ).filter(F.col("token").isNotNull())  # r12: outer generate + NULL filter — no inferred size-filter re-tokenizing serially below the exchange (see pipelines.token_shingles)
     sketch = toks.select(
         F.expr("approx_top_k(token, 20)").alias("tk")
     ).select(F.explode("tk").alias("e"))
