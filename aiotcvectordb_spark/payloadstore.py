@@ -1,4 +1,5 @@
-"""One-time media-payload materialization (r12, verdict item #2).
+"""Per-process media-payload materialization (r12, verdict item #2;
+scoped to the process in the optimization round).
 
 Every codec query's fixture used to SYNTHESIZE its payloads (MP3/JPEG/
 PDF/... encode) inside the timed query, so bench and probe rows carried
@@ -6,11 +7,16 @@ the encode cost — BASELINE.md's r11 notes concede the 100x meta-route
 numbers were encode-dominated, "which a real corpus doesn't pay". At
 100 TB the corpus's media bytes already live in the lake: a serving
 query READS and PARSES them. This module makes the fixtures behave the
-same way: each (sf_dir, kind, version) payload table is built once,
-written to the payload store (``spark-warehouse/payloads`` by default,
-``$SPARK_GRAFT_PAYLOAD_STORE`` to relocate), and every later run reads
-the stored parquet — so steady-state measurements time the read+parse
-path while the first run (or a bumped fixture VERSION) pays the encode.
+same way: each (sf_dir, kind, version) payload table is built once PER
+PROCESS, written to an ephemeral temp-dir store (removed at interpreter
+exit; ``$SPARK_GRAFT_PAYLOAD_STORE`` pins a location for tests), and
+every later read within the process uses the stored parquet — so the
+bench's best-of-3 interleave times the read+parse path (pass 1 pays the
+one-time encode; the min never includes it), while every INVOCATION of
+bench or oracle still computes everything from the parquet inputs:
+nothing keyed on the sf_dir persists across runs, by design — a
+cross-run store would let a later benchmark run skip work a fresh
+deployment must do.
 
 Correctness is untouched: the stored bytes are exactly the builder's
 deterministic output, and the DuckDB oracles check parsed fields
@@ -26,20 +32,28 @@ without ever shuffling payload bytes after the one-time write.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from aiotcvectordb_spark.partitioning import ensure_min_partitions
+
+_EPHEMERAL_BASE: str | None = None
 
 
 def store_base() -> str:
     env = os.environ.get("SPARK_GRAFT_PAYLOAD_STORE")
     if env:
         return env
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(here, "spark-warehouse", "payloads")
+    global _EPHEMERAL_BASE
+    if _EPHEMERAL_BASE is None:
+        _EPHEMERAL_BASE = tempfile.mkdtemp(prefix="aiotc_payloads_")
+        atexit.register(shutil.rmtree, _EPHEMERAL_BASE, True)
+    return _EPHEMERAL_BASE
 
 
 def store_path(sf_dir: str, kind: str, version: int) -> str:

@@ -127,8 +127,19 @@ def test_frozen_weights_reproduce_training(spark):
         train_sample=2048,
     )
     assert model.intercept == FROZEN_INTERCEPT
-    assert np.array_equal(
-        model.weights, np.array(FROZEN_WEIGHTS, dtype=np.float64)
+    # r12: bit-for-bit equality held on the box that froze the weights,
+    # but the trainer's X @ w / X.T @ g run through BLAS, whose kernel
+    # dispatch (CPU features, thread count, library build) legally
+    # re-associates the reductions — a different sandbox reproduced
+    # every weight to within 2.1e-17 (132 of 256 off by the last bit,
+    # intercept exact, run-to-run deterministic). Pin the derivation to
+    # that measured envelope: identical math, last-bit BLAS drift only.
+    # The frozen SCORING lane is unaffected (it uses the literals).
+    assert np.allclose(
+        model.weights,
+        np.array(FROZEN_WEIGHTS, dtype=np.float64),
+        rtol=0.0,
+        atol=1e-15,
     )
 
 
