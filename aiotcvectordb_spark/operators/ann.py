@@ -134,6 +134,61 @@ def sq8_quantize_expr(vec_col: str, lo: Sequence[float], hi: Sequence[float]):
     return F.expr(f"array({', '.join(parts)})")
 
 
+def sq8_dequant_exprs(
+    vec_col: str,
+    lo: Sequence[float],
+    hi: Sequence[float],
+) -> list[str]:
+    """The per-dimension SQ8 dequantized-value SQL fragments
+    (``lo + round((x - lo) * 255 / span) * span / 255`` with the
+    span<=0 guard) — query-independent, so a multi-query caller can
+    project them ONCE per row and score every query against the same
+    dequantized values (r12 optimization: the dequant work used to be
+    re-evaluated per query inside each score expression)."""
+    out = []
+    for i in range(len(lo)):
+        lo_i, hi_i = lo[i], hi[i]
+        span = hi_i - lo_i
+        if span <= 0:
+            out.append(repr(lo_i))
+        else:
+            out.append(
+                f"({lo_i!r} + round((cast({vec_col}[{i}] as double) - {lo_i!r})"
+                f" * 255.0 / {span!r}) * {span!r} / 255.0)"
+            )
+    return out
+
+
+def sq8_score_expr_from(
+    deq: Sequence[str],
+    query: Sequence[float],
+    metric: str,
+):
+    """Metric score built over precomputed dequantized-value fragments
+    ``deq`` (SQL strings — column refs or the inline exprs from
+    ``sq8_dequant_exprs``). Term construction, association order, and
+    the zero-norm guard are exactly the original single-expression
+    form's, so scores are bit-identical however ``deq`` is routed."""
+    terms_dot, terms_l2, norm_v = [], [], []
+    for i, qi in enumerate(query):
+        d = deq[i]
+        terms_dot.append(f"({d} * {float(qi)!r})")
+        terms_l2.append(f"power({d} - {float(qi)!r}, 2)")
+        norm_v.append(f"power({d}, 2)")
+    metric_u = metric.upper()
+    if metric_u == "IP":
+        return F.expr(" + ".join(terms_dot))
+    if metric_u == "L2":
+        return F.expr(f"sqrt({' + '.join(terms_l2)})")
+    qn = sum(float(x) * float(x) for x in query) ** 0.5 or 1.0
+    # greatest-floor: a zero vector dequantizes to zero norm and must
+    # score 0.0, not abort the scan with ANSI DIVIDE_BY_ZERO
+    return F.expr(
+        f"({' + '.join(terms_dot)}) / "
+        f"(greatest(sqrt({' + '.join(norm_v)}), cast(1e-12 as double)) * {qn!r})"
+    )
+
+
 def sq8_dequant_score_expr(
     vec_col: str,
     query: Sequence[float],
@@ -146,31 +201,8 @@ def sq8_dequant_score_expr(
     dot/L2 against query literals. One Catalyst expression per query —
     models the quantization error the index would serve, while staying
     entirely JVM-side."""
-    terms_dot, terms_l2, norm_v = [], [], []
-    for i, qi in enumerate(query):
-        lo_i, hi_i = lo[i], hi[i]
-        span = hi_i - lo_i
-        if span <= 0:
-            deq = repr(lo_i)
-        else:
-            deq = (
-                f"({lo_i!r} + round((cast({vec_col}[{i}] as double) - {lo_i!r})"
-                f" * 255.0 / {span!r}) * {span!r} / 255.0)"
-            )
-        terms_dot.append(f"({deq} * {float(qi)!r})")
-        terms_l2.append(f"power({deq} - {float(qi)!r}, 2)")
-        norm_v.append(f"power({deq}, 2)")
-    metric_u = metric.upper()
-    if metric_u == "IP":
-        return F.expr(" + ".join(terms_dot))
-    if metric_u == "L2":
-        return F.expr(f"sqrt({' + '.join(terms_l2)})")
-    qn = sum(float(x) * float(x) for x in query) ** 0.5 or 1.0
-    # greatest-floor: a zero vector dequantizes to zero norm and must
-    # score 0.0, not abort the scan with ANSI DIVIDE_BY_ZERO
-    return F.expr(
-        f"({' + '.join(terms_dot)}) / "
-        f"(greatest(sqrt({' + '.join(norm_v)}), cast(1e-12 as double)) * {qn!r})"
+    return sq8_score_expr_from(
+        sq8_dequant_exprs(vec_col, lo, hi), query, metric
     )
 
 

@@ -140,17 +140,25 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def read(self, n: int) -> int:
-        v = 0
+        # r12: bulk MSB-first extraction — one int.from_bytes over the
+        # covered byte span instead of n per-bit Python iterations.
+        # Same values, same truncation trigger: the per-bit loop raised
+        # iff some needed bit's byte index reached len(data), i.e. iff
+        # pos + n > 8 * len(data).
+        if n <= 0:
+            return 0
+        pos = self.pos
+        end = pos + n
         data = self.data
-        for _ in range(n):
-            idx = self.pos >> 3
-            if idx >= len(data):
-                raise ValueError(
-                    "truncated MP3 frame: bit reader ran off the payload"
-                )
-            v = (v << 1) | ((data[idx] >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return v
+        if end > len(data) * 8:
+            raise ValueError(
+                "truncated MP3 frame: bit reader ran off the payload"
+            )
+        lo = pos >> 3
+        hi = (end + 7) >> 3
+        v = int.from_bytes(data[lo:hi], "big") >> (hi * 8 - end)
+        self.pos = end
+        return v & ((1 << n) - 1)
 
     def read_bit(self) -> int:
         return self.read(1)

@@ -580,7 +580,10 @@ def q_ann_sq8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape operators/ann.py:_build_sq8_state uses. Recall@10 vs exact
     FLAT additionally asserted in tests/test_bq.py."""
     from aiotcvectordb_spark.functions.vector import metric_score_fixed
-    from aiotcvectordb_spark.operators.ann import sq8_dequant_score_expr
+    from aiotcvectordb_spark.operators.ann import (
+        sq8_dequant_exprs,
+        sq8_score_expr_from,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     aggs = []
@@ -591,26 +594,47 @@ def q_ann_sq8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = [float(row[f"lo{i}"]) for i in range(DIM)]
     hi = [float(row[f"hi{i}"]) for i in range(DIM)]
     qs = [qvec(1.0), qvec(-1.0)]
-    per_q = []
-    for qi, v in enumerate(qs):
-        # per-query TakeOrdered over a map-only scan (the same shape as
-        # operators/ann.ivf_sq8_search, minus the cell prune): the
-        # approximate scorer fuses into the scan projection
-        approx = F.round(
-            sq8_dequant_score_expr("embedding", v, lo, hi, "COSINE"),
-            ROUND_DIGITS,
-        )
-        per_q.append(
-            emb.select(
-                F.lit(qi).alias("query_idx"), "vec_id", approx.alias("__a")
+    # r12 (guide §1.2/§2.4): ONE candidate scan for the whole query
+    # batch instead of one TakeOrdered scan per query — the dequantized
+    # values (query-independent) are projected once per row as __dv and
+    # every query's approximate score reads them; the per-query top-50
+    # moves from Q separate TakeOrdereds to one explode + rank window
+    # (WindowGroupLimit pre-prunes map-side). Term construction and
+    # association order inside the scorer are unchanged
+    # (sq8_score_expr_from), ties stay (rounded score DESC, vec_id ASC)
+    # — candidate sets, and therefore results, are identical (verified:
+    # sf0.1 rows old-vs-new byte-equal; sf0.01 oracle parity MATCH).
+    deq = sq8_dequant_exprs("embedding", lo, hi)
+    refs = [f"__dv[{i}]" for i in range(DIM)]
+    scored = emb.select(
+        "vec_id", F.expr(f"array({', '.join(deq)})").alias("__dv")
+    ).select(
+        "vec_id",
+        *[
+            F.round(sq8_score_expr_from(refs, v, "COSINE"), ROUND_DIGITS)
+            .alias(f"__a{qi}")
+            for qi, v in enumerate(qs)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(qi).cast("int").alias("query_idx"),
+                F.col(f"__a{qi}").alias("__a"),
             )
-            .orderBy(F.col("__a").desc(), F.col("vec_id").asc())
-            .limit(50)
-            .select("query_idx", "vec_id")
-        )
-    cand = per_q[0]
-    for nxt in per_q[1:]:
-        cand = cand.unionByName(nxt)
+            for qi in range(len(qs))
+        ]
+    )
+    w50 = Window.partitionBy("query_idx").orderBy(
+        F.col("__a").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.select("vec_id", F.explode(pairs).alias("s"))
+        .select("s.query_idx", "vec_id", "s.__a")
+        .withColumn("__rn", F.row_number().over(w50))
+        .filter(F.col("__rn") <= 50)
+        .select("query_idx", "vec_id")
+    )
     qdf = spark.createDataFrame(
         [(i, v) for i, v in enumerate(qs)], "query_idx int, __qv array<double>"
     )

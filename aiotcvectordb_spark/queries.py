@@ -151,6 +151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,  # rewritten r12
     "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # rewritten r12
     "semantic_dedup": q_semantic_dedup,  # rewritten r12
+    "ann_sq8_cosine": q_ann_sq8_cosine,  # rewritten r12
     # --- r8 rows (age 4) (must be in the next batch) ---
     "ttl_filter": q_ttl_filter,
     "json_extract": q_json_extract,
@@ -176,7 +177,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_line_dedup": q_incremental_line_dedup,
     "decontaminate_fraction": q_decontaminate_fraction,
     "ann_bq_cosine": q_ann_bq_cosine,
-    "ann_sq8_cosine": q_ann_sq8_cosine,
     "mmr_rerank": q_mmr_rerank,
     "line_dedup": q_line_dedup,
     "semi_anti_join": q_semi_anti_join,

@@ -150,6 +150,11 @@ REWRITES: dict[str, int] = {
     # corpus — sf0.01 oracle hash verified identical post-change
     # (tools/parity_check.py), the ann_pq_fullrescore precedent.
     "mmr_rerank": 9,
+    # r12 OPTIMIZATION: one candidate scan for the whole query batch
+    # (shared dequant projection + explode/rank window) instead of one
+    # TakeOrdered scan per query — scores bit-identical (same term
+    # construction/association, parity MATCH), plan materially changed
+    "ann_sq8_cosine": 12,
     # r12 OPTIMIZATION: the whole substring-dedup family's coverage
     # tail was rewritten (pipelines.cut_and_reassemble) — covered-
     # position explode + token anti-join + collect_list reassembly
