@@ -112,14 +112,28 @@ def train_quality_classifier(
     occ = hashed_bigram_buckets(
         sample, n_buckets, text_col="text", extra_cols=("label_y",)
     )
-    rows = occ.collect()
-    if not rows:
+    # r12 (guide §6 Arrow-for-driver-transfers): the bounded sample's
+    # ~100k (doc, bucket, cnt) rows cross as Arrow columns instead of
+    # pickled Rows, and X assembles vectorized instead of a Python
+    # row loop. X/y are EXACTLY the frame the loop built (same sorted
+    # doc order, same integer counts scattered with np.add.at — the
+    # ufunc form of the loop's +=), so the fitted weights are
+    # bit-identical given the same BLAS (asserted vs the frozen
+    # literals in tests/test_classifier.py).
+    pdf = occ.toPandas()
+    if pdf.empty:
         return QualityModel(np.zeros(n_buckets), 0.0, n_buckets)
-    ids = sorted({(r.doc_id, r.label_y) for r in rows})
+    ids = sorted(set(zip(pdf["doc_id"].tolist(), pdf["label_y"].tolist())))
     idx = {d: i for i, (d, _) in enumerate(ids)}
     X = np.zeros((len(ids), n_buckets), dtype=np.float64)
-    for r in rows:
-        X[idx[r.doc_id], r.bucket] += r.cnt
+    np.add.at(
+        X,
+        (
+            pdf["doc_id"].map(idx).to_numpy(),
+            pdf["bucket"].to_numpy(),
+        ),
+        pdf["cnt"].to_numpy().astype(np.float64),
+    )
     # l1-normalize counts per doc so long docs don't dominate
     X /= np.maximum(X.sum(axis=1, keepdims=True), 1.0)
     y = np.array([lab for _, lab in ids], dtype=np.float64)
