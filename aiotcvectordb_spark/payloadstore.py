@@ -87,7 +87,26 @@ def payload_table(
     whose decode cost is dominated by Python-worker spawn on tiny
     inputs (the multimodal_features note)."""
     path = store_path(sf_dir, kind, version)
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, path, min_partitions)
+    hit = _HANDLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _HANDLE_CACHE if k[:2] != key[:2]]:
+        del _HANDLE_CACHE[k]
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build().write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)
-    return ensure_min_partitions(df) if min_partitions else df
+    df = ensure_min_partitions(df) if min_partitions else df
+    _HANDLE_CACHE[key] = df
+    return df
+
+
+# DataFrame-HANDLE cache (r12, the qfam.core._LOAD_CACHE pattern): a
+# stored payload table is immutable for its (path, version), so the
+# resolved scan — and ensure_min_partitions' ~60-100 ms driver-side
+# df.rdd partition probe — runs once per session instead of once per
+# query invocation. Keyed by (applicationId, startTime) so handles from
+# a dead SparkContext are purged, never served stale. This memoizes a
+# plan handle only, never data or results.
+_HANDLE_CACHE: dict[tuple[str, int, str, bool], DataFrame] = {}

@@ -195,7 +195,7 @@ def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav = payload_table(
         spark, sf_dir, "wav_pcm", 1,
         lambda: MM.with_wav_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            load_wide(spark, sf_dir, "documents"),
             n_samples=None,
         ),
     )
@@ -226,7 +226,7 @@ def q_audio_adpcm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav = payload_table(
         spark, sf_dir, "wav_adpcm", 1,
         lambda: MM.with_wav_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            load_wide(spark, sf_dir, "documents"),
             n_samples=None, codec="adpcm",
         ),
     )
@@ -289,7 +289,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     mpng = payload_table(
         spark, sf_dir, "mpng", 1,
         lambda: MM.with_mpng_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            load_wide(spark, sf_dir, "documents"),
             n_frames=_MPNG_FRAMES, width=_MPNG_WIDTH,
         ),
     )
@@ -335,7 +335,7 @@ def q_video_mjpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     avi = payload_table(
         spark, sf_dir, "mjpeg", 1,
         lambda: avicodec.with_mjpeg_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents"))
+            load_wide(spark, sf_dir, "documents")
         ),
     )
     return avicodec.mjpeg_meta(avi)
@@ -374,7 +374,7 @@ def q_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     avi = payload_table(
         spark, sf_dir, "mjpeg", 1,
         lambda: avicodec.with_mjpeg_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents"))
+            load_wide(spark, sf_dir, "documents")
         ),
     )
     return avicodec.mjpeg_frames(avi).select(
@@ -446,7 +446,7 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     gifs = payload_table(
         spark, sf_dir, "gif", 1,
         lambda: gifcodec.with_gif_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+            load_wide(spark, sf_dir, "documents").filter(
                 F.length("text") > 0
             )
         ),
@@ -1105,7 +1105,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (each map task pre-reduces to labels x 64 rows), unlike
     a collect_list-and-fold shape whose per-group state is O(group
     size). dim is 1-based to match SQL's generate_subscripts."""
-    emb = ensure_min_partitions(load(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     return (
         emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"))
         .groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
@@ -1132,7 +1132,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines rank from identical inputs), re-packed to arrays
     and broadcast onto the scan; the distance fold fuses into the
     projection and the per-label top-5 is one bounded window."""
-    emb = ensure_min_partitions(load(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     cent = (
         emb.select(
             "label",
@@ -1413,7 +1413,7 @@ def q_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 row is top-10 of its slice)."""
     from aiotcvectordb_spark import partitioning
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     counts = (
         df.select("lang", F.explode_outer(sparse_fn.bm25_tokens_col("text")).alias("token"))
         .filter(F.col("token").isNotNull())  # r12: outer generate + NULL filter — no inferred size-filter re-tokenizing serially below the exchange (see pipelines.token_shingles)
@@ -1644,7 +1644,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. Three shuffles total, all key-partitioned, nothing
     collected.
     """
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     toks = sparse_fn.bm25_tokens_sql("text")  # CJK-aware (r4)
     tok = df.select(
         "doc_id", F.explode_outer(F.expr(toks)).alias("token")
@@ -1694,7 +1694,7 @@ def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE map-only scan projection (list ops fused into the scan, no
     shuffle at any scale); the bad-words list is omitted (license), as
     is the three-sentence-span dedup (covered by substring_dedup)."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     kept = (
         "filter(split(text, '\\n'), l -> "
         "right(trim(l), 1) IN ('.', '!', '?', '\"') "
@@ -1834,7 +1834,7 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps a non-cheap producer expression referenced more than once in
     its own projection, so the stages survive optimization; the plan is
     still one map-only scan projection chain, no shuffle."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     words = "filter(split(text, ' '), w -> w <> '')"
     stop = "array('the','be','to','of','and','that','have','with')"
     staged = (
@@ -2048,7 +2048,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-group). At 100 TB: two map-side-combinable aggregates over
     bucket ids (domain {_DSIR_BUCKETS}), one broadcast join, one
     per-doc agg — every shuffle keyed and bounded."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     toked = df.select(
         "doc_id",
         "source",
@@ -2189,7 +2189,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_quality_classifier,
     )
 
-    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     model = train_quality_classifier(
         docs,
         target_pred=F.col("source") == "src0",
@@ -2223,7 +2223,7 @@ def q_quality_classifier_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROZEN_WEIGHTS,
     )
 
-    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     model = QualityModel(
         np.array(FROZEN_WEIGHTS, dtype=np.float64),
         FROZEN_INTERCEPT,
@@ -2302,7 +2302,7 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from aiotcvectordb_spark import pipelines
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     # shared kernels (pipelines.doc_term_freqs / lm_bits): the
     # streaming quality-gate sink scores with the SAME code, so batch
     # and ingest agree by construction
@@ -2389,7 +2389,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (bounded, corpus-derived) bigram and prefix tables, then one
     per-doc aggregation. Ranks fluent repeated phrasing above random
     token soup in a way unigram statistics can't."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     # tokens materialized once per row (lambda bodies re-evaluate their
     # subtree per element — see q_minhash_signatures)
     toked = df.select(

@@ -70,6 +70,31 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+# Widened-handle cache (r12 optimization, guide §1.2 fixed costs):
+# ``ensure_min_partitions`` probes ``df.rdd.getNumPartitions()``, and
+# that plan→RDD conversion costs ~60-100 ms of DRIVER time per call —
+# a fixed tax paid by nearly every registry query (69 call sites), so
+# across a 170-query × 3-pass bench it summed to tens of seconds of
+# pure plan-building. The widened handle for an immutable base table
+# is itself immutable, so cache it beside the resolved scan. This
+# memoizes a PLAN handle only (like _LOAD_CACHE) — never data or
+# results; call sites that widen FILTERED frames keep probing.
+_WIDE_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
+
+
+def load_wide(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, sf_dir, table)
+    hit = _WIDE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _WIDE_CACHE if k[:2] != key[:2]]:
+        del _WIDE_CACHE[k]
+    df = ensure_min_partitions(load(spark, sf_dir, table))
+    _WIDE_CACHE[key] = df
+    return df
+
+
 def qvec(seed: float, dim: int = DIM) -> list[float]:
     """Deterministic query vector, rounded so the Spark literal and the
     SQL literal are the identical doubles."""
@@ -190,6 +215,7 @@ __all__ = [
     "_INCR_SPLIT",
     "_LOAD_CACHE",
     "load",
+    "load_wide",
     "qvec",
     "_sql_vec",
     "_sql_queries_cte",

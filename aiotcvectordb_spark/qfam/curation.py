@@ -72,7 +72,7 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_shingles,
     )
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     # shared shingle kernel (r10): one implementation across the batch
     # queries, the incremental query, and the streaming sink
     shingled = token_shingles(df, DECONTAM_SHINGLE_N)
@@ -141,7 +141,7 @@ def q_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_shingles,
     )
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     # shared shingle kernel (r10): one implementation across the batch
     # queries, the incremental query, and the streaming sink
     shingled = token_shingles(df, DECONTAM_SHINGLE_N)
@@ -234,7 +234,7 @@ def q_incremental_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> Da
         token_shingles,
     )
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     mx = df.agg(F.max("doc_id")).first()[0]  # bounded: ONE scalar
     if mx is None:
         # empty documents table: match the oracle's empty frame instead
@@ -365,7 +365,7 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ``substring_dedup_hashed``. Every document gets an explicit
     decision row (docs shorter than 8 words report n_grams = 0 and a
     NULL novelty, not silence)."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     grams = (
         _word_ngrams(df, _SUBSTR_DEDUP_N).select("doc_id", "gram").distinct()
     )
@@ -443,7 +443,7 @@ def q_incremental_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition stays oracle-checkable (the
     incremental_substring_dedup precedent). Every batch doc gets an
     explicit decision row."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     mx = df.agg(F.max("doc_id")).first()[0]  # bounded: ONE scalar
     if mx is None:
         # empty documents table: match the oracle's empty frame instead
@@ -559,7 +559,7 @@ def _mix_select(spark: SparkSession, sf_dir: str,
     """Shared salted token-budget selection body of ``dataset_mix``
     and ``dataset_mix_temp`` — identical plan, parameterized only by
     the per-language weight map."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
     toks = df.select(
@@ -696,7 +696,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded shuffle on a key that partitions with the data — no
     pairwise doc comparison anywhere, the shape that survives 100 TB."""
     n = _SUBSTR_DEDUP_N
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
     grams = _word_ngrams(df, n)
@@ -780,7 +780,7 @@ def q_substring_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-exact query is pinned in
     tests/test_dedup_text_relational.py instead."""
     n = _SUBSTR_DEDUP_N
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
     grams = _word_ngrams(df, n).select(
@@ -824,7 +824,7 @@ def q_substring_dedup_hashed_portable(spark: SparkSession, sf_dir: str) -> DataF
     from aiotcvectordb_spark import pipelines as P
 
     n = _SUBSTR_DEDUP_N
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
     pair = P.gram_hash_pair("portable")
@@ -913,7 +913,7 @@ def _cjk_routed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     route itself is the same expression both engines compute."""
     from aiotcvectordb_spark import pipelines
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
     cjkified = F.translate(F.col("text"), _CJK_SRC + " ", _CJK_DST)
@@ -1341,7 +1341,7 @@ def q_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus grams, one batch gram count, one equi-join — the corpus is
     never joined against itself."""
     n = _SUBSTR_DEDUP_N
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
     batch = df.filter(F.col("doc_id") % 10 == 0)
@@ -1453,7 +1453,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles total, linear in corpus size; the boilerplate side is
     count-thresholded so it stays tiny relative to the corpus at any
     scale."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
     pages = _boiler_pages(df)
@@ -1538,7 +1538,7 @@ def q_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is recomputed from the table so the composition stays
     oracle-checkable, exactly the incremental_substring_dedup
     precedent."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
     batch_pages = _boiler_pages(df.filter(F.col("doc_id") % 10 == 0))
@@ -1689,7 +1689,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen the single-row-group scan BEFORE the embarrassingly-parallel
     # shingle+minhash stage — without this the whole clean/hash chain
     # runs on one core (measured 6.7s -> ~2s at sf0.1 on local[32])
-    cur = P.curate(ensure_min_partitions(load(spark, sf_dir, "documents")))
+    cur = P.curate(load_wide(spark, sf_dir, "documents"))
     return cur.groupBy("split", "keep").agg(F.count("*").alias("n_docs"))
 
 
@@ -1807,7 +1807,7 @@ def q_curate_corpus_v2(
         q_gopher_quality_filter,
     )
 
-    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     gop = q_gopher_quality_filter(spark, sf_dir)
     c4 = q_c4_quality_filter(spark, sf_dir).select(
         "doc_id", "ok_no_lorem", "ok_no_brace"
@@ -2174,7 +2174,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, one doc-keyed entropy fold with map-side partials —
     keyed shuffles only. The float sum is order-insensitive at
     ROUND_DIGITS (the unigram_logprob precedent)."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     toks = df.select(
         "doc_id",
         F.explode_outer(sparse_fn.bm25_tokens_col("text")).alias("tok"),

@@ -21,7 +21,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip, and determinism are asserted in tests/test_bpe.py."""
     from aiotcvectordb_spark.operators import bpe
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     merges = bpe.bpe_train(df, num_merges=48, batch_merges=16)
     return bpe.bpe_encode(df, merges).select("doc_id", "n_tokens")
 
@@ -69,7 +69,7 @@ def q_bpe_token_count_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(distinct words x merges), not O(corpus)."""
     from aiotcvectordb_spark.operators import bpe
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     return bpe.bpe_encode(df, _BPE_FROZEN_MERGES).select(
         "doc_id", "n_tokens"
     )
@@ -137,7 +137,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles. Rows-only driver check; accuracy-vs-exact tolerances
     asserted in pytest (sketch internals are engine-specific, so no
     cross-engine hash can exist)."""
-    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    events = load_wide(spark, sf_dir, "events")
     per_type = events.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("users_sketch"),
         F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
@@ -265,7 +265,7 @@ def q_audio_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp3 = payload_table(
         spark, sf_dir, "mp3_mixed", 1,
         lambda: M3.with_mp3_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            load_wide(spark, sf_dir, "documents"),
             mix_layer1=True,
         ),
     )
@@ -298,7 +298,7 @@ def q_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp3 = payload_table(
         spark, sf_dir, "mp3_mixed_varied", 1,
         lambda: M3.with_mp3_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            load_wide(spark, sf_dir, "documents"),
             mix_layer1=True, vary_geometry=True,
         ),
     )
@@ -341,7 +341,7 @@ def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = payload_table(
         spark, sf_dir, "jpeg_prog_varied", 1,
         lambda: multimodal.with_jpeg_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            load_wide(spark, sf_dir, "documents"),
             progressive=True, vary_width=True,
         ),
     )
@@ -389,7 +389,7 @@ def q_audio_adpcm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav = payload_table(
         spark, sf_dir, "wav_adpcm", 1,
         lambda: MM.with_wav_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            load_wide(spark, sf_dir, "documents"),
             n_samples=None, codec="adpcm",
         ),
     )
@@ -439,7 +439,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdfs = payload_table(
         spark, sf_dir, "pdf", 1,
         lambda: pdfcodec.with_pdf_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+            load_wide(spark, sf_dir, "documents").filter(
                 F.length("text") > 0
             ),
             lines_per_page=_PDF_LINES_PER_PAGE, mix_modes=True,
@@ -489,7 +489,7 @@ def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = payload_table(
         spark, sf_dir, "doc", 1,
         lambda: cfbdoc.with_doc_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+            load_wide(spark, sf_dir, "documents").filter(
                 F.length("text") > 0
             )
         ),
@@ -534,7 +534,7 @@ def q_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aiotcvectordb_spark.operators import olebin
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
 
@@ -596,7 +596,7 @@ def q_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aiotcvectordb_spark.operators import olebin
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
 
@@ -657,7 +657,7 @@ def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aiotcvectordb_spark.operators import officeparse, olebin
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
 
@@ -751,7 +751,7 @@ def q_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aiotcvectordb_spark.operators import officeparse, olebin
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
 
@@ -809,7 +809,7 @@ def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aiotcvectordb_spark.operators import officeparse, olebin
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
 
@@ -871,7 +871,7 @@ def q_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle-free mapInPandas both ways."""
     from aiotcvectordb_spark.operators import olebin, rtfepub
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
 
@@ -926,7 +926,7 @@ def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas both ways."""
     from aiotcvectordb_spark.operators import olebin, rtfepub
 
-    df = ensure_min_partitions(load(spark, sf_dir, "documents")).filter(
+    df = load_wide(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
 

@@ -247,7 +247,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs over quality scores. Exact `percentile` matches
     DuckDB's quantile_cont bit-for-bit after rounding; at 100 TB swap in
     approx_percentile (t-digest) and verify by tolerance instead."""
-    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    events = load_wide(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
         .agg(
@@ -338,7 +338,7 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch mode for the oracle check."""
     from aiotcvectordb_spark.streaming.sink import windowed_event_counts
 
-    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    events = load_wide(spark, sf_dir, "events")
     return windowed_event_counts(events, window="1 hour")
 
 
@@ -384,7 +384,7 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     into its 4 window starts. Same one-shuffle partial-agg shape as the
     tumbling variant — the 4x row amplification happens inside the
     window expression, before map-side combine."""
-    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    events = load_wide(spark, sf_dir, "events")
     with_ts = events.withColumn(
         "__event_time", F.expr("cast(ts div 1000000000 as timestamp)")
     )
@@ -420,7 +420,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # microsecond precision on both sides: DuckDB TIMESTAMP is micros,
     # so full-nanos values could never hash-match the oracle
-    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    events = load_wide(spark, sf_dir, "events")
     left = events.filter("event_type = 'purchase'").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
@@ -466,7 +466,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest)."""
     from aiotcvectordb_spark.streaming.joins import purchases_with_recent_clicks
 
-    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    events = load_wide(spark, sf_dir, "events")
     return purchases_with_recent_clicks(
         events.filter("event_type = 'purchase'"),
         events.filter("event_type = 'click'"),
@@ -494,7 +494,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence via native session_window is proven in pytest."""
     from aiotcvectordb_spark.streaming.session import sessionize_batch
 
-    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    events = load_wide(spark, sf_dir, "events")
     return sessionize_batch(events, gap="30 minutes")
 
 
@@ -511,7 +511,7 @@ def q_sessionize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_sessionize_udtf(spark)
-    events = ensure_min_partitions(load(spark, sf_dir, "events"))
+    events = load_wide(spark, sf_dir, "events")
     events.selectExpr(
         "user_id",
         "event_id",
@@ -651,7 +651,7 @@ def q_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     jp = payload_table(
         spark, sf_dir, "jpeg_base", 1,
         lambda: MM.with_jpeg_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            load_wide(spark, sf_dir, "documents"),
             text_col="text",
         ),
     )
@@ -676,7 +676,7 @@ def q_jpeg_progressive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     jp = payload_table(
         spark, sf_dir, "jpeg_prog", 1,
         lambda: MM.with_jpeg_payload(
-            ensure_min_partitions(load(spark, sf_dir, "documents")),
+            load_wide(spark, sf_dir, "documents"),
             text_col="text", progressive=True,
         ),
     )

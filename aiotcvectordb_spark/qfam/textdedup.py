@@ -298,7 +298,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves the dominant cost vs hashing ``s || '#j'`` 4 times — and the
     windowed extraction is a cheap fixed-width substring on a 32-char
     string. Docs need >= 3 tokens."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     # Materialize the token array FIRST (one evaluation per row):
     # higher-order lambdas are CodegenFallback and re-evaluate their
     # whole subtree per element, so an inline tokenizer inside the
@@ -470,7 +470,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, equi-join on token, count intersections, Jaccard filter.
     (The MinHash op above is the approximation of exactly this; at 100 TB
     you run minhash-LSH first and verify candidates with this.)"""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     toks = df.select(
         "doc_id",
         F.array_distinct(sparse_fn.bm25_tokens_col("text")).alias("ts"),
@@ -1667,7 +1667,7 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     footprint at scale. Bit j of the fingerprint is then
     `2*c_j > T` (T = total tf), integer-identical to `sign(sum(+-tf))`
     in the 60-sum formulation the DuckDB oracle still uses."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     # Aggregate to (doc, token, tf) FIRST: tokens repeat ~2.3x within
     # docs, so hashing distinct terms (not occurrences) cuts the md5
     # string work and the conditional sum input by that factor.
@@ -1849,7 +1849,7 @@ _HYBRID_WEIGHTS = (0.7, 0.3)
 def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 32 WeightedRerank: per-leg min-max normalization over the
     fetched top-40, then weighted sum (reference stub.py:759)."""
-    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     base = docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id", "text", "embedding"
@@ -1930,7 +1930,7 @@ def q_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     expand_chunk): split every document into {_CHUNK_TOKENS}-token
     chunks, mark chunks containing the probe token as hits, and return
     each hit expanded with its +-1 neighboring chunks."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     # tokens materialized once per row (lambda bodies re-evaluate their
     # subtree per element — see q_minhash_signatures)
     toked = df.select(

@@ -383,7 +383,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle: the sketch's boundary ties are engine-specific; the
     pytest asserts every reported count equals the exact count and the
     cutoff dominates the exact 20th count."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     toks = df.select(
         F.explode_outer(sparse_fn.bm25_tokens_col("text")).alias("token")
     ).filter(F.col("token").isNotNull())  # r12: outer generate + NULL filter — no inferred size-filter re-tokenizing serially below the exchange (see pipelines.token_shingles)

@@ -563,7 +563,7 @@ _SPARSE_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 def sparse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SPARSE_INDEX_CACHE:
-        df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+        df = load_wide(spark, sf_dir, "documents")
         postings, _ = sparse_fn.build_postings(df, id_col="doc_id", text_col="text")
         _SPARSE_INDEX_CACHE[key] = postings.persist()
     return _SPARSE_INDEX_CACHE[key]
@@ -571,7 +571,7 @@ def sparse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 33: BM25 full-text search, top-10."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     return fulltext.fulltext_search_df(
         df,
         _FT_QUERY,
@@ -677,7 +677,7 @@ def q_fulltext_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the right plan when the phrase is ad hoc and the corpus is
     fresh.) Deterministic (phrase_count DESC, doc_id ASC) ranking."""
     cnt = _phrase_count_col(sparse_fn._TOKENS_FOR_QUERY(_PHRASE_QUERY))
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     hits = (
         df.select("doc_id", cnt.alias("phrase_count"))
         .filter("phrase_count > 0")
@@ -827,7 +827,7 @@ _HYBRID_VEC = [qvec(3.5)]
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 32: dense + sparse legs fused with RRF(k=60), top-10."""
-    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     base = docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id", "text", "embedding"
@@ -888,7 +888,7 @@ FROM fused QUALIFY rank <= 10 ORDER BY rank
 def q_sparse_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 34: BM25 sparse-vector encoding — per-doc term count and weight
     mass of the encoded sparse_vector."""
-    df = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    df = load_wide(spark, sf_dir, "documents")
     postings, _ = sparse_fn.build_postings(df, id_col="doc_id", text_col="text")
     return (
         postings.groupBy("doc_id")

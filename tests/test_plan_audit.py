@@ -462,7 +462,12 @@ def test_round9_ops_shuffle_budgets(spark, sf_dir):
     budgets = {
         "gram_novelty": 6,
         "incremental_gram_novelty": 8,
-        "ann_sq8_cosine": 1,
+        # r12: one shared-dequant candidate scan for the whole query
+        # batch replaced Q TakeOrdered scans — the per-query top-50 now
+        # rides a narrow (query_idx, vec_id, score) rank window, so the
+        # plan gains one bounded exchange and loses a full parquet scan
+        # (3 -> 2 scans; isolated 4.61 -> 2.60 s)
+        "ann_sq8_cosine": 2,
         "stratified_sample_hash": 0,
         "mmr_rerank": 2,
     }
