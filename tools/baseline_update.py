@@ -88,6 +88,29 @@ RATIO_NOTES: dict[str, str] = {
         "window-prune: the row-preserving EWMA fold column is "
         "unreferenced under count(); sub-0.6 s absolute"
     ),
+    # r12 optimization round: rows whose noop-vs-count gap WIDENED
+    # because the noop-side work got cheaper structure (map-only /
+    # per-doc array kernels) while count() prunes it entirely
+    "winnow_fingerprint": (
+        "projection-prune: the per-doc winnowing fingerprint is now a "
+        "row-preserving array-ops projection (r12 fold) that count() "
+        "never evaluates; noop pays the k-gram+window work"
+    ),
+    "profile_table": (
+        "aggregate-prune: the r12 per-column aggregate legs degrade "
+        "to metadata-only parquet counts under count() (a global "
+        "aggregate's row count needs no agg expressions); noop pays "
+        "all 16 column profiles"
+    ),
+    "decontaminate_fraction": (
+        "join-elim: the row-preserving contaminated-fraction left "
+        "join onto the doc spine prunes under count(); noop pays the "
+        "shingle-overlap scoring"
+    ),
+    "embedding_pca_fixed": (
+        "projection-prune: the fixed-basis projection matmul is a "
+        "map-only column count() never evaluates; sub-0.5 s absolute"
+    ),
     # r12: first standing rows for the newly-headlined queries
     "lang_id": (
         "projection-prune: the per-language stopword-hit filter "
