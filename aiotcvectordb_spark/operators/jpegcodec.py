@@ -192,7 +192,13 @@ class _HuffTable(dict):
             if length <= 8:
                 lo = code << (8 - length)
                 for i in range(lo, lo + (1 << (8 - length))):
-                    lut[i] = (sym, length)
+                    # r13 (advisor): first (shortest) code wins — on a
+                    # malformed non-prefix-free table the lazy walk
+                    # resolves the SHORTEST matching code, so a longer
+                    # code must not overwrite its slots (items arrive
+                    # in canonical ascending-length order)
+                    if lut[i] is None:
+                        lut[i] = (sym, length)
         self.lut = lut
 
 
@@ -651,7 +657,14 @@ class _BitReader:
         IndexErrors stay exclusively in ``_fill``, triggered at exactly
         the read that needs them, so decode behavior is byte-for-byte
         the lazy reader's; this only batches the per-byte Python work
-        for the common all-data stretches of a scan."""
+        for the common all-data stretches of a scan.
+
+        Post-error reader state is UNSPECIFIED (advisor r12): after a
+        truncation/marker error, prefetched bits stay buffered and
+        ``read_bits`` raises before consuming where the old lazy reader
+        consumed partial bits first — the reader must not be reused
+        after an exception (decode_jpeg's single except aborts the
+        whole decode, so this is unobservable today)."""
         d = self.data
         pos = self.pos
         acc = self.acc
@@ -747,6 +760,16 @@ def _extend(bits: int, ssss: int) -> int:
     if bits < (1 << (ssss - 1)):
         return bits - (1 << ssss) + 1
     return bits
+
+
+def _read_bit_array(br: _BitReader, n: int) -> np.ndarray:
+    """n consecutive bits as a 0/1 uint8 array, MSB-first — exactly the
+    values n ``read_bit`` calls would return, consumed through the same
+    ``read_bits`` fill machinery (marker 1-padding, stuffing, EOF)."""
+    v = br.read_bits(n)
+    pad = (-n) % 8
+    raw = (v << pad).to_bytes((n + pad) >> 3, "big")
+    return np.unpackbits(np.frombuffer(raw, dtype=np.uint8))[:n]
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -1124,6 +1147,27 @@ def _progressive_scan(
             comp_h = -(-(frame["h"] * cv_) // vmax)
             comp_bw = -(-comp_w // 8)
             comp_bh = -(-comp_h // 8)
+            if ah != 0 and restart_interval == 0 and comp_bh * comp_bw:
+                # r13 (guide §4.2): a DC refinement scan is ONE bit per
+                # block in raster order with no Huffman symbols between
+                # them, so without restart markers the whole scan is a
+                # single consecutive bit run — bulk-read it and OR the
+                # 1-bits vectorized. Same bits in the same order
+                # (_read_bit_array shares the fill machinery, so marker
+                # padding / stuffing / EOF behave as in the per-bit
+                # loop).
+                bits = _read_bit_array(br, comp_bh * comp_bw)
+                r = np.arange(comp_bh)[:, None]
+                c_ = np.arange(comp_bw)[None, :]
+                idx = (
+                    ((r // cv_) * mcux + (c_ // ch_)) * cv_ * ch_
+                    + (r % cv_) * ch_
+                    + (c_ % ch_)
+                ).ravel()
+                on = idx[bits == 1]
+                zz[on, 0] |= np.int32(1 << al)
+                br.align_to_marker()
+                return br.pos
             pred = 0
             cnt = 0
             for r in range(comp_bh):
@@ -1150,6 +1194,22 @@ def _progressive_scan(
                     cnt += 1
             if ah == 0:
                 scanned_comps.add(ci)
+        elif ah != 0 and restart_interval == 0 and mcux * mcuy:
+            # r13: interleaved DC refinement — one bit per block in MCU
+            # order, each component's own blocks in sequential blk_idx
+            # order, all bits consecutive when no restart markers split
+            # the run. Bulk-read and scatter per component.
+            reps = [comp["v"] * comp["h"] for comp, _, _ in scan]
+            cis = [comp_pos[id(comp)] for comp, _, _ in scan]
+            per_mcu = np.concatenate(
+                [np.full(rp, ci, dtype=np.int32) for ci, rp in zip(cis, reps)]
+            )
+            order = np.tile(per_mcu, mcux * mcuy)
+            bits = _read_bit_array(br, order.size)
+            for ci in cis:
+                cb = bits[order == ci]
+                on = np.flatnonzero(cb)
+                zz_store[ci][on, 0] |= np.int32(1 << al)
         else:
             preds = [0] * len(scan)
             blk_idx = [0] * len(frame["comps"])
@@ -1207,8 +1267,26 @@ def _progressive_scan(
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
     cnt = 0
-    for r in range(comp_bh):
-        for c_ in range(comp_bw):
+    band_nz = None
+    if ah != 0:
+        # r13: scan-start "any nonzero in the band" flag per block, one
+        # vectorized pass. Valid wherever the EOB-region reads consult
+        # it: this scan's writes land strictly left of the current k
+        # (inserts advance k past themselves; corrections keep nonzero
+        # coefficients nonzero), so a block whose band was all-zero at
+        # scan start still has an all-zero tail [k..se] — the EOB
+        # region can skip it without the per-block flatnonzero.
+        band_nz = (zz[:, ss : se + 1] != 0).any(axis=1)
+    # r13: the raster→store index map is a pure function of the scan
+    # geometry — compute it once instead of three divmods per block
+    _r = np.arange(comp_bh)[:, None]
+    _c = np.arange(comp_bw)[None, :]
+    idx_list = (
+        ((_r // cv_) * mcux + (_c // ch_)) * cv_ * ch_
+        + (_r % cv_) * ch_
+        + (_c % ch_)
+    ).ravel().tolist()
+    for idx in idx_list:
             if restart_interval and cnt and cnt % restart_interval == 0:
                 m = br.align_to_marker()
                 if m is not None and 0xD0 <= m <= 0xD7:
@@ -1216,11 +1294,6 @@ def _progressive_scan(
                     eobrun = 0
                 else:
                     raise ValueError("expected restart marker")
-            idx = (
-                ((r // cv_) * mcux + (c_ // ch_)) * cv_ * ch_
-                + (r % cv_) * ch_
-                + (c_ % ch_)
-            )
             row = zz[idx]
             cnt += 1
             if ah == 0:  # AC first scan
@@ -1279,13 +1352,25 @@ def _progressive_scan(
                         k += 1
                 if eobrun > 0:
                     # EOB region: correction bits only, for the rest of
-                    # the band (vectorized nonzero scan — all-zero
-                    # bands, the sparse-image common case, cost one
-                    # numpy call instead of a 63-step Python loop)
-                    for j in np.flatnonzero(row[k : se + 1]):
-                        kk = k + int(j)
-                        if br.read_bit() and (row[kk] & p1) == 0:
-                            row[kk] += p1 if row[kk] > 0 else m1
+                    # the band. band_nz skips blocks whose band was
+                    # all-zero at scan start (this scan's writes land
+                    # strictly left of k, so the tail is still zero) —
+                    # the sparse-image common case costs one array
+                    # index. Blocks WITH history read all their
+                    # correction bits in one bulk read: they are
+                    # consecutive in the stream, no symbols between.
+                    if not band_nz[idx]:
+                        eobrun -= 1
+                        continue
+                    rel = np.flatnonzero(row[k : se + 1])
+                    if rel.size:
+                        bits = _read_bit_array(br, rel.size)
+                        kk = k + rel
+                        vals = row[kk]
+                        sel = kk[(bits == 1) & ((vals & p1) == 0)]
+                        if sel.size:
+                            vs = row[sel]
+                            row[sel] = vs + np.where(vs > 0, p1, m1)
                     eobrun -= 1
     br.align_to_marker()
     return br.pos
@@ -1295,9 +1380,14 @@ def _idct_blocks(coef: np.ndarray) -> np.ndarray:
     """(n, 8, 8) batched IDCT as two reshaped GEMMs (tensordot) —
     out[n,i,l] = Σ_j C[j,i] (Σ_k coef[n,j,k] C[k,l]), the same nested
     contraction the previous einsum spelled, ~18x faster at the real
-    chunk sizes because tensordot dispatches to BLAS. uint8 pixels are
-    identical (round+clip sits 1e-13 above any representable drift;
-    DC-only fixture blocks are single-term sums, exact in any order)."""
+    chunk sizes because tensordot dispatches to BLAS. uint8 pixels
+    matched the einsum bit-for-bit on every tested stream; measured
+    tensordot-vs-einsum drift on dense random blocks reaches ~3.4e-13
+    (advisor r12), so a coefficient landing that close to a .5 round
+    boundary could flip a pixel LSB on a different BLAS build — pin
+    pixel values through the same-decoder-both-sides path, never
+    bit-exact across builds (DC-only fixture blocks are single-term
+    sums, exact in any order, and are oracle-safe)."""
     t = np.tensordot(coef, _C, axes=([2], [0]))  # (n, j, l)
     out = np.tensordot(t, _C, axes=([1], [0]))  # (n, l, i)
     return out.transpose(0, 2, 1)

@@ -124,14 +124,13 @@ class _BitWriter:
         return len(self.bits)
 
     def to_bytes(self) -> bytes:
-        bits = self.bits + [0] * (-len(self.bits) % 8)
-        out = bytearray()
-        for i in range(0, len(bits), 8):
-            v = 0
-            for b in bits[i : i + 8]:
-                v = (v << 1) | b
-            out.append(v)
-        return bytes(out)
+        # r13: np.packbits is the same MSB-first zero-padded packing
+        # the per-byte loop spelled
+        if not self.bits:
+            return b""
+        return np.packbits(
+            np.asarray(self.bits, dtype=np.uint8)
+        ).tobytes()
 
 
 class _BitReader:
@@ -514,11 +513,15 @@ def _alias_reduce(xr: np.ndarray, inverse: bool = False) -> np.ndarray:
     rotation (encoder direction) — the butterflies are orthonormal."""
     x = xr.reshape(32, 18).copy()
     cs, ca = _ALIAS_CS, (-_ALIAS_CA if inverse else _ALIAS_CA)
-    for sb in range(1, 32):
-        lo = x[sb - 1, 18 - 8 :][::-1].copy()  # last 8, mirrored
-        hi = x[sb, :8].copy()
-        x[sb - 1, 18 - 8 :] = (cs * lo - ca * hi)[::-1]
-        x[sb, :8] = ca * lo + cs * hi
+    # r13: all 31 boundaries at once — butterfly sb writes row sb-1's
+    # tail and row sb's head, disjoint from every other boundary's
+    # writes, and each read is of pre-loop values (the sequential loop
+    # never read a slot an earlier iteration wrote), so the batched
+    # form is the same elementwise multiply-adds bit-for-bit.
+    lo = x[:-1, 18 - 8 :][:, ::-1].copy()  # (31, 8) tails, mirrored
+    hi = x[1:, :8].copy()
+    x[:-1, 18 - 8 :] = (cs * lo - ca * hi)[:, ::-1]
+    x[1:, :8] = ca * lo + cs * hi
     return x.reshape(576)
 
 
@@ -549,22 +552,70 @@ def _decode_big_values(br: _BitReader, g: dict, end_bit: int) -> np.ndarray:
         )
     n_lines = min(2 * g["big_values"], 576)
     i = 0
+    # r13 (guide §4.2, the r12 bulk-read treatment continued): serve
+    # the whole part2_3 region from ONE int.from_bytes window instead
+    # of a _BitReader call per bit. Same bits in the same order; the
+    # truncation trigger is preserved exactly — a read raises iff it
+    # would cross 8*len(data), just like _BitReader.read.
+    data = br.data
+    total = len(data) * 8
+    pos = br.pos
+    _lo = pos >> 3
+    _hi = min((max(end_bit, pos) + 7) >> 3, len(data))
+    win = int.from_bytes(data[_lo:_hi], "big")
+    wend = _hi * 8  # absolute bit index one past the window
+    trunc_msg = "truncated MP3 frame: bit reader ran off the payload"
     while i < n_lines:
         # all regions use codebook 0/1 here; codebook 0 emits no bits
         # and decodes to zero pairs — treat any region table 0 as zeros
         # only when no bits remain, else decode with table 1
-        if br.pos >= end_bit:
+        if pos >= end_bit:
             break
-        code = ""
-        while code not in _HUFF1_DEC:
-            if br.pos >= end_bit or len(code) > 3:
+        # codebook 1's four codes hardcoded as a 3-deep bit walk
+        # ("1"->(0,0), "01"->(1,0), "001"->(0,1), "000"->(1,1), the
+        # _HUFF1_ENC table): same bit consumption and the same error
+        # sites as the generic walk (every 3-bit suffix is a valid
+        # code, so its len>3 branch was unreachable)
+        if pos >= total:
+            raise ValueError(trunc_msg)
+        if (win >> (wend - pos - 1)) & 1:
+            pos += 1
+            x, y = 0, 0
+        else:
+            pos += 1
+            if pos >= end_bit:
                 raise ValueError("invalid Huffman code in big_values region")
-            code += "1" if br.read_bit() else "0"
-        x, y = _HUFF1_DEC[code]
-        if x and br.pos < end_bit:
-            x = -x if br.read_bit() else x
-        if y and br.pos < end_bit:
-            y = -y if br.read_bit() else y
+            if pos >= total:
+                raise ValueError(trunc_msg)
+            if (win >> (wend - pos - 1)) & 1:
+                pos += 1
+                x, y = 1, 0
+            else:
+                pos += 1
+                if pos >= end_bit:
+                    raise ValueError(
+                        "invalid Huffman code in big_values region"
+                    )
+                if pos >= total:
+                    raise ValueError(trunc_msg)
+                if (win >> (wend - pos - 1)) & 1:
+                    pos += 1
+                    x, y = 0, 1
+                else:
+                    pos += 1
+                    x, y = 1, 1
+        if x and pos < end_bit:
+            if pos >= total:
+                raise ValueError(trunc_msg)
+            if (win >> (wend - pos - 1)) & 1:
+                x = -x
+            pos += 1
+        if y and pos < end_bit:
+            if pos >= total:
+                raise ValueError(trunc_msg)
+            if (win >> (wend - pos - 1)) & 1:
+                y = -y
+            pos += 1
         ix[i], ix[i + 1] = x, y
         i += 2
     # count1 region (r5): quadruples of {0, ±1} lines after big_values
@@ -572,19 +623,27 @@ def _decode_big_values(br: _BitReader, g: dict, end_bit: int) -> np.ndarray:
     # fixed codebook (4-bit one's complement of the magnitude quad);
     # table A's variable-length codes are spec numerics we do not
     # reproduce — honest rejection when bits remain under select=0.
-    if br.pos + 4 <= end_bit and g["count1table_select"] == 0:
+    if pos + 4 <= end_bit and g["count1table_select"] == 0:
         raise ValueError(
             "count1 codebook A not implemented: only the fixed 4-bit "
             "codebook B is available in this environment"
         )
-    while br.pos + 4 <= end_bit and i + 4 <= 576:
-        quad = (~br.read(4)) & 0xF
+    while pos + 4 <= end_bit and i + 4 <= 576:
+        if pos + 4 > total:
+            raise ValueError(trunc_msg)
+        quad = (~(win >> (wend - pos - 4))) & 0xF
+        pos += 4
         for k in range(4):
             v = (quad >> (3 - k)) & 1
-            if v and br.pos < end_bit:
-                v = -v if br.read_bit() else v
+            if v and pos < end_bit:
+                if pos >= total:
+                    raise ValueError(trunc_msg)
+                if (win >> (wend - pos - 1)) & 1:
+                    v = -v
+                pos += 1
             ix[i + k] = v
         i += 4
+    br.pos = pos
     return ix
 
 
@@ -939,11 +998,32 @@ def _decode_layer1(data: bytes) -> tuple[np.ndarray, int]:
         nch = h["channels"]
         sample_rate = h["sample_rate"]
         body = data[i + 4 + (2 if h["crc"] else 0) : i + h["frame_len"]]
-        br = _BitReader(body)
+        # r13 (guide §4.2): the frame body is fixed-width fields, so
+        # serve every read from ONE int.from_bytes window (shift/mask
+        # per field instead of a _BitReader call), and requantize all
+        # 12x32 samples with elementwise numpy — the same ops in the
+        # same per-element order as the scalar loop, so bit-identical.
+        # Truncation semantics preserved: a field crossing the body
+        # end raises the same ValueError _BitReader.read raised.
+        total = len(body) * 8
+        big = int.from_bytes(body, "big")
+        pos = 0
+
+        def rd(n: int) -> int:
+            nonlocal pos
+            end = pos + n
+            if end > total:
+                raise ValueError(
+                    "truncated MP3 frame: bit reader ran off the payload"
+                )
+            v = (big >> (total - end)) & ((1 << n) - 1)
+            pos = end
+            return v
+
         alloc = [[0] * 32 for _ in range(nch)]
         for sb in range(32):
             for ch in range(nch):
-                a = br.read(4)
+                a = rd(4)
                 if a == 15:
                     raise ValueError(
                         "forbidden Layer I allocation code 15"
@@ -953,23 +1033,51 @@ def _decode_layer1(data: bytes) -> tuple[np.ndarray, int]:
         for sb in range(32):
             for ch in range(nch):
                 if alloc[ch][sb]:
-                    idx = br.read(6)
+                    idx = rd(6)
                     if idx > 62:
                         raise ValueError("forbidden Layer I scalefactor 63")
                     scf[ch][sb] = float(_L1_SF[idx])
+        # the (sb, ch) fields with a nonzero allocation, in stream order
+        fields = [
+            (sb, ch)
+            for sb in range(32)
+            for ch in range(nch)
+            if alloc[ch][sb]
+        ]
+        nf = len(fields)
+        widths = [alloc[ch][sb] for sb, ch in fields]
+        W = sum(widths)
+        if pos + 12 * W > total:
+            # the first crossing field read would have raised this
+            raise ValueError(
+                "truncated MP3 frame: bit reader ran off the payload"
+            )
+        codes = np.zeros((12, nf))
+        if nf:
+            # all 12*nf sample fields as one unpackbits gather — the
+            # same MSB-first fields the per-read loop extracted
+            bits = np.unpackbits(
+                np.frombuffer(body, dtype=np.uint8)
+            )[pos : pos + 12 * W].reshape(12, W).astype(np.int64)
+            off = 0
+            for j, w in enumerate(widths):
+                weights = 1 << np.arange(w - 1, -1, -1)
+                codes[:, j] = bits[:, off : off + w] @ weights
+                off += w
+            pos += 12 * W
         sb_samples = np.zeros((12, 32, nch))
-        for s in range(12):
-            for sb in range(32):
-                for ch in range(nch):
-                    nb = alloc[ch][sb]
-                    if nb == 0:
-                        continue
-                    code = br.read(nb)
-                    frac = code * 2.0 ** (1 - nb) - 1.0  # s'''
-                    val = (2.0**nb / (2.0**nb - 1.0)) * (
-                        frac + 2.0 ** (1 - nb)
-                    )  # s''
-                    sb_samples[s, sb, ch] = val * scf[ch][sb]
+        if nf:
+            nb_arr = np.array(
+                [float(alloc[ch][sb]) for sb, ch in fields]
+            )
+            k = 2.0 ** (1.0 - nb_arr)  # code scale / midtread offset
+            m = 2.0**nb_arr / (2.0**nb_arr - 1.0)
+            sfv = np.array([scf[ch][sb] for sb, ch in fields])
+            frac = codes * k - 1.0  # s'''
+            vals = (m * (frac + k)) * sfv  # s'' * scalefactor
+            sb_idx = np.array([sb for sb, _ in fields])
+            ch_idx = np.array([ch for _, ch in fields])
+            sb_samples[:, sb_idx, ch_idx] = vals
         chans = [
             _synth_stateful(sb_samples[:, :, ch], v_state, f"l1v{ch}")
             for ch in range(nch)
@@ -1017,33 +1125,45 @@ def encode_mp1(
         )
     sb = _analysis_filterbank(x)
     out = bytearray()
+    # r13 (guide §4.2): whole-frame numpy quantization — the same
+    # elementwise ops in the same order as the scalar loop (div by sf,
+    # *(2^nb-1), /2^nb, -2^(1-nb), +1, *2^(nb-1), half-even round,
+    # clip), so the emitted codes and therefore the payload BYTES are
+    # identical (asserted old-vs-new in tests). With the fixed 8-bit
+    # allocation the sample section is byte-aligned after the 128+192
+    # bit alloc/scf preamble, so packing is two bigint folds + tobytes.
+    hdr = bytearray(4)
+    hdr[0] = 0xFF
+    hdr[1] = 0xE0 | (3 << 3) | (3 << 1) | 1  # MPEG-1, Layer I, no CRC
+    hdr[2] = (br_idx << 4) | (sr_idx << 2)
+    hdr[3] = 3 << 6  # mono
+    alloc_bytes = bytes([((nb - 1) << 4) | (nb - 1)] * 16)
     for f in range(n_frames):
-        bw = _BitWriter()
-        for _sb in range(32):
-            bw.write(nb - 1, 4)  # allocation code = nb - 1
-        scf_idx = []
         block = sb[f * 12 : (f + 1) * 12]  # (12, 32)
-        for s_ in range(32):
-            peak = np.abs(block[:, s_]).max()
-            idx = 62
-            if peak > 1e-9:
-                # largest idx with sf[idx] >= peak (floor keeps |s''|<1)
-                idx = int(np.clip(np.floor(-3.0 * np.log2(peak / 2.0)), 0, 62))
-            scf_idx.append(idx)
-            bw.write(idx, 6)
-        for s_ in range(12):
-            for sbi in range(32):
-                sf = float(_L1_SF[scf_idx[sbi]])
-                val = block[s_, sbi] / sf  # s'' in (-1, 1)
-                frac = val * (2.0**nb - 1.0) / 2.0**nb - 2.0 ** (1 - nb)
-                code = int(round((frac + 1.0) * 2.0 ** (nb - 1)))
-                bw.write(int(np.clip(code, 0, 2**nb - 1)), nb)
-        hdr = bytearray(4)
-        hdr[0] = 0xFF
-        hdr[1] = 0xE0 | (3 << 3) | (3 << 1) | 1  # MPEG-1, Layer I, no CRC
-        hdr[2] = (br_idx << 4) | (sr_idx << 2)
-        hdr[3] = 3 << 6  # mono
-        body = bytes(hdr) + bw.to_bytes()
+        peak = np.abs(block).max(axis=0)
+        safe = np.where(peak > 1e-9, peak, 1.0)  # mask silent bands
+        idx = np.where(
+            peak > 1e-9,
+            np.clip(
+                np.floor(-3.0 * np.log2(safe / 2.0)), 0, 62
+            ),
+            62.0,
+        ).astype(np.int64)
+        sf = _L1_SF[idx]
+        val = block / sf  # s'' in (-1, 1)
+        frac = val * (2.0**nb - 1.0) / 2.0**nb - 2.0 ** (1 - nb)
+        codes = np.clip(
+            np.rint((frac + 1.0) * 2.0 ** (nb - 1)), 0, 2**nb - 1
+        ).astype(np.uint8)
+        scf_int = 0
+        for v in idx:
+            scf_int = (scf_int << 6) | int(v)
+        body = (
+            bytes(hdr)
+            + alloc_bytes
+            + scf_int.to_bytes(24, "big")
+            + codes.tobytes()
+        )
         body += b"\x00" * (frame_len - len(body))
         out += body[:frame_len]
     return bytes(out)

@@ -46,6 +46,10 @@ _EPHEMERAL_BASE: str | None = None
 
 
 def store_base() -> str:
+    # NOTE (advisor r12): mkdtemp honors TMPDIR, which is commonly
+    # tmpfs (RAM-backed) — at bigger SFs the payload parquet can be
+    # hundreds of MB per process. Point TMPDIR (or
+    # SPARK_GRAFT_PAYLOAD_STORE) at disk when memory is tight.
     env = os.environ.get("SPARK_GRAFT_PAYLOAD_STORE")
     if env:
         return env
@@ -95,7 +99,29 @@ def payload_table(
     for k in [k for k in _HANDLE_CACHE if k[:2] != key[:2]]:
         del _HANDLE_CACHE[k]
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
+        # r13 (advisor): write to a per-process temp dir, then publish
+        # with one atomic rename — under a PINNED store
+        # ($SPARK_GRAFT_PAYLOAD_STORE) shared by parallel test
+        # processes, the old check-then-overwrite sequence could serve
+        # a reader a table mid-overwrite. If another process won the
+        # rename race, trust its published copy and drop ours.
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # rename fails when path exists: either another process
+            # published a complete copy (trust it), or a crashed one
+            # left a torn dir (clear it and retry — the self-heal the
+            # old overwrite provided)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    raise
     df = spark.read.parquet(path)
     df = ensure_min_partitions(df) if min_partitions else df
     _HANDLE_CACHE[key] = df

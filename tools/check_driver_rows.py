@@ -201,6 +201,15 @@ REWRITES: dict[str, int] = {
     "xlsx_extract": 12,
     "rtf_extract": 12,
     "epub_extract": 12,
+    # r13: progressive-scan decode rewritten (bulk DC-refinement /
+    # correction-bit reads, scan-start band flags) — decoded pixels
+    # byte-identical on 95 streams + 896 fuzz variants, but the kernel
+    # materially changed
+    "jpeg_progressive_probe": 13,
+    # r13: Layer I encoder vectorized (whole-frame numpy quantization)
+    # — payload bytes proven identical on 60 varied-geometry docs, but
+    # the fixture builder materially changed
+    "audio_mp3_meta": 13,
 }
 
 
