@@ -114,6 +114,149 @@ def flag_members(
     return batch, dup
 
 
+# ---------------------------------------------------------------------------
+# Spark-plan-exact kernels (r13): the ORACLED fixed-cell lanes
+# (semantic_dedup / incremental_semantic_dedup, and curate_corpus_v2
+# which composes them) replace their in-cell self-joins with these.
+# Unlike flag_members above (the trained/streaming lane: unit-row
+# matmul + np.round), these reproduce the SQL plan's pair decision
+# BIT-FOR-BIT: score = round(seq_dot(a, b) / (nrm_a * nrm_b), 6) with
+# Spark round semantics (HALF_UP on the double's shortest decimal
+# repr), where seq_dot is the left-associated fold the unrolled codegen
+# expression evaluates and nrm is the assignment projection's own norm
+# column. Fast path = one GEMM per chunk; any pair whose scaled score
+# lands within 1e-6 of a rounding tie (covers both the ~1e-14
+# GEMM-vs-sequential drift band and the float-vs-decimal-string gap) is
+# recomputed with the exact sequential fold + Decimal(repr) HALF_UP —
+# so no pair's flag can differ from the join plan it replaces.
+
+_Q6 = None  # lazy Decimal quantum (Decimal import deferred)
+
+
+def _seq_dot_py(a, b) -> float:
+    """The left-associated sequential dot the unrolled SQL spells."""
+    acc = 0.0
+    for i in range(len(a)):
+        acc = acc + float(a[i]) * float(b[i])
+    return acc
+
+
+def _spark_round6(x: float) -> float:
+    """Spark round(x, 6): HALF_UP on the double's shortest decimal
+    repr (BigDecimal.valueOf semantics; Python repr is the same
+    shortest round-trip string)."""
+    global _Q6
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if _Q6 is None:
+        _Q6 = Decimal("0.000001")
+    return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
+
+
+def pair_reaches_exact(
+    Xa: np.ndarray,
+    Xb: np.ndarray,
+    na: np.ndarray,
+    nb: np.ndarray,
+    tau: float,
+) -> np.ndarray:
+    """(len(a), len(b)) bool: round6(cos(a, b)) >= tau, Spark-exact
+    (cos = seq_dot / (nrm_a * nrm_b); zero denominator -> 0.0, the
+    NULLIF/COALESCE contract)."""
+    S = Xa @ Xb.T
+    den = na[:, None] * nb[None, :]
+    C = np.divide(S, den, out=np.zeros_like(S), where=den != 0.0)
+    y = np.abs(C) * 1e6
+    r = np.copysign(np.floor(y + 0.5) / 1e6, C)
+    near = np.abs(y - np.floor(y) - 0.5) < 1e-6
+    if near.any():
+        ia, ib = np.nonzero(near)
+        for a_i, b_i in zip(ia.tolist(), ib.tolist()):
+            d = den[a_i, b_i]
+            c = 0.0 if d == 0.0 else _seq_dot_py(Xa[a_i], Xb[b_i]) / d
+            r[a_i, b_i] = _spark_round6(c)
+    return r >= tau
+
+
+def flag_members_exact(
+    pdf,
+    tau: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spark-plan-exact twin of :func:`flag_members` for the oracled
+    fixed-cell lanes: same keep order (ccos ASC, id ASC) and the same
+    prior semantics (prior=True rows dominate every batch row they
+    reach, regardless of order), but pair scores are the SQL plan's
+    bit-for-bit (see module section comment). Expects the assignment
+    projection's ``ccos`` and ``nrm`` columns in ``pdf``."""
+    has_prior = "prior" in pdf.columns
+    prior = pdf[pdf["prior"]] if has_prior else pdf.iloc[0:0]
+    batch = (pdf[~pdf["prior"]] if has_prior else pdf).sort_values(
+        ["ccos", id_col]
+    ).reset_index(drop=True)
+    m = len(batch)
+    dup = np.zeros(m, dtype=bool)
+    if m == 0:
+        return batch, dup
+    X = np.asarray(list(batch[vec_col]), dtype=np.float64)
+    nb = batch["nrm"].to_numpy(dtype=np.float64)
+    if len(prior):
+        P = np.asarray(list(prior[vec_col]), dtype=np.float64)
+        pn = prior["nrm"].to_numpy(dtype=np.float64)
+        for a in range(0, m, _CHUNK):
+            b = min(a + _CHUNK, m)
+            R = pair_reaches_exact(X[a:b], P, nb[a:b], pn, tau)
+            dup[a:b] |= R.any(axis=1)
+    for a in range(0, m, _CHUNK):
+        b = min(a + _CHUNK, m)
+        R = pair_reaches_exact(X[:b], X[a:b], nb[:b], nb[a:b], tau)
+        for t in range(a, b):
+            if t > 0 and not dup[t]:
+                dup[t] = bool(R[:t, t - a].any())
+    return batch, dup
+
+
+def prune_cells_exact(
+    assigned: DataFrame,
+    tau: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, ccos, semantic_dup) from the assignment projection
+    (id, embedding, cell, ccos, nrm[, prior]) — ONE applyInPandas per
+    cell instead of the celled self-join + DISTINCT + flag join-back.
+    With a ``prior`` column only non-prior rows are returned (the
+    incremental lane's contract). Same sum(cell^2) pair work, done as
+    chunked BLAS inside the task instead of codegen pair rows through
+    two extra exchanges."""
+    import pandas as pd
+
+    id_type = dict(assigned.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, cell int, ccos double, semantic_dup boolean"
+    )
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        batch, dup = flag_members_exact(
+            pdf, tau, id_col=id_col, vec_col=vec_col
+        )
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "cell": batch["cell"].astype("int32"),
+                "ccos": batch["ccos"],
+                "semantic_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        lambda _, pdf: prune(pdf), schema=out_schema
+    )
+
+
 def prune_cells(
     assigned: DataFrame,
     tau: float,

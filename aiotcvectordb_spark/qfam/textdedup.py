@@ -1287,8 +1287,6 @@ def q_semantic_dedup(
     the quadratic plan is unreachable at scale from every entry point,
     and the driver hash always vouches for the plan that actually
     ran."""
-    from aiotcvectordb_spark.functions.vector import dot_score_fixed
-
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # the scale router (semantic_dedup_auto) has already counted the
     # frame to pick this plan — reuse its count instead of a second
@@ -1303,63 +1301,27 @@ def q_semantic_dedup(
             f"{_SEMDEDUP_FIXED_MAX_ROWS_ENV} explicitly"
         )
     assigned = _assign_fixed_cells(emb, _SEMDEDUP_CENTROIDS)
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        "cell",
-        F.col("ccos").alias("a_ccos"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        "cell",
-        F.col("ccos").alias("b_ccos"),
-        F.col("nrm").alias("b_nrm"),
-    )
+    # r13 (guide §2.4 remove shuffles / §4.2 batch native work): the
+    # in-cell domination prune runs as ONE applyInPandas per cell
+    # (operators/semdedup.prune_cells_exact) instead of the celled
+    # self-join + DISTINCT + flag join-back — 9 exchanges -> 4 and the
+    # sum(cell²) pair work moves from codegen pair ROWS into chunked
+    # BLAS inside the task. The pair decision is the SQL plan's
+    # bit-for-bit (sequential-fold dot via the assignment's own nrm,
+    # Spark HALF_UP rounding; near-tie pairs recomputed exactly — see
+    # the kernel's module comment), verified by old-vs-new byte-equal
+    # outputs at sf0.001/0.01/0.1 and DuckDB parity MATCH.
+    from aiotcvectordb_spark.operators.semdedup import prune_cells_exact
+
+    sel = assigned.select("vec_id", "embedding", "cell", "ccos", "nrm")
     if n_rows > _semdedup_pin_min_rows():
-        # quadratic-output self-join: pin one task per cell so AQE's
-        # byte-based coalescing cannot collapse the stage (see
-        # _SEMDEDUP_PIN_MIN_ROWS_DEFAULT comment)
-        a = a.repartition(_SEMDEDUP_K, "cell")
-        b = b.repartition(_SEMDEDUP_K, "cell")
-    # r12 (guide §1.2 per-task work): the in-cell pair cosine reuses the
-    # per-row norms computed once in the assignment projection — one
-    # unrolled dot per pair instead of three (the pair stage is the
-    # query's dominant cost, sum(cell²) pairs). Bit-identical: same
-    # dot, and nrm_a * nrm_b multiplies the identical sqrt values the
-    # inline expression recomputed per pair.
-    pair_cos = F.round(
-        F.coalesce(
-            dot_score_fixed("a_emb", "b_emb", DIM)
-            / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)),
-            F.lit(0.0),
-        ),
-        ROUND_DIGITS,
-    )
-    dominated = (
-        a.join(b, "cell")
-        .filter(
-            (F.col("a_ccos") < F.col("b_ccos"))
-            | (
-                (F.col("a_ccos") == F.col("b_ccos"))
-                & (F.col("a_id") < F.col("b_id"))
-            )
-        )
-        .filter(pair_cos >= F.lit(_SEMDEDUP_TAU))
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.select("vec_id", "cell", "ccos")
-        .join(dominated.withColumn("dup", F.lit(True)), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            "ccos",
-            F.coalesce("dup", F.lit(False)).alias("semantic_dup"),
-        )
-    )
+        # quadratic per-cell work on tiny input bytes: pin one task per
+        # cell so AQE's byte-based coalescing cannot collapse the stage
+        # (REPARTITION_BY_NUM origin is coalesce-exempt, and the
+        # groupBy's ClusteredDistribution is satisfied so no second
+        # exchange appears — see _SEMDEDUP_PIN_MIN_ROWS_DEFAULT)
+        sel = sel.repartition(_SEMDEDUP_K, "cell")
+    return prune_cells_exact(sel, _SEMDEDUP_TAU)
 
 
 def _semdedup_cents_sql() -> str:
@@ -1444,8 +1406,6 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with K fixed the standing cells grow N/K, so at serving scale the
     stored member index + trained cells (streaming/semdedup.py,
     semantic_dedup_auto) replace this oracle-checkable recompute."""
-    from aiotcvectordb_spark.functions.vector import dot_score_fixed
-
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_rows = emb.count()  # parquet-metadata count
     cap = max(_semdedup_fixed_max_rows(), _SEMDEDUP_FIXED_MAX_ROWS_DEFAULT)
@@ -1458,78 +1418,29 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_SEMDEDUP_FIXED_MAX_ROWS_ENV} explicitly"
         )
     assigned = _assign_fixed_cells(emb, _SEMDEDUP_CENTROIDS)
-    batch = assigned.filter(F.col("vec_id") >= _INCR_SPLIT)
-    standing = assigned.filter(F.col("vec_id") < _INCR_SPLIT)
-    b = batch.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        "cell",
-        F.col("ccos").alias("b_ccos"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    s = standing.select(
-        F.col("embedding").alias("s_emb"), "cell",
-        F.col("nrm").alias("s_nrm"),
-    )
-    if n_rows > _semdedup_pin_min_rows():
-        # same AQE coalescing hazard as semantic_dedup's self-join:
-        # both cell-keyed joins' outputs grow batch x cell-members
-        # while their input bytes stay small — pin the shuffle origin
-        b = b.repartition(_SEMDEDUP_K, "cell")
-        s = s.repartition(_SEMDEDUP_K, "cell")
-    # r12: pair cosines reuse the assignment's per-row norms (one
-    # unrolled dot per pair, not three — see semantic_dedup)
-    def _pair(x_emb: str, y_emb: str, x_nrm: str, y_nrm: str):
-        return F.round(
-            F.coalesce(
-                dot_score_fixed(x_emb, y_emb, DIM)
-                / F.nullif(F.col(x_nrm) * F.col(y_nrm), F.lit(0.0)),
-                F.lit(0.0),
-            ),
-            ROUND_DIGITS,
-        )
+    # r13 (guide §2.4 / §4.2, the semantic_dedup rewrite applied to the
+    # incremental lane): both cell-keyed joins + their DISTINCTs +
+    # union + flag join-back collapse into ONE applyInPandas per cell —
+    # the kernel's ``prior`` flag reproduces first-arrival-wins exactly
+    # (a standing member dominates every batch row it reaches,
+    # unordered; batch-mates dominate in keep order), and only batch
+    # rows are returned, the same contract as the joins it replaces.
+    # Pair decisions bit-for-bit as in semantic_dedup (see kernel).
+    from aiotcvectordb_spark.operators.semdedup import prune_cells_exact
 
-    pair_bs = _pair("s_emb", "b_emb", "s_nrm", "b_nrm")
-    hit_standing = (
-        b.join(s, "cell")
-        .filter(pair_bs >= F.lit(_SEMDEDUP_TAU))
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    a = batch.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
+    sel = assigned.select(
+        "vec_id",
+        "embedding",
         "cell",
-        F.col("ccos").alias("a_ccos"),
-        F.col("nrm").alias("a_nrm"),
+        "ccos",
+        "nrm",
+        (F.col("vec_id") < F.lit(_INCR_SPLIT)).alias("prior"),
     )
     if n_rows > _semdedup_pin_min_rows():
-        a = a.repartition(_SEMDEDUP_K, "cell")
-    pair_ab = _pair("a_emb", "b_emb", "a_nrm", "b_nrm")
-    hit_batch = (
-        a.join(b, "cell")
-        .filter(
-            (F.col("a_ccos") < F.col("b_ccos"))
-            | (
-                (F.col("a_ccos") == F.col("b_ccos"))
-                & (F.col("a_id") < F.col("b_id"))
-            )
-        )
-        .filter(pair_ab >= F.lit(_SEMDEDUP_TAU))
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    dominated = hit_standing.union(hit_batch).distinct()
-    return (
-        batch.select("vec_id", "cell", "ccos")
-        .join(dominated.withColumn("dup", F.lit(True)), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            "ccos",
-            F.coalesce("dup", F.lit(False)).alias("semantic_dup"),
-        )
-    )
+        # same AQE coalescing hazard as semantic_dedup: quadratic
+        # per-cell work on tiny input bytes — pin one task per cell
+        sel = sel.repartition(_SEMDEDUP_K, "cell")
+    return prune_cells_exact(sel, _SEMDEDUP_TAU)
 
 
 

@@ -479,30 +479,33 @@ def test_round9_ops_shuffle_budgets(spark, sf_dir):
 
 
 def test_semdedup_in_cell_join_partition_pin(spark, sf_dir, monkeypatch):
-    """r10 (judge): the fixed-K SemDeDup in-cell self-join's output is
-    quadratic per cell while its INPUT shuffle bytes are tiny, so AQE's
-    byte-based advisory coalescing collapsed it to ~7 tasks at the
-    50k-row probe. Above the row threshold both join sides carry a
+    """r10 (judge), re-pinned for the r13 per-cell kernel: the fixed-K
+    SemDeDup in-cell domination work is quadratic per cell while its
+    INPUT shuffle bytes are tiny, so AQE's byte-based advisory
+    coalescing collapsed the stage to ~7 tasks at the 50k-row probe.
+    Above the row threshold the assignment carries ONE
     REPARTITION_BY_NUM exchange on the cell key — the origin AQE may
-    NOT coalesce (EnsureRequirements may rewrite the partition count
-    to spark.sql.shuffle.partitions under SMJ; the origin is the
-    guarantee). Below the threshold the plan is unchanged."""
+    NOT coalesce — and the groupBy().applyInPandas REUSES it (its
+    ClusteredDistribution is satisfied, so no ENSURE_REQUIREMENTS
+    exchange on cell appears). Below the threshold the plan is
+    unchanged."""
     import re
 
     monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP_PIN_MIN_ROWS", "1")
-    pinned = audit.executed_plan(Q.QUERIES["semantic_dedup"](spark, sf_dir))
-    cells = re.findall(
-        r"Exchange hashpartitioning\(cell#\d+, \d+\), REPARTITION_BY_NUM",
-        pinned,
-    )
-    assert len(cells) == 2, pinned.count("REPARTITION_BY_NUM")
-    incr = audit.executed_plan(
-        Q.QUERIES["incremental_semantic_dedup"](spark, sf_dir)
-    )
-    assert len(re.findall(
-        r"Exchange hashpartitioning\(cell#\d+, \d+\), REPARTITION_BY_NUM",
-        incr,
-    )) >= 3  # b, s, a sides (b may additionally appear as ReusedExchange)
+    for name, n_pins in (
+        ("semantic_dedup", 1),
+        ("incremental_semantic_dedup", 1),
+    ):
+        pinned = audit.executed_plan(Q.QUERIES[name](spark, sf_dir))
+        cells = re.findall(
+            r"Exchange hashpartitioning\(cell#\d+, \d+\), REPARTITION_BY_NUM",
+            pinned,
+        )
+        assert len(cells) == n_pins, (name, pinned.count("REPARTITION_BY_NUM"))
+        assert not re.findall(
+            r"Exchange hashpartitioning\(cell#\d+, \d+\), ENSURE_REQUIREMENTS",
+            pinned,
+        ), (name, "pin not reused by the per-cell kernel")
     monkeypatch.delenv("SPARK_GRAFT_SEMDEDUP_PIN_MIN_ROWS")
     default = audit.executed_plan(Q.QUERIES["semantic_dedup"](spark, sf_dir))
     assert "REPARTITION_BY_NUM" not in default

@@ -210,6 +210,15 @@ REWRITES: dict[str, int] = {
     # — payload bytes proven identical on 60 varied-geometry docs, but
     # the fixture builder materially changed
     "audio_mp3_meta": 13,
+    # r13: in-cell domination prune moved from celled self-join +
+    # DISTINCT + flag join-back to ONE applyInPandas per cell
+    # (operators/semdedup.prune_cells_exact, Spark-plan-exact pair
+    # decisions) — outputs byte-equal at sf0.001/0.01/0.1 and parity
+    # MATCH, but the plan materially changed (18/32/34 -> 6/6/24
+    # formatted-dump Exchange lines)
+    "semantic_dedup": 13,
+    "incremental_semantic_dedup": 13,
+    "curate_corpus_v2": 13,
 }
 
 
