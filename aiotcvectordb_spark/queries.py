@@ -119,59 +119,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # enforces this ordering plus the post-driver age cap by simulating
     # the driver consuming the front batch; tools/rotate_registry.py
     # regenerates this block. Re-rotation is the round's CLOSING commit.
-    # --- forced for r12: rewritten since last row / no row yet ---
-    "audio_mp3_meta": q_audio_mp3_meta,  # rewritten r12
-    "jpeg_meta": q_jpeg_meta,  # rewritten r12
-    "audio_adpcm_meta": q_audio_adpcm_meta,  # new, no driver row yet
-    "video_mjpeg_meta": q_video_mjpeg_meta,  # new, no driver row yet
-    "video_mjpeg_frames": q_video_mjpeg_frames,  # new, no driver row yet
-    "gif_frames": q_gif_frames,  # rewritten r12
-    "jpeg_probe": q_jpeg_probe,  # rewritten r12
-    "jpeg_progressive_probe": q_jpeg_progressive_probe,  # rewritten r12
-    "docx_extract": q_docx_extract,  # rewritten r12
-    "rtf_extract": q_rtf_extract,  # rewritten r12
-    "xlsx_extract": q_xlsx_extract,  # rewritten r12
-    "xls_extract": q_xls_extract,  # rewritten r12
-    "pptx_extract": q_pptx_extract,  # rewritten r12
-    "pdf_extract": q_pdf_extract,  # rewritten r12
-    "doc_extract": q_doc_extract,  # rewritten r12
-    "ppt_extract": q_ppt_extract,  # rewritten r12
-    "epub_extract": q_epub_extract,  # rewritten r12
-    "multimodal_features": q_multimodal_features,  # rewritten r12
-    "image_probe": q_image_probe,  # rewritten r12
-    "audio_probe": q_audio_probe,  # rewritten r12
-    "video_frames": q_video_frames,  # rewritten r12
-    "curate_corpus_v2": q_curate_corpus_v2,  # rewritten r12
-    "incremental_semantic_dedup": q_incremental_semantic_dedup,  # rewritten r12
-    "substring_dedup": q_substring_dedup,  # rewritten r12
-    "incremental_substring_dedup": q_incremental_substring_dedup,  # rewritten r12
-    "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,  # rewritten r12
-    "substring_dedup_cjk": q_substring_dedup_cjk,  # rewritten r12
-    "substring_dedup_cjk_hashed": q_substring_dedup_cjk_hashed,  # rewritten r12
-    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,  # rewritten r12
-    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,  # rewritten r12
-    "semantic_dedup": q_semantic_dedup,  # rewritten r12
-    "ann_sq8_cosine": q_ann_sq8_cosine,  # rewritten r12
-    # --- r8 rows (age 4) (must be in the next batch) ---
-    "ttl_filter": q_ttl_filter,
-    "json_extract": q_json_extract,
-    "group_topk": q_group_topk,
-    "agg_groupby_stats": q_agg_groupby_stats,
-    "window_running": q_window_running,
-    "window_funcs": q_window_funcs,
-    "scalar_funcs": q_scalar_funcs,
-    "set_ops": q_set_ops,
-    "count_filter": q_count_filter,
-    "delete_filter_limit": q_delete_filter_limit,
-    "percentiles": q_percentiles,
-    "query_filter_sort_paginate": q_query_filter_sort_paginate,
-    # --- r9 rows (age 3) (must be in the next batch) ---
-    "gram_novelty": q_gram_novelty,
-    "incremental_gram_novelty": q_incremental_gram_novelty,
-    "stratified_sample_hash": q_stratified_sample_hash,
-    "search_grouped": q_search_grouped,
-    "fulltext_phrase": q_fulltext_phrase,
-    "fulltext_phrase_cjk": q_fulltext_phrase_cjk,
+    # --- forced for r13: rewritten since last row / no row yet ---
+    "audio_mp3_meta": q_audio_mp3_meta,  # rewritten r13
+    "jpeg_progressive_probe": q_jpeg_progressive_probe,  # rewritten r13
+    "curate_corpus_v2": q_curate_corpus_v2,  # rewritten r13
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,  # rewritten r13
+    "semantic_dedup": q_semantic_dedup,  # rewritten r13
+    # --- r9 rows (age 4) (must be in the next batch) ---
     "search_by_text": q_search_by_text,
     "gopher_quality_filter": q_gopher_quality_filter,
     "incremental_line_dedup": q_incremental_line_dedup,
@@ -206,7 +160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "curate_corpus": q_curate_corpus,
     "incremental_dedup": q_incremental_dedup,
-    # --- r10 rows (age 2) ---
+    # --- r10 rows (age 3) (must be in the next batch) ---
     "incremental_decontaminate_fraction": q_incremental_decontaminate_fraction,
     "dataset_mix_temp": q_dataset_mix_temp,
     "dataset_mix": q_dataset_mix,
@@ -246,7 +200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "forecast_revenue_change": q_forecast_revenue_change,
     "small_quantity_revenue": q_small_quantity_revenue,
-    # --- r11 rows (age 1) ---
+    # --- r11 rows (age 2) ---
     "bpe_token_count_frozen": q_bpe_token_count_frozen,
     "weighted_sample_hash": q_weighted_sample_hash,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -286,6 +240,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_agg": q_cube_agg,
     "price_histogram": q_price_histogram,
     "query_by_ids": q_query_by_ids,
+    # --- r12 rows (age 1) ---
+    "jpeg_meta": q_jpeg_meta,
+    "audio_adpcm_meta": q_audio_adpcm_meta,
+    "video_mjpeg_meta": q_video_mjpeg_meta,
+    "video_mjpeg_frames": q_video_mjpeg_frames,
+    "gif_frames": q_gif_frames,
+    "jpeg_probe": q_jpeg_probe,
+    "docx_extract": q_docx_extract,
+    "rtf_extract": q_rtf_extract,
+    "xlsx_extract": q_xlsx_extract,
+    "xls_extract": q_xls_extract,
+    "pptx_extract": q_pptx_extract,
+    "pdf_extract": q_pdf_extract,
+    "doc_extract": q_doc_extract,
+    "ppt_extract": q_ppt_extract,
+    "epub_extract": q_epub_extract,
+    "multimodal_features": q_multimodal_features,
+    "image_probe": q_image_probe,
+    "audio_probe": q_audio_probe,
+    "video_frames": q_video_frames,
+    "substring_dedup": q_substring_dedup,
+    "incremental_substring_dedup": q_incremental_substring_dedup,
+    "ann_ivf_cosine_fixed": q_ann_ivf_cosine_fixed,
+    "substring_dedup_cjk": q_substring_dedup_cjk,
+    "substring_dedup_cjk_hashed": q_substring_dedup_cjk_hashed,
+    "incremental_substring_dedup_cjk": q_incremental_substring_dedup_cjk,
+    "substring_dedup_hashed_portable": q_substring_dedup_hashed_portable,
+    "ann_sq8_cosine": q_ann_sq8_cosine,
+    "ttl_filter": q_ttl_filter,
+    "json_extract": q_json_extract,
+    "group_topk": q_group_topk,
+    "agg_groupby_stats": q_agg_groupby_stats,
+    "window_running": q_window_running,
+    "window_funcs": q_window_funcs,
+    "scalar_funcs": q_scalar_funcs,
+    "set_ops": q_set_ops,
+    "count_filter": q_count_filter,
+    "delete_filter_limit": q_delete_filter_limit,
+    "percentiles": q_percentiles,
+    "query_filter_sort_paginate": q_query_filter_sort_paginate,
+    "gram_novelty": q_gram_novelty,
+    "incremental_gram_novelty": q_incremental_gram_novelty,
+    "stratified_sample_hash": q_stratified_sample_hash,
+    "search_grouped": q_search_grouped,
+    "fulltext_phrase": q_fulltext_phrase,
+    "fulltext_phrase_cjk": q_fulltext_phrase_cjk,
     # --- non-oracled entries (rows-only driver check; order free) ---
     "curate_corpus_v2_auto": q_curate_corpus_v2_auto,
     "semantic_dedup_auto": q_semantic_dedup_auto,

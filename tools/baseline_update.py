@@ -176,6 +176,16 @@ RATIO_NOTES: dict[str, str] = {
         "agg-prune: count() drops the pivoted per-bucket aggregate "
         "columns, keeping group keys; sub-0.5 s absolute"
     ),
+    "window_running": (
+        "window-prune: count() drops the row-preserving running-sum "
+        "Window operator entirely; noop pays the partition sort + "
+        "frame evaluation; sub-1 s absolute"
+    ),
+    "funnel_steps": (
+        "window-prune: count() drops the per-user step-ordering "
+        "Window and the step-flag projections (row-preserving); noop "
+        "pays them; sub-1.5 s absolute"
+    ),
 }
 
 
